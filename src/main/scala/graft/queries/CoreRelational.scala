@@ -1,0 +1,468 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory, re-expressed over the driver's
+  * synthetic tables so the DuckDB oracle can verify each semantic.
+  *
+  * Mapping (reference → here):
+  *  - P1/P4 column normalize+project      → p1_normalize_project
+  *  - P5 equality-predicate ledger filter → p5_eq_filter
+  *  - P6 value-blacklist filter           → p6_blacklist_filter
+  *  - P7 time-range predicate             → p7_time_range
+  *  - P8 interval OVERLAPS                → p8_interval_overlap
+  *  - P9 null-bounds guard                → p9_null_bounds_guard
+  *  - J1 dim equi-join                    → j1_dim_join
+  *  - J2 left enrich join                 → j2_enrich_left_join
+  *  - J3 3-way star join                  → j3_star_join
+  *  - J4 anti-join vs ledger              → j4_anti_join
+  *  - J7 semi-join (ANY list)             → j7_semi_join
+  *  - J8 keep-latest dedup (DELETE self-join, ingestObsTasks.py:45-56)
+  *                                        → j8_keep_latest_dedup
+  *  - J9 rerun-detection gate             → j9_rerun_gate
+  *  - A1 min/max bounds, A2 distinct, A3 sorted value collection,
+  *    A5 drop_duplicates(subset), A6/A7 fixed-category pivot
+  *    (crosstab), A8 JSON agg             → a1..a8_*
+  *  - O1-O4 sorts are folded into every query's ORDER BY.
+  *  - U1 vertical concat                  → u1_union
+  *
+  * Performance notes (100 TB thinking): dimension joins broadcast the
+  * small side explicitly; aggregations rely on partial (map-side)
+  * aggregation, window dedup shuffles once on its partition keys; all
+  * scans project only needed columns so parquet pruning kicks in.
+  */
+object CoreRelational {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // --- A-class baseline aggregation (TPC-H Q1 flavored) ------------
+    QueryDef.sql(
+      "q1_sum_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2)                        AS sum_qty,
+        |  round(sum(l_extendedprice), 2)                   AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 4)                        AS avg_disc,
+        |  count(*)                                         AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- P1/P4/F2: normalize, rename, cast, project ------------------
+    QueryDef.sql(
+      "p1_normalize_project",
+      """SELECT c_custkey AS custkey, CAST(c_custkey AS VARCHAR) AS custkey_str,
+        |  upper(c_name) AS name_uc, lower(c_mktsegment) AS segment_lc
+        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"),
+        col("c_custkey").cast("string").as("custkey_str"),
+        upper(col("c_name")).as("name_uc"),
+        lower(col("c_mktsegment")).as("segment_lc"))
+        .orderBy("custkey")
+    },
+
+    // --- P5: equality-predicate filter (ledger-scan shape) -----------
+    QueryDef.sql(
+      "p5_eq_filter",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' AND value > 100.0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("value") > 100.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // --- P6: value-blacklist filter ----------------------------------
+    QueryDef.sql(
+      "p6_blacklist_filter",
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type NOT IN ('click', 'view')
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(!col("event_type").isin("click", "view"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // --- P7: time-range predicate ------------------------------------
+    QueryDef.sql(
+      "p7_time_range",
+      """SELECT event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(
+          col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy("event_id")
+    },
+
+    // --- P8 + F7: interval overlap (half-open OVERLAPS semantics) ----
+    QueryDef.sql(
+      "p8_interval_overlap",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+        |  AND o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1996-02-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") + expr("INTERVAL 30 DAYS") > lit("1996-02-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+
+    // --- P9: null-bounds guard (skip file when min & max both null) --
+    QueryDef.sql(
+      "p9_null_bounds_guard",
+      """SELECT user_id, err_min, err_max,
+        |  (err_min IS NULL AND err_max IS NULL) AS skip_ingest
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'error' THEN value END) AS err_min,
+        |    max(CASE WHEN event_type = 'error' THEN value END) AS err_max
+        |  FROM events GROUP BY 1)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "error", col("value"))).as("err_min"),
+          max(when(col("event_type") === "error", col("value"))).as("err_max"))
+        .withColumn("skip_ingest", col("err_min").isNull && col("err_max").isNull)
+        .orderBy("user_id")
+    },
+
+    // --- J1: dimension equi-join chain (broadcast small dims) --------
+    QueryDef.sql(
+      "j1_dim_join",
+      """SELECT c.c_custkey, n.n_name, r.r_name
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'AMERICA'
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")
+    },
+
+    // --- J2 + F8: left enrich join, missing key → '' -----------------
+    QueryDef.sql(
+      "j2_enrich_left_join",
+      """SELECT l.l_orderkey, l.l_linenumber, coalesce(s.s_name, '') AS s_name
+        |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("s_name"), lit("")).as("s_name"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // --- J3: 3-way star join + aggregation ---------------------------
+    QueryDef.sql(
+      "j3_star_join",
+      """SELECT c.c_mktsegment,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    },
+
+    // --- J4: anti-join (new files vs ledger shape) -------------------
+    QueryDef.sql(
+      "j4_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // --- J7: semi-join via in-list (ANY(array)) ----------------------
+    QueryDef.sql(
+      "j7_semi_join",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49.0)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Tables.supplier(s, dir)
+        .join(
+          Tables.lineitem(s, dir).filter(col("l_quantity") >= 49.0)
+            .select(col("l_suppkey").as("s_suppkey")),
+          Seq("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // --- J8: keep-latest dedup (reference DELETE self-join) ----------
+    // Highest (ts, event_id) wins per (user_id, event_type) — the
+    // precedence-column restatement of "highest serial id wins"
+    // (reference ingestObsTasks.py:45-56).
+    QueryDef.sql(
+      "j8_keep_latest_dedup",
+      """SELECT user_id, event_type, event_id, value FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    },
+
+    // --- J9: rerun-detection gate (>1 distinct marker) ---------------
+    QueryDef.sql(
+      "j9_rerun_gate",
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1
+        |HAVING count(DISTINCT event_type) > 3
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_type")).as("n_types"))
+        .filter(col("n_types") > 3)
+        .orderBy("user_id")
+    },
+
+    // --- A1: min/max time bounds per group ---------------------------
+    QueryDef.sql(
+      "a1_minmax_bounds",
+      """SELECT event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_min,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS t_max,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_min"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_max"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // --- A2: DISTINCT -------------------------------------------------
+    QueryDef.sql(
+      "a2_distinct",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // --- A3: sorted distinct value collection ------------------------
+    QueryDef.sql(
+      "a3_collect_sorted",
+      """SELECT n.n_name,
+        |  string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+        .orderBy("n_name")
+    },
+
+    // --- A5: drop_duplicates(subset) with deterministic precedence ---
+    QueryDef.sql(
+      "a5_argmin_dedup",
+      """SELECT p_brand, p_partkey, p_name FROM part
+        |QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) = 1
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_brand", "p_partkey", "p_name")
+        .orderBy("p_brand")
+    },
+
+    // --- A6: EAV/crosstab pivot with FIXED category list -------------
+    // 'refund' never occurs → column must still exist, all NULL
+    // (reference A7 contract, scripts/get_obs_timeseries_station_data.sql:31-38).
+    QueryDef.sql(
+      "a6_eav_pivot",
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'refund'   THEN value END), 2) AS refund,
+        |  round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "refund", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy("user_id")
+    },
+
+    // --- A7: time-series pivot (hour buckets × fixed categories) -----
+    QueryDef.sql(
+      "a7_timeseries_pivot",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'refund'   THEN value END), 2) AS refund,
+        |  round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "refund", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy("bucket")
+    },
+
+    // --- A8: JSON aggregation (ordered array of objects) -------------
+    QueryDef.sql(
+      "a8_json_agg",
+      """SELECT user_id,
+        |  '[' || string_agg(
+        |      '{"t":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '","e":"' || event_type || '"}',
+        |      ',' ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), event_type, event_id
+        |  ) || ']' AS js
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          struct(
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+            col("event_type").as("e"),
+            col("event_id").as("i")).as("rec"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("rec"))).as("recs"))
+        .select(
+          col("user_id"),
+          concat(
+            lit("["),
+            array_join(
+              transform(col("recs"), r =>
+                concat(lit("{\"t\":\""), r.getField("t"),
+                  lit("\",\"e\":\""), r.getField("e"), lit("\"}"))),
+              ","),
+            lit("]")).as("js"))
+        .orderBy("user_id")
+    },
+
+    // --- U1: vertical concat (union of station sets shape) -----------
+    QueryDef.sql(
+      "u1_union",
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY name, kind""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_name").as("name"), lit("customer").as("kind"))
+        .unionByName(
+          Tables.supplier(s, dir).select(col("s_name").as("name"), lit("supplier").as("kind")))
+        .orderBy("name", "kind")
+    },
+
+    // --- S3 + F4: filename timemark extraction (reference regex) -----
+    QueryDef.sql(
+      "s3_filename_extract",
+      """SELECT event_id,
+        |  'noaaweb_stationdata_water_level_' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.csv' AS fname,
+        |  regexp_extract(
+        |    'noaaweb_stationdata_water_level_' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.csv',
+        |    '([0-9]+-[0-9]+-[0-9]+T[0-9]+:[0-9]+:[0-9]+)', 1) AS timemark
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("fname",
+          concat(lit("noaaweb_stationdata_water_level_"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(".csv")))
+        .select(
+          col("event_id"), col("fname"),
+          regexp_extract(col("fname"),
+            "([0-9]+-[0-9]+-[0-9]+T[0-9]+:[0-9]+:[0-9]+)", 1).as("timemark"))
+        .orderBy("event_id")
+    },
+
+    // --- F1-F3/F10: string scalar suite ------------------------------
+    QueryDef.sql(
+      "f_string_funcs",
+      """SELECT p_partkey,
+        |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+        |  upper(p_name) AS name_uc,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  split_part(p_name, ' ', -1) AS last_word,
+        |  length(p_name) AS name_len,
+        |  substr(p_type, 1, 3) AS type_pfx
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+        upper(col("p_name")).as("name_uc"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        element_at(split(col("p_name"), " "), -1).as("last_word"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 3).as("type_pfx"))
+        .orderBy("p_partkey")
+    },
+
+    // --- F5-F7: datetime scalar suite --------------------------------
+    QueryDef.sql(
+      "f_datetime_funcs",
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d') AS day_str,
+        |  CAST(hour(ts) AS INTEGER) AS hr,
+        |  strftime(ts + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS plus36h,
+        |  (ts < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 31 DAY) AS before_lookback,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        hour(col("ts")).as("hr"),
+        date_format(col("ts") + expr("INTERVAL 36 HOURS"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("plus36h"),
+        (col("ts") < lit("2024-02-01 00:00:00").cast("timestamp") - expr("INTERVAL 31 DAYS")).as("before_lookback"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy("event_id")
+    })
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.domain._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Task-dispatching CLI — the engine's control plane, mirroring the
+  * reference's `--inputTask` mains (runObsIngest.py:296-325,
+  * prepare4Ingest.py:214-244; SURVEY §2.11). The reference fans out to
+  * subprocesses per task; here every task is a plain function over one
+  * SparkSession and the stages fuse into one DAG.
+  *
+  * Usage:
+  *   IngestCli SeedStations    --stations <glob> --store <dir>
+  *   IngestCli SequenceIngest  --harvestDir <dir> --catalog <csv> --store <dir> [--now <ts>]
+  *   IngestCli QueryObs        --store <dir> --station <name> --start <ts> --end <ts>
+  */
+object IngestCli {
+
+  def main(args: Array[String]): Unit = {
+    val task = args.headOption.getOrElse(sys.error("usage: IngestCli <task> [--opt v]..."))
+    val opts = args.drop(1).grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String) = opts.getOrElse(k, sys.error(s"missing --$k"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    task match {
+      case "SeedStations" =>
+        val store = new GaugeStore(spark, req("store"))
+        store.writeStations(ObsIngest.seedStations(spark, req("stations")))
+        println(s"seeded ${store.stations.count()} stations")
+
+      case "SequenceIngest" =>
+        val store = new GaugeStore(spark, req("store"))
+        val now = opts.get("now").map(lit(_)).getOrElse(current_timestamp()).cast("timestamp")
+        val catalog = loadCatalog(spark, req("catalog"))
+        val n = sequenceIngest(spark, store, catalog, req("harvestDir"), now)
+        println(s"ingested $n new files")
+
+      case "QueryObs" =>
+        val store = new GaugeStore(spark, req("store"))
+        println(QueryApi.obsTimeseriesStationDataJson(
+          store.gaugeData, store.gaugeSource, store.stations,
+          req("station"), req("start"), req("end")))
+
+      case other => sys.error(s"unknown task: $other")
+    }
+    spark.stop()
+  }
+
+  def loadCatalog(spark: SparkSession, path: String): Seq[SourceMeta] = {
+    import spark.implicits._
+    spark.read.schema(Schemas.sourceObsMeta).option("header", "true").csv(path)
+      .as[SourceMeta].collect().toSeq
+  }
+
+  /** The obs SequenceIngest pipeline (SURVEY §3.1): per catalog source
+    * — discover files, anti-join the ledger, ingest the new ones,
+    * dedup scoped to the batch window, commit ledger rows. Sources are
+    * independent; failures skip the source and continue (reference
+    * log-and-continue semantics, runObsIngest.py:116-117).
+    */
+  def sequenceIngest(
+      spark: SparkSession,
+      store: GaugeStore,
+      catalog: Seq[SourceMeta],
+      harvestDir: String,
+      now: org.apache.spark.sql.Column): Long = {
+    val stations = store.stations
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    catalog.foreach { meta =>
+      try {
+        val glob = s"$harvestDir/${meta.filename_prefix}_*.csv"
+        val matched = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+        if (matched != null && matched.nonEmpty) {
+        val harvest = ObsIngest.readHarvest(spark, meta, glob)
+        val candidates = ObsIngest.harvestFileMeta(harvest, meta, harvestDir, now)
+        val fresh = ObsIngest.newFilesOnly(candidates, store.ledger, now).cache()
+        val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
+        if (freshNames.nonEmpty) {
+          val loadable = fresh.filter(!col("ingested"))
+            .select("file_name").collect().map(_.getString(0))
+          if (loadable.nonEmpty) {
+            val fact = ObsIngest.ingestSource(spark, meta, stations,
+              loadable.map(f => s"$harvestDir/$f"): _*)
+            val bounds = fact.agg(min("time"), max("time")).collect()(0)
+            val deduped = ObsIngest.dedupFact(fact,
+              lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
+            store.appendGaugeData(deduped, meta.data_source)
+            if (store.hasGaugeData) store.compactGaugeData()
+          }
+          store.appendLedger(fresh)
+          store.markIngested(freshNames)
+          upsertGaugeSource(store, ObsIngest.buildGaugeSource(stations, meta), meta)
+          total += freshNames.length
+        }
+        fresh.unpersist()
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] source ${meta.data_source}/${meta.source_name} failed: ${e.getMessage}")
+      }
+    }
+    total
+  }
+
+  /** The source dim is O(catalog × stations) rows — tiny. Materialize
+    * to the driver before overwriting the path being read. */
+  private def upsertGaugeSource(store: GaugeStore, src: org.apache.spark.sql.DataFrame, meta: SourceMeta): Unit = {
+    val spark = src.sparkSession
+    val merged =
+      if (new java.io.File(s"${store.root}/gauge_source").exists())
+        store.gaugeSource
+          .filter(!(col("data_source") === meta.data_source &&
+            col("source_name") === meta.source_name &&
+            col("source_archive") === meta.source_archive))
+          .unionByName(src)
+      else src
+    val local = merged.collect().toIndexedSeq
+    store.writeGaugeSource(
+      spark.createDataFrame(spark.sparkContext.parallelize(local, 1), merged.schema))
+  }
+}

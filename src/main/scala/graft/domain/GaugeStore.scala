@@ -1,0 +1,92 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed storage for the engine's star schema — the Spark
+  * restatement of the reference's Postgres tables (SURVEY §1.1).
+  *
+  * Layout under `root`:
+  *   stations/      — gauge station dim (small)
+  *   gauge_source/  — obs source dim (small)
+  *   gauge_data/    — obs fact, partitioned by data_source + obs date
+  *   ledger_obs/    — harvest-file ledger (one row per file)
+  *
+  * Partitioning rationale (100 TB): the UI read path always filters
+  * one station + a time range (scripts/get_obs_timeseries_station_data.sql:24)
+  * and ingest dedup scopes to a time window, so `day(time)` partition
+  * pruning bounds every query/merge to a handful of partitions;
+  * `data_source` keeps the 11 catalog sources separable (P5 filters).
+  * Mutable ops (`UPDATE ingested`, DELETE-dedup) become
+  * recompute-and-overwrite of the affected partitions — the ledger is
+  * O(#files) rows, so a full overwrite is cheap at any data scale.
+  */
+final class GaugeStore(spark: SparkSession, val root: String) {
+
+  private def path(t: String) = s"$root/$t"
+
+  def writeStations(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path("stations"))
+
+  def stations: DataFrame = spark.read.parquet(path("stations"))
+
+  def writeGaugeSource(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path("gauge_source"))
+
+  def gaugeSource: DataFrame = spark.read.parquet(path("gauge_source"))
+
+  /** Append a batch of fact rows. Adds the partition columns; the
+    * caller has already deduplicated within the batch. */
+  def appendGaugeData(df: DataFrame, dataSource: String): Unit =
+    df.withColumn("data_source_part", lit(dataSource))
+      .withColumn("obs_date", to_date(col("time")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("data_source_part", "obs_date")
+      .parquet(path("gauge_data"))
+
+  def gaugeData: DataFrame =
+    spark.read.parquet(path("gauge_data")).drop("data_source_part", "obs_date")
+
+  def hasGaugeData: Boolean =
+    new java.io.File(path("gauge_data")).exists()
+
+  /** Cross-batch keep-latest repair (J8 across appends): rewrite the
+    * fact with duplicates resolved. At scale this is run per affected
+    * partition (MERGE-style); locally it is a full rewrite.
+    */
+  def compactGaugeData(): Unit = {
+    val deduped = graft.operators.KeepLatestDedup(
+      spark.read.parquet(path("gauge_data")),
+      keys = Seq("source_id", "time"),
+      precedence = Seq(col("timemark")))
+    val tmp = path("gauge_data_tmp")
+    deduped.write.mode(SaveMode.Overwrite)
+      .partitionBy("data_source_part", "obs_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path("gauge_data")), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
+  }
+
+  def hasLedger: Boolean = new java.io.File(path("ledger_obs")).exists()
+
+  def ledger: DataFrame =
+    if (hasLedger) spark.read.parquet(path("ledger_obs"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.harvestObsFileMeta)
+
+  def appendLedger(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path("ledger_obs"))
+
+  /** `UPDATE ... SET ingested=True` (ingestObsTasks.py:405-409) on
+    * immutable storage: overwrite the (tiny) ledger with the flag set
+    * for the given files. */
+  def markIngested(fileNames: Seq[String]): Unit = {
+    val updated = ledger.withColumn("ingested",
+      when(col("file_name").isin(fileNames: _*), lit(true)).otherwise(col("ingested")))
+    val tmp = path("ledger_obs_tmp")
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path("ledger_obs")), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("ledger_obs")))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.domain
+
+import graft.operators.{FixedPivot, KeepLatestDedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model (ADCIRC) ingest pipeline — Spark restatement of
+  * runModelIngest.py / ingestModelTasks.py (SURVEY §3.2): run-property
+  * EAV pivot, data_source naming rules, model fact ingest with the
+  * rerun-gated dedup, and the per-run ApsViz station snapshot.
+  */
+object ModelIngest {
+
+  /** A6: EAV crosstab of the dashboard DB's config_item rows for one
+    * model run (scripts/get_adcirc_run_property_variables.sql:7-50):
+    * filter `instance_id || '-' || uid = run prefix` rows, pivot the 13
+    * fixed property keys into one wide row.
+    */
+  def runProperties(configItems: DataFrame, instanceId: Long, uid: String): DataFrame =
+    FixedPivot(
+      configItems
+        .filter(col("instance_id") === instanceId && col("uid") === uid &&
+          col("key").isin(Schemas.runPropertyKeys: _*)),
+      Seq("instance_id", "uid"), "key", Schemas.runPropertyKeys,
+      first(col("value")))
+
+  /** data_source naming (runModelIngest.py:201-212): synoptic runs →
+    * ENSEMBLE_GRID; tropical (storm set) → STORM_ENSEMBLE_GRID; all
+    * uppercased (F2).
+    */
+  def dataSourceName(ensemble: String, grid: String, storm: Option[String]): String =
+    storm match {
+      case Some(s) if s.nonEmpty && s != "none" =>
+        s"${s}_${ensemble}_$grid".toUpperCase
+      case _ => s"${ensemble}_$grid".toUpperCase
+    }
+
+  /** Station-type switch (runModelIngest.py:215-240): harvest file
+    * STATIONTYPE → (source_variable, location_type, units). */
+  val stationTypeMeta: Map[String, (String, String, String)] = Map(
+    "NOAASTATIONS"     -> (("water_level", "tidal",   "m")),
+    "CONTRAILSCOASTAL" -> (("water_level", "coastal", "m")),
+    "CONTRAILSRIVERS"  -> (("water_level", "river",   "m")),
+    "NDBCBUOYS"        -> (("wave_height", "ocean",   "m")))
+
+  /** Model-source dimension row set for a run (J1 model variant with
+    * source_instance + forcing_metclass keys, createIngestModelData.py:42-51).
+    */
+  def buildModelSource(
+      stations: DataFrame, meta: SourceMeta,
+      sourceInstance: String, forcingMetclass: String): DataFrame =
+    stations
+      .filter(col("location_type") === meta.location_type)
+      .select(
+        xxhash64(col("station_id"), lit(meta.data_source), lit(meta.source_name),
+          lit(meta.source_archive), lit(sourceInstance), lit(forcingMetclass)).as("source_id"),
+        col("station_id"),
+        lit(meta.data_source).as("data_source"),
+        lit(meta.source_name).as("source_name"),
+        lit(meta.source_archive).as("source_archive"),
+        lit(meta.units).as("units"),
+        lit(sourceInstance).as("source_instance"),
+        lit(forcingMetclass).as("forcing_metclass"))
+
+  /** Model fact rows for one run's harvest files: normalize, attach
+    * source_id, fixed timemark (from run properties, not the file
+    * name — runModelIngest.py:186-188), wide (water_level, wave_height)
+    * schema with the station-type's variable routed in.
+    */
+  def ingestRun(
+      spark: SparkSession,
+      meta: SourceMeta,
+      modelSource: DataFrame,
+      stations: DataFrame,
+      timemark: Column,
+      paths: String*): DataFrame = {
+    val harvest = spark.read
+      .schema(Schemas.harvestCsv(meta.source_variable))
+      .option("header", "true")
+      .csv(paths: _*)
+    val lowered = harvest.columns.foldLeft(harvest) { (df, c) =>
+      df.withColumnRenamed(c, c.toLowerCase)
+    }
+    val data = lowered
+      .withColumnRenamed("station", "station_name")
+      .withColumn("timemark", timemark.cast("timestamp"))
+    val withId = data.join(
+      broadcast(
+        modelSource.join(stations.select("station_id", "station_name"), "station_id")
+          .select("station_name", "source_id")),
+      Seq("station_name"), "left")
+      .filter(col("source_id").isNotNull)
+    val vars = Seq("water_level", "wave_height")
+    val routed = vars.foldLeft(withId) { (df, m) =>
+      if (m == meta.source_variable) df else df.withColumn(m, lit(null).cast("double"))
+    }
+    routed.select("source_id", "timemark", "time", "water_level", "wave_height")
+  }
+
+  /** J9 rerun gate: the reference deletes duplicates only when the same
+    * (file, source keys, timemark) has >1 distinct processing_datetime
+    * (ingestModelTasks.py:375-387). Returns true when a rerun is
+    * detected in the ledger.
+    */
+  def rerunDetected(
+      ledger: DataFrame, fileName: String, timemark: Column): Boolean =
+    ledger
+      .filter(col("file_name") === fileName && col("timemark") === timemark)
+      .select("processing_datetime").distinct().count() > 1
+
+  /** Model dedup (J8 model variant): scoped by the run's timemark
+    * rather than a time window (ingestModelTasks.py:102-114);
+    * precedence = processing order, encoded by `processing_seq`.
+    */
+  def dedupRun(fact: DataFrame, timemark: Column, precedence: Column): DataFrame = {
+    val inScope = col("timemark") === timemark
+    KeepLatestDedup(fact.filter(inScope), Seq("source_id", "time"), Seq(precedence))
+      .unionByName(fact.filter(!inScope))
+  }
+
+  /** ApsViz station snapshot for a run
+    * (createIngestApsVizStationData.py, SURVEY §3.2 step
+    * runApsVizStationCreateIngest):
+    * ADCIRC stations (those named in the run's meta files, J7 semi) ∪
+    * obs stations active in [timemark − 1.5 days, timemark] (P8
+    * overlap) minus blacklisted sources (P6) minus stations already in
+    * the ADCIRC set (J5 anti), re-enriched from the station dim (J6),
+    * with a per-row csvurl (F1).
+    */
+  def apsVizStations(
+      stations: DataFrame,
+      adcircStationNames: DataFrame,     // one station_name column
+      retainObsStations: DataFrame,      // station snapshot + begin_date/end_date + source keys
+      timemark: Column,
+      modelRunId: String,
+      uiDataUrl: String,
+      gridName: String,
+      blacklist: Seq[String] = Seq("tidal_predictions", "wind_anemometer", "air_barometer")): DataFrame = {
+
+    val windowLo = timemark.cast("timestamp") - expr("INTERVAL 36 HOURS")
+    val windowHi = timemark.cast("timestamp")
+
+    val adcirc = stations
+      .join(broadcast(adcircStationNames), Seq("station_name"), "left_semi")
+      .withColumn("origin", lit("adcirc"))
+
+    val obsActive = retainObsStations
+      .filter(!col("data_source").isin(blacklist: _*))           // P6
+      .filter(col("begin_date") < windowHi && col("end_date") > windowLo) // P8
+      .dropDuplicates("station_name")                            // A5
+      .join(broadcast(adcircStationNames), Seq("station_name"), "left_anti") // J5
+      .select("station_name")
+      .join(stations, Seq("station_name"))                       // J6
+      .withColumn("origin", lit("obs"))
+
+    adcirc.unionByName(obsActive)                                // U1
+      .withColumn("timemark", timemark.cast("timestamp"))
+      .withColumn("model_run_id", lit(modelRunId))
+      .withColumn("grid_name", lit(gridName))
+      .withColumn("csvurl",                                      // F1
+        concat(lit(uiDataUrl), lit("/get_station_data?station_name="),
+          col("station_name"), lit("&time_mark="),
+          date_format(col("timemark"), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("&data_source="), upper(col("origin"))))
+  }
+}

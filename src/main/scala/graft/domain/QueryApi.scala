@@ -1,0 +1,137 @@
+package graft.domain
+
+import graft.operators.FixedPivot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The engine's read path — Spark restatement of the reference's views
+  * and PL/pgSQL crosstab functions (SURVEY §3.3). Each function is a
+  * parameterized DataFrame pipeline; `*Json` variants reproduce the
+  * JSON_AGG contract.
+  *
+  * Scale: station/source dims broadcast into the fact; the station +
+  * time predicate prunes fact partitions before any shuffle; the pivot
+  * uses a fixed category list (no distinct-scan); the final JSON_AGG
+  * collapses to a single row only AFTER the per-station filter has cut
+  * the data to one station's window.
+  */
+object QueryApi {
+
+  /** drf_gauge_station_source_data view (ingestObsTasks.py:494-521):
+    * 3-way star join flattening fact × source × station (J3). */
+  def gaugeStationSourceData(
+      fact: DataFrame, source: DataFrame, station: DataFrame): DataFrame =
+    fact
+      .join(broadcast(source), "source_id")
+      .join(broadcast(station), "station_id")
+
+  /** Fixed crosstab categories of get_obs_timeseries_station_data
+    * (scripts/get_obs_timeseries_station_data.sql:31-38): raw
+    * data_source value → output column name. */
+  val obsPivotColumns: Seq[(String, String)] = Seq(
+    "ocean_buoy" -> "ocean_buoy_wave_height",
+    "tidal_gauge" -> "tidal_gauge_water_level",
+    "tidal_predictions" -> "tidal_predictions",
+    "coastal_gauge" -> "coastal_gauge_water_level",
+    "river_gauge" -> "river_gauge_water_level")
+
+  /** get_obs_timeseries_station_data(station, start, end) →
+    * one row per time, the 5 fixed data_source columns
+    * (scripts/get_obs_timeseries_station_data.sql:7-44). */
+  def obsTimeseriesStationData(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, startDate: String, endDate: String): DataFrame = {
+    val joined = gaugeStationSourceData(fact, source, station)
+      .filter(col("station_name") === stationName &&
+        col("time") >= lit(startDate).cast("timestamp") &&
+        col("time") <= lit(endDate).cast("timestamp"))
+      .select(
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_stamp"),
+        col("data_source"),
+        coalesce(col("water_level"), col("wave_height")).as("yaxis"))
+    val pivoted = FixedPivot(joined, Seq("time_stamp"), "data_source",
+      obsPivotColumns.map(_._1), first(col("yaxis")))
+    obsPivotColumns.foldLeft(pivoted) { case (df, (cat, out)) =>
+      df.withColumnRenamed(cat, out)
+    }.orderBy("time_stamp")
+  }
+
+  /** JSON_AGG form: the full JSON array string the DRF API returns
+    * (A8). NULL categories serialize as JSON null like ROW_TO_JSON. */
+  def obsTimeseriesStationDataJson(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, startDate: String, endDate: String): String =
+    jsonAgg(obsTimeseriesStationData(fact, source, station, stationName, startDate, endDate),
+      "time_stamp", obsPivotColumns.map(_._2))
+
+  /** get_forecast_timeseries_station_data(station, timemark, maxEnd,
+    * dataSource, sourceInstance): model fact, one dynamic output
+    * column named from data_source with '.' stripped
+    * (scripts/get_forecast_timeseries_station_data.sql:12-33). */
+  def forecastTimeseriesStationData(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, timemark: String, maxForecastEndtime: String,
+      dataSource: String, sourceInstance: String): DataFrame = {
+    val outCol = FixedPivot.sanitize(dataSource)
+    fact
+      .join(broadcast(source), "source_id")
+      .join(broadcast(station), "station_id")
+      .filter(col("station_name") === stationName &&
+        col("time") >= lit(timemark).cast("timestamp") &&
+        col("time") <= lit(maxForecastEndtime).cast("timestamp") &&
+        col("timemark") === lit(timemark).cast("timestamp") &&
+        col("data_source") === dataSource &&
+        col("source_instance") === sourceInstance)
+      .select(
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_stamp"),
+        col("water_level").as(outCol))
+      .orderBy("time_stamp")
+  }
+
+  /** get_nowcast_timeseries_station_data(station, start, end,
+    * dataSource, sourceInstance) — like forecast but an open time
+    * range, no timemark pin (scripts/get_nowcast_timeseries_station_data.sql). */
+  def nowcastTimeseriesStationData(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, startDate: String, endDate: String,
+      dataSource: String, sourceInstance: String): DataFrame = {
+    val outCol = FixedPivot.sanitize(dataSource)
+    fact
+      .join(broadcast(source), "source_id")
+      .join(broadcast(station), "station_id")
+      .filter(col("station_name") === stationName &&
+        col("time") >= lit(startDate).cast("timestamp") &&
+        col("time") <= lit(endDate).cast("timestamp") &&
+        col("data_source") === dataSource &&
+        col("source_instance") === sourceInstance)
+      .select(
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_stamp"),
+        col("water_level").as(outCol))
+      .orderBy("time_stamp")
+  }
+
+  /** JSON_AGG: serialize an already-pivoted frame to the reference's
+    * JSON array-of-objects (keys in column order, nulls explicit). */
+  def jsonAgg(pivoted: DataFrame, idCol: String, valueCols: Seq[String]): String = {
+    // Build each row as a JSON object string with explicit nulls, then
+    // aggregate ordered by id. to_json(struct) would drop null keys.
+    val obj = concat(
+      lit("{"),
+      concat_ws(",",
+        (idCol +: valueCols).map { c =>
+          concat(lit("\"" + c + "\":"),
+            when(col(c).isNull, lit("null"))
+              .otherwise(
+                if (c == idCol) concat(lit("\""), col(c), lit("\""))
+                else col(c).cast("string")))
+        }: _*),
+      lit("}"))
+    val rows = pivoted
+      .select(col(idCol), obj.as("obj"))
+      .orderBy(idCol)
+      .select("obj")
+      .collect()
+      .map(_.getString(0))
+    if (rows.isEmpty) "null" else rows.mkString("[", ",", "]")
+  }
+}

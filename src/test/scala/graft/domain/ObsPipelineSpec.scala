@@ -1,0 +1,140 @@
+package graft.domain
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end obs pipeline over FIXTURES.md-shaped synthetic harvest
+  * CSVs: discovery → ledger → normalize → join → dedup → pivot → JSON.
+  * Exercises the dedup scenario fixtures of FIXTURES.md §9.
+  */
+class ObsPipelineSpec extends SparkSuite {
+
+  private lazy val dir = Files.createTempDirectory("graft-obs").toString
+
+  private val meta = SourceMeta(
+    data_source = "tidal_gauge", source_name = "noaa",
+    source_archive = "noaa", source_variable = "water_level",
+    filename_prefix = "noaaweb_stationdata_water_level",
+    location_type = "tidal", units = "m")
+
+  private def write(name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
+
+  private lazy val fixtures: Unit = {
+    // stations seed (headerless, 11 cols; FIXTURES.md §4)
+    write("geom_noaa.csv", Seq(
+      "8410140,44.904598,-66.982903,gmt,NOAA/NOS,Eastport,tidal,us,me,Washington,0101000020E61A",
+      "8418150,43.658100,-70.244200,gmt,NOAA/NOS,Portland,tidal,us,me,Cumberland,0101000020E61B",
+      "44007,43.525000,-70.141000,gmt,NDBC,Buoy44007,ocean,us,me,,0101000020E61C"))
+    // two overlapping harvest files, later timemark rewrites 12:00 (§9)
+    write("noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv", Seq(
+      "TIME,STATION,WATER_LEVEL",
+      "2023-04-23T10:00:00,8410140,1.10",
+      "2023-04-23T11:00:00,8410140,1.20",
+      "2023-04-23T12:00:00,8410140,1.30",
+      "2023-04-23T10:00:00,8418150,2.10"))
+    write("noaaweb_stationdata_water_level_2023-04-23T18_00_00.csv", Seq(
+      "TIME,STATION,WATER_LEVEL",
+      "2023-04-23T12:00:00,8410140,9.99",   // rewrites 12:00
+      "2023-04-23T13:00:00,8410140,1.40",
+      "2023-04-23T13:00:00,UNKNOWN,7.77")) // unregistered station -> dropped
+    // all-null TIME file (P9 guard, §9)
+    write("noaaweb_stationdata_water_level_2023-04-24T00_00_00.csv", Seq(
+      "TIME,STATION,WATER_LEVEL", ",8410140,", ",8418150,"))
+  }
+
+  private lazy val stations = { fixtures; ObsIngest.seedStations(spark, s"$dir/geom_noaa.csv") }
+
+  test("seedStations assigns deterministic ids and carries geom opaque") {
+    val rows = stations.orderBy("station_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("station_name")).toSeq == Seq("44007", "8410140", "8418150"))
+    assert(rows.map(_.getAs[Long]("station_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getAs[String]("geom") == "0101000020E61A")
+  }
+
+  test("harvestFileMeta: bounds, timemark from filename, P9 null guard") {
+    fixtures
+    val harvest = ObsIngest.readHarvest(spark, meta, s"$dir/noaaweb_stationdata_water_level_*.csv")
+    val ledger = ObsIngest.harvestFileMeta(harvest, meta, dir,
+      lit("2023-04-24 01:00:00")).orderBy("file_name").collect()
+    assert(ledger.length == 3)
+    val nullFile = ledger.find(_.getAs[String]("file_name").contains("2023-04-24")).get
+    assert(nullFile.getAs[Boolean]("ingested"))  // P9: skip pre-marked
+    val f1 = ledger.find(_.getAs[String]("file_name").contains("T12_00_00")).get
+    assert(!f1.getAs[Boolean]("ingested"))
+    assert(f1.getAs[java.sql.Timestamp]("data_begin_time").toString == "2023-04-23 10:00:00.0")
+    assert(f1.getAs[java.sql.Timestamp]("data_end_time").toString == "2023-04-23 12:00:00.0")
+    assert(f1.getAs[java.sql.Timestamp]("timemark").toString == "2023-04-23 12:00:00.0")
+  }
+
+  test("newFilesOnly: ledger anti-join with 31-day lookback (J4)") {
+    fixtures
+    val harvest = ObsIngest.readHarvest(spark, meta, s"$dir/noaaweb_stationdata_water_level_*.csv")
+    val candidates = ObsIngest.harvestFileMeta(harvest, meta, dir, lit("2023-04-24 01:00:00"))
+    val ledger = candidates.filter(col("file_name").contains("T12_00_00"))
+    val now = lit("2023-04-24 01:00:00").cast("timestamp")
+    val fresh = ObsIngest.newFilesOnly(candidates, ledger, now)
+    assert(fresh.count() == 2)
+    // a ledger row older than the lookback no longer blocks re-ingest
+    val staleLedger = ledger.withColumn("processing_datetime",
+      lit("2023-01-01 00:00:00").cast("timestamp"))
+    assert(ObsIngest.newFilesOnly(candidates, staleLedger, now).count() == 3)
+  }
+
+  test("ingestSource end-to-end: normalize, source_id join, measure routing") {
+    fixtures
+    val fact = ObsIngest.ingestSource(spark, meta, stations,
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv",
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T18_00_00.csv")
+    assert(fact.columns.toSeq ==
+      Seq("source_id", "timemark", "time") ++ Schemas.obsMeasures)
+    assert(fact.count() == 6)                       // UNKNOWN station dropped
+    assert(fact.filter(col("wave_height").isNotNull).count() == 0)
+    assert(fact.filter(col("water_level").isNotNull).count() == 6)
+  }
+
+  test("dedupFact: keep-latest wins inside batch window, passthrough outside (J8)") {
+    fixtures
+    val fact = ObsIngest.ingestSource(spark, meta, stations,
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv",
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T18_00_00.csv")
+    val deduped = ObsIngest.dedupFact(fact,
+      lit("2023-04-23 12:00:00").cast("timestamp"),
+      lit("2023-04-23 13:00:00").cast("timestamp"))
+    assert(deduped.count() == 5)                    // one (source,time) collision resolved
+    val t12 = deduped.filter(col("time") === lit("2023-04-23 12:00:00").cast("timestamp"))
+      .collect()
+    assert(t12.length == 1 && t12(0).getAs[Double]("water_level") == 9.99) // later timemark won
+    // idempotence: dedup twice == once (SURVEY §5 property)
+    assert(ObsIngest.dedupFact(deduped,
+      lit("2023-04-23 12:00:00").cast("timestamp"),
+      lit("2023-04-23 13:00:00").cast("timestamp")).count() == 5)
+  }
+
+  test("obsTimeseriesStationData: fixed-category pivot + JSON_AGG contract (A7/A8)") {
+    fixtures
+    val fact = ObsIngest.dedupFact(
+      ObsIngest.ingestSource(spark, meta, stations,
+        s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv",
+        s"$dir/noaaweb_stationdata_water_level_2023-04-23T18_00_00.csv"),
+      lit("2023-04-23 10:00:00").cast("timestamp"),
+      lit("2023-04-23 13:00:00").cast("timestamp"))
+    val source = ObsIngest.buildGaugeSource(stations, meta)
+    val out = QueryApi.obsTimeseriesStationData(fact, source, stations,
+      "8410140", "2023-04-23 10:00:00", "2023-04-23 13:00:00")
+    // every declared category column exists even though only tidal_gauge has data
+    assert(out.columns.toSeq == "time_stamp" +: QueryApi.obsPivotColumns.map(_._2))
+    val rows = out.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.isNullAt(out.columns.indexOf("ocean_buoy_wave_height"))))
+    val js = QueryApi.obsTimeseriesStationDataJson(fact, source, stations,
+      "8410140", "2023-04-23 10:00:00", "2023-04-23 13:00:00")
+    assert(js.startsWith("""[{"time_stamp":"2023-04-23 10:00:00","ocean_buoy_wave_height":null,"tidal_gauge_water_level":1.1,"""))
+    assert(js.contains(""""time_stamp":"2023-04-23 12:00:00","ocean_buoy_wave_height":null,"tidal_gauge_water_level":9.99"""))
+    // empty result -> SQL NULL like JSON_AGG of zero rows
+    assert(QueryApi.obsTimeseriesStationDataJson(fact, source, stations,
+      "nosuch", "2023-04-23 10:00:00", "2023-04-23 13:00:00") == "null")
+  }
+}

@@ -15,7 +15,8 @@ object SparkEntry {
     queries_modules.flatMap(_.apply())
 
   private def queries_modules: Seq[() => Seq[QueryDef]] = Seq(
-    () => graft.queries.CoreRelational.defs)
+    () => graft.queries.CoreRelational.defs,
+    () => graft.queries.LlmOps.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

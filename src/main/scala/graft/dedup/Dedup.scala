@@ -1,0 +1,172 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale shape (the point of each design):
+  *  - exact: one hash-groupBy shuffle on a 32-byte key, map-side combined.
+  *  - MinHash: signatures are ONE shingle-explode + groupBy per doc
+  *    (linear); candidate generation is an equi-join on (band, value)
+  *    buckets — never the quadratic all-pairs join.
+  *  - SimHash: linear explode+groupBy; near-dup candidates share a
+  *    64-bucket prefix.
+  *  - Jaccard verification runs only on LSH candidates.
+  *  - Embedding near-dup: sign-bucket LSH bounds the pair space.
+  *
+  * Hashing is md5-hex (not Spark's murmur `hash`) so signatures are
+  * engine-portable — the DuckDB oracle computes identical values.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5(text) → canonical (min) doc_id + dup
+    * count. O(n) shuffle on the digest. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Character `k`-gram shingles of the normalized text, distinct per
+    * doc. Documents shorter than `k` produce no shingles (guard keeps
+    * Spark's `sequence` from descending when length-k+1 < 1). */
+  def shingles(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .filter(length(col("__norm")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("__norm")) - (k - 1))).as("__i"),
+        col("__norm"))
+      .select(col(idCol), expr(s"substring(__norm, __i, $k)").as("shingle"))
+      .distinct()
+
+  /** MinHash signature: `numHashes` permutations simulated by seeded
+    * md5; each signature component is the lexicographic min digest
+    * prefix over the doc's shingles. One groupBy, map-side combined. */
+  def minHashSignatures(shingled: DataFrame, numHashes: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val aggs = (1 to numHashes).map { i =>
+      min(substring(md5(concat(lit(i.toString), lit("|"), col("shingle"))), 1, 16)).as(s"h$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: `numHashes` signature components grouped into bands
+    * of `rowsPerBand`; docs sharing any band digest are candidates.
+    * The candidate join is per-(band, digest) — the 100 TB-safe path:
+    * bucket sizes bound the join fan-out, no all-pairs comparison. */
+  def minHashCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("digest"))
+    }
+    val exploded = signatures
+      .select(col(idCol), explode(array(bands: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.digest").as("digest"))
+    val a = exploded.toDF(s"a_$idCol", "band", "digest")
+    val b = exploded.toDF(s"b_$idCol", "band", "digest")
+    a.join(b, Seq("band", "digest"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(s"a_$idCol", s"b_$idCol").distinct()
+  }
+
+  /** Estimated Jaccard from signature agreement for candidate pairs. */
+  def minHashEstimate(pairs: DataFrame, signatures: DataFrame,
+      numHashes: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    val sa = signatures.toDF(signatures.columns.map(c =>
+      if (c == idCol) s"a_$idCol" else s"a_$c"): _*)
+    val sb = signatures.toDF(signatures.columns.map(c =>
+      if (c == idCol) s"b_$idCol" else s"b_$c"): _*)
+    val matches = (1 to numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, s"a_$idCol").join(sb, s"b_$idCol")
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs via shingle
+    * intersection counts — the verification stage after LSH.
+    * |A∩B| from one equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardVerify(pairs: DataFrame, shingled: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingled.toDF(s"a_$idCol", "shingle"), s"a_$idCol")
+      .join(shingled.toDF(s"b_$idCol", "shingle"), Seq(s"b_$idCol", "shingle"))
+      .groupBy(s"a_$idCol", s"b_$idCol").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq(s"a_$idCol", s"b_$idCol"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.toDF(s"a_$idCol", "a_sz"), s"a_$idCol")
+      .join(sizes.toDF(s"b_$idCol", "b_sz"), s"b_$idCol")
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        round(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** SimHash over word tokens, `bits` wide (≤32). Token hash = first 8
+    * md5 hex digits; simhash bit j = sign of Σ_tokens (bit_j ? +1 : −1).
+    * Returns the simhash as a bit string column for portability. */
+  def simHash(docs: DataFrame, bits: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bits <= 32)
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
+      .withColumn("th", substring(md5(col("tok")), 1, 8))
+    // hex digit value at position p (1-based): strpos of the char
+    def hexVal(p: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(col("th"), p, 1)) - 1).cast("int")
+    val bitSums = (0 until bits).map { j =>
+      val p = j / 4 + 1          // which hex digit
+      val b = 3 - (j % 4)        // bit within digit, MSB first
+      sum(when(shiftright(hexVal(p), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val bitsStr = concat((0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+    sums.select(col(idCol), bitsStr.as("simhash"))
+  }
+
+  /** Embedding-cosine near-duplicates. Candidate pairs share a
+    * sign-LSH bucket (signs of `signDims` components — axis-aligned
+    * hyperplanes); cosine computed with a sequential fold for
+    * engine-exact reproducibility. */
+  def embeddingNearDups(
+      emb: DataFrame, threshold: Double, signDims: Seq[Int] = Seq(1, 17, 33, 49),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucket = concat_ws("", signDims.map(d =>
+      when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val withB = emb.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    val a = withB.toDF(s"a_$idCol", "a_vec", "bucket")
+    val b = withB.toDF(s"b_$idCol", "b_vec", "bucket")
+    a.join(b, "bucket")
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        Vectors.cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") > threshold)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}
+
+/** Array-column vector math as pure catalyst expressions (codegen'd;
+  * no UDF). Folds are sequential so results are bit-identical across
+  * engines that fold left-to-right. */
+object Vectors {
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables, each driver-verifiable against a DuckDB
+  * oracle. The oracle SQL for the hash-heavy operators (minhash,
+  * simhash) is GENERATED from the same constants as the Spark plans so
+  * the two can never drift.
+  *
+  * Portability contract: all content hashing is md5-hex (engine-
+  * neutral), vector folds are sequential left folds (bit-identical
+  * across engines), ratios are rounded at 4-6 decimals.
+  */
+object LlmOps {
+
+  // shared spec constants (Spark side + SQL generator)
+  val ShingleK = 5
+  val NumHashes = 8
+  val RowsPerBand = 2
+  val SimHashBits = 16
+  val KnnQueryLimit = 16L
+  val KnnK = 5
+  val SignDims = Seq(1, 17, 33, 49)
+  val NearDupThreshold = 0.25
+
+  // ---- generated SQL fragments ------------------------------------
+
+  /** Normalized-text CTE mirroring TextAnalysis.normalized. */
+  private val normCte =
+    """norm AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS n
+      |  FROM documents)""".stripMargin
+
+  /** Shingle CTE mirroring Dedup.shingles. */
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, substr(n, CAST(i AS INTEGER), $ShingleK) AS shingle
+       |  FROM norm, unnest(generate_series(1, greatest(length(n) - ${ShingleK - 1}, 0))) AS u(i)
+       |  WHERE length(n) >= $ShingleK)""".stripMargin
+
+  /** Signature CTE mirroring Dedup.minHashSignatures. */
+  private val sigCte = {
+    val hs = (1 to NumHashes)
+      .map(i => s"min(substr(md5('$i' || '|' || shingle), 1, 16)) AS h$i")
+      .mkString(",\n    ")
+    s"sig AS (\n  SELECT doc_id,\n    $hs\n  FROM sh GROUP BY doc_id)"
+  }
+
+  /** Band CTE mirroring Dedup.minHashCandidatePairs. */
+  private val bandCte = {
+    val numBands = NumHashes / RowsPerBand
+    val selects = (0 until numBands).map { b =>
+      val cols = (1 to RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS digest FROM sig"
+    }
+    s"bands AS (\n  ${selects.mkString("\n  UNION ALL ")})"
+  }
+
+  private val pairsSelect =
+    """SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Sequential-fold cosine between two list columns (DuckDB). */
+  private def sqlCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, len($x)), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private def sqlSignBucket(v: String): String =
+    SignDims.map(d => s"CASE WHEN $v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val stopwordList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ----------------------------------------------
+    QueryDef.sql(
+      "t1_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t2_quality_score",
+      s"""SELECT doc_id, n_chars_calc, n_tokens,
+         |  round(CAST(n_chars_calc AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+         |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         |  punct_count
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> lower(x) IN ($stopwordList))) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS punct_count
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+        .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+          "stopword_ratio", "punct_count")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t3_langid", {
+        val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+        val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+          val ws = words.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter($toks, x -> x IN ($ws))) AS BIGINT) AS score_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.langProfiles.map(_._1)
+        val cases = langs.zipWithIndex.map { case (lang, i) =>
+          val conds = (s"score_$lang > 0" +:
+            langs.drop(i + 1).map(o => s"score_$lang >= score_$o")).mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString("\n    ")
+        s"""SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+           |  CASE $cases ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id, lang, $scores FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select("doc_id", "lang", "score_de", "score_en", "score_es", "score_fr", "lang_pred")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t4_fingerprint",
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM documents)
+        |SELECT doc_id, md5(n) AS fingerprint FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup family -----------------------------------------------
+    QueryDef.sql(
+      "d1_exact_dedup",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy("canonical_id")
+    },
+
+    QueryDef.sql(
+      "d2_minhash_signatures",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$sigCte
+         |SELECT doc_id, ${(1 to NumHashes).map("h" + _).mkString(", ")}
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.minHashSignatures(
+        Dedup.shingles(Tables.documents(s, dir), ShingleK), NumHashes)
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "d3_minhash_band_pairs",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte
+         |$pairsSelect
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
+      Dedup.minHashCandidatePairs(
+        Dedup.minHashSignatures(
+          Dedup.shingles(Tables.documents(s, dir), ShingleK), NumHashes),
+        NumHashes, RowsPerBand)
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+
+    QueryDef.sql(
+      "d4_simhash", {
+        val bitSums = (0 until SimHashBits).map { j =>
+          val p = j / 4 + 1
+          val div = 1 << (3 - (j % 4))
+          s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(th, $p, 1)) - 1) // $div) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n    ")
+        val bitStr = (0 until SimHashBits)
+          .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH $normCte,
+           |tok0 AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(n, '\\s+')) AS t
+           |  FROM norm WHERE length(n) > 0),
+           |tok AS (SELECT doc_id, substr(md5(t), 1, 8) AS th FROM tok0),
+           |sums AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id, $bitStr AS simhash FROM sums ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir), SimHashBits).orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "d5_ngram_jaccard",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte,
+         |pairs AS (
+         |$pairsSelect),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a_doc_id, p.b_doc_id, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_doc_id
+         |  JOIN sh sb ON sb.doc_id = p.b_doc_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.a_doc_id AS a_doc_id, p.b_doc_id AS b_doc_id,
+         |  round(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+         |        (za.sz + zb.sz - coalesce(i.inter, 0)), 4) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.a_doc_id = p.a_doc_id AND i.b_doc_id = p.b_doc_id
+         |JOIN sizes za ON za.doc_id = p.a_doc_id
+         |JOIN sizes zb ON zb.doc_id = p.b_doc_id
+         |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingles(Tables.documents(s, dir), ShingleK)
+      val pairs = Dedup.minHashCandidatePairs(
+        Dedup.minHashSignatures(sh, NumHashes), NumHashes, RowsPerBand)
+      Dedup.jaccardVerify(pairs, sh).orderBy("a_doc_id", "b_doc_id")
+    },
+
+    QueryDef.sql(
+      "d6_embedding_neardups",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${sqlSignBucket("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_vec_id, c.vec_id AS b_vec_id,
+         |  round(${sqlCosine("a.embedding", "c.embedding")}, 6) AS cosine
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${sqlCosine("a.embedding", "c.embedding")} > $NearDupThreshold
+         |ORDER BY a_vec_id, b_vec_id""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), NearDupThreshold, SignDims)
+        .orderBy("a_vec_id", "b_vec_id")
+    },
+
+    // ---- similarity search ------------------------------------------
+    QueryDef.sql(
+      "e1_ann_bruteforce",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $KnnQueryLimit),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${sqlCosine("qv", "cv")} AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < KnnQueryLimit), KnnK)
+        .orderBy("query_id", "rank")
+    },
+
+    QueryDef.sql(
+      "e2_ann_lsh",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${sqlSignBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+         |      WHERE vec_id < $KnnQueryLimit),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${sqlCosine("qv", "cv")} AS cos
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < KnnQueryLimit), KnnK, SignDims)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- multimodal stub plumbing -----------------------------------
+    QueryDef.sql(
+      "mm_decode_meta", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1)"
+        s"""SELECT doc_id,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           |  md5(text) AS content_md5,
+           |  CAST(64 + (${hx(1)} * 16 + ${hx(2)}) % 128 AS INTEGER) AS width,
+           |  CAST(64 + (${hx(3)} * 16 + ${hx(4)}) % 128 AS INTEGER) AS height,
+           |  CASE WHEN ${hx(6)} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Multimodal.decodeMeta(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")))
+        .toDF()
+        .orderBy("doc_id")
+    })
+}

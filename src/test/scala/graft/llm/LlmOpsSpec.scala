@@ -1,0 +1,121 @@
+package graft.llm
+
+import graft.SparkSuite
+import graft.dedup.{Dedup, Vectors}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog."),
+    (2L, "The quick brown fox jumps over the lazy dog!"),   // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),    // exact after normalize
+    (4L, "Der Hund ist nicht schnell und die Katze auch nicht."),
+    (5L, "completely different content about spark engines and shuffles"))
+    .toDF("doc_id", "text")
+
+  test("fingerprint collapses punctuation/case variants (t4)") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(1L) != fps(5L))
+  }
+
+  test("langid: german stopwords beat english (t3)") {
+    val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L) == "de")
+    assert(out(1L) == "en")
+  }
+
+  test("quality features: token counts and ratios (t2)") {
+    val row = TextAnalysis.qualityFeatures(docs).filter($"doc_id" === 1L).collect()(0)
+    assert(row.getAs[Long]("n_tokens") == 9L)
+    assert(row.getAs[Long]("punct_count") == 1L)     // the period
+    assert(row.getAs[Double]("stopword_ratio") == 0.2222) // 'The','the' / 9
+  }
+
+  test("minhash: identical normalized docs share full signature; near-dups band-collide (d2/d3)") {
+    val sh = Dedup.shingles(docs)
+    val sigs = Dedup.minHashSignatures(sh)
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L)) // same shingle set
+    assert(byId(1L) != byId(5L))
+    val pairs = Dedup.minHashCandidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("jaccard verification: identical sets = 1.0 (d5)") {
+    val sh = Dedup.shingles(docs)
+    val pairs = Dedup.minHashCandidatePairs(Dedup.minHashSignatures(sh))
+    val j = Dedup.jaccardVerify(pairs, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0 && j((1L, 3L)) == 1.0)
+  }
+
+  test("simhash: near-dups agree, distinct content differs (d4)") {
+    val out = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(3L))
+    assert(out(1L).length == 16 && out(1L).forall(c => c == '0' || c == '1'))
+    assert(out(1L) != out(5L))
+  }
+
+  test("vector ops: cosine of identical = 1, orthogonal = 0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f, 2.0f)),
+      (3L, Array(0.0f, 3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        Vectors.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 3L))) < 1e-12)
+  }
+
+  test("ann: brute-force top-1 is the exact nearest; lsh stays within bucket") {
+    val emb = Tables.embeddings
+    val queries = emb.filter($"vec_id" < 3)
+    val bf = Ann.bruteForceTopK(emb, queries, 3)
+    val top = bf.filter($"query_id" === 0 && $"rank" === 1).collect()(0)
+    // exhaustively recompute the max cosine for query 0
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").collect()(0).getSeq[Float](0)
+    val best = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", Vectors.cosine($"embedding",
+        typedLit(q0)).as("c"))
+      .orderBy($"c".desc).limit(1).collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == best.getLong(0))
+    val lsh = Ann.lshTopK(emb, queries, 3)
+    assert(lsh.count() <= 9)
+    // every lsh neighbor shares the query's sign bucket
+    val bucketed = emb.select($"vec_id", Ann.signBucket("embedding", Seq(1, 17, 33, 49)).as("b"))
+    val joined = lsh.join(bucketed.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("b", "qb"), "query_id")
+      .join(bucketed.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("b", "nb"), "neighbor_id")
+    assert(joined.filter($"qb" =!= $"nb").count() == 0)
+  }
+
+  private object Tables {
+    def embeddings = graft.Tables.embeddings(spark, sf("sf0.001"))
+  }
+
+  test("multimodal: stub decode is deterministic, frame sampling fans out (mm)") {
+    val blobs = docs.select($"doc_id", encode($"text", "UTF-8").as("blob"))
+    val meta1 = Multimodal.decodeMeta(blobs).collect().sortBy(_.doc_id)
+    val meta2 = Multimodal.decodeMeta(blobs).collect().sortBy(_.doc_id)
+    assert(meta1.toSeq == meta2.toSeq)
+    assert(meta1.forall(m => m.width >= 64 && m.width < 192))
+    assert(meta1.forall(m => Set("png", "jpeg")(m.format)))
+    val frames = Multimodal.sampleFrames(blobs, 3)
+    assert(frames.count() == docs.count() * 3)
+    assert(frames.select("frame_md5").distinct().count() == docs.count() * 3)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing shapes — the batch-computable semantics of the
+  * engine's Structured Streaming operators, oracle-verified. The same
+  * `window()`/`session_window()` expressions run unchanged under
+  * `readStream` with a watermark; verifying them in batch form pins the
+  * exact bucket/gap semantics.
+  */
+object StreamingShapes {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time window (epoch-aligned, 6h), count+sum per
+    // event_type — the canonical streaming aggregation.
+    QueryDef.sql(
+      "w1_tumbling_window",
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Session windows per user (30-min inactivity gap): Spark
+    // session_window vs the classic gaps-and-islands SQL.
+    QueryDef.sql(
+      "w2_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM sessions GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start")
+    })
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.domain.{GaugeStore, ObsIngest, Schemas, SourceMeta}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming restatement of the obs ingest loop
+  * (SURVEY §2.9): the reference's cron-driven micro-batch contracts
+  * map onto Spark's native streaming machinery.
+  *
+  *  - ledger table + `ingested` flag + J4 anti-join  → file-source
+  *    checkpoint (exactly-once file processing, no ledger scan needed)
+  *  - 31-day ledger lookback                         → `maxFileAge`
+  *  - overlapping files, keep-latest (J8)            → per-batch window
+  *    dedup inside `foreachBatch` + cross-batch compaction
+  *  - `UPDATE ingested=True` commit marker           → checkpoint commit
+  *    in the same foreachBatch transaction boundary
+  *
+  * The batch path (ObsIngest) stays for backfill; both share every
+  * transform, so semantics cannot drift.
+  */
+object StreamingIngest {
+
+  /** Start streaming one catalog source's harvest directory into the
+    * store. Caller stops the query (or uses [[runOnce]]). */
+  def start(
+      spark: SparkSession,
+      meta: SourceMeta,
+      store: GaugeStore,
+      harvestDir: String,
+      checkpointDir: String,
+      maxFileAge: String = "31d"): StreamingQuery = {
+
+    val stations = store.stations
+    val stream = spark.readStream
+      .schema(Schemas.harvestCsv(meta.source_variable))
+      .option("header", "true")
+      .option("maxFileAge", maxFileAge)       // 31-day lookback analogue
+      .csv(s"$harvestDir/${meta.filename_prefix}_*.csv")
+      .withColumn("file_name", element_at(split(input_file_name(), "/"), -1))
+
+    stream.writeStream
+      .queryName(s"ingest_${meta.data_source}_${meta.source_name}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, meta, store, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch: normalize → enrich → route → in-batch keep-latest
+    * → append → cross-batch compaction. Mirrors ObsIngest.ingestSource
+    * exactly, minus the read. */
+  private[streaming] def ingestBatch(
+      spark: SparkSession, meta: SourceMeta, store: GaugeStore, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val stations = store.stations
+    val gaugeSource = ObsIngest.buildGaugeSource(stations, meta)
+    val data = ObsIngest.normalize(batch, meta)
+    val fact = ObsIngest.routeMeasure(
+        ObsIngest.attachSourceId(data, gaugeSource, stations), meta.source_variable)
+      .filter(col("source_id").isNotNull)
+      .cache()
+    try {
+      val bounds = fact.agg(min("time"), max("time")).collect()(0)
+      if (!bounds.isNullAt(0)) {
+        val deduped = ObsIngest.dedupFact(fact,
+          lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
+        store.appendGaugeData(deduped, meta.data_source)
+        store.compactGaugeData()   // cross-batch keep-latest repair
+      }
+    } finally fact.unpersist()
+  }
+
+  /** Drain everything currently in the harvest dir and stop — the
+    * cron-equivalent single pass. */
+  def runOnce(
+      spark: SparkSession, meta: SourceMeta, store: GaugeStore,
+      harvestDir: String, checkpointDir: String): Unit = {
+    val q = start(spark, meta, store, harvestDir, checkpointDir)
+    q.awaitTermination()
+  }
+}

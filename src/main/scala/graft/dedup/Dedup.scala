@@ -29,28 +29,42 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Character `k`-gram shingles of the normalized text, distinct per
-    * doc. Documents shorter than `k` produce no shingles (guard keeps
-    * Spark's `sequence` from descending when length-k+1 < 1). */
+  /** Character `k`-gram shingles of the normalized text. Documents
+    * shorter than `k` produce no shingles (guard keeps Spark's
+    * `sequence` from descending when length-k+1 < 1).
+    *
+    * `distinct=true` (set semantics) is required for Jaccard; MinHash
+    * signatures are duplicate-insensitive (min), so signature callers
+    * pass `distinct=false` and skip a full shuffle of the exploded
+    * shingle stream — the groupBy that follows map-side combines to
+    * one row per (doc, component) anyway. */
   def shingles(docs: DataFrame, k: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+      idCol: String = "doc_id", textCol: String = "text",
+      distinct: Boolean = true): DataFrame = {
+    val exploded = docs
       .select(col(idCol), TextAnalysis.normalized(col(textCol)).as("__norm"))
       .filter(length(col("__norm")) >= k)
       .select(col(idCol),
         explode(sequence(lit(1), length(col("__norm")) - (k - 1))).as("__i"),
         col("__norm"))
       .select(col(idCol), expr(s"substring(__norm, __i, $k)").as("shingle"))
-      .distinct()
+    if (distinct) exploded.distinct() else exploded
+  }
 
-  /** MinHash signature: `numHashes` permutations simulated by seeded
-    * md5; each signature component is the lexicographic min digest
-    * prefix over the doc's shingles. One groupBy, map-side combined. */
+  /** MinHash signature: `numHashes` (multiple of 4) permutations
+    * simulated by seeded md5; each md5 digest yields FOUR 8-hex (32-bit)
+    * signature components, so a doc's shingle stream is hashed
+    * `numHashes/4` times, not `numHashes` — subexpression elimination
+    * dedups the md5 across the four min() aggregates. One groupBy,
+    * map-side combined. */
   def minHashSignatures(shingled: DataFrame, numHashes: Int = 8,
       idCol: String = "doc_id"): DataFrame = {
-    val aggs = (1 to numHashes).map { i =>
-      min(substring(md5(concat(lit(i.toString), lit("|"), col("shingle"))), 1, 16)).as(s"h$i")
-    }
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val aggs = for {
+      g <- 1 to numHashes / 4
+      j <- 0 until 4
+    } yield min(substring(md5(concat(lit(g.toString), lit("|"), col("shingle"))),
+      8 * j + 1, 8)).as(s"h${(g - 1) * 4 + j + 1}")
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -168,5 +182,11 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed higher-order-function cosine — reference semantics; kept
+    * as the executable spec for [[graft.functions.CosineSimilarity]]. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass native expression (identical sequential-fold
+    * semantics, zero intermediate allocation, whole-stage codegen). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 }

@@ -22,7 +22,10 @@ object LlmOps {
   // shared spec constants (Spark side + SQL generator)
   val ShingleK = 5
   val NumHashes = 8
-  val RowsPerBand = 2
+  /** 8 hashes × 4 rows/band = 2 bands: collision prob ≈ j⁴ — tuned for
+    * a high near-dup threshold; r=2 floods the candidate set with ~j²
+    * false positives on vocabulary-correlated corpora. */
+  val RowsPerBand = 4
   val SimHashBits = 16
   val KnnQueryLimit = 16L
   val KnnK = 5
@@ -45,10 +48,13 @@ object LlmOps {
        |  FROM norm, unnest(generate_series(1, greatest(length(n) - ${ShingleK - 1}, 0))) AS u(i)
        |  WHERE length(n) >= $ShingleK)""".stripMargin
 
-  /** Signature CTE mirroring Dedup.minHashSignatures. */
+  /** Signature CTE mirroring Dedup.minHashSignatures: each seeded md5
+    * digest is split into four 8-hex components. */
   private val sigCte = {
-    val hs = (1 to NumHashes)
-      .map(i => s"min(substr(md5('$i' || '|' || shingle), 1, 16)) AS h$i")
+    val hs = (for {
+      g <- 1 to NumHashes / 4
+      j <- 0 until 4
+    } yield s"min(substr(md5('$g' || '|' || shingle), ${8 * j + 1}, 8)) AS h${(g - 1) * 4 + j + 1}")
       .mkString(",\n    ")
     s"sig AS (\n  SELECT doc_id,\n    $hs\n  FROM sh GROUP BY doc_id)"
   }
@@ -172,7 +178,7 @@ object LlmOps {
          |SELECT doc_id, ${(1 to NumHashes).map("h" + _).mkString(", ")}
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.minHashSignatures(
-        Dedup.shingles(Tables.documents(s, dir), ShingleK), NumHashes)
+        Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes)
         .orderBy("doc_id")
     },
 
@@ -186,7 +192,7 @@ object LlmOps {
          |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
       Dedup.minHashCandidatePairs(
         Dedup.minHashSignatures(
-          Dedup.shingles(Tables.documents(s, dir), ShingleK), NumHashes),
+          Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes),
         NumHashes, RowsPerBand)
         .orderBy("a_doc_id", "b_doc_id")
     },

@@ -17,7 +17,8 @@ object SparkEntry {
   private def queries_modules: Seq[() => Seq[QueryDef]] = Seq(
     () => graft.queries.CoreRelational.defs,
     () => graft.queries.LlmOps.defs,
-    () => graft.queries.StreamingShapes.defs)
+    () => graft.queries.StreamingShapes.defs,
+    () => graft.queries.Coverage.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining SURVEY §2 inventory rows not naturally exercised by the
+  * other modules.
+  *
+  *  - S1/S6: headerless CSV staging sink + schema'd CSV scan — the
+  *    reference's `data_copy_*.csv` handoff (createIngestObsData.py:196)
+  *    round-tripped through Spark's CSV source.
+  *  - F11/F12: isnull guard + nested-list flatten.
+  *
+  * S4 (parameterized JDBC scan) has no in-container server; its
+  * observable semantics — predicate-pushdown parameterized scan — are
+  * p5_eq_filter/p7_time_range over the parquet source, and
+  * `spark.read.jdbc` would slot into Tables unchanged.
+  */
+object Coverage {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "s1_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
+      // stage to headerless CSV (S6) then scan with declared schema (S1)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+      Tables.nation(s, dir)
+        .write.mode("overwrite").option("header", "false").csv(tmp)
+      s.read
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .option("header", "false")
+        .csv(tmp)
+        .orderBy("n_nationkey")
+    },
+
+    QueryDef.sql(
+      "f_misc_funcs",
+      """SELECT n_nationkey,
+        |  array_to_string(flatten([[n_name], ['x', n_name]]), ',') AS flat,
+        |  (n_regionkey IS NULL) AS region_isnull,
+        |  coalesce(NULL, n_name, 'fallback') AS first_nonnull
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        array_join(flatten(array(array(col("n_name")), array(lit("x"), col("n_name")))), ",").as("flat"),
+        col("n_regionkey").isNull.as("region_isnull"),
+        coalesce(lit(null).cast("string"), col("n_name"), lit("fallback")).as("first_nonnull"))
+        .orderBy("n_nationkey")
+    })
+}

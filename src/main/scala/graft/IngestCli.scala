@@ -52,6 +52,12 @@ object IngestCli {
           store.gaugeData, store.gaugeSource, store.stations,
           req("station"), req("start"), req("end")))
 
+      case "QueryObsAllParms" =>
+        val store = new GaugeStore(spark, req("store"))
+        println(QueryApi.obsTimeseriesStationDataAllParmsJson(
+          store.gaugeData, store.gaugeSource, store.stations,
+          req("station"), req("start"), req("end"), req("nowcastSource")))
+
       case other => sys.error(s"unknown task: $other")
     }
     spark.stop()
@@ -102,6 +108,24 @@ object IngestCli {
           store.appendLedger(fresh)
           store.markIngested(freshNames)
           upsertGaugeSource(store, ObsIngest.buildGaugeSource(stations, meta), meta)
+          // retain-obs-station snapshots from sibling meta files
+          // (runRetainObsStationCreateIngest, SURVEY §3.1)
+          fresh.filter(!col("ingested"))
+            .select("file_name", "data_begin_time", "data_end_time", "timemark")
+            .collect().foreach { r =>
+            val metaName = ObsIngest.metaFileNameFor(r.getString(0))
+            val metaPath = new org.apache.hadoop.fs.Path(s"$harvestDir/$metaName")
+            if (metaName != r.getString(0) && fs.exists(metaPath)) {
+              val raw = spark.read.option("header", "true").csv(metaPath.toString)
+              val names = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+                .withColumnRenamed("station", "station_name")
+                .select("station_name").distinct()
+              store.appendRetainObsStations(
+                ObsIngest.retainObsStations(stations, names, meta,
+                  lit(r.getTimestamp(3).toString),
+                  lit(r.getTimestamp(1).toString), lit(r.getTimestamp(2).toString)))
+            }
+          }
           total += freshNames.length
         }
         fresh.unpersist()

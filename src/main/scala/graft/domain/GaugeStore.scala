@@ -67,6 +67,14 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
   }
 
+  def appendRetainObsStations(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path("retain_obs_station"))
+
+  def hasRetainObsStations: Boolean =
+    new java.io.File(path("retain_obs_station")).exists()
+
+  def retainObsStations: DataFrame = spark.read.parquet(path("retain_obs_station"))
+
   def hasLedger: Boolean = new java.io.File(path("ledger_obs")).exists()
 
   def ledger: DataFrame =

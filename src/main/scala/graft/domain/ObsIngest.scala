@@ -182,6 +182,38 @@ object ObsIngest {
     KeepLatestDedup.scoped(fact, "time", lo, hi,
       keys = Seq("source_id", "time"), precedence = Seq(col("timemark")))
 
+  /** Meta-file name for a harvest data file: `stationdata` →
+    * `stationdata_meta` (runObsIngest.py:125). */
+  def metaFileNameFor(dataFileName: String): String =
+    dataFileName.replace("stationdata", "stationdata_meta")
+
+  /** Retain-obs-station snapshot (createIngestRetainObsStationData.py,
+    * SURVEY §3.1 runRetainObsStationCreateIngest): stations named in a
+    * harvest meta file (J7 semi), enriched with the harvest window
+    * [begin_date, end_date] (from the sibling data file's TIME bounds,
+    * createRetainObsStationFileMeta.py:124-128) and the source keys.
+    */
+  def retainObsStations(
+      stations: DataFrame,
+      stationNames: DataFrame,       // one station_name column (from meta file)
+      meta: SourceMeta,
+      timemark: Column,
+      beginDate: Column,
+      endDate: Column): DataFrame =
+    stations
+      .join(broadcast(stationNames), Seq("station_name"), "left_semi")
+      .select(
+        col("station_name"), col("lat"), col("lon"), col("location_name"),
+        col("tz"), col("gauge_owner"), col("country"), col("state"),
+        col("county"), col("geom"),
+        timemark.cast("timestamp").as("timemark"),
+        beginDate.cast("timestamp").as("begin_date"),
+        endDate.cast("timestamp").as("end_date"),
+        lit(meta.data_source).as("data_source"),
+        lit(meta.source_name).as("source_name"),
+        lit(meta.source_archive).as("source_archive"),
+        lit(meta.location_type).as("location_type"))
+
   /** Station dimension seed (S8): read headerless geom CSVs, assign
     * deterministic station_ids. Dense ids via a global sort are fine
     * here — the station dim is O(10^3) rows (BASELINE.md); data-plane

@@ -64,6 +64,50 @@ object QueryApi {
     jsonAgg(obsTimeseriesStationData(fact, source, station, stationName, startDate, endDate),
       "time_stamp", obsPivotColumns.map(_._2))
 
+  /** All-parameters variant of the obs query
+    * (scripts/get_obs_timeseries_station_data_allparms.sql:7-57):
+    * 6-way measure COALESCE, 9 categories including the parameterized
+    * `nowcastSource` (its output column named with '.' stripped, F9).
+    */
+  def obsTimeseriesStationDataAllParms(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, startDate: String, endDate: String,
+      nowcastSource: String): DataFrame = {
+    val cats: Seq[(String, String)] = Seq(
+      "air_barometer" -> "air_barometer",
+      nowcastSource -> FixedPivot.sanitize(nowcastSource),
+      "ocean_buoy" -> "ocean_buoy_wave_height",
+      "tidal_gauge" -> "tidal_gauge_water_level",
+      "tidal_predictions" -> "tidal_predictions",
+      "coastal_gauge" -> "coastal_gauge_water_level",
+      "river_gauge" -> "river_gauge_water_level",
+      "stream_gauge" -> "stream_gauge_stream_elevation",
+      "wind_anemometer" -> "wind_anemometer")
+    val joined = gaugeStationSourceData(fact, source, station)
+      .filter(col("station_name") === stationName &&
+        col("time") >= lit(startDate).cast("timestamp") &&
+        col("time") <= lit(endDate).cast("timestamp"))
+      .select(
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_stamp"),
+        col("data_source"),
+        coalesce(col("water_level"), col("stream_elevation"), col("wave_height"),
+          col("wind_speed"), col("air_pressure"), col("flow_volume")).as("yaxis"))
+    val pivoted = FixedPivot(joined, Seq("time_stamp"), "data_source",
+      cats.map(_._1), first(col("yaxis")))
+    cats.foldLeft(pivoted) { case (df, (cat, out)) =>
+      if (cat == out) df else df.withColumnRenamed(cat, out)
+    }.orderBy("time_stamp")
+  }
+
+  def obsTimeseriesStationDataAllParmsJson(
+      fact: DataFrame, source: DataFrame, station: DataFrame,
+      stationName: String, startDate: String, endDate: String,
+      nowcastSource: String): String = {
+    val df = obsTimeseriesStationDataAllParms(
+      fact, source, station, stationName, startDate, endDate, nowcastSource)
+    jsonAgg(df, "time_stamp", df.columns.filterNot(_ == "time_stamp").toSeq)
+  }
+
   /** get_forecast_timeseries_station_data(station, timemark, maxEnd,
     * dataSource, sourceInstance): model fact, one dynamic output
     * column named from data_source with '.' stripped

@@ -305,6 +305,45 @@ object LlmOps {
         .orderBy("query_id", "rank")
     },
 
+    QueryDef.sql(
+      "e3_ann_ivf", {
+        val IvfCentroids = 8; val NProbe = 2
+        s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM embeddings
+           |              WHERE vec_id < $IvfCentroids),
+           |assign AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "cent.cvv")} DESC, cent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN cent)
+           |  WHERE r = 1),
+           |probe AS (
+           |  SELECT query_id, qv, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "cent.cvv")} DESC, cent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN cent
+           |    WHERE e.vec_id < $KnnQueryLimit)
+           |  WHERE r <= $NProbe),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${sqlCosine("qv", "cv")} AS cos
+           |  FROM assign JOIN probe USING (centroid_id)
+           |  WHERE query_id <> neighbor_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+           |  neighbor_id, round(cos, 6) AS cosine
+           |FROM scored
+           |QUALIFY rank <= $KnnK
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < KnnQueryLimit), KnnK, 2)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- multimodal stub plumbing -----------------------------------
     QueryDef.sql(
       "mm_decode_meta", {

@@ -39,6 +39,56 @@ object Ann {
     concat_ws("", signDims.map(d =>
       when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF assignment: each corpus vector → its nearest centroid by
+    * cosine (deterministic tie-break on centroid_id). Centroids
+    * broadcast; one window per vector — the inverted lists are then a
+    * partitioning of the corpus by `centroid_id`, which at 100 TB
+    * becomes the physical partition key so probes prune file groups.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(c))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        graft.dedup.Vectors.cosine(col(vecCol), col("centroid_vec")).as("ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest inverted lists per query,
+    * exact cosine ranking within the probed lists. Scanned fraction ≈
+    * nprobe / numCentroids of the corpus. */
+  def ivfTopK(
+      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lists = ivfAssign(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed(vecCol, "c_vec")
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val probes = {
+      val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .join(broadcast(c))
+        .select(col("query_id"), col("q_vec"), col("centroid_id"),
+          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
+      val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    }
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.dedup.Vectors.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       signDims: Seq[Int] = Seq(1, 17, 33, 49),

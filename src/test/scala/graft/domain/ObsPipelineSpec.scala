@@ -137,4 +137,38 @@ class ObsPipelineSpec extends SparkSuite {
     assert(QueryApi.obsTimeseriesStationDataJson(fact, source, stations,
       "nosuch", "2023-04-23 10:00:00", "2023-04-23 13:00:00") == "null")
   }
+
+  test("allparms variant: 9 categories incl. dynamic nowcast column (F9)") {
+    fixtures
+    val fact = ObsIngest.ingestSource(spark, meta, stations,
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv")
+    val source = ObsIngest.buildGaugeSource(stations, meta)
+    val out = QueryApi.obsTimeseriesStationDataAllParms(fact, source, stations,
+      "8410140", "2023-04-23 10:00:00", "2023-04-23 13:00:00", "adcirc.nowcast")
+    assert(out.columns.toSeq == Seq("time_stamp", "air_barometer", "adcircnowcast",
+      "ocean_buoy_wave_height", "tidal_gauge_water_level", "tidal_predictions",
+      "coastal_gauge_water_level", "river_gauge_water_level",
+      "stream_gauge_stream_elevation", "wind_anemometer"))
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.isNullAt(out.columns.indexOf("adcircnowcast"))))
+  }
+
+  test("retainObsStations: semi-join snapshot with window literals") {
+    fixtures
+    import spark.implicits._
+    val names = Seq("8410140").toDF("station_name")
+    val out = ObsIngest.retainObsStations(stations, names, meta,
+      lit("2023-04-23 12:00:00"), lit("2023-04-23 10:00:00"), lit("2023-04-23 12:00:00"))
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("station_name") == "8410140")
+    assert(r.getAs[String]("data_source") == "tidal_gauge")
+    assert(r.getAs[java.sql.Timestamp]("begin_date").toString == "2023-04-23 10:00:00.0")
+    assert(out.columns.toSeq == Seq("station_name", "lat", "lon", "location_name",
+      "tz", "gauge_owner", "country", "state", "county", "geom", "timemark",
+      "begin_date", "end_date", "data_source", "source_name", "source_archive",
+      "location_type"))
+  }
 }

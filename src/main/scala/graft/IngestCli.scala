@@ -58,6 +58,37 @@ object IngestCli {
           store.gaugeData, store.gaugeSource, store.stations,
           req("station"), req("start"), req("end"), req("nowcastSource")))
 
+      case "ModelRunIngest" =>
+        // SequenceIngest for one ADCIRC run dir (runModelIngest.py:553-580):
+        // FORECAST_*/NOWCAST_* data + meta_* station files under --runDir.
+        val store = new GaugeStore(spark, req("store"))
+        val n = modelRunIngest(spark, store,
+          runDir = req("runDir"), modelRunId = req("modelRunID"),
+          timemark = req("timemark"), ensemble = req("ensemble"),
+          grid = req("grid"), storm = opts.get("storm"),
+          sourceInstance = req("instance"), forcingMetclass = req("metclass"),
+          uiDataUrl = opts.getOrElse("uiDataUrl", "https://ui.example"),
+          processingDatetime = opts.get("now"))
+        println(s"ingested $n model files")
+
+      case "QueryForecast" =>
+        val store = new GaugeStore(spark, req("store"))
+        val df = QueryApi.forecastTimeseriesStationData(
+          store.modelData, store.modelSource, store.stations,
+          req("station"), req("timemark"), req("maxEnd"),
+          req("dataSource"), req("instance"))
+        println(QueryApi.jsonAgg(df, "time_stamp",
+          df.columns.filterNot(_ == "time_stamp").toSeq))
+
+      case "QueryNowcast" =>
+        val store = new GaugeStore(spark, req("store"))
+        val df = QueryApi.nowcastTimeseriesStationData(
+          store.modelData, store.modelSource, store.stations,
+          req("station"), req("start"), req("end"),
+          req("dataSource"), req("instance"))
+        println(QueryApi.jsonAgg(df, "time_stamp",
+          df.columns.filterNot(_ == "time_stamp").toSeq))
+
       case other => sys.error(s"unknown task: $other")
     }
     spark.stop()
@@ -134,6 +165,92 @@ object IngestCli {
         case e: Exception =>
           System.err.println(s"[ingest] source ${meta.data_source}/${meta.source_name} failed: ${e.getMessage}")
       }
+    }
+    total
+  }
+
+  /** One ADCIRC model run (SURVEY §3.2): per station-type harvest file
+    * — derive data_source name + variable, build/refresh the model
+    * source dim, ingest the fact with the run timemark, rerun-gated
+    * dedup via cross-run compaction, then the apsviz station snapshot
+    * from the meta files ∪ active retain-obs stations.
+    */
+  def modelRunIngest(
+      spark: SparkSession, store: GaugeStore, runDir: String,
+      modelRunId: String, timemark: String, ensemble: String, grid: String,
+      storm: Option[String], sourceInstance: String, forcingMetclass: String,
+      uiDataUrl: String, processingDatetime: Option[String] = None): Long = {
+    val procTs = processingDatetime.map(s => lit(s.replace("T", " ")))
+      .getOrElse(date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stations = store.stations
+    val dataSource = ModelIngest.dataSourceName(ensemble, grid, storm)
+    var total = 0L
+    var allSources = Seq.empty[org.apache.spark.sql.DataFrame]
+    Seq("FORECAST", "NOWCAST").foreach { phase =>
+      ModelIngest.stationTypeMeta.foreach { case (stype, (variable, locType, units)) =>
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/${phase}_$stype.csv")
+        if (fs.exists(p)) {
+          val meta = SourceMeta(dataSource, "adcirc", "renci", variable,
+            phase, locType, units)
+          val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
+          allSources :+= src
+          val fact = ModelIngest.ingestRun(spark, meta, src, stations,
+            lit(timemark.replace("T", " ")), p.toString)
+            .withColumn("proc_ts", procTs.cast("timestamp"))
+          store.appendModelData(fact)
+          total += 1
+        }
+      }
+    }
+    if (allSources.nonEmpty) {
+      val merged = allSources.reduce(_ unionByName _).dropDuplicates("source_id")
+      val local = merged.collect().toIndexedSeq
+      store.writeModelSource(spark.createDataFrame(
+        spark.sparkContext.parallelize(local, 1), merged.schema))
+    }
+    // rerun repair (J8/J9 model variant): fire only when >1 distinct
+    // processing_datetime exists for this timemark, then keep the
+    // latest-processed row per (source_id, time) — scoped to the run's
+    // timemark so only its partitions rewrite.
+    if (store.hasModelData) {
+      val tm = lit(timemark.replace("T", " ")).cast("timestamp")
+      val all = store.modelData
+      val isRerun = all.filter(col("timemark") === tm)
+        .select("proc_ts").distinct().count() > 1
+      if (isRerun) {
+        val repaired = graft.operators.KeepLatestDedup(
+          all.filter(col("timemark") === tm),
+          Seq("source_id", "time"), Seq(col("proc_ts")))
+          .unionByName(all.filter(col("timemark") =!= tm || col("timemark").isNull))
+        val local = repaired.collect().toIndexedSeq
+        val fsPath = new org.apache.hadoop.fs.Path(s"${store.root}/model_data")
+        fs.delete(fsPath, true)
+        store.appendModelData(spark.createDataFrame(
+          spark.sparkContext.parallelize(local, 2), repaired.schema))
+      }
+    }
+    // apsviz station snapshot from meta_* files (+ active obs stations)
+    val metaNames = Seq("FORECAST", "NOWCAST").flatMap { phase =>
+      ModelIngest.stationTypeMeta.keys.map(st => s"$runDir/meta_${phase}_$st.csv")
+    }.filter(n => fs.exists(new org.apache.hadoop.fs.Path(n)))
+    if (metaNames.nonEmpty) {
+      val raw = spark.read.option("header", "true").csv(metaNames: _*)
+      val adcircNames = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+        .withColumnRenamed("station", "station_name")
+        .select("station_name").distinct()
+      val retain =
+        if (store.hasRetainObsStations) store.retainObsStations
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("station_name", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("begin_date", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("end_date", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("data_source", org.apache.spark.sql.types.StringType))))
+      store.appendApsVizStations(
+        ModelIngest.apsVizStations(stations, adcircNames,
+          retain.select("station_name", "begin_date", "end_date", "data_source"),
+          lit(timemark.replace("T", " ")), modelRunId, uiDataUrl, grid))
     }
     total
   }

@@ -67,6 +67,45 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
   }
 
+  def writeModelSource(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path("model_source"))
+
+  def modelSource: DataFrame = spark.read.parquet(path("model_source"))
+
+  /** Model fact, partitioned by run timemark date (a run's dedup scope
+    * is its timemark, so pruning is exact per-run). */
+  def appendModelData(df: DataFrame): Unit =
+    df.withColumn("run_date", to_date(col("timemark")))
+      .write.mode(SaveMode.Append).partitionBy("run_date").parquet(path("model_data"))
+
+  def modelData: DataFrame =
+    spark.read.parquet(path("model_data")).drop("run_date")
+
+  def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
+
+  /** Idempotent per-run append: replaces any existing snapshot rows of
+    * the same model_run_id (the reference's apsviz_station_file_meta
+    * `ingested` guard, ingestModelTasks.py:295). */
+  def appendApsVizStations(df: DataFrame): Unit = {
+    val p = path("apsviz_station")
+    if (new java.io.File(p).exists()) {
+      val runIds = df.select("model_run_id").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val kept = spark.read.parquet(p)
+        .filter(!col("model_run_id").isin(runIds: _*))
+        .unionByName(df)
+      val local = kept.cache(); local.count()
+      val tmp = path("apsviz_station_tmp")
+      local.write.mode(SaveMode.Overwrite).parquet(tmp)
+      local.unpersist()
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(p))
+    } else df.write.mode(SaveMode.Append).parquet(p)
+  }
+
+  def apsVizStations: DataFrame = spark.read.parquet(path("apsviz_station"))
+
   def appendRetainObsStations(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path("retain_obs_station"))
 

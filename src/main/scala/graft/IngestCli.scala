@@ -49,13 +49,15 @@ object IngestCli {
       case "QueryObs" =>
         val store = new GaugeStore(spark, req("store"))
         println(QueryApi.obsTimeseriesStationDataJson(
-          store.gaugeData, store.gaugeSource, store.stations,
+          store.gaugeDataForRange(req("start"), req("end")),
+          store.gaugeSource, store.stations,
           req("station"), req("start"), req("end")))
 
       case "QueryObsAllParms" =>
         val store = new GaugeStore(spark, req("store"))
         println(QueryApi.obsTimeseriesStationDataAllParmsJson(
-          store.gaugeData, store.gaugeSource, store.stations,
+          store.gaugeDataForRange(req("start"), req("end")),
+          store.gaugeSource, store.stations,
           req("station"), req("start"), req("end"), req("nowcastSource")))
 
       case "ModelRunIngest" =>

@@ -47,6 +47,17 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   def gaugeData: DataFrame =
     spark.read.parquet(path("gauge_data")).drop("data_source_part", "obs_date")
 
+  /** Partition-pruned fact scan for a time-range query: the filter on
+    * the `obs_date` PARTITION column prunes directories before any IO;
+    * the row-level `time` predicate still applies downstream. Without
+    * this, a [start,end] query over 100 TB scans every partition.
+    */
+  def gaugeDataForRange(startDate: String, endDate: String): DataFrame =
+    spark.read.parquet(path("gauge_data"))
+      .filter(col("obs_date") >= to_date(lit(startDate)) &&
+        col("obs_date") <= to_date(lit(endDate)))
+      .drop("data_source_part", "obs_date")
+
   def hasGaugeData: Boolean =
     new java.io.File(path("gauge_data")).exists()
 

@@ -306,6 +306,31 @@ object LlmOps {
     },
 
     QueryDef.sql(
+      "d7_minhash_estimate", {
+        val matches = (1 to NumHashes)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $normCte,
+           |$shingleCte,
+           |$sigCte,
+           |$bandCte,
+           |pairs AS (
+           |$pairsSelect)
+           |SELECT p.a_doc_id AS a_doc_id, p.b_doc_id AS b_doc_id,
+           |  round(CAST($matches AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+           |FROM pairs p
+           |JOIN sig a ON a.doc_id = p.a_doc_id
+           |JOIN sig b ON b.doc_id = p.b_doc_id
+           |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin
+      }) { (s, dir) =>
+      val sigs = Dedup.minHashSignatures(
+        Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes)
+      Dedup.minHashEstimate(
+        Dedup.minHashCandidatePairs(sigs, NumHashes, RowsPerBand), sigs, NumHashes)
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+
+    QueryDef.sql(
       "e3_ann_ivf", {
         val IvfCentroids = 8; val NProbe = 2
         s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM embeddings

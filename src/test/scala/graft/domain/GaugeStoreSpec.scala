@@ -1,0 +1,66 @@
+package graft.domain
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GaugeStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkFact(rows: Seq[(Long, String, String, Double)]) =
+    rows.toDF("source_id", "tm", "t", "water_level")
+      .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"),
+        lit(null).cast("double").as("wave_height"),
+        lit(null).cast("double").as("wind_speed"),
+        lit(null).cast("double").as("air_pressure"),
+        lit(null).cast("double").as("stream_elevation"),
+        lit(null).cast("double").as("flow_volume"))
+      .select("source_id", "timemark", "time", "water_level", "wave_height",
+        "wind_speed", "air_pressure", "stream_elevation", "flow_volume")
+
+  test("partitioned layout + time-range scan prunes partitions") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new GaugeStore(spark, root)
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 12:00:00", "2023-04-22 10:00:00", 1.0),
+      (1L, "2023-04-23 12:00:00", "2023-04-23 10:00:00", 2.0),
+      (1L, "2023-04-23 12:00:00", "2023-04-24 10:00:00", 3.0))), "tidal_gauge")
+
+    // physical layout: data_source_part=/obs_date= directories
+    val dirs = new java.io.File(s"$root/gauge_data/data_source_part=tidal_gauge").list()
+    assert(dirs.count(_.startsWith("obs_date=")) == 3)
+
+    val pruned = store.gaugeDataForRange("2023-04-23 00:00:00", "2023-04-23 23:59:59")
+    assert(pruned.collect().map(_.getAs[Double]("water_level")).toSeq == Seq(2.0))
+    // the obs_date predicate must reach the scan as a partition filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("obs_date"))
+  }
+
+  test("cross-batch compaction keeps latest timemark per (source,time)") {
+    val root = Files.createTempDirectory("graft-store2").toString
+    val store = new GaugeStore(spark, root)
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 12:00:00", "2023-04-23 10:00:00", 1.0))), "tidal_gauge")
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 18:00:00", "2023-04-23 10:00:00", 9.0))), "tidal_gauge")
+    assert(store.gaugeData.count() == 2)
+    store.compactGaugeData()
+    val rows = store.gaugeData.collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("water_level") == 9.0)
+  }
+
+  test("ledger mark-ingested flips only the named files") {
+    val root = Files.createTempDirectory("graft-store3").toString
+    val store = new GaugeStore(spark, root)
+    val ledger = Seq(("a.csv", false), ("b.csv", false))
+      .toDF("file_name", "ingested")
+      .withColumn("processing_datetime", lit("2023-04-23 12:00:00").cast("timestamp"))
+    store.appendLedger(ledger)
+    store.markIngested(Seq("a.csv"))
+    val got = store.ledger.collect()
+      .map(r => r.getAs[String]("file_name") -> r.getAs[Boolean]("ingested")).toMap
+    assert(got == Map("a.csv" -> true, "b.csv" -> false))
+  }
+}

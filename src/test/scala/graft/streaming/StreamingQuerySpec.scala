@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Live Structured Streaming over the events table: watermarked
+  * tumbling-window aggregation through a memory sink, checked against
+  * the identical batch plan (the w1_tumbling_window semantics).
+  */
+class StreamingQuerySpec extends SparkSuite {
+
+  test("watermarked windowed agg over a stream matches the batch result") {
+    val dir = sf("sf0.001")
+    // nanos timestamps: same legacy conf + conversion as Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    // streaming parquet source wants a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("w1_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("w1_stream")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+      .collect()
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+      .collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("cosine_similarity is SQL-callable via GraftExtensions registration") {
+    // the extension class installs without error on a fresh extensions set
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // extensions apply at session build; register directly on the live session
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(args(0), args(1)))
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}

@@ -30,13 +30,18 @@ object StreamingIngest {
       store: GaugeStore,
       harvestDir: String,
       checkpointDir: String,
-      maxFileAge: String = "31d"): StreamingQuery = {
+      maxFileAge: String = "31d",
+      deleteProcessed: Boolean = false): StreamingQuery = {
 
     val stations = store.stations
     val stream = spark.readStream
       .schema(Schemas.harvestCsv(meta.source_variable))
       .option("header", "true")
       .option("maxFileAge", maxFileAge)       // 31-day lookback analogue
+      // S7: reference deletes harvest files after load
+      // (ingestObsTasks.py:412-414); cleanSource=delete is the
+      // streaming-native equivalent, committed with the batch.
+      .option("cleanSource", if (deleteProcessed) "delete" else "off")
       .csv(s"$harvestDir/${meta.filename_prefix}_*.csv")
       .withColumn("file_name", element_at(split(input_file_name(), "/"), -1))
 

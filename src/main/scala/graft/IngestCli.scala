@@ -76,7 +76,8 @@ object IngestCli {
       case "QueryForecast" =>
         val store = new GaugeStore(spark, req("store"))
         val df = QueryApi.forecastTimeseriesStationData(
-          store.modelData, store.modelSource, store.stations,
+          store.modelDataForTimemark(req("timemark").replace("T", " ")),
+          store.modelSource, store.stations,
           req("station"), req("timemark"), req("maxEnd"),
           req("dataSource"), req("instance"))
         println(QueryApi.jsonAgg(df, "time_stamp",

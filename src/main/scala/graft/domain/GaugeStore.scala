@@ -92,6 +92,14 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   def modelData: DataFrame =
     spark.read.parquet(path("model_data")).drop("run_date")
 
+  /** Partition-pruned model scan for one run timemark (forecast/
+    * nowcast queries pin `timemark`): the run_date partition filter
+    * cuts the scan to that run's directory. */
+  def modelDataForTimemark(timemark: String): DataFrame =
+    spark.read.parquet(path("model_data"))
+      .filter(col("run_date") === to_date(lit(timemark)))
+      .drop("run_date")
+
   def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
 
   /** Idempotent per-run append: replaces any existing snapshot rows of

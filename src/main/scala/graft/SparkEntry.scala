@@ -18,7 +18,8 @@ object SparkEntry {
     () => graft.queries.CoreRelational.defs,
     () => graft.queries.LlmOps.defs,
     () => graft.queries.StreamingShapes.defs,
-    () => graft.queries.Coverage.defs)
+    () => graft.queries.Coverage.defs,
+    () => graft.queries.TpchShapes.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

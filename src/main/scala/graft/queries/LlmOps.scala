@@ -181,6 +181,20 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    QueryDef.sql(
+      "t5_rolling_hash",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)),
+        |    (h, b) -> (h * 131 + b) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.RollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup family -----------------------------------------------
     QueryDef.sql(
       "d1_exact_dedup",

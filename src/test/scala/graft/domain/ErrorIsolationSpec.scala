@@ -1,0 +1,42 @@
+package graft.domain
+
+import graft.{IngestCli, SparkSuite}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Reference error semantics (SURVEY §4 "Error handling"): a failing
+  * source logs and continues; other sources in the catalog still
+  * ingest. A malformed file within a source must not poison the rest
+  * of the catalog.
+  */
+class ErrorIsolationSpec extends SparkSuite {
+
+  test("sequenceIngest: bad source skipped, good source ingests") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val harvest = s"$root/harvest"; Files.createDirectories(Paths.get(harvest))
+    Files.write(Paths.get(root, "geom.csv"),
+      ("8410140,44.9,-66.9,gmt,NOAA,Eastport,tidal,us,me,Wash,01A\n" +
+       "44007,43.5,-70.1,gmt,NDBC,Buoy,ocean,us,me,,01C").getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(ObsIngest.seedStations(spark, s"$root/geom.csv"))
+
+    // good source file
+    Files.write(Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv"),
+      "TIME,STATION,WATER_LEVEL\n2023-04-23T10:00:00,8410140,1.10".getBytes)
+    // bad source: file exists but is structurally broken (binary junk)
+    Files.write(Paths.get(harvest, "ndbc_stationdata_wave_height_2023-04-23T12_00_00.csv"),
+      Array.fill[Byte](64)(0x00))
+
+    val catalog = Seq(
+      SourceMeta("ocean_buoy", "ndbc", "ndbc", "wave_height",
+        "ndbc_stationdata_wave_height", "ocean", "m"),
+      SourceMeta("tidal_gauge", "noaa", "noaa", "water_level",
+        "noaaweb_stationdata_water_level", "tidal", "m"))
+
+    val n = IngestCli.sequenceIngest(spark, store, catalog, harvest,
+      lit("2023-04-24 00:00:00"))
+    // good source landed regardless of the bad one's outcome
+    assert(store.gaugeData.filter(col("water_level") === 1.10).count() == 1)
+    assert(n >= 1)
+  }
+}

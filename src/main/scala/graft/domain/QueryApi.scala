@@ -25,6 +25,21 @@ object QueryApi {
       .join(broadcast(source), "source_id")
       .join(broadcast(station), "station_id")
 
+  /** Register the reference's two serving views for SQL users
+    * (drf_gauge_station_source_data / drf_model_station_source_data,
+    * ingestObsTasks.py:494-521, ingestModelTasks.py:475-501):
+    * `spark.sql("SELECT * FROM gauge_station_source_data WHERE ...")`.
+    */
+  def registerViews(
+      gaugeFact: DataFrame, gaugeSource: DataFrame,
+      modelFact: DataFrame, modelSource: DataFrame,
+      station: DataFrame): Unit = {
+    gaugeStationSourceData(gaugeFact, gaugeSource, station)
+      .createOrReplaceTempView("gauge_station_source_data")
+    gaugeStationSourceData(modelFact, modelSource, station)
+      .createOrReplaceTempView("model_station_source_data")
+  }
+
   /** Fixed crosstab categories of get_obs_timeseries_station_data
     * (scripts/get_obs_timeseries_station_data.sql:31-38): raw
     * data_source value → output column name. */

@@ -154,6 +154,20 @@ class ObsPipelineSpec extends SparkSuite {
     assert(rows.forall(_.isNullAt(out.columns.indexOf("adcircnowcast"))))
   }
 
+  test("registerViews: SQL-visible serving views (SURVEY 3.3)") {
+    fixtures
+    val fact = ObsIngest.ingestSource(spark, meta, stations,
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv")
+    val source = ObsIngest.buildGaugeSource(stations, meta)
+    QueryApi.registerViews(fact, source, fact, source, stations)
+    val n = spark.sql(
+      "SELECT count(*) FROM gauge_station_source_data WHERE station_name = '8410140'")
+      .collect()(0).getLong(0)
+    assert(n == 3)
+    assert(spark.sql("SELECT * FROM model_station_source_data").columns
+      .contains("water_level"))
+  }
+
   test("retainObsStations: semi-join snapshot with window literals") {
     fixtures
     import spark.implicits._

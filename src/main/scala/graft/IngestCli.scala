@@ -134,10 +134,15 @@ object IngestCli {
             val fact = ObsIngest.ingestSource(spark, meta, stations,
               loadable.map(f => s"$harvestDir/$f"): _*)
             val bounds = fact.agg(min("time"), max("time")).collect()(0)
-            val deduped = ObsIngest.dedupFact(fact,
-              lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
-            store.appendGaugeData(deduped, meta.data_source)
-            if (store.hasGaugeData) store.compactGaugeData()
+            // all rows may have been dropped (e.g. only unregistered
+            // stations): nothing to load, but the ledger must still
+            // commit below or the file re-fails forever
+            if (!bounds.isNullAt(0)) {
+              val deduped = ObsIngest.dedupFact(fact,
+                lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
+              store.appendGaugeData(deduped, meta.data_source)
+              if (store.hasGaugeData) store.compactGaugeData()
+            }
           }
           store.appendLedger(fresh)
           store.markIngested(freshNames)
@@ -183,8 +188,12 @@ object IngestCli {
       modelRunId: String, timemark: String, ensemble: String, grid: String,
       storm: Option[String], sourceInstance: String, forcingMetclass: String,
       uiDataUrl: String, processingDatetime: Option[String] = None): Long = {
-    val procTs = processingDatetime.map(s => lit(s.replace("T", " ")))
-      .getOrElse(date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    // ONE driver-side literal for the whole run: current_timestamp()
+    // would re-evaluate per write action, giving each harvest file a
+    // different proc_ts and tripping the rerun gate on a first ingest
+    val procTs = lit(processingDatetime.map(_.replace("T", " ")).getOrElse(
+      java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stations = store.stations
     val dataSource = ModelIngest.dataSourceName(ensemble, grid, storm)
@@ -207,7 +216,17 @@ object IngestCli {
       }
     }
     if (allSources.nonEmpty) {
-      val merged = allSources.reduce(_ unionByName _).dropDuplicates("source_id")
+      // UPSERT into the model-source dim: keep rows from other runs/
+      // instances, replace this run's (a blind overwrite would erase
+      // every previously registered source and silently empty their
+      // forecast queries)
+      val current = allSources.reduce(_ unionByName _).dropDuplicates("source_id")
+      val merged =
+        if (new java.io.File(s"${store.root}/model_source").exists()) {
+          val ids = current.select("source_id").collect().map(_.getLong(0)).toSeq
+          store.modelSource.filter(!col("source_id").isin(ids: _*))
+            .unionByName(current)
+        } else current
       val local = merged.collect().toIndexedSeq
       store.writeModelSource(spark.createDataFrame(
         spark.sparkContext.parallelize(local, 1), merged.schema))
@@ -226,11 +245,7 @@ object IngestCli {
           all.filter(col("timemark") === tm),
           Seq("source_id", "time"), Seq(col("proc_ts")))
           .unionByName(all.filter(col("timemark") =!= tm || col("timemark").isNull))
-        val local = repaired.collect().toIndexedSeq
-        val fsPath = new org.apache.hadoop.fs.Path(s"${store.root}/model_data")
-        fs.delete(fsPath, true)
-        store.appendModelData(spark.createDataFrame(
-          spark.sparkContext.parallelize(local, 2), repaired.schema))
+        store.rewriteModelData(repaired)
       }
     }
     // apsviz station snapshot from meta_* files (+ active obs stations)

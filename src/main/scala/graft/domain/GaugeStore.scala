@@ -102,6 +102,18 @@ final class GaugeStore(spark: SparkSession, val root: String) {
 
   def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
 
+  /** Distributed tmp-write-then-rename rewrite of the model fact (the
+    * safe pattern compactGaugeData uses) — no driver-side collect, and
+    * a crash mid-rewrite leaves the original table intact. */
+  def rewriteModelData(df: DataFrame): Unit = {
+    val tmp = path("model_data_tmp")
+    df.withColumn("run_date", to_date(col("timemark")))
+      .write.mode(SaveMode.Overwrite).partitionBy("run_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path("model_data")), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("model_data")))
+  }
+
   /** Idempotent per-run append: replaces any existing snapshot rows of
     * the same model_run_id (the reference's apsviz_station_file_meta
     * `ingested` guard, ingestModelTasks.py:295). */

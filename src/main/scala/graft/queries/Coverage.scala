@@ -24,8 +24,10 @@ object Coverage {
     QueryDef.sql(
       "s1_csv_roundtrip",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
-      // stage to headerless CSV (S6) then scan with declared schema (S1)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+      // stage to headerless CSV (S6) then scan with declared schema (S1);
+      // unique dir per invocation — a fixed path races concurrent runs
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_stage").toString
       Tables.nation(s, dir)
         .write.mode("overwrite").option("header", "false").csv(tmp)
       s.read

@@ -94,12 +94,19 @@ object LlmOps {
   // benchmark trick — any real deployment materializes signatures).
   import org.apache.spark.sql.{DataFrame, SparkSession}
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def memoized(key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(key, {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+  private def memoized(key: String)(build: => DataFrame): DataFrame = {
+    // a cached frame is only valid for a live session — rebuild if the
+    // owning session was stopped or a different session is asking
+    memo.get(key) match {
+      case Some(df) if !df.sparkSession.sparkContext.isStopped &&
+          SparkSession.getActiveSession.exists(_ eq df.sparkSession) => df
+      case _ =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        memo.put(key, df)
+        df
+    }
+  }
   private def sigs(s: SparkSession, dir: String): DataFrame =
     memoized(s"sigs:$dir")(Dedup.minHashSignatures(
       Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes))
@@ -112,7 +119,8 @@ object LlmOps {
     QueryDef.sql(
       "t1_token_count",
       s"""SELECT doc_id,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords,
          |  CAST(length(text) AS BIGINT) AS n_chars_calc
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -127,13 +135,16 @@ object LlmOps {
     QueryDef.sql(
       "t2_quality_score",
       s"""SELECT doc_id, n_chars_calc, n_tokens,
-         |  round(CAST(n_chars_calc AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-         |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE round(CAST(n_chars_calc AS DOUBLE) / n_tokens, 4) END AS avg_token_len,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) END AS stopword_ratio,
          |  punct_count
          |FROM (
          |  SELECT doc_id,
          |    CAST(length(text) AS BIGINT) AS n_chars_calc,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
          |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |      x -> lower(x) IN ($stopwordList))) AS stop_hits,
          |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS punct_count
@@ -181,17 +192,23 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // RollingHash hashes UTF-8 BYTES; DuckDB's ord() yields codepoints.
+    // The query sanitizes to ASCII (bytes ≡ codepoints) so the oracle is
+    // engine-exact; the expression itself is byte-accurate on any input.
     QueryDef.sql(
       "t5_rolling_hash",
       """SELECT doc_id,
-        |  list_reduce(
-        |    list_transform(generate_series(1, length(text)),
-        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)),
-        |    (h, b) -> (h * 131 + b) % 1000000007) AS rhash
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |  CASE WHEN length(a) = 0 THEN 0 ELSE list_reduce(
+        |    list_transform(generate_series(1, length(a)),
+        |      i -> CAST(ord(substr(a, i, 1)) AS BIGINT)),
+        |    (h, b) -> (h * 131 + b) % 1000000007) END AS rhash
+        |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        graft.functions.RollingHash(col("text")).as("rhash"))
+        graft.functions.RollingHash(
+          regexp_replace(col("text"), "[^ -~]", "")).as("rhash"))
         .orderBy("doc_id")
     },
 

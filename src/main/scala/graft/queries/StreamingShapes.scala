@@ -32,13 +32,16 @@ object StreamingShapes {
     },
 
     // Session windows per user (30-min inactivity gap): Spark
-    // session_window vs the classic gaps-and-islands SQL.
+    // session_window vs the classic gaps-and-islands SQL. Spark
+    // sessions are half-open [start, last+gap), so an event exactly
+    // `gap` after its predecessor starts a NEW session — the oracle's
+    // gap test must be >=, not >.
     QueryDef.sql(
       "w2_session_window",
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL 30 MINUTE OR
+        |              >= INTERVAL 30 MINUTE OR
         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -42,8 +42,10 @@ object TextAnalysis {
     val punct = nChar - length(regexp_replace(col(textCol), "[\\.,;:!\\?]", ""))
     df.withColumn("n_chars_calc", nChar.cast("long"))
       .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("avg_token_len", round(nChar.cast("double") / nTok, 4))
-      .withColumn("stopword_ratio", round(stopHits.cast("double") / nTok, 4))
+      .withColumn("avg_token_len",
+        when(nTok === 0, lit(null)).otherwise(round(nChar.cast("double") / nTok, 4)))
+      .withColumn("stopword_ratio",
+        when(nTok === 0, lit(null)).otherwise(round(stopHits.cast("double") / nTok, 4)))
       .withColumn("punct_count", punct.cast("long"))
   }
 

@@ -89,12 +89,31 @@ object Ann {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Single- or multi-probe sign-LSH top-k. `probes = 1` searches only
+    * the query's own bucket; `probes = 1 + signDims.length` also
+    * probes every one-bit-flipped bucket (the standard multi-probe
+    * recall lever: a near neighbor straddling one hyperplane lands in
+    * a Hamming-distance-1 bucket). Cost grows linearly with probes;
+    * the corpus is still bucketed once.
+    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       signDims: Seq[Int] = Seq(1, 17, 33, 49),
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame = {
+    val nProbes = math.max(1, math.min(probes, 1 + signDims.length))
+    val base = signBucket(vecCol, signDims)
+    // bucket variants: exact, then one-bit flips in order
+    val variants = base +: signDims.indices.take(nProbes - 1).map { i =>
+      val flipped = signDims.zipWithIndex.map { case (d, j) =>
+        val bit = when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))
+        if (j == i) when(element_at(col(vecCol), d) >= 0, lit("0")).otherwise(lit("1"))
+        else bit
+      }
+      concat(flipped: _*)
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      signBucket(vecCol, signDims).as("bucket"))
+      explode(array(variants: _*)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       signBucket(vecCol, signDims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

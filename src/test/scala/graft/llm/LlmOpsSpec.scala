@@ -101,10 +101,31 @@ class LlmOpsSpec extends SparkSuite {
       .join(bucketed.withColumnRenamed("vec_id", "neighbor_id")
         .withColumnRenamed("b", "nb"), "neighbor_id")
     assert(joined.filter($"qb" =!= $"nb").count() == 0)
+
+    // multi-probe recall: candidates found >= single-probe, and
+    // closer to the exact top-3 set
+    def recallVsExact(approx: org.apache.spark.sql.DataFrame): Long = {
+      val exact = bf.select($"query_id", $"neighbor_id")
+      approx.select($"query_id", $"neighbor_id").intersect(exact).count()
+    }
+    val multi = Ann.lshTopK(emb, queries, 3, probes = 5)
+    assert(multi.count() >= lsh.count())
+    assert(recallVsExact(multi) >= recallVsExact(lsh))
   }
 
   private object Tables {
     def embeddings = graft.Tables.embeddings(spark, sf("sf0.001"))
+  }
+
+  test("empty/whitespace text: zero tokens, null ratios, zero rolling hash") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "ok")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(edge).orderBy("doc_id").collect()
+    assert(q(0).getAs[Long]("n_tokens") == 0L && q(0).isNullAt(q(0).fieldIndex("avg_token_len")))
+    assert(q(1).getAs[Long]("n_tokens") == 0L && q(1).isNullAt(q(1).fieldIndex("stopword_ratio")))
+    assert(q(2).getAs[Long]("n_tokens") == 1L)
+    val rh = edge.select(graft.functions.RollingHash(col("text")).as("h"))
+      .orderBy(lit(1)).collect()
+    assert(rh.exists(_.getLong(0) == 0L))   // empty string hashes to 0, not null
   }
 
   test("multimodal: stub decode is deterministic, frame sampling fans out (mm)") {

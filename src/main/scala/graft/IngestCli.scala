@@ -141,7 +141,11 @@ object IngestCli {
               val deduped = ObsIngest.dedupFact(fact,
                 lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
               store.appendGaugeData(deduped, meta.data_source)
-              if (store.hasGaugeData) store.compactGaugeData()
+              // repair scoped to the batch's date range — partitions
+              // outside it never rewrite
+              if (store.hasGaugeData) store.compactGaugeData(
+                Some(bounds.getTimestamp(0).toString.substring(0, 10)),
+                Some(bounds.getTimestamp(1).toString.substring(0, 10)))
             }
           }
           store.appendLedger(fresh)

@@ -62,20 +62,47 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     new java.io.File(path("gauge_data")).exists()
 
   /** Cross-batch keep-latest repair (J8 across appends): rewrite the
-    * fact with duplicates resolved. At scale this is run per affected
-    * partition (MERGE-style); locally it is a full rewrite.
+    * fact with duplicates resolved.
+    *
+    * With a `[loDate, hiDate]` scope — the ingested batch's time bounds,
+    * exactly the reference's per-file dedup scope
+    * (ingestObsTasks.py:392-399) — ONLY the obs_date partitions inside
+    * the scope are read, deduplicated, and swapped; everything else is
+    * untouched. At 100 TB this is the difference between a bounded
+    * MERGE and rewriting the table per batch. No scope → full rewrite.
     */
-  def compactGaugeData(): Unit = {
+  def compactGaugeData(loDate: Option[String] = None, hiDate: Option[String] = None): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val full = spark.read.parquet(path("gauge_data"))
+    val scoped = (loDate, hiDate) match {
+      case (Some(lo), Some(hi)) =>
+        full.filter(col("obs_date") >= to_date(lit(lo)) && col("obs_date") <= to_date(lit(hi)))
+      case _ => full
+    }
     val deduped = graft.operators.KeepLatestDedup(
-      spark.read.parquet(path("gauge_data")),
-      keys = Seq("source_id", "time"),
-      precedence = Seq(col("timemark")))
+      scoped, keys = Seq("source_id", "time"), precedence = Seq(col("timemark")))
     val tmp = path("gauge_data_tmp")
     deduped.write.mode(SaveMode.Overwrite)
       .partitionBy("data_source_part", "obs_date").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path("gauge_data")), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
+    if (loDate.isDefined || hiDate.isDefined) {
+      // swap only the partitions the scope produced
+      val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
+      val mainRoot = new org.apache.hadoop.fs.Path(path("gauge_data"))
+      fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { srcDir =>
+        fs.listStatus(srcDir.getPath).filter(_.isDirectory).foreach { dateDir =>
+          val dest = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(mainRoot, srcDir.getPath.getName),
+            dateDir.getPath.getName)
+          fs.delete(dest, true)
+          fs.mkdirs(dest.getParent)
+          fs.rename(dateDir.getPath, dest)
+        }
+      }
+      fs.delete(tmpRoot, true)
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(path("gauge_data")), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
+    }
   }
 
   def writeModelSource(df: DataFrame): Unit =

@@ -75,7 +75,10 @@ object StreamingIngest {
         val deduped = ObsIngest.dedupFact(fact,
           lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
         store.appendGaugeData(deduped, meta.data_source)
-        store.compactGaugeData()   // cross-batch keep-latest repair
+        // cross-batch keep-latest repair, scoped to this batch's dates
+        store.compactGaugeData(
+          Some(bounds.getTimestamp(0).toString.substring(0, 10)),
+          Some(bounds.getTimestamp(1).toString.substring(0, 10)))
       }
     } finally fact.unpersist()
   }

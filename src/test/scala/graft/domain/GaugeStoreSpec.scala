@@ -51,6 +51,33 @@ class GaugeStoreSpec extends SparkSuite {
     assert(rows.length == 1 && rows(0).getAs[Double]("water_level") == 9.0)
   }
 
+  test("scoped compaction repairs only partitions inside the date range") {
+    val root = Files.createTempDirectory("graft-store4").toString
+    val store = new GaugeStore(spark, root)
+    // duplicates on two different dates
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 12:00:00", "2023-04-22 10:00:00", 1.0),
+      (1L, "2023-04-23 12:00:00", "2023-04-23 10:00:00", 2.0))), "tidal_gauge")
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 18:00:00", "2023-04-22 10:00:00", 8.0),
+      (1L, "2023-04-23 18:00:00", "2023-04-23 10:00:00", 9.0))), "tidal_gauge")
+    assert(store.gaugeData.count() == 4)
+
+    // scope = only the 23rd: its duplicate resolves, the 22nd keeps both
+    store.compactGaugeData(Some("2023-04-23"), Some("2023-04-23"))
+    val after = store.gaugeData.orderBy("time", "timemark").collect()
+    assert(after.length == 3)
+    val on23 = after.filter(_.getAs[java.sql.Timestamp]("time").toString.startsWith("2023-04-23"))
+    assert(on23.length == 1 && on23(0).getAs[Double]("water_level") == 9.0)
+    val on22 = after.filter(_.getAs[java.sql.Timestamp]("time").toString.startsWith("2023-04-22"))
+    assert(on22.length == 2)
+
+    // full compaction then repairs the rest
+    store.compactGaugeData()
+    assert(store.gaugeData.count() == 2)
+    assert(store.gaugeData.filter(col("water_level") === 8.0).count() == 1)
+  }
+
   test("ledger mark-ingested flips only the named files") {
     val root = Files.createTempDirectory("graft-store3").toString
     val store = new GaugeStore(spark, root)

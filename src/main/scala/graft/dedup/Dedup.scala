@@ -41,7 +41,12 @@ object Dedup {
   def shingles(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
       distinct: Boolean = true): DataFrame = {
+    // the explode fans each doc out ~|text| times and every shingle is
+    // hashed downstream — spread docs across the cluster BEFORE the
+    // fan-out (a compact source often arrives as one split; shuffling
+    // the small pre-explode rows is the cheap side of the trade)
     val exploded = docs
+      .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.normalized(col(textCol)).as("__norm"))
       .filter(length(col("__norm")) >= k)
       .select(col(idCol),
@@ -130,8 +135,10 @@ object Dedup {
   def simHash(docs: DataFrame, bits: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bits <= 32)
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
+    val tok = docs
+      .repartition(col(idCol))     // pre-explode spread, same as shingles
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
       .withColumn("th", substring(md5(col("tok")), 1, 8))
     // hex digit value at position p (1-based): strpos of the char
     def hexVal(p: Int): Column =

@@ -41,7 +41,9 @@ object Multimodal {
     * shuffle; each partition's rows stream through the decoder. */
   def decodeMeta(blobs: DataFrame,
       idCol: String = "doc_id", blobCol: String = "blob"): Dataset[MediaMeta] = {
-    val pairs = blobs.select(col(idCol).cast("long"), col(blobCol))
+    // decode is per-blob CPU work; spread blobs before the batch map
+    // (a real codec makes this the dominant stage)
+    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
     pairs.mapPartitions { it =>
       it.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }(Encoders.product[MediaMeta])

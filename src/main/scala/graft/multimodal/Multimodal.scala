@@ -49,6 +49,52 @@ object Multimodal {
     }(Encoders.product[MediaMeta])
   }
 
+  /** Feature-extraction stub: blob → fixed-width float embedding.
+    * Deterministic fake (md5-expanded); a real extractor (CLIP-style
+    * encoder) drops in with the same (blobs → Dataset) shape and the
+    * same partition-preserving parallelism. */
+  def extractFeatures(blobs: DataFrame, dim: Int = 16,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    pairs.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val feats = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        md.reset(); md.update(r.getAs[Array[Byte]](1)); md.update(i.toByte)
+        val d = md.digest()
+        feats(i) = ((d(0) & 0xff) - 128) / 128.0f
+        i += 1
+      }
+      Row(r.getLong(0), feats.toSeq)
+    }(Encoders.row(schema))
+  }
+
+  /** Resize stub: blob → (blob', width', height'). The fake keeps a
+    * deterministic byte prefix proportional to the target area; a real
+    * implementation swaps in an image scaler with the identical
+    * signature. */
+  def resize(blobs: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("blob", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("width", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.IntegerType)))
+    pairs.map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val keep = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+      Row(r.getLong(0), bytes.take(keep), targetW, targetH)
+    }(Encoders.row(schema))
+  }
+
   /** Frame-sampling stub for video-like payloads: emits `n` (doc_id,
     * frame_idx, frame_md5) rows per blob — the flatMap shape a real
     * frame extractor would have. */

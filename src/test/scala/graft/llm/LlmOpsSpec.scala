@@ -138,5 +138,20 @@ class LlmOpsSpec extends SparkSuite {
     val frames = Multimodal.sampleFrames(blobs, 3)
     assert(frames.count() == docs.count() * 3)
     assert(frames.select("frame_md5").distinct().count() == docs.count() * 3)
+
+    // feature-extract: fixed width, deterministic, bounded range
+    val feats = Multimodal.extractFeatures(blobs, dim = 16).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+    assert(feats.forall(_.getSeq[Float](1).forall(f => f >= -1.0f && f <= 1.0f)))
+    val feats2 = Multimodal.extractFeatures(blobs, dim = 16).collect()
+    assert(feats.map(_.getSeq[Float](1)).toSeq == feats2.map(_.getSeq[Float](1)).toSeq)
+
+    // resize: byte budget scales with target area, dims attached
+    val small = Multimodal.resize(blobs, 64, 64).collect()
+    val large = Multimodal.resize(blobs, 256, 256).collect()
+    assert(small.forall(r => r.getInt(2) == 64 && r.getInt(3) == 64))
+    val sLen = small.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    val lLen = large.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(sLen.forall { case (id, n) => n <= lLen(id) })
   }
 }

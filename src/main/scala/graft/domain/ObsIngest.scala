@@ -224,6 +224,7 @@ object ObsIngest {
     spark.read.schema(Schemas.stationSeedCsv).option("header", "false").csv(paths: _*)
       .withColumn("station_id",
         row_number().over(Window.orderBy("station_name")).cast("long"))
+      .withColumn("apsviz_station", lit(false))   // flipped by snapshot builds
       .select(Schemas.gaugeStation.fieldNames.map(col): _*)
   }
 }

@@ -25,6 +25,22 @@ object QueryApi {
       .join(broadcast(source), "source_id")
       .join(broadcast(station), "station_id")
 
+  /** The reference view's exact 24-column projection (minus the serial
+    * obs_id, which a distributed engine does not mint — SURVEY §7; plus
+    * flow_volume which the query functions read). Column order matches
+    * the CREATE VIEW statement for drop-in consumers. */
+  def gaugeStationSourceDataProjected(
+      fact: DataFrame, source: DataFrame, station: DataFrame): DataFrame =
+    gaugeStationSourceData(fact, source, station).select(
+      col("source_id"), col("station_id"), col("station_name"),
+      col("timemark"), col("time"),
+      col("water_level"), col("wave_height"), col("wind_speed"),
+      col("air_pressure"), col("stream_elevation"), col("flow_volume"),
+      col("tz"), col("gauge_owner"),
+      col("data_source"), col("source_name"), col("source_archive"), col("units"),
+      col("location_name"), col("apsviz_station"), col("location_type"),
+      col("country"), col("state"), col("county"), col("geom"))
+
   /** Register the reference's two serving views for SQL users
     * (drf_gauge_station_source_data / drf_model_station_source_data,
     * ingestObsTasks.py:494-521, ingestModelTasks.py:475-501):

@@ -36,12 +36,14 @@ object Schemas {
     StructField("country", StringType),
     StructField("state", StringType),
     StructField("county", StringType),
-    StructField("geom", StringType)))          // WKB hex, carried opaque
+    StructField("geom", StringType),           // WKB hex, carried opaque
+    StructField("apsviz_station", BooleanType)))
 
-  /** Station seed CSVs are headerless, 11 cols, no station_id
-    * (stations/geom_*.csv; FIXTURES.md §4). */
+  /** Station seed CSVs are headerless, 11 cols, no station_id and no
+    * apsviz_station flag (stations/geom_*.csv; FIXTURES.md §4). */
   val stationSeedCsv: StructType =
-    StructType(gaugeStation.fields.filterNot(_.name == "station_id").toSeq)
+    StructType(gaugeStation.fields
+      .filterNot(f => f.name == "station_id" || f.name == "apsviz_station").toSeq)
 
   val gaugeSource: StructType = StructType(Seq(
     StructField("source_id", LongType),

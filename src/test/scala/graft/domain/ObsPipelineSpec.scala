@@ -154,6 +154,22 @@ class ObsPipelineSpec extends SparkSuite {
     assert(rows.forall(_.isNullAt(out.columns.indexOf("adcircnowcast"))))
   }
 
+  test("projected view reproduces the reference column list (ingestObsTasks.py:494-521)") {
+    fixtures
+    val fact = ObsIngest.ingestSource(spark, meta, stations,
+      s"$dir/noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv")
+    val source = ObsIngest.buildGaugeSource(stations, meta)
+    val v = QueryApi.gaugeStationSourceDataProjected(fact, source, stations)
+    assert(v.columns.toSeq == Seq(
+      "source_id", "station_id", "station_name", "timemark", "time",
+      "water_level", "wave_height", "wind_speed", "air_pressure",
+      "stream_elevation", "flow_volume", "tz", "gauge_owner",
+      "data_source", "source_name", "source_archive", "units",
+      "location_name", "apsviz_station", "location_type",
+      "country", "state", "county", "geom"))
+    assert(v.count() == 3)
+  }
+
   test("registerViews: SQL-visible serving views (SURVEY 3.3)") {
     fixtures
     val fact = ObsIngest.ingestSource(spark, meta, stations,

@@ -167,7 +167,7 @@ class ObsPipelineSpec extends SparkSuite {
       "data_source", "source_name", "source_archive", "units",
       "location_name", "apsviz_station", "location_type",
       "country", "state", "county", "geom"))
-    assert(v.count() == 3)
+    assert(v.count() == 4)   // 3 readings for 8410140 + 1 for 8418150
   }
 
   test("registerViews: SQL-visible serving views (SURVEY 3.3)") {

@@ -133,19 +133,25 @@ object IngestCli {
           if (loadable.nonEmpty) {
             val fact = ObsIngest.ingestSource(spark, meta, stations,
               loadable.map(f => s"$harvestDir/$f"): _*)
-            val bounds = fact.agg(min("time"), max("time")).collect()(0)
+            // bounds as session-TZ strings: Timestamp.toString renders in
+            // the JVM default zone and can shift the scope across a
+            // partition-date boundary when driver TZ != session TZ
+            val bounds = fact.agg(
+              date_format(min("time"), "yyyy-MM-dd HH:mm:ss").as("lo"),
+              date_format(max("time"), "yyyy-MM-dd HH:mm:ss").as("hi")).collect()(0)
             // all rows may have been dropped (e.g. only unregistered
             // stations): nothing to load, but the ledger must still
             // commit below or the file re-fails forever
             if (!bounds.isNullAt(0)) {
               val deduped = ObsIngest.dedupFact(fact,
-                lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
+                lit(bounds.getString(0)), lit(bounds.getString(1)))
               store.appendGaugeData(deduped, meta.data_source)
-              // repair scoped to the batch's date range — partitions
-              // outside it never rewrite
+              // repair scoped to this source's batch date range —
+              // other sources/dates never rewrite
               if (store.hasGaugeData) store.compactGaugeData(
-                Some(bounds.getTimestamp(0).toString.substring(0, 10)),
-                Some(bounds.getTimestamp(1).toString.substring(0, 10)))
+                Some((bounds.getString(0).substring(0, 10),
+                  bounds.getString(1).substring(0, 10))),
+                Some(meta.data_source))
             }
           }
           store.appendLedger(fresh)
@@ -154,7 +160,10 @@ object IngestCli {
           // retain-obs-station snapshots from sibling meta files
           // (runRetainObsStationCreateIngest, SURVEY §3.1)
           fresh.filter(!col("ingested"))
-            .select("file_name", "data_begin_time", "data_end_time", "timemark")
+            .select(col("file_name"),
+              date_format(col("data_begin_time"), "yyyy-MM-dd HH:mm:ss").as("b"),
+              date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
+              date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
             .collect().foreach { r =>
             val metaName = ObsIngest.metaFileNameFor(r.getString(0))
             val metaPath = new org.apache.hadoop.fs.Path(s"$harvestDir/$metaName")
@@ -165,8 +174,7 @@ object IngestCli {
                 .select("station_name").distinct()
               store.appendRetainObsStations(
                 ObsIngest.retainObsStations(stations, names, meta,
-                  lit(r.getTimestamp(3).toString),
-                  lit(r.getTimestamp(1).toString), lit(r.getTimestamp(2).toString)))
+                  lit(r.getString(3)), lit(r.getString(1)), lit(r.getString(2))))
             }
           }
           total += freshNames.length
@@ -269,10 +277,14 @@ object IngestCli {
             org.apache.spark.sql.types.StructField("begin_date", org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField("end_date", org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField("data_source", org.apache.spark.sql.types.StringType))))
-      store.appendApsVizStations(
-        ModelIngest.apsVizStations(stations, adcircNames,
-          retain.select("station_name", "begin_date", "end_date", "data_source"),
-          lit(timemark.replace("T", " ")), modelRunId, uiDataUrl, grid))
+      val snapshot = ModelIngest.apsVizStations(stations, adcircNames,
+        retain.select("station_name", "begin_date", "end_date", "data_source"),
+        lit(timemark.replace("T", " ")), modelRunId, uiDataUrl, grid)
+      store.appendApsVizStations(snapshot)
+      // flip the dim's apsviz_station flag for stations now in a
+      // snapshot (the reference view's g.apsviz_station semantics)
+      store.markApsVizStations(
+        snapshot.select("station_name").distinct().collect().map(_.getString(0)).toSeq)
     }
     total
   }

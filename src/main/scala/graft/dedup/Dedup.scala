@@ -162,8 +162,7 @@ object Dedup {
   def embeddingNearDups(
       emb: DataFrame, threshold: Double, signDims: Seq[Int] = Seq(1, 17, 33, 49),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucket = concat_ws("", signDims.map(d =>
-      when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val bucket = graft.similarity.Ann.signBucket(vecCol, signDims)
     val withB = emb.select(col(idCol), col(vecCol), bucket.as("bucket"))
     val a = withB.toDF(s"a_$idCol", "a_vec", "bucket")
     val b = withB.toDF(s"b_$idCol", "b_vec", "bucket")

@@ -28,7 +28,29 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   def writeStations(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path("stations"))
 
-  def stations: DataFrame = spark.read.parquet(path("stations"))
+  /** Stations dim; stores seeded before the apsviz_station column was
+    * added are defaulted on read (false). */
+  def stations: DataFrame = {
+    val df = spark.read.parquet(path("stations"))
+    if (df.columns.contains("apsviz_station")) df
+    else df.withColumn("apsviz_station", lit(false))
+  }
+
+  /** Flip apsviz_station=true for the named stations (the reference
+    * view's g.apsviz_station flag; dim is tiny → tmp+rename rewrite). */
+  def markApsVizStations(stationNames: Seq[String]): Unit = {
+    val updated = stations.withColumn("apsviz_station",
+      when(col("station_name").isin(stationNames: _*), lit(true))
+        .otherwise(col("apsviz_station")))
+    val local = updated.collect().toIndexedSeq
+    val fresh = spark.createDataFrame(
+      spark.sparkContext.parallelize(local, 1), updated.schema)
+    val tmp = path("stations_tmp")
+    fresh.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path("stations")), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("stations")))
+  }
 
   def writeGaugeSource(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path("gauge_source"))
@@ -71,33 +93,52 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * untouched. At 100 TB this is the difference between a bounded
     * MERGE and rewriting the table per batch. No scope → full rewrite.
     */
-  def compactGaugeData(loDate: Option[String] = None, hiDate: Option[String] = None): Unit = {
+  /** `scope` = (loDate, hiDate) in session-timezone `yyyy-MM-dd`;
+    * `dataSource` further restricts to that source's partition subtree
+    * so an 11-source catalog does not rewrite shared dates 11 times.
+    */
+  def compactGaugeData(
+      scope: Option[(String, String)] = None,
+      dataSource: Option[String] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val full = spark.read.parquet(path("gauge_data"))
-    val scoped = (loDate, hiDate) match {
-      case (Some(lo), Some(hi)) =>
+    val dateFiltered = scope match {
+      case Some((lo, hi)) =>
         full.filter(col("obs_date") >= to_date(lit(lo)) && col("obs_date") <= to_date(lit(hi)))
-      case _ => full
+      case None => full
+    }
+    val scoped = dataSource match {
+      case Some(ds) => dateFiltered.filter(col("data_source_part") === ds)
+      case None => dateFiltered
     }
     val deduped = graft.operators.KeepLatestDedup(
       scoped, keys = Seq("source_id", "time"), precedence = Seq(col("timemark")))
     val tmp = path("gauge_data_tmp")
     deduped.write.mode(SaveMode.Overwrite)
       .partitionBy("data_source_part", "obs_date").parquet(tmp)
-    if (loDate.isDefined || hiDate.isDefined) {
-      // swap only the partitions the scope produced
+    if (scope.isDefined || dataSource.isDefined) {
+      // swap only the partitions the scope produced; displaced data is
+      // parked in a backup dir until every rename lands, so a crash
+      // mid-swap can lose at most renames-in-flight, never silently
       val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
       val mainRoot = new org.apache.hadoop.fs.Path(path("gauge_data"))
+      val backup = new org.apache.hadoop.fs.Path(path(
+        "gauge_data_backup_" + System.nanoTime()))
+      fs.mkdirs(backup)
       fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { srcDir =>
         fs.listStatus(srcDir.getPath).filter(_.isDirectory).foreach { dateDir =>
-          val dest = new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(mainRoot, srcDir.getPath.getName),
-            dateDir.getPath.getName)
-          fs.delete(dest, true)
-          fs.mkdirs(dest.getParent)
-          fs.rename(dateDir.getPath, dest)
+          val destParent = new org.apache.hadoop.fs.Path(mainRoot, srcDir.getPath.getName)
+          val dest = new org.apache.hadoop.fs.Path(destParent, dateDir.getPath.getName)
+          if (fs.exists(dest)) {
+            val parked = new org.apache.hadoop.fs.Path(backup,
+              srcDir.getPath.getName + "__" + dateDir.getPath.getName)
+            require(fs.rename(dest, parked), s"park failed: $dest")
+          }
+          fs.mkdirs(destParent)
+          require(fs.rename(dateDir.getPath, dest), s"swap failed: $dest")
         }
       }
+      fs.delete(backup, true)
       fs.delete(tmpRoot, true)
     } else {
       fs.delete(new org.apache.hadoop.fs.Path(path("gauge_data")), true)

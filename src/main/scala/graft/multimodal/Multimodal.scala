@@ -37,13 +37,22 @@ object Multimodal {
       format = if ((d(2) & 1) == 0) "png" else "jpeg")
   }
 
-  /** Batch decode over a (doc_id, blob) frame: partition-wise, no
-    * shuffle; each partition's rows stream through the decoder. */
+  /** Spread a blob frame across the cluster ONLY when it arrives
+    * under-partitioned (a compact source read as few splits). Blobs are
+    * the payload — shuffling an already well-spread multi-GB table
+    * would move every byte for nothing. */
+  private def spread(blobs: DataFrame, idCol: String): DataFrame = {
+    val parallelism = blobs.sparkSession.sparkContext.defaultParallelism
+    if (blobs.rdd.getNumPartitions < parallelism) blobs.repartition(col(idCol))
+    else blobs
+  }
+
+  /** Batch decode over a (doc_id, blob) frame: partition-wise (no
+    * shuffle when the input is already spread); each partition's rows
+    * stream through the decoder. */
   def decodeMeta(blobs: DataFrame,
       idCol: String = "doc_id", blobCol: String = "blob"): Dataset[MediaMeta] = {
-    // decode is per-blob CPU work; spread blobs before the batch map
-    // (a real codec makes this the dominant stage)
-    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
     pairs.mapPartitions { it =>
       it.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }(Encoders.product[MediaMeta])
@@ -55,7 +64,7 @@ object Multimodal {
     * same partition-preserving parallelism. */
   def extractFeatures(blobs: DataFrame, dim: Int = 16,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
-    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
     import org.apache.spark.sql.Row
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -81,7 +90,7 @@ object Multimodal {
     * signature. */
   def resize(blobs: DataFrame, targetW: Int, targetH: Int,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
-    val pairs = blobs.repartition(col(idCol)).select(col(idCol).cast("long"), col(blobCol))
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
     import org.apache.spark.sql.Row
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),

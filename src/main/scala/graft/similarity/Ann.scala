@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   *    corpus shuffle); per-query ranking is a window over query
   *    partitions.
   *  - [[lshTopK]]: sign-LSH bucketed — the 100 TB path. Corpus is
-  *    bucketed once (linear); each query probes only its own bucket,
-  *    cutting the scanned candidates by ~2^bits. Recall trades with
-  *    `signDims` length; multi-probe (flipping one bit) would raise
-  *    recall — kept single-probe here for determinism.
+  *    bucketed once (linear); each query probes its own bucket
+  *    (`probes = 1`, default) or additionally the buckets across its
+  *    nearest hyperplanes (multi-probe), trading probe cost for recall.
+  *  - [[ivfTopK]]: inverted-list probing over a centroid set.
   */
 object Ann {
 
@@ -35,9 +35,14 @@ object Ann {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Per-hyperplane sign bits — the single source of the bucket
+    * encoding (bucket string = concatenated bits). */
+  def signBits(vecCol: String, signDims: Seq[Int]): Seq[org.apache.spark.sql.Column] =
+    signDims.map(d =>
+      when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0")))
+
   def signBucket(vecCol: String, signDims: Seq[Int]) =
-    concat_ws("", signDims.map(d =>
-      when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    concat(signBits(vecCol, signDims): _*)
 
   /** IVF assignment: each corpus vector → its nearest centroid by
     * cosine (deterministic tie-break on centroid_id). Centroids
@@ -90,11 +95,12 @@ object Ann {
   }
 
   /** Single- or multi-probe sign-LSH top-k. `probes = 1` searches only
-    * the query's own bucket; `probes = 1 + signDims.length` also
-    * probes every one-bit-flipped bucket (the standard multi-probe
-    * recall lever: a near neighbor straddling one hyperplane lands in
-    * a Hamming-distance-1 bucket). Cost grows linearly with probes;
-    * the corpus is still bucketed once.
+    * the query's own bucket; larger budgets additionally probe
+    * one-bit-flipped buckets ORDERED BY the query's distance to each
+    * hyperplane (|component| ascending) — standard multi-probe: a near
+    * neighbor most likely sits across the boundary the query is
+    * closest to, so a partial budget buys maximal recall. Cost grows
+    * linearly with probes; the corpus is still bucketed once.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -102,18 +108,21 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       probes: Int = 1): DataFrame = {
     val nProbes = math.max(1, math.min(probes, 1 + signDims.length))
-    val base = signBucket(vecCol, signDims)
-    // bucket variants: exact, then one-bit flips in order
-    val variants = base +: signDims.indices.take(nProbes - 1).map { i =>
-      val flipped = signDims.zipWithIndex.map { case (d, j) =>
-        val bit = when(element_at(col(vecCol), d) >= 0, lit("1")).otherwise(lit("0"))
-        if (j == i) when(element_at(col(vecCol), d) >= 0, lit("0")).otherwise(lit("1"))
-        else bit
-      }
-      concat(flipped: _*)
+    val bits = signBits(vecCol, signDims)
+    val base = concat(bits: _*)
+    // one-bit-flip variants tagged with the query's distance to that
+    // hyperplane; sort per row, take the closest (nProbes-1) flips
+    val flips = signDims.zipWithIndex.map { case (d, i) =>
+      val flipped = concat(bits.zipWithIndex.map { case (b, j) =>
+        if (j == i) when(b === "1", lit("0")).otherwise(lit("1")) else b
+      }: _*)
+      struct(abs(element_at(col(vecCol), d)).as("dist"), flipped.as("bucket"))
     }
+    val probeBuckets = slice(
+      transform(array_sort(array(flips: _*)), x => x.getField("bucket")),
+      1, nProbes - 1)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(array(variants: _*)).as("bucket"))
+      explode(concat(array(base), probeBuckets)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       signBucket(vecCol, signDims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

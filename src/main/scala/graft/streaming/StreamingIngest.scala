@@ -70,15 +70,19 @@ object StreamingIngest {
       .filter(col("source_id").isNotNull)
       .cache()
     try {
-      val bounds = fact.agg(min("time"), max("time")).collect()(0)
+      // session-TZ strings (Timestamp.toString renders in JVM zone)
+      val bounds = fact.agg(
+        date_format(min("time"), "yyyy-MM-dd HH:mm:ss").as("lo"),
+        date_format(max("time"), "yyyy-MM-dd HH:mm:ss").as("hi")).collect()(0)
       if (!bounds.isNullAt(0)) {
         val deduped = ObsIngest.dedupFact(fact,
-          lit(bounds.getTimestamp(0).toString), lit(bounds.getTimestamp(1).toString))
+          lit(bounds.getString(0)), lit(bounds.getString(1)))
         store.appendGaugeData(deduped, meta.data_source)
-        // cross-batch keep-latest repair, scoped to this batch's dates
+        // cross-batch keep-latest repair, scoped to this source+dates
         store.compactGaugeData(
-          Some(bounds.getTimestamp(0).toString.substring(0, 10)),
-          Some(bounds.getTimestamp(1).toString.substring(0, 10)))
+          Some((bounds.getString(0).substring(0, 10),
+            bounds.getString(1).substring(0, 10))),
+          Some(meta.data_source))
       }
     } finally fact.unpersist()
   }

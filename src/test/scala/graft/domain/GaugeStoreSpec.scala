@@ -64,7 +64,7 @@ class GaugeStoreSpec extends SparkSuite {
     assert(store.gaugeData.count() == 4)
 
     // scope = only the 23rd: its duplicate resolves, the 22nd keeps both
-    store.compactGaugeData(Some("2023-04-23"), Some("2023-04-23"))
+    store.compactGaugeData(Some(("2023-04-23", "2023-04-23")))
     val after = store.gaugeData.orderBy("time", "timemark").collect()
     assert(after.length == 3)
     val on23 = after.filter(_.getAs[java.sql.Timestamp]("time").toString.startsWith("2023-04-23"))

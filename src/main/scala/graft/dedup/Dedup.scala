@@ -155,6 +155,53 @@ object Dedup {
     sums.select(col(idCol), bitsStr.as("simhash"))
   }
 
+  /** Connected components over candidate-pair edges: each doc gets the
+    * minimum doc id reachable through pair links (transitive dup
+    * groups — A~B and B~C put all three in one group even if A and C
+    * never collided in LSH).
+    *
+    * Pregel-style min-label propagation as a DataFrame loop: per
+    * iteration one join + map-side-combined min aggregation; converges
+    * in O(component diameter) rounds (near-dup components are shallow;
+    * `maxIter` caps pathological chains). This is the 100 TB shape —
+    * no driver-side union-find over collected edges.
+    */
+  def dupGroups(pairs: DataFrame,
+      aCol: String = "a_doc_id", bCol: String = "b_doc_id",
+      maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("v"))
+      .distinct()
+      .withColumn("label", col("v"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // localCheckpoint truncates the lineage each round — without it
+      // the logical plan doubles per iteration and planning time
+      // dominates long chains
+      val propagated = edges
+        .join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+        .unionByName(labels.select(col("v"), col("label")))
+        .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = propagated.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = propagated
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("group_rep"))
+  }
+
   /** Embedding-cosine near-duplicates. Candidate pairs share a
     * sign-LSH bucket (signs of `signDims` components — axis-aligned
     * hyperplanes); cosine computed with a sequential fold for

@@ -374,6 +374,28 @@ object LlmOps {
     },
 
     QueryDef.sql(
+      "d8_dup_groups",
+      s"""WITH RECURSIVE $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte,
+         |pairs AS (
+         |$pairsSelect),
+         |edges AS (
+         |  SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs
+         |  UNION SELECT b_doc_id, a_doc_id FROM pairs),
+         |reach(v, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
+         |SELECT v AS doc_id, min(label) AS group_rep
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupGroups(
+        Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
       "e3_ann_ivf", {
         val IvfCentroids = 8; val NProbe = 2
         s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM embeddings

@@ -59,6 +59,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(j((1L, 2L)) == 1.0 && j((1L, 3L)) == 1.0)
   }
 
+  test("dupGroups: transitive closure over pair edges (d8)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("a_doc_id", "b_doc_id")
+    val groups = Dedup.dupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L) // A~B~C chain
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+    // a longer chain still converges
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a_doc_id", "b_doc_id")
+    val cg = Dedup.dupGroups(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cg.values.toSet == Set(1L))
+  }
+
   test("simhash: near-dups agree, distinct content differs (d4)") {
     val out = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == out(3L))

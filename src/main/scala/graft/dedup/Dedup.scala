@@ -202,6 +202,16 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("group_rep"))
   }
 
+  /** Apply dedup: keep every document that is its group's
+    * representative (or belongs to no dup group). One broadcast-able
+    * anti-join against the non-representative ids — the corpus is
+    * never shuffled. */
+  def keepCanonical(docs: DataFrame, groups: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      broadcast(groups.filter(col(idCol) =!= col("group_rep")).select(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-duplicates. Candidate pairs share a
     * sign-LSH bucket (signs of `signDims` components — axis-aligned
     * hyperplanes); cosine computed with a sequential fold for

@@ -396,6 +396,35 @@ object LlmOps {
     },
 
     QueryDef.sql(
+      "d9_dedup_apply",
+      s"""WITH RECURSIVE $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte,
+         |pairs AS (
+         |$pairsSelect),
+         |edges AS (
+         |  SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs
+         |  UNION SELECT b_doc_id, a_doc_id FROM pairs),
+         |reach(v, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+         |dupes AS (
+         |  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(label))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.keepCanonical(
+        Tables.documents(s, dir),
+        Dedup.dupGroups(
+          Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
       "e3_ann_ivf", {
         val IvfCentroids = 8; val NProbe = 2
         s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM embeddings

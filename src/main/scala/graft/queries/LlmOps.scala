@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
-import graft.text.TextAnalysis
+import graft.text.{Curation, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -461,6 +461,44 @@ object LlmOps {
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") < KnnQueryLimit), KnnK, 2)
         .orderBy("query_id", "rank")
+    },
+
+    // ---- corpus curation --------------------------------------------
+    QueryDef.sql(
+      "c1_hash_sample_split", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+        val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+        s"""SELECT doc_id, $bucket AS bucket,
+           |  CASE WHEN $bucket < 230 THEN 'train'
+           |       WHEN $bucket < 243 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents
+           |WHERE $bucket < 128
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import Curation._
+      sampleByHash(Tables.documents(s, dir), col("doc_id"), 128)
+        .select(col("doc_id"),
+          hashBucket(col("doc_id")).as("bucket"),
+          assignSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "c2_token_shards",
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) AS shard
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.packShards(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", 20000L)
+        .orderBy("doc_id")
     },
 
     // ---- multimodal stub plumbing -----------------------------------

@@ -1,0 +1,51 @@
+package graft.text
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i => (i, i * 7)).toDF("doc_id", "n_tokens")
+
+  test("hash sampling is deterministic, uniform-ish, and stable under repartition") {
+    val s1 = Curation.sampleByHash(docs, col("doc_id"), 128)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.sampleByHash(docs.repartition(7), col("doc_id"), 128)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                              // membership is content-only
+    assert(s1.size > 400 && s1.size < 600)        // ≈ half of 1000
+    // sub-sampling nests: a stricter threshold selects a subset
+    val s3 = Curation.sampleByHash(docs, col("doc_id"), 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("split assignment partitions the corpus consistently with buckets") {
+    val out = docs.select(col("doc_id"),
+      Curation.hashBucket(col("doc_id")).as("b"),
+      Curation.assignSplit(col("doc_id")).as("split")).collect()
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
+    out.foreach { r =>
+      val expect = if (r.getInt(1) < 230) "train" else if (r.getInt(1) < 243) "val" else "test"
+      assert(r.getString(2) == expect)
+    }
+    val counts = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts("train") > counts("val") && counts("val") > 0 && counts("test") > 0)
+  }
+
+  test("token sharding: monotone shard ids, budget respected, big doc gets one shard") {
+    val sizes = Seq((1L, 900L), (2L, 900L), (3L, 900L), (4L, 5000L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Curation.packShards(sizes, "n_tokens", 1000L)
+      .orderBy("doc_id").collect()
+    val shards = out.map(_.getAs[Long]("shard")).toSeq
+    assert(shards == shards.sorted)               // non-decreasing in pack order
+    assert(shards.head == 0L)
+    // doc4 (5000 tokens > budget) occupies exactly one shard id
+    assert(out.count(_.getAs[Long]("shard") == shards(3)) >= 1)
+    // shard boundaries respect the cumulative budget: doc2 starts at 900 -> shard 0
+    assert(out(1).getAs[Long]("shard") == 0L)
+    assert(out(2).getAs[Long]("shard") == 1L)     // starts at 1800
+  }
+}

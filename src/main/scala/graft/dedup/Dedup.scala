@@ -169,7 +169,6 @@ object Dedup {
   def dupGroups(pairs: DataFrame,
       aCol: String = "a_doc_id", bCol: String = "b_doc_id",
       maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     // undirected edge list
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -190,26 +189,40 @@ object Dedup {
         .select(col("dst").as("v"), col("label"))
         .unionByName(labels.select(col("v"), col("label")))
         .groupBy("v").agg(min("label").as("label"))
+      // pointer jump (path compression): label := label of my label —
+      // halves label-chain depth per round, so convergence is
+      // O(log diameter), not O(diameter)
+      val l2 = propagated.select(col("v").as("lv"), col("label").as("llabel"))
+      val jumped = propagated.join(l2, propagated("label") === l2("lv"))
+        .select(propagated("v"), least(propagated("label"), col("llabel")).as("label"))
         .localCheckpoint(true)
-      val changed = propagated.join(labels.withColumnRenamed("label", "old"), "v")
+      val changed = jumped.join(labels.withColumnRenamed("label", "old"), "v")
         .filter(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()
-      labels = propagated
+      labels.rdd.unpersist(false)   // drop prior round's checkpoint blocks
+      labels = jumped
       converged = !changed
       i += 1
     }
     edges.unpersist()
+    require(converged,
+      s"dupGroups did not converge in $maxIter rounds — component diameter " +
+        s"exceeds 2^$maxIter or data is pathological; raise maxIter")
     labels.select(col("v").as("doc_id"), col("label").as("group_rep"))
   }
 
   /** Apply dedup: keep every document that is its group's
-    * representative (or belongs to no dup group). One broadcast-able
-    * anti-join against the non-representative ids — the corpus is
-    * never shuffled. */
+    * representative (or belongs to no dup group). Anti-join against
+    * the non-representative ids; join strategy is left to Catalyst/AQE
+    * — the dup set is often broadcastable but can approach corpus size
+    * on dup-heavy corpora, so forcing a broadcast would be a driver
+    * OOM trap. `groups` is [[dupGroups]] output (doc_id, group_rep);
+    * `idCol` names the id column in `docs`. */
   def keepCanonical(docs: DataFrame, groups: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     docs.join(
-      broadcast(groups.filter(col(idCol) =!= col("group_rep")).select(idCol)),
+      groups.filter(col("doc_id") =!= col("group_rep"))
+        .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
   /** Embedding-cosine near-duplicates. Candidate pairs share a

@@ -468,16 +468,19 @@ object LlmOps {
       "c1_hash_sample_split", {
         def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
         val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+        // sample threshold 250 keeps all three split branches live in
+        // the oracle (230/243 < 250) — a train-only sample would never
+        // verify the val/test assignment logic
         s"""SELECT doc_id, $bucket AS bucket,
            |  CASE WHEN $bucket < 230 THEN 'train'
            |       WHEN $bucket < 243 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM documents
-           |WHERE $bucket < 128
+           |WHERE $bucket < 250
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       import Curation._
-      sampleByHash(Tables.documents(s, dir), col("doc_id"), 128)
+      sampleByHash(Tables.documents(s, dir), col("doc_id"), 250)
         .select(col("doc_id"),
           hashBucket(col("doc_id")).as("bucket"),
           assignSplit(col("doc_id")).as("split"))
@@ -491,7 +494,8 @@ object LlmOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) AS shard
         |FROM (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.packShards(

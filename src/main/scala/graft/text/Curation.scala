@@ -34,10 +34,14 @@ object Curation {
     when(b < valStart, "train").when(b < testStart, "val").otherwise("test")
   }
 
-  /** Pack documents into shards under a token budget: running token
-    * total in `orderCol` order, shard = floor(cumsum_before / budget).
-    * A document larger than the budget still lands in exactly one
-    * shard.
+  /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
+    * budget) in `orderCol` order. Semantics to be aware of: a shard can
+    * exceed the budget by at most the one document that straddles its
+    * boundary, and an oversized document (> budget) occupies one shard
+    * id while the following document skips ahead — shard ids are
+    * monotone but NOT dense. This is the windowable (one-pass,
+    * engine-portable) formulation; strict greedy bin-packing is a
+    * sequential fold and cannot be expressed as a frame window.
     *
     * The global ordered window is intentional for reproducible shard
     * manifests (one pass over doc METADATA, not text); at extreme doc

@@ -42,10 +42,12 @@ class CurationSpec extends SparkSuite {
     val shards = out.map(_.getAs[Long]("shard")).toSeq
     assert(shards == shards.sorted)               // non-decreasing in pack order
     assert(shards.head == 0L)
-    // doc4 (5000 tokens > budget) occupies exactly one shard id
-    assert(out.count(_.getAs[Long]("shard") == shards(3)) >= 1)
-    // shard boundaries respect the cumulative budget: doc2 starts at 900 -> shard 0
+    // doc4 (5000 tokens > budget) occupies its shard id ALONE
+    assert(out.count(_.getAs[Long]("shard") == shards(3)) == 1)
+    // shard boundaries respect the cumulative offsets: doc2 starts at 900 -> shard 0
     assert(out(1).getAs[Long]("shard") == 0L)
     assert(out(2).getAs[Long]("shard") == 1L)     // starts at 1800
+    // ids skip after the oversized doc: doc5 starts at 7700 -> shard 7
+    assert(out(4).getAs[Long]("shard") == 7L)
   }
 }

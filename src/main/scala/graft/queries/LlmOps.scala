@@ -112,6 +112,9 @@ object LlmOps {
       Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes))
   private def distinctShingles(s: SparkSession, dir: String): DataFrame =
     memoized(s"shingles:$dir")(Dedup.shingles(Tables.documents(s, dir), ShingleK))
+  private def dupGroupsShared(s: SparkSession, dir: String): DataFrame =
+    memoized(s"groups:$dir")(Dedup.dupGroups(
+      Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -390,9 +393,7 @@ object LlmOps {
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
          |SELECT v AS doc_id, min(label) AS group_rep
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.dupGroups(
-        Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
-        .orderBy("doc_id")
+      dupGroupsShared(s, dir).orderBy("doc_id")
     },
 
     QueryDef.sql(
@@ -416,10 +417,7 @@ object LlmOps {
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      Dedup.keepCanonical(
-        Tables.documents(s, dir),
-        Dedup.dupGroups(
-          Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)))
+      Dedup.keepCanonical(Tables.documents(s, dir), dupGroupsShared(s, dir))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },

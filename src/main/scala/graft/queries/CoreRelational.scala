@@ -171,8 +171,10 @@ object CoreRelational {
       """SELECT l.l_orderkey, l.l_linenumber, coalesce(s.s_name, '') AS s_name
         |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      // supplier scales with SF — no broadcast hint; AQE picks BHJ while
+      // the build side fits and can fall back to SMJ at scale
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"), "left")
         .select(col("l_orderkey"), col("l_linenumber"),
           coalesce(col("s_name"), lit("")).as("s_name"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -195,7 +197,8 @@ object CoreRelational {
             .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
               col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF — leave the strategy to AQE
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

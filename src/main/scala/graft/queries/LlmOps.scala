@@ -48,13 +48,15 @@ object LlmOps {
        |  FROM norm, unnest(generate_series(1, greatest(length(n) - ${ShingleK - 1}, 0))) AS u(i)
        |  WHERE length(n) >= $ShingleK)""".stripMargin
 
-  /** Signature CTE mirroring Dedup.minHashSignatures: each seeded md5
-    * digest is split into four 8-hex components. */
+  /** Signature CTE mirroring Dedup.minHashSignatures: an md5 digest
+    * chain (d1 = md5(shingle), d(g) = md5(d(g-1))), each digest split
+    * into four 8-hex components. */
   private val sigCte = {
+    val digests = Seq.iterate("md5(shingle)", NumHashes / 4)(d => s"md5($d)")
     val hs = (for {
-      g <- 1 to NumHashes / 4
+      g <- 0 until NumHashes / 4
       j <- 0 until 4
-    } yield s"min(substr(md5('$g' || '|' || shingle), ${8 * j + 1}, 8)) AS h${(g - 1) * 4 + j + 1}")
+    } yield s"min(substr(${digests(g)}, ${8 * j + 1}, 8)) AS h${g * 4 + j + 1}")
       .mkString(",\n    ")
     s"sig AS (\n  SELECT doc_id,\n    $hs\n  FROM sh GROUP BY doc_id)"
   }

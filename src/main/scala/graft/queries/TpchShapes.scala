@@ -82,7 +82,9 @@ object TpchShapes {
               col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
           col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        // supplier scales with SF — leave the strategy to AQE; only the
+        // fixed-size nation/region dims keep explicit broadcast hints
+        .join(Tables.supplier(s, dir),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))

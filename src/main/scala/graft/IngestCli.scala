@@ -70,7 +70,8 @@ object IngestCli {
           grid = req("grid"), storm = opts.get("storm"),
           sourceInstance = req("instance"), forcingMetclass = req("metclass"),
           uiDataUrl = opts.getOrElse("uiDataUrl", "https://ui.example"),
-          processingDatetime = opts.get("now"))
+          processingDatetime = opts.get("now"),
+          advisory = opts.get("advisory"))
         println(s"ingested $n model files")
 
       case "QueryForecast" =>
@@ -128,8 +129,19 @@ object IngestCli {
         val fresh = ObsIngest.newFilesOnly(candidates, store.ledger, now).cache()
         val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
         if (freshNames.nonEmpty) {
+          // materialize everything read from `fresh` BEFORE the ledger
+          // is appended/rewritten below: fresh's plan anti-joins the
+          // ledger files, and a cache eviction after markIngested would
+          // recompute against the REWRITTEN ledger (empty result or
+          // dangling file reads)
           val loadable = fresh.filter(!col("ingested"))
             .select("file_name").collect().map(_.getString(0))
+          val retainSeed = fresh.filter(!col("ingested"))
+            .select(col("file_name"),
+              date_format(col("data_begin_time"), "yyyy-MM-dd HH:mm:ss").as("b"),
+              date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
+              date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
+            .collect().toIndexedSeq
           if (loadable.nonEmpty) {
             val fact = ObsIngest.ingestSource(spark, meta, stations,
               loadable.map(f => s"$harvestDir/$f"): _*)
@@ -157,14 +169,11 @@ object IngestCli {
           store.appendLedger(fresh)
           store.markIngested(freshNames)
           upsertGaugeSource(store, ObsIngest.buildGaugeSource(stations, meta), meta)
-          // retain-obs-station snapshots from sibling meta files
+          // retain-obs-station snapshots from sibling meta files,
+          // driven from the pre-collected seed rows — `fresh` is not
+          // consumed after the ledger mutation above
           // (runRetainObsStationCreateIngest, SURVEY §3.1)
-          fresh.filter(!col("ingested"))
-            .select(col("file_name"),
-              date_format(col("data_begin_time"), "yyyy-MM-dd HH:mm:ss").as("b"),
-              date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
-              date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
-            .collect().foreach { r =>
+          val processedMeta = retainSeed.flatMap { r =>
             val metaName = ObsIngest.metaFileNameFor(r.getString(0))
             val metaPath = new org.apache.hadoop.fs.Path(s"$harvestDir/$metaName")
             if (metaName != r.getString(0) && fs.exists(metaPath)) {
@@ -175,7 +184,26 @@ object IngestCli {
               store.appendRetainObsStations(
                 ObsIngest.retainObsStations(stations, names, meta,
                   lit(r.getString(3)), lit(r.getString(1)), lit(r.getString(2))))
-            }
+              Some((metaName, r.getString(3), r.getString(1), r.getString(2)))
+            } else None
+          }
+          // per-meta-file bookkeeping ledger with the ingested commit
+          // marker (drf_retain_obs_station_file_meta, ingestObsTasks.py:322)
+          if (processedMeta.nonEmpty) {
+            import spark.implicits._
+            store.appendRetainObsStationFileMeta(
+              processedMeta.toDF("file_name", "tm", "b", "e").select(
+                lit(harvestDir).as("dir_path"),
+                col("file_name"),
+                lit(meta.data_source).as("data_source"),
+                lit(meta.source_name).as("source_name"),
+                lit(meta.source_archive).as("source_archive"),
+                lit(meta.location_type).as("location_type"),
+                col("tm").cast("timestamp").as("timemark"),
+                col("b").cast("timestamp").as("begin_date"),
+                col("e").cast("timestamp").as("end_date"),
+                lit(false).as("ingested")))
+            store.markRetainObsStationFileMetaIngested(processedMeta.map(_._1))
           }
           total += freshNames.length
         }
@@ -190,42 +218,73 @@ object IngestCli {
   }
 
   /** One ADCIRC model run (SURVEY §3.2): per station-type harvest file
-    * — derive data_source name + variable, build/refresh the model
-    * source dim, ingest the fact with the run timemark, rerun-gated
-    * dedup via cross-run compaction, then the apsviz station snapshot
+    * — derive data_source name + variable, anti-join the model-file
+    * ledger (model-side J4: a (run, file, processing stamp) already
+    * ledgered is skipped), build/refresh the model source dim, ingest
+    * the fact with the run timemark, commit ledger rows
+    * (ingested=true), rerun-gated dedup driven from the ledger's
+    * processing_datetime history, then the apsviz station snapshot
     * from the meta files ∪ active retain-obs stations.
     */
   def modelRunIngest(
       spark: SparkSession, store: GaugeStore, runDir: String,
       modelRunId: String, timemark: String, ensemble: String, grid: String,
       storm: Option[String], sourceInstance: String, forcingMetclass: String,
-      uiDataUrl: String, processingDatetime: Option[String] = None): Long = {
+      uiDataUrl: String, processingDatetime: Option[String] = None,
+      advisory: Option[String] = None): Long = {
     // ONE driver-side literal for the whole run: current_timestamp()
     // would re-evaluate per write action, giving each harvest file a
     // different proc_ts and tripping the rerun gate on a first ingest
-    val procTs = lit(processingDatetime.map(_.replace("T", " ")).getOrElse(
+    val procTsStr = processingDatetime.map(_.replace("T", " ")).getOrElse(
       java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+    val procTs = lit(procTsStr)
+    val tmStr = timemark.replace("T", " ")
+    // advisory: the run start time for synoptic runs, the storm
+    // advisory number for tropical (createHarvestModelFileMeta.py:36-37)
+    val advisoryStr = advisory.getOrElse(tmStr.replaceAll("[-: ]", "").take(10))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stations = store.stations
     val dataSource = ModelIngest.dataSourceName(ensemble, grid, storm)
     var total = 0L
     var allSources = Seq.empty[org.apache.spark.sql.DataFrame]
+    var ledgerRows = Seq.empty[org.apache.spark.sql.DataFrame]
+    var ledgerNames = Seq.empty[String]
     Seq("FORECAST", "NOWCAST").foreach { phase =>
       ModelIngest.stationTypeMeta.foreach { case (stype, (variable, locType, units)) =>
-        val p = new org.apache.hadoop.fs.Path(s"$runDir/${phase}_$stype.csv")
+        val fileName = s"${phase}_$stype.csv"
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$fileName")
         if (fs.exists(p)) {
-          val meta = SourceMeta(dataSource, "adcirc", "renci", variable,
-            phase, locType, units)
-          val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
-          allSources :+= src
-          val fact = ModelIngest.ingestRun(spark, meta, src, stations,
-            lit(timemark.replace("T", " ")), p.toString)
-            .withColumn("proc_ts", procTs.cast("timestamp"))
-          store.appendModelData(fact)
-          total += 1
+          // model-side J4 anti-join: this run dir was already ingested
+          // under the same processing stamp → skip (idempotent
+          // re-invocation); a NEW stamp re-ingests and the rerun gate
+          // below repairs duplicates
+          val seen = store.modelLedger.filter(
+            col("model_run_id") === modelRunId &&
+              col("file_name") === fileName &&
+              col("processing_datetime") === procTs.cast("timestamp"))
+            .limit(1).count() > 0
+          if (!seen) {
+            val meta = SourceMeta(dataSource, "adcirc", "renci", variable,
+              phase, locType, units)
+            val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
+            allSources :+= src
+            val fact = ModelIngest.ingestRun(spark, meta, src, stations,
+              lit(tmStr), p.toString)
+              .withColumn("proc_ts", procTs.cast("timestamp"))
+            store.appendModelData(fact)
+            ledgerRows :+= ModelIngest.modelHarvestFileMeta(spark, meta,
+              runDir, fileName, modelRunId, sourceInstance, forcingMetclass,
+              advisoryStr, lit(tmStr), procTs)
+            ledgerNames :+= fileName
+            total += 1
+          }
         }
       }
+    }
+    if (ledgerRows.nonEmpty) {
+      store.appendModelLedger(ledgerRows.reduce(_ unionByName _))
+      store.markModelIngested(modelRunId, ledgerNames)
     }
     if (allSources.nonEmpty) {
       // UPSERT into the model-source dim: keep rows from other runs/
@@ -243,21 +302,26 @@ object IngestCli {
       store.writeModelSource(spark.createDataFrame(
         spark.sparkContext.parallelize(local, 1), merged.schema))
     }
-    // rerun repair (J8/J9 model variant): fire only when >1 distinct
-    // processing_datetime exists for this timemark, then keep the
-    // latest-processed row per (source_id, time) — scoped to the run's
-    // timemark so only its partitions rewrite.
-    if (store.hasModelData) {
-      val tm = lit(timemark.replace("T", " ")).cast("timestamp")
-      val all = store.modelData
-      val isRerun = all.filter(col("timemark") === tm)
-        .select("proc_ts").distinct().count() > 1
+    // rerun repair (J8/J9 model variant): the gate reads the LEDGER's
+    // processing_datetime history exactly as the reference
+    // (ingestModelTasks.py:375-387) — >1 distinct stamp for this run's
+    // (source keys, timemark) means the run was harvested twice. The
+    // repair keeps the latest-processed row per (source_id, time) and
+    // swaps ONLY the run_date partitions of this timemark.
+    if (store.hasModelData && ledgerNames.nonEmpty) {
+      val tm = lit(tmStr).cast("timestamp")
+      val isRerun = ledgerNames.exists(fn =>
+        ModelIngest.rerunDetected(store.modelLedger, fn, tm,
+          Some(dataSource), Some(sourceInstance), Some(forcingMetclass)))
       if (isRerun) {
+        // the swapped run_date partition may also hold OTHER timemarks
+        // of the same date — they ride through the rewrite untouched
+        val scoped = store.modelDataForTimemark(tmStr)
         val repaired = graft.operators.KeepLatestDedup(
-          all.filter(col("timemark") === tm),
+          scoped.filter(col("timemark") === tm),
           Seq("source_id", "time"), Seq(col("proc_ts")))
-          .unionByName(all.filter(col("timemark") =!= tm || col("timemark").isNull))
-        store.rewriteModelData(repaired)
+          .unionByName(scoped.filter(col("timemark") =!= tm || col("timemark").isNull))
+        store.swapModelRunDatePartitions(repaired)
       }
     }
     // apsviz station snapshot from meta_* files (+ active obs stations)
@@ -279,12 +343,47 @@ object IngestCli {
             org.apache.spark.sql.types.StructField("data_source", org.apache.spark.sql.types.StringType))))
       val snapshot = ModelIngest.apsVizStations(stations, adcircNames,
         retain.select("station_name", "begin_date", "end_date", "data_source"),
-        lit(timemark.replace("T", " ")), modelRunId, uiDataUrl, grid)
+        lit(tmStr), modelRunId, uiDataUrl, grid)
       store.appendApsVizStations(snapshot)
       // flip the dim's apsviz_station flag for stations now in a
       // snapshot (the reference view's g.apsviz_station semantics)
       store.markApsVizStations(
         snapshot.select("station_name").distinct().collect().map(_.getString(0)).toSeq)
+      // per-meta-file bookkeeping ledger with the ingested commit marker
+      // (drf_apsviz_station_file_meta, ingestModelTasks.py:295;
+      // createApsVizStationFileMeta.py:17-66). Keyed on (run, file,
+      // timemark) so re-invoking the same run does not duplicate rows.
+      import spark.implicits._
+      val metaBase = metaNames.map(_.split('/').last)
+      val known = store.apsVizStationFileMeta
+        .filter(col("model_run_id") === modelRunId &&
+          col("timemark") === lit(tmStr).cast("timestamp"))
+        .select("file_name").collect().map(_.getString(0)).toSet
+      val newMeta = metaBase.filterNot(known)
+      if (newMeta.nonEmpty) {
+        store.appendApsVizStationFileMeta(
+          newMeta.map { fn =>
+            val stype = fn.stripSuffix(".csv").split('_').last
+            (fn, ModelIngest.stationTypeMeta.get(stype).map(_._2).getOrElse("unknown"))
+          }.toDF("file_name", "location_type").select(
+            lit(runDir).as("dir_path"),
+            col("file_name"),
+            lit(tmStr).cast("timestamp").as("data_date_time"),
+            lit(dataSource).as("data_source"),
+            lit("adcirc").as("source_name"),
+            lit("renci").as("source_archive"),
+            lit(sourceInstance).as("source_instance"),
+            lit(forcingMetclass).as("forcing_metclass"),
+            lit(grid).as("grid_name"),
+            lit(modelRunId).as("model_run_id"),
+            lit(tmStr).cast("timestamp").as("timemark"),
+            col("location_type"),
+            concat(lit(uiDataUrl), lit("/get_station_data?station_name="),
+              lit("&time_mark="), lit(timemark),
+              lit("&data_source="), lit(dataSource)).as("csvurl"),
+            lit(false).as("ingested")))
+        store.markApsVizStationFileMetaIngested(modelRunId, newMeta)
+      }
     }
     total
   }

@@ -25,6 +25,48 @@ final class GaugeStore(spark: SparkSession, val root: String) {
 
   private def path(t: String) = s"$root/$t"
 
+  private def fsys = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Crash-safe whole-table swap: PARK the live dir as a backup, rename
+    * the tmp into place, then drop the backup. At no point is the only
+    * copy deleted — a crash can strand a `<table>_bak_*` dir (recover
+    * by renaming it back) but never loses data, unlike
+    * delete-then-rename which has a window where the live path is gone
+    * and the data sits only in tmp. */
+  private def swapInto(table: String, tmp: String): Unit = {
+    val fs = fsys
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val backup = new org.apache.hadoop.fs.Path(path(
+      table + "_bak_" + System.nanoTime()))
+    val hadLive = fs.exists(live)
+    if (hadLive) require(fs.rename(live, backup), s"park failed: $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live), s"swap failed: $live")
+    if (hadLive) fs.delete(backup, true)
+  }
+
+  /** Rewrite a SMALL table (ledger/dim — O(#files or #stations) rows)
+    * through tmp + [[swapInto]]. The frame is materialized to the
+    * driver first because its plan typically READS the path being
+    * replaced. */
+  private def rewriteSmall(table: String, df: DataFrame): Unit = {
+    val local = df.collect().toIndexedSeq
+    val fresh = spark.createDataFrame(
+      spark.sparkContext.parallelize(local, 1), df.schema)
+    val tmp = path(table + "_tmp")
+    fresh.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(table, tmp)
+  }
+
+  private def emptyFrame(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readOrEmpty(table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (new java.io.File(path(table)).exists()) spark.read.parquet(path(table))
+    else emptyFrame(schema)
+
   def writeStations(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path("stations"))
 
@@ -37,20 +79,11 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   }
 
   /** Flip apsviz_station=true for the named stations (the reference
-    * view's g.apsviz_station flag; dim is tiny → tmp+rename rewrite). */
-  def markApsVizStations(stationNames: Seq[String]): Unit = {
-    val updated = stations.withColumn("apsviz_station",
+    * view's g.apsviz_station flag; dim is tiny → tmp+park-swap rewrite). */
+  def markApsVizStations(stationNames: Seq[String]): Unit =
+    rewriteSmall("stations", stations.withColumn("apsviz_station",
       when(col("station_name").isin(stationNames: _*), lit(true))
-        .otherwise(col("apsviz_station")))
-    val local = updated.collect().toIndexedSeq
-    val fresh = spark.createDataFrame(
-      spark.sparkContext.parallelize(local, 1), updated.schema)
-    val tmp = path("stations_tmp")
-    fresh.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path("stations")), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("stations")))
-  }
+        .otherwise(col("apsviz_station"))))
 
   def writeGaugeSource(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path("gauge_source"))
@@ -140,10 +173,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       }
       fs.delete(backup, true)
       fs.delete(tmpRoot, true)
-    } else {
-      fs.delete(new org.apache.hadoop.fs.Path(path("gauge_data")), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("gauge_data")))
-    }
+    } else swapInto("gauge_data", tmp)
   }
 
   def writeModelSource(df: DataFrame): Unit =
@@ -170,16 +200,33 @@ final class GaugeStore(spark: SparkSession, val root: String) {
 
   def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
 
-  /** Distributed tmp-write-then-rename rewrite of the model fact (the
-    * safe pattern compactGaugeData uses) — no driver-side collect, and
-    * a crash mid-rewrite leaves the original table intact. */
-  def rewriteModelData(df: DataFrame): Unit = {
+  /** Scoped model-fact repair: `df` holds the REPAIRED rows of one (or
+    * few) run timemarks; only the run_date partitions df produces are
+    * swapped (park pattern), every other run's partitions are
+    * untouched. The rerun repair is therefore bounded by one run's
+    * data, not the table size — at 100 TB a rerun rewrites one day's
+    * directory, not the fact. */
+  def swapModelRunDatePartitions(df: DataFrame): Unit = {
     val tmp = path("model_data_tmp")
     df.withColumn("run_date", to_date(col("timemark")))
       .write.mode(SaveMode.Overwrite).partitionBy("run_date").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path("model_data")), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("model_data")))
+    val fs = fsys
+    val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
+    val mainRoot = new org.apache.hadoop.fs.Path(path("model_data"))
+    val backup = new org.apache.hadoop.fs.Path(path(
+      "model_data_bak_" + System.nanoTime()))
+    fs.mkdirs(backup)
+    fs.listStatus(tmpRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_date="))
+      .foreach { dateDir =>
+        val dest = new org.apache.hadoop.fs.Path(mainRoot, dateDir.getPath.getName)
+        if (fs.exists(dest))
+          require(fs.rename(dest, new org.apache.hadoop.fs.Path(backup, dateDir.getPath.getName)),
+            s"park failed: $dest")
+        require(fs.rename(dateDir.getPath, dest), s"swap failed: $dest")
+      }
+    fs.delete(backup, true)
+    fs.delete(tmpRoot, true)
   }
 
   /** Idempotent per-run append: replaces any existing snapshot rows of
@@ -197,9 +244,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       val tmp = path("apsviz_station_tmp")
       local.write.mode(SaveMode.Overwrite).parquet(tmp)
       local.unpersist()
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(p))
+      swapInto("apsviz_station", tmp)
     } else df.write.mode(SaveMode.Append).parquet(p)
   }
 
@@ -215,10 +260,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
 
   def hasLedger: Boolean = new java.io.File(path("ledger_obs")).exists()
 
-  def ledger: DataFrame =
-    if (hasLedger) spark.read.parquet(path("ledger_obs"))
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.harvestObsFileMeta)
+  def ledger: DataFrame = readOrEmpty("ledger_obs", Schemas.harvestObsFileMeta)
 
   def appendLedger(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path("ledger_obs"))
@@ -226,13 +268,53 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   /** `UPDATE ... SET ingested=True` (ingestObsTasks.py:405-409) on
     * immutable storage: overwrite the (tiny) ledger with the flag set
     * for the given files. */
-  def markIngested(fileNames: Seq[String]): Unit = {
-    val updated = ledger.withColumn("ingested",
-      when(col("file_name").isin(fileNames: _*), lit(true)).otherwise(col("ingested")))
-    val tmp = path("ledger_obs_tmp")
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path("ledger_obs")), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path("ledger_obs")))
-  }
+  def markIngested(fileNames: Seq[String]): Unit =
+    rewriteSmall("ledger_obs", ledger.withColumn("ingested",
+      when(col("file_name").isin(fileNames: _*), lit(true)).otherwise(col("ingested"))))
+
+  // ---- model harvest-file ledger (drf_harvest_model_file_meta,
+  // ingestModelTasks.py:251; one row per ingested run file) ----------
+
+  def modelLedger: DataFrame =
+    readOrEmpty("ledger_model", Schemas.harvestModelFileMeta)
+
+  def appendModelLedger(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path("ledger_model"))
+
+  /** UPDATE ingested=True scoped to one run's files
+    * (ingestModelTasks.py:368-372). */
+  def markModelIngested(modelRunId: String, fileNames: Seq[String]): Unit =
+    rewriteSmall("ledger_model", modelLedger.withColumn("ingested",
+      when(col("model_run_id") === modelRunId &&
+        col("file_name").isin(fileNames: _*), lit(true))
+        .otherwise(col("ingested"))))
+
+  // ---- apsviz / retain-obs station meta-file ledgers
+  // (drf_apsviz_station_file_meta, ingestModelTasks.py:295;
+  //  drf_retain_obs_station_file_meta, ingestObsTasks.py:322) ---------
+
+  def apsVizStationFileMeta: DataFrame =
+    readOrEmpty("apsviz_station_file_meta", Schemas.apsVizStationFileMeta)
+
+  def appendApsVizStationFileMeta(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path("apsviz_station_file_meta"))
+
+  def markApsVizStationFileMetaIngested(modelRunId: String, fileNames: Seq[String]): Unit =
+    rewriteSmall("apsviz_station_file_meta",
+      apsVizStationFileMeta.withColumn("ingested",
+        when(col("model_run_id") === modelRunId &&
+          col("file_name").isin(fileNames: _*), lit(true))
+          .otherwise(col("ingested"))))
+
+  def retainObsStationFileMeta: DataFrame =
+    readOrEmpty("retain_obs_station_file_meta", Schemas.retainObsStationFileMeta)
+
+  def appendRetainObsStationFileMeta(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path("retain_obs_station_file_meta"))
+
+  def markRetainObsStationFileMetaIngested(fileNames: Seq[String]): Unit =
+    rewriteSmall("retain_obs_station_file_meta",
+      retainObsStationFileMeta.withColumn("ingested",
+        when(col("file_name").isin(fileNames: _*), lit(true))
+          .otherwise(col("ingested"))))
 }

@@ -24,6 +24,25 @@ object ModelIngest {
       Seq("instance_id", "uid"), "key", Schemas.runPropertyKeys,
       first(col("value")))
 
+  /** uid → instance_id resolution (S9 second hop;
+    * scripts/mvHistADCIRCFiles.py:11-47: SELECT DISTINCT instance_id
+    * FROM config items WHERE uid = ?). Returns None for an unknown uid.
+    */
+  def instanceIdForUid(configItems: DataFrame, uid: String): Option[Long] =
+    configItems.filter(col("uid") === uid)
+      .select("instance_id").distinct()
+      .collect().headOption.map(_.getLong(0))
+
+  /** Run-property lookup from a bare uid: resolve the instance id first
+    * (getInstanceID), then pivot that run's properties — the chain a
+    * model-run id "instanceId-uid" encodes (getDashboardMeta.py:29-50).
+    */
+  def runPropertiesForUid(configItems: DataFrame, uid: String): DataFrame = {
+    val iid = instanceIdForUid(configItems, uid)
+      .getOrElse(sys.error(s"no instance_id for uid $uid"))
+    runProperties(configItems, iid, uid)
+  }
+
   /** data_source naming (runModelIngest.py:201-212): synoptic runs →
     * ENSEMBLE_GRID; tropical (storm set) → STORM_ENSEMBLE_GRID; all
     * uppercased (F2).
@@ -97,16 +116,56 @@ object ModelIngest {
     routed.select("source_id", "timemark", "time", "water_level", "wave_height")
   }
 
-  /** J9 rerun gate: the reference deletes duplicates only when the same
-    * (file, source keys, timemark) has >1 distinct processing_datetime
-    * (ingestModelTasks.py:375-387). Returns true when a rerun is
-    * detected in the ledger.
-    */
+  /** One drf_harvest_model_file_meta ledger row for a run harvest file
+    * (createHarvestModelFileMeta.py:47-78): data_begin/end_time from
+    * the file's TIME bounds (A1), data_date_time = the run timemark,
+    * ingested=false until the fact load commits. Column order matches
+    * [[Schemas.harvestModelFileMeta]]. */
+  def modelHarvestFileMeta(
+      spark: SparkSession, meta: SourceMeta,
+      dirPath: String, fileName: String, modelRunId: String,
+      sourceInstance: String, forcingMetclass: String, advisory: String,
+      timemark: Column, processingDatetime: Column): DataFrame =
+    spark.read.schema(Schemas.harvestCsv(meta.source_variable))
+      .option("header", "true").csv(s"$dirPath/$fileName")
+      .agg(min(col("TIME")).as("data_begin_time"),
+        max(col("TIME")).as("data_end_time"))
+      .select(
+        lit(dirPath).as("dir_path"),
+        lit(fileName).as("file_name"),
+        lit(modelRunId).as("model_run_id"),
+        processingDatetime.cast("timestamp").as("processing_datetime"),
+        timemark.cast("timestamp").as("data_date_time"),
+        col("data_begin_time"),
+        col("data_end_time"),
+        lit(meta.data_source).as("data_source"),
+        lit(meta.source_name).as("source_name"),
+        lit(meta.source_archive).as("source_archive"),
+        lit(sourceInstance).as("source_instance"),
+        lit(forcingMetclass).as("forcing_metclass"),
+        lit(advisory).as("advisory"),
+        timemark.cast("timestamp").as("timemark"),
+        lit(false).as("ingested"),
+        lit(false).as("overlap_past_file_date_time"))
+
+  /** J9 rerun gate, driven from the model-file ledger exactly as the
+    * reference (ingestModelTasks.py:50-56, 375-387): duplicates are
+    * deleted only when the same (file, source keys, timemark) has >1
+    * distinct processing_datetime — i.e. the run was harvested more
+    * than once. */
   def rerunDetected(
-      ledger: DataFrame, fileName: String, timemark: Column): Boolean =
-    ledger
-      .filter(col("file_name") === fileName && col("timemark") === timemark)
+      ledger: DataFrame, fileName: String, timemark: Column,
+      dataSource: Option[String] = None,
+      sourceInstance: Option[String] = None,
+      forcingMetclass: Option[String] = None): Boolean = {
+    val keyed = Seq(
+      dataSource.map(col("data_source") === _),
+      sourceInstance.map(col("source_instance") === _),
+      forcingMetclass.map(col("forcing_metclass") === _)).flatten
+      .foldLeft(col("file_name") === fileName && col("timemark") === timemark)(_ && _)
+    ledger.filter(keyed)
       .select("processing_datetime").distinct().count() > 1
+  }
 
   /** Model dedup (J8 model variant): scoped by the run's timemark
     * rather than a time window (ingestModelTasks.py:102-114);

@@ -43,6 +43,11 @@ object ObsIngest {
     spark.read
       .schema(Schemas.harvestCsv(meta.source_variable))
       .option("header", "true")
+      // per-file fail-fast WITHIN a source (SURVEY §7 error semantics):
+      // a structurally broken file throws at the first action instead of
+      // silently parsing to null rows; sequenceIngest catches per source
+      // and continues with the rest of the catalog
+      .option("mode", "FAILFAST")
       .csv(paths: _*)
       .withColumn("file_name", element_at(split(input_file_name(), "/"), -1))
 

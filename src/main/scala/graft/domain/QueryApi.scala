@@ -201,12 +201,22 @@ object QueryApi {
                 else col(c).cast("string")))
         }: _*),
       lit("}"))
-    val rows = pivoted
-      .select(col(idCol), obj.as("obj"))
-      .orderBy(idCol)
-      .select("obj")
-      .collect()
-      .map(_.getString(0))
-    if (rows.isEmpty) "null" else rows.mkString("[", ",", "]")
+    // the array is assembled ON EXECUTORS: collect_list the (id, obj)
+    // structs, sort by id, join — exactly ONE row reaches the driver,
+    // whatever the window size (the per-station filter bounds the list
+    // an executor holds, same bound the old row-per-timestamp collect
+    // had on the driver)
+    val assembled = pivoted
+      .select(col(idCol).as("__id"), obj.as("__obj"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__id"), col("__obj")))),
+            x => x.getField("__obj")),
+          ",").as("joined"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    if (assembled.getAs[Long]("n") == 0L) "null"
+    else "[" + assembled.getAs[String]("joined") + "]"
   }
 }

@@ -91,12 +91,62 @@ object Schemas {
     StructField("ingested", BooleanType),
     StructField("overlap_past_file_date_time", BooleanType)))
 
-  val harvestModelFileMeta: StructType = StructType(
-    harvestObsFileMeta.fields.toSeq ++ Seq(
-      StructField("model_run_id", StringType),
-      StructField("source_instance", StringType),
-      StructField("forcing_metclass", StringType),
-      StructField("advisory", StringType)))
+  /** Model harvest ledger (drf_harvest_model_file_meta) — the
+    * reference's exact column set and order
+    * (createHarvestModelFileMeta.py:68-73, ingestModelTasks.py:251).
+    * Unlike the obs ledger there is no source_variable/location_type;
+    * instead model_run_id, source_instance, forcing_metclass, advisory
+    * identify the run. */
+  val harvestModelFileMeta: StructType = StructType(Seq(
+    StructField("dir_path", StringType),
+    StructField("file_name", StringType),
+    StructField("model_run_id", StringType),
+    StructField("processing_datetime", TimestampType),
+    StructField("data_date_time", TimestampType),
+    StructField("data_begin_time", TimestampType),
+    StructField("data_end_time", TimestampType),
+    StructField("data_source", StringType),
+    StructField("source_name", StringType),
+    StructField("source_archive", StringType),
+    StructField("source_instance", StringType),
+    StructField("forcing_metclass", StringType),
+    StructField("advisory", StringType),
+    StructField("timemark", TimestampType),
+    StructField("ingested", BooleanType),
+    StructField("overlap_past_file_date_time", BooleanType)))
+
+  /** ApsViz station meta-file ledger (drf_apsviz_station_file_meta,
+    * ingestModelTasks.py:295): one row per meta_* station file with an
+    * `ingested` commit marker. */
+  val apsVizStationFileMeta: StructType = StructType(Seq(
+    StructField("dir_path", StringType),
+    StructField("file_name", StringType),
+    StructField("data_date_time", TimestampType),
+    StructField("data_source", StringType),
+    StructField("source_name", StringType),
+    StructField("source_archive", StringType),
+    StructField("source_instance", StringType),
+    StructField("forcing_metclass", StringType),
+    StructField("grid_name", StringType),
+    StructField("model_run_id", StringType),
+    StructField("timemark", TimestampType),
+    StructField("location_type", StringType),
+    StructField("csvurl", StringType),
+    StructField("ingested", BooleanType)))
+
+  /** Retain-obs station meta-file ledger
+    * (drf_retain_obs_station_file_meta, ingestObsTasks.py:322). */
+  val retainObsStationFileMeta: StructType = StructType(Seq(
+    StructField("dir_path", StringType),
+    StructField("file_name", StringType),
+    StructField("data_source", StringType),
+    StructField("source_name", StringType),
+    StructField("source_archive", StringType),
+    StructField("location_type", StringType),
+    StructField("timemark", TimestampType),
+    StructField("begin_date", TimestampType),
+    StructField("end_date", TimestampType),
+    StructField("ingested", BooleanType)))
 
   /** Harvest data CSVs: header row TIME,STATION,<VARIABLE>
     * (FIXTURES.md §1). Variable column name supplied per catalog row. */

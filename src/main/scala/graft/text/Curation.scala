@@ -43,16 +43,43 @@ object Curation {
     * engine-portable) formulation; strict greedy bin-packing is a
     * sequential fold and cannot be expressed as a frame window.
     *
-    * The global ordered window is intentional for reproducible shard
-    * manifests (one pass over doc METADATA, not text); at extreme doc
-    * counts shard within partitions first, then renumber.
+    * Scale shape (two-pass, no global single-task window):
+    *  1. range-partition by `orderCol` and materialize (localCheckpoint
+    *     pins the sampled range boundaries so both passes see identical
+    *     partition ids); input is doc METADATA (id + token count), not
+    *     text, so the checkpoint is tiny relative to the corpus;
+    *  2. per-partition token sums → driver (one row per partition) →
+    *     exclusive prefix offsets, shipped back as a map literal;
+    *  3. cumulative sum WITHIN each partition (`Window.partitionBy` on
+    *     the partition id — parallel across partitions) + the
+    *     partition's offset = the global running total.
     */
   def packShards(df: DataFrame, tokenCol: String, budget: Long,
       orderCol: String = "doc_id"): DataFrame = {
-    val w = Window.orderBy(orderCol)
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partSums = ranged.groupBy("__pid")
+      .agg(sum(col(tokenCol)).as("__psum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = partSums
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2)
+      .collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    val outCols = df.columns.map(col) :+ col("shard")
+    val offCol = if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    ranged
+      .withColumn("__off", offCol)
+      .withColumn("__before",
+        col("__off") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("shard", floor(col("__before") / budget).cast("long"))
-      .drop("__before")
+      .select(outCols: _*)
   }
 }

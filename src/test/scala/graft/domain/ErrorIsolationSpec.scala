@@ -23,20 +23,39 @@ class ErrorIsolationSpec extends SparkSuite {
     // good source file
     Files.write(Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv"),
       "TIME,STATION,WATER_LEVEL\n2023-04-23T10:00:00,8410140,1.10".getBytes)
-    // bad source: file exists but is structurally broken (binary junk)
+    // bad source: a data row that cannot parse under the declared
+    // schema (garbage TIME timestamp + non-numeric measure).
+    // readHarvest runs FAILFAST, so this deterministically throws at
+    // the source's first action — the catch in sequenceIngest must
+    // swallow it and move on (a 64-NUL-byte file would NOT exercise
+    // the branch: it parses as a header line with zero data rows)
     Files.write(Paths.get(harvest, "ndbc_stationdata_wave_height_2023-04-23T12_00_00.csv"),
-      Array.fill[Byte](64)(0x00))
+      "TIME,STATION,WAVE_HEIGHT\nnot-a-time,44007,not-a-number".getBytes)
 
+    val badMeta = SourceMeta("ocean_buoy", "ndbc", "ndbc", "wave_height",
+      "ndbc_stationdata_wave_height", "ocean", "m")
     val catalog = Seq(
-      SourceMeta("ocean_buoy", "ndbc", "ndbc", "wave_height",
-        "ndbc_stationdata_wave_height", "ocean", "m"),
+      badMeta,
       SourceMeta("tidal_gauge", "noaa", "noaa", "water_level",
         "noaaweb_stationdata_water_level", "tidal", "m"))
 
+    // the bad file really does fail on its own (the catch branch is
+    // exercised, not bypassed by permissive null-row parsing). NB: a
+    // bare count() skips column parsing and would NOT trip FAILFAST —
+    // materialize a column, as the pipeline's bounds aggregation does
+    intercept[Exception] {
+      ObsIngest.readHarvest(spark, badMeta,
+        s"$harvest/ndbc_stationdata_wave_height_2023-04-23T12_00_00.csv")
+        .select("TIME").collect()
+    }
+
     val n = IngestCli.sequenceIngest(spark, store, catalog, harvest,
       lit("2023-04-24 00:00:00"))
-    // good source landed regardless of the bad one's outcome
+    // exactly the good source landed; the bad source produced NO rows
+    assert(n == 1)
     assert(store.gaugeData.filter(col("water_level") === 1.10).count() == 1)
-    assert(n >= 1)
+    assert(store.gaugeData.filter(col("wave_height").isNotNull).count() == 0)
+    // and no ledger rows were committed for the failed source
+    assert(store.ledger.filter(col("data_source") === "ocean_buoy").count() == 0)
   }
 }

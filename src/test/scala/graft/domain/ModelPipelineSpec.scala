@@ -108,6 +108,73 @@ class ModelPipelineSpec extends SparkSuite {
       "&time_mark=2023-04-23T12:00:00&data_source=ADCIRC")
   }
 
+  test("uid -> instance_id resolution feeds the run-property pivot (getInstanceID)") {
+    val eav = Seq(
+      (4358L, "uid1", "suite.model", "adcirc"),
+      (4358L, "uid1", "ADCIRCgrid", "ec95d"),
+      (9999L, "uid2", "suite.model", "other"))
+      .toDF("instance_id", "uid", "key", "value")
+    assert(ModelIngest.instanceIdForUid(eav, "uid1").contains(4358L))
+    assert(ModelIngest.instanceIdForUid(eav, "nope").isEmpty)
+    val props = ModelIngest.runPropertiesForUid(eav, "uid1").collect()(0)
+    assert(props.getAs[Long]("instance_id") == 4358L)
+    assert(props.getAs[String]("ADCIRCgrid") == "ec95d")
+  }
+
+  test("modelRunIngest: file ledger commits, re-ingest is idempotent, rerun repairs from ledger") {
+    val root = Files.createTempDirectory("graft-mrun").toString
+    val runId = "4358-2023042312-gfsforecast"
+    val runDir = s"$root/$runId"; Files.createDirectories(Paths.get(runDir))
+    def writeRun(level: Double): Unit =
+      Files.write(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv"),
+        (s"TIME,STATION,WATER_LEVEL\n" +
+         s"2023-04-23T13:00:00,8410140,$level\n" +
+         s"2023-04-23T14:00:00,8410140,${level + 0.1}\n" +
+         s"2023-04-23T13:00:00,8418150,${level + 0.2}").getBytes)
+    writeRun(0.5)
+    Files.write(Paths.get(runDir, "meta_FORECAST_NOAASTATIONS.csv"),
+      "STATION\n8410140".getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(stations)
+
+    def ingest(now: String) = graft.IngestCli.modelRunIngest(spark, store,
+      runDir, runId, "2023-04-23T12:00:00", "gfsforecast", "ec95d", None,
+      "inst1", "synoptic", "https://ui.example", processingDatetime = Some(now))
+
+    // (a) first ingest: ledger row with run id / advisory, marked ingested
+    assert(ingest("2023-04-23T13:30:00") == 1)
+    val led1 = store.modelLedger.collect()
+    assert(led1.length == 1)
+    assert(led1(0).getAs[String]("model_run_id") == runId)
+    assert(led1(0).getAs[String]("source_instance") == "inst1")
+    assert(led1(0).getAs[String]("advisory").nonEmpty)
+    assert(led1(0).getAs[Boolean]("ingested"))
+    assert(store.modelData.count() == 3)
+
+    // (b) same dir + same processing stamp again: 0 new files, no dup rows
+    assert(ingest("2023-04-23T13:30:00") == 0)
+    assert(store.modelLedger.count() == 1)
+    assert(store.modelData.count() == 3)
+
+    // (c) genuine rerun (new harvest drop, new stamp): gate fires from
+    // the ledger's processing_datetime history and the repair keeps the
+    // latest-processed values only
+    writeRun(1.5)
+    assert(ingest("2023-04-23T15:00:00") == 1)
+    assert(store.modelLedger.count() == 2)
+    assert(store.modelLedger.select("processing_datetime").distinct().count() == 2)
+    val repaired = store.modelData
+    assert(repaired.count() == 3)                      // dups removed
+    assert(repaired.filter(col("water_level") >= 1.4).count() == 3) // latest wins
+
+    // apsviz meta-file ledger row committed once, ingested=true
+    val avm = store.apsVizStationFileMeta.collect()
+    assert(avm.length == 1)
+    assert(avm(0).getAs[String]("file_name") == "meta_FORECAST_NOAASTATIONS.csv")
+    assert(avm(0).getAs[String]("grid_name") == "ec95d")
+    assert(avm(0).getAs[Boolean]("ingested"))
+  }
+
   test("forecast/nowcast query functions: dynamic column naming (F9)") {
     write("FORECAST_NOAASTATIONS2.csv", Seq(
       "TIME,STATION,WATER_LEVEL",

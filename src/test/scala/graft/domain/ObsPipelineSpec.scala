@@ -201,4 +201,30 @@ class ObsPipelineSpec extends SparkSuite {
       "begin_date", "end_date", "data_source", "source_name", "source_archive",
       "location_type"))
   }
+
+  test("sequenceIngest commits the retain-obs meta-file ledger (drf_retain_obs_station_file_meta)") {
+    val root = Files.createTempDirectory("graft-retain").toString
+    val harvest = s"$root/harvest"; Files.createDirectories(Paths.get(harvest))
+    Files.write(Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv"),
+      ("TIME,STATION,WATER_LEVEL\n" +
+       "2023-04-23T10:00:00,8410140,1.10\n" +
+       "2023-04-23T11:00:00,8418150,2.20").getBytes)
+    // sibling meta file: station list for the retain snapshot
+    Files.write(Paths.get(harvest, "noaaweb_stationdata_meta_water_level_2023-04-23T12_00_00.csv"),
+      "STATION\n8410140\n8418150".getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(stations)
+    val n = graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 00:00:00"))
+    assert(n == 1)
+    assert(store.retainObsStations.count() == 2)
+    val fm = store.retainObsStationFileMeta.collect()
+    assert(fm.length == 1)
+    val row = fm(0)
+    assert(row.getAs[String]("file_name") ==
+      "noaaweb_stationdata_meta_water_level_2023-04-23T12_00_00.csv")
+    assert(row.getAs[String]("data_source") == "tidal_gauge")
+    assert(row.getAs[Boolean]("ingested"))            // commit marker flipped
+    assert(row.getAs[java.sql.Timestamp]("begin_date") != null)
+  }
 }

@@ -50,4 +50,27 @@ class CurationSpec extends SparkSuite {
     // ids skip after the oversized doc: doc5 starts at 7700 -> shard 7
     assert(out(4).getAs[Long]("shard") == 7L)
   }
+
+  test("token sharding runs multi-task (no global single-partition window)") {
+    val many = (0L until 5000L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
+      .repartition(8)
+    val packed = Curation.packShards(many, "n_tokens", 500L)
+    // every Window in the plan is partitioned (no Window.orderBy(global)
+    // that would serialize the frame through a single task; AQE may
+    // still coalesce this tiny test data to one partition at runtime)
+    val wins = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    // and the result is identical to the single-window formulation
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = many
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 500L).cast("long"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Long]("shard")))
+    val got = packed.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard")))
+    assert(got.toSeq == expected.toSeq)
+  }
 }

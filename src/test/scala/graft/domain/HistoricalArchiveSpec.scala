@@ -1,0 +1,85 @@
+package graft.domain
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** mvHistADCIRCFiles.py parity: decode historical long-form file names,
+  * cross-check against registered run properties, archive into the
+  * per-run layout, and prove the archived dir is directly ingestible by
+  * modelRunIngest.
+  */
+class HistoricalArchiveSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fname = "adcirc_gfs_RENCI_GFSFORECAST_EC95D_FORECAST_NOAASTATIONS_" +
+    "2023-04-23T06:00:00_2023-04-23T12:00:00_2023-04-23T13:00:00.csv"
+  private val wrongGrid = fname.replace("_EC95D_", "_EC95X_")
+
+  private def eav = Seq(
+    (4358L, "2023042306-gfsforecast", "suite.model", "adcirc"),
+    (4358L, "2023042306-gfsforecast", "ADCIRCgrid", "ec95d"),
+    (4358L, "2023042306-gfsforecast", "physical_location", "RENCI"),
+    (4358L, "2023042306-gfsforecast", "storm", "none"),
+    (4358L, "2023042306-gfsforecast", "forcing.ensemblename", "gfsforecast"),
+    (4358L, "2023042306-gfsforecast", "forcing.metclass", "synoptic"),
+    (4358L, "2023042306-gfsforecast", "instancename", "inst1"),
+    (4358L, "2023042306-gfsforecast", "advisory", "2023042306"))
+    .toDF("instance_id", "uid", "key", "value")
+
+  test("file-name decode recovers run metadata (mvHistADCIRCFiles.py:106-131)") {
+    val d = HistoricalArchive.decodeFileNames(Seq(fname).toDF("file_name")).collect()(0)
+    assert(d.getAs[String]("suite_model") == "adcirc")
+    assert(d.getAs[String]("storm") == "gfs")
+    assert(d.getAs[String]("physical_location") == "RENCI")
+    assert(d.getAs[String]("forcing_ensemblename") == "gfsforecast")
+    assert(d.getAs[String]("station_type") == "NOAASTATIONS")
+    assert(d.getAs[String]("advisory") == "2023042306")
+    assert(d.getAs[String]("time_currentdate") == "20230423")
+    assert(d.getAs[String]("time_currentcycle") == "12")
+    assert(d.getAs[String]("adcirc_grid") == "EC95D")
+    assert(d.getAs[String]("uid") == "2023042306-gfsforecast")
+  }
+
+  test("manifest cross-checks decoded metadata against registered runs, archive lays out an ingestible run dir") {
+    val root = Files.createTempDirectory("graft-hist").toString
+    def writeFile(name: String, content: String): Unit =
+      Files.write(Paths.get(root, name), content.getBytes)
+    writeFile(fname,
+      "TIME,STATION,WATER_LEVEL\n" +
+      "2023-04-23T13:00:00,8410140,0.50\n" +
+      "2023-04-23T14:00:00,8410140,0.60")
+    // sibling meta file: 'meta' inserted after the first name segment
+    writeFile("adcirc_meta" + fname.stripPrefix("adcirc"), "STATION\n8410140")
+    writeFile(wrongGrid, "TIME,STATION,WATER_LEVEL\n2023-04-23T13:00:00,8410140,9.9")
+
+    val decoded = HistoricalArchive.decodeFileNames(
+      Seq(fname, wrongGrid).toDF("file_name"))
+    val man = HistoricalArchive.manifest(decoded, eav, root)
+    val rows = man.collect()
+    // the EC95X file fails the grid cross-check and is excluded
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("run_id") == "4358-2023042306-gfsforecast")
+    assert(rows(0).getAs[String]("file_name") == fname)
+    assert(rows(0).getAs[String]("ADCIRCgrid_db") == "ec95d")
+    assert(rows(0).getAs[String]("forcing") == "synoptic")
+
+    val runDirs = HistoricalArchive.archive(spark, man)
+    assert(runDirs.length == 1)
+    val runDir = s"$root/4358-2023042306-gfsforecast"
+    assert(Files.exists(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv")))
+    assert(Files.exists(Paths.get(runDir, "meta_FORECAST_NOAASTATIONS.csv")))
+
+    // the archived layout is exactly what modelRunIngest consumes
+    Files.write(Paths.get(root, "geom.csv"),
+      "8410140,44.9,-66.9,gmt,NOAA,Eastport,tidal,us,me,Wash,01A".getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(ObsIngest.seedStations(spark, s"$root/geom.csv"))
+    val n = graft.IngestCli.modelRunIngest(spark, store, runDir,
+      "4358-2023042306-gfsforecast", "2023-04-23T12:00:00", "gfsforecast",
+      "ec95d", None, "inst1", "synoptic", "https://ui.example",
+      processingDatetime = Some("2023-04-23T15:00:00"))
+    assert(n == 1)
+    assert(store.modelData.count() == 2)
+  }
+}

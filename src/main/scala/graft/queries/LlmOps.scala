@@ -31,6 +31,11 @@ object LlmOps {
   val KnnK = 5
   val SignDims = Seq(1, 17, 33, 49)
   val NearDupThreshold = 0.25
+  val VocabTopK = 100
+  val TfIdfPerDoc = 3
+  /** Per-language keep rates (of 256) for the stratified sample. */
+  val StratRates = Map("en" -> 64, "de" -> 128, "es" -> 128, "fr" -> 192)
+  val StratDefaultRate = 32
 
   // ---- generated SQL fragments ------------------------------------
 
@@ -75,6 +80,33 @@ object LlmOps {
     """SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Term CTE mirroring TextAnalysis.termOccurrences (normalized-text
+    * whitespace terms, empties dropped). */
+  private val termCte =
+    """terms AS (
+      |  SELECT doc_id, unnest(string_split(n, ' ')) AS term
+      |  FROM norm)""".stripMargin
+
+  /** Non-distinct shingle CTE (repetition stats need occurrence
+    * counts, not the set). */
+  private val shingleAllCte =
+    s"""sh0 AS (
+       |  SELECT doc_id, substr(n, CAST(i AS INTEGER), $ShingleK) AS shingle
+       |  FROM norm, unnest(generate_series(1, greatest(length(n) - ${ShingleK - 1}, 0))) AS u(i)
+       |  WHERE length(n) >= $ShingleK)""".stripMargin
+
+  /** Split-assignment CTE mirroring Curation.assignSplit. */
+  private val splitCte = {
+    def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+    val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+    s"""splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < 230 THEN 'train'
+       |         WHEN $bucket < 243 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)""".stripMargin
+  }
 
   /** Sequential-fold cosine between two list columns (DuckDB). */
   private def sqlCosine(a: String, b: String): String = {
@@ -502,6 +534,123 @@ object LlmOps {
         Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", 20000L)
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "v1_vocab_topk",
+      s"""WITH $normCte,
+         |$termCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS tf
+         |FROM terms WHERE term <> ''
+         |GROUP BY term
+         |ORDER BY df DESC, tf DESC, term
+         |LIMIT $VocabTopK""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), VocabTopK)
+    },
+
+    QueryDef.sql(
+      "v2_tfidf_topterms",
+      s"""WITH $normCte,
+         |$termCte,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM terms WHERE term <> '' GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM terms WHERE term <> '' GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    CAST(tf.tf * floor(1000000.0 * n.n_docs / (dfreq.df + 1)) AS BIGINT) AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * floor(1000000.0 * n.n_docs / (dfreq.df + 1)) DESC, tf.term)
+         |      AS BIGINT) AS rank
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tf, df, tfidf
+         |FROM ranked WHERE rank <= $TfIdfPerDoc
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), TfIdfPerDoc)
+        .orderBy("doc_id", "rank")
+    },
+
+    QueryDef.sql(
+      "t6_repetition",
+      s"""WITH $normCte,
+         |$shingleAllCte,
+         |counts AS (
+         |  SELECT doc_id, shingle, count(*) AS n FROM sh0 GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_ngrams,
+         |    CAST(count(*) AS BIGINT) AS distinct_ngrams,
+         |    CAST(max(n) AS BIGINT) AS max_repeat
+         |  FROM counts GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(s.total_ngrams, 0) AS total_ngrams,
+         |  coalesce(s.distinct_ngrams, 0) AS distinct_ngrams,
+         |  coalesce(s.max_repeat, 0) AS max_repeat,
+         |  CASE WHEN coalesce(s.total_ngrams, 0) = 0 THEN NULL
+         |       ELSE round(CAST(s.total_ngrams - s.distinct_ngrams AS DOUBLE)
+         |                  / s.total_ngrams, 4) END AS dup_fraction
+         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), ShingleK)
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "t7_pii_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailPattern}', '[EMAIL]', 'g'),
+         |    '${TextAnalysis.phonePattern}', '[PHONE]', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "x1_contamination",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$splitCte,
+         |tagged AS (
+         |  SELECT sh.doc_id, sh.shingle, s.split
+         |  FROM sh JOIN splits s ON s.doc_id = sh.doc_id),
+         |trainsh AS (SELECT DISTINCT shingle FROM tagged WHERE split = 'train'),
+         |ev AS (SELECT * FROM tagged WHERE split <> 'train'),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM ev GROUP BY 1),
+         |hit AS (
+         |  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_in_train
+         |  FROM ev JOIN trainsh USING (shingle) GROUP BY 1)
+         |SELECT t.doc_id, t.n_ngrams,
+         |  coalesce(h.n_in_train, 0) AS n_in_train,
+         |  round(CAST(coalesce(h.n_in_train, 0) AS DOUBLE) / t.n_ngrams, 4) AS contamination
+         |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.crossSplitContamination(
+        distinctShingles(s, dir),
+        docs.select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("split")))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "c3_stratified_sample", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+        val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+        val rateCase = "CASE lang " +
+          StratRates.toSeq.sortBy(_._1).map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") +
+          s" ELSE $StratDefaultRate END"
+        s"""SELECT doc_id, lang, $bucket AS bucket
+           |FROM documents
+           |WHERE $bucket < $rateCase
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), StratRates, StratDefaultRate)
+        .select(col("doc_id"), col("lang"),
+          Curation.hashBucket(col("doc_id")).as("bucket"))
         .orderBy("doc_id")
     },
 

@@ -34,6 +34,43 @@ object Curation {
     when(b < valStart, "train").when(b < testStart, "val").otherwise("test")
   }
 
+  /** Stratified deterministic sampling: keep ≈rate/256 of each stratum
+    * (e.g. rebalance languages — downsample the dominant one, keep
+    * rarer ones whole). Same content-hash membership as
+    * [[sampleByHash]], so per-stratum samples nest and never flip under
+    * repartitioning; strata absent from `rates` use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      rates: Map[String, Int], defaultRate: Int): DataFrame =
+    df.filter(hashBucket(key) <
+      coalesce(element_at(typedLit(rates), strata), lit(defaultRate)))
+
+  /** Train→eval contamination check: for every non-train document, the
+    * fraction of its distinct k-grams that appear anywhere in the train
+    * split — the standard benchmark-leakage scan before training.
+    *
+    * `shingled` is a (id, shingle) DISTINCT k-gram stream (from
+    * [[graft.dedup.Dedup.shingles]]); `splits` maps id → split label.
+    * Scale shape: ONE semi-join on the shingle (train side reduced to
+    * distinct shingles first) — never doc×doc, never a collected set;
+    * at 100 TB the train shingle set shuffles once and every eval
+    * shingle probes it. Documents shorter than k have no shingles and
+    * are absent from the output (no evidence either way). */
+  def crossSplitContamination(shingled: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val tagged = shingled.join(splits, idCol)
+    val trainShingles = tagged.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val eval_ = tagged.filter(col("split") =!= "train")
+    val hits = eval_.join(trainShingles, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_in_train"))
+    eval_.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_in_train"), lit(0L)).as("n_in_train"),
+        round(coalesce(col("n_in_train"), lit(0L)).cast("double") /
+          col("n_ngrams"), 4).as("contamination"))
+  }
+
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can
     * exceed the budget by at most the one document that straddles its

@@ -87,4 +87,94 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized text — whitespace-
     * and punctuation-insensitive exact-dup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Normalized-text terms, one row per occurrence. The pre-explode
+    * repartition spreads compact sources before the fan-out (same trap
+    * as Dedup.shingles). */
+  private def termOccurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Corpus vocabulary: document frequency + total term frequency per
+    * normalized term, top `k` by (df, tf, term) — the frequency table a
+    * tokenizer/vocab build starts from. Both aggregates ride ONE
+    * shuffle on the term (map-side combined); the bounded top-k sort
+    * runs as TakeOrderedAndProject, never a global sort materialization.
+    */
+  def vocabulary(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    termOccurrences(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(count_distinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(k)
+
+  /** Scaled-integer TF-IDF, top `perDoc` terms per document. The score
+    * is `tf * floor(1e6 * N / (df + 1))` — an integer. The floor-of-
+    * one-division quantization is the cross-engine portability
+    * contract: no float logs, no order-dependent float sums, so the
+    * DuckDB oracle is bit-exact. Ties break lexicographically. */
+  def tfIdfTopTerms(docs: DataFrame, perDoc: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = termOccurrences(docs, idCol, textCol)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))  // 1-row corpus size — broadcast literal
+      .withColumn("tfidf",
+        (col("tf") * floor(lit(1000000.0) * col("n_docs") / (col("df") + 1))).cast("long"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perDoc)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Repeated-n-gram statistics (the C4/Gopher-style repetition quality
+    * gate): per document, total k-gram occurrences, distinct k-grams,
+    * the most-repeated k-gram's count, and the duplicate fraction
+    * (total − distinct) / total. Two map-side-combined aggregations
+    * over the shingle stream; documents shorter than k keep zero
+    * counts and a NULL fraction. */
+  def repetitionStats(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, k, idCol, textCol, distinct = false)
+    val counts = sh.groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col(idCol)).agg(
+      sum("n").as("total_ngrams"),
+      count(lit(1)).as("distinct_ngrams"),
+      max("n").as("max_repeat"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        coalesce(col("max_repeat"), lit(0L)).as("max_repeat"),
+        when(coalesce(col("total_ngrams"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("total_ngrams") - col("distinct_ngrams")).cast("double") /
+              col("total_ngrams"), 4)).as("dup_fraction"))
+  }
+
+  /** RE2-compatible PII patterns (no lookaround — Java regex and the
+    * oracle's RE2 agree on these constructs). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{7,15}"
+
+  /** PII scrub: per document, match counts per pattern and the md5 of
+    * the redacted text (emails → [EMAIL], phone numbers → [PHONE]).
+    * Pure column expressions — scrubbing runs at scan speed and the
+    * oracle verifies the exact redacted bytes via the digest. */
+  def piiScrub(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(phonePattern)).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]")).as("redacted_md5"))
 }

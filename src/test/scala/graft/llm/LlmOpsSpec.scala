@@ -39,6 +39,94 @@ class LlmOpsSpec extends SparkSuite {
     assert(row.getAs[Double]("stopword_ratio") == 0.2222) // 'The','the' / 9
   }
 
+  test("vocabulary: df/tf ordering with lexicographic ties (v1)") {
+    val v = TextAnalysis.vocabulary(docs, 5).collect()
+    assert(v.length == 5)
+    // 'the' appears in docs 1,2,3 (df 3) twice each (tf 6) — top term
+    assert(v(0).getAs[String]("term") == "the")
+    assert(v(0).getAs[Long]("df") == 3L && v(0).getAs[Long]("tf") == 6L)
+    // df sorted non-increasing; ties broken by tf desc then term asc
+    val dfs = v.map(_.getAs[Long]("df")).toSeq
+    assert(dfs == dfs.sortBy(-_))
+  }
+
+  test("tf-idf: integer scores, rare terms outrank common ones (v2)") {
+    val out = TextAnalysis.tfIdfTopTerms(docs, 2)
+    val top5 = out.filter($"doc_id" === 5L).orderBy("rank").collect()
+    assert(top5.length == 2)
+    // every term of doc 5 is unique to it (df=1, same tf=1) → the top-2
+    // are the lexicographically first of its terms
+    assert(top5.map(_.getAs[String]("term")).toSeq ==
+      Seq("about", "and"))
+    // docs 1-3 are clones, so all of doc 1's terms share df=3 and the
+    // only discriminator is tf: 'the' (tf=2) ranks first
+    val top1 = out.filter($"doc_id" === 1L).orderBy("rank").collect()
+    assert(top1.head.getAs[String]("term") == "the")
+    assert(top1.head.getAs[Long]("tf") == 2L)
+    assert(top1.head.getAs[Long]("df") == 3L)
+  }
+
+  test("repetition stats: repeated content raises dup_fraction (t6)") {
+    val rep = Seq(
+      (1L, "abcdefgh"),                 // all shingles distinct
+      (2L, "aaaaaaaaaaaa"),             // one shingle repeated
+      (3L, "ab"))                       // shorter than k → zero counts
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(rep, 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_fraction") == 0.0)
+    assert(out(2L).getAs[Long]("distinct_ngrams") == 1L)
+    assert(out(2L).getAs[Long]("max_repeat") == 8L)   // 12 chars → 8 'aaaaa's
+    assert(out(2L).getAs[Double]("dup_fraction") == 0.875)
+    assert(out(3L).getAs[Long]("total_ngrams") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("dup_fraction")))
+  }
+
+  test("pii scrub: emails and phones redacted, counts exact (t7)") {
+    val pii = Seq(
+      (1L, "write to jane.doe+x@example.org or call +19195551234 now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(pii).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    // digest equals md5 of the expected redacted string
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("write to [EMAIL] or call [PHONE] now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("redacted_md5") == expected)
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+  }
+
+  test("contamination: eval shingles probed against the train set (x1)") {
+    import graft.text.Curation
+    val sh = Dedup.shingles(docs)   // distinct per doc
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "test")).toDF("doc_id", "split")
+    val out = Curation.crossSplitContamination(sh, splits)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 5L))                  // only eval docs
+    assert(out(2L).getAs[Double]("contamination") == 1.0) // near-dup of train doc 1
+    assert(out(5L).getAs[Double]("contamination") < 0.2)  // novel content
+  }
+
+  test("stratified sample: per-stratum rates nest within the hash buckets (c3)") {
+    import graft.text.Curation
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("en" -> 32, "fr" -> 192), 16)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en kept at ≈32/256 = 12.5%, fr at ≈192/256 = 75%
+    assert(out("en") > 60 && out("en") < 200)
+    assert(out("fr") > 600 && out("fr") < 900)
+    // every kept row also satisfies the bucket rule (membership is content-only)
+    val kept = Curation.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("en" -> 32, "fr" -> 192), 16)
+      .select(col("doc_id"), Curation.hashBucket(col("doc_id")).as("b"), col("lang")).collect()
+    assert(kept.forall(r =>
+      r.getInt(1) < (if (r.getString(2) == "en") 32 else 192)))
+  }
+
   test("minhash: identical normalized docs share full signature; near-dups band-collide (d2/d3)") {
     val sh = Dedup.shingles(docs)
     val sigs = Dedup.minHashSignatures(sh)

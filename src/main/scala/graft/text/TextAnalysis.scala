@@ -104,9 +104,14 @@ object TextAnalysis {
     */
   def vocabulary(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // two-level aggregation instead of count_distinct: the per-(doc,
+    // term) pre-aggregate is map-side combined at the explode site, and
+    // the term-level rollup then counts rows (= docs) and sums
+    // occurrences — no Expand operator, one explode of the corpus
     termOccurrences(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("n"))
       .groupBy("term")
-      .agg(count_distinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("df"), sum("n").as("tf"))
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(k)
 
@@ -118,10 +123,12 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, perDoc: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = termOccurrences(docs, idCol, textCol)
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency derives from the tf aggregate (its rows ARE
+    // the distinct (doc, term) pairs) — the corpus explodes ONCE, not
+    // once per branch
+    val tf = termOccurrences(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))  // 1-row corpus size — broadcast literal

@@ -41,6 +41,7 @@ object IngestCli {
 
       case "SequenceIngest" =>
         val store = new GaugeStore(spark, req("store"))
+        store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val now = opts.get("now").map(lit(_)).getOrElse(current_timestamp()).cast("timestamp")
         val catalog = loadCatalog(spark, req("catalog"))
         val n = sequenceIngest(spark, store, catalog, req("harvestDir"), now)
@@ -64,6 +65,7 @@ object IngestCli {
         // SequenceIngest for one ADCIRC run dir (runModelIngest.py:553-580):
         // FORECAST_*/NOWCAST_* data + meta_* station files under --runDir.
         val store = new GaugeStore(spark, req("store"))
+        store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val n = modelRunIngest(spark, store,
           runDir = req("runDir"), modelRunId = req("modelRunID"),
           timemark = req("timemark"), ensemble = req("ensemble"),

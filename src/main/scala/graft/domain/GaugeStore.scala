@@ -317,4 +317,38 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       retainObsStationFileMeta.withColumn("ingested",
         when(col("file_name").isin(fileNames: _*), lit(true))
           .otherwise(col("ingested"))))
+
+  /** Crash recovery + janitor, safe to run any time (e.g. at process
+    * start): [[swapInto]]'s only crash window leaves the live table dir
+    * missing with the original parked as `<table>_bak_<nanos>` — if
+    * that state is found, the NEWEST backup is restored. Afterwards all
+    * stray `*_tmp` and remaining `*_bak_*` dirs are deleted. Returns a
+    * human-readable action log (restored/deleted paths) for operators
+    * and specs. */
+  def vacuum(): Seq[String] = {
+    val fs = fsys
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val entries = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+    val bak = "^(.*)_bak_([0-9]+)$".r
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // restore phase: newest backup per base whose live dir is missing
+    entries.flatMap(p => p.getName match {
+      case bak(base, ts) => Some((base, ts.toLong, p))
+      case _ => None
+    }).groupBy(_._1).foreach { case (base, baks) =>
+      val live = new org.apache.hadoop.fs.Path(rootPath, base)
+      if (!fs.exists(live)) {
+        val newest = baks.maxBy(_._2)._3
+        require(fs.rename(newest, live), s"restore failed: $newest")
+        actions += s"restored $base from ${newest.getName}"
+      }
+    }
+    // janitor phase: drop leftover tmp + superseded backups
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).foreach { p =>
+      val stray = p.getName.endsWith("_tmp") || bak.findFirstIn(p.getName).isDefined
+      if (stray) { fs.delete(p, true); actions += s"deleted ${p.getName}" }
+    }
+    actions.toSeq
+  }
 }

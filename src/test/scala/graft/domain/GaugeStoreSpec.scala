@@ -90,4 +90,27 @@ class GaugeStoreSpec extends SparkSuite {
       .map(r => r.getAs[String]("file_name") -> r.getAs[Boolean]("ingested")).toMap
     assert(got == Map("a.csv" -> true, "b.csv" -> false))
   }
+
+  test("vacuum restores a parked backup after a simulated swap crash and sweeps strays") {
+    val root = Files.createTempDirectory("graft-store4").toString
+    val store = new GaugeStore(spark, root)
+    val ledger = Seq(("a.csv", false)).toDF("file_name", "ingested")
+      .withColumn("processing_datetime", lit("2023-04-23 12:00:00").cast("timestamp"))
+    store.appendLedger(ledger)
+    // simulate the swapInto crash window: live parked as backup, tmp
+    // written but never swapped in
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    assert(fs.rename(p("ledger_obs"), p("ledger_obs_bak_42")))
+    fs.mkdirs(p("ledger_obs_tmp"))
+    assert(!fs.exists(p("ledger_obs")))
+
+    val actions = store.vacuum()
+    assert(actions.exists(_.startsWith("restored ledger_obs")))
+    assert(fs.exists(p("ledger_obs")))
+    assert(!fs.exists(p("ledger_obs_tmp")) && !fs.exists(p("ledger_obs_bak_42")))
+    assert(store.ledger.count() == 1)              // contents intact
+    // idempotent: nothing left to do
+    assert(store.vacuum().isEmpty)
+  }
 }

@@ -70,5 +70,13 @@ class StreamingQuerySpec extends SparkSuite {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RollingHash(args.head))
+    // h("ab") = (97*131 + 98) mod 1e9+7
+    val h = spark.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
+    assert(h == 97L * 131 + 98)
   }
 }

@@ -654,6 +654,46 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // int8 quantization audit for embedding storage: all outputs are
+    // INTEGERS (floor of one multiply+divide chain) so the oracle is
+    // bit-exact — max over doubles is order-independent, unlike sums
+    QueryDef.sql(
+      "v3_quantize_check", {
+        val amax = "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
+        val q = s"CAST(floor(CAST(x AS DOUBLE) * 127.0 / $amax) AS BIGINT)"
+        s"""SELECT vec_id,
+           |  CAST(len(embedding) AS INTEGER) AS n_dims,
+           |  CAST(floor($amax * 1000000.0) AS BIGINT) AS amax_scaled,
+           |  CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT) AS q_sum,
+           |  CAST(len(list_filter(embedding, x -> abs($q) >= 127)) AS INTEGER) AS n_sat
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val q = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / amax).cast("long"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        floor(amax * lit(1000000.0)).cast("long").as("amax_scaled"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        size(filter(q, x => abs(x) >= 127)).as("n_sat"))
+        .orderBy("vec_id")
+    },
+
+    // approximate sketches (HLL++ distinct count, quantile summaries):
+    // sketch internals differ per engine, so there is NO hash oracle —
+    // the driver records the weaker rows-only check and LlmOpsSpec
+    // bounds the estimates against exact values
+    QueryDef.noOracle("a9_approx_sketches") { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          approx_count_distinct(col("source")).as("approx_sources"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_chars"),
+          percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99_chars"))
+        .orderBy("lang")
+    },
+
     // ---- multimodal stub plumbing -----------------------------------
     QueryDef.sql(
       "mm_decode_meta", {

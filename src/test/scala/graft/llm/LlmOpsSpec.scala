@@ -109,6 +109,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(5L).getAs[Double]("contamination") < 0.2)  // novel content
   }
 
+  test("approx sketches bound against exact values (a9)") {
+    val rows = (0L until 3000L)
+      .map(i => (i, s"lang${i % 2}", s"src${i % 37}", (i % 1000) + 1))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = rows.groupBy("lang").agg(
+      approx_count_distinct(col("source")).as("approx_sources"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // HLL++ at default precision is well within 10% of the exact 37
+    assert(math.abs(got("lang0").getAs[Long]("approx_sources") - 37L) <= 4)
+    // with accuracy 10000 over 1500 rows the quantile summary is exact
+    val exactP50 = rows.filter(col("lang") === "lang0")
+      .stat.approxQuantile("n_chars", Array(0.5), 0.0)(0)
+    assert(got("lang0").getAs[Long]("p50") == exactP50.toLong)
+  }
+
   test("stratified sample: per-stratum rates nest within the hash buckets (c3)") {
     import graft.text.Curation
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))

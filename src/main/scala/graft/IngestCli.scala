@@ -122,15 +122,54 @@ object IngestCli {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     var total = 0L
     catalog.foreach { meta =>
-      try {
-        val glob = s"$harvestDir/${meta.filename_prefix}_*.csv"
-        val matched = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
-        if (matched != null && matched.nonEmpty) {
-        val harvest = ObsIngest.readHarvest(spark, meta, glob)
-        val candidates = ObsIngest.harvestFileMeta(harvest, meta, harvestDir, now)
-        val fresh = ObsIngest.newFilesOnly(candidates, store.ledger, now).cache()
-        val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
-        if (freshNames.nonEmpty) {
+      val glob = s"$harvestDir/${meta.filename_prefix}_*.csv"
+      val matched = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+      if (matched != null && matched.nonEmpty) {
+        val names = matched.map(_.getPath.getName).toSeq.sorted
+        try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now, names, fs)
+        catch {
+          case e: Exception =>
+            // FAILFAST means one corrupt file aborts the source's whole
+            // batch scan — degrade to per-file granularity so the good
+            // files still land and ONLY the broken file stays
+            // unledgered (it retries next run, reference retry
+            // semantics, runObsIngest.py:116-117)
+            System.err.println(s"[ingest] source ${meta.data_source}/${meta.source_name} " +
+              s"batch failed (${e.getMessage}); retrying per file")
+            names.foreach { n =>
+              try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now, Seq(n), fs)
+              catch {
+                case e2: Exception => System.err.println(
+                  s"[ingest] skipping bad file $n: ${e2.getMessage}")
+              }
+            }
+        }
+      }
+    }
+    total
+  }
+
+  /** Ingest an explicit file set of one source — the body of
+    * [[sequenceIngest]], callable for the whole batch or a single file
+    * (per-file failure isolation). Returns the number of NEW files
+    * committed to the ledger. */
+  private def ingestObsFiles(
+      spark: SparkSession,
+      store: GaugeStore,
+      stations: org.apache.spark.sql.DataFrame,
+      meta: SourceMeta,
+      harvestDir: String,
+      now: org.apache.spark.sql.Column,
+      fileNames: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem): Long = {
+    var total = 0L
+    val harvest = ObsIngest.readHarvest(spark, meta,
+      fileNames.map(n => s"$harvestDir/$n"): _*)
+    val candidates = ObsIngest.harvestFileMeta(harvest, meta, harvestDir, now)
+    val fresh = ObsIngest.newFilesOnly(candidates, store.ledger, now).cache()
+    try {
+      val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
+      if (freshNames.nonEmpty) {
           // materialize everything read from `fresh` BEFORE the ledger
           // is appended/rewritten below: fresh's plan anti-joins the
           // ledger files, and a cache eviction after markIngested would
@@ -207,15 +246,9 @@ object IngestCli {
                 lit(false).as("ingested")))
             store.markRetainObsStationFileMetaIngested(processedMeta.map(_._1))
           }
-          total += freshNames.length
-        }
-        fresh.unpersist()
-        }
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[ingest] source ${meta.data_source}/${meta.source_name} failed: ${e.getMessage}")
+        total += freshNames.length
       }
-    }
+    } finally fresh.unpersist()
     total
   }
 

@@ -58,4 +58,36 @@ class ErrorIsolationSpec extends SparkSuite {
     // and no ledger rows were committed for the failed source
     assert(store.ledger.filter(col("data_source") === "ocean_buoy").count() == 0)
   }
+
+  test("one bad file degrades its source to per-file ingest; good files still land") {
+    val root = Files.createTempDirectory("graft-err2").toString
+    val harvest = s"$root/harvest"; Files.createDirectories(Paths.get(harvest))
+    Files.write(Paths.get(root, "geom.csv"),
+      "8410140,44.9,-66.9,gmt,NOAA,Eastport,tidal,us,me,Wash,01A".getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(ObsIngest.seedStations(spark, s"$root/geom.csv"))
+
+    // same source: one good file, one structurally broken file — the
+    // batch scan FAILFASTs, then the per-file retry isolates the damage
+    Files.write(Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv"),
+      "TIME,STATION,WATER_LEVEL\n2023-04-23T10:00:00,8410140,1.10".getBytes)
+    Files.write(Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T18_00_00.csv"),
+      "TIME,STATION,WATER_LEVEL\nnot-a-time,8410140,not-a-number".getBytes)
+
+    val meta = SourceMeta("tidal_gauge", "noaa", "noaa", "water_level",
+      "noaaweb_stationdata_water_level", "tidal", "m")
+    val n = IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 00:00:00"))
+    assert(n == 1)                                           // good file committed
+    assert(store.gaugeData.count() == 1)
+    val ledgered = store.ledger.select("file_name").collect().map(_.getString(0))
+    assert(ledgered.toSeq ==
+      Seq("noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv"))
+    // the bad file stays unledgered → it is retried (and re-skipped)
+    // on the next run without blocking anything
+    val n2 = IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 01:00:00"))
+    assert(n2 == 0)
+    assert(store.gaugeData.count() == 1)
+  }
 }

@@ -30,5 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "rolling_hash takes exactly 1 argument")
         RollingHash(args.head)
       }))
+    // HOF-cosine → fused native kernel rewrite (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosineSimilarity)
   }
 }

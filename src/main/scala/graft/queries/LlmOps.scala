@@ -146,9 +146,11 @@ object LlmOps {
       Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes))
   private def distinctShingles(s: SparkSession, dir: String): DataFrame =
     memoized(s"shingles:$dir")(Dedup.shingles(Tables.documents(s, dir), ShingleK))
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s"pairs:$dir")(
+      Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
   private def dupGroupsShared(s: SparkSession, dir: String): DataFrame =
-    memoized(s"groups:$dir")(Dedup.dupGroups(
-      Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)))
+    memoized(s"groups:$dir")(Dedup.dupGroups(candidatePairs(s, dir)))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -275,8 +277,7 @@ object LlmOps {
          |$bandCte
          |$pairsSelect
          |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
-      Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)
-        .orderBy("a_doc_id", "b_doc_id")
+      candidatePairs(s, dir).orderBy("a_doc_id", "b_doc_id")
     },
 
     QueryDef.sql(
@@ -326,8 +327,7 @@ object LlmOps {
          |JOIN sizes zb ON zb.doc_id = p.b_doc_id
          |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin) { (s, dir) =>
       val sh = distinctShingles(s, dir)
-      val pairs = Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand)
-      Dedup.jaccardVerify(pairs, sh).orderBy("a_doc_id", "b_doc_id")
+      Dedup.jaccardVerify(candidatePairs(s, dir), sh).orderBy("a_doc_id", "b_doc_id")
     },
 
     QueryDef.sql(
@@ -404,9 +404,7 @@ object LlmOps {
            |JOIN sig b ON b.doc_id = p.b_doc_id
            |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin
       }) { (s, dir) =>
-      val sg = sigs(s, dir)
-      Dedup.minHashEstimate(
-        Dedup.minHashCandidatePairs(sg, NumHashes, RowsPerBand), sg, NumHashes)
+      Dedup.minHashEstimate(candidatePairs(s, dir), sigs(s, dir), NumHashes)
         .orderBy("a_doc_id", "b_doc_id")
     },
 

@@ -62,5 +62,37 @@ object StreamingShapes {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           col("n_events"), col("total"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Row-level sessionization: every EVENT gets its per-user session
+    // ordinal (lag gap-mark + running sum) — the operator form that
+    // joins rows to their session, which w2's aggregate cannot provide.
+    // Same >= gap semantics as session_window; arithmetic is integer
+    // microseconds end-to-end.
+    QueryDef.sql(
+      "w3_sessionize",
+      """WITH prev AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  CAST(sum(CASE WHEN p IS NULL OR epoch_us(ts) - epoch_us(p) >= 1800000000
+        |       THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM prev
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("p", lag(col("ts"), 1).over(w))
+        .withColumn("session_seq",
+          sum(when(col("p").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("p")) >= 1800000000L, 1)
+            .otherwise(0)).over(cum).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("session_seq"))
+        .orderBy("user_id", "event_id")
     })
 }

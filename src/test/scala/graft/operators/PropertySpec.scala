@@ -83,4 +83,35 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: as-of join equals the naive range-join argmax") {
+    val asofGen = for {
+      lefts <- Gen.listOfN(25, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 20L)
+      } yield (k, t))
+      rights <- Gen.listOfN(15, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(0, 99)
+      } yield (k, t, v.toDouble))
+    } yield (lefts, rights.distinctBy(r => (r._1, r._2)))   // unique (key, time)
+    forAll(asofGen) { case (lefts, rights) =>
+      whenever(lefts.nonEmpty && rights.nonEmpty) {
+        val l = lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val r = rights.toDF("k", "rt", "v")
+        val got = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("rt", "v"))
+          .collect()
+          .map(x => x.getLong(x.fieldIndex("lid")) ->
+            (if (x.isNullAt(x.fieldIndex("asof_v"))) None
+             else Some((x.getLong(x.fieldIndex("asof_rt")), x.getDouble(x.fieldIndex("asof_v"))))))
+          .toMap
+        // naive reference: for each left row, the max-rt right row with
+        // rt <= t and same key
+        lefts.zipWithIndex.foreach { case ((k, t), i) =>
+          val expect = rights.filter(rr => rr._1 == k && rr._2 <= t)
+            .sortBy(_._2).lastOption.map(rr => (rr._2, rr._3))
+          assert(got(i.toLong) == expect, s"k=$k t=$t")
+        }
+      }
+    }
+  }
 }

@@ -44,7 +44,8 @@ object IngestCli {
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val now = opts.get("now").map(lit(_)).getOrElse(current_timestamp()).cast("timestamp")
         val catalog = loadCatalog(spark, req("catalog"))
-        val n = sequenceIngest(spark, store, catalog, req("harvestDir"), now)
+        val n = sequenceIngest(spark, store, catalog, req("harvestDir"), now,
+          deleteProcessed = opts.get("deleteProcessed").contains("true"))
         println(s"ingested $n new files")
 
       case "QueryObs" =>
@@ -117,7 +118,8 @@ object IngestCli {
       store: GaugeStore,
       catalog: Seq[SourceMeta],
       harvestDir: String,
-      now: org.apache.spark.sql.Column): Long = {
+      now: org.apache.spark.sql.Column,
+      deleteProcessed: Boolean = false): Long = {
     val stations = store.stations
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     var total = 0L
@@ -126,7 +128,8 @@ object IngestCli {
       val matched = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
       if (matched != null && matched.nonEmpty) {
         val names = matched.map(_.getPath.getName).toSeq.sorted
-        try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now, names, fs)
+        try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now,
+          names, fs, deleteProcessed)
         catch {
           case e: Exception =>
             // FAILFAST means one corrupt file aborts the source's whole
@@ -137,7 +140,8 @@ object IngestCli {
             System.err.println(s"[ingest] source ${meta.data_source}/${meta.source_name} " +
               s"batch failed (${e.getMessage}); retrying per file")
             names.foreach { n =>
-              try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now, Seq(n), fs)
+              try total += ingestObsFiles(spark, store, stations, meta, harvestDir, now,
+                Seq(n), fs, deleteProcessed)
               catch {
                 case e2: Exception => System.err.println(
                   s"[ingest] skipping bad file $n: ${e2.getMessage}")
@@ -161,7 +165,8 @@ object IngestCli {
       harvestDir: String,
       now: org.apache.spark.sql.Column,
       fileNames: Seq[String],
-      fs: org.apache.hadoop.fs.FileSystem): Long = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      deleteProcessed: Boolean = false): Long = {
     var total = 0L
     val harvest = ObsIngest.readHarvest(spark, meta,
       fileNames.map(n => s"$harvestDir/$n"): _*)
@@ -245,6 +250,16 @@ object IngestCli {
                 col("e").cast("timestamp").as("end_date"),
                 lit(false).as("ingested")))
             store.markRetainObsStationFileMetaIngested(processedMeta.map(_._1))
+          }
+          if (deleteProcessed) {
+            // S7: the reference removes harvest files once loaded and
+            // ledgered (ingestObsTasks.py:412-414) — the batch-path
+            // equivalent of the streaming cleanSource=delete option.
+            // The ledger, not file absence, stays the idempotence
+            // source of truth.
+            (freshNames ++ processedMeta.map(_._1)).foreach { n =>
+              fs.delete(new org.apache.hadoop.fs.Path(s"$harvestDir/$n"), false)
+            }
           }
         total += freshNames.length
       }

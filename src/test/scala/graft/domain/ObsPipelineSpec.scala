@@ -227,4 +227,21 @@ class ObsPipelineSpec extends SparkSuite {
     assert(row.getAs[Boolean]("ingested"))            // commit marker flipped
     assert(row.getAs[java.sql.Timestamp]("begin_date") != null)
   }
+
+  test("deleteProcessed removes harvest + meta files after the ledger commits (S7)") {
+    val root = Files.createTempDirectory("graft-s7").toString
+    val harvest = s"$root/harvest"; Files.createDirectories(Paths.get(harvest))
+    val dataFile = Paths.get(harvest, "noaaweb_stationdata_water_level_2023-04-23T12_00_00.csv")
+    val metaFile = Paths.get(harvest, "noaaweb_stationdata_meta_water_level_2023-04-23T12_00_00.csv")
+    Files.write(dataFile, "TIME,STATION,WATER_LEVEL\n2023-04-23T10:00:00,8410140,1.10".getBytes)
+    Files.write(metaFile, "STATION\n8410140".getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(stations)
+    val n = graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 00:00:00"), deleteProcessed = true)
+    assert(n == 1)
+    assert(store.gaugeData.count() == 1)               // data landed first
+    assert(!Files.exists(dataFile) && !Files.exists(metaFile)) // then files removed
+    assert(store.ledger.filter(col("ingested")).count() == 1)  // ledger is the record
+  }
 }

@@ -41,6 +41,28 @@ class HistoricalArchiveSpec extends SparkSuite {
     assert(d.getAs[String]("uid") == "2023042306-gfsforecast")
   }
 
+  test("decode handles the two-segment coamps storm and the nowcast grid rule") {
+    // coamps storms occupy TWO name segments, shifting location/ensemble
+    // right by one (mvHistADCIRCFiles.py:118-124)
+    val coamps = "adcirc_coamps_al08_RENCI_OFCL_EC95D_FORECAST_NOAASTATIONS_" +
+      "2023-04-23T06:00:00_2023-04-23T12:00:00_2023-04-23T13:00:00.csv"
+    val c = HistoricalArchive.decodeFileNames(Seq(coamps).toDF("file_name")).collect()(0)
+    assert(c.getAs[String]("storm") == "coamps_al08")
+    assert(c.getAs[String]("physical_location") == "RENCI")
+    assert(c.getAs[String]("forcing_ensemblename") == "ofcl")
+    assert(c.getAs[String]("adcirc_grid") == "EC95D")
+    assert(c.getAs[String]("uid") == "2023042306-ofcl")
+
+    // nowcast files: the segment after the FIRST _NOWCAST_ is the grid
+    // (mvHistADCIRCFiles.py:128-131 — python split('_NOWCAST_')[1] and
+    // Spark's split both take the same middle segment)
+    val nowcast = "adcirc_gfs_RENCI_NOWCAST_EC95D_NOWCAST_NOAASTATIONS_" +
+      "2023-04-23T06:00:00_2023-04-23T12:00:00_2023-04-23T13:00:00.csv"
+    val n = HistoricalArchive.decodeFileNames(Seq(nowcast).toDF("file_name")).collect()(0)
+    assert(n.getAs[String]("forcing_ensemblename") == "nowcast")
+    assert(n.getAs[String]("adcirc_grid") == "EC95D")
+  }
+
   test("manifest cross-checks decoded metadata against registered runs, archive lays out an ingestible run dir") {
     val root = Files.createTempDirectory("graft-hist").toString
     def writeFile(name: String, content: String): Unit =

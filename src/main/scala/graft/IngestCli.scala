@@ -190,7 +190,7 @@ object IngestCli {
             .collect().toIndexedSeq
           if (loadable.nonEmpty) {
             val fact = ObsIngest.ingestSource(spark, meta, stations,
-              loadable.map(f => s"$harvestDir/$f"): _*)
+              loadable.toIndexedSeq.map(f => s"$harvestDir/$f"): _*)
             // bounds as session-TZ strings: Timestamp.toString renders in
             // the JVM default zone and can shift the scope across a
             // partition-date boundary when driver TZ != session TZ
@@ -224,7 +224,7 @@ object IngestCli {
             val metaPath = new org.apache.hadoop.fs.Path(s"$harvestDir/$metaName")
             if (metaName != r.getString(0) && fs.exists(metaPath)) {
               val raw = spark.read.option("header", "true").csv(metaPath.toString)
-              val names = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+              val names = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
                 .withColumnRenamed("station", "station_name")
                 .select("station_name").distinct()
               store.appendRetainObsStations(
@@ -380,7 +380,7 @@ object IngestCli {
     }.filter(n => fs.exists(new org.apache.hadoop.fs.Path(n)))
     if (metaNames.nonEmpty) {
       val raw = spark.read.option("header", "true").csv(metaNames: _*)
-      val adcircNames = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+      val adcircNames = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
         .withColumnRenamed("station", "station_name")
         .select("station_name").distinct()
       val retain =

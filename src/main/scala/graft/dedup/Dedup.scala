@@ -104,9 +104,9 @@ object Dedup {
   /** Estimated Jaccard from signature agreement for candidate pairs. */
   def minHashEstimate(pairs: DataFrame, signatures: DataFrame,
       numHashes: Int = 8, idCol: String = "doc_id"): DataFrame = {
-    val sa = signatures.toDF(signatures.columns.map(c =>
+    val sa = signatures.toDF(signatures.columns.toIndexedSeq.map(c =>
       if (c == idCol) s"a_$idCol" else s"a_$c"): _*)
-    val sb = signatures.toDF(signatures.columns.map(c =>
+    val sb = signatures.toDF(signatures.columns.toIndexedSeq.map(c =>
       if (c == idCol) s"b_$idCol" else s"b_$c"): _*)
     val matches = (1 to numHashes)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))

@@ -230,6 +230,6 @@ object ObsIngest {
       .withColumn("station_id",
         row_number().over(Window.orderBy("station_name")).cast("long"))
       .withColumn("apsviz_station", lit(false))   // flipped by snapshot builds
-      .select(Schemas.gaugeStation.fieldNames.map(col): _*)
+      .select(Schemas.gaugeStation.fieldNames.toIndexedSeq.map(col): _*)
   }
 }

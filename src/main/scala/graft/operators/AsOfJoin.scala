@@ -39,7 +39,7 @@ object AsOfJoin {
       (keyCols :+ col(leftTime).as("__t") :+
         lit(null).cast(r0.schema("__p").dataType).as("__p") :+
         lit(1).as("__side") :+
-        struct(left.columns.map(col): _*).as("__l")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

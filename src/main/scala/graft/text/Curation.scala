@@ -117,6 +117,6 @@ object Curation {
       .withColumn("__before",
         col("__off") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("shard", floor(col("__before") / budget).cast("long"))
-      .select(outCols: _*)
+      .select(outCols.toIndexedSeq: _*)
   }
 }

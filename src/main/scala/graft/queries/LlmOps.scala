@@ -652,6 +652,35 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    QueryDef.sql(
+      "t8_oov_rate",
+      s"""WITH $normCte,
+         |$termCte,
+         |occ AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+         |    FROM occ GROUP BY term
+         |    ORDER BY df DESC, tf DESC, term LIMIT $VocabTopK)),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM occ GROUP BY 1),
+         |oov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+         |  FROM occ WHERE term NOT IN (SELECT term FROM vocab) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_terms, 0) AS n_terms,
+         |  coalesce(o.n_oov, 0) AS n_oov,
+         |  CASE WHEN coalesce(t.n_terms, 0) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_terms, 4)
+         |  END AS oov_rate
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN oov o ON o.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, VocabTopK))
+        .orderBy("doc_id")
+    },
+
     // int8 quantization audit for embedding storage: all outputs are
     // INTEGERS (floor of one multiply+divide chain) so the oracle is
     // bit-exact — max over doubles is order-independent, unlike sums

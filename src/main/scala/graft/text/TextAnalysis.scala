@@ -166,6 +166,30 @@ object TextAnalysis {
               col("total_ngrams"), 4)).as("dup_fraction"))
   }
 
+  /** Out-of-vocabulary rate per document against a supplied vocabulary
+    * (typically [[vocabulary]]'s top-k): the unigram-LM quality-filter
+    * proxy used in corpus curation. Per doc: total term occurrences,
+    * occurrences of terms NOT in the vocab, and their ratio. The vocab
+    * side reduces to distinct terms and broadcasts (top-k is small by
+    * construction); the term stream is the one explode. Documents with
+    * zero terms keep zero counts and a NULL rate. */
+  def oovRate(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = termOccurrences(docs, idCol, textCol)
+    val inVocab = broadcast(vocab.select("term").distinct())
+    val tot = terms.groupBy(col(idCol)).agg(count(lit(1)).as("n_terms"))
+    val oov = terms.join(inVocab, Seq("term"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol)).join(tot, Seq(idCol), "left")
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_terms"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("n_oov"), lit(0L)).cast("double") /
+            col("n_terms"), 4)).as("oov_rate"))
+  }
+
   /** RE2-compatible PII patterns (no lookaround — Java regex and the
     * oracle's RE2 agree on these constructs). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

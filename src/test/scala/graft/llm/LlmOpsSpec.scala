@@ -66,6 +66,18 @@ class LlmOpsSpec extends SparkSuite {
     assert(top1.head.getAs[Long]("df") == 3L)
   }
 
+  test("oov rate: terms outside the vocab counted per doc (t8)") {
+    val vocab = Seq("the", "quick", "brown", "fox").toDF("term")
+    val out = TextAnalysis.oovRate(docs, vocab)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 9 terms, in-vocab = the,quick,brown,fox,the (5) → 4 oov
+    assert(out(1L).getAs[Long]("n_terms") == 9L)
+    assert(out(1L).getAs[Long]("n_oov") == 4L)
+    assert(out(1L).getAs[Double]("oov_rate") == 0.4444)
+    // doc 5 shares nothing with the vocab
+    assert(out(5L).getAs[Double]("oov_rate") == 1.0)
+  }
+
   test("repetition stats: repeated content raises dup_fraction (t6)") {
     val rep = Seq(
       (1L, "abcdefgh"),                 // all shingles distinct

@@ -248,8 +248,10 @@ object IngestCli {
                 col("tm").cast("timestamp").as("timemark"),
                 col("b").cast("timestamp").as("begin_date"),
                 col("e").cast("timestamp").as("end_date"),
-                lit(false).as("ingested")))
-            store.markRetainObsStationFileMetaIngested(processedMeta.map(_._1))
+                // rows are appended AFTER the snapshot committed — the
+                // append itself is the commit marker (no false→true
+                // rewrite cycle, one fewer crash window)
+                lit(true).as("ingested")))
           }
           if (deleteProcessed) {
             // S7: the reference removes harvest files once loaded and
@@ -298,44 +300,44 @@ object IngestCli {
     val dataSource = ModelIngest.dataSourceName(ensemble, grid, storm)
     var total = 0L
     var allSources = Seq.empty[org.apache.spark.sql.DataFrame]
-    var ledgerRows = Seq.empty[org.apache.spark.sql.DataFrame]
     var ledgerNames = Seq.empty[String]
+    // model-side J4 anti-join, ONE ledger scan for the whole run: files
+    // already ledgered AND ingested under this processing stamp are
+    // skipped (idempotent re-invocation). A row that exists but is NOT
+    // ingested marks a crash between the ledger append and the commit —
+    // the file re-processes and the widened rerun gate below repairs
+    // any double-append.
+    val ingestedSeen: Set[String] = store.modelLedger.filter(
+      col("model_run_id") === modelRunId &&
+        col("processing_datetime") === procTs.cast("timestamp") &&
+        col("ingested"))
+      .select("file_name").collect().map(_.getString(0)).toSet
     Seq("FORECAST", "NOWCAST").foreach { phase =>
       ModelIngest.stationTypeMeta.foreach { case (stype, (variable, locType, units)) =>
         val fileName = s"${phase}_$stype.csv"
         val p = new org.apache.hadoop.fs.Path(s"$runDir/$fileName")
-        if (fs.exists(p)) {
-          // model-side J4 anti-join: this run dir was already ingested
-          // under the same processing stamp → skip (idempotent
-          // re-invocation); a NEW stamp re-ingests and the rerun gate
-          // below repairs duplicates
-          val seen = store.modelLedger.filter(
-            col("model_run_id") === modelRunId &&
-              col("file_name") === fileName &&
-              col("processing_datetime") === procTs.cast("timestamp"))
-            .limit(1).count() > 0
-          if (!seen) {
-            val meta = SourceMeta(dataSource, "adcirc", "renci", variable,
-              phase, locType, units)
-            val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
-            allSources :+= src
-            val fact = ModelIngest.ingestRun(spark, meta, src, stations,
-              lit(tmStr), p.toString)
-              .withColumn("proc_ts", procTs.cast("timestamp"))
-            store.appendModelData(fact)
-            ledgerRows :+= ModelIngest.modelHarvestFileMeta(spark, meta,
-              runDir, fileName, modelRunId, sourceInstance, forcingMetclass,
-              advisoryStr, lit(tmStr), procTs)
-            ledgerNames :+= fileName
-            total += 1
-          }
+        if (fs.exists(p) && !ingestedSeen(fileName)) {
+          val meta = SourceMeta(dataSource, "adcirc", "renci", variable,
+            phase, locType, units)
+          val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
+          allSources :+= src
+          // ledger row FIRST (ingested=false), fact second, commit mark
+          // last — the reference's order, and the order that makes every
+          // crash window detectable: a stranded un-ingested row means
+          // "fact state unknown, re-process and repair"
+          store.appendModelLedger(ModelIngest.modelHarvestFileMeta(spark, meta,
+            runDir, fileName, modelRunId, sourceInstance, forcingMetclass,
+            advisoryStr, lit(tmStr), procTs))
+          val fact = ModelIngest.ingestRun(spark, meta, src, stations,
+            lit(tmStr), p.toString)
+            .withColumn("proc_ts", procTs.cast("timestamp"))
+          store.appendModelData(fact)
+          ledgerNames :+= fileName
+          total += 1
         }
       }
     }
-    if (ledgerRows.nonEmpty) {
-      store.appendModelLedger(ledgerRows.reduce(_ unionByName _))
-      store.markModelIngested(modelRunId, ledgerNames)
-    }
+    if (ledgerNames.nonEmpty) store.markModelIngested(modelRunId, ledgerNames)
     if (allSources.nonEmpty) {
       // UPSERT into the model-source dim: keep rows from other runs/
       // instances, replace this run's (a blind overwrite would erase
@@ -352,18 +354,24 @@ object IngestCli {
       store.writeModelSource(spark.createDataFrame(
         spark.sparkContext.parallelize(local, 1), merged.schema))
     }
-    // rerun repair (J8/J9 model variant): the gate reads the LEDGER's
-    // processing_datetime history exactly as the reference
-    // (ingestModelTasks.py:375-387) — >1 distinct stamp for this run's
-    // (source keys, timemark) means the run was harvested twice. The
+    // rerun repair (J8/J9 model variant): the gate reads the LEDGER
+    // history for this run's (source keys, timemark) scope. More ledger
+    // rows than distinct file names means some file was ingested more
+    // than once — a genuine rerun (new processing stamp, the reference's
+    // >1-distinct-processing_datetime test, ingestModelTasks.py:375-387)
+    // OR a same-stamp crash retry that double-appended. Either way the
     // repair keeps the latest-processed row per (source_id, time) and
     // swaps ONLY the run_date partitions of this timemark.
     if (store.hasModelData && ledgerNames.nonEmpty) {
       val tm = lit(tmStr).cast("timestamp")
-      val isRerun = ledgerNames.exists(fn =>
-        ModelIngest.rerunDetected(store.modelLedger, fn, tm,
-          Some(dataSource), Some(sourceInstance), Some(forcingMetclass)))
-      if (isRerun) {
+      val scopeStats = store.modelLedger.filter(
+        col("data_source") === dataSource &&
+          col("source_instance") === sourceInstance &&
+          col("forcing_metclass") === forcingMetclass &&
+          col("timemark") === tm)
+        .agg(count(lit(1)).as("rows"), countDistinct("file_name").as("files"))
+        .collect()(0)
+      if (scopeStats.getLong(0) > scopeStats.getLong(1)) {
         // the swapped run_date partition may also hold OTHER timemarks
         // of the same date — they ride through the rewrite untouched
         val scoped = store.modelDataForTimemark(tmStr)
@@ -428,11 +436,13 @@ object IngestCli {
             lit(modelRunId).as("model_run_id"),
             lit(tmStr).cast("timestamp").as("timemark"),
             col("location_type"),
-            concat(lit(uiDataUrl), lit("/get_station_data?station_name="),
-              lit("&time_mark="), lit(timemark),
-              lit("&data_source="), lit(dataSource)).as("csvurl"),
-            lit(false).as("ingested")))
-        store.markApsVizStationFileMetaIngested(modelRunId, newMeta)
+            // file-level URL: no station_name key (the per-station URLs
+            // live in the snapshot rows, ModelIngest.apsVizStations)
+            concat(lit(uiDataUrl), lit("/get_station_data?time_mark="),
+              lit(timemark), lit("&data_source="), lit(dataSource)).as("csvurl"),
+            // appended AFTER the snapshot committed — the append is the
+            // commit marker
+            lit(true).as("ingested")))
       }
     }
     total

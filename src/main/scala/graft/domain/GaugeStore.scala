@@ -28,17 +28,24 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   private def fsys = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
+  /** Backup-dir suffix: wall-clock millis (meaningful ACROSS process
+    * restarts, unlike System.nanoTime whose origin is per-JVM — vacuum
+    * orders backups by this number to restore the newest) plus a
+    * sub-millisecond disambiguator. */
+  private def bakSuffix(): Long =
+    System.currentTimeMillis() * 1000L + (System.nanoTime() / 1000L) % 1000L
+
   /** Crash-safe whole-table swap: PARK the live dir as a backup, rename
     * the tmp into place, then drop the backup. At no point is the only
-    * copy deleted — a crash can strand a `<table>_bak_*` dir (recover
-    * by renaming it back) but never loses data, unlike
-    * delete-then-rename which has a window where the live path is gone
-    * and the data sits only in tmp. */
+    * copy deleted — a crash can strand a `<table>_bak_*` dir (recovered
+    * by [[vacuum]]) but never loses data, unlike delete-then-rename
+    * which has a window where the live path is gone and the data sits
+    * only in tmp. */
   private def swapInto(table: String, tmp: String): Unit = {
     val fs = fsys
     val live = new org.apache.hadoop.fs.Path(path(table))
     val backup = new org.apache.hadoop.fs.Path(path(
-      table + "_bak_" + System.nanoTime()))
+      table + "_bak_" + bakSuffix()))
     val hadLive = fs.exists(live)
     if (hadLive) require(fs.rename(live, backup), s"park failed: $live")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live), s"swap failed: $live")
@@ -156,7 +163,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
       val mainRoot = new org.apache.hadoop.fs.Path(path("gauge_data"))
       val backup = new org.apache.hadoop.fs.Path(path(
-        "gauge_data_backup_" + System.nanoTime()))
+        "gauge_data_bak_" + bakSuffix()))
       fs.mkdirs(backup)
       fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { srcDir =>
         fs.listStatus(srcDir.getPath).filter(_.isDirectory).foreach { dateDir =>
@@ -214,7 +221,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
     val mainRoot = new org.apache.hadoop.fs.Path(path("model_data"))
     val backup = new org.apache.hadoop.fs.Path(path(
-      "model_data_bak_" + System.nanoTime()))
+      "model_data_bak_" + bakSuffix()))
     fs.mkdirs(backup)
     fs.listStatus(tmpRoot)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_date="))
@@ -296,15 +303,12 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   def apsVizStationFileMeta: DataFrame =
     readOrEmpty("apsviz_station_file_meta", Schemas.apsVizStationFileMeta)
 
+  /** Rows carry their own `ingested` commit marker: these ledgers are
+    * only appended AFTER the data they describe committed, so no
+    * false→true rewrite pass exists (unlike the harvest ledgers, whose
+    * two-phase flag makes mid-ingest crashes detectable). */
   def appendApsVizStationFileMeta(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path("apsviz_station_file_meta"))
-
-  def markApsVizStationFileMetaIngested(modelRunId: String, fileNames: Seq[String]): Unit =
-    rewriteSmall("apsviz_station_file_meta",
-      apsVizStationFileMeta.withColumn("ingested",
-        when(col("model_run_id") === modelRunId &&
-          col("file_name").isin(fileNames: _*), lit(true))
-          .otherwise(col("ingested"))))
 
   def retainObsStationFileMeta: DataFrame =
     readOrEmpty("retain_obs_station_file_meta", Schemas.retainObsStationFileMeta)
@@ -312,19 +316,23 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   def appendRetainObsStationFileMeta(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path("retain_obs_station_file_meta"))
 
-  def markRetainObsStationFileMetaIngested(fileNames: Seq[String]): Unit =
-    rewriteSmall("retain_obs_station_file_meta",
-      retainObsStationFileMeta.withColumn("ingested",
-        when(col("file_name").isin(fileNames: _*), lit(true))
-          .otherwise(col("ingested"))))
-
   /** Crash recovery + janitor, safe to run any time (e.g. at process
-    * start): [[swapInto]]'s only crash window leaves the live table dir
-    * missing with the original parked as `<table>_bak_<nanos>` — if
-    * that state is found, the NEWEST backup is restored. Afterwards all
-    * stray `*_tmp` and remaining `*_bak_*` dirs are deleted. Returns a
-    * human-readable action log (restored/deleted paths) for operators
-    * and specs. */
+    * start). Two crash shapes are repaired, then strays are swept:
+    *
+    *  1. whole-table swap ([[swapInto]]) interrupted between park and
+    *     swap: the live table dir is missing, the original sits in
+    *     `<table>_bak_<millis>` — the NEWEST backup is renamed back;
+    *  2. PARTITION swap ([[compactGaugeData]] scoped /
+    *     [[swapModelRunDatePartitions]]) interrupted mid-loop: the
+    *     table dir exists but individual partition dirs were parked
+    *     into the backup and not yet replaced — every parked partition
+    *     whose live counterpart is missing is renamed back (nested
+    *     partitions are parked under flattened `a__b` names).
+    *
+    * Only after both repairs are `*_tmp` and remaining `*_bak_*` dirs
+    * deleted (tmp holds re-derivable repair output, backups at that
+    * point hold only superseded copies). Returns a human-readable
+    * action log for operators and specs. */
   def vacuum(): Seq[String] = {
     val fs = fsys
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -332,16 +340,36 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val entries = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
     val bak = "^(.*)_bak_([0-9]+)$".r
     val actions = scala.collection.mutable.ArrayBuffer[String]()
-    // restore phase: newest backup per base whose live dir is missing
-    entries.flatMap(p => p.getName match {
+    val byBase = entries.flatMap(p => p.getName match {
       case bak(base, ts) => Some((base, ts.toLong, p))
       case _ => None
-    }).groupBy(_._1).foreach { case (base, baks) =>
+    }).groupBy(_._1)
+    // phase 1: whole-table restore (live dir missing entirely)
+    byBase.foreach { case (base, baks) =>
       val live = new org.apache.hadoop.fs.Path(rootPath, base)
       if (!fs.exists(live)) {
         val newest = baks.maxBy(_._2)._3
         require(fs.rename(newest, live), s"restore failed: $newest")
         actions += s"restored $base from ${newest.getName}"
+      }
+    }
+    // phase 2: partition restore (live table exists; parked partition
+    // dirs whose live counterpart is missing go back, newest bak first)
+    byBase.foreach { case (base, baks) =>
+      val live = new org.apache.hadoop.fs.Path(rootPath, base)
+      if (fs.exists(live)) {
+        baks.sortBy(-_._2).foreach { case (_, _, bakDir) =>
+          if (fs.exists(bakDir))
+            fs.listStatus(bakDir).filter(_.isDirectory).foreach { part =>
+              val dest = part.getPath.getName.split("__")
+                .foldLeft(live)((p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+              if (!fs.exists(dest)) {
+                fs.mkdirs(dest.getParent)
+                require(fs.rename(part.getPath, dest), s"restore failed: $dest")
+                actions += s"restored $base/${part.getPath.getName} from ${bakDir.getName}"
+              }
+            }
+        }
       }
     }
     // janitor phase: drop leftover tmp + superseded backups

@@ -31,7 +31,10 @@ object AsOfJoin {
     val keyCols = keys.map(col)
     val payload = struct(payloadCols.map(col): _*)
     val leftType = StructType(left.schema.fields)
-    val r0 = right.select(
+    // a NULL rightTime can never satisfy `rightTime <= leftTime`, but
+    // would sort FIRST (nulls-first ascending) and become every row's
+    // carried payload — exclude it up front
+    val r0 = right.filter(col(rightTime).isNotNull).select(
       (keyCols :+ col(rightTime).as("__t") :+ payload.as("__p") :+
         lit(0).as("__side")): _*)
     val r = r0.withColumn("__l", lit(null).cast(leftType))

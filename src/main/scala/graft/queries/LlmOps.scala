@@ -687,7 +687,9 @@ object LlmOps {
     QueryDef.sql(
       "v3_quantize_check", {
         val amax = "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
-        val q = s"CAST(floor(CAST(x AS DOUBLE) * 127.0 / $amax) AS BIGINT)"
+        // all-zero vectors quantize to 0 (guarded — 0.0/0.0 is NaN and
+        // DuckDB's CAST(floor(NaN) AS BIGINT) errors out)
+        val q = s"CASE WHEN $amax = 0 THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / $amax) AS BIGINT) END"
         s"""SELECT vec_id,
            |  CAST(len(embedding) AS INTEGER) AS n_dims,
            |  CAST(floor($amax * 1000000.0) AS BIGINT) AS amax_scaled,
@@ -697,7 +699,8 @@ object LlmOps {
       }) { (s, dir) =>
       val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       val q = transform(col("embedding"),
-        x => floor(x.cast("double") * lit(127.0) / amax).cast("long"))
+        x => when(amax === 0, lit(0L))
+          .otherwise(floor(x.cast("double") * lit(127.0) / amax).cast("long")))
       Tables.embeddings(s, dir).select(
         col("vec_id"),
         size(col("embedding")).as("n_dims"),

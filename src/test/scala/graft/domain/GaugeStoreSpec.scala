@@ -113,4 +113,30 @@ class GaugeStoreSpec extends SparkSuite {
     // idempotent: nothing left to do
     assert(store.vacuum().isEmpty)
   }
+
+  test("vacuum restores parked PARTITION dirs when the table itself survived") {
+    val root = Files.createTempDirectory("graft-store5").toString
+    val store = new GaugeStore(spark, root)
+    val fact = Seq(
+      ("2023-04-23 12:00:00", "2023-04-23 13:00:00", 1.0),
+      ("2023-04-24 12:00:00", "2023-04-24 13:00:00", 2.0))
+      .toDF("tm", "t", "water_level")
+      .select(lit(7L).as("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"),
+        lit(null).cast("double").as("wave_height"), lit("x").as("proc"))
+    store.appendModelData(fact)
+    assert(store.modelData.count() == 2)
+    // simulate a partition swap crash: one run_date parked into the
+    // backup, never replaced — the table dir itself still exists
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    fs.mkdirs(p("model_data_bak_99"))
+    assert(fs.rename(p("model_data/run_date=2023-04-23"),
+      p("model_data_bak_99/run_date=2023-04-23")))
+    assert(store.modelData.count() == 1)           // partition gone
+    val actions = store.vacuum()
+    assert(actions.exists(_.contains("restored model_data/run_date=2023-04-23")))
+    assert(store.modelData.count() == 2)           // partition back
+    assert(!fs.exists(p("model_data_bak_99")))
+  }
 }

@@ -14,9 +14,12 @@ class AsOfJoinSpec extends SparkSuite {
       (2L, 9L, "d"))   // other key, only right at 7
       .toDF("k", "t", "tag")
     val right = Seq(
-      (1L, 3L, 30.0),
-      (1L, 5L, 50.0),
-      (2L, 7L, 70.0))
+      (1L, Some(3L), 30.0),
+      (1L, Some(5L), 50.0),
+      (2L, Some(7L), 70.0),
+      // NULL rightTime can never satisfy rt <= t — must be ignored, not
+      // sorted first and carried into every row
+      (1L, None, 99.0))
       .toDF("k", "rt", "v")
 
     val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends SparkSuite {
   import spark.implicits._
 
-  test("as-of join: latest prior right row per key, inclusive ties, null when none") {
+  private def semanticsCase(timeBuckets: Int): Unit = {
     val left = Seq(
       (1L, 5L, "a"),   // after rights at 3 and 5 → tie at 5 is INCLUSIVE
       (1L, 4L, "b"),   // between rights 3 and 5 → matches 3
@@ -22,7 +22,8 @@ class AsOfJoinSpec extends SparkSuite {
       (1L, None, 99.0))
       .toDF("k", "rt", "v")
 
-    val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+    val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"),
+      timeBuckets = timeBuckets)
       .orderBy("k", "t")
       .collect()
 
@@ -35,14 +36,97 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.length == 4 && out.forall(_.schema.fieldNames.contains("tag")))
   }
 
-  test("as-of join: plan has exactly one exchange (no range explosion)") {
+  test("as-of join: latest prior right row per key, inclusive ties, null when none (two-phase default)") {
+    semanticsCase(timeBuckets = 32)
+  }
+
+  test("as-of join: same semantics on the single-exchange plan") {
+    semanticsCase(timeBuckets = 1)
+  }
+
+  test("as-of join: NULL keys never match, on either side") {
+    val left = Seq(
+      (Some(1L), 5L, "a"),
+      (None, 5L, "n"))     // null key — must NOT pick up the null-key right row
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), 3L, 30.0),
+      (None, 2L, 99.0))    // null-key right row matches nothing
+      .toDF("k", "rt", "v")
+    for (buckets <- Seq(1, 32)) {
+      val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        timeBuckets = buckets).collect()
+      val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+      assert(byTag("a").getAs[Double]("asof_v") == 30.0)
+      assert(byTag("n").isNullAt(byTag("n").fieldIndex("asof_v")),
+        s"null-key left row matched with timeBuckets=$buckets")
+    }
+  }
+
+  test("as-of join: timeBuckets=1 plan has exactly one exchange (no range explosion)") {
     val left = (1L to 100L).map(i => (i % 5, i)).toDF("k", "t")
     val right = (1L to 50L).map(i => (i % 5, i, i * 1.0)).toDF("k", "rt", "v")
-    val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+    val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      timeBuckets = 1)
     assert(out.count() == 100)
     val plan = out.queryExecution.executedPlan.toString
     // one shuffle on the key for the union+window; no join node at all
     assert(!plan.contains("Join"))
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+  }
+
+  test("as-of join: a dominant key is processed by more than one task") {
+    // 10:1 skew onto key 1 — the round-2 hazard was the whole hot key
+    // sorting inside ONE window task. Inputs MUST be file-backed: the
+    // optimizer folds an all-LocalRelation pipeline to a driver-side
+    // LocalRelation, which would evaluate spark_partition_id() as a
+    // constant 0 and void the assertion.
+    val dir = java.nio.file.Files.createTempDirectory("asof_skew").toString
+    ((1L to 600L).map(t => (1L, t)) ++
+      (1L to 60L).map(t => (2L, t))).toDF("k", "t")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    ((1L to 1000L by 3).map(t => (1L, t, t * 1.0)) ++
+      (1L to 60L by 3).map(t => (2L, t, t * 1.0))).toDF("k", "rt", "v")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = spark.read.parquet(s"$dir/right")
+
+    // AQE would legitimately coalesce these toy-sized shuffle partitions
+    // back into one; at real scale they stay separate. Pin it off so the
+    // assertion measures the partitioning function, not the data size.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        timeBuckets = 8)
+      // No shuffle after the (k, __b) window (broadcast join + project
+      // preserve partitioning), so spark_partition_id() on the result IS
+      // the window task that processed each row.
+      val hotTasks = out.withColumn("pid", spark_partition_id())
+        .filter(col("k") === 1L)
+        .agg(countDistinct(col("pid")).as("n")).head().getLong(0)
+      assert(hotTasks > 1, s"hot key confined to $hotTasks window task(s)")
+
+      // and the window itself is keyed by (k, __b), not k alone.
+      // (String match: AdaptiveSparkPlanExec hides the final plan from
+      // TreeNode.collect, but prints it.)
+      val planStr = out.queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\(k#\\d+L?, __b#\\d+, __t".r
+        .findFirstIn(planStr).isDefined,
+        s"no (key, bucket) window in plan:\n$planStr")
+
+      // correctness under skew vs the naive argmax reference
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_v"))))).toMap
+      val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      left.collect().foreach { lr =>
+        val (k, t) = (lr.getLong(0), lr.getLong(1))
+        val expect = rights.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got((k, t)) == expect, s"k=$k t=$t")
+      }
+    } finally spark.conf.set(coalesceKey, before)
   }
 }

@@ -163,7 +163,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
       val mainRoot = new org.apache.hadoop.fs.Path(path("gauge_data"))
       val backup = new org.apache.hadoop.fs.Path(path(
-        "gauge_data_bak_" + bakSuffix()))
+        "gauge_data_pbak_" + bakSuffix()))
       fs.mkdirs(backup)
       fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { srcDir =>
         fs.listStatus(srcDir.getPath).filter(_.isDirectory).foreach { dateDir =>
@@ -217,20 +217,29 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val tmp = path("model_data_tmp")
     df.withColumn("run_date", to_date(col("timemark")))
       .write.mode(SaveMode.Overwrite).partitionBy("run_date").parquet(tmp)
+    swapPartitions("model_data", tmp, "run_date=")
+  }
+
+  /** Park-then-swap every `<partPrefix>...` dir from `tmp` into
+    * `table`: displaced live partitions go to a `_pbak_` dir until all
+    * renames land ([[vacuum]] recovers a mid-loop crash), then backup
+    * and tmp are dropped. */
+  private def swapPartitions(table: String, tmp: String, partPrefix: String): Unit = {
     val fs = fsys
     val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
-    val mainRoot = new org.apache.hadoop.fs.Path(path("model_data"))
+    val mainRoot = new org.apache.hadoop.fs.Path(path(table))
     val backup = new org.apache.hadoop.fs.Path(path(
-      "model_data_bak_" + bakSuffix()))
+      table + "_pbak_" + bakSuffix()))
     fs.mkdirs(backup)
+    fs.mkdirs(mainRoot)
     fs.listStatus(tmpRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_date="))
-      .foreach { dateDir =>
-        val dest = new org.apache.hadoop.fs.Path(mainRoot, dateDir.getPath.getName)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      .foreach { partDir =>
+        val dest = new org.apache.hadoop.fs.Path(mainRoot, partDir.getPath.getName)
         if (fs.exists(dest))
-          require(fs.rename(dest, new org.apache.hadoop.fs.Path(backup, dateDir.getPath.getName)),
+          require(fs.rename(dest, new org.apache.hadoop.fs.Path(backup, partDir.getPath.getName)),
             s"park failed: $dest")
-        require(fs.rename(dateDir.getPath, dest), s"swap failed: $dest")
+        require(fs.rename(partDir.getPath, dest), s"swap failed: $dest")
       }
     fs.delete(backup, true)
     fs.delete(tmpRoot, true)
@@ -282,19 +291,40 @@ final class GaugeStore(spark: SparkSession, val root: String) {
   // ---- model harvest-file ledger (drf_harvest_model_file_meta,
   // ingestModelTasks.py:251; one row per ingested run file) ----------
 
+  /** Partitioned by model_run_id: the ledger grows with run history,
+    * so per-run UPDATEs ([[markModelIngested]]) and the per-run filters
+    * in the rerun gate must touch one run's directory, not the whole
+    * ledger. The explicit read schema keeps the partition column a
+    * plain string (no partition-value type inference) and pins column
+    * order. */
   def modelLedger: DataFrame =
-    readOrEmpty("ledger_model", Schemas.harvestModelFileMeta)
+    if (new java.io.File(path("ledger_model")).exists())
+      spark.read.schema(Schemas.harvestModelFileMeta).parquet(path("ledger_model"))
+    else emptyFrame(Schemas.harvestModelFileMeta)
 
   def appendModelLedger(df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path("ledger_model"))
+    df.write.mode(SaveMode.Append).partitionBy("model_run_id")
+      .parquet(path("ledger_model"))
 
   /** UPDATE ingested=True scoped to one run's files
-    * (ingestModelTasks.py:368-372). */
-  def markModelIngested(modelRunId: String, fileNames: Seq[String]): Unit =
-    rewriteSmall("ledger_model", modelLedger.withColumn("ingested",
-      when(col("model_run_id") === modelRunId &&
-        col("file_name").isin(fileNames: _*), lit(true))
-        .otherwise(col("ingested"))))
+    * (ingestModelTasks.py:368-372). Rewrites ONLY that run's partition
+    * — O(one run's file count) regardless of ledger history length.
+    * Collected through the driver because the plan reads the partition
+    * being replaced. */
+  def markModelIngested(modelRunId: String, fileNames: Seq[String]): Unit = {
+    val updated = modelLedger.filter(col("model_run_id") === modelRunId)
+      .withColumn("ingested",
+        when(col("file_name").isin(fileNames: _*), lit(true))
+          .otherwise(col("ingested")))
+    val local = updated.collect().toIndexedSeq
+    if (local.nonEmpty) {
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.parallelize(local, 1), updated.schema)
+      val tmp = path("ledger_model_tmp")
+      fresh.write.mode(SaveMode.Overwrite).partitionBy("model_run_id").parquet(tmp)
+      swapPartitions("ledger_model", tmp, "model_run_id=")
+    }
+  }
 
   // ---- apsviz / retain-obs station meta-file ledgers
   // (drf_apsviz_station_file_meta, ingestModelTasks.py:295;
@@ -325,11 +355,18 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     *  2. PARTITION swap ([[compactGaugeData]] scoped /
     *     [[swapModelRunDatePartitions]]) interrupted mid-loop: the
     *     table dir exists but individual partition dirs were parked
-    *     into the backup and not yet replaced — every parked partition
-    *     whose live counterpart is missing is renamed back (nested
-    *     partitions are parked under flattened `a__b` names).
+    *     into a `<table>_pbak_<millis>` dir and not yet replaced —
+    *     every parked partition whose live counterpart is missing is
+    *     renamed back (nested partitions are parked under flattened
+    *     `a__b` names).
     *
-    * Only after both repairs are `*_tmp` and remaining `*_bak_*` dirs
+    * The two suffixes are deliberately distinct: partition restore
+    * mines ONLY `_pbak_` dirs. A whole-table `_bak_` stranded after
+    * swapInto's swap-but-before-delete holds a superseded full copy —
+    * mining IT for "missing" partition dirs would resurrect partitions
+    * a rewrite legitimately dropped.
+    *
+    * Only after both repairs are `*_tmp` and remaining backup dirs
     * deleted (tmp holds re-derivable repair output, backups at that
     * point hold only superseded copies). Returns a human-readable
     * action log for operators and specs. */
@@ -338,9 +375,11 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) return Seq.empty
     val entries = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-    val bak = "^(.*)_bak_([0-9]+)$".r
+    val bak = "^(.*)_bak_([0-9]+)$".r   // does NOT match `_pbak_` names
+    val pbak = "^(.*)_pbak_([0-9]+)$".r
     val actions = scala.collection.mutable.ArrayBuffer[String]()
     val byBase = entries.flatMap(p => p.getName match {
+      case pbak(_, _) => None
       case bak(base, ts) => Some((base, ts.toLong, p))
       case _ => None
     }).groupBy(_._1)
@@ -353,28 +392,36 @@ final class GaugeStore(spark: SparkSession, val root: String) {
         actions += s"restored $base from ${newest.getName}"
       }
     }
-    // phase 2: partition restore (live table exists; parked partition
-    // dirs whose live counterpart is missing go back, newest bak first)
-    byBase.foreach { case (base, baks) =>
+    // phase 2: partition restore, from partition-scoped parks ONLY
+    // (live table exists; parked partition dirs whose live counterpart
+    // is missing go back, newest park first)
+    entries.flatMap(p => p.getName match {
+      case pbak(base, ts) => Some((base, ts.toLong, p))
+      case _ => None
+    }).groupBy(_._1).foreach { case (base, parks) =>
       val live = new org.apache.hadoop.fs.Path(rootPath, base)
-      if (fs.exists(live)) {
-        baks.sortBy(-_._2).foreach { case (_, _, bakDir) =>
-          if (fs.exists(bakDir))
-            fs.listStatus(bakDir).filter(_.isDirectory).foreach { part =>
-              val dest = part.getPath.getName.split("__")
-                .foldLeft(live)((p, seg) => new org.apache.hadoop.fs.Path(p, seg))
-              if (!fs.exists(dest)) {
-                fs.mkdirs(dest.getParent)
-                require(fs.rename(part.getPath, dest), s"restore failed: $dest")
-                actions += s"restored $base/${part.getPath.getName} from ${bakDir.getName}"
-              }
+      // no liveness guard: a parked partition was live moments before
+      // the crash, so it is restored even if the table dir itself is
+      // gone (mkdirs recreates it) — otherwise the janitor below would
+      // delete the only copy
+      parks.sortBy(-_._2).foreach { case (_, _, parkDir) =>
+        if (fs.exists(parkDir))
+          fs.listStatus(parkDir).filter(_.isDirectory).foreach { part =>
+            val dest = part.getPath.getName.split("__")
+              .foldLeft(live)((p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+            if (!fs.exists(dest)) {
+              fs.mkdirs(dest.getParent)
+              require(fs.rename(part.getPath, dest), s"restore failed: $dest")
+              actions += s"restored $base/${part.getPath.getName} from ${parkDir.getName}"
             }
-        }
+          }
       }
     }
     // janitor phase: drop leftover tmp + superseded backups
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).foreach { p =>
-      val stray = p.getName.endsWith("_tmp") || bak.findFirstIn(p.getName).isDefined
+      val stray = p.getName.endsWith("_tmp") ||
+        bak.findFirstIn(p.getName).isDefined ||
+        pbak.findFirstIn(p.getName).isDefined
       if (stray) { fs.delete(p, true); actions += s"deleted ${p.getName}" }
     }
     actions.toSeq

@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
   *    round-tripped through Spark's CSV source.
   *  - F11/F12: isnull guard + nested-list flatten.
   *
-  * S4 (parameterized JDBC scan) has no in-container server; its
-  * observable semantics — predicate-pushdown parameterized scan — are
-  * p5_eq_filter/p7_time_range over the parquet source, and
-  * `spark.read.jdbc` would slot into Tables unchanged.
+  * S4 (parameterized JDBC scan) is proven directly against an embedded
+  * Derby database in sources.JdbcScanSpec (scan + write sink, pushdown
+  * asserted); p5_eq_filter/p7_time_range exercise the same predicate
+  * shapes over the parquet source for the hash-oracle gate.
   */
 object Coverage {
 

@@ -690,10 +690,15 @@ object LlmOps {
         // all-zero vectors quantize to 0 (guarded — 0.0/0.0 is NaN and
         // DuckDB's CAST(floor(NaN) AS BIGINT) errors out)
         val q = s"CASE WHEN $amax = 0 THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / $amax) AS BIGINT) END"
+        // empty-vector guard: DuckDB list_sum([]) is NULL while the
+        // Spark side's aggregate seeds 0L — pin q_sum to 0 at len=0 so
+        // both engines agree if empty embeddings ever appear
         s"""SELECT vec_id,
            |  CAST(len(embedding) AS INTEGER) AS n_dims,
            |  CAST(floor($amax * 1000000.0) AS BIGINT) AS amax_scaled,
-           |  CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT) AS q_sum,
+           |  CASE WHEN len(embedding) = 0 THEN 0
+           |       ELSE CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT)
+           |  END AS q_sum,
            |  CAST(len(list_filter(embedding, x -> abs($q) >= 127)) AS INTEGER) AS n_sat
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }) { (s, dir) =>

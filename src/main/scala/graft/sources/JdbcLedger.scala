@@ -34,4 +34,26 @@ object JdbcLedger {
         .option("url", url)
         .option("dbtable", table)) { case (r, (k, v)) => r.option(k, v) }
       .load()
+
+  /** Write `df` into `table` over JDBC — the sink direction of the
+    * reference's load path (`COPY FROM STDIN`,
+    * ingestObsTasks.py:145-149, :384-388). Each input partition opens
+    * one connection and streams batched INSERTs, so the load
+    * parallelizes across executors the way the reference's per-process
+    * COPY does; `batchsize` tunes rows per round-trip and
+    * `numPartitions` caps concurrent connections.
+    *
+    * When Spark creates the table, pass `createTableColumnTypes` for
+    * string columns: several dialects (Derby included) default
+    * StringType to CLOB/TEXT types the database then refuses to use in
+    * WHERE comparisons, which would break pushdown on a later scan.
+    */
+  def store(df: DataFrame, url: String, table: String,
+      mode: String = "append",
+      options: Map[String, String] = Map.empty): Unit =
+    options.foldLeft(
+      df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)) { case (w, (k, v)) => w.option(k, v) }
+      .mode(mode).save()
 }

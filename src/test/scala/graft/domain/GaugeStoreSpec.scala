@@ -130,13 +130,43 @@ class GaugeStoreSpec extends SparkSuite {
     // backup, never replaced — the table dir itself still exists
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
-    fs.mkdirs(p("model_data_bak_99"))
+    fs.mkdirs(p("model_data_pbak_99"))
     assert(fs.rename(p("model_data/run_date=2023-04-23"),
-      p("model_data_bak_99/run_date=2023-04-23")))
+      p("model_data_pbak_99/run_date=2023-04-23")))
     assert(store.modelData.count() == 1)           // partition gone
     val actions = store.vacuum()
     assert(actions.exists(_.contains("restored model_data/run_date=2023-04-23")))
     assert(store.modelData.count() == 2)           // partition back
-    assert(!fs.exists(p("model_data_bak_99")))
+    assert(!fs.exists(p("model_data_pbak_99")))
+  }
+
+  test("vacuum does NOT mine a whole-table backup for partitions the rewrite dropped") {
+    // swapInto crash window AFTER the swap, before backup delete: the
+    // new table is live (legitimately missing a partition the rewrite
+    // dropped), the superseded full copy sits in _bak_. Restoring that
+    // partition would resurrect deleted data.
+    val root = Files.createTempDirectory("graft-store6").toString
+    val store = new GaugeStore(spark, root)
+    val fact = Seq(
+      ("2023-04-23 12:00:00", "2023-04-23 13:00:00", 1.0),
+      ("2023-04-24 12:00:00", "2023-04-24 13:00:00", 2.0))
+      .toDF("tm", "t", "water_level")
+      .select(lit(7L).as("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"),
+        lit(null).cast("double").as("wave_height"), lit("x").as("proc"))
+    store.appendModelData(fact)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    // park the FULL old table (as swapInto does), make the live table a
+    // rewrite that dropped the 04-23 partition
+    assert(fs.rename(p("model_data"), p("model_data_bak_77")))
+    fs.mkdirs(p("model_data"))
+    assert(fs.rename(p("model_data_bak_77/run_date=2023-04-24"),
+      p("model_data/run_date=2023-04-24")))
+    val actions = store.vacuum()
+    assert(!actions.exists(_.contains("restored model_data/")),
+      s"whole-table backup was mined for partitions: $actions")
+    assert(store.modelData.count() == 1)           // dropped stays dropped
+    assert(!fs.exists(p("model_data_bak_77")))     // superseded copy swept
   }
 }

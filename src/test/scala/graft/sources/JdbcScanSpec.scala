@@ -58,4 +58,65 @@ class JdbcScanSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("data_source"))
     assert(plan.toLowerCase.contains("ingested"))
   }
+
+  test("jdbc write sink: the obs ledger round-trips through the database (S5 load path)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-w")}/sinkdb;create=true"
+    val ledger = Seq(
+      ("a.csv", "tidal_gauge", "noaa", false, "2023-04-23 12:00:00"),
+      ("b.csv", "tidal_gauge", "noaa", false, "2023-04-23 18:00:00"),
+      ("d.csv", "ocean_buoy", "ndbc", true, "2023-04-23 06:00:00"))
+      .toDF("file_name", "data_source", "source_name", "ingested", "ts")
+      .withColumn("data_date_time", col("ts").cast("timestamp")).drop("ts")
+
+    // VARCHAR override: the Derby dialect's default StringType→CLOB
+    // cannot appear in a WHERE clause, which would kill pushdown below
+    val types = "file_name VARCHAR(128), data_source VARCHAR(64), source_name VARCHAR(64)"
+    JdbcLedger.store(ledger, url, "obs_ledger", mode = "overwrite",
+      options = Map("createTableColumnTypes" -> types))
+
+    val back = JdbcLedger.scan(spark, url, "obs_ledger")
+    assert(back.columns.sorted.toSeq ==
+      Seq("data_date_time", "data_source", "file_name", "ingested", "source_name"))
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("file_name")
+    assert(back.collect().sortBy(key).map(_.toString).toSeq ==
+      ledger.select(back.columns.map(col).toSeq: _*)
+        .collect().sortBy(key).map(_.toString).toSeq)
+
+    // append mode adds without clobbering, and pushdown works on the
+    // written table (VARCHAR, not CLOB)
+    JdbcLedger.store(ledger.filter(col("file_name") === "a.csv")
+      .withColumn("file_name", lit("e.csv")), url, "obs_ledger")
+    val unprocessed = JdbcLedger.scan(spark, url, "obs_ledger")
+      .filter(col("source_name") === "noaa" && !col("ingested"))
+    assert(unprocessed.count() == 3)
+    assert(unprocessed.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
+  test("S9 composed end-to-end over JDBC: config_item hop -> run-property pivot") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-s9")}/dashdb;create=true"
+    val eav = Seq(
+      (4358L, "uid1", "suite.model", "adcirc"),
+      (4358L, "uid1", "ADCIRCgrid", "ec95d"),
+      (4358L, "uid1", "forcing.ensemblename", "gfsforecast"),
+      (4358L, "uid1", "storm", "none"),
+      (4358L, "uid1", "not.a.key", "dropme"),
+      (9999L, "uid2", "suite.model", "other"))
+      .toDF("instance_id", "uid", "key", "value")
+    JdbcLedger.store(eav, url, "config_item", mode = "overwrite",
+      options = Map("createTableColumnTypes" ->
+        "uid VARCHAR(64), key VARCHAR(64), value VARCHAR(256)"))
+
+    // getDashboardMeta.py:29-50 — uid -> instance_id hop, then the A6
+    // pivot, with the dashboard DB genuinely behind JDBC
+    val remote = graft.sources.JdbcLedger.scan(spark, url, "config_item")
+    val props = graft.domain.ModelIngest.runPropertiesForUid(remote, "uid1")
+    val row = props.collect() match { case Array(r) => r }
+    assert(row.getAs[Long]("instance_id") == 4358L)
+    assert(row.getAs[String]("suite.model") == "adcirc")
+    assert(row.getAs[String]("ADCIRCgrid") == "ec95d")
+    assert(row.getAs[String]("stormname") == null)
+    assert(!props.columns.contains("not.a.key"))
+  }
 }

@@ -6,11 +6,25 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout (driver contract). A
   * warmup pass absorbs JVM/codegen/scan-init cost so per-query numbers
   * reflect steady-state execution.
+  *
+  * Runs the whole suite N times (arg 1 or SPARK_GRAFT_RUNS, default 3)
+  * and reports per-query MEDIANS plus every run's total — a single
+  * loaded-box sample is then self-diagnosing: wide spread between the
+  * "totals" entries means box noise, not a plan regression (round-2's
+  * official record was inflated ~7x exactly this way).
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runsN = args.headOption.orElse(sys.env.get("SPARK_GRAFT_RUNS"))
+      .map(_.toInt).getOrElse(3).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,19 +46,27 @@ object Bench {
 
     // a failed query is reported as -1.0 (and listed in "failed"), never
     // as its short elapsed time — a broken query must not read as fast
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val perRun: Seq[Map[String, Double]] = (1 to runsN).map { r =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (run $r): ${e.getMessage}"); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
+    val totals = perRun.map(_.values.filter(_ >= 0).sum)
+    val results = names.map { case (name, _) =>
+      val good = perRun.map(_(name)).filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else median(good))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val totalsJson = totals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${median(totals)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runsN,"totals":$totalsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,6 @@ object IngestCli {
     val opts = args.drop(1).grouped(2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    def req(k: String) = opts.getOrElse(k, sys.error(s"missing --$k"))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -32,6 +31,14 @@ object IngestCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try runTask(spark, task, opts)
+    finally spark.stop()
+  }
+
+  /** Task dispatch, separated from main so specs can drive the CLI
+    * surface against a shared session. */
+  def runTask(spark: SparkSession, task: String, opts: Map[String, String]): Unit = {
+    def req(k: String) = opts.getOrElse(k, sys.error(s"missing --$k"))
 
     task match {
       case "SeedStations" =>
@@ -96,9 +103,71 @@ object IngestCli {
         println(QueryApi.jsonAgg(df, "time_stamp",
           df.columns.filterNot(_ == "time_stamp").toSeq))
 
+      case "ArchiveHistorical" =>
+        // mvHistADCIRCFiles.py's runnable entry (:204+): decode every
+        // long-form historical harvest file under --histDir, cross-check
+        // against the dashboard config_item store (--configItems
+        // parquet/CSV path, or --configDb JDBC url [+ --configTable]),
+        // archive the matches into per-run dirs, and with --ingest true
+        // chain a model ingest per produced run dir — the manifest
+        // carries everything each run's ingest needs.
+        import spark.implicits._
+        val histDir = req("histDir")
+        // candidates = long-form historical names only (10+ segments:
+        // model_storm_location_ENSEMBLE_GRID_FORECAST_STATIONTYPE_
+        // advisory_currentdate_timestamp); anything shorter would trip
+        // the ANSI element_at in the positional decode, and meta files
+        // ride along with their data file
+        val files = Option(new java.io.File(histDir).listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            val segs = f.getName.split("_")
+            f.isFile && f.getName.endsWith(".csv") &&
+              segs.length >= 10 && !segs.contains("meta")
+          }
+          .map(_.getName).toSeq.sorted
+        val configItems = opts.get("configDb") match {
+          case Some(url) => graft.sources.JdbcLedger.scan(spark, url,
+            opts.getOrElse("configTable", "config_item"))
+          case None =>
+            val p = req("configItems")
+            if (p.endsWith(".csv"))
+              spark.read.option("header", "true").csv(p)
+                .withColumn("instance_id", col("instance_id").cast("long"))
+            else spark.read.parquet(p)
+        }
+        val man = HistoricalArchive.manifest(
+          HistoricalArchive.decodeFileNames(files.toDF("file_name")),
+          configItems, histDir).cache()
+        val runDirs = HistoricalArchive.archive(spark, man)
+        println(s"archived ${man.count()} files into ${runDirs.length} run dirs")
+        if (opts.get("ingest").contains("true")) {
+          val store = new GaugeStore(spark, req("store"))
+          store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
+          val runs = man.select("run_id", "ensemble_db", "ADCIRCgrid_db",
+            "storm_db", "forcing", "instance", "advisory_db", "timemark")
+            .distinct().collect()
+          var total = 0L
+          runs.foreach { r =>
+            val runId = r.getAs[String]("run_id")
+            total += modelRunIngest(spark, store,
+              runDir = s"$histDir/$runId", modelRunId = runId,
+              timemark = r.getAs[String]("timemark"),
+              ensemble = r.getAs[String]("ensemble_db"),
+              grid = r.getAs[String]("ADCIRCgrid_db"),
+              storm = Option(r.getAs[String]("storm_db"))
+                .filterNot(s => s == "none" || s == "None"),
+              sourceInstance = r.getAs[String]("instance"),
+              forcingMetclass = r.getAs[String]("forcing"),
+              uiDataUrl = opts.getOrElse("uiDataUrl", "https://ui.example"),
+              processingDatetime = opts.get("now"),
+              advisory = Option(r.getAs[String]("advisory_db")))
+          }
+          println(s"ingested $total model files from ${runs.length} archived runs")
+        }
+        man.unpersist()
+
       case other => sys.error(s"unknown task: $other")
     }
-    spark.stop()
   }
 
   def loadCatalog(spark: SparkSession, path: String): Seq[SourceMeta] = {

@@ -96,7 +96,15 @@ object HistoricalArchive {
       col("storm").as("storm_file"),
       col("physical_location").as("location_file"),
       col("advisory").as("advisory_file"),
-      col("adcirc_grid").as("ADCIRCgrid_file"))
+      col("adcirc_grid").as("ADCIRCgrid_file"),
+      // the run's ISO timemark, rebuilt from the file-name time fields
+      // — carried so ArchiveHistorical --ingest can chain each archived
+      // run straight into modelRunIngest without re-decoding
+      concat(
+        substring(col("time_currentdate"), 1, 4), lit("-"),
+        substring(col("time_currentdate"), 5, 2), lit("-"),
+        substring(col("time_currentdate"), 7, 2), lit("T"),
+        lpad(col("time_currentcycle"), 2, "0"), lit(":00:00")).as("timemark"))
     fromFile
       .join(iids, "uid")
       .join(props, Seq("instance_id", "uid"))
@@ -117,7 +125,8 @@ object HistoricalArchive {
         col("location_db"), col("location_file"),
         col("advisory_db"), col("advisory_file"),
         col("ADCIRCgrid_db"), col("ADCIRCgrid_file"),
-        col("forcing"), col("instance"), col("station_type"))
+        col("forcing"), col("instance"), col("station_type"),
+        col("timemark"))
   }
 
   /** Re-lay manifest files into per-run sub-directories under the short

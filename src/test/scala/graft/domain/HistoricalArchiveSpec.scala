@@ -104,4 +104,44 @@ class HistoricalArchiveSpec extends SparkSuite {
     assert(n == 1)
     assert(store.modelData.count() == 2)
   }
+
+  test("ArchiveHistorical CLI task: messy dir -> archived layout -> chained ingest") {
+    val root = Files.createTempDirectory("graft-hist-cli").toString
+    def writeFile(name: String, content: String): Unit =
+      Files.write(Paths.get(root, name), content.getBytes)
+    writeFile(fname,
+      "TIME,STATION,WATER_LEVEL\n" +
+      "2023-04-23T13:00:00,8410140,0.50\n" +
+      "2023-04-23T14:00:00,8410140,0.60")
+    writeFile("adcirc_meta" + fname.stripPrefix("adcirc"), "STATION\n8410140")
+    writeFile(wrongGrid, // fails the grid cross-check, must not archive
+      "TIME,STATION,WATER_LEVEL\n2023-04-23T13:00:00,8410140,9.9")
+    eav.write.parquet(s"$root/config_item")
+    Files.write(Paths.get(root, "geom.csv"),
+      "8410140,44.9,-66.9,gmt,NOAA,Eastport,tidal,us,me,Wash,01A".getBytes)
+
+    graft.IngestCli.runTask(spark, "SeedStations", Map(
+      "stations" -> s"$root/geom.csv", "store" -> s"$root/store"))
+    graft.IngestCli.runTask(spark, "ArchiveHistorical", Map(
+      "histDir" -> root, "configItems" -> s"$root/config_item",
+      "ingest" -> "true", "store" -> s"$root/store",
+      "now" -> "2023-04-23T15:00:00"))
+
+    val runDir = s"$root/4358-2023042306-gfsforecast"
+    assert(Files.exists(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv")))
+    assert(Files.exists(Paths.get(runDir, "meta_FORECAST_NOAASTATIONS.csv")))
+    val store = new GaugeStore(spark, s"$root/store")
+    assert(store.modelData.count() == 2)            // the good file's rows
+    assert(store.modelLedger.filter(col("ingested")).count() == 1)
+    // same-stamp re-run (crash-retry shape): archive is idempotent and
+    // the ledger gates re-ingest to 0 new files. (A re-run with a NEW
+    // stamp is a genuine rerun — it re-ingests and the rerun gate
+    // repairs, per ingestModelTasks.py:375-387.)
+    graft.IngestCli.runTask(spark, "ArchiveHistorical", Map(
+      "histDir" -> root, "configItems" -> s"$root/config_item",
+      "ingest" -> "true", "store" -> s"$root/store",
+      "now" -> "2023-04-23T15:00:00"))
+    assert(store.modelData.count() == 2)
+    assert(store.modelLedger.count() == 1)
+  }
 }

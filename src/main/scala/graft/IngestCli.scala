@@ -244,11 +244,10 @@ object IngestCli {
     try {
       val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
       if (freshNames.nonEmpty) {
-          // materialize everything read from `fresh` BEFORE the ledger
-          // is appended/rewritten below: fresh's plan anti-joins the
-          // ledger files, and a cache eviction after markIngested would
-          // recompute against the REWRITTEN ledger (empty result or
-          // dangling file reads)
+          // materialize everything read from `fresh` up front: fresh's
+          // plan anti-joins the ledger files, and a cache eviction
+          // after the commit below would recompute against the GROWN
+          // ledger (empty result or dangling file reads)
           val loadable = fresh.filter(!col("ingested"))
             .select("file_name").collect().map(_.getString(0))
           val retainSeed = fresh.filter(!col("ingested"))
@@ -257,32 +256,43 @@ object IngestCli {
               date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
               date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
             .collect().toIndexedSeq
-          if (loadable.nonEmpty) {
-            val fact = ObsIngest.ingestSource(spark, meta, stations,
-              loadable.toIndexedSeq.map(f => s"$harvestDir/$f"): _*)
-            // bounds as session-TZ strings: Timestamp.toString renders in
-            // the JVM default zone and can shift the scope across a
-            // partition-date boundary when driver TZ != session TZ
-            val bounds = fact.agg(
-              date_format(min("time"), "yyyy-MM-dd HH:mm:ss").as("lo"),
-              date_format(max("time"), "yyyy-MM-dd HH:mm:ss").as("hi")).collect()(0)
-            // all rows may have been dropped (e.g. only unregistered
-            // stations): nothing to load, but the ledger must still
-            // commit below or the file re-fails forever
-            if (!bounds.isNullAt(0)) {
-              val deduped = ObsIngest.dedupFact(fact,
-                lit(bounds.getString(0)), lit(bounds.getString(1)))
-              store.appendGaugeData(deduped, meta.data_source)
-              // repair scoped to this source's batch date range —
-              // other sources/dates never rewrite
-              if (store.hasGaugeData) store.compactGaugeData(
-                Some((bounds.getString(0).substring(0, 10),
-                  bounds.getString(1).substring(0, 10))),
-                Some(meta.data_source))
+          // fact batch + ledger rows publish as ONE atomic commit (the
+          // reference's COPY + UPDATE ingested inside one transaction,
+          // ingestObsTasks.py:145-149/:405-409): ledger rows stage
+          // already ingested=true — there is no observable state where
+          // the fact landed without its ledger mark or vice versa, so
+          // crash recovery needs no rerun-gate repair for this window
+          var bounds: Option[(String, String)] = None
+          store.atomicCommit(store.newCommitId("obs")) { staging =>
+            if (loadable.nonEmpty) {
+              val fact = ObsIngest.ingestSource(spark, meta, stations,
+                loadable.toIndexedSeq.map(f => s"$harvestDir/$f"): _*)
+              // bounds as session-TZ strings: Timestamp.toString renders
+              // in the JVM default zone and can shift the scope across a
+              // partition-date boundary when driver TZ != session TZ
+              val b = fact.agg(
+                date_format(min("time"), "yyyy-MM-dd HH:mm:ss").as("lo"),
+                date_format(max("time"), "yyyy-MM-dd HH:mm:ss").as("hi")).collect()(0)
+              // all rows may have been dropped (e.g. only unregistered
+              // stations): nothing to load, but the ledger must still
+              // commit or the file re-fails forever
+              if (!b.isNullAt(0)) {
+                bounds = Some((b.getString(0), b.getString(1)))
+                store.stageGaugeData(ObsIngest.dedupFact(fact,
+                  lit(b.getString(0)), lit(b.getString(1))), meta.data_source, staging)
+              }
             }
+            store.stageLedger(fresh.withColumn("ingested", lit(true)), staging)
           }
-          store.appendLedger(fresh)
-          store.markIngested(freshNames)
+          // overlap repair scoped to this source's batch date range —
+          // other sources/dates never rewrite. (Runs after the commit:
+          // it resolves data-overlap between this batch and earlier
+          // timemarks, not crash states.)
+          bounds.foreach { case (lo, hi) =>
+            if (store.hasGaugeData) store.compactGaugeData(
+              Some((lo.substring(0, 10), hi.substring(0, 10))),
+              Some(meta.data_source))
+          }
           upsertGaugeSource(store, ObsIngest.buildGaugeSource(stations, meta), meta)
           // retain-obs-station snapshots from sibling meta files,
           // driven from the pre-collected seed rows — `fresh` is not
@@ -370,12 +380,13 @@ object IngestCli {
     var total = 0L
     var allSources = Seq.empty[org.apache.spark.sql.DataFrame]
     var ledgerNames = Seq.empty[String]
+    var ledgerRows = Seq.empty[org.apache.spark.sql.DataFrame]
+    var facts = Seq.empty[org.apache.spark.sql.DataFrame]
     // model-side J4 anti-join, ONE ledger scan for the whole run: files
-    // already ledgered AND ingested under this processing stamp are
-    // skipped (idempotent re-invocation). A row that exists but is NOT
-    // ingested marks a crash between the ledger append and the commit —
-    // the file re-processes and the widened rerun gate below repairs
-    // any double-append.
+    // already ledgered under this processing stamp are skipped
+    // (idempotent re-invocation). Ledger rows and fact rows publish
+    // atomically below, so a ledgered file's fact is committed by
+    // construction.
     val ingestedSeen: Set[String] = store.modelLedger.filter(
       col("model_run_id") === modelRunId &&
         col("processing_datetime") === procTs.cast("timestamp") &&
@@ -390,23 +401,32 @@ object IngestCli {
             phase, locType, units)
           val src = ModelIngest.buildModelSource(stations, meta, sourceInstance, forcingMetclass)
           allSources :+= src
-          // ledger row FIRST (ingested=false), fact second, commit mark
-          // last — the reference's order, and the order that makes every
-          // crash window detectable: a stranded un-ingested row means
-          // "fact state unknown, re-process and repair"
-          store.appendModelLedger(ModelIngest.modelHarvestFileMeta(spark, meta,
+          ledgerRows :+= ModelIngest.modelHarvestFileMeta(spark, meta,
             runDir, fileName, modelRunId, sourceInstance, forcingMetclass,
-            advisoryStr, lit(tmStr), procTs))
-          val fact = ModelIngest.ingestRun(spark, meta, src, stations,
+            advisoryStr, lit(tmStr), procTs)
+          facts :+= ModelIngest.ingestRun(spark, meta, src, stations,
             lit(tmStr), p.toString)
             .withColumn("proc_ts", procTs.cast("timestamp"))
-          store.appendModelData(fact)
           ledgerNames :+= fileName
           total += 1
         }
       }
     }
-    if (ledgerNames.nonEmpty) store.markModelIngested(modelRunId, ledgerNames)
+    // the run's fact rows + ledger rows (ingested=true) publish as ONE
+    // atomic commit — the reference's per-file BEGIN/COPY/UPDATE/COMMIT
+    // (ingestModelTasks.py:368-372) widened to the whole run: no
+    // observable state has a ledgered file without its fact or a fact
+    // without its ledger row, so crash recovery never needs the rerun
+    // repair for this window (the gate below still handles genuine
+    // new-stamp reruns)
+    if (ledgerNames.nonEmpty) {
+      store.atomicCommit(store.newCommitId("model")) { staging =>
+        store.stageModelData(facts.reduce(_ unionByName _), staging)
+        store.stageModelLedger(
+          ledgerRows.reduce(_ unionByName _).withColumn("ingested", lit(true)),
+          staging)
+      }
+    }
     if (allSources.nonEmpty) {
       // UPSERT into the model-source dim: keep rows from other runs/
       // instances, replace this run's (a blind overwrite would erase

@@ -65,6 +65,65 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     swapInto(table, tmp)
   }
 
+  // ---- atomic multi-table commit (manifest-dir protocol) -----------
+
+  /** All-or-nothing publish of parquet staged for SEVERAL tables at
+    * once (a fact batch plus its ledger rows). The caller writes each
+    * table under `<staging>/<table>/…` in the live table's relative
+    * layout; the COMMIT POINT is ONE atomic rename of the staging dir
+    * into `_commits/`. Finalization then moves every staged file into
+    * its live table and drops the commit dir — idempotent and
+    * crash-resumable ([[vacuum]] re-finalizes any stranded commit;
+    * part-file names are job-unique so a resumed move cannot collide).
+    * Readers only ever see live tables, so the pair of mutations is
+    * atomic: a crash before the rename leaves invisible staging
+    * garbage (swept by vacuum), after it the commit completes exactly
+    * once on the next finalize.
+    *
+    * This is the reference's BEGIN / COPY / UPDATE ingested / COMMIT
+    * transaction (ingestObsTasks.py:145-149, :405-409) restated on
+    * immutable storage, needing only rename atomicity (HDFS/POSIX).
+    * Object stores without atomic rename need a manifest-log variant
+    * instead. */
+  /** Unique commit id, ordered across process restarts. */
+  def newCommitId(prefix: String): String = s"${prefix}_${bakSuffix()}"
+
+  def atomicCommit(commitId: String)(stage: String => Unit): Unit = {
+    val fs = fsys
+    val staging = new org.apache.hadoop.fs.Path(path(s"_staging/$commitId"))
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    stage(staging.toString)
+    val commitsRoot = new org.apache.hadoop.fs.Path(path("_commits"))
+    fs.mkdirs(commitsRoot)
+    val committed = new org.apache.hadoop.fs.Path(commitsRoot, commitId)
+    require(fs.rename(staging, committed), s"commit rename failed: $commitId")
+    finalizeCommit(committed)
+  }
+
+  /** Move every staged data file into its table at the same relative
+    * path, then drop the commit dir. Spark metadata files (`_SUCCESS`)
+    * are skipped — each live table keeps its own. */
+  private def finalizeCommit(committed: org.apache.hadoop.fs.Path): Unit = {
+    val fs = fsys
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    def walk(dir: org.apache.hadoop.fs.Path, rel: List[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walk(st.getPath, rel :+ st.getPath.getName)
+        else if (!st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) {
+          val destDir = rel.foldLeft(rootPath)(
+            (p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+          fs.mkdirs(destDir)
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(destDir, st.getPath.getName)),
+            s"finalize move failed: ${st.getPath}")
+        }
+      }
+    walk(committed, Nil)
+    fs.delete(committed, true)
+  }
+
   private def emptyFrame(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -105,6 +164,27 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       .write.mode(SaveMode.Append)
       .partitionBy("data_source_part", "obs_date")
       .parquet(path("gauge_data"))
+
+  /** Stage variants of the appenders: identical layout, written under
+    * an [[atomicCommit]] staging dir instead of the live table. */
+  def stageGaugeData(df: DataFrame, dataSource: String, stagingDir: String): Unit =
+    df.withColumn("data_source_part", lit(dataSource))
+      .withColumn("obs_date", to_date(col("time")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("data_source_part", "obs_date")
+      .parquet(s"$stagingDir/gauge_data")
+
+  def stageLedger(df: DataFrame, stagingDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$stagingDir/ledger_obs")
+
+  def stageModelData(df: DataFrame, stagingDir: String): Unit =
+    df.withColumn("run_date", to_date(col("timemark")))
+      .write.mode(SaveMode.Overwrite).partitionBy("run_date")
+      .parquet(s"$stagingDir/model_data")
+
+  def stageModelLedger(df: DataFrame, stagingDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("model_run_id")
+      .parquet(s"$stagingDir/ledger_model")
 
   def gaugeData: DataFrame =
     spark.read.parquet(path("gauge_data")).drop("data_source_part", "obs_date")
@@ -378,6 +458,22 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val bak = "^(.*)_bak_([0-9]+)$".r   // does NOT match `_pbak_` names
     val pbak = "^(.*)_pbak_([0-9]+)$".r
     val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // phase 0: publish committed-but-unfinalized atomic commits (crash
+    // after the commit rename), then sweep uncommitted staging (crash
+    // before it — invisible, safe to drop: its files re-derive on the
+    // next ingest of the same inputs)
+    val commitsRoot = new org.apache.hadoop.fs.Path(rootPath, "_commits")
+    if (fs.exists(commitsRoot))
+      fs.listStatus(commitsRoot).filter(_.isDirectory)
+        .sortBy(_.getPath.getName).foreach { c =>
+          finalizeCommit(c.getPath)
+          actions += s"finalized commit ${c.getPath.getName}"
+        }
+    val stagingRoot = new org.apache.hadoop.fs.Path(rootPath, "_staging")
+    if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).nonEmpty) {
+      fs.delete(stagingRoot, true)
+      actions += "swept uncommitted staging"
+    }
     val byBase = entries.flatMap(p => p.getName match {
       case pbak(_, _) => None
       case bak(base, ts) => Some((base, ts.toLong, p))

@@ -288,6 +288,41 @@ object CoreRelational {
         .orderBy("user_id", "purchase_event_id")
     },
 
+    // --- J10b: same as-of semantics on the single-exchange plan ------
+    // (timeBuckets=1, the plan for known well-distributed keys) — both
+    // physical strategies stay oracle-checked against DuckDB's native
+    // ASOF JOIN, not just the default.
+    QueryDef.sql(
+      "j10b_asof_single",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_event_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  c.click_event_id AS asof_click_event_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.user_id, p.purchase_event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max("event_id").as("click_event_id"))
+        .select("user_id", "click_ts", "click_event_id")
+      graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", Seq("click_event_id", "click_ts"), timeBuckets = 1)
+        .select(col("user_id"), col("purchase_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("asof_click_event_id"),
+          date_format(col("asof_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_click_ts"))
+        .orderBy("user_id", "purchase_event_id")
+    },
+
     // --- J9: rerun-detection gate (>1 distinct marker) ---------------
     QueryDef.sql(
       "j9_rerun_gate",

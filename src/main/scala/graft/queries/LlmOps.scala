@@ -535,6 +535,32 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // context-window chunking (w=64, overlap=16): zipped-unnest oracle
+    // because DuckDB's range() table function takes no lateral args
+    QueryDef.sql(
+      "c4_chunk_windows",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE 1 + CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48) AS INTEGER) END AS nc
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(unnest(range(nc)) AS INTEGER) AS chunk_id,
+        |  CAST(unnest(list_transform(range(nc),
+        |    i -> len(list_slice(toks, i*48+1, i*48+64)))) AS INTEGER) AS n_tokens,
+        |  unnest(list_transform(range(nc),
+        |    i -> array_to_string(list_slice(toks, i*48+1, i*48+64), ' '))) AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Curation.chunkWindows(Tables.documents(s, dir), maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     QueryDef.sql(
       "v1_vocab_topk",
       s"""WITH $normCte,

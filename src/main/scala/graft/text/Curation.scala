@@ -71,6 +71,36 @@ object Curation {
           col("n_ngrams"), 4).as("contamination"))
   }
 
+  /** Fixed-size token-window chunking with overlap — context-window
+    * prep for training: window `maxTokens`, stride = maxTokens −
+    * overlap, chunk i covers tokens [i·stride+1, i·stride+maxTokens]
+    * (1-based); the last chunk may be shorter but never empty, and
+    * zero-token documents emit no chunks. Chunk count = 1 for n ≤ w,
+    * else 1 + ⌈(n−w)/stride⌉.
+    *
+    * Scale shape: pure column algebra (sequence → explode → slice) —
+    * embarrassingly parallel per document, NO shuffle, one
+    * WholeStageCodegen span over the scan. Peak memory per row is the
+    * token array, not the exploded output (explode streams). */
+  def chunkWindows(docs: DataFrame, maxTokens: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = when(size(toks) <= maxTokens, lit(1))
+      .otherwise(lit(1) + ceil((size(toks) - maxTokens)
+        .cast("double") / stride).cast("int"))
+    val slice_ = slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens))
+    docs
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(slice_).as("n_tokens"),
+        concat_ws(" ", slice_).as("chunk_text"))
+  }
+
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can
     * exceed the budget by at most the one document that straddles its

@@ -73,4 +73,32 @@ class CurationSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getAs[Long]("shard")))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("chunkWindows: overlap stride, short/empty docs, full coverage, no shuffle") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // short -> 1 chunk
+      (3L, "   "),                                    // empty -> no chunks
+      (4L, (1 to 11).map(i => s"u$i").mkString(" "))) // last chunk short
+      .toDF("doc_id", "text")
+    val out = Curation.chunkWindows(docs, maxTokens = 4, overlap = 1)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      (r.getInt(2), r.getString(3))).toMap
+
+    // w=4, stride=3: n=10 -> chunks [1-4][4-7][7-10]; consecutive
+    // chunks share exactly `overlap` tokens
+    assert(rows((1L, 0)) == ((4, "t1 t2 t3 t4")))
+    assert(rows((1L, 1)) == ((4, "t4 t5 t6 t7")))
+    assert(rows((1L, 2)) == ((4, "t7 t8 t9 t10")))
+    assert(rows((2L, 0)) == ((2, "a b")))
+    assert(!rows.keySet.exists(_._1 == 3L))          // empty doc absent
+    // n=11 -> 4 chunks, last = [10-11], short but non-empty
+    assert(rows((4L, 3)) == ((2, "u10 u11")))
+    // every source token appears in at least one chunk (coverage)
+    val covered = rows.collect { case ((d, _), (_, txt)) if d == 1L => txt }
+      .flatMap(_.split(" ")).toSet
+    assert((1 to 10).forall(i => covered(s"t$i")))
+    // embarrassingly parallel: no exchange anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

@@ -364,6 +364,35 @@ object LlmOps {
         .orderBy("query_id", "rank")
     },
 
+    // label-noise audit: exact scaled-integer kNN distances (no FP
+    // rounding in the oracle compare), probe set = every 50th vector
+    QueryDef.sql(
+      "e4_label_knn_agreement",
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, label AS probe_label, qe AS pe
+        |      FROM q WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT probe_id, probe_label, c.label AS nbr_label, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(64),
+        |      i -> (pe[i+1]-c.qe[i+1])*(pe[i+1]-c.qe[i+1]))) AS BIGINT) AS dist2
+        |  FROM q c CROSS JOIN p WHERE c.vec_id <> probe_id),
+        |knn AS (
+        |  SELECT * FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dist2, neighbor_id) <= 5)
+        |SELECT probe_id, probe_label,
+        |  CAST(sum(CASE WHEN nbr_label = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+        |  CAST(count(*) AS BIGINT) AS k_found
+        |FROM knn GROUP BY 1, 2 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.labelKnnAgreement(emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+        .orderBy("probe_id")
+    },
+
     QueryDef.sql(
       "e2_ann_lsh",
       s"""WITH b AS (

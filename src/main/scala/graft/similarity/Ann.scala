@@ -35,6 +35,46 @@ object Ann {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Label-noise audit (mislabel detection): for each probe vector,
+    * its k nearest corpus vectors by EXACT scaled-integer squared
+    * Euclidean distance — `floor(x·10⁶)` per dimension, so distances
+    * are order-independent integer sums, bit-exact across engines and
+    * re-partitions (FP cosine needs rounding to oracle-compare) — and
+    * the count of neighbors sharing the probe's label. Low agreement
+    * flags likely mislabels, the standard embedding-quality sweep
+    * before training on labeled data.
+    *
+    * Scale shape = [[bruteForceTopK]]'s: probes broadcast, ONE corpus
+    * pass, per-probe window top-k (WindowGroupLimit prunes map-side).
+    * Probe the full corpus through [[lshTopK]]-style bucketing instead
+    * when the probe set itself is corpus-sized.
+    */
+  def labelKnnAgreement(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def q(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("probe_label"), q(col(vecCol)).as("p_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"), q(col(vecCol)).as("c_vec"))
+    val dist2 = aggregate(
+      zip_with(col("p_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("probe_label"), col("nbr_label"),
+        col("neighbor_id"), dist2.as("dist2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(
+        sum(when(col("nbr_label") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_same_label"),
+        count(lit(1)).as("k_found"))
+  }
+
   /** Per-hyperplane sign bits — the single source of the bucket
     * encoding (bucket string = concatenated bits). */
   def signBits(vecCol: String, signDims: Seq[Int]): Seq[org.apache.spark.sql.Column] =

@@ -242,6 +242,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(recallVsExact(multi) >= recallVsExact(lsh))
   }
 
+  test("labelKnnAgreement: exact integer kNN, deterministic ties, self excluded") {
+    // 1-D embeddings make distances obvious: probe 0 (label 1) at 0.0;
+    // neighbors at 0.1(l1), 0.2(l1), 0.3(l2), 0.9(l2)
+    val emb = Seq(
+      (0L, Array(0.0f), 1), (1L, Array(0.1f), 1), (2L, Array(0.2f), 1),
+      (3L, Array(0.3f), 2), (4L, Array(0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.labelKnnAgreement(emb, emb.filter($"vec_id" === 0), k = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // 3-NN of probe 0 = {1, 2, 3}: two share label 1
+    assert(r.getAs[Long]("probe_id") == 0L)
+    assert(r.getAs[Long]("n_same_label") == 2L)
+    assert(r.getAs[Long]("k_found") == 3L)
+
+    // tie determinism: equidistant neighbors resolve by neighbor id
+    val tie = Seq(
+      (10L, Array(0.0f), 0), (11L, Array(1.0f), 0), (12L, Array(-1.0f), 1),
+      (13L, Array(5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val t = Ann.labelKnnAgreement(tie, tie.filter($"vec_id" === 10), k = 1)
+      .collect()(0)
+    // 11 and 12 tie at dist 1: lower id (11, label 0) wins -> agreement 1
+    assert(t.getAs[Long]("n_same_label") == 1L && t.getAs[Long]("k_found") == 1L)
+  }
+
   private object Tables {
     def embeddings = graft.Tables.embeddings(spark, sf("sf0.001"))
   }

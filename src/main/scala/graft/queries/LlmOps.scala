@@ -415,6 +415,59 @@ object LlmOps {
         .orderBy("query_id", "rank")
     },
 
+    // corpus-sized mislabel audit: EVERY vector is a probe, so nothing
+    // can broadcast — both sides bucket by sign-LSH (probe side
+    // multi-probes its nearest one-bit-flip bucket too) and meet in a
+    // shuffle equi-join. Approximate but fully deterministic:
+    // integer distances, (dist, bucket) flip ordering, id tie-breaks.
+    QueryDef.sql(
+      "e5_label_knn_bucketed", {
+        val own = sqlSignBucket("embedding")
+        def flipBucket(i: Int) = SignDims.zipWithIndex.map { case (d, j) =>
+          val (t, f) = if (j == i) ("'0'", "'1'") else ("'1'", "'0'")
+          s"CASE WHEN embedding[$d] >= 0 THEN $t ELSE $f END"
+        }.mkString(" || ")
+        val flipArms = SignDims.zipWithIndex.map { case (d, i) =>
+          s"SELECT vec_id, abs(CAST(embedding[$d] AS DOUBLE)) AS fdist, ${flipBucket(i)} AS bucket FROM embeddings"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH qv AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+           |  FROM embeddings),
+           |cb AS (SELECT vec_id, $own AS bucket FROM embeddings),
+           |flips AS (
+           |  $flipArms),
+           |probesel AS (
+           |  SELECT vec_id, bucket FROM cb
+           |  UNION ALL
+           |  SELECT vec_id, bucket FROM (
+           |    SELECT vec_id, bucket,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY fdist, bucket) AS rn
+           |    FROM flips) WHERE rn <= 1),
+           |scored AS (
+           |  SELECT p.vec_id AS probe_id, pq.label AS probe_label,
+           |    cq.label AS nbr_label, c.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(range(64),
+           |      i -> (pq.qe[i+1]-cq.qe[i+1])*(pq.qe[i+1]-cq.qe[i+1]))) AS BIGINT) AS dist2
+           |  FROM probesel p
+           |  JOIN cb c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+           |  JOIN qv pq ON pq.vec_id = p.vec_id
+           |  JOIN qv cq ON cq.vec_id = c.vec_id),
+           |knn AS (
+           |  SELECT * FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY dist2, neighbor_id) <= $KnnK)
+           |SELECT probe_id, probe_label,
+           |  CAST(sum(CASE WHEN nbr_label = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           |  CAST(count(*) AS BIGINT) AS k_found
+           |FROM knn GROUP BY 1, 2 ORDER BY probe_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.labelKnnAgreementBucketed(emb, emb, k = KnnK, SignDims, probeBudget = 2)
+        .orderBy("probe_id")
+    },
+
     QueryDef.sql(
       "d7_minhash_estimate", {
         val matches = (1 to NumHashes)

@@ -20,9 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Broadcast-side row bound for the brute-force paths. A probe frame
+    * past this size makes the broadcast join a driver-OOM /
+    * O(|corpus|·|probes|) trap, so [[bruteForceTopK]] refuses it
+    * (exact semantics can't be silently swapped) and
+    * [[labelKnnAgreement]] routes to the bucketed variant. */
+  val MaxBroadcastProbes: Long = 1L << 20
+
+  /** Counts at most `bound + 1` rows — a `limit` scan, so the check
+    * stops early instead of scanning a corpus-sized probe frame. */
+  private def probeCountCapped(df: DataFrame, bound: Long): Long =
+    df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count()
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+    val n = probeCountCapped(queries, maxBroadcastProbes)
+    require(n <= maxBroadcastProbes,
+      s"bruteForceTopK: query set exceeds $maxBroadcastProbes rows; the " +
+        "broadcast nested-loop plan would be quadratic in the corpus — " +
+        "use lshTopK/ivfTopK for corpus-sized query sets")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -46,34 +64,116 @@ object Ann {
     *
     * Scale shape = [[bruteForceTopK]]'s: probes broadcast, ONE corpus
     * pass, per-probe window top-k (WindowGroupLimit prunes map-side).
-    * Probe the full corpus through [[lshTopK]]-style bucketing instead
-    * when the probe set itself is corpus-sized.
+    * A probe set past `maxBroadcastProbes` rows routes automatically
+    * to [[labelKnnAgreementBucketed]] (same schema, approximate).
     */
   def labelKnnAgreement(
       corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+    val n = probeCountCapped(probes, maxBroadcastProbes)
+    if (n > maxBroadcastProbes)
+      // corpus-sized probe set: broadcast would OOM the driver — route
+      // through the bucketed (approximate) audit, which shuffle-joins
+      // on sign buckets instead of broadcasting the probe side
+      labelKnnAgreementBucketed(corpus, probes, k,
+        idCol = idCol, vecCol = vecCol, labelCol = labelCol)
+    else
+      labelAgreement(knnPairs(corpus, probes, k, idCol, vecCol, labelCol))
+  }
+
+  /** Exact pair-level kNN by scaled-integer distance: probes
+    * broadcast, one corpus pass, per-probe window top-k. Schema:
+    * (probe_id, probe_label, nbr_label, neighbor_id, dist2, rank). */
+  def knnPairs(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    def q(c: org.apache.spark.sql.Column) =
-      transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
     val p = probes.select(col(idCol).as("probe_id"),
-      col(labelCol).as("probe_label"), q(col(vecCol)).as("p_vec"))
+      col(labelCol).as("probe_label"), quantized(col(vecCol)).as("p_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("nbr_label"), q(col(vecCol)).as("c_vec"))
-    val dist2 = aggregate(
-      zip_with(col("p_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+      col(labelCol).as("nbr_label"), quantized(col(vecCol)).as("c_vec"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("probe_label"), col("nbr_label"),
-        col("neighbor_id"), dist2.as("dist2"))
+        col("neighbor_id"), intDist2.as("dist2"))
+    rankTopK(scored, k)
+  }
+
+  /** Bucketed pair-level kNN for CORPUS-SIZED probe sets: both sides
+    * carry their sign-LSH bucket, probes additionally explode to the
+    * `probeBudget - 1` one-bit-flip buckets nearest their hyperplanes
+    * (multi-probe, as in [[lshTopK]]), and the match is a plain
+    * shuffle equi-join on `bucket` — nothing broadcasts, so the audit
+    * scales to "probe ALL labeled data". Results are approximate
+    * (neighbors outside probed buckets are missed; `k_found` may fall
+    * short of k) but deterministic, so oracle-comparable. */
+  def knnPairsBucketed(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      signDims: Seq[Int] = Seq(1, 17, 33, 49), probeBudget: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val nProbes = math.max(1, math.min(probeBudget, 1 + signDims.length))
+    val bits = signBits(vecCol, signDims)
+    val base = concat(bits: _*)
+    // one-bit-flip buckets tagged with the probe's distance to that
+    // hyperplane; sorted per row (dist, then bucket — fully
+    // deterministic), closest (nProbes - 1) kept
+    val flips = signDims.zipWithIndex.map { case (d, i) =>
+      val flipped = concat(bits.zipWithIndex.map { case (b, j) =>
+        if (j == i) when(b === "1", lit("0")).otherwise(lit("1")) else b
+      }: _*)
+      struct(abs(element_at(col(vecCol), d).cast("double")).as("dist"),
+        flipped.as("bucket"))
+    }
+    val probeBuckets = slice(
+      transform(array_sort(array(flips: _*)), x => x.getField("bucket")),
+      1, nProbes - 1)
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("probe_label"), quantized(col(vecCol)).as("p_vec"),
+      explode(concat(array(base), probeBuckets)).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"), quantized(col(vecCol)).as("c_vec"),
+      signBucket(vecCol, signDims).as("bucket"))
+    // a neighbor lives in exactly one bucket and the probe's bucket
+    // list is distinct, so no (probe, neighbor) pair duplicates
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("probe_label"), col("nbr_label"),
+        col("neighbor_id"), intDist2.as("dist2"))
+    rankTopK(scored, k)
+  }
+
+  /** [[labelKnnAgreement]] over the bucketed pair path — the
+    * corpus-sized-probe mislabel audit. */
+  def labelKnnAgreementBucketed(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      signDims: Seq[Int] = Seq(1, 17, 33, 49), probeBudget: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    labelAgreement(knnPairsBucketed(
+      corpus, probes, k, signDims, probeBudget, idCol, vecCol, labelCol))
+
+  /** `floor(x·10⁶)` per dimension: distances become order-independent
+    * integer sums, bit-exact across engines and re-partitions. */
+  private def quantized(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  private def intDist2 = aggregate(
+    zip_with(col("p_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
+    lit(0L), (acc, x) => acc + x)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("dist2"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .groupBy(col("probe_id"), col("probe_label"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def labelAgreement(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("probe_id"), col("probe_label"))
       .agg(
         sum(when(col("nbr_label") === col("probe_label"), 1L).otherwise(0L))
           .as("n_same_label"),
         count(lit(1)).as("k_found"))
-  }
 
   /** Per-hyperplane sign bits — the single source of the bucket
     * encoding (bucket string = concatenated bits). */

@@ -269,6 +269,42 @@ class LlmOpsSpec extends SparkSuite {
     assert(t.getAs[Long]("n_same_label") == 1L && t.getAs[Long]("k_found") == 1L)
   }
 
+  test("bucketed label-kNN: recall floor vs exact, budget monotone (e5)") {
+    val emb = Tables.embeddings
+    val k = 5
+    val exact = Ann.knnPairs(emb, emb, k)
+      .select($"probe_id", $"neighbor_id")
+    def recall(budget: Int): Double = {
+      val approx = Ann.knnPairsBucketed(emb, emb, k, probeBudget = budget)
+        .select($"probe_id", $"neighbor_id")
+      approx.intersect(exact).count().toDouble / exact.count()
+    }
+    val r1 = recall(1); val r3 = recall(3)
+    // stated recall floor for the audit at probeBudget = 3 on the
+    // sf0.001 embeddings (measured 0.346): above 0.30, and well above
+    // the 3/16 ≈ 0.19 fraction-of-corpus-probed random baseline —
+    // i.e. the buckets are informative, not just subsampling
+    assert(r3 >= 0.30, s"bucketed kNN recall $r3 below floor 0.30")
+    assert(r3 >= 1.25 * 3.0 / 16.0, s"recall $r3 not above random-probe baseline")
+    assert(r3 >= r1, s"multi-probe recall $r3 < single-probe $r1")
+    // every probe's k_found is bounded by k
+    val agg = Ann.labelKnnAgreementBucketed(emb, emb, k)
+    assert(agg.filter($"k_found" > k || $"n_same_label" > $"k_found").count() == 0)
+  }
+
+  test("brute-force paths guard against corpus-sized probe sets") {
+    val emb = Tables.embeddings
+    // bruteForceTopK refuses: exactness can't be silently downgraded
+    val ex = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(emb, emb, 3, maxBroadcastProbes = 4L)
+    }
+    assert(ex.getMessage.contains("lshTopK"))
+    // labelKnnAgreement routes to the bucketed audit (same schema)
+    val routed = Ann.labelKnnAgreement(emb, emb, 5, maxBroadcastProbes = 4L)
+    val bucketed = Ann.labelKnnAgreementBucketed(emb, emb, 5)
+    assert(routed.exceptAll(bucketed).isEmpty && bucketed.exceptAll(routed).isEmpty)
+  }
+
   private object Tables {
     def embeddings = graft.Tables.embeddings(spark, sf("sf0.001"))
   }

@@ -301,7 +301,14 @@ object Dedup {
   /** Embedding-cosine near-duplicates. Candidate pairs share a
     * sign-LSH bucket (signs of `signDims` components — axis-aligned
     * hyperplanes); cosine computed with a sequential fold for
-    * engine-exact reproducibility. */
+    * engine-exact reproducibility.
+    *
+    * SCALE: expected candidate-pair count is ~n²/2^bits, so the
+    * default 4 bits (16 buckets) is only safe for bounded corpora —
+    * at corpus scale size the bit count with [[adaptiveSignDims]]
+    * (n/2^bits ≈ constant rows per bucket ⇒ linear total work), or
+    * use [[embeddingNearDupsBanded]] to buy back the recall that
+    * wider buckets cost. */
   def embeddingNearDups(
       emb: DataFrame, threshold: Double, signDims: Seq[Int] = Seq(1, 17, 33, 49),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -311,6 +318,62 @@ object Dedup {
     val b = withB.toDF(s"b_$idCol", "b_vec", "bucket")
     a.join(b, "bucket")
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        Vectors.cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") > threshold)
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Sign-bit dimensions sized for the corpus: enough hyperplanes that
+    * the expected bucket holds ~`targetBucketRows` vectors
+    * (bits = ⌈log₂(n / target)⌉), spread evenly across the embedding
+    * so no two bits read correlated adjacent components. Keeps the
+    * per-bucket self-join linear in n: n/2^bits ≈ target ⇒ total
+    * candidate pairs ≈ n·target/2. */
+  def adaptiveSignDims(
+      corpusRows: Long, embDim: Int, targetBucketRows: Long = 1024L): Seq[Int] = {
+    require(corpusRows >= 0 && embDim >= 1 && targetBucketRows >= 1)
+    val needed =
+      if (corpusRows <= targetBucketRows) 1
+      else math.ceil(math.log(corpusRows.toDouble / targetBucketRows) / math.log(2.0)).toInt
+    val bits = math.max(1, math.min(needed, embDim))
+    val stride = embDim.toDouble / bits
+    // 1-based component indexes, evenly strided, guaranteed distinct
+    (0 until bits).map(i => 1 + math.round(i * stride).toInt).distinct
+  }
+
+  /** [[embeddingNearDups]] with the bit count derived from the actual
+    * corpus size (one count job) — the safe default at unknown scale. */
+  def embeddingNearDupsAuto(
+      emb: DataFrame, threshold: Double, embDim: Int,
+      targetBucketRows: Long = 1024L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDups(emb, threshold,
+      adaptiveSignDims(emb.count(), embDim, targetBucketRows), idCol, vecCol)
+
+  /** Banded sign-LSH near-dups, mirroring the minhash band trick: each
+    * band is an independent set of hyperplanes, a pair is a candidate
+    * if it collides in ANY band, and candidates are deduped BEFORE the
+    * cosine verify. Wider bands keep buckets small (linear work);
+    * multiple bands buy back the recall a single wide band loses —
+    * miss probability multiplies across bands. */
+  def embeddingNearDupsBanded(
+      emb: DataFrame, threshold: Double, bands: Seq[Seq[Int]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands.nonEmpty)
+    val buckets = array(bands.map(d =>
+      graft.similarity.Ann.signBucket(vecCol, d)): _*)
+    val withB = emb.select(col(idCol), posexplode(buckets).as(Seq("band", "bucket")))
+    val cand = withB.toDF(s"a_$idCol", "band", "bucket")
+      .join(withB.toDF(s"b_$idCol", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.toDF(s"a_$idCol", "a_vec"), s"a_$idCol")
+      .join(vecs.toDF(s"b_$idCol", "b_vec"), s"b_$idCol")
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         Vectors.cosine(col("a_vec"), col("b_vec")).as("cos"))
       .filter(col("cos") > threshold)

@@ -30,6 +30,9 @@ object LlmOps {
   val KnnQueryLimit = 16L
   val KnnK = 5
   val SignDims = Seq(1, 17, 33, 49)
+  /** Two independent 4-bit hyperplane bands for the banded near-dup
+    * path (d10) — disjoint components so the bands are uncorrelated. */
+  val NearDupBands = Seq(Seq(1, 17, 33, 49), Seq(9, 25, 41, 57))
   val NearDupThreshold = 0.25
   val VocabTopK = 100
   val TfIdfPerDoc = 3
@@ -116,8 +119,8 @@ object LlmOps {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  private def sqlSignBucket(v: String): String =
-    SignDims.map(d => s"CASE WHEN $v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+  private def sqlSignBucket(v: String, dims: Seq[Int] = SignDims): String =
+    dims.map(d => s"CASE WHEN $v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   private val stopwordList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
@@ -341,6 +344,32 @@ object LlmOps {
          |WHERE ${sqlCosine("a.embedding", "c.embedding")} > $NearDupThreshold
          |ORDER BY a_vec_id, b_vec_id""".stripMargin) { (s, dir) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), NearDupThreshold, SignDims)
+        .orderBy("a_vec_id", "b_vec_id")
+    },
+
+    // banded sign-LSH near-dups: candidate = bucket collision in ANY
+    // band, deduped before the cosine verify — the recall-preserving
+    // shape when buckets must be narrow at corpus scale
+    QueryDef.sql(
+      "d10_neardup_banded", {
+        val arms = NearDupBands.zipWithIndex.map { case (dims, i) =>
+          s"SELECT vec_id, $i AS band, ${sqlSignBucket("embedding", dims)} AS bucket FROM embeddings"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH b AS (
+           |  $arms),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS a_vec_id, c.vec_id AS b_vec_id
+           |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+           |    AND a.vec_id < c.vec_id)
+           |SELECT p.a_vec_id, p.b_vec_id,
+           |  round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) AS cosine
+           |FROM cand p
+           |JOIN embeddings ea ON ea.vec_id = p.a_vec_id
+           |JOIN embeddings eb ON eb.vec_id = p.b_vec_id
+           |WHERE ${sqlCosine("ea.embedding", "eb.embedding")} > $NearDupThreshold
+           |ORDER BY p.a_vec_id, p.b_vec_id""".stripMargin
+      }) { (s, dir) =>
+      Dedup.embeddingNearDupsBanded(Tables.embeddings(s, dir), NearDupThreshold, NearDupBands)
         .orderBy("a_vec_id", "b_vec_id")
     },
 

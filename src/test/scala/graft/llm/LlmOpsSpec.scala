@@ -292,6 +292,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(agg.filter($"k_found" > k || $"n_same_label" > $"k_found").count() == 0)
   }
 
+  test("embedding near-dups: width subset property, banded recall, adaptive dims (d6/d10)") {
+    val emb = Tables.embeddings
+    val narrow = Seq(1, 17, 33, 49)                       // 4 bits, 16 buckets
+    val wide = Seq(1, 9, 17, 25, 33, 41, 49, 57)          // 8 bits, 256 buckets
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_vec_id", $"b_vec_id")
+    val pNarrow = pairs(Dedup.embeddingNearDups(emb, 0.25, narrow))
+    val pWide = pairs(Dedup.embeddingNearDups(emb, 0.25, wide))
+    // wide dims ⊇ narrow dims ⇒ wide buckets refine narrow buckets ⇒
+    // every wide-bucket pair is also a narrow-bucket pair
+    assert(pWide.exceptAll(pNarrow).count() == 0)
+    assert(pWide.count() <= pNarrow.count())
+    // banded (2 disjoint 4-bit bands) recovers at least band-0's pairs
+    // and strictly dominates the single wide band on recall
+    val pBanded = pairs(Dedup.embeddingNearDupsBanded(
+      emb, 0.25, graft.queries.LlmOps.NearDupBands))
+    assert(pNarrow.exceptAll(pBanded).count() == 0)
+    assert(pBanded.count() >= pNarrow.count())
+    // adaptive dims: bucket count tracks corpus size, dims stay in range
+    assert(Dedup.adaptiveSignDims(1000, 64, 1024) == Seq(1))
+    val d1m = Dedup.adaptiveSignDims(1L << 20, 64, 1024)  // 2^20/2^10 -> 10 bits
+    assert(d1m.length == 10 && d1m.forall(d => d >= 1 && d <= 64) && d1m.distinct == d1m)
+    assert(Dedup.adaptiveSignDims(1L << 40, 64, 1024).length == 30)
+    assert(Dedup.adaptiveSignDims(1L << 40, 8, 1024).length == 8) // capped at embDim
+    // auto path agrees with explicit dims at the derived width
+    val auto = pairs(Dedup.embeddingNearDupsAuto(emb, 0.25, embDim = 64,
+      targetBucketRows = emb.count()))
+    assert(auto.exceptAll(pairs(Dedup.embeddingNearDups(emb, 0.25, Seq(1)))).count() == 0)
+  }
+
   test("brute-force paths guard against corpus-sized probe sets") {
     val emb = Tables.embeddings
     // bruteForceTopK refuses: exactness can't be silently downgraded

@@ -853,16 +853,69 @@ object LlmOps {
     },
 
     // approximate sketches (HLL++ distinct count, quantile summaries):
-    // sketch internals differ per engine, so there is NO hash oracle —
-    // the driver records the weaker rows-only check and LlmOpsSpec
-    // bounds the estimates against exact values
-    QueryDef.noOracle("a9_approx_sketches") { (s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("lang")
-        .agg(
-          approx_count_distinct(col("source")).as("approx_sources"),
-          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_chars"),
-          percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99_chars"))
+    // sketch INTERNALS differ per engine, so the hash-compared output
+    // is (a) exact cardinalities/percentiles computed identically on
+    // both engines and (b) in-engine booleans asserting each sketch
+    // estimate lands within tolerance of those exact values — the
+    // oracle emits literal TRUE, so a drifting sketch fails the hash
+    // compare instead of hiding behind a rows-only check. Exact
+    // percentile = value at rank ⌈p·n⌉ (integer index math, no
+    // interpolation), distributed as a window rank — no per-group
+    // collect.
+    QueryDef.sql(
+      "a9_approx_sketches",
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents),
+        |ex AS (
+        |  SELECT lang,
+        |    max(cnt) AS n_docs,
+        |    max(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+        |        THEN n_chars END) AS p50_chars_exact,
+        |    max(CASE WHEN rn = CAST(floor((cnt * 99 + 99) / 100) AS BIGINT)
+        |        THEN n_chars END) AS p99_chars_exact
+        |  FROM ranked GROUP BY lang),
+        |card AS (
+        |  SELECT lang, count(DISTINCT source) AS n_sources_exact
+        |  FROM documents GROUP BY lang)
+        |SELECT e.lang, CAST(e.n_docs AS BIGINT) AS n_docs,
+        |  CAST(c.n_sources_exact AS BIGINT) AS n_sources_exact,
+        |  CAST(e.p50_chars_exact AS BIGINT) AS p50_chars_exact,
+        |  CAST(e.p99_chars_exact AS BIGINT) AS p99_chars_exact,
+        |  TRUE AS sources_within_tol,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p99_within_tol
+        |FROM ex e JOIN card c ON c.lang = e.lang
+        |ORDER BY e.lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy("lang")
+      val ranked = docs.select(col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w.orderBy("n_chars")))
+        .withColumn("cnt", count(lit(1)).over(w))
+      val idx50 = floor((col("cnt") + 1) / lit(2)).cast("long")
+      val idx99 = floor((col("cnt") * 99 + 99) / lit(100)).cast("long")
+      val exacts = ranked.groupBy("lang").agg(
+        max(col("cnt")).as("n_docs"),
+        max(when(col("rn") === idx50, col("n_chars"))).cast("long").as("p50_chars_exact"),
+        max(when(col("rn") === idx99, col("n_chars"))).cast("long").as("p99_chars_exact"))
+      val sketches = docs.groupBy("lang").agg(
+        countDistinct(col("source")).as("n_sources_exact"),
+        approx_count_distinct(col("source")).as("approx_sources"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99_approx"))
+      def withinTol(approx: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        abs(approx.cast("double") - exact.cast("double")) <=
+          greatest(lit(2.0), exact.cast("double") * 0.05)
+      exacts.join(sketches, "lang")
+        .select(col("lang"), col("n_docs"), col("n_sources_exact"),
+          col("p50_chars_exact"), col("p99_chars_exact"),
+          withinTol(col("approx_sources"), col("n_sources_exact")).as("sources_within_tol"),
+          withinTol(col("p50_approx"), col("p50_chars_exact")).as("p50_within_tol"),
+          withinTol(col("p99_approx"), col("p99_chars_exact")).as("p99_within_tol"))
         .orderBy("lang")
     },
 

@@ -103,6 +103,20 @@ object IngestCli {
         println(QueryApi.jsonAgg(df, "time_stamp",
           df.columns.filterNot(_ == "time_stamp").toSeq))
 
+      case "Compact" =>
+        // maintenance bin-packing (small-file accretion antidote):
+        // rewrites every leaf partition with more files than
+        // ⌈bytes/targetBytes⌉ down to that count; idempotent and
+        // vacuum-safe, so it can run on any cron cadence
+        val store = new GaugeStore(spark, req("store"))
+        store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
+        val tables = opts.getOrElse("tables", "gauge_data,model_data")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val target = opts.getOrElse("targetBytes", (128L << 20).toString).toLong
+        val actions = tables.flatMap(t => store.binPackCompact(t, target))
+        actions.foreach(println)
+        println(s"compacted ${actions.size} partition(s)")
+
       case "ArchiveHistorical" =>
         // mvHistADCIRCFiles.py's runnable entry (:204+): decode every
         // long-form historical harvest file under --histDir, cross-check

@@ -263,6 +263,89 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     } else swapInto("gauge_data", tmp)
   }
 
+  /** Maintenance bin-packing compaction — the antidote to small-file
+    * accretion: cron-cadence [[appendGaugeData]]/[[appendModelData]]
+    * lay down one file set per batch per partition, so a year of
+    * 11-source ingest leaves tens of thousands of tiny files that
+    * nothing else ever rewrites. For every leaf partition dir whose
+    * file count exceeds ⌈bytes/targetBytes⌉, rewrites the leaf to
+    * exactly that many files (a narrow `coalesce` — no shuffle, rows
+    * untouched) and park-and-swaps it into place.
+    *
+    * Crash-safe exactly like the scoped repairs: displaced leaves sit
+    * in a `_pbak_` dir until every rename lands and [[vacuum]] restores
+    * any leaf stranded mid-swap. Idempotent: a second run finds every
+    * leaf already at target and does nothing. Leaf discovery and the
+    * swap loop are driver-side but O(#partition dirs) — control plane,
+    * not data plane; the rewrites themselves run as `parallelism`
+    * concurrent Spark jobs so one giant leaf doesn't serialize the
+    * sweep. */
+  def binPackCompact(
+      table: String, targetBytes: Long = 128L << 20,
+      parallelism: Int = 8): Seq[String] = {
+    require(targetBytes > 0)
+    val fs = fsys
+    val tableRoot = new org.apache.hadoop.fs.Path(path(table))
+    if (!fs.exists(tableRoot)) return Seq.empty
+    def isData(f: org.apache.hadoop.fs.FileStatus) =
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    // leaf = deepest dirs holding data files (partition dirs, or the
+    // table root itself for unpartitioned tables)
+    def leaves(dir: org.apache.hadoop.fs.Path, rel: List[String])
+        : Seq[(List[String], Long, Int)] = {
+      val st = fs.listStatus(dir)
+      val sub = st.filter(_.isDirectory)
+        .flatMap(d => leaves(d.getPath, rel :+ d.getPath.getName)).toSeq
+      val own = st.filter(isData)
+      if (own.nonEmpty) sub :+ ((rel, own.map(_.getLen).sum, own.length))
+      else sub
+    }
+    def targetFiles(bytes: Long) =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val todo = leaves(tableRoot, Nil).collect {
+      case (rel, bytes, nFiles) if nFiles > targetFiles(bytes) =>
+        (rel, targetFiles(bytes))
+    }
+    if (todo.isEmpty) return Seq.empty
+    val tmp = path(table + "_tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, todo.size)))
+    try {
+      todo.map { case (rel, n) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            spark.read.parquet((path(table) +: rel).mkString("/"))
+              .coalesce(n)
+              .write.mode(SaveMode.Overwrite).parquet((tmp +: rel).mkString("/"))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    if (todo.exists(_._1.isEmpty)) {
+      // unpartitioned table: the single leaf IS the table — whole-table
+      // crash-safe swap instead of a partition park
+      swapInto(table, tmp)
+    } else {
+      val backup = new org.apache.hadoop.fs.Path(path(
+        table + "_pbak_" + bakSuffix()))
+      fs.mkdirs(backup)
+      todo.foreach { case (rel, _) =>
+        val dest = rel.foldLeft(tableRoot)(
+          (p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+        val src = rel.foldLeft(new org.apache.hadoop.fs.Path(tmp))(
+          (p, seg) => new org.apache.hadoop.fs.Path(p, seg))
+        val parked = new org.apache.hadoop.fs.Path(backup, rel.mkString("__"))
+        require(fs.rename(dest, parked), s"park failed: $dest")
+        require(fs.rename(src, dest), s"swap failed: $dest")
+      }
+      fs.delete(backup, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    todo.map { case (rel, n) =>
+      s"compacted ${(table +: rel).mkString("/")} to $n file(s)" }
+  }
+
   def writeModelSource(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path("model_source"))
 

@@ -1,0 +1,122 @@
+package graft.domain
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Bin-packing maintenance compaction ([[GaugeStore.binPackCompact]]):
+  * small-file accretion from cron-cadence appends is rewritten down to
+  * ⌈bytes/target⌉ files per leaf partition without changing any query
+  * result, idempotently, and crash-recoverably via [[GaugeStore.vacuum]]. */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkFact(rows: Seq[(Long, String, String, Double)]) =
+    rows.toDF("source_id", "tm", "t", "water_level")
+      .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"))
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  private def leafDir(root: String, date: String) =
+    s"$root/gauge_data/data_source_part=tidal_gauge/obs_date=$date"
+
+  test("N-batch accretion compacts to one file per leaf; rows and dedup semantics unchanged") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val store = new GaugeStore(spark, root)
+    // 5 cron batches into the same two (source, date) leaves, with a
+    // cross-batch duplicate key so keep-latest semantics are observable
+    (1 to 5).foreach { i =>
+      store.appendGaugeData(mkFact(Seq(
+        (1L, f"2023-04-23 $i%02d:00:00", "2023-04-23 10:00:00", i.toDouble),
+        (2L, f"2023-04-23 $i%02d:00:00", s"2023-04-24 0$i:00:00", i * 10.0))), "tidal_gauge")
+    }
+    val leaf23 = leafDir(root, "2023-04-23")
+    val nBefore = dataFiles(leaf23).size
+    assert(nBefore >= 5, s"expected accretion, got $nBefore files")
+
+    val before = store.gaugeData.orderBy("source_id", "time", "timemark").collect()
+    val dedupBefore = graft.operators.KeepLatestDedup(
+      store.gaugeData, Seq("source_id", "time"), Seq(col("timemark")))
+      .orderBy("source_id", "time").collect()
+
+    val actions = store.binPackCompact("gauge_data", targetBytes = 1L << 30)
+    assert(actions.size == 2 && actions.forall(_.endsWith("to 1 file(s)")))
+    assert(dataFiles(leaf23).size == 1)
+    assert(dataFiles(leafDir(root, "2023-04-24")).size == 1)
+
+    // every row survives byte-identically; j8 keep-latest unchanged
+    val after = store.gaugeData.orderBy("source_id", "time", "timemark").collect()
+    assert(after.toSeq == before.toSeq)
+    val dedupAfter = graft.operators.KeepLatestDedup(
+      store.gaugeData, Seq("source_id", "time"), Seq(col("timemark")))
+      .orderBy("source_id", "time").collect()
+    assert(dedupAfter.toSeq == dedupBefore.toSeq)
+    // partition pruning still works on the compacted layout
+    assert(store.gaugeDataForRange("2023-04-23", "2023-04-23").count() == 5)
+
+    // idempotent: already at target -> no-op
+    assert(store.binPackCompact("gauge_data", targetBytes = 1L << 30).isEmpty)
+  }
+
+  test("file count lands at ceil(bytes/target) for a sub-leaf target") {
+    val root = Files.createTempDirectory("graft-compact2").toString
+    val store = new GaugeStore(spark, root)
+    (1 to 6).foreach { i =>
+      store.appendGaugeData(mkFact(
+        (0 until 200).map(j => (j.toLong, f"2023-04-23 $i%02d:00:00",
+          "2023-04-23 10:00:00", i + j / 1000.0))), "tidal_gauge")
+    }
+    val leaf = leafDir(root, "2023-04-23")
+    val bytes = dataFiles(leaf).map(_.length).sum
+    val target = bytes / 3 + 1                    // expect ceil = 3 files
+    val expected = ((bytes + target - 1) / target).toInt
+    store.binPackCompact("gauge_data", targetBytes = target)
+    assert(dataFiles(leaf).size == expected,
+      s"expected $expected files, got ${dataFiles(leaf).size}")
+    assert(store.gaugeData.count() == 1200)
+  }
+
+  test("crash mid-swap: a parked leaf with no live counterpart is restored by vacuum") {
+    val root = Files.createTempDirectory("graft-compact3").toString
+    val store = new GaugeStore(spark, root)
+    (1 to 3).foreach { i =>
+      store.appendGaugeData(mkFact(Seq(
+        (1L, f"2023-04-23 $i%02d:00:00", "2023-04-23 10:00:00", i.toDouble))), "tidal_gauge")
+    }
+    // simulate binPackCompact dying between park and swap: the leaf is
+    // in the _pbak_ dir (flattened name), the live leaf is gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    fs.mkdirs(p("gauge_data_pbak_55"))
+    assert(fs.rename(
+      p("gauge_data/data_source_part=tidal_gauge/obs_date=2023-04-23"),
+      p("gauge_data_pbak_55/data_source_part=tidal_gauge__obs_date=2023-04-23")))
+    assert(!fs.exists(p("gauge_data/data_source_part=tidal_gauge/obs_date=2023-04-23")))
+    val actions = store.vacuum()
+    assert(actions.exists(_.contains("restored gauge_data/")), actions.toString)
+    assert(store.gaugeData.count() == 3)
+    assert(!fs.exists(p("gauge_data_pbak_55")))
+    // and a compaction after recovery proceeds normally
+    val compacted = store.binPackCompact("gauge_data", targetBytes = 1L << 30)
+    assert(compacted.size == 1 && store.gaugeData.count() == 3)
+  }
+
+  test("unpartitioned table compacts through the whole-table swap path") {
+    val root = Files.createTempDirectory("graft-compact4").toString
+    val store = new GaugeStore(spark, root)
+    (1 to 4).foreach { i =>
+      store.appendLedger(Seq((s"f$i.csv", false)).toDF("file_name", "ingested")
+        .withColumn("processing_datetime",
+          lit(f"2023-04-23 $i%02d:00:00").cast("timestamp")))
+    }
+    assert(dataFiles(s"$root/ledger_obs").size >= 4)
+    store.binPackCompact("ledger_obs", targetBytes = 1L << 30)
+    assert(dataFiles(s"$root/ledger_obs").size == 1)
+    assert(store.ledger.count() == 4)
+  }
+}

@@ -27,6 +27,7 @@ object IngestCli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-ingest")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -102,6 +103,14 @@ object IngestCli {
           req("dataSource"), req("instance"))
         println(QueryApi.jsonAgg(df, "time_stamp",
           df.columns.filterNot(_ == "time_stamp").toSeq))
+
+      case "SqlCheck" =>
+        // smoke-proves the GraftExtensions SQL surface is live in this
+        // deployment mode (native expressions callable from plain SQL)
+        val row = spark.sql(
+          "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos, " +
+            "rolling_hash('abc') AS rh").head()
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)}}""")
 
       case "Compact" =>
         // maintenance bin-packing (small-file accretion antidote):

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.domain.GaugeStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming restatement of the MODEL-run ingest loop,
+  * mirroring [[StreamingIngest]] (which covers the obs path): the
+  * reference's queue-driven `runModelIngest.py` consumes one message
+  * per completed ADCIRC run; here the "message" is a one-row manifest
+  * CSV dropped into a watch directory (exactly what
+  * [[graft.domain.HistoricalArchive]] emits per archived run), and the
+  * file-source checkpoint replaces the queue's ack for exactly-once
+  * manifest consumption.
+  *
+  * Each micro-batch hands every announced run to
+  * [[graft.IngestCli.modelRunIngest]] — the SAME function the batch CLI
+  * uses, so streaming and batch semantics cannot drift: per-run fact +
+  * ledger rows publish as one atomic commit, re-announcement under the
+  * same processing stamp is a no-op (ledger anti-join), and a genuine
+  * rerun (new stamp) triggers the ledger-driven keep-latest repair
+  * scoped to the run's partitions.
+  *
+  * Crash contract: foreachBatch can replay a batch after a restart.
+  * With a manifest-supplied `processing_datetime` the replay is
+  * EXACTLY-ONCE (the run ledger already holds the stamp → 0 new
+  * files); without one each attempt mints a fresh wall-clock stamp, so
+  * a replay lands as a detected rerun and the repair converges to the
+  * same final state (at-least-once + self-repair, the reference's cron
+  * semantics).
+  */
+object StreamingModelIngest {
+
+  /** One row per run: everything [[graft.IngestCli.modelRunIngest]]
+    * needs. `storm`/`advisory`/`processing_datetime` may be empty. */
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("model_run_id", StringType),
+    StructField("run_dir", StringType),
+    StructField("timemark", StringType),
+    StructField("ensemble", StringType),
+    StructField("grid", StringType),
+    StructField("storm", StringType),
+    StructField("instance", StringType),
+    StructField("metclass", StringType),
+    StructField("advisory", StringType),
+    StructField("processing_datetime", StringType)))
+
+  def start(
+      spark: SparkSession,
+      store: GaugeStore,
+      watchDir: String,
+      checkpointDir: String,
+      uiDataUrl: String = "https://ui.example",
+      maxFileAge: String = "31d"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(manifestSchema)
+      .option("header", "true")
+      .option("maxFileAge", maxFileAge)
+      .csv(s"$watchDir/*.csv")
+    stream.writeStream
+      .queryName("model_run_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(spark, store, batch, uiDataUrl)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch = a handful of announced runs. The collect is
+    * control plane — one row per RUN (not per data row), bounded by
+    * batch cadence. */
+  private[streaming] def ingestBatch(
+      spark: SparkSession, store: GaugeStore, batch: DataFrame,
+      uiDataUrl: String): Unit = {
+    batch.collect().foreach { r =>
+      def s(c: String) = Option(r.getAs[String](c)).map(_.trim).filter(_.nonEmpty)
+      graft.IngestCli.modelRunIngest(spark, store,
+        runDir = r.getAs[String]("run_dir"),
+        modelRunId = r.getAs[String]("model_run_id"),
+        timemark = r.getAs[String]("timemark"),
+        ensemble = r.getAs[String]("ensemble"),
+        grid = r.getAs[String]("grid"),
+        storm = s("storm").filterNot(v => v == "none" || v == "None"),
+        sourceInstance = r.getAs[String]("instance"),
+        forcingMetclass = r.getAs[String]("metclass"),
+        uiDataUrl = uiDataUrl,
+        processingDatetime = s("processing_datetime"),
+        advisory = s("advisory"))
+    }
+  }
+
+  /** Drain every manifest currently in the watch dir and stop — the
+    * queue-drain single pass. */
+  def runOnce(
+      spark: SparkSession, store: GaugeStore,
+      watchDir: String, checkpointDir: String): Unit = {
+    val q = start(spark, store, watchDir, checkpointDir)
+    q.awaitTermination()
+  }
+}

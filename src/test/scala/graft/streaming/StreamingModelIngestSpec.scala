@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.domain.{GaugeStore, ObsIngest}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Streaming model-run ingest ([[StreamingModelIngest]]): manifest
+  * files announce completed runs; consumption is exactly-once across
+  * restarts (file-source checkpoint + explicit processing stamps), the
+  * results are identical to the batch [[graft.IngestCli.modelRunIngest]]
+  * path, and a re-announced run with a new stamp flows through the
+  * rerun-gated repair. */
+class StreamingModelIngestSpec extends SparkSuite {
+
+  private def writeRun(runDir: String, level: Double): Unit = {
+    Files.createDirectories(Paths.get(runDir))
+    Files.write(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv"),
+      (s"TIME,STATION,WATER_LEVEL\n" +
+        s"2023-04-23T13:00:00,8410140,$level\n" +
+        s"2023-04-23T14:00:00,8410140,${level + 0.1}\n" +
+        s"2023-04-23T13:00:00,8418150,${level + 0.2}").getBytes)
+    Files.write(Paths.get(runDir, "meta_FORECAST_NOAASTATIONS.csv"),
+      "STATION\n8410140".getBytes)
+  }
+
+  private def writeManifest(watchDir: String, name: String, runId: String,
+      runDir: String, procTs: String): Unit = {
+    Files.createDirectories(Paths.get(watchDir))
+    Files.write(Paths.get(watchDir, name),
+      ("model_run_id,run_dir,timemark,ensemble,grid,storm,instance,metclass,advisory,processing_datetime\n" +
+        s"$runId,$runDir,2023-04-23T12:00:00,gfsforecast,ec95d,none,inst1,synoptic,,$procTs").getBytes)
+  }
+
+  private def mkStore(root: String): GaugeStore = {
+    Files.write(Paths.get(root, "geom.csv"),
+      ("8410140,44.9,-66.9,gmt,NOAA,Eastport,tidal,us,me,Wash,01A\n" +
+        "8418150,43.6,-70.2,gmt,NOAA,Portland,tidal,us,me,Cumb,01B").getBytes)
+    val store = new GaugeStore(spark, s"$root/store")
+    store.writeStations(ObsIngest.seedStations(spark, s"$root/geom.csv"))
+    store
+  }
+
+  test("manifest stream matches the batch path, exactly-once across restart, rerun repairs") {
+    val root = Files.createTempDirectory("graft-smodel").toString
+    val watch = s"$root/watch"; val ckpt = s"$root/ckpt"
+    val runId = "4358-2023042312-gfsforecast"
+    val runDir = s"$root/$runId"
+    writeRun(runDir, 0.5)
+    val store = mkStore(root)
+
+    // batch-path reference result on an identical second store
+    val rootB = Files.createTempDirectory("graft-smodel-batch").toString
+    val runDirB = s"$rootB/$runId"; writeRun(runDirB, 0.5)
+    val storeB = mkStore(rootB)
+    graft.IngestCli.modelRunIngest(spark, storeB, runDirB, runId,
+      "2023-04-23T12:00:00", "gfsforecast", "ec95d", None, "inst1",
+      "synoptic", "https://ui.example",
+      processingDatetime = Some("2023-04-23T13:30:00"))
+
+    // (a) stream consumes the manifest; store state == batch state
+    writeManifest(watch, "run1.csv", runId, runDir, "2023-04-23T13:30:00")
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    val cols = Seq("source_id", "timemark", "time", "water_level")
+    assert(store.modelData.select(cols.map(col): _*).orderBy("source_id", "time")
+      .collect().toSeq ==
+      storeB.modelData.select(cols.map(col): _*).orderBy("source_id", "time")
+        .collect().toSeq)
+    assert(store.modelLedger.count() == 1)
+    assert(store.modelLedger.filter(col("ingested")).count() == 1)
+
+    // (b) restart with the same checkpoint: the manifest is NOT
+    // re-consumed (file-source exactly-once)
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    assert(store.modelLedger.count() == 1)
+    assert(store.modelData.count() == 3)
+
+    // (c) a REPLAYED manifest (fresh checkpoint, same stamp — the
+    // crash-replay shape) is absorbed by the run ledger: 0 new rows
+    StreamingModelIngest.runOnce(spark, store, watch, s"$root/ckpt2")
+    assert(store.modelLedger.count() == 1)
+    assert(store.modelData.count() == 3)
+
+    // (d) genuine rerun: new harvest drop + new manifest with a new
+    // stamp -> ledger grows, repair keeps only latest-processed values
+    writeRun(runDir, 1.5)
+    writeManifest(watch, "run1_redrop.csv", runId, runDir, "2023-04-23T15:00:00")
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    assert(store.modelLedger.count() == 2)
+    assert(store.modelLedger.select("processing_datetime").distinct().count() == 2)
+    assert(store.modelData.count() == 3)
+    assert(store.modelData.filter(col("water_level") >= 1.4).count() == 3)
+  }
+}

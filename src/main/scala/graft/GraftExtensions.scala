@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RollingHash}
+import graft.functions.{CosineSimilarity, QuantizedSqDist, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quantized_sq_dist"),
+      new ExpressionInfo(classOf[QuantizedSqDist].getName, "quantized_sq_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantized_sq_dist takes exactly 2 arguments")
+        QuantizedSqDist(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),

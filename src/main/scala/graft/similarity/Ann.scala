@@ -32,6 +32,16 @@ object Ann {
   private def probeCountCapped(df: DataFrame, bound: Long): Long =
     df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count()
 
+  /** Broadcast-probe kNN inherits the CORPUS scan's partitioning (the
+    * join adds no exchange), so a corpus packed into fewer splits than
+    * cores — one parquet file, locally — serializes the distance loop,
+    * the operator's entire cost. Round-robin repartition up to the
+    * cluster's parallelism; a no-op when the scan already splits. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -42,7 +52,7 @@ object Ann {
         "broadcast nested-loop plan would be quadratic in the corpus — " +
         "use lshTopK/ivfTopK for corpus-sized query sets")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosine(col("q_vec"), col("c_vec")).as("cos"))
@@ -91,9 +101,9 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"),
-      col(labelCol).as("probe_label"), quantized(col(vecCol)).as("p_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("nbr_label"), quantized(col(vecCol)).as("c_vec"))
+      col(labelCol).as("probe_label"), col(vecCol).as("p_vec"))
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("probe_label"), col("nbr_label"),
         col("neighbor_id"), intDist2.as("dist2"))
@@ -130,10 +140,10 @@ object Ann {
       transform(array_sort(array(flips: _*)), x => x.getField("bucket")),
       1, nProbes - 1)
     val p = probes.select(col(idCol).as("probe_id"),
-      col(labelCol).as("probe_label"), quantized(col(vecCol)).as("p_vec"),
+      col(labelCol).as("probe_label"), col(vecCol).as("p_vec"),
       explode(concat(array(base), probeBuckets)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("nbr_label"), quantized(col(vecCol)).as("c_vec"),
+      col(labelCol).as("nbr_label"), col(vecCol).as("c_vec"),
       signBucket(vecCol, signDims).as("bucket"))
     // a neighbor lives in exactly one bucket and the probe's bucket
     // list is distinct, so no (probe, neighbor) pair duplicates
@@ -154,14 +164,13 @@ object Ann {
     labelAgreement(knnPairsBucketed(
       corpus, probes, k, signDims, probeBudget, idCol, vecCol, labelCol))
 
-  /** `floor(x·10⁶)` per dimension: distances become order-independent
-    * integer sums, bit-exact across engines and re-partitions. */
-  private def quantized(c: org.apache.spark.sql.Column) =
-    transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
-
-  private def intDist2 = aggregate(
-    zip_with(col("p_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
-    lit(0L), (acc, x) => acc + x)
+  /** `floor(x·10⁶)` quantization + squared-diff sum, fused: distances
+    * are order-independent integer sums, bit-exact across engines and
+    * re-partitions, and the loop is a codegen'd native expression —
+    * the composed `transform`/`zip_with`/`aggregate` form pays
+    * interpreted HOF eval per pair, which dominated the 10× scale run. */
+  private def intDist2 =
+    graft.functions.QuantizedSqDist(col("p_vec"), col("c_vec"))
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("dist2"), col("neighbor_id"))
@@ -263,7 +272,7 @@ object Ann {
       1, nProbes - 1)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       explode(concat(array(base), probeBuckets)).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       signBucket(vecCol, signDims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -26,6 +26,38 @@ class FunctionsSpec extends SparkSuite {
     assert(n.isNullAt(0))
   }
 
+  test("QuantizedSqDist: bit-exact vs the composed HOF form, codegen'd") {
+    // reference = the exact composed expression the native kernel replaces
+    def q(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
+    def refDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(q(a), q(b), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val vecs = Seq(
+      (1L, Array(0.15f, -2.5f, 0.0f), Array(0.1500001f, -2.5f, 1.0f)),
+      (2L, Array(-0.9999999f, 3.3f, 7.7f), Array(1.0f, -3.3f, 7.7f)),
+      (3L, Array.empty[Float], Array.empty[Float]))
+      .toDF("id", "a", "b")
+    val rows = vecs.select(col("id"),
+      QuantizedSqDist(col("a"), col("b")).as("native"),
+      refDist(col("a"), col("b")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    assert(rows.find(_.getLong(0) == 3L).get.getLong(1) == 0L)  // empty -> seed
+    // length mismatch -> null
+    val m = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(QuantizedSqDist(col("a"), col("b"))).collect()(0)
+    assert(m.isNullAt(0))
+    // the plan stays inside whole-stage codegen (no HOF fallback) —
+    // parquet-backed, because local relations constant-fold away
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsd").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(QuantizedSqDist(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen span in toString form
+    assert(plan.contains("*(1) Project [quantized_sq_dist"))
+  }
+
   test("TimeBoundsAggregator: typed min/max with null-tolerant merge") {
     val ds = Seq(
       Reading("a", Some(Timestamp.valueOf("2023-04-23 10:00:00"))),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, QuantizedSqDist, RollingHash}
+import graft.functions.{ByteHistogram, CosineSimilarity, QuantizedSqDist, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "byte_histogram takes exactly 1 argument")
+        ByteHistogram(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("quantized_sq_dist"),

@@ -127,9 +127,36 @@ object Multimodal {
       when(isPng, beU32(21)).when(isGif, leU16(9)).when(isBmp, leU32(23)).as("height"))
   }
 
+  /** REAL codec-free feature extraction: integer byte-distribution
+    * statistics from one [[graft.functions.ByteHistogram]] pass —
+    * content-type and quality signals (printable ratio, byte
+    * diversity, modal byte) that need no image/audio library, the
+    * standard first-stage features for binary dedup and corpus
+    * triage. All outputs are integers (ratios scaled by 10⁶ +
+    * floored), so results are bit-exact across engines. */
+  def byteFeatures(blobs: DataFrame,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val hist = graft.functions.ByteHistogram(col(blobCol))
+    // printable ASCII = byte values 32..126 → 1-based slice(33, 95)
+    val printable = aggregate(slice(col("hist"), 33, 95), lit(0L), (a, x) => a + x)
+    blobs.select(col(idCol), length(col(blobCol)).cast("long").as("n_bytes"),
+        hist.as("hist"))
+      .select(
+        col(idCol),
+        col("n_bytes"),
+        size(filter(col("hist"), x => x > 0)).cast("long").as("n_distinct_bytes"),
+        (array_position(col("hist"), array_max(col("hist"))) - 1).as("mode_byte"),
+        array_max(col("hist")).as("mode_count"),
+        when(col("n_bytes") === 0, lit(0L))
+          .otherwise(floor(printable * lit(1000000.0) / col("n_bytes")).cast("long"))
+          .as("ascii_ratio_scaled"))
+  }
+
   /** Feature-extraction stub: blob → fixed-width float embedding.
-    * Deterministic fake (md5-expanded); a real extractor (CLIP-style
-    * encoder) drops in with the same (blobs → Dataset) shape and the
+    * Deterministic fake (md5-expanded) standing in for a LEARNED
+    * encoder (CLIP-style), which genuinely needs a model runtime; the
+    * codec-free REAL extractor is [[byteFeatures]]. A real encoder
+    * drops in with the same (blobs → Dataset) shape and the
     * same partition-preserving parallelism. */
   def extractFeatures(blobs: DataFrame, dim: Int = 16,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {

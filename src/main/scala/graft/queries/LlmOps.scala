@@ -936,5 +936,39 @@ object LlmOps {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // codec-free multimodal features from one native byte-histogram
+    // pass; oracle decodes bytes from hex() with the strpos trick (no
+    // char-vs-byte ambiguity on multibyte text). All-integer outputs.
+    QueryDef.sql(
+      "mm_byte_features", {
+        def hx(p: String) = s"(strpos('0123456789ABCDEF', substr(h, CAST($p AS INTEGER), 1)) - 1)"
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS h,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |  FROM documents),
+           |bytes AS (
+           |  SELECT doc_id, ${hx("2*i-1")} * 16 + ${hx("2*i")} AS bv
+           |  FROM b, unnest(generate_series(1, n_bytes)) AS u(i)),
+           |hist AS (
+           |  SELECT doc_id, bv, count(*) AS c FROM bytes GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+           |    CAST(min(CASE WHEN c = maxc THEN bv END) AS BIGINT) AS mode_byte,
+           |    CAST(max(c) AS BIGINT) AS mode_count,
+           |    CAST(COALESCE(sum(c) FILTER (WHERE bv BETWEEN 32 AND 126), 0) AS BIGINT) AS printable
+           |  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS maxc FROM hist)
+           |  GROUP BY doc_id)
+           |SELECT b.doc_id, b.n_bytes, a.n_distinct_bytes, a.mode_byte, a.mode_count,
+           |  CAST(floor(a.printable * 1000000.0 / b.n_bytes) AS BIGINT) AS ascii_ratio_scaled
+           |FROM b JOIN agg a ON a.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }) { (s, dir) =>
+      Multimodal.byteFeatures(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")))
+        .orderBy("doc_id")
     })
 }

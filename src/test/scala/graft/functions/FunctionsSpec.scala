@@ -58,6 +58,33 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [quantized_sq_dist"))
   }
 
+  test("ByteHistogram: counts match a reference fold; empty and null inputs") {
+    val df = Seq((1L, "aabé"), (2L, ""), (3L, "zzzz"))
+      .toDF("id", "s").select(col("id"), encode(col("s"), "UTF-8").as("b"))
+    val got = df.select(col("id"), ByteHistogram(col("b")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ref(s: String): Seq[Long] = {
+      val c = new Array[Long](256)
+      s.getBytes("UTF-8").foreach(b => c(b & 0xff) += 1)
+      c.toSeq
+    }
+    assert(got(1L) == ref("aabé"))          // é = 2 UTF-8 bytes >= 0x80
+    assert(got(1L).sum == 5L && got(1L)(0xc3) == 1L)  // a,a,b + 2-byte é
+    assert(got(2L) == Seq.fill(256)(0L))         // empty -> zeros, not null
+    assert(got(3L)('z'.toInt) == 4L)
+    val n = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("b")
+      .select(ByteHistogram(col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+    // derived features agree with direct computation
+    val feats = graft.multimodal.Multimodal.byteFeatures(
+      df.withColumnRenamed("id", "doc_id").withColumnRenamed("b", "blob"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats(3L).getAs[Long]("n_distinct_bytes") == 1L)
+    assert(feats(3L).getAs[Long]("mode_byte") == 'z'.toLong)
+    assert(feats(3L).getAs[Long]("ascii_ratio_scaled") == 1000000L)
+    assert(feats(2L).getAs[Long]("ascii_ratio_scaled") == 0L)  // len-0 guard
+  }
+
   test("TimeBoundsAggregator: typed min/max with null-tolerant merge") {
     val ds = Seq(
       Reading("a", Some(Timestamp.valueOf("2023-04-23 10:00:00"))),

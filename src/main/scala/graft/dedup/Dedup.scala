@@ -352,6 +352,29 @@ object Dedup {
     embeddingNearDups(emb, threshold,
       adaptiveSignDims(emb.count(), embDim, targetBucketRows), idCol, vecCol)
 
+  /** Corpus-sized banded near-dup: `numBands` disjoint bands, each of
+    * [[adaptiveSignDims]]' width for the actual corpus size, offset so
+    * no two bands share a component. One count job; then
+    * [[embeddingNearDupsBanded]]. The default at unknown scale: linear
+    * work per band, recall multiplied across bands. */
+  def embeddingNearDupsBandedAuto(
+      emb: DataFrame, threshold: Double, embDim: Int, numBands: Int = 2,
+      targetBucketRows: Long = 1024L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numBands >= 1)
+    val base = adaptiveSignDims(emb.count(), embDim, targetBucketRows)
+    // shift each band by a fraction of the base stride so band k sits
+    // between band 0's components (shift embDim/numBands would wrap
+    // onto the same component set whenever stride divides it)
+    val shift = math.max(1, embDim / (base.length * numBands))
+    val bands = (0 until numBands).map(bandIdx =>
+      base.map(d => 1 + (d - 1 + bandIdx * shift) % embDim))
+    require(bands.flatten.distinct.length == bands.map(_.length).sum,
+      s"bands overlap for embDim=$embDim, bits=${base.length}, numBands=$numBands" +
+        " — lower numBands or targetBucketRows")
+    embeddingNearDupsBanded(emb, threshold, bands, idCol, vecCol)
+  }
+
   /** Banded sign-LSH near-dups, mirroring the minhash band trick: each
     * band is an independent set of hyperplanes, a pair is a candidate
     * if it collides in ANY band, and candidates are deduped BEFORE the

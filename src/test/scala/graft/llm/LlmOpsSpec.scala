@@ -320,6 +320,20 @@ class LlmOpsSpec extends SparkSuite {
     val auto = pairs(Dedup.embeddingNearDupsAuto(emb, 0.25, embDim = 64,
       targetBucketRows = emb.count()))
     assert(auto.exceptAll(pairs(Dedup.embeddingNearDups(emb, 0.25, Seq(1)))).count() == 0)
+    // banded-auto: disjoint bands at corpus-derived width; recall
+    // dominates a single band of the same width
+    val n = emb.count()
+    val autoBand = pairs(Dedup.embeddingNearDupsBandedAuto(
+      emb, 0.25, embDim = 64, numBands = 2, targetBucketRows = math.max(1L, n / 16)))
+    val oneBand = pairs(Dedup.embeddingNearDups(
+      emb, 0.25, Dedup.adaptiveSignDims(n, 64, math.max(1L, n / 16))))
+    assert(oneBand.exceptAll(autoBand).count() == 0)
+    assert(autoBand.count() >= oneBand.count())
+    // overlapping-band configs are refused, not silently degraded
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsBandedAuto(emb, 0.25, embDim = 8, numBands = 8,
+        targetBucketRows = 1)
+    }
   }
 
   test("brute-force paths guard against corpus-sized probe sets") {

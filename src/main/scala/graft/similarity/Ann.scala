@@ -243,6 +243,56 @@ object Ann {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Materialize the IVF index on disk: the corpus written partitioned
+    * by `centroid_id`, so each inverted list is a partition DIRECTORY
+    * and probing prunes file groups before any IO — the physical
+    * layout the 100 TB deployment uses (one [[ivfAssign]] pass, then
+    * a partitioned write; rebuild when centroids move). */
+  def writeIvfIndex(
+      corpus: DataFrame, centroids: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid_id").parquet(indexPath)
+
+  /** Top-k over an on-disk [[writeIvfIndex]] index. The probed list
+    * ids (≤ `nprobe × numCentroids` distinct values, a bounded
+    * control-plane collect) become an `isin` partition filter, so the
+    * scan reads ONLY the probed lists' directories — scan cost is
+    * nprobe/numCentroids of the index regardless of corpus size.
+    * Ranking is identical to [[ivfTopK]]. */
+  def ivfTopKIndexed(
+      indexPath: String, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val probes = {
+      val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .join(broadcast(c))
+        .select(col("query_id"), col("q_vec"), col("centroid_id"),
+          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
+      val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    }
+    val probedLists = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probedLists: _*))
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed(vecCol, "c_vec")
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.dedup.Vectors.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Single- or multi-probe sign-LSH top-k. `probes = 1` searches only
     * the query's own bucket; larger budgets additionally probe
     * one-bit-flipped buckets ORDERED BY the query's distance to each

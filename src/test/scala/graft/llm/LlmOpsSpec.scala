@@ -336,6 +336,24 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("on-disk IVF index: partition-pruned probe, identical results to in-memory ivfTopK") {
+    val emb = Tables.embeddings
+    val centroids = emb.filter($"vec_id" < 8)
+    val queries = emb.filter($"vec_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.writeIvfIndex(emb, centroids, dir)
+    // physical layout: one directory per inverted list
+    val listDirs = new java.io.File(dir).list().count(_.startsWith("centroid_id="))
+    assert(listDirs > 0 && listDirs <= 8)
+    val indexed = Ann.ivfTopKIndexed(dir, centroids, queries, k = 5, nprobe = 2)
+    val inMem = Ann.ivfTopK(emb, centroids, queries, k = 5, nprobe = 2)
+    assert(indexed.exceptAll(inMem).isEmpty && inMem.exceptAll(indexed).isEmpty)
+    // the centroid_id probe filter must prune partitions before IO
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      "probe filter did not reach the index scan as a partition filter")
+  }
+
   test("brute-force paths guard against corpus-sized probe sets") {
     val emb = Tables.embeddings
     // bruteForceTopK refuses: exactness can't be silently downgraded

@@ -104,6 +104,28 @@ object IngestCli {
         println(QueryApi.jsonAgg(df, "time_stamp",
           df.columns.filterNot(_ == "time_stamp").toSeq))
 
+      case "StreamObs" =>
+        // streaming obs ingest, one AvailableNow drain per catalog
+        // source (cron-equivalent): the file-source checkpoint under
+        // the store replaces the ledger anti-join for idempotence
+        val store = new GaugeStore(spark, req("store"))
+        store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
+        loadCatalog(spark, req("catalog")).foreach { meta =>
+          graft.streaming.StreamingIngest.runOnce(spark, meta, store,
+            req("harvestDir"),
+            s"${req("store")}/_checkpoints/obs_${meta.data_source}_${meta.source_name}")
+        }
+        println("streamed obs drain complete")
+
+      case "StreamModelRuns" =>
+        // drain run-manifest announcements (StreamingModelIngest):
+        // each manifest row hands a completed run to modelRunIngest
+        val store = new GaugeStore(spark, req("store"))
+        store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
+        graft.streaming.StreamingModelIngest.runOnce(spark, store,
+          req("watchDir"), s"${req("store")}/_checkpoints/model_manifests")
+        println("streamed model-run drain complete")
+
       case "SqlCheck" =>
         // smoke-proves the GraftExtensions SQL surface is live in this
         // deployment mode (native expressions callable from plain SQL)

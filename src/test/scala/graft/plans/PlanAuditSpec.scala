@@ -1,0 +1,68 @@
+package graft.plans
+
+import graft.{SparkSuite, SparkEntry}
+
+/** Executable form of PLANS.md's required-plan-shape table: the
+  * load-bearing physical-plan properties that keep the engine
+  * 100 TB-safe, asserted so a regression fails `sbt test` instead of
+  * waiting for a manual Explain audit. Runs against sf0.001 (plan
+  * SHAPE is what matters; AQE size-based choices that legitimately
+  * flip with scale — e.g. q3/q5's BHJ→SMJ — are not pinned here). */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sfDir = sf("sf0.001")
+
+  private def plan(query: String): String =
+    SparkEntry.queries(query)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("j3_star_join: pruned scans, pushed date filter, broadcast dims") {
+    val p = plan("j3_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must reach the scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "fixed-size dims must not shuffle-join at any SF")
+  }
+
+  test("j8_keep_latest_dedup: map-side WindowGroupLimit before the rank exchange") {
+    val p = plan("j8_keep_latest_dedup")
+    // partial (map-side) + final group-limit prune around one exchange:
+    // losing this turns top-1-per-key into a full-sort-per-key
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit, plan:\n$p")
+  }
+
+  test("e1_ann_bruteforce: query-side filter pushed, top-k pruned map-side") {
+    val p = plan("e1_ann_bruteforce")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id"),
+      "vec_id probe filter must reach the parquet scan")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune map-side")
+  }
+
+  test("c4_chunk_windows: zero exchanges before the deterministic ORDER BY") {
+    val df = SparkEntry.queries("c4_chunk_windows")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly the ORDER BY's rangepartitioning exchange, nothing else —
+    // chunking must stay a scan-local sequence→explode→slice
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"chunking grew a shuffle, plan:\n$p")
+  }
+
+  test("p7_time_range / gauge scans: partition pruning is asserted elsewhere, " +
+      "q1 aggregates map-side") {
+    val p = plan("q1_sum_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate (map-side combine)")
+    assert(p.contains("PushedFilters"), "shipdate filter must reach the scan")
+  }
+
+  test("native kernels stay inside whole-stage codegen in real queries") {
+    // e4's distance and d6's cosine must not fall out of codegen: the
+    // `*(n)` span marker must wrap the stage that computes them
+    val e4 = plan("e4_label_knn_agreement")
+    assert(e4.contains("quantized_sq_dist"), "e4 must use the native kernel")
+    assert(!e4.contains("zip_with") && !e4.contains("aggregate("),
+      "interpreted HOF distance crept back into e4")
+    val d6 = plan("d6_embedding_neardups")
+    assert(d6.contains("cosine_similarity"), "d6 must use the fused cosine")
+  }
+}

@@ -303,11 +303,26 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     }
     def targetFiles(bytes: Long) =
       math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val todo = leaves(tableRoot, Nil).collect {
+    val allLeaves = leaves(tableRoot, Nil)
+    val wanted = allLeaves.collect {
       case (rel, bytes, nFiles) if nFiles > targetFiles(bytes) =>
         (rel, targetFiles(bytes))
     }
-    if (todo.isEmpty) return Seq.empty
+    // A root-level leaf (data files directly in the table root) is only
+    // compactable via the whole-table swap, and that swap is safe ONLY
+    // when the root is the table's sole leaf: in a mixed layout (stray
+    // root files next to partition dirs) tmp holds just the rewritten
+    // leaves, so swapping the whole table would silently delete every
+    // partition that wasn't being compacted. No writer here produces
+    // such a layout, but a maintenance job must not destroy one.
+    val mixedRoot = wanted.exists(_._1.isEmpty) && allLeaves.size > 1
+    val todo = if (mixedRoot) wanted.filterNot(_._1.isEmpty) else wanted
+    val skipped =
+      if (mixedRoot)
+        Seq(s"skipped $table root-level files: mixed root+partition " +
+          "layout; compact them by rewriting the table")
+      else Seq.empty
+    if (todo.isEmpty) return skipped
     val tmp = path(table + "_tmp")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -323,8 +338,9 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       }.foreach(_.get())
     } finally pool.shutdown()
     if (todo.exists(_._1.isEmpty)) {
-      // unpartitioned table: the single leaf IS the table — whole-table
-      // crash-safe swap instead of a partition park
+      // unpartitioned table (root is the SOLE leaf, guaranteed by the
+      // mixedRoot guard above): whole-table crash-safe swap instead of
+      // a partition park
       swapInto(table, tmp)
     } else {
       val backup = new org.apache.hadoop.fs.Path(path(
@@ -343,7 +359,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     todo.map { case (rel, n) =>
-      s"compacted ${(table +: rel).mkString("/")} to $n file(s)" }
+      s"compacted ${(table +: rel).mkString("/")} to $n file(s)" } ++ skipped
   }
 
   def writeModelSource(df: DataFrame): Unit =

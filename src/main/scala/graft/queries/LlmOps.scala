@@ -961,9 +961,14 @@ object LlmOps {
            |    CAST(COALESCE(sum(c) FILTER (WHERE bv BETWEEN 32 AND 126), 0) AS BIGINT) AS printable
            |  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS maxc FROM hist)
            |  GROUP BY doc_id)
-           |SELECT b.doc_id, b.n_bytes, a.n_distinct_bytes, a.mode_byte, a.mode_count,
-           |  CAST(floor(a.printable * 1000000.0 / b.n_bytes) AS BIGINT) AS ascii_ratio_scaled
-           |FROM b JOIN agg a ON a.doc_id = b.doc_id
+           |SELECT b.doc_id, b.n_bytes,
+           |  CAST(COALESCE(a.n_distinct_bytes, 0) AS BIGINT) AS n_distinct_bytes,
+           |  CAST(COALESCE(a.mode_byte, 0) AS BIGINT) AS mode_byte,
+           |  CAST(COALESCE(a.mode_count, 0) AS BIGINT) AS mode_count,
+           |  CASE WHEN b.n_bytes = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(floor(a.printable * 1000000.0 / b.n_bytes) AS BIGINT)
+           |  END AS ascii_ratio_scaled
+           |FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
            |ORDER BY b.doc_id""".stripMargin
       }) { (s, dir) =>
       Multimodal.byteFeatures(

@@ -74,22 +74,36 @@ object Ann {
     *
     * Scale shape = [[bruteForceTopK]]'s: probes broadcast, ONE corpus
     * pass, per-probe window top-k (WindowGroupLimit prunes map-side).
-    * A probe set past `maxBroadcastProbes` rows routes automatically
-    * to [[labelKnnAgreementBucketed]] (same schema, approximate).
-    */
+    * A probe set past `maxBroadcastProbes` rows cannot run exactly
+    * (broadcast OOM / quadratic nested loop); with
+    * `allowApproximate = true` it routes to
+    * [[labelKnnAgreementBucketed]] (same schema, APPROXIMATE — bucketed
+    * recall, not exact kNN) with a logged warning; without the flag it
+    * refuses, like [[bruteForceTopK]], so exactness is never silently
+    * downgraded. */
   def labelKnnAgreement(
       corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label",
-      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+      maxBroadcastProbes: Long = MaxBroadcastProbes,
+      allowApproximate: Boolean = false): DataFrame = {
     val n = probeCountCapped(probes, maxBroadcastProbes)
-    if (n > maxBroadcastProbes)
+    if (n > maxBroadcastProbes) {
+      require(allowApproximate,
+        s"labelKnnAgreement: probe set exceeds $maxBroadcastProbes rows; " +
+          "the exact broadcast plan would be quadratic in the corpus. " +
+          "Pass allowApproximate = true to run the bucketed " +
+          "(approximate) audit, or call labelKnnAgreementBucketed " +
+          "directly")
       // corpus-sized probe set: broadcast would OOM the driver — route
       // through the bucketed (approximate) audit, which shuffle-joins
       // on sign buckets instead of broadcasting the probe side
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"labelKnnAgreement: probe set > $maxBroadcastProbes rows; " +
+          "downgrading to the bucketed APPROXIMATE audit (allowApproximate)")
       labelKnnAgreementBucketed(corpus, probes, k,
         idCol = idCol, vecCol = vecCol, labelCol = labelCol)
-    else
+    } else
       labelAgreement(knnPairs(corpus, probes, k, idCol, vecCol, labelCol))
   }
 

@@ -58,6 +58,7 @@ object StreamingModelIngest {
       .option("header", "true")
       .option("maxFileAge", maxFileAge)
       .csv(s"$watchDir/*.csv")
+      .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
     stream.writeStream
       .queryName("model_run_ingest")
       .option("checkpointLocation", checkpointDir)
@@ -77,7 +78,22 @@ object StreamingModelIngest {
       uiDataUrl: String): Unit = {
     batch.collect().foreach { r =>
       def s(c: String) = Option(r.getAs[String](c)).map(_.trim).filter(_.nonEmpty)
-      graft.IngestCli.modelRunIngest(spark, store,
+      // A malformed/truncated manifest parses PERMISSIVEly into nulls;
+      // feeding those into modelRunIngest NPEs and kills the whole
+      // streaming query. Validate the required fields per ROW and
+      // skip-and-log with the offending file named, so one bad manifest
+      // can't poison the stream (the reference's queue consumer has the
+      // same per-message isolation).
+      val required = Seq("model_run_id", "run_dir", "timemark",
+        "ensemble", "grid", "instance", "metclass")
+      val missing = required.filter(c => s(c).isEmpty)
+      if (missing.nonEmpty) {
+        val file = scala.util.Try(r.getAs[String]("src_file"))
+          .toOption.flatMap(Option(_)).getOrElse("<unknown manifest>")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"skipping malformed manifest $file: missing/empty " +
+            missing.mkString(", "))
+      } else graft.IngestCli.modelRunIngest(spark, store,
         runDir = r.getAs[String]("run_dir"),
         modelRunId = r.getAs[String]("model_run_id"),
         timemark = r.getAs[String]("timemark"),

@@ -119,4 +119,36 @@ class CompactionSpec extends SparkSuite {
     assert(dataFiles(s"$root/ledger_obs").size == 1)
     assert(store.ledger.count() == 4)
   }
+
+  test("mixed root+partition layout: root files are skipped, partitions never deleted") {
+    val root = Files.createTempDirectory("graft-compact5").toString
+    val store = new GaugeStore(spark, root)
+    (1 to 2).foreach { i =>
+      store.appendGaugeData(mkFact(Seq(
+        (1L, f"2023-04-23 $i%02d:00:00", "2023-04-23 10:00:00", i.toDouble))), "tidal_gauge")
+    }
+    // stray data files at the TABLE ROOT next to the partition dirs —
+    // no writer here produces this, but an external tool can; the old
+    // whole-table swap would have replaced the table with only the
+    // rewritten leaves, deleting every other partition
+    val strayDir = Files.createTempDirectory("graft-stray").toString
+    mkFact(Seq((9L, "2023-04-25 01:00:00", "2023-04-25 01:00:00", 9.0)))
+      .repartition(2).write.mode("overwrite").parquet(strayDir)
+    val strays = dataFiles(strayDir)
+    assert(strays.size == 2)
+    strays.foreach { f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$root/gauge_data", f.getName))
+    }
+    val leaf = leafDir(root, "2023-04-23")
+    assert(dataFiles(leaf).size == 2)
+
+    val actions = store.binPackCompact("gauge_data", targetBytes = 1L << 30)
+    // root leaf skipped with an explicit message; partition leaf still compacted
+    assert(actions.exists(_.contains("skipped gauge_data root-level")), actions.toString)
+    assert(actions.exists(_.contains("obs_date=2023-04-23")), actions.toString)
+    // partition dir intact (compacted to 1 file), root strays untouched
+    assert(dataFiles(leaf).size == 1)
+    assert(dataFiles(s"$root/gauge_data").size == 2)
+    assert(spark.read.parquet(leaf).count() == 2)
+  }
 }

@@ -361,8 +361,15 @@ class LlmOpsSpec extends SparkSuite {
       Ann.bruteForceTopK(emb, emb, 3, maxBroadcastProbes = 4L)
     }
     assert(ex.getMessage.contains("lshTopK"))
-    // labelKnnAgreement routes to the bucketed audit (same schema)
-    val routed = Ann.labelKnnAgreement(emb, emb, 5, maxBroadcastProbes = 4L)
+    // labelKnnAgreement refuses too unless the approximate downgrade
+    // is explicitly opted into ...
+    val ex2 = intercept[IllegalArgumentException] {
+      Ann.labelKnnAgreement(emb, emb, 5, maxBroadcastProbes = 4L)
+    }
+    assert(ex2.getMessage.contains("allowApproximate"))
+    // ... and with the opt-in it routes to the bucketed audit (same schema)
+    val routed = Ann.labelKnnAgreement(emb, emb, 5, maxBroadcastProbes = 4L,
+      allowApproximate = true)
     val bucketed = Ann.labelKnnAgreementBucketed(emb, emb, 5)
     assert(routed.exceptAll(bucketed).isEmpty && bucketed.exceptAll(routed).isEmpty)
   }

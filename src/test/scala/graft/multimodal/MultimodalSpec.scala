@@ -50,4 +50,20 @@ class MultimodalSpec extends SparkSuite {
       java.security.MessageDigest.getInstance("MD5")
         .digest(imageBytes("png", 123, 77)).map("%02x".format(_)).mkString)
   }
+
+  test("byteFeatures on a zero-length blob yields all-zero features (oracle parity)") {
+    // the DuckDB oracle LEFT-JOINs the histogram agg with COALESCE(.., 0)
+    // defaults for exactly this row shape — keep both sides in lockstep
+    val out = Multimodal.byteFeatures(
+        Seq((1L, Array.empty[Byte]), (2L, "ab".getBytes("UTF-8")))
+          .toDF("doc_id", "blob"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_bytes") == 0L)
+    assert(out(0).getAs[Long]("n_distinct_bytes") == 0L)
+    assert(out(0).getAs[Long]("mode_byte") == 0L)
+    assert(out(0).getAs[Long]("mode_count") == 0L)
+    assert(out(0).getAs[Long]("ascii_ratio_scaled") == 0L)
+    assert(out(1).getAs[Long]("n_distinct_bytes") == 2L)
+    assert(out(1).getAs[Long]("ascii_ratio_scaled") == 1000000L)
+  }
 }

@@ -91,4 +91,27 @@ class StreamingModelIngestSpec extends SparkSuite {
     assert(store.modelData.count() == 3)
     assert(store.modelData.filter(col("water_level") >= 1.4).count() == 3)
   }
+
+  test("a malformed manifest is skipped (logged with file name); good runs still ingest") {
+    val root = Files.createTempDirectory("graft-smodel-bad").toString
+    val watch = s"$root/watch"; val ckpt = s"$root/ckpt"
+    val runId = "4360-2023042312-gfsforecast"
+    val runDir = s"$root/$runId"
+    writeRun(runDir, 0.5)
+    val store = mkStore(root)
+
+    // truncated manifest: only 2 of the 10 columns — PERMISSIVE csv
+    // parse null-fills the rest, which previously NPE'd inside
+    // modelRunIngest and killed the whole streaming query
+    Files.createDirectories(Paths.get(watch))
+    Files.write(Paths.get(watch, "truncated.csv"),
+      "model_run_id,run_dir\nbadrun,/nowhere\n".getBytes)
+    writeManifest(watch, "good.csv", runId, runDir, "2023-04-23T13:30:00")
+
+    // must not throw; the good run lands, the bad one is skipped
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    assert(store.modelLedger.count() == 1)
+    assert(store.modelData.count() == 3)
+    assert(store.modelLedger.filter(col("model_run_id") === runId).count() == 1)
+  }
 }

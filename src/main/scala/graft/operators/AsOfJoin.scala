@@ -6,18 +6,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** As-of join — the time-series join Spark has no native operator for:
-  * every left row picks up the LATEST right row with
-  * `rightTime <= leftTime` and equal keys (left join semantics: no
-  * prior right row → null payload; a NULL key matches nothing, as in
-  * an equality join and DuckDB's native ASOF JOIN).
+  * every left row picks up a right row with equal keys chosen by
+  * `direction` (left join semantics: no candidate right row → null
+  * payload; a NULL key matches nothing, as in an equality join and
+  * DuckDB's native ASOF JOIN):
+  *
+  *  - `"backward"` (default): LATEST right with `rightTime <= leftTime`
+  *  - `"forward"`:  EARLIEST right with `rightTime >= leftTime`
+  *  - `"nearest"`:  the closer of the two; exact-tie → backward
+  *    (distances compared in exact integer micros for time types —
+  *    FP-seconds ties would be engine-dependent)
   *
   * Shape: tag both sides, union them, shuffle once on the key, then a
-  * per-key ordered window carries the last-seen right payload forward
-  * (`last(ignoreNulls)` over preceding rows). Right rows sort before
-  * left rows at equal timestamps, which yields the inclusive `<=`
-  * contract. Versus the naive formulation (range join left×right on
-  * `r.t <= l.t` + argmax per left row): no range explosion — cost is
-  * one sort of |L|+|R| within each partition bucket.
+  * per-key ordered window carries the last-seen (resp. next-seen) right
+  * payload across left rows (`last`/`first(ignoreNulls)`). At equal
+  * timestamps the right row sorts on the inclusive side of the frame,
+  * which yields the `<=`/`>=` contracts. Versus the naive formulation
+  * (range join left×right + argmin per left row): no range explosion —
+  * cost is one sort of |L|+|R| within each partition bucket ("nearest"
+  * needs both frame directions: two sorts, still ONE exchange).
   *
   * Skew: a window exchange gets NO help from AQE (AQE's skew
   * mitigation splits skewed partitions in sort-merge JOINs only), so
@@ -27,13 +34,14 @@ import org.apache.spark.sql.types._
   *
   *   1. window within (keys, bucket) — the hot key's rows spread over
   *      up to `timeBuckets` tasks;
-  *   2. per-(keys, bucket) summary = latest right payload in the
-  *      bucket (one `max_by` aggregate, map-side combinable);
+  *   2. per-(keys, bucket) summary = latest (and/or earliest) right
+  *      payload in the bucket (`max_by`/`min_by`, map-side combinable);
   *   3. a second window over the per-bucket summaries (rows = #keys ×
-  *      #buckets, tiny) computes each bucket's carry-in = last right
-  *      payload from any PRIOR bucket;
+  *      #buckets, tiny) computes each bucket's carry = last right
+  *      payload from any PRIOR bucket (backward) / first from any
+  *      LATER bucket (forward);
   *   4. broadcast the carry table back onto (keys, bucket);
-  *      payload = coalesce(in-bucket match, carry-in).
+  *      payload = coalesce(in-bucket match, carry).
   *
   * Bucket ids come from a monotone map of the time column onto
   * [0, timeBuckets) using global min/max bounds (one cheap agg pass);
@@ -50,16 +58,25 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       payloadCols: Seq[String], payloadPrefix: String = "asof_",
-      timeBuckets: Int = 32): DataFrame = {
+      timeBuckets: Int = 32, direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val needB = direction != "forward"
+    val needF = direction != "backward"
     val keyCols = keys.map(col)
-    val payload = struct(payloadCols.map(col): _*)
+    // "nearest" needs the matched right TIME to compare distances; ride
+    // it inside the payload struct so every carry path moves it along
+    val payFields = if (direction == "nearest")
+      payloadCols.map(col) :+ col(rightTime).as("__rt")
+    else payloadCols.map(col)
+    val payload = struct(payFields: _*)
     val leftType = StructType(left.schema.fields)
-    // a NULL rightTime can never satisfy `rightTime <= leftTime`, but
-    // would sort FIRST (nulls-first ascending) and become every row's
-    // carried payload — exclude it up front. A NULL key right row can
-    // never match either (NULL = NULL is not a match), but
-    // Window.partitionBy groups null keys into one partition, so it
-    // must also be excluded or it would pair with null-key left rows.
+    // a NULL rightTime can never satisfy the time bound, but would sort
+    // at a frame edge (nulls-first ascending) and become a carried
+    // payload — exclude it up front. A NULL key right row can never
+    // match either (NULL = NULL is not a match), but Window.partitionBy
+    // groups null keys into one partition, so it must also be excluded
+    // or it would pair with null-key left rows.
     val rightKeep = keys.map(col(_).isNotNull)
       .foldLeft(col(rightTime).isNotNull)(_ && _)
     val r0 = right.filter(rightKeep).select(
@@ -81,19 +98,42 @@ object AsOfJoin {
         val bounds = u.agg(min(ord(col("__t"))).as("mn"),
           max(ord(col("__t"))).as("mx")).head()
         if (bounds.isNullAt(0) || bounds.getDouble(0) == bounds.getDouble(1)) {
-          singlePhase(u, keyCols)
+          singlePhase(u, keyCols, needB, needF)
         } else {
           val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
           val b = bucketExpr(ord(col("__t")), mn, mx, timeBuckets)
-          twoPhase(u.withColumn("__b", b), keys, keyCols)
+          twoPhase(u.withColumn("__b", b), keys, keyCols, needB, needF)
         }
-      case _ => singlePhase(u, keyCols)
+      case _ => singlePhase(u, keyCols, needB, needF)
     }
 
+    val best = direction match {
+      case "backward" => col("__mb")
+      case "forward" => col("__mf")
+      case "nearest" =>
+        // exact integer distance where the type allows (micros/days);
+        // double ordinal otherwise — document ties as FP-dependent then
+        val ex = exactOrdinal(u.schema("__t").dataType)
+        val dB = ex(col("__t")) - ex(col("__mb.__rt"))
+        val dF = ex(col("__mf.__rt")) - ex(col("__t"))
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(dB <= dF, col("__mb"))
+          .otherwise(col("__mf"))
+    }
     val outCols = left.columns.map(c => col(s"__l.$c").as(c)) ++
-      payloadCols.map(c => col(s"__m.$c").as(payloadPrefix + c))
-    matched.select(outCols.toSeq: _*)
+      payloadCols.map(c => col(s"__best.$c").as(payloadPrefix + c))
+    matched.withColumn("__best", best).select(outCols.toSeq: _*)
   }
+
+  /** Nearest-match convenience: closer of backward/forward, tie →
+    * backward. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String], payloadPrefix: String = "asof_",
+      timeBuckets: Int = 32): DataFrame =
+    apply(left, right, keys, leftTime, rightTime, payloadCols,
+      payloadPrefix, timeBuckets, direction = "nearest")
 
   /** Monotone double ordinal of a time-like column, for bucketing.
     * None → type has no cheap numeric ordinal; fall back to one phase.
@@ -103,6 +143,16 @@ object AsOfJoin {
     case TimestampType | TimestampNTZType => Some(_.cast(DoubleType))
     case _: NumericType => Some(_.cast(DoubleType))
     case _ => None
+  }
+
+  /** EXACT integer ordinal for nearest-distance comparison: micros for
+    * timestamps, days for dates (a double-seconds tie test would be
+    * FP-rounding-dependent and diverge from integer-epoch oracles). */
+  private def exactOrdinal(dt: DataType): Column => Column = dt match {
+    case DateType => c => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+    case TimestampType | TimestampNTZType => unix_micros(_)
+    case ByteType | ShortType | IntegerType | LongType => _.cast(LongType)
+    case _ => _.cast(DoubleType)
   }
 
   /** Bucket id in [0, n) for ordinal values in [mn, mx]; monotone, and
@@ -116,39 +166,75 @@ object AsOfJoin {
     least(floor((ord - lit(mn)) / lit(width)), lit(n - 1)).cast(IntegerType)
   }
 
-  /** All rows of a key through one window partition. */
-  private def singlePhase(u: DataFrame, keyCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t"), col("__side"))
+  /** All rows of a key through one window partition. Both frame
+    * directions share ONE hash exchange; "nearest" adds a second
+    * in-partition sort (tie order differs), not a second shuffle. */
+  private def singlePhase(u: DataFrame, keyCols: Seq[Column],
+      needB: Boolean, needF: Boolean): DataFrame = {
+    // backward: right (side 0) sorts BEFORE left at equal __t, so a
+    // tied right row is inside the preceding-inclusive frame; forward:
+    // right sorts AFTER left, inside the following-inclusive frame
+    val wB = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wF = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withB = if (needB)
+      u.withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB)) else u
+    val withF = if (needF)
+      withB.withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
+    else withB
+    withF.filter(col("__side") === 1)
   }
 
   /** Hot keys split across `timeBuckets` window partitions; cross-
     * bucket carry travels through a tiny per-bucket summary table.
     */
   private def twoPhase(bucketed: DataFrame, keys: Seq[String],
-      keyCols: Seq[Column]): DataFrame = {
-    val wLocal = Window.partitionBy((keyCols :+ col("__b")): _*)
-      .orderBy(col("__t"), col("__side"))
+      keyCols: Seq[Column], needB: Boolean, needF: Boolean): DataFrame = {
+    val partCols = keyCols :+ col("__b")
+    val wLocalB = Window.partitionBy(partCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed
-      .withColumn("__m0", last(col("__p"), ignoreNulls = true).over(wLocal))
-      .filter(col("__side") === 1)
-    // Latest right payload per (keys, bucket). The `when` nulls the
-    // ordering key for left rows and max_by skips null ordering keys,
-    // so buckets holding only left rows still appear (null summary) —
-    // they must, or their carry-in would be lost in the join below.
-    val summary = bucketed
-      .groupBy((keyCols :+ col("__b")): _*)
-      .agg(max_by(col("__p"), when(col("__side") === 0, col("__t"))).as("__s"))
-    val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+    val wLocalF = Window.partitionBy(partCols: _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val local0 = if (needB)
+      bucketed.withColumn("__mb0", last(col("__p"), ignoreNulls = true).over(wLocalB))
+    else bucketed
+    val local1 = if (needF)
+      local0.withColumn("__mf0", first(col("__p"), ignoreNulls = true).over(wLocalF))
+    else local0
+    val local = local1.filter(col("__side") === 1)
+    // Latest / earliest right payload per (keys, bucket). The `when`
+    // nulls the ordering key for left rows and max_by/min_by skip null
+    // ordering keys, so buckets holding only left rows still appear
+    // (null summary) — they must, or their carry would be lost in the
+    // join below.
+    val rightT = when(col("__side") === 0, col("__t"))
+    val aggs =
+      (if (needB) Seq(max_by(col("__p"), rightT).as("__sb")) else Nil) ++
+        (if (needF) Seq(min_by(col("__p"), rightT).as("__sf")) else Nil)
+    val summary = bucketed.groupBy(partCols: _*).agg(aggs.head, aggs.tail: _*)
+    val wPrev = Window.partitionBy(keyCols: _*).orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = summary
-      .withColumn("__c", last(col("__s"), ignoreNulls = true).over(wCarry))
-      .select((keyCols :+ col("__b") :+ col("__c")): _*)
-    local.join(broadcast(carry), keys :+ "__b", "left")
-      .withColumn("__m", coalesce(col("__m0"), col("__c")))
+    val wNext = Window.partitionBy(keyCols: _*).orderBy(col("__b").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry0 = if (needB)
+      summary.withColumn("__cb", last(col("__sb"), ignoreNulls = true).over(wPrev))
+    else summary
+    val carry1 = if (needF)
+      carry0.withColumn("__cf", first(col("__sf"), ignoreNulls = true).over(wNext))
+    else carry0
+    val carryCols = partCols ++
+      (if (needB) Seq(col("__cb")) else Nil) ++
+      (if (needF) Seq(col("__cf")) else Nil)
+    val carry = carry1.select(carryCols: _*)
+    val joined = local.join(broadcast(carry), keys :+ "__b", "left")
+    val withB = if (needB)
+      joined.withColumn("__mb", coalesce(col("__mb0"), col("__cb"))) else joined
+    if (needF) withB.withColumn("__mf", coalesce(col("__mf0"), col("__cf")))
+    else withB
   }
 }

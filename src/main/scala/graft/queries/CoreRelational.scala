@@ -536,5 +536,188 @@ object CoreRelational {
         (col("ts") < lit("2024-02-01 00:00:00").cast("timestamp") - expr("INTERVAL 31 DAYS")).as("before_lookback"),
         unix_timestamp(col("ts")).as("epoch_s"))
         .orderBy("event_id")
+    },
+
+    // --- A10: ROLLUP / grouping sets ---------------------------------
+    // Subtotal + grand-total levels in one pass (Spark rollup ≡ SQL
+    // GROUP BY ROLLUP); money sums in exact integer cents, and the
+    // grouping_id bitmask (leftmost col = MSB, identical encodings in
+    // Spark and DuckDB) disambiguates rollup-null from data-null.
+    QueryDef.sql(
+      "a10_rollup",
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n_orders"), col("sum_cents"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // --- O5: running / sliding window aggregates ---------------------
+    // Per-key ordered analytics: running max, 3-row sliding min,
+    // lag/lead neighbors, cumulative conditional count. One hash
+    // exchange on user_id serves every frame; measures are raw values
+    // or integer sums (order-independent), never FP accumulation.
+    QueryDef.sql(
+      "o5_running_window",
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(event_id) OVER w AS prev_event_id,
+        |  lead(event_id) OVER w AS next_event_id,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_value,
+        |  min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_min_value,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_errors
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        max(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_max_value"),
+        min(col("value")).over(w.rowsBetween(-2, Window.currentRow))
+          .as("mov_min_value"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("run_errors"))
+        .orderBy("user_id", "rn")
+    },
+
+    // --- J11: FORWARD as-of join -------------------------------------
+    // Same skew-safe union+window machinery as j10, opposite frame
+    // direction: each purchase picks the EARLIEST click at-or-after it.
+    QueryDef.sql(
+      "j11_asof_forward",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_event_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  c.click_event_id AS next_click_event_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
+        |ORDER BY p.user_id, p.purchase_event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max("event_id").as("click_event_id"))
+        .select("user_id", "click_ts", "click_event_id")
+      graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", Seq("click_event_id", "click_ts"),
+        payloadPrefix = "next_", direction = "forward")
+        .select(col("user_id"), col("purchase_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("next_click_event_id"),
+          date_format(col("next_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_click_ts"))
+        .orderBy("user_id", "purchase_event_id")
+    },
+
+    // --- J12: NEAREST as-of join -------------------------------------
+    // Closer of the backward/forward matches; exact ties (integer
+    // micros both engines) resolve backward. One shuffle, both frame
+    // directions in the same window partitioning.
+    QueryDef.sql(
+      "j12_asof_nearest",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_event_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT p.user_id, p.purchase_event_id, p.ts,
+        |    c.click_event_id AS bid, c.click_ts AS bts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts >= c.click_ts),
+        |f AS (
+        |  SELECT p.purchase_event_id,
+        |    c.click_event_id AS fid, c.click_ts AS fts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts <= c.click_ts)
+        |SELECT b.user_id, b.purchase_event_id,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  CASE WHEN bid IS NULL THEN fid WHEN fid IS NULL THEN bid
+        |       WHEN epoch_us(b.ts) - epoch_us(bts)
+        |         <= epoch_us(fts) - epoch_us(b.ts) THEN bid ELSE fid
+        |  END AS near_click_event_id,
+        |  strftime(
+        |    CASE WHEN bid IS NULL THEN fts WHEN fid IS NULL THEN bts
+        |         WHEN epoch_us(b.ts) - epoch_us(bts)
+        |           <= epoch_us(fts) - epoch_us(b.ts) THEN bts ELSE fts
+        |    END, '%Y-%m-%d %H:%M:%S.%f') AS near_click_ts
+        |FROM b JOIN f USING (purchase_event_id)
+        |ORDER BY b.user_id, b.purchase_event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max("event_id").as("click_event_id"))
+        .select("user_id", "click_ts", "click_event_id")
+      graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", Seq("click_event_id", "click_ts"),
+        payloadPrefix = "near_", direction = "nearest")
+        .select(col("user_id"), col("purchase_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("near_click_event_id"),
+          date_format(col("near_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("near_click_ts"))
+        .orderBy("user_id", "purchase_event_id")
+    },
+
+    // --- P10: bucketed interval JOIN ---------------------------------
+    // P8 is a scalar-window filter; this is the JOIN form (points ×
+    // per-key windows) that naive Spark plans as a broadcast nested
+    // loop. IntervalJoin turns it into explode-to-buckets + hash
+    // equi-join + residual — linear, shuffle-partitioned, AQE-eligible.
+    QueryDef.sql(
+      "p10_interval_join",
+      """WITH iv AS (
+        |  SELECT user_id, event_id AS window_id, ts AS w_start,
+        |    ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, iv.window_id
+        |FROM events p JOIN iv
+        |  ON p.user_id = iv.user_id
+        | AND p.ts >= iv.w_start AND p.ts < iv.w_end
+        |ORDER BY p.event_id, iv.window_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.IntervalJoin.pointInInterval(
+        ev.select("event_id", "user_id", "ts"), iv, Seq("user_id"),
+        "ts", "w_start", "w_end", Seq("window_id"), intervalPrefix = "",
+        bucketWidthSeconds = 1800L)
+        .select(col("event_id"), col("window_id"))
+        .orderBy("event_id", "window_id")
     })
 }

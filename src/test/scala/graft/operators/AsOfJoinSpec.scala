@@ -129,4 +129,84 @@ class AsOfJoinSpec extends SparkSuite {
       }
     } finally spark.conf.set(coalesceKey, before)
   }
+
+  test("forward as-of: earliest later right row, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 5L, "a"),   // rights at 5 and 8 → tie at 5 is INCLUSIVE
+      (1L, 6L, "b"),   // between 5 and 8 → matches 8
+      (1L, 9L, "c"),   // after every right row → null
+      (2L, 3L, "d"))   // other key, only right at 7
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Some(5L), 50.0),
+      (1L, Some(8L), 80.0),
+      (2L, Some(7L), 70.0),
+      (1L, None, 99.0)) // NULL rightTime can never satisfy rt >= t
+      .toDF("k", "rt", "v")
+    for (buckets <- Seq(1, 32)) {
+      val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        timeBuckets = buckets, direction = "forward").collect()
+      val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+      assert(byTag("a").getAs[Double]("asof_v") == 50.0, s"buckets=$buckets")
+      assert(byTag("b").getAs[Double]("asof_v") == 80.0)
+      assert(byTag("c").isNullAt(byTag("c").fieldIndex("asof_v")))
+      assert(byTag("d").getAs[Double]("asof_v") == 70.0)
+    }
+  }
+
+  test("nearest as-of: closer side wins, exact tie resolves backward") {
+    val left = Seq(
+      (1L, 4L, "backNearer"),   // rights at 3 and 8: back dist 1 < fwd 4
+      (1L, 7L, "fwdNearer"),    // back dist 4 > fwd 1
+      (1L, 1L, "onlyFwd"),      // nothing before → forward match
+      (1L, 9L, "onlyBack"),     // nothing after → backward match
+      (2L, 6L, "tie"))          // rights at 4 and 8: dist 2 both → backward
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 3L, 30.0), (1L, 8L, 80.0),
+      (2L, 4L, 40.0), (2L, 8L, 80.0))
+      .toDF("k", "rt", "v")
+    for (buckets <- Seq(1, 32)) {
+      val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        timeBuckets = buckets, direction = "nearest").collect()
+      val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+      assert(byTag("backNearer").getAs[Double]("asof_v") == 30.0, s"buckets=$buckets")
+      assert(byTag("fwdNearer").getAs[Double]("asof_v") == 80.0)
+      assert(byTag("onlyFwd").getAs[Double]("asof_v") == 30.0)
+      assert(byTag("onlyBack").getAs[Double]("asof_v") == 80.0)
+      assert(byTag("tie").getAs[Double]("asof_v") == 40.0)
+    }
+  }
+
+  test("forward/nearest match a naive reference on dense random-ish data") {
+    // deterministic pseudo-random fixture: every (key, time) pattern the
+    // window formulation must get right, checked against brute force
+    val lefts = (0 until 120).map(i => (i % 5L, (i * 7 % 40).toLong, i.toLong))
+    val rights = (0 until 60).map(i => (i % 5L, (i * 11 % 40).toLong, 100L + i))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, rt)
+    val l = lefts.toDF("k", "t", "lid")
+    val r = rights.toDF("k", "rt", "rid")
+    for (direction <- Seq("backward", "forward", "nearest"); buckets <- Seq(1, 8)) {
+      val got = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("rid"),
+        timeBuckets = buckets, direction = direction).collect()
+        .map(row => row.getLong(row.fieldIndex("lid")) ->
+          (if (row.isNullAt(row.fieldIndex("asof_rid"))) None
+           else Some(row.getLong(row.fieldIndex("asof_rid"))))).toMap
+      lefts.foreach { case (k, t, lid) =>
+        val cand = rights.filter(_._1 == k)
+        val back = cand.filter(_._2 <= t).sortBy(c => (c._2, c._3)).lastOption
+        val fwd = cand.filter(_._2 >= t).sortBy(c => (c._2, -c._3)).headOption
+        val expect = direction match {
+          case "backward" => back.map(_._3)
+          case "forward" => fwd.map(_._3)
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b._3) else Some(f._3)
+            case (b, f) => b.orElse(f).map(_._3)
+          }
+        }
+        assert(got(lid) == expect, s"dir=$direction buckets=$buckets k=$k t=$t")
+      }
+    }
+  }
 }

@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   * BMP/TIFF/WBMP — header-only, no pixel decompression), and
   * [[imageHeaderMeta]] does the same for PNG/GIF/BMP with pure column
   * expressions (whole-stage codegen, zero JVM objects per row). Blobs
-  * no reader recognizes (and audio/video payloads — those codecs are
-  * genuinely absent here) fall back to [[stubDecode]]'s deterministic
-  * digest-derived fake so pipelines stay total; feature extraction /
-  * resize / frame sampling remain stubs with real plan shapes
-  * (`mapPartitions` = Scala's analogue of a Pandas-UDF `mapInPandas`
-  * batch transform: one JVM-side batch per partition).
+  * no reader recognizes fall back to [[stubDecode]]'s deterministic
+  * digest-derived fake so pipelines stay total.
+  *
+  * Pixel-level ops are REAL wherever a bare JVM has the codec:
+  * [[resize]] and [[extractFeatures]] decode + bilinear-scale
+  * PNG/JPEG/GIF/TIFF via `javax.imageio`; [[decodeAudioMeta]] and
+  * [[sampleFrames]] parse WAV/AIFF/AU via `javax.sound.sampled`.
+  * Only payloads with genuinely absent codecs (video, MP3/OGG) take
+  * the deterministic-fake path, flagged `decoded = false`, with the
+  * identical Dataset shape (the typed `map`/`flatMap` here is Scala's
+  * analogue of a Pandas-UDF `mapInPandas` batch transform), so a real
+  * codec drops in per-container without touching any plan.
   */
 object Multimodal {
 
@@ -152,12 +158,57 @@ object Multimodal {
           .as("ascii_ratio_scaled"))
   }
 
-  /** Feature-extraction stub: blob → fixed-width float embedding.
-    * Deterministic fake (md5-expanded) standing in for a LEARNED
-    * encoder (CLIP-style), which genuinely needs a model runtime; the
-    * codec-free REAL extractor is [[byteFeatures]]. A real encoder
-    * drops in with the same (blobs → Dataset) shape and the
-    * same partition-preserving parallelism. */
+  /** Full pixel decode through a TRUSTED reader only (same magic
+    * discipline as [[decode]]): the JDK's PNG/JPEG/GIF/TIFF readers.
+    * None for unrecognized payloads or parse failures — callers fall
+    * back to their deterministic stub path so pipelines stay total. */
+  private def readTrustedImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          if (!trustedFormats(reader.getFormatName.toLowerCase)) None
+          else {
+            reader.setInput(in)
+            Option(reader.read(0))
+          }
+        } catch { case _: Exception => None } finally reader.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /** Bilinear-scale an image to (w, h) RGB via the JDK's Graphics2D —
+    * deterministic for a given JDK. */
+  private def scaleImage(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Feature extraction: blob → fixed-width float embedding in [-1, 1].
+    *
+    * REAL for JDK-decodable images: the pixels are decoded, bilinear-
+    * pooled onto a `dim`-pixel strip, and each feature is that pixel's
+    * ITU-R 601 luminance mapped to [-1, 1] — an actual (if simple)
+    * visual descriptor: near-duplicate images land near each other in
+    * cosine space. Non-image payloads keep the deterministic
+    * md5-expanded fake, standing in for a LEARNED encoder (CLIP-style
+    * — that genuinely needs a model runtime); the codec-free REAL
+    * byte-level extractor is [[byteFeatures]]. A learned encoder drops
+    * in with the same (blobs → Dataset) shape and the same
+    * partition-preserving parallelism. */
   def extractFeatures(blobs: DataFrame, dim: Int = 16,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
@@ -165,25 +216,44 @@ object Multimodal {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("features",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("decoded",
+        org.apache.spark.sql.types.BooleanType)))
     pairs.map { r =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val feats = new Array[Float](dim)
-      var i = 0
-      while (i < dim) {
-        md.reset(); md.update(r.getAs[Array[Byte]](1)); md.update(i.toByte)
-        val d = md.digest()
-        feats(i) = ((d(0) & 0xff) - 128) / 128.0f
-        i += 1
+      val bytes = r.getAs[Array[Byte]](1)
+      readTrustedImage(bytes) match {
+        case Some(img) =>
+          val strip = scaleImage(img, dim, 1)
+          val feats = (0 until dim).map { x =>
+            val rgb = strip.getRGB(x, 0)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            (lum / 255.0 * 2.0 - 1.0).toFloat
+          }
+          Row(r.getLong(0), feats, true)
+        case None =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val feats = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            md.reset(); md.update(bytes); md.update(i.toByte)
+            val d = md.digest()
+            feats(i) = ((d(0) & 0xff) - 128) / 128.0f
+            i += 1
+          }
+          Row(r.getLong(0), feats.toSeq, false)
       }
-      Row(r.getLong(0), feats.toSeq)
     }(Encoders.row(schema))
   }
 
-  /** Resize stub: blob → (blob', width', height'). The fake keeps a
-    * deterministic byte prefix proportional to the target area; a real
-    * implementation swaps in an image scaler with the identical
-    * signature. */
+  /** Resize: blob → (blob', width', height', decoded).
+    *
+    * REAL for JDK-decodable images: pixels are decoded, bilinear-
+    * scaled to the target box, and re-encoded as PNG (the JDK writer
+    * is deterministic — no timestamps/ancillary chunks). Unrecognized
+    * payloads keep the deterministic byte-prefix fake (`decoded =
+    * false`) so mixed corpora flow through without a partial failure
+    * path. */
   def resize(blobs: DataFrame, targetW: Int, targetH: Int,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
@@ -192,17 +262,68 @@ object Multimodal {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("blob", org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("width", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.IntegerType)))
+      org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("decoded",
+        org.apache.spark.sql.types.BooleanType)))
     pairs.map { r =>
       val bytes = r.getAs[Array[Byte]](1)
-      val keep = math.max(1, math.min(bytes.length, targetW * targetH / 64))
-      Row(r.getLong(0), bytes.take(keep), targetW, targetH)
+      readTrustedImage(bytes) match {
+        case Some(img) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaleImage(img, targetW, targetH), "png", bos)
+          Row(r.getLong(0), bos.toByteArray, targetW, targetH, true)
+        case None =>
+          val keep = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+          Row(r.getLong(0), bytes.take(keep), targetW, targetH, false)
+      }
     }(Encoders.row(schema))
   }
 
-  /** Frame-sampling stub for video-like payloads: emits `n` (doc_id,
-    * frame_idx, frame_md5) rows per blob — the flatMap shape a real
-    * frame extractor would have. */
+  /** Audio metadata decode — REAL for the JDK's built-in containers
+    * (WAV/AIFF/AU via javax.sound.sampled, header-only): sample rate,
+    * channels, bit depth, frame count, duration. Payloads no parser
+    * recognizes (MP3/OGG — genuinely absent codecs) get a null-field
+    * row with `decoded = false`. */
+  def decodeAudioMeta(blobs: DataFrame,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("decoded", BooleanType)))
+    pairs.map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          val durMs =
+            if (frames >= 0 && f.getFrameRate > 0)
+              (frames * 1000.0 / f.getFrameRate).toLong
+            else -1L
+          Row(r.getLong(0), f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, frames, durMs, true)
+        } finally in.close()
+      } catch { case _: Exception =>
+        Row(r.getLong(0), null, null, null, null, null, false)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling: emits `n` (doc_id, frame_idx, frame_md5) rows per
+    * blob — REAL for JDK-decodable audio (WAV/AIFF/AU): `n` evenly
+    * spaced PCM frames are pulled from the decoded stream and hashed.
+    * Video payloads keep the deterministic digest fake (no video codec
+    * exists in a bare JVM) with the identical flatMap shape, so a real
+    * demuxer drops in per-container without touching the plan. */
   def sampleFrames(blobs: DataFrame, n: Int,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     val pairs = blobs.select(col(idCol).cast("long"), col(blobCol))
@@ -213,13 +334,36 @@ object Multimodal {
       org.apache.spark.sql.types.StructField("frame_md5", org.apache.spark.sql.types.StringType)))
     val enc = Encoders.row(schema)
     pairs.flatMap { r =>
+      val docId = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until n).map { i =>
-        md.reset()
-        md.update(r.getAs[Array[Byte]](1))
-        md.update(i.toByte)
-        Row(r.getLong(0), i, md.digest().map("%02x".format(_)).mkString)
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      audioFrames(bytes) match {
+        case Some((frameSize, pcm)) if pcm.length >= frameSize && frameSize > 0 =>
+          val total = pcm.length / frameSize
+          (0 until n).map { i =>
+            // evenly spaced, clamped — deterministic for any (total, n)
+            val idx = math.min(total - 1, (i.toLong * total / n).toInt)
+            md.reset()
+            md.update(pcm, idx * frameSize, frameSize)
+            Row(docId, i, hex(md.digest()))
+          }
+        case _ =>
+          (0 until n).map { i =>
+            md.reset(); md.update(bytes); md.update(i.toByte)
+            Row(docId, i, hex(md.digest()))
+          }
       }
     }(enc)
   }
+
+  /** Decode a blob's PCM payload if a JDK audio reader claims it:
+    * (frameSize, raw PCM bytes). */
+  private def audioFrames(bytes: Array[Byte]): Option[(Int, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFormat.getFrameSize, in.readAllBytes()))
+      finally in.close()
+    } catch { case _: Exception => None }
 }

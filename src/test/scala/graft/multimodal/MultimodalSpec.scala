@@ -51,6 +51,89 @@ class MultimodalSpec extends SparkSuite {
         .digest(imageBytes("png", 123, 77)).map("%02x".format(_)).mkString)
   }
 
+  /** Mono 16-bit PCM WAV with a deterministic ramp payload. */
+  private def wavBytes(sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val v = (i * 257 % 65536 - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("resize REALLY rescales decodable images; non-images keep the stub path") {
+    val out = Multimodal.resize(blobs, 40, 30).orderBy("doc_id").collect()
+    // decoded images: output blob is a real PNG at the target box
+    Seq(0, 1).foreach { i =>
+      assert(out(i).getAs[Boolean]("decoded"))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(i).getAs[Array[Byte]]("blob")))
+      assert(img.getWidth == 40 && img.getHeight == 30)
+    }
+    assert(!out(2).getAs[Boolean]("decoded"))
+    // deterministic: a second run yields byte-identical output
+    val again = Multimodal.resize(blobs, 40, 30).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Array[Byte]]("blob").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("blob").toSeq).toSeq)
+  }
+
+  test("extractFeatures embeds decodable images from REAL luminance") {
+    // a dark and a bright PNG must land at opposite ends of [-1, 1]
+    def flat(rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(x => (0 until 8).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val out = Multimodal.extractFeatures(
+        Seq((1L, flat(0x000000)), (2L, flat(0xffffff)),
+          (3L, "text".getBytes("UTF-8"))).toDF("doc_id", "blob"), dim = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("decoded") &&
+      out(0).getSeq[Float](1).forall(_ < -0.9f))
+    assert(out(1).getAs[Boolean]("decoded") &&
+      out(1).getSeq[Float](1).forall(_ > 0.9f))
+    assert(!out(2).getAs[Boolean]("decoded"))
+  }
+
+  test("decodeAudioMeta reads REAL WAV headers; sampleFrames hashes real PCM frames") {
+    val wav = wavBytes(8000, 1000)
+    val audio = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val meta = Multimodal.decodeAudioMeta(audio).orderBy("doc_id").collect()
+    assert(meta(0).getAs[Boolean]("decoded"))
+    assert(meta(0).getAs[Int]("sample_rate") == 8000)
+    assert(meta(0).getAs[Int]("channels") == 1)
+    assert(meta(0).getAs[Int]("bits_per_sample") == 16)
+    assert(meta(0).getAs[Long]("n_frames") == 1000L)
+    assert(meta(0).getAs[Long]("duration_ms") == 125L)
+    assert(!meta(1).getAs[Boolean]("decoded"))
+
+    val frames = Multimodal.sampleFrames(audio, 4).collect()
+      .groupBy(_.getLong(0))
+    // real path: 4 evenly spaced PCM frames — the ramp payload makes
+    // them distinct, and the first frame is frame 0 of the stream
+    val wavFrames = frames(1L).sortBy(_.getInt(1))
+    assert(wavFrames.length == 4)
+    assert(wavFrames.map(_.getString(2)).distinct.length == 4)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav)).readAllBytes()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(pcm, 0, 2)
+    assert(wavFrames.head.getString(2) == md.digest().map("%02x".format(_)).mkString)
+    // fallback path still emits n deterministic digest rows
+    assert(frames(2L).length == 4)
+  }
+
   test("byteFeatures on a zero-length blob yields all-zero features (oracle parity)") {
     // the DuckDB oracle LEFT-JOINs the histogram agg with COALESCE(.., 0)
     // defaults for exactly this row shape — keep both sides in lockstep

@@ -29,6 +29,12 @@ object LlmOps {
   val SimHashBits = 16
   val KnnQueryLimit = 16L
   val KnnK = 5
+  val KmeansK = 8
+  val KmeansIters = 2
+  /** Integer-grid quantization step for k-means (±0.3-ish components ×
+    * 512 ≈ ±150 grid cells — fine-grained vs the data spread, and
+    * dist2 stays far inside long range: 64 · (2·512)² ≈ 6.7e7). */
+  val KmeansScale = 512
   val SignDims = Seq(1, 17, 33, 49)
   /** Two independent 4-bit hyperplane bands for the banded near-dup
     * path (d10) — disjoint components so the bands are uncorrelated. */
@@ -154,6 +160,52 @@ object LlmOps {
       Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
   private def dupGroupsShared(s: SparkSession, dir: String): DataFrame =
     memoized(s"groups:$dir")(Dedup.dupGroups(candidatePairs(s, dir)))
+  /** k1/k2 share one training run (the expensive part is the Lloyd
+    * passes, not the final projections). */
+  private def kmeansShared(s: SparkSession, dir: String): DataFrame =
+    memoized(s"kmeans:$dir")(
+      graft.similarity.Clustering
+        .kmeans(Tables.embeddings(s, dir), KmeansK, KmeansIters, KmeansScale)._1)
+
+  /** Unrolled-Lloyd CTE chain mirroring Clustering.kmeans: `q` is the
+    * integer-grid corpus, `cent{t}` the round-t centroids, `a{t}` the
+    * assignment under them; `a$KmeansIters` is the final assignment.
+    * Generated from the same constants as the Spark plan. */
+  private val kmeansCtes: String = {
+    val seedOrd = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    def dist2(q: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($q)), " +
+        s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i]))) AS BIGINT)"
+    def assignCte(t: Int) =
+      s"""a$t AS (
+         |  SELECT vec_id, qv, cluster, dist2 FROM (
+         |    SELECT vec_id, qv, cluster, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+         |    FROM (
+         |      SELECT q.vec_id, q.qv, c.cluster, ${dist2("q.qv", "c.qv")} AS dist2
+         |      FROM q CROSS JOIN cent$t c))
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(t: Int) =
+      s"""cent${t + 1} AS (
+         |  SELECT p.cluster, coalesce(u.cv, p.qv) AS qv
+         |  FROM cent$t p LEFT JOIN (
+         |    SELECT cluster, list(c ORDER BY i) AS cv FROM (
+         |      SELECT cluster, i,
+         |        CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |      FROM a$t, unnest(generate_series(1, len(qv))) AS u(i)
+         |      GROUP BY cluster, i)
+         |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
+    val rounds = (0 until KmeansIters)
+      .flatMap(t => Seq(assignCte(t), updateCte(t))) :+ assignCte(KmeansIters)
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * $KmeansScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrd) - 1 AS BIGINT) AS cluster, qv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY $seedOrd LIMIT $KmeansK)),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -602,6 +654,41 @@ object LlmOps {
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") < KnnQueryLimit), KnnK, 2)
         .orderBy("query_id", "rank")
+    },
+
+    // ---- embedding clustering ---------------------------------------
+    // deterministic integer-grid k-means (Lloyd): md5-spread seeds,
+    // 2 update rounds, final assignment — the trainer for the IVF
+    // index's centroid set and the topic-balance curation pass. The
+    // corpus never shuffles: assignment is row-local math against
+    // literal centroids; each update aggregates to k·dim rows.
+    QueryDef.sql(
+      "k1_kmeans_assign",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist2 FROM a$KmeansIters
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      kmeansShared(s, dir)
+        .select("vec_id", "cluster", "dist2")
+        .orderBy("vec_id")
+    },
+
+    // per-cluster profile: size, inertia (exact integer), label spread
+    // — the "is one topic eating the corpus / is a cluster pure noise"
+    // audit run before sampling quotas are set.
+    QueryDef.sql(
+      "k2_kmeans_profile",
+      s"""WITH $kmeansCtes
+         |SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(a.dist2) AS BIGINT) AS inertia,
+         |  CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+         |FROM a$KmeansIters a JOIN embeddings e USING (vec_id)
+         |GROUP BY a.cluster ORDER BY a.cluster""".stripMargin) { (s, dir) =>
+      kmeansShared(s, dir)
+        .join(Tables.embeddings(s, dir).select("vec_id", "label"), "vec_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"), sum("dist2").as("inertia"),
+          countDistinct("label").cast("long").as("n_labels"))
+        .orderBy("cluster")
     },
 
     // ---- corpus curation --------------------------------------------

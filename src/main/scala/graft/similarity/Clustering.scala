@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd (k-means) iterations over an embedding column —
+  * the trainer that feeds [[Ann.ivfAssign]]/[[Ann.writeIvfIndex]] their
+  * centroid set, and the standard corpus-curation clustering pass
+  * (topic balance audits, per-cluster sampling quotas).
+  *
+  * Portability contract (every step bit-exact across engines and
+  * re-partitions, so the result is oracle-comparable):
+  *  - vectors quantize to an integer grid (`round(x · scale)` as long),
+  *    so assignment distances are order-independent integer sums;
+  *  - seeds are the k vectors with the smallest `md5(id)` (hash-spread,
+  *    deterministic; a `TakeOrderedAndProject`, never a global sort);
+  *  - updated centroids snap back to the grid with the same
+  *    `round(sum / n)` in BOTH engines (Spark and DuckDB round doubles
+  *    half-away-from-zero), and an emptied cluster keeps its previous
+  *    centroid;
+  *  - argmin tie-breaks on the smaller cluster id.
+  *
+  * Scale shape (the MLlib-classic loop, restated on DataFrames): the
+  * assign step is a narrow map — centroids ride along as literals
+  * (k·dim longs, broadcast with the closure), so NO join and no
+  * shuffle touches the corpus. The update step is one
+  * posexplode + partial-aggregated groupBy per iteration whose result
+  * is k·dim rows — the only driver collect, bounded by k·dim, never by
+  * corpus size. Total cost: `iters + 1` linear passes.
+  */
+object Clustering {
+
+  /** Integer-grid quantization of `vecCol` (float array → long array).
+    * float→double widening is exact and `round` is half-away in both
+    * engines, so the grid is engine-portable. */
+  def quantize(vecCol: Column, scale: Int): Column =
+    transform(vecCol, x => round(x.cast("double") * scale).cast("long"))
+
+  /** The k seed centroids: vectors with the smallest `md5(id)`
+    * (ties → smaller id), numbered 0..k-1 in that order. orderBy+limit
+    * plans as TakeOrderedAndProject — a per-partition top-k merge, no
+    * global sort — and collects exactly k rows (control plane). */
+  def seedCentroids(
+      quant: DataFrame, k: Int,
+      idCol: String = "vec_id", qvCol: String = "qv"): Array[(Int, Array[Long])] =
+    quant
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(qvCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](0).toArray) }
+
+  /** Nearest centroid per row: a fold per centroid over the quantized
+    * vector (integer squared Euclidean), argmin via `array_min` on
+    * (dist2, cluster) structs — struct ordering gives the id
+    * tie-break. Pure row-local column math against literal centroids:
+    * no join, no shuffle, stays inside whole-stage codegen. */
+  def assign(
+      quant: DataFrame, centroids: Array[(Int, Array[Long])],
+      qvCol: String = "qv"): DataFrame = {
+    val cands = centroids.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col(qvCol), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"),
+        lit(cid).as("cluster"))
+    }
+    quant
+      .withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+      .withColumn("cluster", col("best.cluster").cast("long"))
+      .withColumn("dist2", col("best.dist2"))
+      .drop("best")
+  }
+
+  /** One Lloyd update: per-cluster per-dimension mean, snapped to the
+    * integer grid INSIDE Spark (same `round(sum/count)` expression the
+    * oracle runs, so the engines cannot drift). The groupBy keyspace is
+    * k·dim — partial aggregation does the heavy lifting map-side and
+    * the collect is k·dim rows. Emptied clusters keep `prev`'s
+    * centroid. */
+  def updateCentroids(
+      assigned: DataFrame, prev: Array[(Int, Array[Long])],
+      qvCol: String = "qv"): Array[(Int, Array[Long])] = {
+    val means = assigned
+      .select(col("cluster"), posexplode(col(qvCol)).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3)
+      }
+    prev.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+  }
+
+  /** `iters` Lloyd rounds from the md5-spread seeds; returns the final
+    * assignment (vec_id, qv, cluster, dist2) under the final centroids
+    * plus the centroids themselves. `iters + 1` linear corpus passes. */
+  def kmeans(
+      corpus: DataFrame, k: Int, iters: Int, scale: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[(Int, Array[Long])]) = {
+    require(k > 0 && iters >= 0 && scale > 0)
+    val quant = corpus.select(
+      col(idCol).as("vec_id"), quantize(col(vecCol), scale).as("qv"))
+    val seeds = seedCentroids(quant, k)
+    val finalCentroids = (0 until iters).foldLeft(seeds) { (cents, _) =>
+      updateCentroids(assign(quant, cents), cents)
+    }
+    (assign(quant, finalCentroids), finalCentroids)
+  }
+
+  /** Trained centroids as a DataFrame in [[Ann.ivfAssign]]'s expected
+    * (id, vector) shape — the bridge from training to the IVF index:
+    * `writeIvfIndex(corpus, Clustering.centroidFrame(...), path)`.
+    * Centroid components are de-quantized back to float space. */
+  def centroidFrame(
+      assignedSession: DataFrame, centroids: Array[(Int, Array[Long])],
+      scale: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = assignedSession.sparkSession
+    import spark.implicits._
+    centroids.toSeq
+      .map { case (cid, cv) => (cid.toLong, cv.toSeq.map(_.toFloat / scale)) }
+      .toDF(idCol, vecCol)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.SparkSuite
+import graft.similarity.{Ann, Clustering}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+
+  test("kmeans assignment is deterministic across repartitioning") {
+    val (a1, c1) = Clustering.kmeans(emb, k = 4, iters = 2, scale = 512)
+    val (a2, c2) = Clustering.kmeans(emb.repartition(7), k = 4, iters = 2, scale = 512)
+    assert(c1.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      c2.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    val r1 = a1.select("vec_id", "cluster", "dist2").orderBy("vec_id").collect().toSeq
+    val r2 = a2.select("vec_id", "cluster", "dist2").orderBy("vec_id").collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("each vector lands on its argmin centroid with id tie-break") {
+    val (assigned, cents) = Clustering.kmeans(emb, k = 4, iters = 1, scale = 512)
+    val rows = assigned.select("qv", "cluster", "dist2").limit(50).collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](0)
+      val dists = cents.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid.toLong)
+      }
+      val best = dists.min // (dist2, cid) lexicographic = argmin + id tie-break
+      assert((r.getLong(2), r.getLong(1)) == best)
+    }
+  }
+
+  test("Lloyd inertia never increases across iterations") {
+    def inertia(iters: Int): Long =
+      Clustering.kmeans(emb, k = 4, iters = iters, scale = 512)
+        ._1.agg(sum("dist2")).head.getLong(0)
+    val seq = (0 to 3).map(inertia)
+    assert(seq.sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
+  test("an emptied cluster keeps its previous centroid") {
+    val quant = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(1L, 1L)), (3L, Seq(100L, 100L)))
+      .toDF("vec_id", "qv")
+    val prev = Array(0 -> Array(0L, 0L), 1 -> Array(500L, 500L))
+    // nothing assigns to centroid 1 (500,500) — it must survive verbatim
+    val next = Clustering.updateCentroids(Clustering.assign(quant, prev), prev)
+    assert(next(1)._2.toSeq == Seq(500L, 500L))
+    // centroid 0 moves to round(mean) of all three members
+    assert(next(0)._2.toSeq == Seq(34L, 34L)) // round(101/3) = 34
+  }
+
+  test("k >= corpus degenerates to one vector per seed cluster") {
+    val tiny = emb.limit(3)
+    val (assigned, _) = Clustering.kmeans(tiny, k = 3, iters = 1, scale = 512)
+    assert(assigned.select("cluster").distinct().count() == 3)
+    assert(assigned.agg(sum("dist2")).head.getLong(0) == 0L)
+  }
+
+  test("centroidFrame bridges training into ivfAssign") {
+    val (_, cents) = Clustering.kmeans(emb, k = 4, iters = 2, scale = 512)
+    val cf = Clustering.centroidFrame(emb, cents, scale = 512)
+    assert(cf.count() == 4)
+    val lists = Ann.ivfAssign(emb, cf)
+    // every corpus vector lands in exactly one inverted list
+    assert(lists.count() == emb.count())
+    assert(lists.select("centroid_id").distinct().count() <= 4)
+  }
+}

@@ -403,6 +403,47 @@ object Dedup {
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Edit-distance (Levenshtein) near-match pairs — the fuzzy-title /
+    * template-variant sweep that hash dedup misses (hashing is
+    * all-or-nothing; one edited character defeats it).
+    *
+    * Blocking keeps it off the doc×doc cliff: candidates must share
+    * (first `blockPrefix` normalized chars, length bucket of
+    * `lenBucket` chars) — an equi-join on the block key, linear in
+    * bucket sizes, never an all-pairs product. An edit within the
+    * prefix escapes the block (recall tradeoff of prefix blocking —
+    * run with a suffix-block second pass when that matters); an edit
+    * past it cannot move the pair more than one length bucket, which
+    * the ±1-bucket probe side covers. The distance itself runs on
+    * `cmpLen`-char prefixes so cost per candidate is bounded
+    * (Levenshtein is O(cmpLen²)).
+    */
+  def editDistancePairs(
+      docs: DataFrame, maxDist: Int, blockPrefix: Int = 8,
+      lenBucket: Int = 32, cmpLen: Int = 80,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0 && blockPrefix > 0 && lenBucket > maxDist && cmpLen > 0)
+    val base = docs.select(col(idCol),
+      TextAnalysis.normalized(col(textCol)).as("__n"))
+      .select(col(idCol), col("__n"),
+        substring(col("__n"), 1, blockPrefix).as("pfx"),
+        floor(length(col("__n")) / lenBucket).as("lb"))
+    // probe side carries its own bucket plus both neighbors, so pairs
+    // whose lengths straddle a bucket edge (possible whenever the
+    // length gap ≤ maxDist < lenBucket) still meet exactly once
+    val probe = base.select(col(idCol).as(s"a_$idCol"),
+      col("__n").as("a_n"), col("pfx"),
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
+    val build = base.select(col(idCol).as(s"b_$idCol"),
+      col("__n").as("b_n"), col("pfx"), col("lb"))
+    probe.join(build, Seq("pfx", "lb"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        levenshtein(substring(col("a_n"), 1, cmpLen),
+          substring(col("b_n"), 1, cmpLen)).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
 }
 
 /** Array-column vector math as pure catalyst expressions (codegen'd;

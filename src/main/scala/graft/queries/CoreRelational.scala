@@ -692,6 +692,127 @@ object CoreRelational {
         .orderBy("user_id", "purchase_event_id")
     },
 
+    // --- U2/U3: set operations ---------------------------------------
+    // INTERSECT / EXCEPT (set) and INTERSECT ALL / EXCEPT ALL
+    // (multiset) in one audit frame. Spark plans set ops as aggregated
+    // joins (left-semi/anti after distinct; count-compare for ALL) —
+    // the declarative forms shuffle once on the compared columns and
+    // AQE sizes the sides, so nothing here needs hand-planning. The
+    // ALL arms re-aggregate to (value, multiplicity) so the output
+    // stays small and hash-stable regardless of duplicate counts.
+    QueryDef.sql(
+      "u2_setops",
+      """WITH nb AS (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier),
+        |nc AS (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier),
+        |pe AS (
+        |  SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |pc AS (
+        |  SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        |SELECT op, val, n FROM (
+        |  SELECT 'nation_both' AS op, CAST(k AS VARCHAR) AS val,
+        |    CAST(1 AS BIGINT) AS n FROM nb
+        |  UNION ALL
+        |  SELECT 'nation_cust_only', CAST(k AS VARCHAR), CAST(1 AS BIGINT) FROM nc
+        |  UNION ALL
+        |  SELECT 'prio_o_minus_f', v, CAST(count(*) AS BIGINT) FROM pe GROUP BY v
+        |  UNION ALL
+        |  SELECT 'prio_o_meet_f', v, CAST(count(*) AS BIGINT) FROM pc GROUP BY v)
+        |ORDER BY op, val""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      val supp = Tables.supplier(s, dir).select(col("s_nationkey").as("k"))
+      val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority").as("v"))
+      val filled = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("v"))
+      def tag(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.select(lit(op).as("op"), col("k").cast("string").as("val"),
+          lit(1L).as("n"))
+      def tagCounts(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+          .select(lit(op).as("op"), col("v").as("val"), col("n"))
+      tag(cust.intersect(supp), "nation_both")
+        .unionByName(tag(cust.except(supp), "nation_cust_only"))
+        .unionByName(tagCounts(open.exceptAll(filled), "prio_o_minus_f"))
+        .unionByName(tagCounts(open.intersectAll(filled), "prio_o_meet_f"))
+        .orderBy("op", "val")
+    },
+
+    // --- A11: CUBE ----------------------------------------------------
+    // Full 2^n grouping lattice in one pass (Spark cube ≡ GROUP BY
+    // CUBE): every (returnflag × linestatus) margin plus both
+    // single-dim margins and the grand total, gid disambiguating
+    // rollup-null from data-null. Money in exact integer cents.
+    QueryDef.sql(
+      "a11_cube",
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+        |  coalesce(l_linestatus, '<all>') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("gid"), col("n_items"), col("sum_qty"), col("sum_cents"))
+        .orderBy("gid", "rflag", "lstatus")
+    },
+
+    // --- O6: ranking-function suite ----------------------------------
+    // rank/dense_rank/percent_rank/cume_dist run over a TIE-FUL order
+    // (event_type) — their outputs depend only on the key, so ties are
+    // deterministic; ntile/nth_value need a TOTAL order (value,
+    // event_id) because they split tied rows by position. One hash
+    // exchange on user_id serves both windows (same partitioning).
+    QueryDef.sql(
+      "o6_rank_suite",
+      """SELECT user_id, event_id,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER wt, 6) AS prnk,
+        |  round(cume_dist() OVER wt, 6) AS cdist,
+        |  CAST(ntile(4) OVER wv AS BIGINT) AS quartile,
+        |  first_value(event_id) OVER wvf AS smallest_event,
+        |  nth_value(event_id, 2) OVER wvf AS second_event
+        |FROM events
+        |WINDOW
+        |  wt AS (PARTITION BY user_id ORDER BY event_type),
+        |  wv AS (PARTITION BY user_id ORDER BY value, event_id),
+        |  wvf AS (PARTITION BY user_id ORDER BY value, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val wt = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      val wvf = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        rank().over(wt).cast("long").as("rnk"),
+        dense_rank().over(wt).cast("long").as("drnk"),
+        round(percent_rank().over(wt), 6).as("prnk"),
+        round(cume_dist().over(wt), 6).as("cdist"),
+        ntile(4).over(wv).cast("long").as("quartile"),
+        first(col("event_id")).over(wvf).as("smallest_event"),
+        nth_value(col("event_id"), 2).over(wvf).as("second_event"))
+        .orderBy("user_id", "event_id")
+    },
+
     // --- P10: bucketed interval JOIN ---------------------------------
     // P8 is a scalar-window filter; this is the JOIN form (points ×
     // per-key windows) that naive Spark plans as a broadcast nested

@@ -35,6 +35,13 @@ object LlmOps {
     * 512 ≈ ±150 grid cells — fine-grained vs the data spread, and
     * dist2 stays far inside long range: 64 · (2·512)² ≈ 6.7e7). */
   val KmeansScale = 512
+  /** Edit-distance near-match blocking (t9): prefix/length-bucket
+    * block keys, bounded compare window. lenBucket must exceed maxDist
+    * so the ±1-bucket probe covers every reachable length gap. */
+  val FuzzyMaxDist = 8
+  val FuzzyBlockPrefix = 8
+  val FuzzyLenBucket = 32
+  val FuzzyCmpLen = 80
   val SignDims = Seq(1, 17, 33, 49)
   /** Two independent 4-bit hyperplane bands for the banded near-dup
     * path (d10) — disjoint components so the bands are uncorrelated. */
@@ -903,6 +910,36 @@ object LlmOps {
       val docs = Tables.documents(s, dir)
       TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, VocabTopK))
         .orderBy("doc_id")
+    },
+
+    // fuzzy near-match pairs by edit distance — catches the template
+    // variants / edited-title dups that hash dedup is blind to. Blocked
+    // equi-join on (normalized 8-char prefix, ±1 length bucket), never
+    // doc×doc; Levenshtein runs on bounded 80-char prefixes so the
+    // per-candidate cost is constant. All-integer output.
+    QueryDef.sql(
+      "t9_fuzzy_pairs",
+      s"""WITH $normCte,
+         |base AS (
+         |  SELECT doc_id, n, substr(n, 1, $FuzzyBlockPrefix) AS pfx,
+         |    CAST(floor(length(n) / $FuzzyLenBucket) AS BIGINT) AS lb
+         |  FROM norm),
+         |probe AS (
+         |  SELECT doc_id AS a_doc_id, n AS a_n, pfx,
+         |    unnest([lb - 1, lb, lb + 1]) AS lb
+         |  FROM base),
+         |cand AS (
+         |  SELECT p.a_doc_id, b.doc_id AS b_doc_id,
+         |    CAST(levenshtein(substr(p.a_n, 1, $FuzzyCmpLen),
+         |      substr(b.n, 1, $FuzzyCmpLen)) AS BIGINT) AS edit_dist
+         |  FROM probe p JOIN base b ON b.pfx = p.pfx AND b.lb = p.lb
+         |    AND p.a_doc_id < b.doc_id)
+         |SELECT a_doc_id, b_doc_id, edit_dist FROM cand
+         |WHERE edit_dist <= $FuzzyMaxDist
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), FuzzyMaxDist,
+        FuzzyBlockPrefix, FuzzyLenBucket, FuzzyCmpLen)
+        .orderBy("a_doc_id", "b_doc_id")
     },
 
     // int8 quantization audit for embedding storage: all outputs are

@@ -92,5 +92,68 @@ object TpchShapes {
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q4 shape: EXISTS decorrelates to a LEFT SEMI join — orders in a
+    // date window that have at least one returned lineitem, counted by
+    // priority. The semi join shuffles on orderkey with the date
+    // filter already pushed into the orders scan; the probe side
+    // reduces to distinct orderkeys map-side (semi joins never
+    // multiply rows, so no dedup pass is needed after).
+    QueryDef.sql(
+      "q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q17 shape: correlated scalar-aggregate subquery (per-part 20% of
+    // average quantity) decorrelated into a grouped frame joined back.
+    // The brand filter semi-prunes lineitem FIRST, so the per-part
+    // average aggregates only the ~1/25 of lineitem that can matter,
+    // and the tiny (partkey, threshold) frame broadcasts back — two
+    // passes over the pruned slice, zero over the full table. The
+    // threshold compare is exact: quantities are integer-valued, so
+    // avg = exact-sum / count is the same double in any engine or
+    // partition order. Money aggregates in integer cents.
+    QueryDef.sql(
+      "q17_small_qty_revenue",
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        |thr AS (
+        |  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS max_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM li JOIN thr ON l_partkey = t_partkey
+        |WHERE l_quantity < max_qty""".stripMargin) { (s, dir) =>
+      val pk = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * avg("l_quantity")).as("max_qty"))
+        .select("t_partkey", "max_qty")
+      li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("max_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"))
     })
 }

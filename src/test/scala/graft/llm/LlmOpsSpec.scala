@@ -389,6 +389,40 @@ class LlmOpsSpec extends SparkSuite {
     assert(rh.exists(_.getLong(0) == 0L))   // empty string hashes to 0, not null
   }
 
+  test("fuzzy pairs: blocking finds every same-prefix pair a brute scan finds (t9)") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog."),
+      (2L, "The quick brown fox jumped over the lazy dog!"),   // 2 edits from 1
+      (3L, "the quick brown fox jumps over the lazy dog"),     // 0 edits from 1
+      (4L, "The quick brown fox " + ("x" * 40)),               // same prefix, too far
+      (5L, "A totally different opening line entirely here"),
+      (6L, "the quick brown cat jumps over the lazy dog"))     // 2 edits, same prefix
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force reference over pairs sharing the 8-char block prefix
+    val norm = docs.select($"doc_id", TextAnalysis.normalized($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- norm.keys; b <- norm.keys if a < b
+      if norm(a).take(8) == norm(b).take(8)
+      if math.abs(norm(a).length - norm(b).length) <= 8   // within ±1 length bucket reach
+      dist = lev(norm(a).take(80), norm(b).take(80)) if dist <= 8
+    } yield (a, b) -> dist.toLong).toMap
+    assert(got == want)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 0L)  // punctuation-only variant
+    assert(got.contains((1L, 2L)) && got.contains((1L, 6L)))
+    assert(!got.exists { case ((a, b), _) => a == 4L || b == 4L }) // 40 edits away
+    assert(!got.exists { case ((a, b), _) => a == 5L || b == 5L }) // different block
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling fans out (mm)") {
     val blobs = docs.select($"doc_id", encode($"text", "UTF-8").as("blob"))
     val meta1 = Multimodal.decodeMeta(blobs).collect().sortBy(_.doc_id)

@@ -692,6 +692,58 @@ object CoreRelational {
         .orderBy("user_id", "purchase_event_id")
     },
 
+    // --- F13: JSON extraction ----------------------------------------
+    // Path extraction + schema'd parse of the props JSON column (the
+    // reference's property payloads travel as JSON strings). Both
+    // routes stay row-local scalar expressions — JSON never becomes a
+    // shuffle key, and the typed route (from_json) is the one a 100 TB
+    // pipeline should batch-parse once and reuse.
+    QueryDef.sql(
+      "f_json_funcs",
+      """SELECT event_id,
+        |  CAST(props::JSON->>'k' AS BIGINT) AS k_path,
+        |  CAST(props::JSON->>'k' AS BIGINT) AS k_typed,
+        |  (CAST(props::JSON->>'k' AS BIGINT) % 7 = 0) AS k_div7,
+        |  CAST(props::JSON->>'missing' AS BIGINT) AS k_absent
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_typed"),
+        (get_json_object(col("props"), "$.k").cast("long") % 7 === 0).as("k_div7"),
+        get_json_object(col("props"), "$.missing").cast("long").as("k_absent"))
+        .orderBy("event_id")
+    },
+
+    // --- A12: exact percentiles --------------------------------------
+    // Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont: lower + frac·(upper−lower) over the sorted set).
+    // Quantities are integer-valued so interpolants are exact binary
+    // fractions — cross-engine stable; round(6) belts-and-braces. The
+    // approx sketch counterpart (a9) audits against these exact values.
+    QueryDef.sql(
+      "a12_percentiles",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
     // --- U2/U3: set operations ---------------------------------------
     // INTERSECT / EXCEPT (set) and INTERSECT ALL / EXCEPT ALL
     // (multiset) in one audit frame. Spark plans set ops as aggregated

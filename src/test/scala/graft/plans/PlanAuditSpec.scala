@@ -55,6 +55,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PushedFilters"), "shipdate filter must reach the scan")
   }
 
+  test("t9_fuzzy_pairs: blocked equi-join, never a cartesian/nested-loop") {
+    val p = plan("t9_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy blocking degenerated to all-pairs, plan:\n$p")
+    assert(p.contains("levenshtein"), "distance must run as a join residual/filter")
+  }
+
+  test("q4_order_priority: EXISTS runs as a semi join with the date filter pushed") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window must reach the orders scan")
+  }
+
+  test("q17_small_qty_revenue: brand filter semi-prunes lineitem before any agg") {
+    val p = plan("q17_small_qty_revenue")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "both lineitem passes must be brand-pruned via semi joins")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"),
+      "brand predicate must reach the part scan")
+  }
+
+  test("o6_rank_suite: both window families share ONE hash exchange") {
+    val p = plan("o6_rank_suite")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected a single user_id exchange reused by both windows, got $hashEx:\n$p")
+  }
+
+  test("kmeans assign: row-local math, zero exchanges") {
+    val quant = graft.Tables.embeddings(spark, sfDir).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      graft.similarity.Clustering.quantize(
+        org.apache.spark.sql.functions.col("embedding"), 512).as("qv"))
+    val cents = graft.similarity.Clustering.seedCentroids(quant, 4)
+    val p = graft.similarity.Clustering.assign(quant, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"assignment must not shuffle the corpus, plan:\n$p")
+    assert(!p.contains("Join"), "centroids must ride as literals, not a join")
+  }
+
   test("native kernels stay inside whole-stage codegen in real queries") {
     // e4's distance and d6's cosine must not fall out of codegen: the
     // `*(n)` span marker must wrap the stage that computes them

@@ -47,7 +47,14 @@ object Bench {
 
     // a failed query is reported as -1.0 (and listed in "failed"), never
     // as its short elapsed time — a broken query must not read as fast
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY (builder-local, unset in the driver run):
+    // comma-separated name prefixes to bench a subset, e.g. scale spot
+    // checks on derived datasets
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .sortBy(_._1)
     val perRun: Seq[Map[String, Double]] = (1 to runsN).map { r =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -26,16 +26,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp with integer division — `ts div 1000` stays
-    * in long arithmetic (a double would lose precision at ~1.7e18 ns).
-    * The driver's test data is µs-grained, so this is lossless.
+  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long (legacy
+    * conf) and convert to a microsecond timestamp with integer
+    * division — `ts div 1000` stays in long arithmetic (a double would
+    * lose precision at ~1.7e18 ns); the driver's data is µs-grained so
+    * this is lossless. Derived datasets (scale-check replicas) may
+    * re-write ts as a plain µs timestamp instead — branch on the read
+    * schema so both encodings load identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

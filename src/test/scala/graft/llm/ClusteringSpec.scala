@@ -59,6 +59,23 @@ class ClusteringSpec extends SparkSuite {
     assert(assigned.agg(sum("dist2")).head.getLong(0) == 0L)
   }
 
+  test("native NearestCentroid kernel equals the composed HOF assignment") {
+    val quant = emb.select($"vec_id",
+      Clustering.quantize($"embedding", 512).as("qv"))
+    val cents = Clustering.seedCentroids(quant, 5)
+    val native = Clustering.assign(quant, cents)
+      .select("vec_id", "cluster", "dist2").orderBy("vec_id").collect().toSeq
+    val hof = Clustering.assignHof(quant, cents)
+      .select("vec_id", "cluster", "dist2").orderBy("vec_id").collect().toSeq
+    assert(native == hof)
+    // dimension mismatch and null element degrade to null, not garbage
+    val bad = Seq((1L, Seq(1L, 2L)), (2L, null.asInstanceOf[Seq[Long]]))
+      .toDF("vec_id", "qv")
+    val out = Clustering.assign(bad, Array(0 -> Array(0L, 0L, 0L)))
+      .select("cluster").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("centroidFrame bridges training into ivfAssign") {
     val (_, cents) = Clustering.kmeans(emb, k = 4, iters = 2, scale = 512)
     val cf = Clustering.centroidFrame(emb, cents, scale = 512)

@@ -332,14 +332,25 @@ object Dedup {
     * per-bucket self-join linear in n: n/2^bits ≈ target ⇒ total
     * candidate pairs ≈ n·target/2. */
   def adaptiveSignDims(
-      corpusRows: Long, embDim: Int, targetBucketRows: Long = 1024L): Seq[Int] = {
-    require(corpusRows >= 0 && embDim >= 1 && targetBucketRows >= 1)
-    val needed =
-      if (corpusRows <= targetBucketRows) 1
-      else math.ceil(math.log(corpusRows.toDouble / targetBucketRows) / math.log(2.0)).toInt
-    val bits = math.max(1, math.min(needed, embDim))
+      corpusRows: Long, embDim: Int, targetBucketRows: Long = 1024L,
+      maxBits: Int = Int.MaxValue): Seq[Int] = {
+    require(corpusRows >= 0 && embDim >= 1 && targetBucketRows >= 1 && maxBits >= 1)
+    // smallest b ≥ 1 with corpusRows ≤ target·2^b — the integer form of
+    // ⌈log₂(n/target)⌉ (identical for every n, and expressible as an
+    // exact CASE ladder in an oracle, no float log at either engine)
+    val cap = math.min(embDim, maxBits)
+    val needed = (1 until cap)
+      .find(b => (targetBucketRows << b) >= corpusRows)
+      .getOrElse(cap)
+    stridedDims(needed, embDim)
+  }
+
+  /** `bits` 1-based component indexes evenly strided across `embDim`
+    * (distinct by construction whenever stride ≥ 1) — the single
+    * source of the dims-for-b layout both the Spark plans and the
+    * generated oracle arms use. */
+  def stridedDims(bits: Int, embDim: Int): Seq[Int] = {
     val stride = embDim.toDouble / bits
-    // 1-based component indexes, evenly strided, guaranteed distinct
     (0 until bits).map(i => 1 + math.round(i * stride).toInt).distinct
   }
 
@@ -348,9 +359,11 @@ object Dedup {
   def embeddingNearDupsAuto(
       emb: DataFrame, threshold: Double, embDim: Int,
       targetBucketRows: Long = 1024L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBits: Int = Int.MaxValue): DataFrame =
     embeddingNearDups(emb, threshold,
-      adaptiveSignDims(emb.count(), embDim, targetBucketRows), idCol, vecCol)
+      adaptiveSignDims(emb.count(), embDim, targetBucketRows, maxBits),
+      idCol, vecCol)
 
   /** Corpus-sized banded near-dup: `numBands` disjoint bands, each of
     * [[adaptiveSignDims]]' width for the actual corpus size, offset so

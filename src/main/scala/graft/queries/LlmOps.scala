@@ -47,6 +47,12 @@ object LlmOps {
     * path (d10) — disjoint components so the bands are uncorrelated. */
   val NearDupBands = Seq(Seq(1, 17, 33, 49), Seq(9, 25, 41, 57))
   val NearDupThreshold = 0.25
+  /** Adaptive-bucket queries (d11/e6): target rows per bucket and the
+    * SQL-arm cap. Target 64 keeps the arm SELECTION itself exercised
+    * across the verify scales (sf0.001→1 bit, sf0.01→3, sf0.1→5,
+    * derived sf1→8-capped). */
+  val AdaptiveTargetRows = 64L
+  val AdaptiveMaxBits = 8
   val VocabTopK = 100
   val TfIdfPerDoc = 3
   /** Per-language keep rates (of 256) for the stratified sample. */
@@ -134,6 +140,30 @@ object LlmOps {
 
   private def sqlSignBucket(v: String, dims: Seq[Int] = SignDims): String =
     dims.map(d => s"CASE WHEN $v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** CTEs deriving the ADAPTIVE sign bucket in pure SQL, mirroring
+    * Dedup.adaptiveSignDims bit-for-bit: `bits.b` is the integer CASE
+    * ladder (smallest b with n ≤ target·2^b, capped), and the bucket
+    * is a CASE over the per-b strided-dims arms — the same
+    * Dedup.stridedDims layout the Spark plan uses, generated from it.
+    * No float log at either engine. */
+  private def adaptiveBucketCtes(table: String, vecCol: String): String = {
+    val ladder = (1 until AdaptiveMaxBits)
+      .map(b => s"WHEN n <= ${AdaptiveTargetRows << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $AdaptiveMaxBits END")
+    val arms = (1 to AdaptiveMaxBits).map { b =>
+      val dims = Dedup.stridedDims(b, 64)
+      s"WHEN $b THEN ${sqlSignBucket(vecCol, dims)}"
+    }.mkString("\n      ")
+    s"""cnt AS (SELECT count(*) AS n FROM $table),
+       |bits AS (SELECT $ladder AS b FROM cnt),
+       |bucketed AS (
+       |  SELECT *,
+       |    CASE (SELECT b FROM bits)
+       |      $arms
+       |    END AS bucket
+       |  FROM $table)""".stripMargin
+  }
 
   private val stopwordList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
@@ -406,6 +436,27 @@ object LlmOps {
         .orderBy("a_vec_id", "b_vec_id")
     },
 
+    // ADAPTIVE-bucket near-dups: the production path at unknown scale
+    // (bits sized so buckets hold ~AdaptiveTargetRows), ORACLE-VERIFIED
+    // — the bit count and the per-b strided dims both derive in SQL
+    // from count(*) via an integer CASE ladder, so the 10×-scale trap
+    // the fixed-width d6 documents is closed with a hash-checked query,
+    // not just a spec. Different verify scales exercise different arms.
+    QueryDef.sql(
+      "d11_neardup_adaptive",
+      s"""WITH ${adaptiveBucketCtes("embeddings", "embedding")}
+         |SELECT a.vec_id AS a_vec_id, c.vec_id AS b_vec_id,
+         |  round(${sqlCosine("a.embedding", "c.embedding")}, 6) AS cosine
+         |FROM bucketed a JOIN bucketed c
+         |  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${sqlCosine("a.embedding", "c.embedding")} > $NearDupThreshold
+         |ORDER BY a_vec_id, b_vec_id""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDupsAuto(Tables.embeddings(s, dir), NearDupThreshold,
+        embDim = 64, targetBucketRows = AdaptiveTargetRows,
+        maxBits = AdaptiveMaxBits)
+        .orderBy("a_vec_id", "b_vec_id")
+    },
+
     // banded sign-LSH near-dups: candidate = bucket collision in ANY
     // band, deduped before the cosine verify — the recall-preserving
     // shape when buckets must be narrow at corpus scale
@@ -553,6 +604,42 @@ object LlmOps {
       }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Ann.labelKnnAgreementBucketed(emb, emb, k = KnnK, SignDims, probeBudget = 2)
+        .orderBy("probe_id")
+    },
+
+    // the corpus-sized mislabel audit on ADAPTIVE buckets — e5's scale
+    // path (150 s fixed-width vs linear adaptive at 10×) as a
+    // hash-verified query; own-bucket probing (budget 1) so the arm
+    // CASE is the only bucket logic
+    QueryDef.sql(
+      "e6_label_knn_adaptive",
+      s"""WITH ${adaptiveBucketCtes("embeddings", "embedding")},
+         |qv AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, pq.label AS probe_label,
+         |    cq.label AS nbr_label, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> (pq.qe[i+1]-cq.qe[i+1])*(pq.qe[i+1]-cq.qe[i+1]))) AS BIGINT) AS dist2
+         |  FROM bucketed p
+         |  JOIN bucketed c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+         |  JOIN qv pq ON pq.vec_id = p.vec_id
+         |  JOIN qv cq ON cq.vec_id = c.vec_id),
+         |knn AS (
+         |  SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist2, neighbor_id) <= $KnnK)
+         |SELECT probe_id, probe_label,
+         |  CAST(sum(CASE WHEN nbr_label = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+         |  CAST(count(*) AS BIGINT) AS k_found
+         |FROM knn GROUP BY 1, 2 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val dims = Dedup.adaptiveSignDims(
+        emb.count(), 64, AdaptiveTargetRows, AdaptiveMaxBits)
+      Ann.labelKnnAgreementBucketed(emb, emb, k = KnnK, dims, probeBudget = 1)
         .orderBy("probe_id")
     },
 

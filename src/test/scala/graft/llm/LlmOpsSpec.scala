@@ -334,6 +334,22 @@ class LlmOpsSpec extends SparkSuite {
       Dedup.embeddingNearDupsBandedAuto(emb, 0.25, embDim = 8, numBands = 8,
         targetBucketRows = 1)
     }
+    // the integer CASE-ladder form equals the old float-log form for
+    // every n (this is what lets d11/e6's ORACLE derive the bit count)
+    def logForm(n: Long, t: Long, cap: Int): Int = {
+      val needed = if (n <= t) 1
+        else math.ceil(math.log(n.toDouble / t) / math.log(2.0)).toInt
+      math.max(1, math.min(needed, cap))
+    }
+    val t = graft.queries.LlmOps.AdaptiveTargetRows
+    val cap = graft.queries.LlmOps.AdaptiveMaxBits
+    (Seq(1L, 63L, 64L, 65L, 127L, 128L, 129L, 500L, 2000L, 20000L,
+      1L << 20, 1L << 40) ++ (1 to 12).map(b => t << b) ++       // exact 2^b edges
+      (1 to 12).flatMap(b => Seq((t << b) - 1, (t << b) + 1)) ++
+      (1 to 200).map(_ * 97L)).foreach { nn =>
+      assert(Dedup.adaptiveSignDims(nn, 64, t, cap).length == logForm(nn, t, cap),
+        s"ladder/log divergence at n=$nn")
+    }
   }
 
   test("on-disk IVF index: partition-pruned probe, identical results to in-memory ivfTopK") {

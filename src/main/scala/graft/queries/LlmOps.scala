@@ -197,12 +197,22 @@ object LlmOps {
       Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
   private def dupGroupsShared(s: SparkSession, dir: String): DataFrame =
     memoized(s"groups:$dir")(Dedup.dupGroups(candidatePairs(s, dir)))
-  /** k1/k2 share one training run (the expensive part is the Lloyd
-    * passes, not the final projections). */
+  /** k1/k2/e7 share one training run (the expensive part is the Lloyd
+    * passes, not the final projections). Centroid arrays (k·dim longs,
+    * driver-side by construction) cache alongside the assigned frame. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap[String, Array[(Int, Array[Long])]]()
   private def kmeansShared(s: SparkSession, dir: String): DataFrame =
-    memoized(s"kmeans:$dir")(
-      graft.similarity.Clustering
-        .kmeans(Tables.embeddings(s, dir), KmeansK, KmeansIters, KmeansScale)._1)
+    memoized(s"kmeans:$dir") {
+      val (assigned, cents) = graft.similarity.Clustering
+        .kmeans(Tables.embeddings(s, dir), KmeansK, KmeansIters, KmeansScale)
+      centroidMemo.put(s"kmeans:$dir", cents)
+      assigned
+    }
+  private def kmeansCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
+    kmeansShared(s, dir)   // ensures the training ran in this session
+    centroidMemo(s"kmeans:$dir")
+  }
 
   /** Unrolled-Lloyd CTE chain mirroring Clustering.kmeans: `q` is the
     * integer-grid corpus, `cent{t}` the round-t centroids, `a{t}` the
@@ -783,6 +793,55 @@ object LlmOps {
         .agg(count(lit(1)).as("n_vectors"), sum("dist2").as("inertia"),
           countDistinct("label").cast("long").as("n_labels"))
         .orderBy("cluster")
+    },
+
+    // trained-ANN loop closed: IVF probing over the k-means centroid
+    // set (not hand-picked seed vectors like e3) — train → centroidFrame
+    // → ivfTopK, the production retrieval stack, oracle-verified by
+    // chaining the unrolled-Lloyd CTEs into e3's IVF SQL. Centroid
+    // de-quantization (÷2^9) is an exponent shift — exact in binary FP
+    // at both engines, so the cosines hash-match.
+    QueryDef.sql(
+      "e7_ann_ivf_trained", {
+        val NProbe = 2
+        s"""WITH $kmeansCtes,
+           |fcent AS (
+           |  SELECT cluster AS centroid_id,
+           |    list_transform(qv, x -> CAST(CAST(x AS DOUBLE) / $KmeansScale AS FLOAT)) AS cvv
+           |  FROM cent$KmeansIters),
+           |assign AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id, e.embedding, fcent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "fcent.cvv")} DESC, fcent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN fcent)
+           |  WHERE r = 1),
+           |probe AS (
+           |  SELECT query_id, qvv, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id AS query_id, e.embedding AS qvv, fcent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "fcent.cvv")} DESC, fcent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN fcent
+           |    WHERE e.vec_id < $KnnQueryLimit)
+           |  WHERE r <= $NProbe),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${sqlCosine("qvv", "cv")} AS cos
+           |  FROM assign JOIN probe USING (centroid_id)
+           |  WHERE query_id <> neighbor_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+           |  neighbor_id, round(cos, 6) AS cosine
+           |FROM scored
+           |QUALIFY rank <= $KnnK
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cf = graft.similarity.Clustering.centroidFrame(
+        emb, kmeansCentroids(s, dir), KmeansScale)
+      Ann.ivfTopK(emb, cf, emb.filter(col("vec_id") < KnnQueryLimit), KnnK, 2)
+        .orderBy("query_id", "rank")
     },
 
     // ---- corpus curation --------------------------------------------

@@ -97,6 +97,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), "centroids must ride as literals, not a join")
   }
 
+  test("u2_setops: set forms run as semi/anti joins, never materialized distincts x2") {
+    val p = plan("u2_setops")
+    assert(p.contains("LeftSemi"), "INTERSECT must plan as a semi join")
+    assert(p.contains("LeftAnti"), "EXCEPT must plan as an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native kernels stay inside whole-stage codegen in real queries") {
     // e4's distance and d6's cosine must not fall out of codegen: the
     // `*(n)` span marker must wrap the stage that computes them

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *   IngestCli SeedStations    --stations <glob> --store <dir>
   *   IngestCli SequenceIngest  --harvestDir <dir> --catalog <csv> --store <dir> [--now <ts>]
   *   IngestCli QueryObs        --store <dir> --station <name> --start <ts> --end <ts>
+  *   IngestCli BuildAnnIndex   --embeddings <parquet> --index <dir> [--k N --iters N --scale N]
+  *   IngestCli QueryAnn        --index <dir> --queries <parquet> [--k N --nprobe N --limit N]
   */
 object IngestCli {
 
@@ -147,6 +149,46 @@ object IngestCli {
         val actions = tables.flatMap(t => store.binPackCompact(t, target))
         actions.foreach(println)
         println(s"compacted ${actions.size} partition(s)")
+
+      case "BuildAnnIndex" =>
+        // train-and-index the similarity stack: deterministic k-means
+        // over an embeddings table, then the corpus laid out as
+        // centroid_id partition directories (writeIvfIndex) so probes
+        // prune file groups before any IO. Centroids persist beside the
+        // lists — the index is self-contained for QueryAnn.
+        val idCol = opts.getOrElse("idCol", "vec_id")
+        val vecCol = opts.getOrElse("vecCol", "embedding")
+        val emb = spark.read.parquet(req("embeddings"))
+        val k = opts.getOrElse("k", "8").toInt
+        val iters = opts.getOrElse("iters", "2").toInt
+        val scale = opts.getOrElse("scale", "512").toInt
+        val (assigned, cents) = graft.similarity.Clustering.kmeans(
+          emb, k, iters, scale, idCol, vecCol)
+        val cf = graft.similarity.Clustering.centroidFrame(
+          emb, cents, scale, idCol, vecCol)
+        cf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"${req("index")}/centroids")
+        graft.similarity.Ann.writeIvfIndex(
+          emb, cf, s"${req("index")}/lists", idCol, vecCol)
+        val inertia = assigned.agg(sum("dist2")).head.getLong(0)
+        println(s"""{"k":$k,"iters":$iters,"rows":${assigned.count()},"inertia":$inertia}""")
+
+      case "QueryAnn" =>
+        // top-k retrieval over a BuildAnnIndex layout: nprobe inverted
+        // lists per query, scans only the probed partition dirs
+        val idCol = opts.getOrElse("idCol", "vec_id")
+        val vecCol = opts.getOrElse("vecCol", "embedding")
+        val cf = spark.read.parquet(s"${req("index")}/centroids")
+        val queries = spark.read.parquet(req("queries"))
+        val res = graft.similarity.Ann.ivfTopKIndexed(
+          s"${req("index")}/lists", cf, queries,
+          k = opts.getOrElse("k", "5").toInt,
+          nprobe = opts.getOrElse("nprobe", "2").toInt,
+          idCol, vecCol)
+        res.orderBy("query_id", "rank")
+          .limit(opts.getOrElse("limit", "1000").toInt)
+          .collect()
+          .foreach(r => println(s"""{"query_id":${r.getLong(0)},"rank":${r.getLong(1)},"neighbor_id":${r.getLong(2)},"cosine":${r.getDouble(3)}}"""))
 
       case "ArchiveHistorical" =>
         // mvHistADCIRCFiles.py's runnable entry (:204+): decode every

@@ -1,0 +1,48 @@
+package graft.domain
+
+import graft.{IngestCli, SparkSuite, Tables}
+import graft.similarity.{Ann, Clustering}
+import java.nio.file.Files
+
+/** BuildAnnIndex / QueryAnn CLI tasks end-to-end: train → partitioned
+  * index → probe, equal to the in-memory trained-IVF path. */
+class AnnIndexCliSpec extends SparkSuite {
+
+  test("BuildAnnIndex + QueryAnn round-trip equals in-memory trained ivfTopK") {
+    val dir = Files.createTempDirectory("ann_index").toFile.getAbsolutePath
+    val sfDir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, sfDir)
+
+    IngestCli.runTask(spark, "BuildAnnIndex", Map(
+      "embeddings" -> s"$sfDir/embeddings.parquet",
+      "index" -> dir, "k" -> "4", "iters" -> "2", "scale" -> "512"))
+
+    // index layout: centroids parquet + one partition dir per inverted list
+    val lists = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(lists.nonEmpty && lists.length <= 4)
+
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val cf = spark.read.parquet(s"$dir/centroids")
+    val indexed = Ann.ivfTopKIndexed(s"$dir/lists", cf, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val (_, cents) = Clustering.kmeans(emb, k = 4, iters = 2, scale = 512)
+    val inMem = Ann.ivfTopK(emb, Clustering.centroidFrame(emb, cents, 512),
+      queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == inMem && indexed.nonEmpty)
+
+    // QueryAnn prints one JSON line per (query, rank) — same row count
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      IngestCli.runTask(spark, "QueryAnn", Map(
+        "index" -> dir, "queries" -> s"$sfDir/embeddings.parquet",
+        "k" -> "5", "nprobe" -> "2", "limit" -> "10000"))
+    }
+    val lines = out.toString.linesIterator.filter(_.startsWith("{\"query_id\"")).toSeq
+    val inMemAll = Ann.ivfTopK(emb, Clustering.centroidFrame(emb, cents, 512),
+      emb, k = 5, nprobe = 2).count()
+    assert(lines.size.toLong == inMemAll)
+  }
+}

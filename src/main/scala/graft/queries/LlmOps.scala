@@ -55,6 +55,16 @@ object LlmOps {
   val AdaptiveMaxBits = 8
   val VocabTopK = 100
   val TfIdfPerDoc = 3
+  /** Seeded-shuffle (c5) seed: same seed ⇒ same corpus order. */
+  val ShuffleSeed = "graft-r5"
+  /** Source-mix weights (c6): (full epochs, extra-epoch keep rate of
+    * 256) per source — src0 ×2.5, src1 ×0.25, src2 ×3; rest ×1. */
+  val MixWeights: Map[String, (Int, Int)] =
+    Map("src0" -> (2, 128), "src1" -> (0, 64), "src2" -> (3, 0))
+  val MixDefault: (Int, Int) = (1, 0)
+  /** Duplicate-span n-gram width (d12/d13) — word-level exact
+    * substring dedup à la Lee et al. 2021. */
+  val SpanN = 8
   /** Per-language keep rates (of 256) for the stratified sample. */
   val StratRates = Map("en" -> 64, "de" -> 128, "es" -> 128, "fr" -> 192)
   val StratDefaultRate = 32
@@ -1026,6 +1036,95 @@ object LlmOps {
         col("doc_id"), col("lang"), StratRates, StratDefaultRate)
         .select(col("doc_id"), col("lang"),
           Curation.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic training-order shuffle: global position by
+    // md5(seed:key) — two-pass numbering, no single-task window
+    QueryDef.sql(
+      "c5_seeded_shuffle",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    md5('$ShuffleSeed' || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM sh ORDER BY pos""".stripMargin) { (s, dir) =>
+      Curation.seededShuffle(Tables.documents(s, dir), "doc_id", ShuffleSeed)
+        .select("doc_id", "shuffle_key", "pos")
+        .orderBy("pos")
+    },
+
+    // weighted source mixing (epoch oversampling) — deterministic
+    // content-hash membership for the fractional epoch
+    QueryDef.sql(
+      "c6_source_mix", {
+        def arm(sel: ((Int, Int)) => Int, dflt: Int) = "CASE source " +
+          MixWeights.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"WHEN '$k' THEN ${sel(v)}" }
+            .mkString(" ") + s" ELSE $dflt END"
+        val h = s"md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))"
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
+        s"""WITH w AS (
+           |  SELECT doc_id, source,
+           |    ${arm(_._1, MixDefault._1)} AS copies,
+           |    ${arm(_._2, MixDefault._2)} AS frac
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, source, CAST(e AS BIGINT) AS epoch, copies, frac
+           |  FROM w, unnest(generate_series(0, copies)) AS u(e))
+           |SELECT doc_id, source, epoch FROM m
+           |WHERE epoch < copies OR ${hx(1)} * 16 + ${hx(2)} < frac
+           |ORDER BY doc_id, epoch""".stripMargin
+      }) { (s, dir) =>
+      Curation.sourceMix(Tables.documents(s, dir), "doc_id", "source",
+        MixWeights, MixDefault)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // Gopher-style quality rule gate — scan-speed column expressions
+    QueryDef.sql(
+      "t10_gopher_quality", {
+        val toks = "regexp_split_to_array(trim(text), '\\s+')"
+        val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len($toks) END AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+           |    CAST(len(list_filter($toks,
+           |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           |    CAST(len(list_intersect(list_transform($toks, x -> lower(x)),
+           |      [$stops])) AS BIGINT) AS distinct_stopwords,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, n_words,
+           |    CASE WHEN n_words = 0 THEN NULL
+           |      ELSE CAST(floor(10000.0 * word_chars / n_words) AS BIGINT)
+           |    END AS mean_word_len_scaled,
+           |    CASE WHEN n_words = 0 THEN NULL
+           |      ELSE CAST(floor(10000.0 * alpha_words / n_words) AS BIGINT)
+           |    END AS alpha_word_frac_scaled,
+           |    distinct_stopwords,
+           |    CASE WHEN n_words = 0 THEN NULL
+           |      ELSE CAST(floor(10000.0 * symbols / n_words) AS BIGINT)
+           |    END AS symbol_ratio_scaled
+           |  FROM f)
+           |SELECT doc_id, n_words, mean_word_len_scaled, alpha_word_frac_scaled,
+           |  distinct_stopwords, symbol_ratio_scaled,
+           |  coalesce(n_words BETWEEN 50 AND 100000
+           |    AND mean_word_len_scaled BETWEEN 30000 AND 100000
+           |    AND alpha_word_frac_scaled >= 8000
+           |    AND distinct_stopwords >= 2
+           |    AND symbol_ratio_scaled <= 1000, false) AS gopher_pass
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir))
+        .select("doc_id", "n_words", "mean_word_len_scaled",
+          "alpha_word_frac_scaled", "distinct_stopwords",
+          "symbol_ratio_scaled", "gopher_pass")
         .orderBy("doc_id")
     },
 

@@ -101,6 +101,69 @@ object Curation {
         concat_ws(" ", slice_).as("chunk_text"))
   }
 
+  /** Deterministic training-order shuffle: a reproducible "random"
+    * permutation of the corpus by `md5(seed:key)` — the standard
+    * pre-training data-order op (same seed ⇒ same order on any engine,
+    * any partitioning, any day). Output gains `shuffle_key` (the md5)
+    * and `pos` (0-based global position in shuffled order).
+    *
+    * Scale shape: the same two-pass global numbering as [[packShards]]
+    * — range-partition on the shuffle key (uniform by construction, so
+    * no skew), per-partition COUNTS to the driver (one row per
+    * partition), exclusive prefix offsets shipped back as a map
+    * literal, `row_number` WITHIN partitions. Never a single-task
+    * global window. */
+  def seededShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame = {
+    val ranged = df
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .repartitionByRange(col("shuffle_key"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .sliding(2)
+      .collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val offCol = if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val w = Window.partitionBy("__pid").orderBy(col("shuffle_key"), col(keyCol))
+    ranged
+      .withColumn("pos", (offCol + row_number().over(w) - 1).cast("long"))
+      .drop("__pid")
+  }
+
+  /** Deterministic weighted source mixing (the "data mixture" op a
+    * training run starts from — e.g. wiki × 2.5, web × 0.25): a
+    * stratum with weight `(copies, frac)` emits `copies` full epochs
+    * of every row plus one extra epoch that keeps ≈`frac`/256 of rows
+    * by content hash of (key, epoch). Reproducible and nesting like
+    * every sampler here — the same doc never flips in or out of the
+    * mixture between runs. Output gains `epoch` (0-based pass index).
+    *
+    * Scale shape: a bounded ≤⌈w⌉ row fan-out (explode of a literal-
+    * sized sequence) followed by a scan-level hash filter — zero
+    * shuffles, whole-stage codegen'd end to end. */
+  def sourceMix(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, (Int, Int)], default: (Int, Int)): DataFrame = {
+    require((weights.values.toSeq :+ default).forall {
+      case (c, f) => c >= 0 && f >= 0 && f <= 256
+    }, "weights must be (copies >= 0, 0 <= frac <= 256)")
+    val copies = coalesce(
+      element_at(typedLit(weights.map { case (k, v) => k -> v._1 }),
+        col(strataCol)), lit(default._1))
+    val frac = coalesce(
+      element_at(typedLit(weights.map { case (k, v) => k -> v._2 }),
+        col(strataCol)), lit(default._2))
+    df.withColumn("__e", explode(sequence(lit(0), copies)))
+      .withColumn("epoch", col("__e").cast("long")).drop("__e")
+      .filter(col("epoch") < copies ||
+        hashBucket(concat(col(keyCol).cast("string"), lit("#"),
+          col("epoch").cast("string"))) < frac)
+  }
+
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can
     * exceed the budget by at most the one document that straddles its

@@ -190,6 +190,44 @@ object TextAnalysis {
             col("n_terms"), 4)).as("oov_rate"))
   }
 
+  /** Gopher-style document-quality rule suite (the public Rae et al.
+    * 2021 heuristics): word count, mean word length, fraction of words
+    * containing an alphabetic character, distinct stopword hits,
+    * symbol-to-word ratio ('#' and '...'), plus the combined pass/fail
+    * gate (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥80% alpha words,
+    * ≥2 distinct stopwords, ≤10% symbols). Ratios are
+    * `floor(1e4 · ratio)` scaled integers computed through DOUBLE on
+    * both engines, so the DuckDB oracle is bit-exact.
+    *
+    * Scale shape: pure column expressions over one scan — no shuffle,
+    * no UDF; the rule gate runs at scan speed over a 100 TB corpus. */
+  def gopherQuality(df: DataFrame, textCol: String = "text",
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = tokens(col(textCol))
+    val nWords = size(t).cast("long")
+    val wordChars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+    val alphaWords = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopDistinct =
+      size(array_intersect(transform(t, x => lower(x)), typedLit(stopwordsEn)))
+        .cast("long")
+    val symbols = regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("long")
+    def scaled(num: Column) = when(nWords === 0, lit(null).cast("long"))
+      .otherwise(floor(lit(10000.0) * num.cast("double") / nWords).cast("long"))
+    val meanLen = scaled(wordChars)
+    val alphaFrac = scaled(alphaWords)
+    val symbolRatio = scaled(symbols)
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len_scaled", meanLen)
+      .withColumn("alpha_word_frac_scaled", alphaFrac)
+      .withColumn("distinct_stopwords", stopDistinct)
+      .withColumn("symbol_ratio_scaled", symbolRatio)
+      .withColumn("gopher_pass", coalesce(
+        nWords.between(minWords, maxWords) &&
+          meanLen.between(30000L, 100000L) &&
+          alphaFrac >= 8000L && stopDistinct >= 2L &&
+          symbolRatio <= 1000L, lit(false)))
+  }
+
   /** RE2-compatible PII patterns (no lookaround — Java regex and the
     * oracle's RE2 agree on these constructs). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

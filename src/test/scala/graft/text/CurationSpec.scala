@@ -101,4 +101,82 @@ class CurationSpec extends SparkSuite {
     // embarrassingly parallel: no exchange anywhere in the plan
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("seededShuffle: a deterministic permutation, stable under repartition") {
+    val out = Curation.seededShuffle(docs, "doc_id", "s1")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense 0..n-1 permutation
+    assert(out.values.toSeq.sorted == (0L until 1000L))
+    // same seed + any partitioning -> identical order
+    val again = Curation.seededShuffle(docs.repartition(13), "doc_id", "s1")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // a different seed produces a genuinely different order
+    val other = Curation.seededShuffle(docs, "doc_id", "s2")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != out)
+    // shuffled, not sorted: the identity order would be astronomically
+    // unlikely under md5
+    assert(out.count { case (id, pos) => id == pos } < 10)
+    // no single-task global window in the plan
+    val windows = Curation.seededShuffle(docs, "doc_id", "s1")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("sourceMix: epoch fan-out matches weights; fractional epoch nests by hash") {
+    val mixed = Curation.sourceMix(
+      docs.withColumn("src", concat(lit("s"), col("doc_id") % 2)),
+      "doc_id", "src",
+      Map("s0" -> ((2, 128)), "s1" -> ((0, 64))), default = (1, 0))
+    val byEpoch = mixed.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // s0: two full epochs of all 500 + a ~half fractional epoch
+    assert(byEpoch(("s0", 0L)) == 500L && byEpoch(("s0", 1L)) == 500L)
+    assert(byEpoch(("s0", 2L)) > 200L && byEpoch(("s0", 2L)) < 300L)
+    // s1: no full epoch, only a ~quarter fractional epoch
+    assert(!byEpoch.contains(("s1", 1L)))
+    assert(byEpoch(("s1", 0L)) > 75L && byEpoch(("s1", 0L)) < 175L)
+    // deterministic: same call twice -> identical multiset
+    val a = mixed.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Curation.sourceMix(
+      docs.withColumn("src", concat(lit("s"), col("doc_id") % 2)).repartition(5),
+      "doc_id", "src",
+      Map("s0" -> ((2, 128)), "s1" -> ((0, 64))), default = (1, 0))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a == b)
+    // zero shuffles: bounded explode + scan-level filter only
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("gopherQuality: rule gate fires on the textbook failure modes") {
+    // 16 words / 60 word-chars per repeat -> mean 3.75, 4 distinct stopwords
+    val good = ("the quick brown fox jumped over the lazy dogs and ran into a house of cards " * 4).trim
+    val cases = Seq(
+      (1L, good),                                  // passes every rule
+      (2L, "short text of the and"),               // too few words
+      (3L, ("a " * 60).trim),                      // mean word len < 3
+      (4L, (1 to 60).map(_ => "123456").mkString(" ")), // no alpha words
+      (5L, ("the quick brown fox jumped over lazy dogs " * 8).trim + " ### ### ### ### ### ###"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(cases)
+      .select("doc_id", "gopher_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L) && !out(3L) && !out(4L))
+    assert(!out(5L))                               // symbol ratio > 10%
+    // all-measure sanity on the passing doc
+    val m = TextAnalysis.gopherQuality(cases.filter(col("doc_id") === 1))
+      .collect().head
+    assert(m.getAs[Long]("n_words") == 64L)
+    assert(m.getAs[Long]("distinct_stopwords") >= 2L)
+    assert(m.getAs[Long]("alpha_word_frac_scaled") == 10000L)
+  }
 }

@@ -298,6 +298,111 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  // ---- word-level duplicate-span dedup (exact substring dedup) ----
+
+  /** Word `n`-gram spans with 1-based start positions over the
+    * normalized token stream: one row per (id, pos, ngram). Documents
+    * shorter than `n` words emit no spans (the `when` guard keeps
+    * `sequence` from descending). Same pre-explode spread as
+    * [[shingles]]. */
+  def wordSpans(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= n,
+          sequence(lit(1), size(col("__toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("__toks"), col("pos"), lit(n))).as("ngram"))
+  }
+
+  /** Duplicate-span measurement (the exact-substring-dedup audit of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", at word granularity): per document, the span
+    * count, how many of its `n`-gram spans occur ≥2 times CORPUS-wide,
+    * how many token positions those spans cover, and the covered
+    * fraction (`floor(1e4·frac)`). The per-corpus histogram of
+    * `dup_token_frac_scaled` is the standard "how much of my corpus is
+    * boilerplate" curve.
+    *
+    * Scale shape: one groupBy on the ngram (map-side combined), one
+    * equi-join of the span stream against the duplicated-ngram set,
+    * then doc-keyed aggregates — linear, never doc×doc. */
+  def dupSpanStats(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = wordSpans(docs, n, idCol, textCol)
+    val occ = sp.groupBy("ngram").agg(count(lit(1)).as("n_occ"))
+    val dup = sp.join(occ.filter(col("n_occ") >= 2), Seq("ngram"))
+    val spanAgg = sp.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val dupAgg = dup.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    val cov = dup
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_token_count"))
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(spanAgg, Seq(idCol), "left")
+      .join(dupAgg, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_token_count"), lit(0L)).as("dup_token_count"),
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            coalesce(col("dup_token_count"), lit(0L)).cast("double") /
+            col("n_tokens")).cast("long"))
+          .as("dup_token_frac_scaled"))
+  }
+
+  /** Apply exact substring dedup: drop every token position covered by
+    * a NON-FIRST occurrence of a corpus-duplicated `n`-gram span (first
+    * occurrence = global (id, pos) order), and rebuild the cleaned
+    * text. Overlap rule: removal wins — a position covered by both a
+    * first and a later occurrence is dropped; deterministic and
+    * oracle-expressible.
+    *
+    * Scale shape: occurrence ranking windows by the NGRAM, but only
+    * over spans already known duplicated (the pre-join against the
+    * `n_occ ≥ 2` set discards the unique-ngram majority before the
+    * exchange). KNOWN SKEW: a boilerplate ngram with millions of
+    * occurrences makes one hot window partition — web-scale callers
+    * should treat such "stop n-grams" separately (cap via the `occ`
+    * frame) the way RefinedWeb does; the semantics here keep every
+    * occurrence so the DuckDB oracle stays exact. */
+  def removeDupSpans(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = wordSpans(docs, n, idCol, textCol)
+    val occ = sp.groupBy("ngram").agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("ngram").orderBy(col(idCol), col("pos"))
+    val ranked = sp.join(occ.filter(col("n_occ") >= 2), Seq("ngram"))
+      .withColumn("__occ", row_number().over(w))
+    val dropPos = ranked.filter(col("__occ") >= 2)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
+      .distinct()
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val stream = docs.repartition(col(idCol))
+      .select(col(idCol), posexplode(toks).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).as("tok_pos"), col("tok"))
+    val rebuilt = stream.join(dropPos, Seq(idCol, "tok_pos"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tok_pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"))
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Embedding-cosine near-duplicates. Candidate pairs share a
     * sign-LSH bucket (signs of `signDims` components — axis-aligned
     * hyperplanes); cosine computed with a sequential fold for

@@ -120,6 +120,18 @@ object LlmOps {
       |  SELECT doc_id, unnest(string_split(n, ' ')) AS term
       |  FROM norm)""".stripMargin
 
+  /** Token-array CTE over the normalized text (word-span dedup). */
+  private val spanTkCte =
+    "tk AS (SELECT doc_id, CASE WHEN n = '' THEN [] ELSE string_split(n, ' ') END AS toks FROM norm)"
+
+  /** Word `SpanN`-gram span CTE mirroring Dedup.wordSpans (1-based
+    * start positions; DuckDB list slice bounds are inclusive). */
+  private val spanSpCte =
+    s"""sp AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    array_to_string(toks[i : i + ${SpanN - 1}], ' ') AS ngram
+       |  FROM tk, unnest(generate_series(1, greatest(len(toks) - ${SpanN - 1}, 0))) AS u(i))""".stripMargin
+
   /** Non-distinct shingle CTE (repetition stats need occurrence
     * counts, not the set). */
   private val shingleAllCte =
@@ -728,6 +740,78 @@ object LlmOps {
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       Dedup.keepCanonical(Tables.documents(s, dir), dupGroupsShared(s, dir))
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // exact-substring (duplicate word-span) measurement — Lee et al.
+    // 2021 style boilerplate audit at word n-gram granularity
+    QueryDef.sql(
+      "d12_dupspan_stats",
+      s"""WITH $normCte,
+         |$spanTkCte,
+         |$spanSpCte,
+         |occ AS (SELECT ngram, count(*) AS n_occ FROM sp GROUP BY 1),
+         |dup AS (SELECT sp.* FROM sp JOIN occ USING (ngram) WHERE n_occ >= 2),
+         |spa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1),
+         |dpa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans FROM dup GROUP BY 1),
+         |cov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_token_count FROM (
+         |    SELECT DISTINCT doc_id, pos + o AS tok_pos
+         |    FROM dup, unnest(generate_series(0, ${SpanN - 1})) AS v(o))
+         |  GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(CASE WHEN n = '' THEN 0
+         |  ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tokens FROM norm)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  coalesce(spa.n_spans, 0) AS n_spans,
+         |  coalesce(dpa.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(cov.dup_token_count, 0) AS dup_token_count,
+         |  CASE WHEN nt.n_tokens = 0 THEN NULL
+         |    ELSE CAST(floor(10000.0 * coalesce(cov.dup_token_count, 0) / nt.n_tokens) AS BIGINT)
+         |  END AS dup_token_frac_scaled
+         |FROM nt
+         |LEFT JOIN spa ON spa.doc_id = nt.doc_id
+         |LEFT JOIN dpa ON dpa.doc_id = nt.doc_id
+         |LEFT JOIN cov ON cov.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanStats(Tables.documents(s, dir), SpanN)
+        .orderBy("doc_id")
+    },
+
+    // apply exact substring dedup: drop non-first occurrences of
+    // corpus-duplicated spans, rebuild the cleaned text
+    QueryDef.sql(
+      "d13_dupspan_remove",
+      s"""WITH $normCte,
+         |$spanTkCte,
+         |$spanSpCte,
+         |occ AS (SELECT ngram, count(*) AS n_occ FROM sp GROUP BY 1),
+         |ranked AS (
+         |  SELECT sp.doc_id, sp.pos,
+         |    row_number() OVER (PARTITION BY sp.ngram ORDER BY sp.doc_id, sp.pos) AS occ_rank
+         |  FROM sp JOIN occ USING (ngram) WHERE occ.n_occ >= 2),
+         |droppos AS (
+         |  SELECT DISTINCT doc_id, pos + o AS tok_pos
+         |  FROM ranked, unnest(generate_series(0, ${SpanN - 1})) AS v(o)
+         |  WHERE occ_rank >= 2),
+         |stream AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS tok_pos, toks[i] AS tok
+         |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+         |kept AS (
+         |  SELECT s.* FROM stream s
+         |  WHERE NOT EXISTS (SELECT 1 FROM droppos d
+         |    WHERE d.doc_id = s.doc_id AND d.tok_pos = s.tok_pos)),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY tok_pos) AS cleaned_text
+         |  FROM kept GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(CASE WHEN n = '' THEN 0
+         |  ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tokens FROM norm)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  nt.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+         |  coalesce(r.cleaned_text, '') AS cleaned_text
+         |FROM nt LEFT JOIN rebuilt r ON r.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.removeDupSpans(Tables.documents(s, dir), SpanN)
         .orderBy("doc_id")
     },
 

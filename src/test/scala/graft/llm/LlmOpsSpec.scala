@@ -465,4 +465,37 @@ class LlmOpsSpec extends SparkSuite {
     val lLen = large.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
     assert(sLen.forall { case (id, n) => n <= lLen(id) })
   }
+
+  test("duplicate word spans: stats find cross-doc boilerplate, removal keeps the first copy (d12/d13)") {
+    val boiler = "all rights reserved contact us for terms of service"  // 9 words
+    val corpus = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (2L, s"$boiler other distinct words follow here nine ten eleven twelve"),
+      (3L, "nothing here repeats anywhere one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+
+    val stats = Dedup.dupSpanStats(corpus, n = 9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the 9-word boilerplate is a duplicated 9-gram in docs 1 and 2
+    assert(stats(1L).getAs[Long]("n_dup_spans") >= 1L)
+    assert(stats(2L).getAs[Long]("n_dup_spans") >= 1L)
+    assert(stats(3L).getAs[Long]("n_dup_spans") == 0L)
+    assert(stats(2L).getAs[Long]("dup_token_count") >= 9L)
+    assert(stats(3L).getAs[Long]("dup_token_frac_scaled") == 0L)
+
+    val cleaned = Dedup.removeDupSpans(corpus, n = 9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // first occurrence (doc 1, earlier (id, pos)) survives; doc 2's copy is cut
+    assert(cleaned(1L).getAs[Long]("n_removed") == 0L)
+    assert(cleaned(2L).getAs[Long]("n_removed") == 9L)
+    assert(!cleaned(2L).getAs[String]("cleaned_text").contains("rights reserved"))
+    assert(cleaned(2L).getAs[String]("cleaned_text")
+      .startsWith("other distinct words"))
+    assert(cleaned(3L).getAs[Long]("n_removed") == 0L)
+    // idempotence: a second pass over the cleaned corpus removes nothing
+    val again = Dedup.removeDupSpans(
+      cleaned.values.toSeq.map(r => (r.getLong(0), r.getString(3))).toDF("doc_id", "text"),
+      n = 9).collect()
+    assert(again.forall(_.getAs[Long]("n_removed") == 0L))
+  }
 }

@@ -84,16 +84,25 @@ object Dedup {
     * of `rowsPerBand`; docs sharing any band digest are candidates.
     * The candidate join is per-(band, digest) — the 100 TB-safe path:
     * bucket sizes bound the join fan-out, no all-pairs comparison. */
-  def minHashCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
+  /** Exploded per-band digests of a signature frame: one row per
+    * (id, band, digest) — the LSH bucket keys. Shared by the
+    * within-corpus pair join and the cross-corpus contamination
+    * probe. */
+  def bandDigests(signatures: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("digest"))
     }
-    val exploded = signatures
+    signatures
       .select(col(idCol), explode(array(bands: _*)).as("bd"))
       .select(col(idCol), col("bd.band").as("band"), col("bd.digest").as("digest"))
+  }
+
+  def minHashCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val exploded = bandDigests(signatures, numHashes, rowsPerBand, idCol)
     val a = exploded.toDF(s"a_$idCol", "band", "digest")
     val b = exploded.toDF(s"b_$idCol", "band", "digest")
     a.join(b, Seq("band", "digest"))

@@ -1104,6 +1104,63 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // train→eval NEAR-dup contamination: MinHash-LSH probe of the
+    // eval split against the train split (catches edited benchmark
+    // copies that exact shingle overlap misses)
+    QueryDef.sql(
+      "x2_contamination_neardup", {
+        val matches = (1 to NumHashes)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $normCte,
+           |$shingleCte,
+           |$sigCte,
+           |$bandCte,
+           |$splitCte,
+           |tb AS (
+           |  SELECT bd.doc_id AS train_doc_id, bd.band, bd.digest
+           |  FROM bands bd JOIN splits s ON s.doc_id = bd.doc_id AND s.split = 'train'),
+           |eb AS (
+           |  SELECT bd.doc_id, bd.band, bd.digest
+           |  FROM bands bd JOIN splits s ON s.doc_id = bd.doc_id AND s.split <> 'train'),
+           |cand AS (
+           |  SELECT DISTINCT eb.doc_id, tb.train_doc_id
+           |  FROM eb JOIN tb USING (band, digest)),
+           |est AS (
+           |  SELECT c.doc_id, c.train_doc_id,
+           |    round(($matches) / ${NumHashes.toDouble}, 4) AS est_jaccard
+           |  FROM cand c
+           |  JOIN sig a ON a.doc_id = c.doc_id
+           |  JOIN sig b ON b.doc_id = c.train_doc_id),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(sum(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_neardup_train,
+           |    max(est_jaccard) AS max_est_jaccard
+           |  FROM est GROUP BY 1),
+           |best AS (
+           |  SELECT doc_id, train_doc_id AS best_train_doc FROM (
+           |    SELECT doc_id, train_doc_id,
+           |      row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY est_jaccard DESC, train_doc_id) AS rn
+           |    FROM est) WHERE rn = 1)
+           |SELECT sp.doc_id, sp.split,
+           |  coalesce(a.n_candidates, 0) AS n_candidates,
+           |  coalesce(a.n_neardup_train, 0) AS n_neardup_train,
+           |  a.max_est_jaccard, b.best_train_doc
+           |FROM splits sp
+           |LEFT JOIN agg a ON a.doc_id = sp.doc_id
+           |LEFT JOIN best b ON b.doc_id = sp.doc_id
+           |WHERE sp.split <> 'train'
+           |ORDER BY sp.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val splits = Tables.documents(s, dir)
+        .select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("split"))
+      Curation.crossSplitNearDups(sigs(s, dir), splits,
+        NumHashes, RowsPerBand, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "c3_stratified_sample", {
         def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"

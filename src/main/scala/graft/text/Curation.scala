@@ -71,6 +71,53 @@ object Curation {
           col("n_ngrams"), 4).as("contamination"))
   }
 
+  /** Train→eval NEAR-duplicate contamination (the leakage mode
+    * [[crossSplitContamination]]'s exact shingle overlap misses:
+    * lightly edited benchmark copies): for every non-train document,
+    * its MinHash-LSH near-duplicates in the train split. Per eval doc:
+    * band-collision candidate count, candidates with estimated Jaccard
+    * ≥ `threshold`, the best estimate, and the best-matching train doc
+    * (ties → smallest id).
+    *
+    * `signatures` is [[graft.dedup.Dedup.minHashSignatures]] output
+    * over the WHOLE corpus; `splits` maps id → split label.
+    * Scale shape: the probe is a bucketed equi-join on (band, digest)
+    * — identical scaling to the within-corpus candidate join, never
+    * eval×train — and the signature agreement runs only on candidate
+    * pairs. */
+  def crossSplitNearDups(signatures: DataFrame, splits: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.dedup.Dedup
+    val tagged = signatures.join(splits, idCol)
+    val trainB = Dedup.bandDigests(
+      tagged.filter(col("split") === "train"), numHashes, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "train_doc_id")
+    val evalB = Dedup.bandDigests(
+      tagged.filter(col("split") =!= "train"), numHashes, rowsPerBand, idCol)
+    val cand = evalB.join(trainB, Seq("band", "digest"))
+      .select(col(idCol), col("train_doc_id")).distinct()
+    val est = Dedup.minHashEstimate(
+      cand.toDF(s"a_$idCol", s"b_$idCol"), signatures, numHashes, idCol)
+    val w = Window.partitionBy(s"a_$idCol")
+      .orderBy(col("est_jaccard").desc, col(s"b_$idCol"))
+    val agg = est.groupBy(col(s"a_$idCol").as(idCol)).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("est_jaccard") >= threshold, 1L).otherwise(0L))
+        .as("n_neardup_train"),
+      max(col("est_jaccard")).as("max_est_jaccard"))
+    val best = est.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(s"a_$idCol").as(idCol), col(s"b_$idCol").as("best_train_doc"))
+    splits.filter(col("split") =!= "train").select(col(idCol), col("split"))
+      .join(agg, Seq(idCol), "left")
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_neardup_train"), lit(0L)).as("n_neardup_train"),
+        col("max_est_jaccard"), col("best_train_doc"))
+  }
+
   /** Fixed-size token-window chunking with overlap — context-window
     * prep for training: window `maxTokens`, stride = maxTokens −
     * overlap, chunk i covers tokens [i·stride+1, i·stride+maxTokens]

@@ -466,6 +466,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(sLen.forall { case (id, n) => n <= lLen(id) })
   }
 
+  test("cross-split near-dup contamination: edited train copy flagged, clean doc not (x2)") {
+    import graft.text.Curation
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today!"), // edited copy of 1
+      (3L, "entirely unrelated content about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    // force the split: 1 -> train, 2 & 3 -> eval
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "test")).toDF("doc_id", "split")
+    val sigs = Dedup.minHashSignatures(
+      Dedup.shingles(corpus, 5, distinct = false), 8)
+    val out = Curation.crossSplitNearDups(sigs, splits, 8, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 3L))               // eval docs only
+    // the edited copy collides with its train original and estimates high
+    assert(out(2L).getAs[Long]("n_neardup_train") == 1L)
+    assert(out(2L).getAs[Long]("best_train_doc") == 1L)
+    assert(out(2L).getAs[Double]("max_est_jaccard") >= 0.5)
+    // the clean doc has no train candidates; measure columns stay null
+    assert(out(3L).getAs[Long]("n_candidates") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("max_est_jaccard")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("best_train_doc")))
+  }
+
   test("duplicate word spans: stats find cross-doc boilerplate, removal keeps the first copy (d12/d13)") {
     val boiler = "all rights reserved contact us for terms of service"  // 9 words
     val corpus = Seq(

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional Z-order (Morton-curve) file layout.
+  *
+  * A table laid out by ONE sort key prunes scans only on that key; a
+  * 100 TB fact table queried by several independent predicates (station
+  * AND time, user AND value range) needs min/max file statistics that
+  * are tight on EVERY clustered dimension at once. Z-ordering
+  * interleaves the bits of per-dimension range buckets so rows close in
+  * any dimension land in the same files, making parquet row-group /
+  * file skipping effective for all clustered columns — the public
+  * technique behind Delta/Iceberg `ZORDER BY` clustering, re-expressed
+  * here as plain DataFrame range partitioning + in-partition sort.
+  *
+  * Scale shape: bucket boundaries come from `approxQuantile` (one
+  * sample-based pass, driver gets `2^bits − 1` numbers per column);
+  * bucketing + bit interleaving are pure column expressions; the final
+  * exchange is ONE `repartitionByRange` on the z-value (range, so file
+  * sizes stay balanced even under skewed dimensions) followed by an
+  * in-partition sort. No window, no collect of data rows.
+  */
+object ZOrderLayout {
+
+  /** Interleave the low `bits` bits of each (non-negative) column:
+    * result bit `b·N + j` = bit `b` of `cols(j)`. With per-dimension
+    * bucket ids in [0, 2^bits), adjacent z-values differ little in
+    * every dimension — the Morton curve. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
+      "need 1+ columns and bits*dims <= 62")
+    val n = cols.size
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+          b * n + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Equi-depth bucket ids in [0, 2^bits) for `colName`, from
+    * `approxQuantile` boundaries. The bucket id is a sum of boundary
+    * comparisons — a flat codegen-friendly expression, no UDF and no
+    * broadcast join. Ties/repeated boundaries degrade gracefully
+    * (skewed values collapse into fewer distinct buckets). */
+  def rangeBucket(df: DataFrame, colName: String, bits: Int): Column = {
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat.approxQuantile(colName, probs, 0.001)
+    bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(colName) > b, 1L).otherwise(0L)
+    }
+  }
+
+  /** Lay `df` out on the Z-curve over `cols`: range-partition into
+    * `numFiles` partitions by the interleaved z-value and sort within
+    * each, so a subsequent parquet write produces files whose min/max
+    * stats are tight on EVERY dimension in `cols`. Write with
+    * `.sortWithinPartitions`-preserving `df.write.parquet` directly —
+    * no further repartition. */
+  def layout(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int): DataFrame = {
+    val buckets = cols.map(c => rangeBucket(df, c, bits))
+    df.withColumn("__z", zValue(buckets, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -114,4 +114,37 @@ class PlanAuditSpec extends SparkSuite {
     val d6 = plan("d6_embedding_neardups")
     assert(d6.contains("cosine_similarity"), "d6 must use the fused cosine")
   }
+
+  test("runtime bloom filter injects into a selective shuffle join (100 TB path)") {
+    // At cluster scale a selective dim filter should pre-prune the fact
+    // side's shuffle via Spark's runtime bloom filter. The feature is
+    // size-gated, so on sf0.001 we drop the gates to prove the engine's
+    // plans are ELIGIBLE — if a query shape regressed to a form the
+    // optimizer can't inject into (e.g. a non-equi join or a filter
+    // hidden behind a window), this breaks.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val p = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilterMightContain"),
+        s"runtime bloom filter not injected; plan:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -146,7 +146,13 @@ object IngestCli {
         val tables = opts.getOrElse("tables", "gauge_data,model_data")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val target = opts.getOrElse("targetBytes", (128L << 20).toString).toLong
-        val actions = tables.flatMap(t => store.binPackCompact(t, target))
+        // optional z-order clustering during the rewrite:
+        // --zorder col1,col2 [--zorderBits N] (numeric/timestamp cols)
+        val zCols = opts.get("zorder").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val zBits = opts.getOrElse("zorderBits", "4").toInt
+        val actions = tables.flatMap(t =>
+          store.binPackCompact(t, target, zorderCols = zCols, zorderBits = zBits))
         actions.foreach(println)
         println(s"compacted ${actions.size} partition(s)")
 

@@ -282,7 +282,8 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * sweep. */
   def binPackCompact(
       table: String, targetBytes: Long = 128L << 20,
-      parallelism: Int = 8): Seq[String] = {
+      parallelism: Int = 8,
+      zorderCols: Seq[String] = Nil, zorderBits: Int = 4): Seq[String] = {
     require(targetBytes > 0)
     val fs = fsys
     val tableRoot = new org.apache.hadoop.fs.Path(path(table))
@@ -304,8 +305,13 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     def targetFiles(bytes: Long) =
       math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val allLeaves = leaves(tableRoot, Nil)
+    // with z-order clustering requested, EVERY leaf is rewritten (the
+    // point is re-laying rows out, not just merging files); otherwise
+    // only over-count leaves — that is what keeps plain compaction
+    // idempotent
     val wanted = allLeaves.collect {
-      case (rel, bytes, nFiles) if nFiles > targetFiles(bytes) =>
+      case (rel, bytes, nFiles)
+          if nFiles > targetFiles(bytes) || zorderCols.nonEmpty =>
         (rel, targetFiles(bytes))
     }
     // A root-level leaf (data files directly in the table root) is only
@@ -330,10 +336,18 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     try {
       todo.map { case (rel, n) =>
         pool.submit(new Runnable {
-          def run(): Unit =
-            spark.read.parquet((path(table) +: rel).mkString("/"))
-              .coalesce(n)
-              .write.mode(SaveMode.Overwrite).parquet((tmp +: rel).mkString("/"))
+          def run(): Unit = {
+            val src = spark.read.parquet((path(table) +: rel).mkString("/"))
+            // coalesce = pure file merge (no shuffle); z-order = one
+            // range exchange per leaf that buys multi-dimension file
+            // skipping on every future scan of the leaf
+            val packed =
+              if (zorderCols.isEmpty) src.coalesce(n)
+              else graft.operators.ZOrderLayout.layout(
+                src, zorderCols, zorderBits, n)
+            packed.write.mode(SaveMode.Overwrite)
+              .parquet((tmp +: rel).mkString("/"))
+          }
         })
       }.foreach(_.get())
     } finally pool.shutdown()

@@ -46,11 +46,19 @@ object ZOrderLayout {
     * broadcast join. Ties/repeated boundaries degrade gracefully
     * (skewed values collapse into fewer distinct buckets). */
   def rangeBucket(df: DataFrame, colName: String, bits: Int): Column = {
+    import org.apache.spark.sql.types.{NumericType, TimestampType, DateType}
+    df.schema(colName).dataType match {
+      case _: NumericType | _: TimestampType | _: DateType => ()
+      case other => throw new IllegalArgumentException(
+        s"z-order column $colName has type $other; need numeric/timestamp/date")
+    }
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df.stat.approxQuantile(colName, probs, 0.001)
+    val bounds = df
+      .select(col(colName).cast("double").as("__q"))
+      .stat.approxQuantile("__q", probs, 0.001)
     bounds.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(colName) > b, 1L).otherwise(0L)
+      acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
     }
   }
 

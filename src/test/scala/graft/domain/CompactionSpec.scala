@@ -151,4 +151,41 @@ class CompactionSpec extends SparkSuite {
     assert(dataFiles(s"$root/gauge_data").size == 2)
     assert(spark.read.parquet(leaf).count() == 2)
   }
+
+  test("z-order compaction re-clusters a leaf: per-file stats tighten on both dims") {
+    val root = Files.createTempDirectory("graft-compact6").toString
+    val store = new GaugeStore(spark, root)
+    // 4 cron batches, each spraying all stations across the whole day —
+    // the arrival order no single sort key can fix
+    (1 to 4).foreach { i =>
+      store.appendGaugeData(mkFact((0 until 400).map { j =>
+        ((j % 20).toLong, f"2023-04-23 $i%02d:00:00",
+          f"2023-04-23 ${j % 24}%02d:30:00", j / 10.0)
+      }), "tidal_gauge")
+    }
+    val leaf = leafDir(root, "2023-04-23")
+    val before = store.gaugeData
+      .orderBy("source_id", "time", "timemark", "water_level").collect()
+    val bytes = dataFiles(leaf).map(_.length).sum
+    val actions = store.binPackCompact("gauge_data",
+      targetBytes = bytes / 4 + 1,
+      zorderCols = Seq("source_id", "time"), zorderBits = 3)
+    assert(actions.nonEmpty)
+    assert(dataFiles(leaf).size == 4)
+
+    // byte-identical row multiset after the re-layout
+    val after = store.gaugeData
+      .orderBy("source_id", "time", "timemark", "water_level").collect()
+    assert(after.toSeq == before.toSeq)
+
+    // per-file min/max must now be tight on BOTH clustered dimensions
+    val stats = spark.read.parquet(leaf)
+      .groupBy(input_file_name())
+      .agg((max("source_id") - min("source_id")).as("ss"),
+        (max(unix_timestamp(col("time"))) - min(unix_timestamp(col("time"))))
+          .as("ts"))
+      .agg(avg("ss"), avg("ts")).collect().head
+    assert(stats.getDouble(0) < 0.7 * 19, s"source spread ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) < 0.7 * 23 * 3600, s"time spread ${stats.getDouble(1)}")
+  }
 }

@@ -1269,6 +1269,66 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // unigram-LM surprisal proxy (rare-token density): integer-exact
+    // via length(bin(df)) — no float log at either engine
+    QueryDef.sql(
+      "t11_surprisal",
+      s"""WITH $normCte,
+         |$termCte,
+         |occ AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS n FROM occ GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.n,
+         |    CAST(32 - length(bin(dfq.df)) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (term)),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_terms,
+         |    CAST(sum(n * w) AS BIGINT) AS total_surprisal
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_terms, 0) AS n_terms,
+         |  coalesce(a.total_surprisal, 0) AS total_surprisal,
+         |  CASE WHEN coalesce(a.n_terms, 0) = 0 THEN NULL
+         |    ELSE CAST(floor(10000.0 * a.total_surprisal / a.n_terms) AS BIGINT)
+         |  END AS mean_surprisal_scaled
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.surprisal(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // feature-hashed linear scoring (classifier-inference plumbing
+    // with a deterministic stand-in weight vector)
+    QueryDef.sql(
+      "t12_hashed_score", {
+        def hb(e: String) =
+          s"((strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 16 + " +
+            s"(strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1))"
+        s"""WITH $normCte,
+           |$termCte,
+           |occ AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+           |fb AS (SELECT doc_id, CAST(${hb("term")} % 64 AS BIGINT) AS bucket FROM occ),
+           |tfb AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+           |wb AS (
+           |  SELECT doc_id, bucket, n,
+           |    CAST(${hb("'w:' || CAST(bucket AS VARCHAR)")} - 128 AS BIGINT) AS w
+           |  FROM tfb),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           |    CAST(sum(n) AS BIGINT) AS n_terms,
+           |    CAST(sum(n * w) AS BIGINT) AS score
+           |  FROM wb GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(a.n_features, 0) AS n_features,
+           |  coalesce(a.n_terms, 0) AS n_terms,
+           |  coalesce(a.score, 0) AS score
+           |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.hashedFeatureScore(Tables.documents(s, dir), dim = 64)
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql(
       "t8_oov_rate",
       s"""WITH $normCte,

@@ -190,6 +190,70 @@ object TextAnalysis {
             col("n_terms"), 4)).as("oov_rate"))
   }
 
+  /** Unigram-LM surprisal proxy — the "rare-token density" quality
+    * signal (the cheap stand-in for a perplexity filter): each term
+    * occurrence contributes `32 − (⌊log₂ df⌋ + 1)` bits, i.e. rare
+    * terms (df = 1) score 31, ubiquitous terms approach 32 − log₂ N.
+    * The log is taken EXACTLY as `length(bin(df))` — a string length,
+    * not a float log — so the DuckDB oracle is bit-identical (float
+    * `log2` differs between libm implementations at power-of-two
+    * boundaries). Per doc: occurrence count, total surprisal, and the
+    * `floor(1e4·mean)` scaled mean.
+    *
+    * Scale shape: the corpus explodes once; df derives from the tf
+    * aggregate's rows (same trick as [[tfIdfTopTerms]]); everything
+    * else is doc-keyed aggregation. */
+  def surprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = termOccurrences(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("w", (lit(32) - length(bin(col("df")))).cast("long"))
+    val agg = scored.groupBy(col(idCol)).agg(
+      sum(col("n")).as("n_terms"),
+      sum(col("n") * col("w")).as("total_surprisal"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"),
+        when(coalesce(col("n_terms"), lit(0L)) === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) * col("total_surprisal").cast("double") /
+            col("n_terms")).cast("long")).as("mean_surprisal_scaled"))
+  }
+
+  /** Feature-hashed linear scoring — the fastText-style quality-
+    * classifier SHAPE with a deterministic stand-in weight vector:
+    * terms hash into `dim` buckets (md5, so the oracle agrees), each
+    * bucket carries a fixed pseudo-weight in [−128, 127] derived from
+    * md5 of the bucket id, and the document score is the sparse dot
+    * product Σ count(bucket)·w(bucket). Swapping the stand-in for
+    * trained weights is a broadcast-joined (bucket → weight) table —
+    * the plumbing (hash, group, dot) is exactly what a real classifier
+    * inference pass runs at corpus scale.
+    *
+    * `dim` must divide 256 (buckets come from the md5 byte). */
+  def hashedFeatureScore(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0 && 256 % dim == 0, "dim must divide 256")
+    val bucket = Curation.hashBucket(col("term")) % dim
+    val weight = (Curation.hashBucket(concat(lit("w:"),
+      col("bucket").cast("string"))) - 128).cast("long")
+    val feats = termOccurrences(docs, idCol, textCol)
+      .withColumn("bucket", bucket.cast("long"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("w", weight)
+    val agg = feats.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_features"),
+      sum(col("n")).as("n_terms"),
+      sum(col("n") * col("w")).as("score"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Gopher-style document-quality rule suite (the public Rae et al.
     * 2021 heuristics): word count, mean word length, fraction of words
     * containing an alphabetic character, distinct stopword hits,

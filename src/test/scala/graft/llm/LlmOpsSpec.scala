@@ -466,6 +466,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(sLen.forall { case (id, n) => n <= lLen(id) })
   }
 
+  test("surprisal: rare-term docs outscore common-term docs; hashed score deterministic (t11/t12)") {
+    val corpus = Seq(
+      (1L, "common common common common"),        // df=3 term only
+      (2L, "common rareword unique singleton"),   // three df=1 terms
+      (3L, "common common common common common")) // same term as 1
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.surprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 'common' df=3 -> w = 32 - len(bin(3)=11) = 30; df=1 -> w = 31
+    assert(s(1L).getAs[Long]("total_surprisal") == 4 * 30)
+    assert(s(2L).getAs[Long]("total_surprisal") == 30 + 3 * 31)
+    assert(s(2L).getAs[Long]("mean_surprisal_scaled") >
+      s(1L).getAs[Long]("mean_surprisal_scaled"))
+
+    val h = TextAnalysis.hashedFeatureScore(corpus, dim = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical bags of words hash identically; score scales linearly
+    // with term count for a single-term doc
+    assert(h(1L).getAs[Long]("n_features") == 1L)
+    assert(h(3L).getAs[Long]("score") ==
+      h(1L).getAs[Long]("score") / 4 * 5)
+    // deterministic across invocations and partitionings
+    val h2 = TextAnalysis.hashedFeatureScore(corpus.repartition(3), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+    assert(h.view.mapValues(_.getAs[Long]("score")).toMap == h2)
+  }
+
   test("cross-split near-dup contamination: edited train copy flagged, clean doc not (x2)") {
     import graft.text.Curation
     val corpus = Seq(

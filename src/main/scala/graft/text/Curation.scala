@@ -81,41 +81,56 @@ object Curation {
     *
     * `signatures` is [[graft.dedup.Dedup.minHashSignatures]] output
     * over the WHOLE corpus; `splits` maps id → split label.
-    * Scale shape: the probe is a bucketed equi-join on (band, digest)
-    * — identical scaling to the within-corpus candidate join, never
-    * eval×train — and the signature agreement runs only on candidate
-    * pairs. */
+    * Scale shape: collisions and estimates depend only on SIGNATURES,
+    * so everything runs once per DISTINCT signature — group docs by
+    * full signature, band-join the (much smaller) signature sets,
+    * estimate per signature pair, then expand group aggregates back to
+    * docs (the duplication-factor² saving proven on editDistancePairs).
+    * On a dup-heavy corpus — the realistic contamination case — the
+    * candidate join never touches doc-level fan-out; the probe itself
+    * is a bucketed equi-join on (band, digest), never eval×train. */
   def crossSplitNearDups(signatures: DataFrame, splits: DataFrame,
       numHashes: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.5,
       idCol: String = "doc_id"): DataFrame = {
     import graft.dedup.Dedup
-    val tagged = signatures.join(splits, idCol)
-    val trainB = Dedup.bandDigests(
-      tagged.filter(col("split") === "train"), numHashes, rowsPerBand, idCol)
-      .withColumnRenamed(idCol, "train_doc_id")
-    val evalB = Dedup.bandDigests(
-      tagged.filter(col("split") =!= "train"), numHashes, rowsPerBand, idCol)
-    val cand = evalB.join(trainB, Seq("band", "digest"))
-      .select(col(idCol), col("train_doc_id")).distinct()
-    val est = Dedup.minHashEstimate(
-      cand.toDF(s"a_$idCol", s"b_$idCol"), signatures, numHashes, idCol)
-    val w = Window.partitionBy(s"a_$idCol")
-      .orderBy(col("est_jaccard").desc, col(s"b_$idCol"))
-    val agg = est.groupBy(col(s"a_$idCol").as(idCol)).agg(
-      count(lit(1)).as("n_candidates"),
-      sum(when(col("est_jaccard") >= threshold, 1L).otherwise(0L))
-        .as("n_neardup_train"),
-      max(col("est_jaccard")).as("max_est_jaccard"))
-    val best = est.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(s"a_$idCol").as(idCol), col(s"b_$idCol").as("best_train_doc"))
-    splits.filter(col("split") =!= "train").select(col(idCol), col("split"))
-      .join(agg, Seq(idCol), "left")
-      .join(best, Seq(idCol), "left")
+    val hCols = (1 to numHashes).map(i => col(s"h$i"))
+    val keyed = signatures.join(splits, idCol)
+      .withColumn("__sig", md5(concat_ws("|", hCols: _*)))
+    // one row per (signature, split): representative = min doc id
+    val aggExprs = min(col(idCol)).as("rep_id") +:
+      count(lit(1)).as("gsize") +:
+      (1 to numHashes).map(i => first(col(s"h$i")).as(s"h$i"))
+    val groups = keyed.groupBy(col("__sig"), col("split"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val trainG = groups.filter(col("split") === "train")
+    val evalG = groups.filter(col("split") =!= "train")
+    val tb = Dedup.bandDigests(trainG, numHashes, rowsPerBand, "__sig")
+      .toDF("t_sig", "band", "digest")
+    val eb = Dedup.bandDigests(evalG, numHashes, rowsPerBand, "__sig")
+    val candSig = eb.join(tb, Seq("band", "digest"))
+      .select(col("__sig").as("a___sig"), col("t_sig").as("b___sig"))
+      .distinct()
+    val sigFrame = groups.select(col("__sig") +: hCols: _*)
+      .dropDuplicates("__sig")
+    val est = Dedup.minHashEstimate(candSig, sigFrame, numHashes, "__sig")
+      .join(trainG.select(col("__sig").as("b___sig"),
+        col("gsize").as("t_size"), col("rep_id").as("t_min_id")), "b___sig")
+    // ONE aggregation pass per eval signature; the (est, −minId) struct
+    // max picks the best estimate with deterministic smallest-id ties
+    val aggSig = est.groupBy(col("a___sig").as("e_sig")).agg(
+      sum(col("t_size")).as("n_candidates"),
+      sum(when(col("est_jaccard") >= threshold, col("t_size"))
+        .otherwise(0L)).as("n_neardup_train"),
+      max(struct(col("est_jaccard").as("est"),
+        (-col("t_min_id")).as("neg"))).as("mx"))
+    keyed.filter(col("split") =!= "train")
+      .select(col(idCol), col("split"), col("__sig"))
+      .join(aggSig, col("__sig") === col("e_sig"), "left")
       .select(col(idCol), col("split"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_neardup_train"), lit(0L)).as("n_neardup_train"),
-        col("max_est_jaccard"), col("best_train_doc"))
+        col("mx.est").as("max_est_jaccard"),
+        (-col("mx.neg")).cast("long").as("best_train_doc"))
   }
 
   /** Fixed-size token-window chunking with overlap — context-window

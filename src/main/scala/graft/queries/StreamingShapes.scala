@@ -94,5 +94,43 @@ object StreamingShapes {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
           col("session_seq"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Conversion funnel: greedy-earliest view→click→purchase chain per
+    // user inside a 24 h window of the first view; k−1 entity-keyed
+    // joins, one shared hash partitioning
+    QueryDef.sql(
+      "w4_funnel",
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1
+        |    AND epoch_us(ts) - epoch_us(t1) <= 86400000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2
+        |    AND epoch_us(ts) - epoch_us(t1) <= 86400000000 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+        |    AS BIGINT) AS steps_completed,
+        |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1_str,
+        |  CASE WHEN s3.t3 IS NOT NULL
+        |    THEN CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS BIGINT) END
+        |    AS completion_us
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .select(col("user_id"), col("steps_completed"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t1_str"),
+          when(col("t3").isNotNull,
+            unix_micros(col("t3")) - unix_micros(col("t1")))
+            .as("completion_us"))
+        .orderBy("user_id")
     })
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class StreamingNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("row-local signatures are bit-identical to the batch explode/groupBy form") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog."),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines"),
+      (4L, "abc"))                                  // shorter than k -> no shingles
+      .toDF("doc_id", "text")
+    val streamingForm = docs.select(
+      col("doc_id") +: StreamingNearDup.signatureCols(col("text"), 5, 8): _*)
+    val batchForm = Dedup.minHashSignatures(
+      Dedup.shingles(docs, 5, distinct = false), 8)
+    val s = streamingForm.filter(col("h1").isNotNull)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = batchForm.orderBy("doc_id").collect().map(_.toSeq)
+    assert(s.toSeq == b.toSeq)
+    // the short doc has NULL signature components (absent from batch)
+    assert(streamingForm.filter(col("doc_id") === 4L).collect().head.isNullAt(1))
+  }
+
+  test("streaming near-dup: first-in-all-buckets wins, near-dups suppressed across batches") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val root = Files.createTempDirectory("graft-sneardup").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(in, s"$name.csv"),
+        ("doc_id,ts,text\n" + rows.mkString("\n")).getBytes)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("header", "true").csv(in)
+      val q = StreamingNearDup.nearDupFilteredStream(
+        stream, "ts", "doc_id", "text",
+        delay = "1 hour", emitWindow = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: two genuinely different documents
+    writeBatch("b1", Seq(
+      "1,2023-04-23T10:00:00,The quick brown fox jumps over the lazy dog today",
+      "2,2023-04-23T10:01:00,an entirely different note about query engines and shuffles"))
+    runOnce()
+    // batch 2: a punctuation-variant NEAR-dup of doc 1 and one new doc
+    writeBatch("b2", Seq(
+      "3,2023-04-23T10:20:00,The quick brown fox jumps over the lazy dog today!!!",
+      "4,2023-04-23T10:21:00,yet another completely novel piece of content here"))
+    runOnce()
+    // batch 3: far-future sentinel advances the watermark so every
+    // earlier emit-window closes (it itself stays in an open window)
+    writeBatch("b3", Seq(
+      "99,2023-04-24T12:00:00,watermark flush sentinel document for the spec"))
+    runOnce()
+
+    val result = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(result.contains(1L) && result.contains(2L) && result.contains(4L),
+      s"originals and novel docs must survive, got $result")
+    assert(!result.contains(3L), s"near-dup must be suppressed, got $result")
+  }
+}

@@ -179,6 +179,22 @@ object IngestCli {
         val inertia = assigned.agg(sum("dist2")).head.getLong(0)
         println(s"""{"k":$k,"iters":$iters,"rows":${assigned.count()},"inertia":$inertia}""")
 
+      case "UpdateAnnIndex" =>
+        // incremental insert into a BuildAnnIndex layout: assign new
+        // vectors against the persisted (frozen) centroids and APPEND
+        // to the inverted-list partitions — no retrain/rebuild. Prints
+        // the appended count and the assign inertia so drift is
+        // observable (retrain when it climbs); compact the index dir
+        // on maintenance cadence like any append-heavy table.
+        val idCol = opts.getOrElse("idCol", "vec_id")
+        val vecCol = opts.getOrElse("vecCol", "embedding")
+        val cf = spark.read.parquet(s"${req("index")}/centroids")
+        val add = spark.read.parquet(req("embeddings"))
+        graft.similarity.Ann.appendToIvfIndex(
+          add, cf, s"${req("index")}/lists", idCol, vecCol)
+        val n = add.count()
+        println(s"""{"appended":$n}""")
+
       case "QueryAnn" =>
         // top-k retrieval over a BuildAnnIndex layout: nprobe inverted
         // lists per query, scans only the probed partition dirs

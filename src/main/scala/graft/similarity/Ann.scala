@@ -269,6 +269,23 @@ object Ann {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("centroid_id").parquet(indexPath)
 
+  /** Incremental index maintenance: assign NEW vectors against the
+    * EXISTING (frozen) centroid set and append them to the inverted-
+    * list partition dirs — no retrain, no rewrite of the standing
+    * index; at 100 TB this is the difference between a nightly
+    * insert job and a full index rebuild. Trade-offs a caller owns:
+    * (1) centroids drift as the distribution moves — monitor assign
+    * inertia and retrain when it degrades; (2) each append lays down
+    * one file set per touched list — run the bin-packing compaction
+    * over the index dir on maintenance cadence, exactly like the
+    * gauge-data small-file story. */
+  def appendToIvfIndex(
+      newVectors: DataFrame, centroids: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(newVectors, centroids, idCol, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("centroid_id").parquet(indexPath)
+
   /** Top-k over an on-disk [[writeIvfIndex]] index. The probed list
     * ids (≤ `nprobe × numCentroids` distinct values, a bounded
     * control-plane collect) become an `isin` partition filter, so the

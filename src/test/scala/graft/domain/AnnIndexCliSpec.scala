@@ -45,4 +45,33 @@ class AnnIndexCliSpec extends SparkSuite {
       emb, k = 5, nprobe = 2).count()
     assert(lines.size.toLong == inMemAll)
   }
+
+  test("UpdateAnnIndex appends against frozen centroids; probes see old + new vectors") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ann_incr").toFile.getAbsolutePath
+    val sfDir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, sfDir)
+    val (oldHalf, newHalf) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+    val oldPath = s"$dir/old.parquet"; val newPath = s"$dir/new.parquet"
+    oldHalf.write.parquet(oldPath); newHalf.write.parquet(newPath)
+
+    // build on the old half only, then append the new half incrementally
+    IngestCli.runTask(spark, "BuildAnnIndex", Map(
+      "embeddings" -> oldPath, "index" -> dir, "k" -> "4", "iters" -> "2"))
+    IngestCli.runTask(spark, "UpdateAnnIndex", Map(
+      "embeddings" -> newPath, "index" -> dir))
+
+    // probing the updated index == in-memory IVF over old+new with the
+    // SAME (old-half-trained, frozen) centroids
+    val cf = spark.read.parquet(s"$dir/centroids")
+    val queries = emb.filter(col("vec_id") < 8)
+    val indexed = Ann.ivfTopKIndexed(s"$dir/lists", cf, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inMem = Ann.ivfTopK(emb, cf, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == inMem && indexed.nonEmpty)
+    // new-half neighbors actually surface (the append is live)
+    assert(indexed.exists { case (_, _, n) => n % 2 == 1 })
+  }
 }

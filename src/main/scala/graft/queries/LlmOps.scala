@@ -1006,6 +1006,33 @@ object LlmOps {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // the distributed step of BPE tokenizer training: corpus-wide
+    // adjacent-pair counts within words (one merge iteration's input) —
+    // one explode + one map-side-combined shuffle, TakeOrdered top-k
+    QueryDef.sql(
+      "v4_bpe_pairs",
+      s"""WITH $normCte,
+         |$termCte,
+         |occ AS (SELECT term FROM terms WHERE length(term) >= 2),
+         |pairs AS (
+         |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair
+         |  FROM occ, unnest(generate_series(1, length(term) - 1)) AS u(i))
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val terms = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 2)
+      terms
+        .select(explode(transform(
+          sequence(lit(1), length(col("term")) - 1),
+          i => col("term").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     QueryDef.sql(
       "v1_vocab_topk",
       s"""WITH $normCte,

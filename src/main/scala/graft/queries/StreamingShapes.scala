@@ -132,5 +132,32 @@ object StreamingShapes {
             unix_micros(col("t3")) - unix_micros(col("t1")))
             .as("completion_us"))
         .orderBy("user_id")
+    },
+
+    // Cohort retention: users grouped by first-activity day-bucket
+    // ("cohort"), distinct-user counts per (cohort, periods-since) —
+    // the product-analytics retention triangle. Day buckets derive
+    // from integer epoch-µs division (engine-exact); two shuffles,
+    // user-keyed then cohort-keyed, both map-side combined.
+    QueryDef.sql(
+      "w5_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS periods_since,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("periods_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "periods_since")
     })
 }

@@ -1459,6 +1459,26 @@ object LlmOps {
     // percentile = value at rank ⌈p·n⌉ (integer index math, no
     // interpolation), distributed as a window rank — no per-group
     // collect.
+    // heavy hitters: exact top-3 event types, plus an in-engine audit
+    // that Spark's freqItems sketch (superset guarantee at the given
+    // support) contains each — the a9 pattern: a drifting sketch flips
+    // the boolean and fails the hash compare
+    QueryDef.sql(
+      "a13_freq_items",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS in_freq_items
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val freq = ev.stat.freqItems(Seq("event_type"), 0.15)
+        .select(col("event_type_freqItems").as("__fi"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(3)
+        .crossJoin(broadcast(freq))
+        .select(col("event_type"), col("n"),
+          array_contains(col("__fi"), col("event_type")).as("in_freq_items"))
+    },
+
     QueryDef.sql(
       "a9_approx_sketches",
       """WITH ranked AS (

@@ -115,6 +115,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(d6.contains("cosine_similarity"), "d6 must use the fused cosine")
   }
 
+  test("v4_bpe_pairs: bounded top-k never materializes a global sort") {
+    val p = plan("v4_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must run as TakeOrderedAndProject, plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counts must combine map-side")
+  }
+
+  test("w5_retention: both aggregations map-side combine, no cartesian") {
+    val p = plan("w5_retention")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("runtime bloom filter injects into a selective shuffle join (100 TB path)") {
     // At cluster scale a selective dim filter should pre-prune the fact
     // side's shuffle via Spark's runtime bloom filter. The feature is

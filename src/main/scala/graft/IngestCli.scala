@@ -136,6 +136,26 @@ object IngestCli {
             "rolling_hash('abc') AS rh").head()
         println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)}}""")
 
+      case "Stats" =>
+        // operational table statistics (files/bytes/leaves + the worst
+        // leaf by file count — the compaction trigger signal); pure FS
+        // metadata walk, no Spark jobs
+        val store = new GaugeStore(spark, req("store"))
+        val tables = opts.getOrElse("tables",
+          "gauge_data,model_data,ledger_obs,ledger_model,stations," +
+            "gauge_source,model_source,apsviz_station,retain_obs_station")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        tables.flatMap(t => store.tableStats(t)).foreach { m =>
+          val parts = m.map { case (k, v) =>
+            val vs = v match {
+              case s: String => "\"" + s + "\""
+              case other => other.toString
+            }
+            "\"" + k + "\":" + vs
+          }
+          println(parts.mkString("{", ",", "}"))
+        }
+
       case "Compact" =>
         // maintenance bin-packing (small-file accretion antidote):
         // rewrites every leaf partition with more files than

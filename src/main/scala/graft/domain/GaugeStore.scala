@@ -563,6 +563,44 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * deleted (tmp holds re-derivable repair output, backups at that
     * point hold only superseded copies). Returns a human-readable
     * action log for operators and specs. */
+
+  /** Operational table statistics — the observability side of the
+    * small-file story [[binPackCompact]] acts on: per table, total
+    * data files/bytes, leaf partition count, and the worst leaf by
+    * file count (the compaction trigger signal). Pure FS metadata
+    * walk, O(#files) on the driver — control plane, no Spark jobs,
+    * safe to run on any cron cadence. */
+  def tableStats(table: String): Option[Map[String, Any]] = {
+    val fs = fsys
+    val rootP = new org.apache.hadoop.fs.Path(path(table))
+    if (!fs.exists(rootP)) return None
+    def isData(f: org.apache.hadoop.fs.FileStatus) =
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String)
+        : Seq[(String, Long, Int)] = {
+      val st = fs.listStatus(dir)
+      val sub = st.filter(_.isDirectory).flatMap(d =>
+        walk(d.getPath, if (rel.isEmpty) d.getPath.getName
+          else s"$rel/${d.getPath.getName}")).toSeq
+      val own = st.filter(isData)
+      if (own.nonEmpty) sub :+ ((rel, own.map(_.getLen).sum, own.length))
+      else sub
+    }
+    val leaves = walk(rootP, "")
+    if (leaves.isEmpty)
+      return Some(Map("table" -> table, "files" -> 0, "bytes" -> 0L,
+        "leaves" -> 0))
+    val (worstRel, _, worstN) = leaves.maxBy(_._3)
+    Some(Map(
+      "table" -> table,
+      "files" -> leaves.map(_._3).sum,
+      "bytes" -> leaves.map(_._2).sum,
+      "leaves" -> leaves.size,
+      "max_files_per_leaf" -> worstN,
+      "worst_leaf" -> (if (worstRel.isEmpty) "<root>" else worstRel)))
+  }
+
   def vacuum(): Seq[String] = {
     val fs = fsys
     val rootPath = new org.apache.hadoop.fs.Path(root)

@@ -38,6 +38,10 @@ class CompactionSpec extends SparkSuite {
     val leaf23 = leafDir(root, "2023-04-23")
     val nBefore = dataFiles(leaf23).size
     assert(nBefore >= 5, s"expected accretion, got $nBefore files")
+    // Stats observability: the accretion is visible before the compact
+    val st = store.tableStats("gauge_data").get
+    assert(st("max_files_per_leaf").asInstanceOf[Int] >= 5)
+    assert(st("leaves") == 2 && st("files").asInstanceOf[Int] >= 10)
 
     val before = store.gaugeData.orderBy("source_id", "time", "timemark").collect()
     val dedupBefore = graft.operators.KeepLatestDedup(
@@ -59,8 +63,10 @@ class CompactionSpec extends SparkSuite {
     // partition pruning still works on the compacted layout
     assert(store.gaugeDataForRange("2023-04-23", "2023-04-23").count() == 5)
 
-    // idempotent: already at target -> no-op
+    // idempotent: already at target -> no-op; Stats reflects the pack
     assert(store.binPackCompact("gauge_data", targetBytes = 1L << 30).isEmpty)
+    val st2 = store.tableStats("gauge_data").get
+    assert(st2("max_files_per_leaf") == 1 && st2("files") == 2)
   }
 
   test("file count lands at ceil(bytes/target) for a sub-leaf target") {

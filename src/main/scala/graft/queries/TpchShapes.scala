@@ -155,5 +155,71 @@ object TpchShapes {
         .filter(col("l_quantity") < col("max_qty"))
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"))
+    },
+
+    // Q14 shape: promo revenue share over one shipdate month — two
+    // conditional aggregates off ONE scan+join pass; money in integer
+    // cents, the share in basis points (floor through double, exact at
+    // these magnitudes)
+    QueryDef.sql(
+      "q14_promo_share",
+      """WITH li AS (
+        |  SELECT p.p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(floor(10000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |    / sum(cents)) AS BIGINT) AS promo_share_bp
+        |FROM li""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("cents"))
+      val promo = sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+      li.agg(promo.as("promo_cents"), sum(col("cents")).as("total_cents"),
+        floor(lit(10000.0) * promo / sum(col("cents"))).cast("long")
+          .as("promo_share_bp"))
+    },
+
+    // Q10 shape: returned-item revenue by customer over one quarter —
+    // the classic "who returned the most" top-k; fact side filtered
+    // before the joins, dims broadcast, money in integer cents
+    QueryDef.sql(
+      "q10_returned_customers",
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-10-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
     })
 }

@@ -1459,6 +1459,21 @@ object LlmOps {
     // percentile = value at rank ⌈p·n⌉ (integer index math, no
     // interpolation), distributed as a window rank — no per-group
     // collect.
+    // fixed-width value histogram per event type — the distribution
+    // profile behind outlier gates; one map-side-combined shuffle
+    QueryDef.sql(
+      "a14_histogram",
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS bin_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("bin_sum"))
+        .orderBy("event_type", "bin")
+    },
+
     // heavy hitters: exact top-3 event types, plus an in-engine audit
     // that Spark's freqItems sketch (superset guarantee at the given
     // support) contains each — the a9 pattern: a drifting sketch flips

@@ -154,6 +154,12 @@ class CurationSpec extends SparkSuite {
     assert(a == b)
     // zero shuffles: bounded explode + scan-level filter only
     assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+    // a (0, 0) weight drops its stratum entirely
+    val dropped = Curation.sourceMix(
+      docs.withColumn("src", concat(lit("s"), col("doc_id") % 2)),
+      "doc_id", "src", Map("s0" -> ((0, 0))), default = (1, 0))
+    assert(dropped.filter(col("src") === "s0").count() == 0)
+    assert(dropped.filter(col("src") === "s1").count() == 500)
   }
 
   test("gopherQuality: rule gate fires on the textbook failure modes") {

@@ -123,8 +123,11 @@ object Curation {
         .otherwise(0L)).as("n_neardup_train"),
       max(struct(col("est_jaccard").as("est"),
         (-col("t_min_id")).as("neg"))).as("mx"))
-    keyed.filter(col("split") =!= "train")
-      .select(col(idCol), col("split"), col("__sig"))
+    // root at SPLITS, not at the signature frame: an eval doc too short
+    // to shingle has no signature but must still appear with zero
+    // candidates (the oracle's LEFT JOIN semantics)
+    splits.filter(col("split") =!= "train").select(col(idCol), col("split"))
+      .join(keyed.select(col(idCol), col("__sig")), Seq(idCol), "left")
       .join(aggSig, col("__sig") === col("e_sig"), "left")
       .select(col(idCol), col("split"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

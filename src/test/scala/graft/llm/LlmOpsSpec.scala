@@ -498,15 +498,17 @@ class LlmOpsSpec extends SparkSuite {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
       (2L, "the quick brown fox jumps over the lazy dog near the river bank today!"), // edited copy of 1
-      (3L, "entirely unrelated content about distributed query engines and shuffles"))
+      (3L, "entirely unrelated content about distributed query engines and shuffles"),
+      (4L, "abc"))                                  // too short to shingle
       .toDF("doc_id", "text")
-    // force the split: 1 -> train, 2 & 3 -> eval
-    val splits = Seq((1L, "train"), (2L, "val"), (3L, "test")).toDF("doc_id", "split")
+    // force the split: 1 -> train, 2-4 -> eval
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "test"), (4L, "val"))
+      .toDF("doc_id", "split")
     val sigs = Dedup.minHashSignatures(
       Dedup.shingles(corpus, 5, distinct = false), 8)
     val out = Curation.crossSplitNearDups(sigs, splits, 8, 2)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out.keySet == Set(2L, 3L))               // eval docs only
+    assert(out.keySet == Set(2L, 3L, 4L))           // ALL eval docs, even unshingleable
     // the edited copy collides with its train original and estimates high
     assert(out(2L).getAs[Long]("n_neardup_train") == 1L)
     assert(out(2L).getAs[Long]("best_train_doc") == 1L)
@@ -515,6 +517,9 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(3L).getAs[Long]("n_candidates") == 0L)
     assert(out(3L).isNullAt(out(3L).fieldIndex("max_est_jaccard")))
     assert(out(3L).isNullAt(out(3L).fieldIndex("best_train_doc")))
+    // the unshingleable doc still appears, with zero candidates
+    assert(out(4L).getAs[Long]("n_candidates") == 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("max_est_jaccard")))
   }
 
   test("duplicate word spans: stats find cross-doc boilerplate, removal keeps the first copy (d12/d13)") {

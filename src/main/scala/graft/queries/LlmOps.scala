@@ -1251,6 +1251,49 @@ object LlmOps {
         .orderBy("doc_id", "epoch")
     },
 
+    // the pretraining packing capstone — COMPOSES c5 + c2: docs in
+    // seeded-shuffle order, binned into token-budget shards, each
+    // shard's documents concatenated (in order, <eod>-separated) into
+    // one training sequence; the sequence is verified by md5 so the
+    // oracle compares exact bytes without hashing megabyte strings
+    QueryDef.sql(
+      "c7_pack_sequences", {
+        val B = 2048
+        s"""WITH sh AS (
+           |  SELECT doc_id, text,
+           |    md5('$ShuffleSeed' || ':' || CAST(doc_id AS VARCHAR)) AS skey
+           |  FROM documents),
+           |ordered AS (
+           |  SELECT doc_id, text,
+           |    CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           |      AS n_tokens
+           |  FROM sh),
+           |cum AS (
+           |  SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+           |  FROM ordered)
+           |SELECT CAST(floor(tok_before / $B) AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(text, '<eod>' ORDER BY pos)) AS packed_md5
+           |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+      }) { (s, dir) =>
+      val shuffled = Curation.seededShuffle(
+        Tables.documents(s, dir), "doc_id", ShuffleSeed)
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      Curation.packShards(shuffled, "n_tokens", 2048L, orderCol = "pos")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws("<eod>", transform(
+            array_sort(collect_list(struct(col("pos"), col("text")))),
+            e => e.getField("text")))).as("packed_md5"))
+        .orderBy("shard")
+    },
+
     // Gopher-style quality rule gate — scan-speed column expressions
     QueryDef.sql(
       "t10_gopher_quality", {

@@ -146,12 +146,13 @@ object IngestCli {
             "gauge_source,model_source,apsviz_station,retain_obs_station")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         tables.flatMap(t => store.tableStats(t)).foreach { m =>
+          def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
           val parts = m.map { case (k, v) =>
             val vs = v match {
-              case s: String => "\"" + s + "\""
+              case s: String => "\"" + esc(s) + "\""
               case other => other.toString
             }
-            "\"" + k + "\":" + vs
+            "\"" + esc(k) + "\":" + vs
           }
           println(parts.mkString("{", ",", "}"))
         }
@@ -202,18 +203,19 @@ object IngestCli {
       case "UpdateAnnIndex" =>
         // incremental insert into a BuildAnnIndex layout: assign new
         // vectors against the persisted (frozen) centroids and APPEND
-        // to the inverted-list partitions — no retrain/rebuild. Prints
-        // the appended count and the assign inertia so drift is
-        // observable (retrain when it climbs); compact the index dir
-        // on maintenance cadence like any append-heavy table.
+        // to the inverted-list partitions — no retrain/rebuild, and
+        // idempotent (already-indexed ids are skipped, so scheduler
+        // retries can't double-insert). Prints the appended count and
+        // the mean assign cosine — the drift signal: retrain when it
+        // falls. Compact the index dir on maintenance cadence like
+        // any append-heavy table.
         val idCol = opts.getOrElse("idCol", "vec_id")
         val vecCol = opts.getOrElse("vecCol", "embedding")
         val cf = spark.read.parquet(s"${req("index")}/centroids")
         val add = spark.read.parquet(req("embeddings"))
-        graft.similarity.Ann.appendToIvfIndex(
+        val (n, meanCos) = graft.similarity.Ann.appendToIvfIndex(
           add, cf, s"${req("index")}/lists", idCol, vecCol)
-        val n = add.count()
-        println(s"""{"appended":$n}""")
+        println(s"""{"appended":$n,"mean_assign_cos":$meanCos}""")
 
       case "QueryAnn" =>
         // top-k retrieval over a BuildAnnIndex layout: nprobe inverted

@@ -280,6 +280,31 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * not data plane; the rewrites themselves run as `parallelism`
     * concurrent Spark jobs so one giant leaf doesn't serialize the
     * sweep. */
+  /** Leaf data dirs of a table: (relative path segments, bytes, file
+    * count) for every DEEPEST dir holding data files — partition dirs,
+    * or the table root itself for unpartitioned tables. The single
+    * definition of "leaf" shared by compaction and [[tableStats]], so
+    * the stats signal always points at partitions the compactor will
+    * actually touch. */
+  private def dataLeaves(table: String): Seq[(List[String], Long, Int)] = {
+    val fs = fsys
+    val rootP = new org.apache.hadoop.fs.Path(path(table))
+    if (!fs.exists(rootP)) return Seq.empty
+    def isData(f: org.apache.hadoop.fs.FileStatus) =
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    def walk(dir: org.apache.hadoop.fs.Path, rel: List[String])
+        : Seq[(List[String], Long, Int)] = {
+      val st = fs.listStatus(dir)
+      val sub = st.filter(_.isDirectory)
+        .flatMap(d => walk(d.getPath, rel :+ d.getPath.getName)).toSeq
+      val own = st.filter(isData)
+      if (own.nonEmpty) sub :+ ((rel, own.map(_.getLen).sum, own.length))
+      else sub
+    }
+    walk(rootP, Nil)
+  }
+
   def binPackCompact(
       table: String, targetBytes: Long = 128L << 20,
       parallelism: Int = 8,
@@ -288,23 +313,9 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val fs = fsys
     val tableRoot = new org.apache.hadoop.fs.Path(path(table))
     if (!fs.exists(tableRoot)) return Seq.empty
-    def isData(f: org.apache.hadoop.fs.FileStatus) =
-      f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith(".")
-    // leaf = deepest dirs holding data files (partition dirs, or the
-    // table root itself for unpartitioned tables)
-    def leaves(dir: org.apache.hadoop.fs.Path, rel: List[String])
-        : Seq[(List[String], Long, Int)] = {
-      val st = fs.listStatus(dir)
-      val sub = st.filter(_.isDirectory)
-        .flatMap(d => leaves(d.getPath, rel :+ d.getPath.getName)).toSeq
-      val own = st.filter(isData)
-      if (own.nonEmpty) sub :+ ((rel, own.map(_.getLen).sum, own.length))
-      else sub
-    }
     def targetFiles(bytes: Long) =
       math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val allLeaves = leaves(tableRoot, Nil)
+    val allLeaves = dataLeaves(table)
     // with z-order clustering requested, EVERY leaf is rewritten (the
     // point is re-laying rows out, not just merging files); otherwise
     // only over-count leaves — that is what keeps plain compaction
@@ -571,23 +582,8 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * walk, O(#files) on the driver — control plane, no Spark jobs,
     * safe to run on any cron cadence. */
   def tableStats(table: String): Option[Map[String, Any]] = {
-    val fs = fsys
-    val rootP = new org.apache.hadoop.fs.Path(path(table))
-    if (!fs.exists(rootP)) return None
-    def isData(f: org.apache.hadoop.fs.FileStatus) =
-      f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith(".")
-    def walk(dir: org.apache.hadoop.fs.Path, rel: String)
-        : Seq[(String, Long, Int)] = {
-      val st = fs.listStatus(dir)
-      val sub = st.filter(_.isDirectory).flatMap(d =>
-        walk(d.getPath, if (rel.isEmpty) d.getPath.getName
-          else s"$rel/${d.getPath.getName}")).toSeq
-      val own = st.filter(isData)
-      if (own.nonEmpty) sub :+ ((rel, own.map(_.getLen).sum, own.length))
-      else sub
-    }
-    val leaves = walk(rootP, "")
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(path(table)))) return None
+    val leaves = dataLeaves(table)
     if (leaves.isEmpty)
       return Some(Map("table" -> table, "files" -> 0, "bytes" -> 0L,
         "leaves" -> 0))
@@ -598,7 +594,8 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       "bytes" -> leaves.map(_._2).sum,
       "leaves" -> leaves.size,
       "max_files_per_leaf" -> worstN,
-      "worst_leaf" -> (if (worstRel.isEmpty) "<root>" else worstRel)))
+      "worst_leaf" -> (if (worstRel.isEmpty) "<root>"
+        else worstRel.mkString("/"))))
   }
 
   def vacuum(): Seq[String] = {

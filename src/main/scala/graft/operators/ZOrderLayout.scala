@@ -45,21 +45,33 @@ object ZOrderLayout {
     * comparisons — a flat codegen-friendly expression, no UDF and no
     * broadcast join. Ties/repeated boundaries degrade gracefully
     * (skewed values collapse into fewer distinct buckets). */
-  def rangeBucket(df: DataFrame, colName: String, bits: Int): Column = {
+  private def requireOrderable(df: DataFrame, colName: String): Unit = {
     import org.apache.spark.sql.types.{NumericType, TimestampType, DateType}
     df.schema(colName).dataType match {
       case _: NumericType | _: TimestampType | _: DateType => ()
       case other => throw new IllegalArgumentException(
         s"z-order column $colName has type $other; need numeric/timestamp/date")
     }
+  }
+
+  /** Bucket-id expression from precomputed boundaries: a sum of
+    * boundary comparisons — a flat codegen-friendly expression, no UDF
+    * and no broadcast join. Ties/repeated boundaries degrade
+    * gracefully (skewed values collapse into fewer distinct
+    * buckets). */
+  private def bucketExpr(colName: String, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
+    }
+
+  def rangeBucket(df: DataFrame, colName: String, bits: Int): Column = {
+    requireOrderable(df, colName)
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = df
       .select(col(colName).cast("double").as("__q"))
       .stat.approxQuantile("__q", probs, 0.001)
-    bounds.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
-    }
+    bucketExpr(colName, bounds)
   }
 
   /** Lay `df` out on the Z-curve over `cols`: range-partition into
@@ -67,10 +79,23 @@ object ZOrderLayout {
     * each, so a subsequent parquet write produces files whose min/max
     * stats are tight on EVERY dimension in `cols`. Write with
     * `.sortWithinPartitions`-preserving `df.write.parquet` directly —
-    * no further repartition. */
+    * no further repartition. All columns' bucket boundaries come from
+    * ONE multi-column approxQuantile pass (one scan, not one per
+    * dimension — per-leaf that is the difference between 2 and k+1
+    * reads under a compaction sweep). */
   def layout(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int): DataFrame = {
-    val buckets = cols.map(c => rangeBucket(df, c, bits))
+    cols.foreach(requireOrderable(df, _))
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val qNames = cols.indices.map(i => s"__q$i")
+    val casted = df.select(cols.zip(qNames).map { case (c, q) =>
+      col(c).cast("double").as(q)
+    }: _*)
+    val allBounds = casted.stat.approxQuantile(qNames.toArray, probs, 0.001)
+    val buckets = cols.zip(allBounds).map { case (c, bounds) =>
+      bucketExpr(c, bounds)
+    }
     df.withColumn("__z", zValue(buckets, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

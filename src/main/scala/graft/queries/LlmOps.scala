@@ -1518,23 +1518,29 @@ object LlmOps {
     },
 
     // heavy hitters: exact top-3 event types, plus an in-engine audit
-    // that Spark's freqItems sketch (superset guarantee at the given
-    // support) contains each — the a9 pattern: a drifting sketch flips
-    // the boolean and fails the hash compare
+    // of the freqItems CONTRACT — the sketch must contain every item
+    // with frequency above the support; an item at or below support
+    // carries no guarantee, so the boolean is (not above-support OR
+    // contained), TRUE for ANY data distribution unless the sketch
+    // itself breaks its guarantee (a9 pattern: drift fails the hash)
     QueryDef.sql(
       "a13_freq_items",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  TRUE AS in_freq_items
+        |  TRUE AS sketch_respects_guarantee
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
       val freq = ev.stat.freqItems(Seq("event_type"), 0.15)
         .select(col("event_type_freqItems").as("__fi"))
+      val total = ev.agg(count(lit(1)).as("__total"))
       ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("event_type")).limit(3)
         .crossJoin(broadcast(freq))
+        .crossJoin(broadcast(total))
         .select(col("event_type"), col("n"),
-          array_contains(col("__fi"), col("event_type")).as("in_freq_items"))
+          (!(col("n") > lit(0.15) * col("__total")) ||
+            array_contains(col("__fi"), col("event_type")))
+            .as("sketch_respects_guarantee"))
     },
 
     QueryDef.sql(

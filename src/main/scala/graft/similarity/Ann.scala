@@ -273,18 +273,45 @@ object Ann {
     * EXISTING (frozen) centroid set and append them to the inverted-
     * list partition dirs — no retrain, no rewrite of the standing
     * index; at 100 TB this is the difference between a nightly
-    * insert job and a full index rebuild. Trade-offs a caller owns:
-    * (1) centroids drift as the distribution moves — monitor assign
-    * inertia and retrain when it degrades; (2) each append lays down
-    * one file set per touched list — run the bin-packing compaction
-    * over the index dir on maintenance cadence, exactly like the
-    * gauge-data small-file story. */
+    * insert job and a full index rebuild. IDEMPOTENT: ids already in
+    * the index are anti-joined away first, so an at-least-once
+    * scheduler retrying a partially-failed run cannot double-insert
+    * (a duplicate would occupy multiple top-k ranks and displace true
+    * neighbors). Returns (appended count, mean assign cosine of the
+    * appended vectors) — the drift signal: a falling mean says the
+    * frozen centroids no longer fit the incoming distribution and a
+    * retrain is due. Remaining caller-owned trade-off: each append
+    * lays down one file set per touched list — run the bin-packing
+    * compaction over the index dir on maintenance cadence, exactly
+    * like the gauge-data small-file story. */
   def appendToIvfIndex(
       newVectors: DataFrame, centroids: DataFrame, indexPath: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    ivfAssign(newVectors, centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
+    val spark = newVectors.sparkSession
+    val existing = scala.util.Try(
+      spark.read.parquet(indexPath).select(col(idCol))).toOption
+    val fresh = existing match {
+      case Some(ids) => newVectors.join(ids, Seq(idCol), "left_anti")
+      case None => newVectors
+    }
+    // EAGER checkpoint: materializes the anti-join (which reads the
+    // index) BEFORE the append starts writing the same directory —
+    // no self-read-while-write — and pins the assignment so the stats
+    // pass below doesn't recompute it
+    val assigned = ivfAssign(fresh, centroids, idCol, vecCol)
+      .localCheckpoint(true)
+    assigned
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("centroid_id").parquet(indexPath)
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("centroid_vec"))
+    val stats = assigned.join(broadcast(c), "centroid_id")
+      .agg(count(lit(1)).as("n"),
+        avg(graft.dedup.Vectors.cosine(col(vecCol), col("centroid_vec")))
+          .as("mean_cos"))
+      .head()
+    (stats.getLong(0), Option(stats.get(1)).map(_ => stats.getDouble(1)).getOrElse(0.0))
+  }
 
   /** Top-k over an on-disk [[writeIvfIndex]] index. The probed list
     * ids (≤ `nprobe × numCentroids` distinct values, a bounded

@@ -59,16 +59,29 @@ object StreamingNearDup {
     }: _*)
   }
 
-  /** The near-dup-filtered stream: only first-in-all-buckets documents
-    * survive. `delay` bounds how late a near-dup can arrive and still
-    * be recognized; `emitWindow` is the event-time window granularity
-    * the ownership count closes on (results for a window emit once the
-    * watermark passes its end). */
-  def nearDupFilteredStream(docs: DataFrame, tsCol: String, idCol: String,
-      textCol: String, delay: String, emitWindow: String,
+  /** One exploded (band, digest) row of a document. */
+  case class BandRow(id: Long, ts: java.sql.Timestamp, text: String,
+      band: Int, digest: String)
+
+  /** The deterministic bucket-ownership stream: for every LSH band
+    * bucket, exactly the FIRST document to claim it — first by EVENT
+    * TIME (ties by id), not by micro-batch processing order. A plain
+    * `dropDuplicatesWithinWatermark` keeps an arbitrary row per key
+    * WITHIN a batch, so a same-batch near-dup pair could split bucket
+    * ownership and then NEITHER document owns all its bands — the
+    * content would vanish from the filtered stream entirely. The
+    * stateful function sees the whole batch per key and picks the
+    * (ts, id)-minimum, so the genuine first arrival always wins every
+    * bucket it shares. Bucket state evicts `delay` past the owner's
+    * event time (watermark timeout) — bounded, firehose-safe. */
+  def ownedBandStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, delay: String,
       k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
     val numBands = numHashes / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
     val withSig = docs.select(
       docs.columns.map(col).toIndexedSeq ++
         signatureCols(col(textCol), k, numHashes): _*)
@@ -78,18 +91,64 @@ object StreamingNearDup {
       array((0 until numBands).map(b =>
         struct(lit(b).as("band"), shortFp.as("digest"))): _*))
       .otherwise(bandArray(numHashes, rowsPerBand))
-    val exploded = withSig
+    withSig
       .withColumn("__bd", explode(bands))
-      .select(col(idCol), col(tsCol), col(textCol),
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"), col(textCol).as("text"),
         col("__bd.band").as("band"), col("__bd.digest").as("digest"))
-    val owned = exploded
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("band", "digest")
-    owned
-      .groupBy(window(col(tsCol), emitWindow), col(idCol))
-      .agg(min(col(tsCol)).as(tsCol), first(col(textCol)).as(textCol),
-        count(lit(1)).as("__n_owned"))
-      .filter(col("__n_owned") === numBands)
-      .select(col(idCol), col(tsCol), col(textCol))
+      .withWatermark("ts", delay)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.digest))
+      .flatMapGroupsWithState[Boolean, BandRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // bucket already owned
+          else {
+            val first = rows.minBy(r => (r.ts.getTime, r.id))
+            state.update(true)
+            state.setTimeoutTimestamp(first.ts.getTime, delay)
+            Iterator.single(first)
+          }
+      }
+      .toDF()
   }
+
+  /** Batch-side conjunction: reduce an owned-band micro-batch to the
+    * documents that own ALL their bands. EXACT with no extra state:
+    * the ownership operator processes each micro-batch atomically, so
+    * every owned-band row of a document emits in the same batch this
+    * function sees. This is also WHY the doc filter lives in
+    * `foreachBatch` rather than a chained streaming aggregation —
+    * another stateful operator after `flatMapGroupsWithState` trips
+    * Spark's global-watermark correctness checker (the engine cannot
+    * prove our emissions beat the watermark; we can: they are always
+    * current-batch rows). */
+  def filterOwned(ownedBatch: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    ownedBatch.groupBy("id")
+      .agg(min(col("ts")).as("ts"), first(col("text")).as("text"),
+        count(lit(1)).as("__n_owned"))
+      .filter(col("__n_owned") === numHashes / rowsPerBand)
+      .select(col("id"), col("ts"), col("text"))
+
+  /** End-to-end near-dup-filtered parquet sink: only first-in-all-
+    * buckets documents land (columns `id`, `ts`, `text`), exactly once
+    * per document across restarts via the checkpoint. `delay` bounds
+    * how late a near-dup can arrive and still be recognized. */
+  def writeNearDupFiltered(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, delay: String, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ownedBandStream(docs, tsCol, idCol, textCol, delay,
+      k, numHashes, rowsPerBand)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        filterOwned(batch, numHashes, rowsPerBand)
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

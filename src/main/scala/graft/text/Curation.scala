@@ -178,22 +178,39 @@ object Curation {
     * partition), exclusive prefix offsets shipped back as a map
     * literal, `row_number` WITHIN partitions. Never a single-task
     * global window. */
-  def seededShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame = {
-    val ranged = df
-      .withColumn("shuffle_key",
-        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
-      .repartitionByRange(col("shuffle_key"), col(keyCol))
+  /** Two-pass exclusive global prefix over a range-partitioned frame —
+    * the shared machinery under [[seededShuffle]] and [[packShards]]:
+    * returns the frame (with `__pid` attached) and an offset column
+    * equal to the sum of `perRow` over every partition BEFORE this
+    * row's. The EAGER localCheckpoint pins the sampled range
+    * boundaries so both passes see identical partition ids — the
+    * determinism invariant both callers depend on. One driver row per
+    * partition, never a single-task global window. */
+  private def withPartitionOffsets(ranged0: DataFrame, perRow: Column)
+      : (DataFrame, Column) = {
+    val ranged = ranged0
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = counts
-      .scanLeft((-1, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val sums = ranged.groupBy("__pid").agg(sum(perRow).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = sums
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
       .sliding(2)
       .collect { case Array((_, acc), (pid, _)) => pid -> acc }
       .toMap
     val offCol = if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    (ranged, offCol)
+  }
+
+  def seededShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame = {
+    val (ranged, offCol) = withPartitionOffsets(
+      df.withColumn("shuffle_key",
+          md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+        .repartitionByRange(col("shuffle_key"), col(keyCol)),
+      lit(1L))
     val w = Window.partitionBy("__pid").orderBy(col("shuffle_key"), col(keyCol))
     ranged
       .withColumn("pos", (offCol + row_number().over(w) - 1).cast("long"))
@@ -251,29 +268,14 @@ object Curation {
     */
   def packShards(df: DataFrame, tokenCol: String, budget: Long,
       orderCol: String = "doc_id"): DataFrame = {
-    val ranged = df
-      .repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val partSums = ranged.groupBy("__pid")
-      .agg(sum(col(tokenCol)).as("__psum"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets: Map[Int, Long] = partSums
-      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
-      .sliding(2)
-      .collect { case Array((_, acc), (pid, _)) => pid -> acc }
-      .toMap
+    val (ranged, offCol) = withPartitionOffsets(
+      df.repartitionByRange(col(orderCol)), col(tokenCol))
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val outCols = df.columns.map(col) :+ col("shard")
-    val offCol = if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
     ranged
-      .withColumn("__off", offCol)
       .withColumn("__before",
-        col("__off") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+        offCol + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("shard", floor(col("__before") / budget).cast("long"))
       .select(outCols.toIndexedSeq: _*)
   }

@@ -73,5 +73,11 @@ class AnnIndexCliSpec extends SparkSuite {
     assert(indexed == inMem && indexed.nonEmpty)
     // new-half neighbors actually surface (the append is live)
     assert(indexed.exists { case (_, _, n) => n % 2 == 1 })
+
+    // idempotence: a retried run appends nothing and changes nothing
+    val before = spark.read.parquet(s"$dir/lists").count()
+    IngestCli.runTask(spark, "UpdateAnnIndex", Map(
+      "embeddings" -> newPath, "index" -> dir))
+    assert(spark.read.parquet(s"$dir/lists").count() == before)
   }
 }

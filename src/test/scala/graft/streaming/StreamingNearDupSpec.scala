@@ -45,19 +45,19 @@ class StreamingNearDupSpec extends SparkSuite {
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("header", "true").csv(in)
-      val q = StreamingNearDup.nearDupFilteredStream(
-        stream, "ts", "doc_id", "text",
-        delay = "1 hour", emitWindow = "10 minutes")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StreamingNearDup.writeNearDupFiltered(
+        stream, "ts", "doc_id", "text", delay = "1 hour",
+        path = out, checkpoint = ckpt, trigger = Trigger.AvailableNow())
       q.awaitTermination()
     }
 
-    // batch 1: two genuinely different documents
+    // batch 1: two genuinely different documents PLUS a same-batch
+    // near-dup of doc 1 — the case processing-order dedup gets wrong
+    // (split bucket ownership would drop BOTH); event-time ownership
+    // must keep doc 1 and suppress doc 7
     writeBatch("b1", Seq(
       "1,2023-04-23T10:00:00,The quick brown fox jumps over the lazy dog today",
+      "7,2023-04-23T10:02:00,The quick brown fox jumps over the lazy dog today??",
       "2,2023-04-23T10:01:00,an entirely different note about query engines and shuffles"))
     runOnce()
     // batch 2: a punctuation-variant NEAR-dup of doc 1 and one new doc
@@ -65,16 +65,11 @@ class StreamingNearDupSpec extends SparkSuite {
       "3,2023-04-23T10:20:00,The quick brown fox jumps over the lazy dog today!!!",
       "4,2023-04-23T10:21:00,yet another completely novel piece of content here"))
     runOnce()
-    // batch 3: far-future sentinel advances the watermark so every
-    // earlier emit-window closes (it itself stays in an open window)
-    writeBatch("b3", Seq(
-      "99,2023-04-24T12:00:00,watermark flush sentinel document for the spec"))
-    runOnce()
-
     val result = spark.read.parquet(out)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getLong(0)).toSet
     assert(result.contains(1L) && result.contains(2L) && result.contains(4L),
       s"originals and novel docs must survive, got $result")
-    assert(!result.contains(3L), s"near-dup must be suppressed, got $result")
+    assert(!result.contains(3L), s"cross-batch near-dup must be suppressed, got $result")
+    assert(!result.contains(7L), s"same-batch near-dup must be suppressed, got $result")
   }
 }

@@ -32,7 +32,9 @@ LINKED = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> None:
-    src, out = sys.argv[1], sys.argv[2]
+    # abspath: a relative symlink target would resolve relative to the
+    # LINK's directory, leaving dangling links for relative src dirs
+    src, out = os.path.abspath(sys.argv[1]), sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()

@@ -827,6 +827,33 @@ object CoreRelational {
         .orderBy("gid", "rflag", "lstatus")
     },
 
+    // explicit GROUPING SETS — the third lattice form next to ROLLUP/
+    // CUBE: exactly the (lang), (source), () slices, no cross products
+    QueryDef.sql(
+      "a15_grouping_sets",
+      """SELECT coalesce(lang, '<all>') AS lang_g,
+        |  coalesce(source, '<all>') AS source_g,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang_g, source_g""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(
+          coalesce(col("lang"), lit("<all>")).as("lang_g"),
+          coalesce(col("source"), lit("<all>")).as("source_g"),
+          col("gid"), col("n_docs"), col("sum_chars"))
+        .orderBy("gid", "lang_g", "source_g")
+    },
+
     // --- O6: ranking-function suite ----------------------------------
     // rank/dense_rank/percent_rank/cume_dist run over a TIE-FUL order
     // (event_type) — their outputs depend only on the key, so ties are

@@ -827,6 +827,30 @@ object CoreRelational {
         .orderBy("gid", "rflag", "lstatus")
     },
 
+    // argmax/argmin + boolean aggregate surface: max_by/min_by with a
+    // composite UNIQUE ordering key (chars then id — ties would
+    // otherwise be engine-arbitrary), bool_or/bool_and gates
+    QueryDef.sql(
+      "a16_argmax_funcs",
+      """SELECT lang,
+        |  CAST(arg_max(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS longest_doc,
+        |  CAST(arg_min(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS shortest_doc,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  bool_or(n_chars > 400) AS any_long,
+        |  bool_and(n_chars > 40) AS all_nontrivial
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val key = col("n_chars") * 1000000L + col("doc_id")
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          max_by(col("doc_id"), key).as("longest_doc"),
+          min_by(col("doc_id"), key).as("shortest_doc"),
+          max(col("n_chars")).as("max_chars"),
+          bool_or(col("n_chars") > 400).as("any_long"),
+          bool_and(col("n_chars") > 40).as("all_nontrivial"))
+        .orderBy("lang")
+    },
+
     // explicit GROUPING SETS — the third lattice form next to ROLLUP/
     // CUBE: exactly the (lang), (source), () slices, no cross products
     QueryDef.sql(

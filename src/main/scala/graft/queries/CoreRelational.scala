@@ -827,6 +827,57 @@ object CoreRelational {
         .orderBy("gid", "rflag", "lstatus")
     },
 
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MUST pair with NULL keys — the semantics a plain equi-join
+    // silently drops
+    QueryDef.sql(
+      "p11_null_safe_join",
+      """WITH k AS (
+        |  SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS rk
+        |  FROM nation)
+        |SELECT a.n_name AS a_name, b.n_name AS b_name
+        |FROM k a JOIN k b
+        |  ON a.rk IS NOT DISTINCT FROM b.rk
+        | AND a.n_nationkey < b.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      val k = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"),
+          nullif(col("n_regionkey"), lit(0)).as("rk"))
+      val a = k.toDF("a_key", "a_name", "a_rk")
+      val b = k.toDF("b_key", "b_name", "b_rk")
+      a.join(b, col("a_rk") <=> col("b_rk") && col("a_key") < col("b_key"))
+        .select(col("a_name"), col("b_name"))
+        .orderBy("a_name", "b_name")
+    },
+
+    // value-based RANGE window frame (not ROWS): neighbors within a
+    // ±5000-cent band of each row's own value — ordering and frame in
+    // exact integer cents so both engines agree bit-for-bit
+    QueryDef.sql(
+      "o8_range_frame",
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_within_band,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_within_band
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY cents
+        |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, cents, event_id""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("cents"))
+        .rangeBetween(-5000L, Window.currentRow)
+      base.select(
+        col("user_id"), col("event_id"), col("cents"),
+        count(lit(1)).over(w).cast("long").as("n_within_band"),
+        sum(col("cents")).over(w).cast("long").as("cents_within_band"))
+        .orderBy("user_id", "cents", "event_id")
+    },
+
     // argmax/argmin + boolean aggregate surface: max_by/min_by with a
     // composite UNIQUE ordering key (chars then id — ties would
     // otherwise be engine-arbitrary), bool_or/bool_and gates

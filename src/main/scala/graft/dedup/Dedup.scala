@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -375,22 +374,28 @@ object Dedup {
     * first and a later occurrence is dropped; deterministic and
     * oracle-expressible.
     *
-    * Scale shape: occurrence ranking windows by the NGRAM, but only
-    * over spans already known duplicated (the pre-join against the
-    * `n_occ ≥ 2` set discards the unique-ngram majority before the
-    * exchange). KNOWN SKEW: a boilerplate ngram with millions of
-    * occurrences makes one hot window partition — web-scale callers
-    * should treat such "stop n-grams" separately (cap via the `occ`
-    * frame) the way RefinedWeb does; the semantics here keep every
-    * occurrence so the DuckDB oracle stays exact. */
+    * Scale shape: NO per-ngram window. "Non-first occurrence" is
+    * computed as `span ≠ min(struct(id, pos))` with the min folded
+    * into the SAME groupBy that counts occurrences — partial (map-side)
+    * aggregation collapses even a boilerplate ngram with millions of
+    * corpus-wide occurrences to one row per map task before the
+    * exchange, and the spans-to-firsts equi-join that follows is
+    * AQE-skew-splittable (a hot ngram's span rows fan across split
+    * partitions, each joining the same single `occ` row). A
+    * `row_number` window here (the naive form, and what the DuckDB
+    * oracle deliberately still uses as the adversarial counterpart)
+    * would pin every occurrence of a hot "stop n-gram" onto ONE task —
+    * the RefinedWeb-style straggler this formulation removes without
+    * needing an occurrence-count threshold: drop-all-but-global-first
+    * IS exact for every ngram, hot or cold. */
   def removeDupSpans(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sp = wordSpans(docs, n, idCol, textCol)
-    val occ = sp.groupBy("ngram").agg(count(lit(1)).as("n_occ"))
-    val w = Window.partitionBy("ngram").orderBy(col(idCol), col("pos"))
-    val ranked = sp.join(occ.filter(col("n_occ") >= 2), Seq("ngram"))
-      .withColumn("__occ", row_number().over(w))
-    val dropPos = ranked.filter(col("__occ") >= 2)
+    val occ = sp.groupBy("ngram").agg(count(lit(1)).as("n_occ"),
+      min(struct(col(idCol), col("pos"))).as("__first"))
+    val dropPos = sp.join(occ.filter(col("n_occ") >= 2), Seq("ngram"))
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+        col("pos") === col("__first").getField("pos")))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()

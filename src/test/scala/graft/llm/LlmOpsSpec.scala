@@ -554,4 +554,25 @@ class LlmOpsSpec extends SparkSuite {
       n = 9).collect()
     assert(again.forall(_.getAs[Long]("n_removed") == 0L))
   }
+
+  test("removeDupSpans: one dominating hot ngram stays exact (the RefinedWeb stop-ngram case)") {
+    // worst case for the old window formulation: ONE boilerplate 9-gram
+    // occurring in every document. The min-struct aggregate must keep
+    // exactly the global-first copy (doc 1) and strip every other one,
+    // including a doc holding two occurrences of the hot span.
+    val boiler = "all rights reserved contact us for terms of service"  // 9 words
+    val docs = (1L to 400L).map { i =>
+      (i, s"doc$i word$i opens uniquely here with filler tokens $boiler")
+    } :+ (401L, s"$boiler again duplicated inside one doc $boiler")
+    val cleaned = Dedup.removeDupSpans(docs.toDF("doc_id", "text"), n = 9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cleaned(1L).getAs[Long]("n_removed") == 0L,
+      "global-first occurrence must survive")
+    (2L to 400L).foreach { i =>
+      assert(cleaned(i).getAs[Long]("n_removed") == 9L, s"doc $i keeps the hot span")
+      assert(!cleaned(i).getAs[String]("cleaned_text").contains("rights reserved"))
+    }
+    assert(cleaned(401L).getAs[Long]("n_removed") == 18L,
+      "both later occurrences in one doc must go")
+  }
 }

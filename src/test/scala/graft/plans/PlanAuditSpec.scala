@@ -115,6 +115,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(d6.contains("cosine_similarity"), "d6 must use the fused cosine")
   }
 
+  test("d13_dupspan_remove: no per-ngram window — min-struct aggregate handles hot ngrams") {
+    // The round-5 weak spot: a row_number() window partitioned by ngram
+    // pins every occurrence of a boilerplate "stop n-gram" onto one
+    // task. The fix computes global-first via min(struct(id,pos)) inside
+    // the occurrence-count groupBy (map-side combined, AQE-splittable
+    // join after). Any Window operator reappearing here is a regression.
+    val p = plan("d13_dupspan_remove")
+    assert(!p.contains("Window"),
+      s"per-ngram window crept back into removeDupSpans, plan:\n${p.take(4000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "ngram occurrence counts must combine map-side")
+  }
+
   test("v4_bpe_pairs: bounded top-k never materializes a global sort") {
     val p = plan("v4_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"),

@@ -44,11 +44,9 @@ object Bench {
         med > 2 * f && med - f > 0.25) => (name, med, floors(name))
     }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** One shared local session shape for every bench entry point. */
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runsN = args.headOption.orElse(sys.env.get("SPARK_GRAFT_RUNS"))
-      .map(_.toInt).getOrElse(3).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +56,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runsN = args.headOption.orElse(sys.env.get("SPARK_GRAFT_RUNS"))
+      .map(_.toInt).getOrElse(3).max(1)
+    val spark = session()
+    runSuite(spark, sfDir, runsN,
+      floorsFile = "bench_floor.json", fullOut = "BENCH_FULL.json")
+    spark.stop()
+  }
+
+  /** The measurement loop shared by [[Bench.main]] (driver contract at
+    * the provided sf dir) and [[BenchScale]] (10× replica dataset):
+    * warmup, `runsN` full passes, per-query medians, regression gate
+    * against the committed `floorsFile`, full-precision dump to
+    * `fullOut`, one budget-fitted JSON line on stdout. */
+  private[graft] def runSuite(spark: SparkSession, sfDir: String,
+      runsN: Int, floorsFile: String, fullOut: String): Unit = {
     // warmup: one scan+agg+join through codegen, not timed. Must never
     // kill the run — the one-line JSON contract has to print even if a
     // table is missing (the per-query loop degrades per query).
@@ -98,7 +115,7 @@ object Bench {
     // self-policing regression gate against the committed quiet-box
     // floor file: a loaded-box run diagnoses itself instead of waiting
     // for a judge-side diff (round-5's e2/e3 scare was exactly this)
-    val floors = loadFloors(java.nio.file.Paths.get("bench_floor.json"))
+    val floors = loadFloors(java.nio.file.Paths.get(floorsFile))
     val regs = regressions(results, floors)
     regs.foreach { case (n, m, f) =>
       System.err.println(f"[bench] REGRESSION $n: median $m%.2fs vs floor $f%.2fs") }
@@ -127,9 +144,8 @@ object Bench {
       .getOrElse(render(1, 1.0))
     val full = render(9, 0.0)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullOut),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    spark.stop()
   }
 }

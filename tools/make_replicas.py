@@ -19,8 +19,6 @@ import sys
 
 import duckdb
 
-OFFSET = 10_000_000
-
 KEYED = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
@@ -42,10 +40,17 @@ def main() -> None:
         path = os.path.join(src, f"{table}.parquet")
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+        # per-table offset from the data (max over all key cols + 1):
+        # a fixed constant would silently overlap replica key ranges the
+        # day a source table's ids reach it, breaking the unique-ids/
+        # repeated-content invariant the dedup scale checks depend on
+        offset = con.sql(
+            "SELECT greatest(" + ", ".join(f"max({c})" for c in keys)
+            + f", 0) + 1 FROM '{path}'").fetchone()[0]
         arms = []
         for i in range(k):
             sel = ", ".join(
-                f"{c} + {i * OFFSET} AS {c}" if c in keys else c
+                f"{c} + {i * offset} AS {c}" if c in keys else c
                 for c in cols)
             arms.append(f"SELECT {sel} FROM '{path}'")
         union = "\nUNION ALL\n".join(arms)

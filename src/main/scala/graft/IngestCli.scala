@@ -161,10 +161,25 @@ object IngestCli {
         // maintenance bin-packing (small-file accretion antidote):
         // rewrites every leaf partition with more files than
         // ⌈bytes/targetBytes⌉ down to that count; idempotent and
-        // vacuum-safe, so it can run on any cron cadence
-        val store = new GaugeStore(spark, req("store"))
+        // vacuum-safe, so it can run on any cron cadence.
+        // `--index <dir>` targets a BuildAnnIndex layout instead of a
+        // gauge store — UpdateAnnIndex appends one file set per run
+        // into the centroid_id partition dirs, so the inverted lists
+        // accrete small files exactly like the ingest facts; probes
+        // (`ivfTopKIndexed`) read the same dirs either way, so results
+        // are unchanged and only per-probe open cost falls.
+        // CAUTION --zorder: validated against the leaf FILE schema
+        // (partition-encoded columns are dir names, not file columns,
+        // and are rejected), and a z-order sweep rewrites EVERY leaf
+        // every run — re-laying rows out is the point — so unlike the
+        // plain path it is NOT idempotent; run it on a slower cadence.
+        val store = new GaugeStore(spark,
+          opts.getOrElse("store", opts.getOrElse("index",
+            sys.error("missing --store or --index"))))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
-        val tables = opts.getOrElse("tables", "gauge_data,model_data")
+        val tables = (if (opts.contains("index"))
+          opts.getOrElse("tables", "lists")
+        else opts.getOrElse("tables", "gauge_data,model_data"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val target = opts.getOrElse("targetBytes", (128L << 20).toString).toLong
         // optional z-order clustering during the rewrite:

@@ -316,6 +316,23 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     def targetFiles(bytes: Long) =
       math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val allLeaves = dataLeaves(table)
+    // Z-order columns must exist in the LEAF FILE schema: leaves are
+    // read as bare dirs, so partition-encoded columns (dir names like
+    // `centroid_id=3`) are absent — validating up front turns what
+    // would be a mid-sweep ExecutionException from the rewrite pool
+    // into a clear error before any leaf is touched. NOTE: a z-order
+    // sweep rewrites EVERY leaf every run (re-laying rows out is the
+    // point) — unlike the plain path it is not idempotent.
+    if (zorderCols.nonEmpty && allLeaves.nonEmpty) {
+      val leafSchema = spark.read.parquet(
+        (path(table) +: allLeaves.head._1).mkString("/")).schema
+      val missing = zorderCols.filterNot(leafSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"z-order column(s) ${missing.mkString(", ")} not in leaf file schema " +
+          s"(${leafSchema.fieldNames.mkString(", ")}); partition-encoded " +
+          "columns live in directory names, not data files, and cannot be " +
+          "z-order keys")
+    }
     // with z-order clustering requested, EVERY leaf is rewritten (the
     // point is re-laying rows out, not just merging files); otherwise
     // only over-count leaves — that is what keeps plain compaction

@@ -194,4 +194,69 @@ class CompactionSpec extends SparkSuite {
     assert(stats.getDouble(0) < 0.7 * 19, s"source spread ${stats.getDouble(0)}")
     assert(stats.getDouble(1) < 0.7 * 23 * 3600, s"time spread ${stats.getDouble(1)}")
   }
+
+  test("Compact --index packs appended IVF inverted lists; probe results unchanged") {
+    import graft.{IngestCli, Tables}
+    import graft.similarity.Ann
+    val dir = Files.createTempDirectory("graft-annpack").toFile.getAbsolutePath
+    val sfDir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, sfDir)
+    // build on a third of the corpus, then two incremental appends —
+    // each UpdateAnnIndex lays one file set into every centroid dir,
+    // the same accretion pattern as cron-cadence fact ingest
+    (0 to 2).foreach { m =>
+      emb.filter(col("vec_id") % 3 === m).write
+        .mode("overwrite").parquet(s"$dir/part$m.parquet")
+    }
+    IngestCli.runTask(spark, "BuildAnnIndex", Map(
+      "embeddings" -> s"$dir/part0.parquet", "index" -> dir, "k" -> "4", "iters" -> "2"))
+    (1 to 2).foreach { m =>
+      IngestCli.runTask(spark, "UpdateAnnIndex", Map(
+        "embeddings" -> s"$dir/part$m.parquet", "index" -> dir))
+    }
+    def listFiles() = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).toSeq
+      .map(d => d.getName -> dataFiles(d.getAbsolutePath).size).toMap
+    val filesBefore = listFiles()
+    assert(filesBefore.values.max >= 3,
+      s"expected append accretion in the inverted lists, got $filesBefore")
+
+    val cf = spark.read.parquet(s"$dir/centroids")
+    val queries = emb.filter(col("vec_id") < 8)
+    val before = Ann.ivfTopKIndexed(s"$dir/lists", cf, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    IngestCli.runTask(spark, "Compact", Map(
+      "index" -> dir, "targetBytes" -> (1L << 30).toString))
+    val filesAfter = listFiles()
+    assert(filesAfter.keySet == filesBefore.keySet, "no inverted list may vanish")
+    assert(filesAfter.values.forall(_ == 1),
+      s"every centroid dir must pack to one file, got $filesAfter")
+
+    val after = Ann.ivfTopKIndexed(s"$dir/lists", cf, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before && after.nonEmpty,
+      "probe results must be unchanged by index compaction")
+    // idempotent on the packed layout
+    val store = new GaugeStore(spark, dir)
+    assert(store.binPackCompact("lists", targetBytes = 1L << 30).isEmpty)
+  }
+
+  test("z-order columns are validated against the leaf file schema before any rewrite") {
+    val root = Files.createTempDirectory("graft-zval").toString
+    val store = new GaugeStore(spark, root)
+    store.appendGaugeData(mkFact(Seq(
+      (1L, "2023-04-23 01:00:00", "2023-04-23 10:00:00", 1.0))), "tidal_gauge")
+    // partition-encoded column: lives in the dir name, absent from leaf files
+    val err = intercept[IllegalArgumentException] {
+      store.binPackCompact("gauge_data", zorderCols = Seq("obs_date"))
+    }
+    assert(err.getMessage.contains("partition-encoded"), err.getMessage)
+    // plain typo is caught the same way, before any leaf is touched
+    val err2 = intercept[IllegalArgumentException] {
+      store.binPackCompact("gauge_data", zorderCols = Seq("watr_level"))
+    }
+    assert(err2.getMessage.contains("watr_level"))
+    assert(store.gaugeData.count() == 1, "no data may be touched on validation failure")
+  }
 }

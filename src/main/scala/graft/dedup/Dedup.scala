@@ -544,64 +544,79 @@ object Dedup {
     * (first `blockPrefix` normalized chars, length bucket of
     * `lenBucket` chars) — an equi-join on the block key, linear in
     * bucket sizes, never an all-pairs product. An edit within the
-    * prefix escapes the block (recall tradeoff of prefix blocking —
-    * run with a suffix-block second pass when that matters); an edit
-    * past it cannot move the pair more than one length bucket, which
-    * the ±1-bucket probe side covers. The distance itself runs on
-    * `cmpLen`-char prefixes so cost per candidate is bounded
-    * (Levenshtein is O(cmpLen²)).
+    * prefix escapes the prefix block (the classic prefix-blocking
+    * recall gap); `suffixBlock = true` closes it with a SECOND blocked
+    * arm keyed on the last `blockPrefix` normalized chars — a pair can
+    * only escape both arms when edits hit the prefix AND the suffix,
+    * and the two arms union+distinct before output so a pair both
+    * arms find appears once. An edit past the prefix cannot move the
+    * pair more than one length bucket, which the ±1-bucket probe side
+    * covers. The distance itself runs on `cmpLen`-char prefixes so
+    * cost per candidate is bounded.
     */
   def editDistancePairs(
       docs: DataFrame, maxDist: Int, blockPrefix: Int = 8,
       lenBucket: Int = 32, cmpLen: Int = 80,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      suffixBlock: Boolean = false): DataFrame = {
     require(maxDist >= 0 && blockPrefix > 0 && lenBucket > maxDist && cmpLen > 0)
-    // group identity = (block prefix, length bucket, compared-prefix
-    // hash): documents in one group are INDISTINGUISHABLE to the
-    // distance (it only ever sees the cmpLen prefix), so the expensive
-    // work runs once per GROUP pair and doc pairs are recovered by a
-    // membership expand. On duplicate-heavy corpora (the realistic
-    // case — that's why fuzzy dedup runs) this cuts distance calls by
-    // the square of the duplication factor; a 10× replica scale run
-    // measured 28 s → ~2 s. md5 group keys follow the d1 exact-dedup
-    // convention (collision-free in practice, small shuffle keys).
-    val base = docs.select(col(idCol),
+    val norm = docs.select(col(idCol),
       TextAnalysis.normalized(col(textCol)).as("__n"))
-      .select(col(idCol),
+    // One blocked arm under block key `key`. Group identity =
+    // (block key, length bucket, compared-prefix hash): documents in
+    // one group are INDISTINGUISHABLE to the distance (it only ever
+    // sees the cmpLen prefix), so the expensive work runs once per
+    // GROUP pair and doc pairs are recovered by a membership expand.
+    // On duplicate-heavy corpora (the realistic case — that's why
+    // fuzzy dedup runs) this cuts distance calls by the square of the
+    // duplication factor; a 10× replica scale run measured 28 s →
+    // ~2 s. md5 group keys follow the d1 exact-dedup convention
+    // (collision-free in practice, small shuffle keys).
+    def arm(key: Column): DataFrame = {
+      val base = norm.select(col(idCol),
         substring(col("__n"), 1, cmpLen).as("nc"),
-        substring(col("__n"), 1, blockPrefix).as("pfx"),
+        key.as("pfx"),
         floor(length(col("__n")) / lenBucket).as("lb"))
-      .withColumn("h", md5(col("nc")))
-    val groups = base.select(col("pfx"), col("lb"), col("h"), col("nc")).distinct()
-    // probe side carries its own bucket plus both neighbors, so pairs
-    // whose lengths straddle a bucket edge (possible whenever the
-    // length gap ≤ maxDist < lenBucket) still meet; each unordered doc
-    // pair survives exactly one of the two probe orientations via the
-    // final id ordering
-    val probe = groups.select(col("pfx"), col("lb").as("a_lb"),
-      col("h").as("a_h"), col("nc").as("a_nc"),
-      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
-    val build = groups.select(col("pfx"), col("lb"),
-      col("h").as("b_h"), col("nc").as("b_nc"))
-    // cheap integer length guard (a compared-prefix length gap >
-    // maxDist already implies distance > maxDist), then the THRESHOLD
-    // Levenshtein — banded DP, O(maxDist·cmpLen) per pair with early
-    // abandon (returns -1 past the bound) instead of the O(cmpLen²)
-    // full matrix.
-    val gpairs = probe.join(build, Seq("pfx", "lb"))
-      .filter(abs(length(col("a_nc")) - length(col("b_nc"))) <= maxDist)
-      .select(col("pfx"), col("a_lb"), col("a_h"),
-        col("lb").as("b_lb"), col("b_h"),
-        levenshtein(col("a_nc"), col("b_nc"), maxDist).cast("long").as("edit_dist"))
-      .filter(col("edit_dist").between(0, maxDist))
-    val members = base.select(col("pfx"), col("lb"), col("h"), col(idCol))
-    gpairs
-      .join(members.select(col("pfx"), col("lb").as("a_lb"),
-        col("h").as("a_h"), col(idCol).as(s"a_$idCol")), Seq("pfx", "a_lb", "a_h"))
-      .join(members.select(col("pfx"), col("lb").as("b_lb"),
-        col("h").as("b_h"), col(idCol).as(s"b_$idCol")), Seq("pfx", "b_lb", "b_h"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .select(col(s"a_$idCol"), col(s"b_$idCol"), col("edit_dist"))
+        .withColumn("h", md5(col("nc")))
+      val groups = base.select(col("pfx"), col("lb"), col("h"), col("nc")).distinct()
+      // probe side carries its own bucket plus both neighbors, so pairs
+      // whose lengths straddle a bucket edge (possible whenever the
+      // length gap ≤ maxDist < lenBucket) still meet; each unordered doc
+      // pair survives exactly one of the two probe orientations via the
+      // final id ordering
+      val probe = groups.select(col("pfx"), col("lb").as("a_lb"),
+        col("h").as("a_h"), col("nc").as("a_nc"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
+      val build = groups.select(col("pfx"), col("lb"),
+        col("h").as("b_h"), col("nc").as("b_nc"))
+      // cheap integer length guard (a compared-prefix length gap >
+      // maxDist already implies distance > maxDist), then the THRESHOLD
+      // Levenshtein — banded DP, O(maxDist·cmpLen) per pair with early
+      // abandon (returns -1 past the bound) instead of the O(cmpLen²)
+      // full matrix.
+      val gpairs = probe.join(build, Seq("pfx", "lb"))
+        .filter(abs(length(col("a_nc")) - length(col("b_nc"))) <= maxDist)
+        .select(col("pfx"), col("a_lb"), col("a_h"),
+          col("lb").as("b_lb"), col("b_h"),
+          levenshtein(col("a_nc"), col("b_nc"), maxDist).cast("long").as("edit_dist"))
+        .filter(col("edit_dist").between(0, maxDist))
+      val members = base.select(col("pfx"), col("lb"), col("h"), col(idCol))
+      gpairs
+        .join(members.select(col("pfx"), col("lb").as("a_lb"),
+          col("h").as("a_h"), col(idCol).as(s"a_$idCol")), Seq("pfx", "a_lb", "a_h"))
+        .join(members.select(col("pfx"), col("lb").as("b_lb"),
+          col("h").as("b_h"), col(idCol).as(s"b_$idCol")), Seq("pfx", "b_lb", "b_h"))
+        .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+        .select(col(s"a_$idCol"), col(s"b_$idCol"), col("edit_dist"))
+    }
+    val prefixArm = arm(substring(col("__n"), 1, blockPrefix))
+    if (!suffixBlock) prefixArm
+    // both arms compute the distance on the SAME nc pair, so a pair
+    // found twice carries an identical edit_dist and distinct() is an
+    // exact pair-level dedup, not a lossy pick
+    else prefixArm
+      .unionAll(arm(substring(reverse(col("__n")), 1, blockPrefix)))
+      .distinct()
   }
 }
 

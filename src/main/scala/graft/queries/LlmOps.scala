@@ -78,6 +78,27 @@ object LlmOps {
       |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS n
       |  FROM documents)""".stripMargin
 
+  /** One blocked fuzzy-pair arm (t9/t13): block key `keyExpr` over the
+    * normalized text + ±1 length bucket, Levenshtein on cmpLen-char
+    * prefixes. Emits CTEs `<base>` and `<cand>(a_doc_id, b_doc_id,
+    * edit_dist)`; the SAME generator feeds the prefix and suffix arms
+    * so the two stay structurally identical. */
+  private def fuzzyArmSql(base: String, cand: String, keyExpr: String): String =
+    s"""$base AS (
+       |  SELECT doc_id, n, $keyExpr AS pfx,
+       |    CAST(floor(length(n) / $FuzzyLenBucket) AS BIGINT) AS lb
+       |  FROM norm),
+       |${base}_probe AS (
+       |  SELECT doc_id AS a_doc_id, n AS a_n, pfx,
+       |    unnest([lb - 1, lb, lb + 1]) AS lb
+       |  FROM $base),
+       |$cand AS (
+       |  SELECT p.a_doc_id, b.doc_id AS b_doc_id,
+       |    CAST(levenshtein(substr(p.a_n, 1, $FuzzyCmpLen),
+       |      substr(b.n, 1, $FuzzyCmpLen)) AS BIGINT) AS edit_dist
+       |  FROM ${base}_probe p JOIN $base b ON b.pfx = p.pfx AND b.lb = p.lb
+       |    AND p.a_doc_id < b.doc_id)""".stripMargin
+
   /** Shingle CTE mirroring Dedup.shingles. */
   private val shingleCte =
     s"""sh AS (
@@ -1436,25 +1457,32 @@ object LlmOps {
     QueryDef.sql(
       "t9_fuzzy_pairs",
       s"""WITH $normCte,
-         |base AS (
-         |  SELECT doc_id, n, substr(n, 1, $FuzzyBlockPrefix) AS pfx,
-         |    CAST(floor(length(n) / $FuzzyLenBucket) AS BIGINT) AS lb
-         |  FROM norm),
-         |probe AS (
-         |  SELECT doc_id AS a_doc_id, n AS a_n, pfx,
-         |    unnest([lb - 1, lb, lb + 1]) AS lb
-         |  FROM base),
-         |cand AS (
-         |  SELECT p.a_doc_id, b.doc_id AS b_doc_id,
-         |    CAST(levenshtein(substr(p.a_n, 1, $FuzzyCmpLen),
-         |      substr(b.n, 1, $FuzzyCmpLen)) AS BIGINT) AS edit_dist
-         |  FROM probe p JOIN base b ON b.pfx = p.pfx AND b.lb = p.lb
-         |    AND p.a_doc_id < b.doc_id)
+         |${fuzzyArmSql("base", "cand", s"substr(n, 1, $FuzzyBlockPrefix)")}
          |SELECT a_doc_id, b_doc_id, edit_dist FROM cand
          |WHERE edit_dist <= $FuzzyMaxDist
          |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), FuzzyMaxDist,
         FuzzyBlockPrefix, FuzzyLenBucket, FuzzyCmpLen)
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+
+    // t9 with the suffix-block second arm: candidates share either the
+    // first OR the last `FuzzyBlockPrefix` normalized chars (+ ±1
+    // length bucket), so an edit inside the prefix — invisible to t9's
+    // single-arm blocking — still pairs via the suffix key. Two
+    // blocked equi-joins + a distinct, still never doc×doc.
+    QueryDef.sql(
+      "t13_fuzzy_pairs_suffix",
+      s"""WITH $normCte,
+         |${fuzzyArmSql("pbase", "pcand", s"substr(n, 1, $FuzzyBlockPrefix)")},
+         |${fuzzyArmSql("sbase", "scand", s"substr(reverse(n), 1, $FuzzyBlockPrefix)")}
+         |SELECT DISTINCT a_doc_id, b_doc_id, edit_dist FROM (
+         |  SELECT * FROM pcand WHERE edit_dist <= $FuzzyMaxDist
+         |  UNION ALL
+         |  SELECT * FROM scand WHERE edit_dist <= $FuzzyMaxDist)
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), FuzzyMaxDist,
+        FuzzyBlockPrefix, FuzzyLenBucket, FuzzyCmpLen, suffixBlock = true)
         .orderBy("a_doc_id", "b_doc_id")
     },
 

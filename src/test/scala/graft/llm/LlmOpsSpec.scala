@@ -439,6 +439,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(!got.exists { case ((a, b), _) => a == 5L || b == 5L }) // different block
   }
 
+  test("fuzzy pairs: suffix-block arm recovers first-character edits the prefix block misses (t13)") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "Xhe quick brown fox jumps over the lazy dog"),  // FIRST char edited
+      (3L, "The quick brown fox jumps over the lazy doX"),  // last char edited
+      (4L, "An unrelated sentence with nothing shared at all no"))
+      .toDF("doc_id", "text")
+    // prefix-only blocking: the first-character edit changes the 8-char
+    // block key, so (1,2) escapes — the documented recall gap
+    val prefixOnly = Dedup.editDistancePairs(docs, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!prefixOnly.contains((1L, 2L)),
+      "prefix-only blocking must (by construction) miss the first-char edit")
+    assert(prefixOnly.contains((1L, 3L)))
+    // suffix second pass: (1,2) shares the normalized suffix, so the
+    // second arm pairs them; (1,3) still present exactly once (union+
+    // distinct — both arms find it, output keeps one row)
+    val both = Dedup.editDistancePairs(docs, maxDist = 8, suffixBlock = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(both.map(_._1).length == both.map(_._1).distinct.length,
+      s"pair-level distinct must dedup arms, got $both")
+    val m = both.toMap
+    assert(m.get((1L, 2L)).contains(1L), s"suffix arm must find the first-char edit, got $m")
+    assert(m.get((1L, 3L)).contains(1L))
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling fans out (mm)") {
     val blobs = docs.select($"doc_id", encode($"text", "UTF-8").as("blob"))
     val meta1 = Multimodal.decodeMeta(blobs).collect().sortBy(_.doc_id)
@@ -561,8 +588,12 @@ class LlmOpsSpec extends SparkSuite {
     // exactly the global-first copy (doc 1) and strip every other one,
     // including a doc holding two occurrences of the hot span.
     val boiler = "all rights reserved contact us for terms of service"  // 9 words
+    // filler words carry the doc index — shared filler would create
+    // extra duplicated 9-grams (shared tails like "here with filler
+    // tokens all rights reserved ...") and widen the removed range
+    // beyond the boiler span itself
     val docs = (1L to 400L).map { i =>
-      (i, s"doc$i word$i opens uniquely here with filler tokens $boiler")
+      (i, s"doc$i word$i opens$i uniquely$i here$i with$i filler$i tokens$i $boiler")
     } :+ (401L, s"$boiler again duplicated inside one doc $boiler")
     val cleaned = Dedup.removeDupSpans(docs.toDF("doc_id", "text"), n = 9)
       .collect().map(r => r.getLong(0) -> r).toMap

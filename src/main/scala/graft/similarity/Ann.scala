@@ -273,11 +273,19 @@ object Ann {
     * EXISTING (frozen) centroid set and append them to the inverted-
     * list partition dirs — no retrain, no rewrite of the standing
     * index; at 100 TB this is the difference between a nightly
-    * insert job and a full index rebuild. IDEMPOTENT: ids already in
-    * the index are anti-joined away first, so an at-least-once
-    * scheduler retrying a partially-failed run cannot double-insert
-    * (a duplicate would occupy multiple top-k ranks and displace true
-    * neighbors). Returns (appended count, mean assign cosine of the
+    * insert job and a full index rebuild. IDEMPOTENT for SERIALIZED
+    * retries: ids already in the index are anti-joined away first, so
+    * an at-least-once scheduler retrying a partially-failed run cannot
+    * double-insert (a duplicate would occupy multiple top-k ranks and
+    * displace true neighbors). The read-then-append window means two
+    * CONCURRENT appends over overlapping ids could both pass the
+    * anti-join, so a `<indexPath>_append_lock` marker is created
+    * atomically up front and a second append fails fast while it
+    * exists — appenders serialize instead of silently double-
+    * inserting. A crash can strand the marker; the error says so, and
+    * deleting it after confirming no append is live is the recovery
+    * (the data itself is consistent — the interrupted append simply
+    * re-runs). Returns (appended count, mean assign cosine of the
     * appended vectors) — the drift signal: a falling mean says the
     * frozen centroids no longer fit the incoming distribution and a
     * retrain is due. Remaining caller-owned trade-off: each append
@@ -288,29 +296,47 @@ object Ann {
       newVectors: DataFrame, centroids: DataFrame, indexPath: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
     val spark = newVectors.sparkSession
-    val existing = scala.util.Try(
-      spark.read.parquet(indexPath).select(col(idCol))).toOption
-    val fresh = existing match {
-      case Some(ids) => newVectors.join(ids, Seq(idCol), "left_anti")
-      case None => newVectors
+    // single-writer gate: atomic create (overwrite=false) of a marker
+    // file — the filesystem arbitrates when two appenders race, and
+    // the loser fails BEFORE reading the index snapshot its anti-join
+    // would otherwise trust
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(indexPath + "_append_lock")
+    val stream = try fs.create(lock, false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"another append holds $lock (or a crashed one stranded it — " +
+          "delete the marker after confirming no append is live); " +
+          "concurrent appends over overlapping ids could both pass the " +
+          "idempotence anti-join and double-insert", e)
     }
-    // EAGER checkpoint: materializes the anti-join (which reads the
-    // index) BEFORE the append starts writing the same directory —
-    // no self-read-while-write — and pins the assignment so the stats
-    // pass below doesn't recompute it
-    val assigned = ivfAssign(fresh, centroids, idCol, vecCol)
-      .localCheckpoint(true)
-    assigned
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("centroid_id").parquet(indexPath)
-    val c = centroids.select(col(idCol).as("centroid_id"),
-      col(vecCol).as("centroid_vec"))
-    val stats = assigned.join(broadcast(c), "centroid_id")
-      .agg(count(lit(1)).as("n"),
-        avg(graft.dedup.Vectors.cosine(col(vecCol), col("centroid_vec")))
-          .as("mean_cos"))
-      .head()
-    (stats.getLong(0), Option(stats.get(1)).map(_ => stats.getDouble(1)).getOrElse(0.0))
+    try {
+      stream.writeBytes(java.time.Instant.now().toString)
+      stream.close()
+      val existing = scala.util.Try(
+        spark.read.parquet(indexPath).select(col(idCol))).toOption
+      val fresh = existing match {
+        case Some(ids) => newVectors.join(ids, Seq(idCol), "left_anti")
+        case None => newVectors
+      }
+      // EAGER checkpoint: materializes the anti-join (which reads the
+      // index) BEFORE the append starts writing the same directory —
+      // no self-read-while-write — and pins the assignment so the stats
+      // pass below doesn't recompute it
+      val assigned = ivfAssign(fresh, centroids, idCol, vecCol)
+        .localCheckpoint(true)
+      assigned
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("centroid_id").parquet(indexPath)
+      val c = centroids.select(col(idCol).as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+      val stats = assigned.join(broadcast(c), "centroid_id")
+        .agg(count(lit(1)).as("n"),
+          avg(graft.dedup.Vectors.cosine(col(vecCol), col("centroid_vec")))
+            .as("mean_cos"))
+        .head()
+      (stats.getLong(0), Option(stats.get(1)).map(_ => stats.getDouble(1)).getOrElse(0.0))
+    } finally fs.delete(lock, false)
   }
 
   /** Top-k over an on-disk [[writeIvfIndex]] index. The probed list

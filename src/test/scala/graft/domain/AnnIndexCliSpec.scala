@@ -79,5 +79,24 @@ class AnnIndexCliSpec extends SparkSuite {
     IngestCli.runTask(spark, "UpdateAnnIndex", Map(
       "embeddings" -> newPath, "index" -> dir))
     assert(spark.read.parquet(s"$dir/lists").count() == before)
+
+    // single-writer gate: while the append marker exists, a competing
+    // append fails fast (concurrent runs could both pass the anti-join
+    // and double-insert) — and the successful runs above cleaned it up
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/lists_append_lock")
+    assert(!fs.exists(lock), "append must remove its lock on success")
+    fs.create(lock, false).close()
+    try {
+      val err = intercept[IllegalStateException] {
+        Ann.appendToIvfIndex(newHalf, cf, s"$dir/lists")
+      }
+      assert(err.getMessage.contains("append"), err.getMessage)
+      assert(spark.read.parquet(s"$dir/lists").count() == before,
+        "a rejected append must not touch the index")
+    } finally fs.delete(lock, false)
+    // and the failure path must not have deleted the caller's marker
+    // before the intercept — rejection leaves lock ownership alone
   }
 }

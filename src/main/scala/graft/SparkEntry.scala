@@ -17,6 +17,7 @@ object SparkEntry {
   private def queries_modules: Seq[() => Seq[QueryDef]] = Seq(
     () => graft.queries.CoreRelational.defs,
     () => graft.queries.LlmOps.defs,
+    () => graft.queries.DomainOps.defs,
     () => graft.queries.StreamingShapes.defs,
     () => graft.queries.Coverage.defs,
     () => graft.queries.TpchShapes.defs)

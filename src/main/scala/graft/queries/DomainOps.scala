@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.text.Domains
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Domain-keyed curation queries (n-family) — [[graft.text.Domains]]
+  * over the documents table. The driver's documents carry no URL
+  * column, so each query synthesizes one DETERMINISTICALLY from
+  * (source, doc_id) — four URL shapes (www + path, userinfo + port +
+  * two-level suffix, scheme-less, mixed case) so the extraction path
+  * is exercised end-to-end, identically on both engines.
+  */
+object DomainOps {
+  private val CapN = 3
+
+  /** Deterministic URL per document, Spark side. */
+  private def urlCol: Column = {
+    val m = col("doc_id") % 4
+    when(m === 0, concat(lit("https://www."), col("source"),
+      lit("-news.com/p/"), col("doc_id").cast("string")))
+      .when(m === 1, concat(lit("http://user@"), col("source"),
+        lit(".co.uk:8080/a?q=1")))
+      .when(m === 2, concat(col("source"), lit(".example.org/path")))
+      .otherwise(concat(lit("HTTPS://cdn."), upper(col("source")),
+        lit(".COM/x#frag")))
+  }
+
+  /** Same URL, DuckDB side. */
+  private val urlSql: String =
+    """CASE CAST(doc_id % 4 AS INTEGER)
+      |  WHEN 0 THEN 'https://www.' || source || '-news.com/p/' || CAST(doc_id AS VARCHAR)
+      |  WHEN 1 THEN 'http://user@' || source || '.co.uk:8080/a?q=1'
+      |  WHEN 2 THEN source || '.example.org/path'
+      |  ELSE 'HTTPS://cdn.' || upper(source) || '.COM/x#frag'
+      |END""".stripMargin
+
+  /** CTEs `urls` (doc_id, text, url) and `rd` (doc_id, text, domain):
+    * host extraction + registrable-domain heuristic, mirroring
+    * [[Domains.host]] / [[Domains.registrableDomain]]. */
+  private val domainCtes: String = {
+    val suffixes = Domains.TwoLevelSuffixes
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""urls AS (SELECT doc_id, text, $urlSql AS url FROM documents),
+       |hosts AS (
+       |  SELECT doc_id, text, string_split(regexp_extract(lower(trim(url)),
+       |    '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1), '.') AS l
+       |  FROM urls),
+       |rd AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(l) >= 3 AND
+       |        array_to_string(list_slice(l, len(l) - 1, len(l)), '.') IN $suffixes
+       |      THEN array_to_string(list_slice(l, len(l) - 2, len(l)), '.')
+       |      ELSE array_to_string(list_slice(l, greatest(len(l) - 1, 1), len(l)), '.')
+       |    END AS domain
+       |  FROM hosts)""".stripMargin
+  }
+
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // per-domain corpus profile: doc/unique/dup counts + token volume —
+    // the table a curation pass reads before setting per-domain caps.
+    // One map-side-combined aggregation on the domain key.
+    QueryDef.sql(
+      "n1_domain_rollup",
+      s"""WITH $domainCtes,
+         |fp AS (
+         |  SELECT domain, md5($normSql) AS f,
+         |    CASE WHEN $normSql = '' THEN 0
+         |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+         |    END AS t
+         |  FROM rd)
+         |SELECT domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT f) AS BIGINT) AS n_unique_texts,
+         |  CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_dup_docs,
+         |  sum(t) AS n_tokens
+         |FROM fp GROUP BY domain
+         |ORDER BY domain""".stripMargin) { (s, dir) =>
+      Domains.domainRollup(
+        Tables.documents(s, dir).withColumn("url", urlCol), "url")
+        .orderBy("domain")
+    },
+
+    // deterministic per-domain cap (the C4/RefinedWeb "no domain
+    // dominates the mix" gate): first CapN docs per domain by
+    // (md5(id), id) — rank ≤ cap compiles to WindowGroupLimit, so a
+    // Zipf-head domain never buffers its full row set
+    QueryDef.sql(
+      "n2_domain_cap",
+      s"""WITH $domainCtes,
+         |ranked AS (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+         |  FROM rd)
+         |SELECT doc_id, domain FROM ranked WHERE r <= $CapN
+         |ORDER BY domain, doc_id""".stripMargin) { (s, dir) =>
+      Domains.capPerDomain(
+        Tables.documents(s, dir).withColumn("url", urlCol), "url", CapN)
+        .select("doc_id", "domain")
+        .orderBy("domain", "doc_id")
+    },
+
+    // domain-scoped exact dedup: min-id survivor per (domain, content
+    // fingerprint); the same text on two domains survives twice —
+    // provenance-aware dedup policy, vs d1's global collapse
+    QueryDef.sql(
+      "n3_domain_dedup",
+      s"""WITH $domainCtes
+         |SELECT min(doc_id) AS kept_doc_id, domain,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM (SELECT doc_id, domain, md5($normSql) AS f FROM rd)
+         |GROUP BY domain, f
+         |ORDER BY domain, kept_doc_id""".stripMargin) { (s, dir) =>
+      Domains.dedupPerDomain(
+        Tables.documents(s, dir).withColumn("url", urlCol), "url")
+        .orderBy("domain", "kept_doc_id")
+    })
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-keyed curation — the provenance axis of web-corpus pipelines
+  * (C4/RefinedWeb-style): extract the registrable domain from a URL
+  * column, roll quality/dup signals up per domain, cap any one
+  * domain's share of the training mix, and dedup content within a
+  * domain. Everything is pure column expressions (codegen'd, oracle-
+  * expressible) over whatever URL column the dataset carries.
+  *
+  * Scale shape: extraction is scan-level; the rollup/cap/dedup are one
+  * map-side-combined shuffle each on the domain (or domain+content)
+  * key. Domains are Zipfian at corpus scale — the cap/dedup shapes
+  * stay windowed-by-rank (WindowGroupLimit prunes to the cap before
+  * the sort buffers grow) rather than collecting any domain's full
+  * document list.
+  */
+object Domains {
+  /** Two-level public suffixes the last-two-label heuristic would
+    * split wrong (registrable = one label MORE than the suffix). A
+    * deliberately small, fixed set — the full public-suffix list is a
+    * data file, and these cover the common country-commercial forms;
+    * extend per deployment. */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "co.jp", "co.kr", "co.in", "co.nz",
+    "com.au", "com.br", "com.cn", "com.mx", "com.tr", "com.ar", "com.sg")
+
+  /** Lowercased host of a URL: scheme (if any) and userinfo stripped,
+    * then everything up to the first `/`, `:`, `?` or `#`. Tolerates
+    * scheme-less and mixed-case URLs — crawl metadata is messy. */
+  def host(url: Column): Column =
+    regexp_extract(lower(trim(url)),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1)
+
+  /** Registrable domain of a host: last two labels, or last three when
+    * the two-label tail is a known two-level suffix (`example.co.uk`,
+    * not `co.uk`). */
+  def registrableDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, greatest(n - 1, lit(1)), lit(2)))
+    val last3 = concat_ws(".", slice(labels, greatest(n - 2, lit(1)), lit(3)))
+    when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3).otherwise(last2)
+  }
+
+  /** `registrableDomain(host(url))` — the one-call form. */
+  def domainOf(url: Column): Column = registrableDomain(host(url))
+
+  /** Per-domain corpus profile: document count, distinct-content count
+    * (by normalized-text fingerprint), duplicate count, and total
+    * token volume — the table a curation pass reads before deciding
+    * per-domain caps and dedup pressure. One map-side-combined
+    * aggregation on the domain key. */
+  def domainRollup(docs: DataFrame, urlCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = TextAnalysis.normalized(col(textCol))
+    val toks = when(n === "", lit(0L))
+      .otherwise(size(split(n, " ")).cast("long"))
+    docs
+      .select(domainOf(col(urlCol)).as("domain"),
+        md5(n).as("__fp"), toks.as("__t"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        sum(col("__t")).as("n_tokens"))
+  }
+
+  /** Cap any single domain at `cap` documents, deterministically:
+    * survivors are the first `cap` by (md5(id), id) — a content-hash
+    * order, so membership is stable across runs and partitionings,
+    * like every sampler in [[Curation]]. The rank ≤ cap predicate
+    * compiles to WindowGroupLimit: each partition keeps a cap-sized
+    * heap, never sorting a hot domain's full row set. */
+  def capPerDomain(docs: DataFrame, urlCol: String, cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy("__domain")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__domain", domainOf(col(urlCol)))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .drop("__r")
+      .withColumnRenamed("__domain", "domain")
+  }
+
+  /** Domain-scoped exact dedup: one survivor (min id) per (domain,
+    * normalized-content fingerprint). Unlike global exact dedup (d1),
+    * the SAME content on two domains survives twice — the policy when
+    * provenance matters (licensing, per-domain mixing weights). Output
+    * is one row per kept group: survivor id, domain, copy count. */
+  def dedupPerDomain(docs: DataFrame, urlCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(domainOf(col(urlCol)).as("domain"),
+        md5(TextAnalysis.normalized(col(textCol))).as("__fp"),
+        col(idCol))
+      .groupBy("domain", "__fp")
+      .agg(min(col(idCol)).as(s"kept_$idCol"),
+        count(lit(1)).as("n_copies"))
+      .drop("__fp")
+      .select(col(s"kept_$idCol"), col("domain"), col("n_copies"))
+}

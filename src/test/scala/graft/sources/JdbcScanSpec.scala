@@ -6,18 +6,32 @@ import java.nio.file.Files
 
 /** S4 proof: a REAL `spark.read.jdbc` scan of a ledger-shaped table
   * with the reference's predicates pushed into the database
-  * (runObsIngest.py:31-36). Uses embedded Apache Derby — the JDBC
-  * database Spark ships on its own classpath — because no external DB
-  * server exists in the build environment.
+  * (runObsIngest.py:31-36). Defaults to embedded Apache Derby — the
+  * JDBC database Spark ships on its own classpath — because no
+  * external DB server exists in the build environment; set
+  * `GRAFT_JDBC_URL` (e.g. the docs/postgres.md docker-compose
+  * profile) to run the SAME assertions against a real server dialect.
   */
 class JdbcScanSpec extends SparkSuite {
 
+  /** Env-overridable JDBC endpoint: every test builds its own Derby db
+    * by default; one GRAFT_JDBC_URL server hosts all of them (table
+    * names are distinct, and DDL drops leftovers from prior runs). */
+  private def jdbcUrl(dbName: String): String =
+    sys.env.getOrElse("GRAFT_JDBC_URL",
+      s"jdbc:derby:${Files.createTempDirectory(s"graft-$dbName")}/$dbName;create=true")
+
+  /** Portable drop-if-exists (Derby has no IF EXISTS clause). */
+  private def dropIfExists(st: java.sql.Statement, table: String): Unit =
+    try st.executeUpdate(s"DROP TABLE $table")
+    catch { case _: java.sql.SQLException => () }
+
   test("spark.read.jdbc scans the ledger with predicates pushed to the DB") {
-    val dbPath = Files.createTempDirectory("graft-jdbc").toString + "/ledgerdb"
-    val url = s"jdbc:derby:$dbPath;create=true"
+    val url = jdbcUrl("ledgerdb")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
+      dropIfExists(st, "drf_harvest_obs_file_meta")
       st.executeUpdate(
         """CREATE TABLE drf_harvest_obs_file_meta (
           |  file_name VARCHAR(128),
@@ -61,7 +75,7 @@ class JdbcScanSpec extends SparkSuite {
 
   test("jdbc write sink: the obs ledger round-trips through the database (S5 load path)") {
     import spark.implicits._
-    val url = s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-w")}/sinkdb;create=true"
+    val url = jdbcUrl("sinkdb")
     val ledger = Seq(
       ("a.csv", "tidal_gauge", "noaa", false, "2023-04-23 12:00:00"),
       ("b.csv", "tidal_gauge", "noaa", false, "2023-04-23 18:00:00"),
@@ -95,7 +109,7 @@ class JdbcScanSpec extends SparkSuite {
 
   test("S9 composed end-to-end over JDBC: config_item hop -> run-property pivot") {
     import spark.implicits._
-    val url = s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-s9")}/dashdb;create=true"
+    val url = jdbcUrl("dashdb")
     val eav = Seq(
       (4358L, "uid1", "suite.model", "adcirc"),
       (4358L, "uid1", "ADCIRCgrid", "ec95d"),

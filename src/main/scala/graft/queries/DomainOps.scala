@@ -107,6 +107,60 @@ object DomainOps {
         .orderBy("domain", "doc_id")
     },
 
+    // UT1-style domain blocklist gate: anti-join against a (broadcast)
+    // blocklist frame — scan-speed at any corpus size. The blocklist
+    // here is a deterministic subset of the synthesized domains so the
+    // gate provably bites.
+    QueryDef.sql(
+      "n4_domain_blocklist",
+      s"""WITH $domainCtes
+         |SELECT doc_id, domain FROM rd
+         |WHERE domain NOT IN ('src1-news.com', 'src2.co.uk', 'example.org')
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blocked = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("src1-news.com"),
+          org.apache.spark.sql.Row("src2.co.uk"),
+          org.apache.spark.sql.Row("example.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      Domains.blockByDomain(
+        Tables.documents(s, dir).withColumn("url", urlCol), "url", blocked)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    },
+
+    // domain quality prior per document: the corpus-level trust signal
+    // (rollup aggregated once, broadcast back onto the scan) that
+    // document-local scoring cannot see
+    QueryDef.sql(
+      "n5_domain_prior",
+      s"""WITH $domainCtes,
+         |fp AS (
+         |  SELECT doc_id, domain, md5($normSql) AS f,
+         |    CASE WHEN $normSql = '' THEN 0
+         |         ELSE CAST(len(string_split($normSql, ' ')) AS BIGINT)
+         |    END AS t
+         |  FROM rd),
+         |roll AS (
+         |  SELECT domain,
+         |    CAST(floor(1000 * sum(t) / count(*)) AS BIGINT) AS domain_mean_tokens_scaled,
+         |    CAST(floor(1000 * (count(*) - count(DISTINCT f)) / count(*)) AS BIGINT)
+         |      AS domain_dup_permille
+         |  FROM fp GROUP BY domain)
+         |SELECT fp.doc_id, fp.domain,
+         |  roll.domain_mean_tokens_scaled, roll.domain_dup_permille,
+         |  (roll.domain_mean_tokens_scaled < 48000 OR
+         |   roll.domain_dup_permille > 500) AS low_prior
+         |FROM fp JOIN roll ON roll.domain = fp.domain
+         |ORDER BY fp.doc_id""".stripMargin) { (s, dir) =>
+      Domains.domainPrior(
+        Tables.documents(s, dir).withColumn("url", urlCol), "url",
+        minMeanScaled = 48000L, maxDupPermille = 500L)
+        .orderBy("doc_id")
+    },
+
     // domain-scoped exact dedup: min-id survivor per (domain, content
     // fingerprint); the same text on two domains survives twice —
     // provenance-aware dedup policy, vs d1's global collapse

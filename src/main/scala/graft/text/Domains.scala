@@ -87,6 +87,48 @@ object Domains {
       .withColumnRenamed("__domain", "domain")
   }
 
+  /** Domain blocklist filter — the UT1-style curation gate: drop every
+    * document whose registrable domain appears in `blocked` (a one-
+    * column frame; real blocklists run to millions of rows, so it is a
+    * DataFrame, not a literal). One LEFT ANTI equi-join on the domain:
+    * the blocklist side is tiny relative to the corpus and broadcasts,
+    * so the gate is scan-speed at any corpus size. */
+  def blockByDomain(docs: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val b = broadcast(blocked.toDF("__blocked").select(
+      lower(trim(col("__blocked"))).as("__blocked")).distinct())
+    docs.withColumn("domain", domainOf(col(urlCol)))
+      .join(b, col("domain") === col("__blocked"), "left_anti")
+  }
+
+  /** Domain quality prior joined back per document: the corpus-level
+    * signal (a domain full of near-identical or very short documents
+    * is low-trust, whatever any single document looks like) that
+    * document-local scoring cannot see. Integer outputs —
+    * `domain_mean_tokens_scaled` = ⌊1000·Σtokens/n⌋ and
+    * `domain_dup_permille` = ⌊1000·dups/n⌋ — keep both engines
+    * bit-identical; `low_prior` flags domains under `minMeanScaled`
+    * mean tokens or over `maxDupPermille` duplicate share.
+    *
+    * Scale shape: one rollup aggregation (#domains rows — Zipfian but
+    * bounded), broadcast back onto the corpus scan. */
+  def domainPrior(docs: DataFrame, urlCol: String,
+      minMeanScaled: Long, maxDupPermille: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val roll = domainRollup(docs, urlCol, idCol, textCol)
+      .select(col("domain"),
+        floor(lit(1000L) * col("n_tokens") / col("n_docs"))
+          .cast("long").as("domain_mean_tokens_scaled"),
+        floor(lit(1000L) * col("n_dup_docs") / col("n_docs"))
+          .cast("long").as("domain_dup_permille"))
+    docs.withColumn("domain", domainOf(col(urlCol)))
+      .join(broadcast(roll), "domain")
+      .select(col(idCol), col("domain"),
+        col("domain_mean_tokens_scaled"), col("domain_dup_permille"),
+        (col("domain_mean_tokens_scaled") < minMeanScaled ||
+          col("domain_dup_permille") > maxDupPermille).as("low_prior"))
+  }
+
   /** Domain-scoped exact dedup: one survivor (min id) per (domain,
     * normalized-content fingerprint). Unlike global exact dedup (d1),
     * the SAME content on two domains survives twice — the policy when

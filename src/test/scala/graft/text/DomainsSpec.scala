@@ -53,6 +53,46 @@ class DomainsSpec extends SparkSuite {
     assert(out == Set((1L, "a.com", 2L), (3L, "b.org", 1L), (4L, "a.com", 1L)))
   }
 
+  test("blockByDomain drops exactly the blocklisted registrable domains, case-insensitively") {
+    val docs = Seq(
+      (1L, "https://www.bad.example.com/x", "a"),
+      (2L, "https://GOOD.example.org/y", "b"),
+      (3L, "spam.co.uk/z", "c"),
+      (4L, "https://fine.net/w", "d"))
+      .toDF("doc_id", "url", "text")
+    val blocked = Seq("Example.COM", "spam.co.uk").toDF("domain")
+    val kept = Domains.blockByDomain(docs, "url", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L),
+      "subdomain of a blocked registrable domain must be dropped; others kept")
+    // plan: the blocklist side broadcasts — no shuffle of the corpus
+    val plan = Domains.blockByDomain(docs, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist gate must be a broadcast anti-join, plan:\n${plan.take(2000)}")
+  }
+
+  test("domainPrior: corpus-level trust signal a document-local score cannot see") {
+    // dupfarm.com: 4 docs, 2 distinct texts -> 500 permille dups;
+    // thin.com: short docs; rich.org: long unique docs
+    val docs = Seq(
+      (1L, "https://dupfarm.com/a", "copy paste content here today"),
+      (2L, "https://dupfarm.com/b", "copy paste content here today"),
+      (3L, "https://dupfarm.com/c", "other copied words appear twice"),
+      (4L, "https://dupfarm.com/d", "other copied words appear twice"),
+      (5L, "https://thin.com/a", "tiny"),
+      (6L, "https://rich.org/a", "a genuinely long document with many distinct informative words inside"))
+      .toDF("doc_id", "url", "text")
+    val out = Domains.domainPrior(docs, "url",
+      minMeanScaled = 5000L, maxDupPermille = 400L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5000L, 500L, true)), s"dupfarm: $out")   // 5 tokens, half dups
+    assert(out(5L)._1 == 1000L && out(5L)._3, "thin domain flagged by mean tokens")
+    assert(out(6L)._2 == 0L && !out(6L)._3, "rich domain passes")
+    assert(out(2L) == out(1L) && out(3L) == out(1L), "prior is per-domain, not per-doc")
+  }
+
   test("n2_domain_cap plan: rank<=cap prunes via WindowGroupLimit, no full-domain sort buffer") {
     val docs = (1L to 100L).map(i => (i, "https://one.example.com/p", s"t$i"))
       .toDF("doc_id", "url", "text")

@@ -444,6 +444,44 @@ object Dedup {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): pairwise cosine is computed only WITHIN each
+    * k-means cluster, and a vector is dropped when an earlier-id
+    * vector in its cluster sits above the similarity threshold —
+    * chains collapse toward the earliest id (deterministic, single
+    * pass, no transitive closure needed). Output: one row per
+    * assignment with its in-cluster near-dup partner count and the
+    * keep/drop verdict.
+    *
+    * Scale shape: the per-cluster self-join is quadratic in CLUSTER
+    * size — that bound is the whole point of clustering first (the
+    * paper's k grows with n so n/k stays constant; [[graft.similarity
+    * .Clustering.kmeans]] is the trainer). Cosines run on the fused
+    * codegen kernel; the verdict is one distinct + two left joins. */
+  def semDedup(emb: DataFrame, assignments: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    val withVec = assignments.select(col(idCol), col(clusterCol))
+      .join(emb.select(col(idCol), col(vecCol)), idCol)
+    val a = withVec.toDF("a_id", clusterCol, "a_vec")
+    val b = withVec.toDF("b_id", clusterCol, "b_vec")
+    val close = a.join(b, clusterCol).filter(col("a_id") < col("b_id"))
+      .filter(Vectors.cosine(col("a_vec"), col("b_vec")) > threshold)
+      .select(col("a_id"), col("b_id"))
+    val partners = close.select(col("a_id").as(idCol))
+      .unionAll(close.select(col("b_id").as(idCol)))
+      .groupBy(idCol).agg(count(lit(1)).as("n_close"))
+    val dropped = close.select(col("b_id").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assignments.select(col(idCol), col(clusterCol))
+      .join(partners, Seq(idCol), "left")
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(when(col("__dropped"), lit(false)), lit(true)).as("kept"))
+  }
+
   /** Sign-bit dimensions sized for the corpus: enough hyperplanes that
     * the expected bucket holds ~`targetBucketRows` vectors
     * (bits = ⌈log₂(n / target)⌉), spread evenly across the embedding

@@ -910,6 +910,38 @@ object LlmOps {
         .orderBy("cluster")
     },
 
+    // SemDeDup: semantic dedup scoped to the trained k-means clusters —
+    // pairwise cosine runs only within a cluster (the quadratic is
+    // bounded by cluster size; the paper grows k with n so n/k stays
+    // constant), drop = an earlier-id in-cluster vector above the
+    // threshold. Chains collapse toward the earliest id, no transitive
+    // closure. Oracle chains the unrolled-Lloyd CTEs into a within-
+    // cluster pair scan.
+    QueryDef.sql(
+      "d14_semdedup",
+      s"""WITH $kmeansCtes,
+         |ea AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM a$KmeansIters a JOIN embeddings e USING (vec_id)),
+         |close AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM ea x JOIN ea y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${sqlCosine("x.embedding", "y.embedding")} > $NearDupThreshold),
+         |cnt AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM (
+         |    SELECT a_id AS vec_id FROM close
+         |    UNION ALL SELECT b_id FROM close)
+         |  GROUP BY 1)
+         |SELECT v.vec_id, v.cluster,
+         |  coalesce(cnt.n_close, 0) AS n_close,
+         |  v.vec_id NOT IN (SELECT b_id FROM close) AS kept
+         |FROM a$KmeansIters v LEFT JOIN cnt ON cnt.vec_id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      graft.dedup.Dedup.semDedup(
+        Tables.embeddings(s, dir), kmeansShared(s, dir), NearDupThreshold)
+        .orderBy("vec_id")
+    },
+
     // trained-ANN loop closed: IVF probing over the k-means centroid
     // set (not hand-picked seed vectors like e3) — train → centroidFrame
     // → ivfTopK, the production retrieval stack, oracle-verified by

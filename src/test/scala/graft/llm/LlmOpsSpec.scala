@@ -582,6 +582,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(again.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
+  test("semDedup: in-cluster chains collapse to the earliest id; cross-cluster twins both survive (d14)") {
+    // cluster 0: vectors 1,2,3 mutually near-identical (chain), 4 orthogonal
+    // cluster 1: vector 5 identical to vector 1 — but scoping means it
+    // is never compared against cluster 0, so both survive (that's the
+    // SemDeDup trade: the clusterer owns cross-cluster recall)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.98f, 0.02f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 1L))
+      .toDF("vec_id", "cluster")
+    val out = graft.dedup.Dedup.semDedup(emb, assign, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, true)), s"earliest id keeps the cluster: $out")
+    assert(out(2L) == ((2L, false)) && out(3L) == ((2L, false)),
+      "later chain members drop")
+    assert(out(4L) == ((0L, true)), "orthogonal vector untouched")
+    assert(out(5L) == ((0L, true)), "cross-cluster twin is out of scope, survives")
+  }
+
   test("removeDupSpans: one dominating hot ngram stays exact (the RefinedWeb stop-ngram case)") {
     // worst case for the old window formulation: ONE boilerplate 9-gram
     // occurring in every document. The min-struct aggregate must keep

@@ -585,9 +585,14 @@ object Dedup {
     * prefix escapes the prefix block (the classic prefix-blocking
     * recall gap); `suffixBlock = true` closes it with a SECOND blocked
     * arm keyed on the last `blockPrefix` normalized chars — a pair can
-    * only escape both arms when edits hit the prefix AND the suffix,
-    * and the two arms union+distinct before output so a pair both
-    * arms find appears once. An edit past the prefix cannot move the
+    * only escape both arms when edits hit the prefix AND the suffix.
+    * The suffix arm drops group pairs that ALSO share the prefix key
+    * (exactly the prefix arm's finds) BEFORE the membership expand, so
+    * the two arms are disjoint by construction and union without a
+    * pair-level distinct — on a dup-heavy corpus that distinct would
+    * shuffle the full expanded pair set a second time (a 10× replica
+    * run measured it at ~5× the single-arm cost; the group-level
+    * exclusion removes it). An edit past the prefix cannot move the
     * pair more than one length bucket, which the ±1-bucket probe side
     * covers. The distance itself runs on `cmpLen`-char prefixes so
     * cost per candidate is bounded.
@@ -610,7 +615,7 @@ object Dedup {
     // duplication factor; a 10× replica scale run measured 28 s →
     // ~2 s. md5 group keys follow the d1 exact-dedup convention
     // (collision-free in practice, small shuffle keys).
-    def arm(key: Column): DataFrame = {
+    def arm(key: Column, excludeSharedPrefix: Boolean = false): DataFrame = {
       val base = norm.select(col(idCol),
         substring(col("__n"), 1, cmpLen).as("nc"),
         key.as("pfx"),
@@ -632,8 +637,15 @@ object Dedup {
       // Levenshtein — banded DP, O(maxDist·cmpLen) per pair with early
       // abandon (returns -1 past the bound) instead of the O(cmpLen²)
       // full matrix.
+      // the nc prefix IS the prefix-arm block key (cmpLen ≥
+      // blockPrefix), so "this pair also shares the prefix key" is
+      // decidable at GROUP level, before any expand
+      val sharedPfx =
+        substring(col("a_nc"), 1, blockPrefix) ===
+          substring(col("b_nc"), 1, blockPrefix)
       val gpairs = probe.join(build, Seq("pfx", "lb"))
         .filter(abs(length(col("a_nc")) - length(col("b_nc"))) <= maxDist)
+        .filter(if (excludeSharedPrefix) !sharedPfx else lit(true))
         .select(col("pfx"), col("a_lb"), col("a_h"),
           col("lb").as("b_lb"), col("b_h"),
           levenshtein(col("a_nc"), col("b_nc"), maxDist).cast("long").as("edit_dist"))
@@ -649,12 +661,11 @@ object Dedup {
     }
     val prefixArm = arm(substring(col("__n"), 1, blockPrefix))
     if (!suffixBlock) prefixArm
-    // both arms compute the distance on the SAME nc pair, so a pair
-    // found twice carries an identical edit_dist and distinct() is an
-    // exact pair-level dedup, not a lossy pick
-    else prefixArm
-      .unionAll(arm(substring(reverse(col("__n")), 1, blockPrefix)))
-      .distinct()
+    // disjoint by construction (the suffix arm excluded every shared-
+    // prefix group pair), so plain UNION ALL — no pair-level shuffle
+    else prefixArm.unionAll(
+      arm(substring(reverse(col("__n")), 1, blockPrefix),
+        excludeSharedPrefix = true))
   }
 }
 

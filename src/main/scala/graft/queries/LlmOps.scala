@@ -83,7 +83,8 @@ object LlmOps {
     * prefixes. Emits CTEs `<base>` and `<cand>(a_doc_id, b_doc_id,
     * edit_dist)`; the SAME generator feeds the prefix and suffix arms
     * so the two stay structurally identical. */
-  private def fuzzyArmSql(base: String, cand: String, keyExpr: String): String =
+  private def fuzzyArmSql(base: String, cand: String, keyExpr: String,
+      extraPred: String = ""): String =
     s"""$base AS (
        |  SELECT doc_id, n, $keyExpr AS pfx,
        |    CAST(floor(length(n) / $FuzzyLenBucket) AS BIGINT) AS lb
@@ -97,7 +98,7 @@ object LlmOps {
        |    CAST(levenshtein(substr(p.a_n, 1, $FuzzyCmpLen),
        |      substr(b.n, 1, $FuzzyCmpLen)) AS BIGINT) AS edit_dist
        |  FROM ${base}_probe p JOIN $base b ON b.pfx = p.pfx AND b.lb = p.lb
-       |    AND p.a_doc_id < b.doc_id)""".stripMargin
+       |    AND p.a_doc_id < b.doc_id$extraPred)""".stripMargin
 
   /** Shingle CTE mirroring Dedup.shingles. */
   private val shingleCte =
@@ -1501,14 +1502,16 @@ object LlmOps {
     // t9 with the suffix-block second arm: candidates share either the
     // first OR the last `FuzzyBlockPrefix` normalized chars (+ ±1
     // length bucket), so an edit inside the prefix — invisible to t9's
-    // single-arm blocking — still pairs via the suffix key. Two
-    // blocked equi-joins + a distinct, still never doc×doc.
+    // single-arm blocking — still pairs via the suffix key. The suffix
+    // arm excludes shared-prefix pairs (the prefix arm's finds), so
+    // the arms are disjoint and union WITHOUT a pair-level distinct.
     QueryDef.sql(
       "t13_fuzzy_pairs_suffix",
       s"""WITH $normCte,
          |${fuzzyArmSql("pbase", "pcand", s"substr(n, 1, $FuzzyBlockPrefix)")},
-         |${fuzzyArmSql("sbase", "scand", s"substr(reverse(n), 1, $FuzzyBlockPrefix)")}
-         |SELECT DISTINCT a_doc_id, b_doc_id, edit_dist FROM (
+         |${fuzzyArmSql("sbase", "scand", s"substr(reverse(n), 1, $FuzzyBlockPrefix)",
+            s"\n    AND substr(p.a_n, 1, $FuzzyBlockPrefix) <> substr(b.n, 1, $FuzzyBlockPrefix)")}
+         |SELECT a_doc_id, b_doc_id, edit_dist FROM (
          |  SELECT * FROM pcand WHERE edit_dist <= $FuzzyMaxDist
          |  UNION ALL
          |  SELECT * FROM scand WHERE edit_dist <= $FuzzyMaxDist)

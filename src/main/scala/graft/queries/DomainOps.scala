@@ -161,6 +161,45 @@ object DomainOps {
         .orderBy("doc_id")
     },
 
+    // data-driven mixture: per-domain (copies, frac) weights COMPUTED
+    // from the rollup in the same job (downsample the Zipf-head domain
+    // to ~half, give thin domains a second fractional epoch, pass the
+    // rest through) and applied via the broadcast-weight sourceMix —
+    // the form that scales past a hand-written literal map
+    QueryDef.sql(
+      "n6_domain_mix", {
+        val h = "md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))"
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
+        s"""WITH $domainCtes,
+           |roll AS (SELECT domain, count(*) AS n_docs FROM rd GROUP BY 1),
+           |w AS (
+           |  SELECT rd.doc_id, rd.domain,
+           |    CASE WHEN roll.n_docs >= 100 THEN 0
+           |         WHEN roll.n_docs < 20 THEN 1 ELSE 0 END AS copies,
+           |    CASE WHEN roll.n_docs >= 100 THEN 128
+           |         WHEN roll.n_docs < 20 THEN 128 ELSE 256 END AS frac
+           |  FROM rd JOIN roll ON roll.domain = rd.domain),
+           |m AS (
+           |  SELECT doc_id, domain, CAST(e AS BIGINT) AS epoch, copies, frac
+           |  FROM w, unnest(generate_series(0, copies)) AS u(e))
+           |SELECT doc_id, domain, epoch FROM m
+           |WHERE epoch < copies OR ${hx(1)} * 16 + ${hx(2)} < frac
+           |ORDER BY doc_id, epoch""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).withColumn("url", urlCol)
+      val weights = Domains.domainRollup(docs, "url").select(
+        col("domain"),
+        when(col("n_docs") >= 100, 0).when(col("n_docs") < 20, 1)
+          .otherwise(0).as("copies"),
+        when(col("n_docs") >= 100, 128).when(col("n_docs") < 20, 128)
+          .otherwise(256).as("frac"))
+      graft.text.Curation.sourceMixByWeights(
+        docs.withColumn("domain", Domains.domainOf(col("url"))),
+        "doc_id", "domain", weights, default = (0, 256))
+        .select("doc_id", "domain", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
     // domain-scoped exact dedup: min-id survivor per (domain, content
     // fingerprint); the same text on two domains survives twice —
     // provenance-aware dedup policy, vs d1's global collapse

@@ -239,12 +239,39 @@ object Curation {
     val frac = coalesce(
       element_at(typedLit(weights.map { case (k, v) => k -> v._2 }),
         col(strataCol)), lit(default._2))
+    mixExpand(df, keyCol, copies, frac)
+  }
+
+  /** [[sourceMix]] with the weight table as DATA instead of a literal
+    * map — the form that scales past a hand-written mixture: per-
+    * domain weights for millions of registrable domains, or weights
+    * computed by an upstream rollup in the same job. `weights` is
+    * (stratum, copies, frac/256) with one row per stratum; strata
+    * absent from it fall back to `default`. The weight side broadcasts
+    * (it is #strata rows), so the mix stays a scan-level operation —
+    * same bounded explode + content-hash epoch membership as the
+    * literal form, and identical output where the two overlap. */
+  def sourceMixByWeights(df: DataFrame, keyCol: String, strataCol: String,
+      weights: DataFrame, default: (Int, Int)): DataFrame = {
+    require(default._1 >= 0 && default._2 >= 0 && default._2 <= 256,
+      "default must be (copies >= 0, 0 <= frac <= 256)")
+    val w = broadcast(weights.toDF(strataCol, "__copies", "__frac"))
+    val joined = df.join(w, Seq(strataCol), "left")
+    val copies = coalesce(col("__copies"), lit(default._1))
+    val frac = coalesce(col("__frac"), lit(default._2))
+    mixExpand(joined, keyCol, copies, frac).drop("__copies", "__frac")
+  }
+
+  /** Shared mixture expand: `copies` whole epochs plus one fractional
+    * epoch admitted by content hash — bounded ≤⌈copies⌉+1 row fan-out,
+    * zero shuffles. */
+  private def mixExpand(df: DataFrame, keyCol: String,
+      copies: Column, frac: Column): DataFrame =
     df.withColumn("__e", explode(sequence(lit(0), copies)))
       .withColumn("epoch", col("__e").cast("long")).drop("__e")
       .filter(col("epoch") < copies ||
         hashBucket(concat(col(keyCol).cast("string"), lit("#"),
           col("epoch").cast("string"))) < frac)
-  }
 
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can

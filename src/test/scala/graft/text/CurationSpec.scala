@@ -162,6 +162,31 @@ class CurationSpec extends SparkSuite {
     assert(dropped.filter(col("src") === "s1").count() == 500)
   }
 
+  test("sourceMixByWeights: data-driven weight table matches the literal map exactly") {
+    val strat = docs.withColumn("src", concat(lit("s"), col("doc_id") % 2))
+    val literal = Curation.sourceMix(strat, "doc_id", "src",
+      Map("s0" -> ((2, 128)), "s1" -> ((0, 64))), default = (1, 0))
+      .select("doc_id", "epoch")
+    val weights = Seq(("s0", 2, 128), ("s1", 0, 64)).toDF("src", "copies", "frac")
+    val driven = Curation.sourceMixByWeights(strat, "doc_id", "src",
+      weights, default = (1, 0))
+      .select("doc_id", "epoch")
+    assert(driven.exceptAll(literal).count() == 0 &&
+      literal.exceptAll(driven).count() == 0,
+      "the two forms must admit identical (doc, epoch) multisets")
+    // strata missing from the table fall back to the default
+    val partial = Curation.sourceMixByWeights(strat, "doc_id", "src",
+      weights.filter(col("src") === "s0"), default = (0, 256))
+    assert(partial.filter(col("src") === "s1").count() == 500,
+      "default (0,256) keeps the unlisted stratum whole, once")
+    // the weight side broadcasts; the corpus never shuffles
+    val plan = driven.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast, plan:\n${plan.take(1500)}")
+    assert(!plan.contains("ShuffleExchange"),
+      "the corpus side must stay shuffle-free")
+  }
+
   test("gopherQuality: rule gate fires on the textbook failure modes") {
     // 16 words / 60 word-chars per repeat -> mean 3.75, 4 distinct stopwords
     val good = ("the quick brown fox jumped over the lazy dogs and ran into a house of cards " * 4).trim

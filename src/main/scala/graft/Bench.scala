@@ -59,13 +59,24 @@ object Bench {
     spark
   }
 
+  /** Floor file matched to the dataset being benched: the sf0.1
+    * driver-contract floors must not gate a 10× replica run (every
+    * query would false-flag ~10× over floor) or vice versa. Unknown
+    * dirs run ungated. */
+  private[graft] def floorsFor(sfDir: String): String = {
+    val base = sfDir.replaceAll("/+$", "")
+    if (base.endsWith("sf0.1")) "bench_floor.json"
+    else if (base.endsWith("sf1")) "bench_floor_sf1.json"
+    else "/nonexistent-no-floors"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runsN = args.headOption.orElse(sys.env.get("SPARK_GRAFT_RUNS"))
       .map(_.toInt).getOrElse(3).max(1)
     val spark = session()
     runSuite(spark, sfDir, runsN,
-      floorsFile = "bench_floor.json", fullOut = "BENCH_FULL.json")
+      floorsFile = floorsFor(sfDir), fullOut = "BENCH_FULL.json")
     spark.stop()
   }
 

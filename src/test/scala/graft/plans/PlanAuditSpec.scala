@@ -174,4 +174,28 @@ class PlanAuditSpec extends SparkSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("d14_semdedup: within-cluster pairs only — equi-join on the cluster, no cross product") {
+    val p = plan("d14_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair scan must stay cluster-scoped, plan:\n${p.take(3000)}")
+    assert(p.contains("cosine_similarity"),
+      "pair similarity must run on the fused codegen kernel")
+  }
+
+  test("n5_domain_prior: the rollup broadcasts back onto the corpus scan") {
+    val p = plan("n5_domain_prior")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-domain prior must broadcast, not shuffle the corpus, plan:\n${p.take(3000)}")
+  }
+
+  test("t13_fuzzy_pairs_suffix: two disjoint blocked arms, no pair-level distinct exchange") {
+    val p = plan("t13_fuzzy_pairs_suffix")
+    assert(p.contains("Union"), "both arms must contribute")
+    // the round-6 rewrite removed the distinct over the expanded pair
+    // set; an aggregate ABOVE the union reappearing = the shuffle is back
+    val aboveUnion = p.substring(0, p.indexOf("Union"))
+    assert(!aboveUnion.contains("HashAggregate"),
+      s"pair-level distinct crept back above the union, plan:\n${p.take(3000)}")
+  }
 }

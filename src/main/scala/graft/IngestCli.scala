@@ -232,6 +232,20 @@ object IngestCli {
           add, cf, s"${req("index")}/lists", idCol, vecCol)
         println(s"""{"appended":$n,"mean_assign_cos":$meanCos}""")
 
+      case "NearDupIngest" =>
+        // incremental corpus admission against the persistent banded
+        // near-dup ledger (graft.dedup.DedupIndex): probe cost is
+        // proportional to the BATCH, never to admitted history. Prints
+        // admitted/rejected counts; admitted docs' bucket claims are
+        // appended (idempotent, single-writer locked).
+        val verdict = graft.dedup.DedupIndex.admit(
+          spark.read.parquet(req("docs")), req("index"),
+          idCol = opts.getOrElse("idCol", "doc_id"),
+          textCol = opts.getOrElse("textCol", "text"))
+        val n = verdict.groupBy("admitted").count().collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        println(s"""{"admitted":${n.getOrElse(true, 0L)},"rejected":${n.getOrElse(false, 0L)}}""")
+
       case "QueryAnn" =>
         // top-k retrieval over a BuildAnnIndex layout: nprobe inverted
         // lists per query, scans only the probed partition dirs

@@ -1521,6 +1521,27 @@ object LlmOps {
         .orderBy("a_doc_id", "b_doc_id")
     },
 
+    // data-driven length gate: the cutoff is the corpus's own p10 of
+    // token counts (exact interpolated quantile — the a12 idiom, one
+    // scalar aggregate broadcast back onto the scan), not a constant
+    // tuned on some other corpus
+    QueryDef.sql(
+      "t14_adaptive_cutoff",
+      s"""WITH $normCte,
+         |tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n = '' THEN 0
+         |         ELSE CAST(len(string_split(n, ' ')) AS BIGINT)
+         |    END AS n_tokens
+         |  FROM norm),
+         |c AS (SELECT round(quantile_cont(n_tokens, 0.10), 6) AS cutoff FROM tk)
+         |SELECT doc_id, n_tokens, c.cutoff,
+         |  n_tokens >= c.cutoff AS passes
+         |FROM tk, c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.adaptiveLengthGate(Tables.documents(s, dir), 0.10)
+        .orderBy("doc_id")
+    },
+
     // int8 quantization audit for embedding storage: all outputs are
     // INTEGERS (floor of one multiply+divide chain) so the oracle is
     // bit-exact — max over doubles is order-independent, unlike sums

@@ -296,23 +296,7 @@ object Ann {
       newVectors: DataFrame, centroids: DataFrame, indexPath: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
     val spark = newVectors.sparkSession
-    // single-writer gate: atomic create (overwrite=false) of a marker
-    // file — the filesystem arbitrates when two appenders race, and
-    // the loser fails BEFORE reading the index snapshot its anti-join
-    // would otherwise trust
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val lock = new org.apache.hadoop.fs.Path(indexPath + "_append_lock")
-    val stream = try fs.create(lock, false) catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"another append holds $lock (or a crashed one stranded it — " +
-          "delete the marker after confirming no append is live); " +
-          "concurrent appends over overlapping ids could both pass the " +
-          "idempotence anti-join and double-insert", e)
-    }
-    try {
-      stream.writeBytes(java.time.Instant.now().toString)
-      stream.close()
+    graft.util.SingleWriterLock.withLock(spark, indexPath) {
       val existing = scala.util.Try(
         spark.read.parquet(indexPath).select(col(idCol))).toOption
       val fresh = existing match {
@@ -336,7 +320,7 @@ object Ann {
             .as("mean_cos"))
         .head()
       (stats.getLong(0), Option(stats.get(1)).map(_ => stats.getDouble(1)).getOrElse(0.0))
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Top-k over an on-disk [[writeIvfIndex]] index. The probed list

@@ -310,4 +310,24 @@ object TextAnalysis {
       md5(regexp_replace(
         regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]")).as("redacted_md5"))
+
+  /** Data-driven length gate: the cutoff is the corpus's own `p`
+    * quantile of normalized token counts, not a hand-picked constant —
+    * a fixed "drop under 50 tokens" rule tuned on one corpus silently
+    * over- or under-cuts the next. Exact interpolated quantile
+    * (integer-valued counts ⇒ exact binary-fraction interpolants,
+    * cross-engine stable — the a12 idiom), computed as ONE scalar
+    * aggregate and broadcast back onto the scan: no driver collect,
+    * two passes over doc metadata. */
+  def adaptiveLengthGate(docs: DataFrame, p: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val counts = docs.select(col(idCol),
+      size(tokens(normalized(col(textCol)))).cast("long").as("n_tokens"))
+    val cut = counts.agg(
+      round(expr(s"percentile(n_tokens, $p)"), 6).as("cutoff"))
+    counts.crossJoin(broadcast(cut))
+      .select(col(idCol), col("n_tokens"), col("cutoff"),
+        (col("n_tokens") >= col("cutoff")).as("passes"))
+  }
 }

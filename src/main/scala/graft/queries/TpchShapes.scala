@@ -284,5 +284,194 @@ object TpchShapes {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q8 shape: national market share — one nation's slice of a
+    // region's part-filtered order volume per year. Share = ratio of
+    // two ROUNDED sums (round-then-divide keeps the FP boundary
+    // engine-stable; raw double-sum ratios drift with partial-agg
+    // order). Fixed dims broadcast; the five-way fact join is AQE's.
+    QueryDef.sql(
+      "q8_market_share",
+      """SELECT l_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+        |    AS nation_volume,
+        |  round(sum(volume), 2) AS total_volume,
+        |  round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+        |    / round(sum(volume), 2), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+        |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_size <= 10
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        |  JOIN region r   ON r.r_regionkey = nc.n_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY l_year ORDER BY l_year""".stripMargin) { (s, dir) =>
+      val ns = Tables.nation(s, dir).select(
+        col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      val nc = Tables.nation(s, dir).select(
+        col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val natVol = sum(when(col("supp_nation") === "NATION_3", col("volume"))
+        .otherwise(lit(0)))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_size") <= 10),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(ns), col("ns_key") === col("s_nationkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nc), col("nc_key") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("r_regionkey") === col("nc_region"))
+        .filter(col("r_name") === "EUROPE")
+        .select(year(col("o_orderdate")).cast("long").as("l_year"),
+          volume.as("volume"), col("supp_nation"))
+        .groupBy("l_year")
+        .agg(round(natVol, 2).as("nation_volume"),
+          round(sum(col("volume")), 2).as("total_volume"),
+          round(round(natVol, 2) / round(sum(col("volume")), 2), 6).as("mkt_share"))
+        .orderBy("l_year")
+    },
+
+    // Q15 shape: top supplier(s) by a quarter's revenue — the
+    // revenue-view-then-max pattern. The per-supplier rollup happens
+    // once; the 1-row max broadcasts back (no global sort, and ties
+    // all surface). Revenue compared ROUNDED on both sides — the
+    // equality must not hinge on sub-cent FP noise.
+    QueryDef.sql(
+      "q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      revenue.join(broadcast(top),
+          col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q18 shape: large-volume customers — the HAVING-on-fact-rollup
+    // gate. sum(l_quantity) groups once on orderkey (map-side
+    // combined); only qualifying orderkeys (a tiny frame) join back to
+    // orders/customer, so the expensive side is one aggregation pass.
+    QueryDef.sql(
+      "q18_large_orders",
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, big.total_qty
+        |FROM (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 300) big
+        |JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+          sum(col("l_quantity")).as("__raw"))
+        .filter(col("__raw") > 300).drop("__raw")
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // Q19 shape: bracketed OR-of-ANDs predicate revenue — the
+    // disjunctive join filter that must still prune. The part side
+    // pre-filters to the union of brackets before the join; the
+    // residual bracket predicate applies post-join, so the join input
+    // is the pruned slice, not all of part.
+    QueryDef.sql(
+      "q19_bracket_revenue",
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |        AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+        |        AND l.l_quantity BETWEEN 5 AND 25)
+        |   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 40
+        |        AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val bracket1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(10, 30)
+      val bracket2 = col("p_brand") === "Brand#13" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(5, 25)
+      val bracket3 = col("p_brand") === "Brand#20" &&
+        col("p_size").between(10, 40) && col("l_quantity").between(20, 40)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir)
+            .filter(col("p_brand").isin("Brand#1", "Brand#13", "Brand#20")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(bracket1 || bracket2 || bracket3)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // Q22 shape: rich-but-RECENTLY-inactive accounts — scalar-subquery
+    // threshold + anti join. The balance threshold is computed in
+    // INTEGER CENTS (exact sum / exact count — the same rational in
+    // any engine or partition order) because a double-sum average in a
+    // FILTER flips hash equality on partial-agg ordering noise.
+    QueryDef.sql(
+      "q22_inactive_rich",
+      """WITH cents AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |thresh AS (
+        |  SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        |  FROM cents WHERE bal_cents > 0)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c.bal_cents) / 100.0, 2) AS totacctbal
+        |FROM cents c, thresh t
+        |WHERE c.bal_cents > t.avg_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin) { (s, dir) =>
+      val cents = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thresh = cents.filter(col("bal_cents") > 0)
+        .agg((sum(col("bal_cents")).cast("double") / count(lit(1)))
+          .as("avg_cents"))
+      cents.crossJoin(broadcast(thresh))
+        .filter(col("bal_cents") > col("avg_cents"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("bal_cents")) / 100.0, 2).as("totacctbal"))
+        .orderBy("c_nationkey")
     })
 }

@@ -1521,6 +1521,31 @@ object LlmOps {
         .orderBy("a_doc_id", "b_doc_id")
     },
 
+    // skip-gram co-occurrence counts (the word2vec/GloVe counting
+    // step): one bounded offset equi-join — window × corpus-tokens,
+    // linear — vs the oracle's adversarial per-doc range self-join
+    QueryDef.sql(
+      "v5_cooccurrence", {
+        val W = 3; val K = 20
+        s"""WITH $normCte,
+           |$spanTkCte,
+           |p AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS term
+           |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+           |pairs AS (
+           |  SELECT a.term, b.term AS ctx
+           |  FROM p a JOIN p b ON b.doc_id = a.doc_id
+           |    AND b.pos BETWEEN a.pos + 1 AND a.pos + $W),
+           |sym AS (
+           |  SELECT term, ctx FROM pairs
+           |  UNION ALL SELECT ctx, term FROM pairs)
+           |SELECT term, ctx, CAST(count(*) AS BIGINT) AS n
+           |FROM sym GROUP BY term, ctx
+           |ORDER BY n DESC, term, ctx LIMIT $K""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.coOccurrence(Tables.documents(s, dir), window = 3, k = 20)
+    },
+
     // data-driven length gate: the cutoff is the corpus's own p10 of
     // token counts (exact interpolated quantile — the a12 idiom, one
     // scalar aggregate broadcast back onto the scan), not a constant

@@ -311,6 +311,40 @@ object TextAnalysis {
         regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]")).as("redacted_md5"))
 
+  /** Skip-gram co-occurrence counts — the counting step of
+    * word-embedding training (word2vec/GloVe family): for every
+    * ordered position pair within `window` tokens, one (center,
+    * context, offset-distance) observation, aggregated corpus-wide
+    * with the top `k` pairs kept.
+    *
+    * Scale shape: tokens posexplode once, then ONE equi-join per the
+    * bounded offset fan-out — `(doc, pos)` joins `(doc, pos + Δ)` for
+    * Δ ∈ [1, window], so the work is `window × corpus-tokens`, LINEAR
+    * in the corpus (a per-doc self-join with an |Δpos| ≤ w residual
+    * filter would be quadratic in document length). Pairs are emitted
+    * in both orders by symmetry at aggregation time (count doubles,
+    * not the join). Top-k via TakeOrdered — no global sort. */
+  def coOccurrence(docs: DataFrame, window: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1)
+    val toks = docs
+      .repartition(col(idCol))
+      .select(col(idCol),
+        posexplode(tokens(normalized(col(textCol)))).as(Seq("pos", "term")))
+    val right = toks.select(col(idCol),
+      explode(sequence(lit(1), lit(window))).as("__d"),
+      (col("pos") - col("__d")).as("pos"), col("term").as("ctx"))
+    val ordered = toks.join(right, Seq(idCol, "pos"))
+      .select(col("term"), col("ctx"))
+    // symmetric: every ordered (a→b) observation implies (b→a)
+    val sym = ordered.unionAll(
+      ordered.select(col("ctx").as("term"), col("term").as("ctx")))
+    sym.groupBy("term", "ctx")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"), col("ctx"))
+      .limit(k)
+  }
+
   /** Data-driven length gate: the cutoff is the corpus's own `p`
     * quantile of normalized token counts, not a hand-picked constant —
     * a fixed "drop under 50 tokens" rule tuned on one corpus silently

@@ -582,6 +582,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(again.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
+  test("coOccurrence: window-bounded symmetric counts via the linear offset join (v5)") {
+    val docs = Seq((1L, "a b c a"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.coOccurrence(docs, window = 2, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // positions 1a 2b 3c 4a: Δ1 = (a,b),(b,c),(c,a); Δ2 = (a,c),(b,a)
+    // symmetric counts: (a,b) = ordered(a,b) + swap(b,a) = 2
+    assert(out(("a", "b")) == 2L && out(("b", "a")) == 2L)
+    assert(out(("a", "c")) == 2L && out(("c", "a")) == 2L)
+    assert(out(("b", "c")) == 1L && out(("c", "b")) == 1L)
+    assert(out(("x", "y")) == 1L && out(("y", "x")) == 1L)
+    assert(!out.contains(("a", "a")),
+      "Δ3 exceeds the window: the two a's must not pair")
+    assert(out.forall { case ((t, c), n) => out((c, t)) == n }, "full symmetry")
+    // linear shape: the position join is an equi-join, never a range/cross join
+    val plan = TextAnalysis.coOccurrence(docs, 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"offset join must stay an equi-join, plan:\n${plan.take(2000)}")
+  }
+
   test("semDedup: in-cluster chains collapse to the earliest id; cross-cluster twins both survive (d14)") {
     // cluster 0: vectors 1,2,3 mutually near-identical (chain), 4 orthogonal
     // cluster 1: vector 5 identical to vector 1 — but scoping means it

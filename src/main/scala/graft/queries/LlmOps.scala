@@ -1521,6 +1521,45 @@ object LlmOps {
         .orderBy("a_doc_id", "b_doc_id")
     },
 
+    // the BPE TRAINING LOOP (v4 counts pairs; this learns the merges):
+    // 3 unrolled rounds of count→argmax→apply over the word-frequency
+    // vocab, with the dual-spaced symbol encoding making the merge a
+    // plain literal replace in both engines (identical greedy
+    // left-to-right semantics, no fold state)
+    QueryDef.sql(
+      "v6_bpe_merges", {
+        val K = 3
+        val rounds = (1 to K).map { r =>
+          s"""p$r AS (
+             |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt
+             |  FROM (SELECT string_split(trim(s), '  ') AS syms, n FROM v${r - 1}),
+             |    unnest(generate_series(1, len(syms) - 1)) AS u(i)
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |v$r AS (
+             |  SELECT replace(v.s, ' ' || b.a || '  ' || b.b || ' ',
+             |    ' ' || b.a || b.b || ' ') AS s, v.n
+             |  FROM v${r - 1} v, b$r b)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to K).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $normCte,
+           |w AS (
+           |  SELECT unnest(string_split(n, ' ')) AS word FROM norm WHERE n <> ''),
+           |v0 AS (
+           |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM w WHERE word <> '' GROUP BY 1),
+           |$rounds
+           |$out
+           |ORDER BY round""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.learnBpeMerges(Tables.documents(s, dir), rounds = 3)
+        .toDF("round", "merge_left", "merge_right", "pair_count")
+        .orderBy("round")
+    },
+
     // skip-gram co-occurrence counts (the word2vec/GloVe counting
     // step): one bounded offset equi-join — window × corpus-tokens,
     // linear — vs the oracle's adversarial per-doc range self-join

@@ -311,6 +311,63 @@ object TextAnalysis {
         regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]")).as("redacted_md5"))
 
+  /** BPE merge learning — the training loop itself, not just the pair
+    * counting (v4): `rounds` iterations of count-adjacent-pairs →
+    * argmax → apply-merge over the WORD VOCABULARY. The scale story is
+    * the standard one (Sennrich et al. 2016 trains on the frequency
+    * table): ONE corpus pass builds (word, count); every round after
+    * that runs over the vocab table — millions of rows at 100 TB, not
+    * the corpus — with a 1-row argmax collect per round (control
+    * plane, like the k-means centroid update).
+    *
+    * Symbol sequences are kept in a DUAL-SPACED string encoding
+    * (`"ab"` → `" a  b "`, every symbol flanked by its own spaces) so
+    * the merge step is a plain left-to-right non-overlapping string
+    * replace of `" a  b "` with `" ab "` — the same greedy semantics,
+    * byte for byte, in any engine with literal replace(); no
+    * fold-with-state HOF needed, and cross-symbol false matches are
+    * impossible because every occurrence carries its own flanking
+    * spaces. Ties break (count desc, left, right) — deterministic.
+    *
+    * Returns one row per learned merge: (round, left, right,
+    * pair_count). */
+  def learnBpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    val vocab = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("n"))
+    var cur = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("s")), "  ")
+      val nSyms = size(syms)
+      val pairRows = cur
+        .filter(nSyms >= 2)
+        .select(col("n"), explode(zip_with(
+          slice(syms, lit(1), nSyms - 1), slice(syms, lit(2), nSyms - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairRows.nonEmpty) {
+        val (a, b, cnt) =
+          (pairRows(0).getString(0), pairRows(0).getString(1), pairRows(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        cur = cur.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"), col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left", "right", "pair_count")
+      .select(col("round").cast("long").as("round"), col("left"),
+        col("right"), col("pair_count"))
+  }
+
   /** Skip-gram co-occurrence counts — the counting step of
     * word-embedding training (word2vec/GloVe family): for every
     * ordered position pair within `window` tokens, one (center,

@@ -582,6 +582,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(again.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
+  test("learnBpeMerges: frequency-weighted argmax per round, greedy overlap, dry stop (v6)") {
+    // vocab: the×3, cat×1. Round 1: (h,e) and (t,h) tie at 3 — (h,e)
+    // wins lexicographically. Round 2: the = [t, he] → (t, he) at 3.
+    // Round 3: 'the' is one symbol; (a,t) and (c,a) tie at 1 → (a,t).
+    val docs = Seq((1L, "the the the cat")).toDF("doc_id", "text")
+    val m = TextAnalysis.learnBpeMerges(docs, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(m(1L) == (("h", "e", 3L)), s"$m")
+    assert(m(2L) == (("t", "he", 3L)), s"$m")
+    assert(m(3L) == (("a", "t", 1L)), s"$m")
+
+    // greedy left-to-right overlap: aaaa merges pairwise, not chained,
+    // and the loop stops cleanly when no pairs remain
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val mr = TextAnalysis.learnBpeMerges(rep, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(mr.toSeq == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)),
+      s"greedy merge then dry stop, got ${mr.toSeq}")
+  }
+
   test("coOccurrence: window-bounded symmetric counts via the linear offset join (v5)") {
     val docs = Seq((1L, "a b c a"), (2L, "x y")).toDF("doc_id", "text")
     val out = TextAnalysis.coOccurrence(docs, window = 2, k = 100)

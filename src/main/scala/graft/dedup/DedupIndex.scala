@@ -10,8 +10,11 @@ import graft.text.TextAnalysis
   * corpus growth. The index dir holds one row per claimed LSH band
   * bucket — `(band, digest, owner_id)` — so admitting a new batch
   * probes the bucket ledger instead of re-scanning the admitted
-  * corpus: at 100 TB the cost of "is this new crawl slice novel?" is
-  * proportional to the BATCH, never to history.
+  * corpus: at 100 TB the SHUFFLE AND COMPUTE of "is this new crawl
+  * slice novel?" is proportional to the BATCH (ledger rows semi-join
+  * against the broadcast batch key set before anything aggregates);
+  * history contributes only a three-column ledger scan, never corpus
+  * text and never a history-sized shuffle.
   *
   * Semantics match the streaming filter: a document is admitted iff it
   * owns ALL its band buckets — every bucket is either unseen (and the
@@ -56,7 +59,15 @@ object DedupIndex {
     val spark = docs.sparkSession
     graft.util.SingleWriterLock.withLock(spark, indexPath) {
       val bands = allBands(docs, k, numHashes, rowsPerBand, idCol, textCol)
+        .localCheckpoint(true)
+      // only ledger rows whose bucket the BATCH touches can affect any
+      // verdict — semi-join against the broadcast batch key set, so
+      // the shuffle/aggregate work downstream is batch-sized; history
+      // contributes a column-pruned (band, digest, owner_id) scan,
+      // never a history-sized shuffle
+      val probeKeys = bands.select(col("band"), col("digest")).distinct()
       val idx = scala.util.Try(spark.read.parquet(indexPath)).toOption
+        .map(_.join(broadcast(probeKeys), Seq("band", "digest"), "left_semi"))
       // history outranks the batch whatever the ids look like; within
       // the batch the smallest id claims the bucket (deterministic)
       val ranked = bands.select(col("band"), col("digest"),

@@ -1277,6 +1277,53 @@ object LlmOps {
         .orderBy("pos")
     },
 
+    // curriculum training order: global position ascending by token-
+    // count quartile (the difficulty proxy), seeded shuffle WITHIN
+    // each stage — same two-pass numbering as c5, no single-task
+    // window; quartile thresholds are the corpus's own (a12 idiom)
+    QueryDef.sql(
+      "c8_curriculum_order",
+      s"""WITH $normCte,
+         |tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n = '' THEN 0
+         |         ELSE CAST(len(string_split(n, ' ')) AS BIGINT)
+         |    END AS n_tokens
+         |  FROM norm),
+         |c AS (
+         |  SELECT quantile_cont(n_tokens, 0.25) AS q1,
+         |    quantile_cont(n_tokens, 0.5) AS q2,
+         |    quantile_cont(n_tokens, 0.75) AS q3
+         |  FROM tk),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(CAST(n_tokens >= c.q1 AS INTEGER) +
+         |         CAST(n_tokens >= c.q2 AS INTEGER) +
+         |         CAST(n_tokens >= c.q3 AS INTEGER) AS BIGINT) AS bucket,
+         |    md5('$ShuffleSeed' || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM tk, c)
+         |SELECT doc_id, bucket,
+         |  CAST(row_number() OVER (ORDER BY bucket, shuffle_key, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM b ORDER BY pos""".stripMargin) { (s, dir) =>
+      val tk = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(
+          graft.text.TextAnalysis.normalized(col("text")))).cast("long")
+          .as("n_tokens"))
+      val cuts = tk.agg(
+        expr("percentile(n_tokens, 0.25)").as("q1"),
+        expr("percentile(n_tokens, 0.5)").as("q2"),
+        expr("percentile(n_tokens, 0.75)").as("q3"))
+      val bucketed = tk.crossJoin(broadcast(cuts))
+        .select(col("doc_id"),
+          ((col("n_tokens") >= col("q1")).cast("int") +
+            (col("n_tokens") >= col("q2")).cast("int") +
+            (col("n_tokens") >= col("q3")).cast("int")).cast("long").as("bucket"))
+      Curation.curriculumOrder(bucketed, "bucket", "doc_id", ShuffleSeed)
+        .select("doc_id", "bucket", "pos")
+        .orderBy("pos")
+    },
+
     // weighted source mixing (epoch oversampling) — deterministic
     // content-hash membership for the fractional epoch
     QueryDef.sql(

@@ -217,6 +217,28 @@ object Curation {
       .drop("__pid")
   }
 
+  /** Curriculum training order: global positions ascending by
+    * `bucketCol` (the difficulty/quality stage — easy→hard or the
+    * reverse, the caller's bucketing decides), with the SEEDED
+    * deterministic shuffle within each stage so intra-stage order
+    * carries no collection bias. Same two-pass machinery as
+    * [[seededShuffle]] (range partition on (bucket, hash) + offset
+    * map) — positions are globally dense with NO single-task window,
+    * and the same (seed, key) always lands the same place. */
+  def curriculumOrder(df: DataFrame, bucketCol: String, keyCol: String,
+      seed: String): DataFrame = {
+    val (ranged, offCol) = withPartitionOffsets(
+      df.withColumn("shuffle_key",
+          md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+        .repartitionByRange(col(bucketCol), col("shuffle_key"), col(keyCol)),
+      lit(1L))
+    val w = Window.partitionBy("__pid")
+      .orderBy(col(bucketCol), col("shuffle_key"), col(keyCol))
+    ranged
+      .withColumn("pos", (offCol + row_number().over(w) - 1).cast("long"))
+      .drop("__pid")
+  }
+
   /** Deterministic weighted source mixing (the "data mixture" op a
     * training run starts from — e.g. wiki × 2.5, web × 0.25): a
     * stratum with weight `(copies, frac)` emits `copies` full epochs

@@ -162,6 +162,33 @@ class CurationSpec extends SparkSuite {
     assert(dropped.filter(col("src") === "s1").count() == 500)
   }
 
+  test("curriculumOrder: stages strictly ordered, seeded shuffle within, dense global positions") {
+    val staged = docs.withColumn("bucket", col("doc_id") % 4)
+    val out = Curation.curriculumOrder(staged, "bucket", "doc_id", "s1")
+      .select("doc_id", "bucket", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(out.map(_._3).toSeq == (0L until 1000L), "positions dense from 0")
+    // buckets never interleave: all of stage 0 precedes all of stage 1...
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(identity).toSeq,
+      "curriculum stages must be globally ordered")
+    // within a stage, the order IS the seeded shuffle of that stage
+    val within = out.filter(_._2 == 1L).map(_._1).toSeq
+    val expected = Curation.seededShuffle(
+      staged.filter(col("bucket") === 1L), "doc_id", "s1")
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(within == expected, "intra-stage order must match the seeded shuffle")
+    // stable under repartitioning; windows stay partition-scoped
+    val again = Curation.curriculumOrder(staged.repartition(7), "bucket", "doc_id", "s1")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, _, p) => again(id) == p })
+    val windows = Curation.curriculumOrder(staged, "bucket", "doc_id", "s1")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "no single-task global window")
+  }
+
   test("sourceMixByWeights: data-driven weight table matches the literal map exactly") {
     val strat = docs.withColumn("src", concat(lit("s"), col("doc_id") % 2))
     val literal = Curation.sourceMix(strat, "doc_id", "src",

@@ -1607,6 +1607,62 @@ object LlmOps {
         .orderBy("round")
     },
 
+    // the encode half of the BPE loop: the 3 merges v6 learns, applied
+    // back to every document with identical greedy-replace semantics;
+    // per-doc piece counts = tokenizer-budget accounting with the
+    // TRAINED tokenizer. Oracle re-learns the merges in its own CTEs
+    // (the v6 chains) and applies them word-wise via unnest + the same
+    // literal replaces.
+    QueryDef.sql(
+      "v7_bpe_encode", {
+        val K = 3
+        val rounds = (1 to K).map { r =>
+          s"""p$r AS (
+             |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt
+             |  FROM (SELECT string_split(trim(s), '  ') AS syms, n FROM v${r - 1}),
+             |    unnest(generate_series(1, len(syms) - 1)) AS u(i)
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |v$r AS (
+             |  SELECT replace(v.s, ' ' || b.a || '  ' || b.b || ' ',
+             |    ' ' || b.a || b.b || ' ') AS s, v.n
+             |  FROM v${r - 1} v, b$r b)""".stripMargin
+        }.mkString(",\n")
+        val enc = (1 to K).foldLeft("regexp_replace(dw.word, '(.)', ' \\1 ', 'g')") {
+          (acc, r) =>
+            s"replace($acc, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ')"
+        }
+        s"""WITH $normCte,
+           |w AS (
+           |  SELECT unnest(string_split(n, ' ')) AS word FROM norm WHERE n <> ''),
+           |v0 AS (
+           |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM w WHERE word <> '' GROUP BY 1),
+           |$rounds,
+           |dw AS (
+           |  SELECT doc_id, unnest(string_split(n, ' ')) AS word
+           |  FROM norm WHERE n <> ''),
+           |pieces AS (
+           |  SELECT dw.doc_id,
+           |    CAST(len(string_split(trim($enc), '  ')) AS BIGINT) AS np
+           |  FROM dw, b1, b2, b3)
+           |SELECT d.doc_id,
+           |  coalesce(p.n_words, 0) AS n_words,
+           |  coalesce(p.n_pieces, 0) AS n_pieces
+           |FROM documents d LEFT JOIN (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    sum(np) AS n_pieces
+           |  FROM pieces GROUP BY 1) p ON p.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.learnBpeMerges(docs, rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.applyBpeMerges(docs, merges).orderBy("doc_id")
+    },
+
     // skip-gram co-occurrence counts (the word2vec/GloVe counting
     // step): one bounded offset equi-join — window × corpus-tokens,
     // linear — vs the oracle's adversarial per-doc range self-join

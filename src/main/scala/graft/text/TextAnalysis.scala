@@ -368,6 +368,29 @@ object TextAnalysis {
         col("right"), col("pair_count"))
   }
 
+  /** Apply learned BPE merges (the ENCODE step closing the
+    * [[learnBpeMerges]] loop): each word re-encoded through the merge
+    * list in training order — the same dual-spaced literal-replace
+    * semantics as training, so train and encode can never disagree on
+    * greedy overlap — and the per-document piece count summed. This is
+    * tokenizer-budget accounting with a TRAINED tokenizer instead of
+    * the whitespace/regex proxies (t1); pure column expressions over
+    * the token array, scan-speed, merges inlined as literals (a real
+    * vocabulary ships as a broadcast list the same way). */
+  def applyBpeMerges(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def encode(w: Column): Column =
+      merges.foldLeft(regexp_replace(w, "(.)", " $1 ")) {
+        case (s, (a, b)) => replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+    val pieces = (w: Column) => size(split(trim(encode(w)), "  ")).cast("long")
+    val toks = tokens(normalized(col(textCol)))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, pieces), lit(0L), (acc, x) => acc + x)
+        .as("n_pieces"))
+  }
+
   /** Skip-gram co-occurrence counts — the counting step of
     * word-embedding training (word2vec/GloVe family): for every
     * ordered position pair within `window` tokens, one (center,

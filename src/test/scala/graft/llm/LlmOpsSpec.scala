@@ -603,6 +603,22 @@ class LlmOpsSpec extends SparkSuite {
       s"greedy merge then dry stop, got ${mr.toSeq}")
   }
 
+  test("applyBpeMerges: trained merges compress piece counts, train/encode semantics agree (v7)") {
+    val docs = Seq((1L, "the the the cat"), (2L, ""), (3L, "he he")).toDF("doc_id", "text")
+    // merges learned on this corpus: (h,e) then (t,he) — 'the' becomes
+    // ONE piece, 'cat' stays 3 chars, 'he' becomes one piece via merge 1
+    val merges = Seq(("h", "e"), ("t", "he"))
+    val out = TextAnalysis.applyBpeMerges(docs, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 6L)), s"3×the(1) + cat(3) = 6 pieces: $out")
+    assert(out(2L) == ((0L, 0L)), "empty doc: zero words, zero pieces")
+    assert(out(3L) == ((2L, 2L)), "merge 1 alone collapses 'he'")
+    // no merges = character count per word
+    val raw = TextAnalysis.applyBpeMerges(docs, Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == 12L && raw(3L) == 4L)
+  }
+
   test("coOccurrence: window-bounded symmetric counts via the linear offset join (v5)") {
     val docs = Seq((1L, "a b c a"), (2L, "x y")).toDF("doc_id", "text")
     val out = TextAnalysis.coOccurrence(docs, window = 2, k = 100)

@@ -1688,6 +1688,76 @@ object LlmOps {
       TextAnalysis.coOccurrence(Tables.documents(s, dir), window = 3, k = 20)
     },
 
+    // PMI collocations over the same skip-gram stream: raw counts
+    // (v5) rank frequent pairs, PMI ranks ASSOCIATED pairs — the
+    // phrase-mining score. Marginals are a vocabulary-sized rollup of
+    // the pair aggregate; the n_a·n_b product runs in double so
+    // web-scale marginals cannot overflow int64
+    QueryDef.sql(
+      "v8_pmi", {
+        val W = 3; val MinN = 5; val K = 30
+        s"""WITH $normCte,
+           |$spanTkCte,
+           |p AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS term
+           |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+           |pairs AS (
+           |  SELECT a.term, b.term AS ctx
+           |  FROM p a JOIN p b ON b.doc_id = a.doc_id
+           |    AND b.pos BETWEEN a.pos + 1 AND a.pos + $W),
+           |sym AS (
+           |  SELECT term, ctx FROM pairs
+           |  UNION ALL SELECT ctx, term FROM pairs),
+           |cnt AS (
+           |  SELECT term, ctx, CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM sym GROUP BY term, ctx),
+           |marg AS (SELECT term, CAST(sum(n_ab) AS BIGINT) AS n_a
+           |         FROM cnt GROUP BY term),
+           |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM cnt)
+           |SELECT c.term, c.ctx, c.n_ab,
+           |  round(ln(CAST(c.n_ab AS DOUBLE) * tot.t /
+           |    (CAST(ma.n_a AS DOUBLE) * mb.n_a)), 4) AS pmi
+           |FROM cnt c
+           |JOIN marg ma ON ma.term = c.term
+           |JOIN marg mb ON mb.term = c.ctx
+           |CROSS JOIN tot
+           |WHERE c.n_ab >= $MinN
+           |ORDER BY pmi DESC, c.term, c.ctx LIMIT $K""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.pmiTopPairs(Tables.documents(s, dir),
+        window = 3, minCount = 5, k = 30)
+    },
+
+    // character-distribution quality gate: Shannon entropy + modal
+    // share over the normalized alphabet via the codegen'd
+    // byte-histogram kernel — scan-level, zero shuffles; catches
+    // repeated-character gibberish token-level gates miss. The oracle
+    // rebuilds the histogram relationally and folds entropy in the
+    // same ascending-character order (list(c ORDER BY ch)) so the
+    // float sum is order-identical
+    QueryDef.sql(
+      "t15_char_entropy",
+      s"""WITH $normCte,
+         |ch AS (
+         |  SELECT doc_id, substr(n, CAST(i AS INTEGER), 1) AS ch
+         |  FROM norm, unnest(generate_series(1, length(n))) AS u(i)),
+         |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |       FROM ch GROUP BY 1, 2),
+         |h AS (
+         |  SELECT doc_id, list(c ORDER BY ch) AS cs, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cc GROUP BY doc_id)
+         |SELECT nm.doc_id,
+         |  CAST(length(nm.n) AS BIGINT) AS n_chars_norm,
+         |  CAST(coalesce(len(h.cs), 0) AS BIGINT) AS n_distinct_chars,
+         |  round(CAST(list_aggregate(h.cs, 'max') AS DOUBLE) / h.n, 4) AS mode_ratio,
+         |  round(list_sum(list_transform(h.cs,
+         |    c -> -(CAST(c AS DOUBLE) / h.n) * ln(CAST(c AS DOUBLE) / h.n))), 4)
+         |    AS char_entropy
+         |FROM norm nm LEFT JOIN h ON h.doc_id = nm.doc_id
+         |ORDER BY nm.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.charStats(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // data-driven length gate: the cutoff is the corpus's own p10 of
     // token counts (exact interpolated quantile — the a12 idiom, one
     // scalar aggregate broadcast back onto the scan), not a constant

@@ -407,6 +407,19 @@ object TextAnalysis {
   def coOccurrence(docs: DataFrame, window: Int, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && k >= 1)
+    symSkipgrams(docs, window, idCol, textCol)
+      .groupBy("term", "ctx")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"), col("ctx"))
+      .limit(k)
+  }
+
+  /** Symmetric skip-gram observation stream: one (term, ctx) row per
+    * ordered co-occurrence within `window` tokens, both directions.
+    * Shared by [[coOccurrence]] (raw counts) and [[pmiTopPairs]]
+    * (association scores). */
+  private def symSkipgrams(docs: DataFrame, window: Int,
+      idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .repartition(col(idCol))
       .select(col(idCol),
@@ -417,12 +430,78 @@ object TextAnalysis {
     val ordered = toks.join(right, Seq(idCol, "pos"))
       .select(col("term"), col("ctx"))
     // symmetric: every ordered (a→b) observation implies (b→a)
-    val sym = ordered.unionAll(
+    ordered.unionAll(
       ordered.select(col("ctx").as("term"), col("term").as("ctx")))
-    sym.groupBy("term", "ctx")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term"), col("ctx"))
+  }
+
+  /** Pointwise mutual information over skip-gram co-occurrence — the
+    * association score behind collocation mining and PMI-based phrase
+    * detection (word2vec's SGNS objective is shifted PMI): for pairs
+    * seen at least `minCount` times,
+    * `pmi = ln(n_ab · T / (n_a · n_b))` with T the total observation
+    * count and `n_a` the symmetric marginal, top `k` by (pmi, term,
+    * ctx). Rounded to 4 decimals for cross-engine hash stability.
+    *
+    * Scale shape: the observation stream aggregates ONCE on (term,
+    * ctx) (map-side combined — the linear bounded-offset join of
+    * [[coOccurrence]]); marginals are a vocabulary-sized rollup of
+    * that aggregate, re-joined on the term key (vocabulary-
+    * proportional, never corpus-proportional); T is one scalar
+    * broadcast. The `n_a · n_b` product is computed in DOUBLE so
+    * web-corpus marginals (10¹⁰ tokens ⇒ ~10¹⁸ products) cannot
+    * overflow int64. Top-k via TakeOrdered. */
+  def pmiTopPairs(docs: DataFrame, window: Int, minCount: Long, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1 && minCount >= 1)
+    val counts = symSkipgrams(docs, window, idCol, textCol)
+      .groupBy("term", "ctx")
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = counts.groupBy("term").agg(sum(col("n_ab")).as("n_a"))
+    val total = counts.agg(sum(col("n_ab")).as("__t"))
+    counts.filter(col("n_ab") >= minCount)
+      .join(marg, "term")
+      .join(marg.select(col("term").as("ctx"), col("n_a").as("n_b")), "ctx")
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("ctx"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__t") /
+          (col("n_a").cast("double") * col("n_b"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term"), col("ctx"))
       .limit(k)
+  }
+
+  /** Character-distribution statistics per document over the
+    * NORMALIZED text (lowercase a–z0–9 + space — single-byte UTF-8,
+    * so the codegen'd [[graft.functions.ByteHistogram]] over the
+    * UTF-8 bytes IS the character histogram): Shannon entropy,
+    * distinct-character count, and the modal character's share.
+    * Low entropy or a high mode share flags repeated-character
+    * gibberish and template spam that token-level quality gates miss;
+    * natural-language text sits near the top of the ~log₂(37) range.
+    *
+    * Scale shape: one fused codegen loop per row (the histogram
+    * expression) plus a 256-element array fold — pure scan-level
+    * column math, zero shuffles, no UDFs. The entropy fold runs in
+    * ascending byte order (filter preserves array order), so the
+    * float sum is deterministic and oracle-reproducible. */
+  def charStats(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hist = graft.functions.ByteHistogram(
+      encode(normalized(col(textCol)), "UTF-8"))
+    val n = col("n_chars_norm")
+    val nd = n.cast("double")
+    val p = (c: Column) => c.cast("double") / nd
+    docs.select(col(idCol),
+        length(normalized(col(textCol))).cast("long").as("n_chars_norm"),
+        hist.as("__hist"))
+      .select(col(idCol), n,
+        size(filter(col("__hist"), c => c > 0)).cast("long")
+          .as("n_distinct_chars"),
+        when(n === 0, lit(null))
+          .otherwise(round(p(array_max(col("__hist"))), 4)).as("mode_ratio"),
+        when(n === 0, lit(null))
+          .otherwise(round(aggregate(filter(col("__hist"), c => c > 0),
+            lit(0.0), (acc, c) => acc - p(c) * log(p(c))), 4))
+          .as("char_entropy"))
   }
 
   /** Data-driven length gate: the cutoff is the corpus's own `p`

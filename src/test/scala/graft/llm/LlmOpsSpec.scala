@@ -639,6 +639,36 @@ class LlmOpsSpec extends SparkSuite {
       s"offset join must stay an equi-join, plan:\n${plan.take(2000)}")
   }
 
+  test("pmiTopPairs: associated pairs scored ln-ratio, minCount gates rare pairs (v8)") {
+    // x/y co-occur exclusively (5 docs), p/q too but only twice —
+    // below minCount, yet still part of the observation total:
+    // T = 2·5 + 2·2 = 14, so pmi(x,y) = ln(5·14 / (5·5)) = ln 2.8
+    val d = ((1L to 5L).map(i => (i, "x y")) ++ Seq((6L, "p q"), (7L, "p q")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiTopPairs(d, window = 3, minCount = 5, k = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y"), ("y", "x")))
+    assert(out.forall(_.getAs[Double]("pmi") == 1.0296))
+  }
+
+  test("charStats: entropy/mode share over the normalized alphabet (t15)") {
+    val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "...")).toDF("doc_id", "text")
+    val out = TextAnalysis.charStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_chars_norm") == 4L)
+    assert(out(1L).getAs[Long]("n_distinct_chars") == 1L)
+    assert(out(1L).getAs[Double]("mode_ratio") == 1.0)
+    assert(out(1L).getAs[Double]("char_entropy") == 0.0)
+    assert(out(2L).getAs[Double]("char_entropy") == 0.6931) // ln 2
+    // '...' normalizes to empty: zero distinct chars, null ratios
+    assert(out(3L).getAs[Long]("n_chars_norm") == 0L)
+    assert(out(3L).getAs[Long]("n_distinct_chars") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("char_entropy")))
+    // scan-level: no shuffle anywhere in the plan
+    val plan = TextAnalysis.charStats(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"charStats must not shuffle:\n$plan")
+  }
+
   test("semDedup: in-cluster chains collapse to the earliest id; cross-cluster twins both survive (d14)") {
     // cluster 0: vectors 1,2,3 mutually near-identical (chain), 4 orthogonal
     // cluster 1: vector 5 identical to vector 1 — but scoping means it

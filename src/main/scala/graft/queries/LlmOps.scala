@@ -62,6 +62,10 @@ object LlmOps {
   val MixWeights: Map[String, (Int, Int)] =
     Map("src0" -> (2, 128), "src1" -> (0, 64), "src2" -> (3, 0))
   val MixDefault: (Int, Int) = (1, 0)
+  /** Mixture target weights for the epoch planner (c10): relative
+    * shares of the token budget; sources absent get 0 (excluded). */
+  val EpochWeights: Seq[(String, Long)] =
+    Seq(("src0", 30L), ("src1", 5L), ("src2", 45L), ("src3", 20L))
   /** Duplicate-span n-gram width (d12/d13) — word-level exact
     * substring dedup à la Lee et al. 2021. */
   val SpanN = 8
@@ -1322,6 +1326,91 @@ object LlmOps {
       Curation.curriculumOrder(bucketed, "bucket", "doc_id", ShuffleSeed)
         .select("doc_id", "bucket", "pos")
         .orderBy("pos")
+    },
+
+    // quality-weighted soft sampling: keep probability ≈ the doc's own
+    // lexical-diversity score (distinct/total terms), decided by
+    // content hash — the middle ground between a hard quality gate and
+    // keeping everything; scan-level, zero shuffles
+    QueryDef.sql(
+      "c9_weighted_sample", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+        val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+        s"""WITH $normCte,
+           |tq AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n = '' THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(string_split(n, ' ')) AS BIGINT) END AS n_terms,
+           |    CASE WHEN n = '' THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(list_distinct(string_split(n, ' '))) AS BIGINT)
+           |    END AS n_distinct_terms
+           |  FROM norm),
+           |sc AS (
+           |  SELECT doc_id, n_terms, n_distinct_terms,
+           |    CASE WHEN n_terms = 0 THEN 0.0
+           |         ELSE round(CAST(n_distinct_terms AS DOUBLE) / n_terms, 4)
+           |    END AS weight
+           |  FROM tq)
+           |SELECT doc_id, n_terms, n_distinct_terms, weight, $bucket AS bucket
+           |FROM sc
+           |WHERE $bucket < CAST(round(weight * 256) AS INTEGER)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val n = TextAnalysis.normalized(col("text"))
+      val terms = when(length(n) === 0, array()).otherwise(split(n, " "))
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+          size(terms).cast("long").as("n_terms"),
+          size(array_distinct(terms)).cast("long").as("n_distinct_terms"))
+        .withColumn("weight",
+          when(col("n_terms") === 0, lit(0.0))
+            .otherwise(round(col("n_distinct_terms").cast("double") /
+              col("n_terms"), 4)))
+      Curation.weightedSampleByHash(scored, col("doc_id"), col("weight"))
+        .withColumn("bucket", Curation.hashBucket(col("doc_id")))
+        .orderBy("doc_id")
+    },
+
+    // mixture-to-epochs planner: target weights + a token budget → the
+    // exact (full epochs, frac/256) repeat plan per source that
+    // sourceMix (c6) consumes — all int64 DIV/% arithmetic, exact at
+    // budgets past double precision
+    QueryDef.sql(
+      "c10_epoch_allocation", {
+        val budget = 1000000L
+        val values = EpochWeights
+          .map { case (src, w) => s"('$src', CAST($w AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT source,
+           |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+           |      AS BIGINT) AS src_tokens
+           |  FROM documents GROUP BY source),
+           |w(source, weight) AS (VALUES $values),
+           |j AS (
+           |  SELECT t.source, t.src_tokens,
+           |    CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+           |  FROM tok t LEFT JOIN w ON w.source = t.source),
+           |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM j),
+           |d AS (
+           |  SELECT j.*, CASE WHEN tw.tot = 0 THEN 0
+           |    ELSE (j.weight * $budget) // tw.tot END AS desired_tokens
+           |  FROM j, tw)
+           |SELECT source, src_tokens, weight, desired_tokens,
+           |  CASE WHEN src_tokens = 0 THEN 0
+           |       ELSE desired_tokens // src_tokens END AS full_epochs,
+           |  CASE WHEN src_tokens = 0 THEN 0
+           |       ELSE ((desired_tokens % src_tokens) * 256) // src_tokens
+           |  END AS extra_rate256
+           |FROM d ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val weights = {
+        import s.implicits._
+        EpochWeights.toDF("source", "weight")
+      }
+      Curation.epochAllocation(
+        Tables.documents(s, dir), weights, budgetTokens = 1000000L)
+        .orderBy("source")
     },
 
     // weighted source mixing (epoch oversampling) — deterministic

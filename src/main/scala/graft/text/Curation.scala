@@ -34,6 +34,18 @@ object Curation {
     when(b < valStart, "train").when(b < testStart, "val").otherwise("test")
   }
 
+  /** Quality-WEIGHTED deterministic sampling: each row keeps with
+    * probability ≈ `weight` (a per-row column in [0, 1] — typically a
+    * quality score), with membership still decided by CONTENT HASH
+    * (bucket < round(weight·256)), so the sample is reproducible
+    * across runs/engines and nests monotonically: raising a row's
+    * weight can only add it, never flip a kept row out. This is the
+    * soft-filtering middle ground between a hard quality gate and
+    * keeping everything (the FineWeb-style "sample by quality"
+    * curation move). Scan-level — zero shuffles. */
+  def weightedSampleByHash(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(hashBucket(key) < round(weight * 256).cast("int"))
+
   /** Stratified deterministic sampling: keep ≈rate/256 of each stratum
     * (e.g. rebalance languages — downsample the dominant one, keep
     * rarer ones whole). Same content-hash membership as
@@ -294,6 +306,46 @@ object Curation {
       .filter(col("epoch") < copies ||
         hashBucket(concat(col(keyCol).cast("string"), lit("#"),
           col("epoch").cast("string"))) < frac)
+
+  /** Mixture-to-epochs planner: turn target mixture WEIGHTS into a
+    * concrete per-source repeat plan for a token budget — the step
+    * between "wiki should be 30% of training" and a runnable
+    * [[sourceMix]] config. Per source: its token count, its share of
+    * the budget (`desired = weight·budget ÷ Σweight`), the whole
+    * epochs that fit (`desired ÷ tokens`), and the fractional-epoch
+    * keep rate out of 256 for the remainder — exactly the (copies,
+    * frac) pair [[sourceMix]] consumes. Sources missing from the
+    * weight table get weight 0 (excluded but still reported).
+    *
+    * All arithmetic is int64 `DIV`/`%` (never a double division), so
+    * the plan is exact and engine-portable even at web-corpus budgets
+    * where doubles lose integer precision past 2⁵³. Scale shape: one
+    * map-side-combined rollup of doc metadata to #sources rows, a
+    * broadcast join against the (tiny) weight table, and a scalar
+    * total broadcast back — nothing corpus-sized moves. */
+  def epochAllocation(docs: DataFrame, weights: DataFrame, budgetTokens: Long,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0)
+    val srcTok = docs.groupBy(col(srcCol))
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("src_tokens"))
+    val joined = srcTok
+      .join(broadcast(weights.toDF(srcCol, "weight")), Seq(srcCol), "left")
+      .withColumn("weight", coalesce(col("weight").cast("long"), lit(0L)))
+    val tot = joined.agg(sum(col("weight")).as("__tot"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("desired_tokens",
+        when(col("__tot") === 0, lit(0L))
+          .otherwise(expr(s"(weight * ${budgetTokens}L) DIV __tot")))
+      .withColumn("full_epochs",
+        when(col("src_tokens") === 0, lit(0L))
+          .otherwise(expr("desired_tokens DIV src_tokens")))
+      .withColumn("extra_rate256",
+        when(col("src_tokens") === 0, lit(0L))
+          .otherwise(expr("((desired_tokens % src_tokens) * 256) DIV src_tokens")))
+      .select(col(srcCol), col("src_tokens"), col("weight"),
+        col("desired_tokens"), col("full_epochs"), col("extra_rate256"))
+  }
 
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can

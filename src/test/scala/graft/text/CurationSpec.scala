@@ -214,6 +214,47 @@ class CurationSpec extends SparkSuite {
       "the corpus side must stay shuffle-free")
   }
 
+  test("weightedSampleByHash: keep rate tracks the weight; samples nest monotonically (c9)") {
+    val ids = (1L to 2000L).map(Tuple1(_)).toDF("id")
+    def kept(w: Double): Set[Long] =
+      Curation.weightedSampleByHash(ids.withColumn("w", lit(w)), col("id"), col("w"))
+        .collect().map(_.getLong(0)).toSet
+    val all = kept(1.0); val half = kept(0.5); val threeQ = kept(0.75)
+    val none = kept(0.0)
+    assert(all.size == 2000 && none.isEmpty)
+    // content-hash membership nests: a higher weight only ADDS rows
+    assert(half.subsetOf(threeQ) && threeQ.subsetOf(all))
+    // keep rate ≈ weight (md5 buckets are uniform; wide tolerance)
+    assert(math.abs(half.size / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(threeQ.size / 2000.0 - 0.75) < 0.05)
+  }
+
+  test("epochAllocation: exact integer repeat plan; unweighted and empty sources degrade safely (c10)") {
+    val docs = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // a: 10 tokens
+      ("b", "w1 w2 w3 w4 w5"),                 // b: 5 tokens
+      ("c", "w1 w2"),                          // c: no weight row
+      ("d", ""))                               // d: zero tokens
+      .toDF("source", "text")
+    val weights = Seq(("a", 2L), ("b", 1L), ("d", 1L)).toDF("source", "weight")
+    // tot = 4; budget 30: a → 15 desired = 1 epoch + rem 5 → 128/256
+    //                     b → 7 desired = 1 epoch + rem 2 → 102/256
+    //                     d → 7 desired but 0 tokens → all zero
+    val out = Curation.epochAllocation(docs, weights, budgetTokens = 30L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("desired_tokens") == 15L)
+    assert(out("a").getAs[Long]("full_epochs") == 1L)
+    assert(out("a").getAs[Long]("extra_rate256") == 128L)
+    assert(out("b").getAs[Long]("desired_tokens") == 7L)
+    assert(out("b").getAs[Long]("full_epochs") == 1L)
+    assert(out("b").getAs[Long]("extra_rate256") == 102L) // (2*256) DIV 5
+    assert(out("c").getAs[Long]("weight") == 0L)
+    assert(out("c").getAs[Long]("desired_tokens") == 0L)
+    assert(out("d").getAs[Long]("src_tokens") == 0L)
+    assert(out("d").getAs[Long]("full_epochs") == 0L &&
+      out("d").getAs[Long]("extra_rate256") == 0L)
+  }
+
   test("gopherQuality: rule gate fires on the textbook failure modes") {
     // 16 words / 60 word-chars per repeat -> mean 3.75, 4 distinct stopwords
     val good = ("the quick brown fox jumped over the lazy dogs and ran into a house of cards " * 4).trim

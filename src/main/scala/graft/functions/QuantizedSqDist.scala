@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * allocation-free loop with `doGenCode`, inside whole-stage codegen.
   *
   * Empty arrays → 0 (the fold's seed, matching the composed form);
-  * length mismatch or null element → null.
+  * length mismatch or null element → null. Two LONG arrays are
+  * accepted as ALREADY-quantized grids (used verbatim, no 1e6
+  * multiply) — the k-means `qv` form; mixing long with float/double
+  * is rejected (the scales would be incomparable).
   */
 case class QuantizedSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,8 +36,12 @@ case class QuantizedSqDist(left: Expression, right: Expression)
     case (ArrayType(l, _), ArrayType(r, _))
         if Seq(l, r).forall(t => Seq[DataType](FloatType, DoubleType).contains(t)) =>
       TypeCheckResult.TypeCheckSuccess
+    // both-long form: inputs are ALREADY on an integer grid (e.g. the
+    // k-means qv arrays) — used verbatim, no 1e6 quantization
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"quantized_sq_dist expects float/double array inputs, got $l / $r")
+      s"quantized_sq_dist expects float/double array inputs (or two pre-quantized long arrays), got $l / $r")
   }
 
   override def dataType: DataType = LongType
@@ -46,9 +53,10 @@ case class QuantizedSqDist(left: Expression, right: Expression)
   @transient private lazy val rightElem =
     right.dataType.asInstanceOf[ArrayType].elementType
 
-  private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => arr.getFloat(i).toDouble
-    case DoubleType => arr.getDouble(i)
+  private def quantized(arr: ArrayData, i: Int, t: DataType): Long = t match {
+    case FloatType => math.floor(arr.getFloat(i).toDouble * 1000000.0).toLong
+    case DoubleType => math.floor(arr.getDouble(i) * 1000000.0).toLong
+    case LongType => arr.getLong(i)
     case _ => throw new IllegalArgumentException(s"unsupported element type $t")
   }
 
@@ -61,8 +69,8 @@ case class QuantizedSqDist(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val qx = math.floor(get(x, i, leftElem) * 1000000.0).toLong
-      val qy = math.floor(get(y, i, rightElem) * 1000000.0).toLong
+      val qx = quantized(x, i, leftElem)
+      val qy = quantized(y, i, rightElem)
       val d = qx - qy
       acc += d * d
       i += 1
@@ -71,9 +79,12 @@ case class QuantizedSqDist(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(arr: String, i: String, t: DataType): String = t match {
-      case FloatType => s"(double) $arr.getFloat($i)"
-      case DoubleType => s"$arr.getDouble($i)"
+    def quantizedGen(arr: String, i: String, t: DataType): String = t match {
+      case FloatType =>
+        s"(long) java.lang.Math.floor((double) $arr.getFloat($i) * 1000000.0)"
+      case DoubleType =>
+        s"(long) java.lang.Math.floor($arr.getDouble($i) * 1000000.0)"
+      case LongType => s"$arr.getLong($i)"
       case _ => throw new IllegalArgumentException(s"unsupported element type $t")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -91,8 +102,8 @@ case class QuantizedSqDist(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    long $qx = (long) java.lang.Math.floor(${getter(a, i, leftElem)} * 1000000.0);
-         |    long $qy = (long) java.lang.Math.floor(${getter(b, i, rightElem)} * 1000000.0);
+         |    long $qx = ${quantizedGen(a, i, leftElem)};
+         |    long $qy = ${quantizedGen(b, i, rightElem)};
          |    long $d = $qx - $qy;
          |    $acc += $d * $d;
          |  }

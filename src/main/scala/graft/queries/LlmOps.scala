@@ -915,6 +915,37 @@ object LlmOps {
         .orderBy("cluster")
     },
 
+    // simplified-silhouette audit: is the trained clustering real
+    // enough to scope curation by? per-vector (b−a)/max(a,b) on
+    // Euclidean grid distances — own centroid vs best OTHER centroid
+    // (codegen'd QuantizedSqDist against k broadcast rows; sqrt is
+    // IEEE-exact so the score hash-matches cross-engine)
+    QueryDef.sql(
+      "k3_cluster_silhouette", {
+        val d2 = "CAST(list_sum(list_transform(generate_series(1, len(a.qv)), " +
+          "i -> (a.qv[i] - c.qv[i]) * (a.qv[i] - c.qv[i]))) AS BIGINT)"
+        s"""WITH $kmeansCtes,
+           |o AS (
+           |  SELECT a.vec_id, min($d2) AS dist2_other
+           |  FROM a$KmeansIters a JOIN cent$KmeansIters c
+           |    ON c.cluster <> a.cluster
+           |  GROUP BY a.vec_id)
+           |SELECT a.vec_id, a.cluster, a.dist2 AS dist2_own, o.dist2_other,
+           |  CASE WHEN greatest(sqrt(CAST(a.dist2 AS DOUBLE)),
+           |                     sqrt(CAST(o.dist2_other AS DOUBLE))) = 0 THEN 0.0
+           |       ELSE round((sqrt(CAST(o.dist2_other AS DOUBLE)) -
+           |                   sqrt(CAST(a.dist2 AS DOUBLE))) /
+           |         greatest(sqrt(CAST(a.dist2 AS DOUBLE)),
+           |                  sqrt(CAST(o.dist2_other AS DOUBLE))), 4)
+           |  END AS silhouette
+           |FROM a$KmeansIters a JOIN o USING (vec_id)
+           |ORDER BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      graft.similarity.Clustering.silhouette(
+        kmeansShared(s, dir), kmeansCentroids(s, dir))
+        .orderBy("vec_id")
+    },
+
     // SemDeDup: semantic dedup scoped to the trained k-means clusters —
     // pairwise cosine runs only within a cluster (the quadratic is
     // bounded by cluster size; the paper grows k with n so n/k stays

@@ -135,6 +135,44 @@ object Clustering {
     (assign(quant, finalCentroids), finalCentroids)
   }
 
+  /** Simplified-silhouette audit over a trained assignment — the
+    * "are these clusters real, or did k-means just carve noise" check
+    * run before cluster-scoped curation (SemDeDup quotas, topic
+    * balancing) trusts the clustering. Per vector: the squared grid
+    * distance to its own centroid (already on the assignment), the
+    * minimum squared distance to any OTHER centroid, and the
+    * simplified silhouette s = (b − a) / max(a, b) on the Euclidean
+    * (√) distances — s near 1 = well-separated, near 0 = boundary,
+    * negative = likely mis-assigned. sqrt is IEEE-exact so the score
+    * is engine-reproducible; ratios rounded to 4 decimals.
+    *
+    * Scale shape: one broadcast nested-loop join against the k
+    * centroid rows (k·dim longs — driver-bounded by construction)
+    * with the codegen'd [[graft.functions.QuantizedSqDist]] kernel,
+    * then a map-side-combined min per vector; grouping keys carry the
+    * functionally-dependent (cluster, dist2) so no join-back is
+    * needed. */
+  def silhouette(assigned: DataFrame,
+      centroids: Array[(Int, Array[Long])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cf = broadcast(centroids.toSeq
+      .map { case (c, qv) => (c.toLong, qv.toSeq) }
+      .toDF("c_cluster", "c_qv"))
+    val a = sqrt(col("dist2_own").cast("double"))
+    val b = sqrt(col("dist2_other").cast("double"))
+    assigned.select(col("vec_id"), col("cluster"),
+        col("dist2").as("dist2_own"), col("qv"))
+      .join(cf, col("c_cluster") =!= col("cluster"))
+      .groupBy("vec_id", "cluster", "dist2_own")
+      .agg(min(graft.functions.QuantizedSqDist(col("qv"), col("c_qv")))
+        .as("dist2_other"))
+      .select(col("vec_id"), col("cluster"), col("dist2_own"),
+        col("dist2_other"),
+        when(greatest(a, b) === 0, lit(0.0))
+          .otherwise(round((b - a) / greatest(a, b), 4)).as("silhouette"))
+  }
+
   /** Trained centroids as a DataFrame in [[Ann.ivfAssign]]'s expected
     * (id, vector) shape — the bridge from training to the IVF index:
     * `writeIvfIndex(corpus, Clustering.centroidFrame(...), path)`.

@@ -58,6 +58,22 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [quantized_sq_dist"))
   }
 
+  test("QuantizedSqDist: pre-quantized long arrays pass through without the 1e6 multiply") {
+    val rows = Seq(
+      (1L, Array(3L, -4L), Array(0L, 0L)),           // 9 + 16 = 25
+      (2L, Array(100L, 200L), Array(100L, 200L)))    // identical -> 0
+      .toDF("id", "a", "b")
+      .select(col("id"), QuantizedSqDist(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 25L && rows(2L) == 0L)
+    // mixed long/float scales are incomparable -> analysis-time reject
+    val ex = intercept[Exception] {
+      Seq((Array(1L), Array(1.0f))).toDF("a", "b")
+        .select(QuantizedSqDist(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("quantized_sq_dist"))
+  }
+
   test("ByteHistogram: counts match a reference fold; empty and null inputs") {
     val df = Seq((1L, "aabé"), (2L, ""), (3L, "zzzz"))
       .toDF("id", "s").select(col("id"), encode(col("s"), "UTF-8").as("b"))

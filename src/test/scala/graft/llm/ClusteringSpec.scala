@@ -76,6 +76,35 @@ class ClusteringSpec extends SparkSuite {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("silhouette: separated clusters score high, a boundary point scores ~0, zero-shuffle-safe fields (k3)") {
+    // two tight clusters far apart + one point midway between them
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.01f, 0.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(0.99f, 1.0f)),
+      (5L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, cents) = Clustering.kmeans(vecs, k = 2, iters = 2, scale = 512)
+    val out = Clustering.silhouette(assigned, cents)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    // tight-cluster members: own distance small, other distance large
+    // (the midway point pulls its cluster's centroid, so not ~1.0)
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Double]("silhouette") > 0.7,
+        s"vec $id should be well separated: ${out(id)}")
+    }
+    // the midway point sits near the boundary: |s| well below the rest
+    assert(math.abs(out(5L).getAs[Double]("silhouette")) < 0.5)
+    // own-centroid distance matches the training assignment exactly
+    val dist2 = assigned.select("vec_id", "dist2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Long]("dist2_own") == dist2(id))
+      assert(r.getAs[Long]("dist2_other") >= r.getAs[Long]("dist2_own") ||
+        r.getAs[Double]("silhouette") <= 0.0)
+    }
+  }
+
   test("centroidFrame bridges training into ivfAssign") {
     val (_, cents) = Clustering.kmeans(emb, k = 4, iters = 2, scale = 512)
     val cf = Clustering.centroidFrame(emb, cents, scale = 512)

@@ -1277,6 +1277,65 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // SEMANTIC cross-split contamination: the leakage both shingle
+    // checks miss — a paraphrased benchmark copy shares no n-grams but
+    // sits next to its source in embedding space. Eval vectors probe
+    // the train split through the banded sign-LSH buckets (never
+    // eval×train); exact cosine on candidates only
+    QueryDef.sql(
+      "x3_contamination_semantic", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), $p, 1)) - 1)"
+        val bucket = s"CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER)"
+        val arms = NearDupBands.zipWithIndex.map { case (dims, i) =>
+          s"SELECT e.vec_id, sp.split, $i AS band, ${sqlSignBucket("e.embedding", dims)} AS bucket " +
+            s"FROM embeddings e JOIN sp ON sp.vec_id = e.vec_id"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sp AS (
+           |  SELECT vec_id,
+           |    CASE WHEN $bucket < 230 THEN 'train'
+           |         WHEN $bucket < 243 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM embeddings),
+           |b AS (
+           |  $arms),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS a_id, t.vec_id AS b_id
+           |  FROM b a JOIN b t ON t.band = a.band AND t.bucket = a.bucket
+           |  WHERE a.split <> 'train' AND t.split = 'train'),
+           |scored AS (
+           |  SELECT cand.a_id, cand.b_id,
+           |    ${sqlCosine("ea.embedding", "eb.embedding")} AS cos
+           |  FROM cand
+           |  JOIN embeddings ea ON ea.vec_id = cand.a_id
+           |  JOIN embeddings eb ON eb.vec_id = cand.b_id),
+           |agg AS (
+           |  SELECT a_id, CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(sum(CASE WHEN cos > $NearDupThreshold THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits
+           |  FROM scored GROUP BY a_id),
+           |best AS (
+           |  SELECT a_id, round(cos, 6) AS best_cosine, b_id AS best_train_id
+           |  FROM scored WHERE cos > $NearDupThreshold
+           |  QUALIFY row_number() OVER (PARTITION BY a_id
+           |    ORDER BY cos DESC, b_id) = 1)
+           |SELECT sp.vec_id, sp.split,
+           |  coalesce(agg.n_candidates, 0) AS n_candidates,
+           |  coalesce(agg.n_hits, 0) AS n_hits,
+           |  best.best_cosine, best.best_train_id
+           |FROM sp
+           |LEFT JOIN agg ON agg.a_id = sp.vec_id
+           |LEFT JOIN best ON best.a_id = sp.vec_id
+           |WHERE sp.split <> 'train'
+           |ORDER BY sp.vec_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val splits = emb.select(col("vec_id"),
+        Curation.assignSplit(col("vec_id")).as("split"))
+      Curation.semanticContamination(emb, splits,
+        NearDupThreshold, NearDupBands)
+        .orderBy("vec_id")
+    },
+
     QueryDef.sql(
       "c3_stratified_sample", {
         def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"

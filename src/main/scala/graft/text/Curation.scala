@@ -148,6 +148,62 @@ object Curation {
         (-col("mx.neg")).cast("long").as("best_train_doc"))
   }
 
+  /** Train→eval SEMANTIC contamination (the leakage mode both shingle
+    * checks miss: a paraphrased or re-embedded benchmark copy shares
+    * no n-grams but sits next to its source in embedding space): for
+    * every non-train vector, its sign-LSH band collisions in the
+    * train split, the exact-cosine hits above `threshold`, and the
+    * best-matching train vector (max cosine, ties → smallest id).
+    * Eval vectors with no collision still appear with zero counts —
+    * absence of candidates is itself the audit result.
+    *
+    * Scale shape: both splits bucket once per band ([[graft.dedup
+    * .Dedup.embeddingNearDupsBanded]]'s layout); candidates come from
+    * a (band, bucket) equi-join of eval against train — never
+    * eval×train — and exact cosines (the fused codegen kernel) run on
+    * candidates only. Per-eval aggregation is map-side combined; the
+    * best-match pick is a window over each eval vector's own candidate
+    * list (bounded by bucket width, which [[graft.dedup.Dedup
+    * .adaptiveSignDims]] sizes at corpus scale). */
+  def semanticContamination(emb: DataFrame, splits: DataFrame,
+      threshold: Double, bands: Seq[Seq[Int]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands.nonEmpty)
+    val tagged = emb.join(splits, idCol)
+    val buckets = array(bands.map(d =>
+      graft.similarity.Ann.signBucket(vecCol, d)): _*)
+    val withB = tagged.select(col(idCol), col("split"),
+      posexplode(buckets).as(Seq("band", "bucket")))
+    val evalB = withB.filter(col("split") =!= "train")
+      .select(col(idCol).as("a_id"), col("band"), col("bucket"))
+    val trainB = withB.filter(col("split") === "train")
+      .select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    val cand = evalB.join(trainB, Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    val scored = cand
+      .join(vecs.toDF("a_id", "a_vec"), "a_id")
+      .join(vecs.toDF("b_id", "b_vec"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.dedup.Vectors.cosine(col("a_vec"), col("b_vec")).as("cos"))
+    val agg = scored.groupBy("a_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("cos") > threshold, 1L).otherwise(0L)).as("n_hits"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val best = scored.filter(col("cos") > threshold)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("a_id"), round(col("cos"), 6).as("best_cosine"),
+        col("b_id").as("best_train_id"))
+    splits.filter(col("split") =!= "train")
+      .select(col(idCol).as("a_id"), col("split"))
+      .join(agg, Seq("a_id"), "left")
+      .join(best, Seq("a_id"), "left")
+      .select(col("a_id").as(idCol), col("split"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("best_cosine"), col("best_train_id"))
+  }
+
   /** Fixed-size token-window chunking with overlap — context-window
     * prep for training: window `maxTokens`, stride = maxTokens −
     * overlap, chunk i covers tokens [i·stride+1, i·stride+maxTokens]

@@ -255,6 +255,29 @@ class CurationSpec extends SparkSuite {
       out("d").getAs[Long]("extra_rate256") == 0L)
   }
 
+  test("semanticContamination: banded probe finds paraphrase-level leaks, reports absence too (x3)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f)),    // train
+      (10L, Array(0.9f, 0.95f)),  // eval: same buckets, cos ≈ 1 → hit
+      (11L, Array(-1.0f, -1.0f)), // eval: opposite buckets → no candidates
+      (12L, Array(1.0f, -1.0f)))  // eval: band-0 collision, cos = 0 → no hit
+      .toDF("vec_id", "embedding")
+    val splits = Seq((1L, "train"), (10L, "val"), (11L, "test"), (12L, "val"))
+      .toDF("vec_id", "split")
+    val out = Curation.semanticContamination(emb, splits,
+        threshold = 0.25, bands = Seq(Seq(1), Seq(2)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "train rows must not appear")
+    assert(out(10L).getAs[Long]("n_hits") == 1L)
+    assert(out(10L).getAs[Long]("best_train_id") == 1L)
+    assert(out(10L).getAs[Double]("best_cosine") > 0.99)
+    assert(out(11L).getAs[Long]("n_candidates") == 0L &&
+      out(11L).getAs[Long]("n_hits") == 0L)
+    assert(out(11L).isNullAt(out(11L).fieldIndex("best_train_id")))
+    assert(out(12L).getAs[Long]("n_candidates") == 1L &&
+      out(12L).getAs[Long]("n_hits") == 0L)
+  }
+
   test("gopherQuality: rule gate fires on the textbook failure modes") {
     // 16 words / 60 word-chars per repeat -> mean 3.75, 4 distinct stopwords
     val good = ("the quick brown fox jumped over the lazy dogs and ran into a house of cards " * 4).trim

@@ -902,6 +902,30 @@ object CoreRelational {
         .orderBy("lang")
     },
 
+    // melt/unpivot — the inverse of the A6/A7 pivots: wide measure
+    // columns to (key, measure, value) rows, the long form every
+    // per-measure rollup or ML feature table starts from. Spark's
+    // native unpivot (an Expand node — scan-level fan-out of
+    // #measures, no shuffle, no join); bounded here by the orderkey
+    // filter for a row-level hash compare
+    QueryDef.sql(
+      "a17_unpivot", {
+        val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(m => s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS value " +
+            "FROM lineitem WHERE l_orderkey < 100")
+          .mkString("\nUNION ALL ")
+        s"""$arms
+           |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+      }) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
     // explicit GROUPING SETS — the third lattice form next to ROLLUP/
     // CUBE: exactly the (lang), (source), () slices, no cross products
     QueryDef.sql(

@@ -31,6 +31,30 @@ object StreamingShapes {
         .orderBy("win_start", "event_type")
     },
 
+    // Sliding (hopping) event-time window — 6h windows every 3h, so
+    // each event lands in exactly size/slide = 2 windows. Spark aligns
+    // window starts to the epoch modulo the SLIDE; the oracle derives
+    // both containing starts per event with an unnest([0,1]) fan-out.
+    // Under readStream this is the same window() expression with a
+    // watermark; the fan-out is bounded by size/slide, not data.
+    QueryDef.sql(
+      "w6_sliding_window",
+      """SELECT strftime(to_timestamp(
+        |    (CAST(floor(epoch(ts) / 10800) AS BIGINT) - i) * 10800),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events, unnest([0, 1]) AS u(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Session windows per user (30-min inactivity gap): Spark
     // session_window vs the classic gaps-and-islands SQL. Spark
     // sessions are half-open [start, last+gap), so an event exactly

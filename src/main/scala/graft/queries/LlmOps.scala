@@ -1937,6 +1937,39 @@ object LlmOps {
       TextAnalysis.charStats(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Zipf rank-frequency slope: the post-curation corpus-health audit
+    // (natural text ⇒ slope ≈ −1). Integer-quantized log coordinates
+    // make every regression sum exact int64 — only the final slope
+    // division is FP, on identical inputs at both engines
+    QueryDef.sql(
+      "v9_zipf_slope", {
+        val N = 200
+        s"""WITH $normCte,
+           |$termCte,
+           |v AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+           |      FROM terms WHERE term <> '' GROUP BY term),
+           |top AS (SELECT term, tf FROM v ORDER BY tf DESC, term LIMIT $N),
+           |r AS (SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, term)
+           |        AS BIGINT) AS rank FROM top),
+           |pts AS (
+           |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+           |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS y
+           |  FROM r),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM pts)
+           |SELECT n AS n_terms,
+           |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+           |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |         (n * sxx - sx * sx), 4) END AS zipf_slope
+           |FROM s""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), topN = 200)
+    },
+
     // data-driven length gate: the cutoff is the corpus's own p10 of
     // token counts (exact interpolated quantile — the a12 idiom, one
     // scalar aggregate broadcast back onto the scan), not a constant

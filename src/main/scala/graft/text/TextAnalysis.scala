@@ -504,6 +504,46 @@ object TextAnalysis {
           .as("char_entropy"))
   }
 
+  /** Zipf rank-frequency slope — the corpus-health audit run after
+    * curation: natural language follows freq ∝ rank^s with s ≈ −1;
+    * a slope far from −1 flags template spam (too flat) or a
+    * collapsed vocabulary (too steep). Least-squares slope of
+    * ln(freq) on ln(rank) over the top `topN` terms.
+    *
+    * Engine-exact by construction: the log coordinates are quantized
+    * to integers (⌊ln(v)·10⁶⌋ as int64) so every regression sum is
+    * exact integer arithmetic — order-independent, no float-
+    * accumulation drift — and only the final slope division is FP
+    * (identical int64 inputs ⇒ identical double), rounded to 4. With
+    * topN ≤ ~500 the n·Σxy products stay inside int64 even at
+    * web-corpus term frequencies (ln(10¹²)·10⁶ ≈ 2.8·10⁷ per term).
+    *
+    * Scale shape: one map-side-combined vocab aggregate, a TakeOrdered
+    * top-N (no global sort), then the ranking window and regression
+    * sums run over topN ROWS — constant-bounded, corpus-independent. */
+  def zipfSlope(docs: DataFrame, topN: Int = 200,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topN >= 2 && topN <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val vocab = termOccurrences(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val top = vocab.orderBy(col("tf").desc, col("term")).limit(topN)
+    // global window over ≤ topN rows — bounded, not a corpus sort
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+    val pts = ranked.select(
+      floor(log(col("rank").cast("double")) * 1000000).cast("long").as("x"),
+      floor(log(col("tf").cast("double")) * 1000000).cast("long").as("y"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        when(den === 0, lit(null)).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / den, 4)).as("zipf_slope"))
+  }
+
   /** Data-driven length gate: the cutoff is the corpus's own `p`
     * quantile of normalized token counts, not a hand-picked constant —
     * a fixed "drop under 50 tokens" rule tuned on one corpus silently

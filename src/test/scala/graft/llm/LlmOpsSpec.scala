@@ -669,6 +669,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"charStats must not shuffle:\n$plan")
   }
 
+  test("zipfSlope: decreasing frequencies slope negative, uniform exactly zero (v9)") {
+    // freqs 8,4,2,1 over four terms → strictly decreasing → slope < 0
+    val skewed = Seq((1L, (("aa " * 8) + ("bb " * 4) + ("cc " * 2) + "dd").trim))
+      .toDF("doc_id", "text")
+    val s1 = TextAnalysis.zipfSlope(skewed, topN = 10).collect()(0)
+    assert(s1.getAs[Long]("n_terms") == 4L)
+    assert(s1.getAs[Double]("zipf_slope") < -0.5)
+    // uniform frequencies: y constant → numerator is EXACTLY zero
+    val flat = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.zipfSlope(flat, topN = 10).collect()(0)
+    assert(s2.getAs[Double]("zipf_slope") == 0.0)
+    // single distinct term: denominator zero → null, not a crash
+    val one = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val s3 = TextAnalysis.zipfSlope(one, topN = 10).collect()(0)
+    assert(s3.isNullAt(s3.fieldIndex("zipf_slope")))
+  }
+
   test("semDedup: in-cluster chains collapse to the earliest id; cross-cluster twins both survive (d14)") {
     // cluster 0: vectors 1,2,3 mutually near-identical (chain), 4 orthogonal
     // cluster 1: vector 5 identical to vector 1 — but scoping means it

@@ -189,6 +189,43 @@ class PlanAuditSpec extends SparkSuite {
       s"per-domain prior must broadcast, not shuffle the corpus, plan:\n${p.take(3000)}")
   }
 
+  test("v8_pmi: pair aggregate and marginals stay equi-joined — no cross product on data") {
+    val p = plan("v8_pmi")
+    assert(!p.contains("CartesianProduct"),
+      s"pmi must never cross-join corpus-sized frames, plan:\n${p.take(3000)}")
+    // the only nested-loop allowed is the 1-row scalar-total broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar total may broadcast-nest, plan:\n${p.take(3000)}")
+  }
+
+  test("x3_contamination_semantic: banded equi-probe, fused cosine on candidates only") {
+    val p = plan("x3_contamination_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"eval must probe train through (band,bucket), never eval×train, plan:\n${p.take(3000)}")
+    assert(p.contains("cosine_similarity"),
+      "candidate cosine must run on the fused codegen kernel")
+  }
+
+  test("k3_cluster_silhouette: codegen sq-dist kernel, min is map-side combined") {
+    val p = plan("k3_cluster_silhouette")
+    assert(p.contains("quantized_sq_dist"),
+      "other-centroid distances must run on the codegen kernel")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-vector min must partial-aggregate before the exchange")
+  }
+
+  test("a17_unpivot: a scan-level Expand — no join, no pre-sort shuffle beyond ORDER BY") {
+    val p = plan("a17_unpivot")
+    assert(p.contains("Expand"), "unpivot must compile to an Expand node")
+    assert(!p.contains("Join"), "melt must not join")
+  }
+
+  test("v9_zipf_slope: top-N via TakeOrdered, never a global sort of the vocabulary") {
+    val p = plan("v9_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-N must prune map-side, plan:\n${p.take(3000)}")
+  }
+
   test("t13_fuzzy_pairs_suffix: two disjoint blocked arms, no pair-level distinct exchange") {
     val p = plan("t13_fuzzy_pairs_suffix")
     assert(p.contains("Union"), "both arms must contribute")

@@ -56,6 +56,47 @@ class StreamingQuerySpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("watermarked SLIDING window over a stream matches the batch w6 semantics") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val stream = agg(spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("w6_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+      .collect()
+
+    val streamed = shape(spark.table("w6_stream"))
+    val batch = shape(agg(Tables.events(spark, dir)))
+    assert(streamed.nonEmpty)
+    // every event lands in exactly size/slide = 2 windows
+    val nEvents = Tables.events(spark, dir).count()
+    assert(streamed.map(_.getAs[Long]("n")).sum == 2 * nEvents)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("cosine_similarity is SQL-callable via GraftExtensions registration") {
     // the extension class installs without error on a fresh extensions set
     new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -407,18 +407,23 @@ object TextAnalysis {
   def coOccurrence(docs: DataFrame, window: Int, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && k >= 1)
-    symSkipgrams(docs, window, idCol, textCol)
-      .groupBy("term", "ctx")
-      .agg(count(lit(1)).as("n"))
+    symSkipgramCounts(docs, window, idCol, textCol)
       .orderBy(col("n").desc, col("term"), col("ctx"))
       .limit(k)
   }
 
-  /** Symmetric skip-gram observation stream: one (term, ctx) row per
-    * ordered co-occurrence within `window` tokens, both directions.
-    * Shared by [[coOccurrence]] (raw counts) and [[pmiTopPairs]]
-    * (association scores). */
-  private def symSkipgrams(docs: DataFrame, window: Int,
+  /** Symmetric skip-gram counts: n(term, ctx) over every ordered
+    * co-occurrence within `window` tokens, both directions. Shared by
+    * [[coOccurrence]] (raw counts) and [[pmiTopPairs]] (association
+    * scores).
+    *
+    * The corpus-sized aggregate runs over the ORDERED stream only
+    * (window × corpus-tokens rows); symmetry is applied afterwards by
+    * unioning the count table with its swap and re-aggregating — that
+    * second pass is vocabulary²-bounded, so the symmetric doubling
+    * never touches corpus-sized data (n_sym(a,b) = n_ord(a,b) +
+    * n_ord(b,a), and the a=b diagonal correctly doubles). */
+  private def symSkipgramCounts(docs: DataFrame, window: Int,
       idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .repartition(col(idCol))
@@ -427,11 +432,14 @@ object TextAnalysis {
     val right = toks.select(col(idCol),
       explode(sequence(lit(1), lit(window))).as("__d"),
       (col("pos") - col("__d")).as("pos"), col("term").as("ctx"))
-    val ordered = toks.join(right, Seq(idCol, "pos"))
-      .select(col("term"), col("ctx"))
-    // symmetric: every ordered (a→b) observation implies (b→a)
-    ordered.unionAll(
-      ordered.select(col("ctx").as("term"), col("term").as("ctx")))
+    val ordCnt = toks.join(right, Seq(idCol, "pos"))
+      .groupBy("term", "ctx")
+      .agg(count(lit(1)).as("__n_ord"))
+    ordCnt.unionAll(
+        ordCnt.select(col("ctx").as("term"), col("term").as("ctx"),
+          col("__n_ord")))
+      .groupBy("term", "ctx")
+      .agg(sum(col("__n_ord")).as("n"))
   }
 
   /** Pointwise mutual information over skip-gram co-occurrence — the
@@ -453,9 +461,8 @@ object TextAnalysis {
   def pmiTopPairs(docs: DataFrame, window: Int, minCount: Long, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && k >= 1 && minCount >= 1)
-    val counts = symSkipgrams(docs, window, idCol, textCol)
-      .groupBy("term", "ctx")
-      .agg(count(lit(1)).as("n_ab"))
+    val counts = symSkipgramCounts(docs, window, idCol, textCol)
+      .withColumnRenamed("n", "n_ab")
     val marg = counts.groupBy("term").agg(sum(col("n_ab")).as("n_a"))
     val total = counts.agg(sum(col("n_ab")).as("__t"))
     counts.filter(col("n_ab") >= minCount)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,6 +233,53 @@ object CoreRelational {
           Seq("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    },
+
+    // --- J13: full outer reconciliation ------------------------------
+    // the two-snapshot diff audit (ledger vs store, last period vs
+    // this): per-part activity in the two halves of the date range,
+    // FULL OUTER joined so parts present on only one side surface with
+    // a status instead of silently dropping — the one join type the
+    // reference surface never exercises
+    QueryDef.sql(
+      "j13_full_outer_diff",
+      """WITH h1 AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_h1,
+        |    round(sum(l_quantity), 2) AS qty_h1
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey),
+        |h2 AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_h2,
+        |    round(sum(l_quantity), 2) AS qty_h2
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey)
+        |SELECT coalesce(h1.l_partkey, h2.l_partkey) AS l_partkey,
+        |  coalesce(h1.n_h1, 0) AS n_h1, coalesce(h2.n_h2, 0) AS n_h2,
+        |  coalesce(h1.qty_h1, 0.0) AS qty_h1, coalesce(h2.qty_h2, 0.0) AS qty_h2,
+        |  CASE WHEN h1.l_partkey IS NULL THEN 'only_h2'
+        |       WHEN h2.l_partkey IS NULL THEN 'only_h1'
+        |       ELSE 'both' END AS status
+        |FROM h1 FULL OUTER JOIN h2 ON h2.l_partkey = h1.l_partkey
+        |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val cut = lit("1998-01-01").cast("timestamp")
+      def half(pred: Column, n: String, q: String) =
+        li.filter(pred).groupBy("l_partkey")
+          .agg(count(lit(1)).as(n), round(sum(col("l_quantity")), 2).as(q))
+      val h1 = half(col("l_shipdate") < cut, "n_h1", "qty_h1")
+      val h2 = half(col("l_shipdate") >= cut, "n_h2", "qty_h2")
+        .withColumnRenamed("l_partkey", "pk2")
+      h1.join(h2, col("pk2") === col("l_partkey"), "full_outer")
+        .select(
+          coalesce(col("l_partkey"), col("pk2")).as("l_partkey"),
+          coalesce(col("n_h1"), lit(0L)).as("n_h1"),
+          coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+          coalesce(col("qty_h1"), lit(0.0)).as("qty_h1"),
+          coalesce(col("qty_h2"), lit(0.0)).as("qty_h2"),
+          when(col("l_partkey").isNull, "only_h2")
+            .when(col("pk2").isNull, "only_h1")
+            .otherwise("both").as("status"))
+        .orderBy("l_partkey")
     },
 
     // --- J8: keep-latest dedup (reference DELETE self-join) ----------

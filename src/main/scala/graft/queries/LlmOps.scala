@@ -612,6 +612,64 @@ object LlmOps {
         .orderBy("query_id", "rank")
     },
 
+    // ANN recall audit: the index-quality eval loop — LSH top-k
+    // measured against brute-force ground truth per query (recall@k =
+    // |LSH ∩ BF| / |BF|). Run on a probe SAMPLE before trusting an
+    // index config at corpus scale; the ground-truth side is the
+    // expensive part and stays probe-bounded
+    QueryDef.sql(
+      "e8_ann_recall",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${sqlSignBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+         |      WHERE vec_id < $KnnQueryLimit),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS r
+         |    FROM (SELECT query_id, neighbor_id, ${sqlCosine("qv", "cv")} AS cos
+         |          FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id))
+         |  WHERE r <= $KnnK),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS r
+         |    FROM (SELECT query_id, neighbor_id, ${sqlCosine("qv", "cv")} AS cos
+         |          FROM c CROSS JOIN q WHERE query_id <> neighbor_id))
+         |  WHERE r <= $KnnK)
+         |SELECT bf.query_id, CAST(count(*) AS BIGINT) AS k_found,
+         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS recall
+         |FROM bf LEFT JOIN lsh l ON l.query_id = bf.query_id
+         |  AND l.neighbor_id = bf.neighbor_id
+         |GROUP BY bf.query_id
+         |ORDER BY bf.query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < KnnQueryLimit)
+      val bf = Ann.bruteForceTopK(emb, probes, KnnK)
+        .select("query_id", "neighbor_id")
+      val lsh = Ann.lshTopK(emb, probes, KnnK, SignDims)
+        .select(col("query_id"), col("neighbor_id").as("lsh_neighbor"))
+      bf.join(lsh,
+          lsh("query_id") === bf("query_id") &&
+            col("lsh_neighbor") === col("neighbor_id"), "left")
+        .select(bf("query_id"), col("lsh_neighbor"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_found"),
+          sum(when(col("lsh_neighbor").isNotNull, 1L).otherwise(0L))
+            .as("n_overlap"))
+        .select(col("query_id"), col("k_found"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("k_found"), 4)
+            .as("recall"))
+        .orderBy("query_id")
+    },
+
     // corpus-sized mislabel audit: EVERY vector is a probe, so nothing
     // can broadcast — both sides bucket by sign-LSH (probe side
     // multi-probes its nearest one-bit-flip bucket too) and meet in a

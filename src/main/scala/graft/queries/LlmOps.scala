@@ -1995,6 +1995,38 @@ object LlmOps {
       TextAnalysis.charStats(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // bigram-LM surprisal (the CCNet perplexity filter, relationally):
+    // add-one-smoothed bigram model trained on the corpus itself, each
+    // doc scored by mean bigram NLL. Per-bigram NLL quantized to int64
+    // so per-doc sums are exact and order-free; mean is integer DIV
+    QueryDef.sql(
+      "t16_bigram_surprisal",
+      s"""WITH $normCte,
+         |$spanTkCte,
+         |bi AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram,
+         |    toks[i] AS ctx
+         |  FROM tk, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+         |un AS (SELECT unnest(toks) AS term FROM tk),
+         |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_ctx
+         |       FROM un GROUP BY term),
+         |vs AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM un),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi
+         |       FROM bi GROUP BY bigram),
+         |sc AS (
+         |  SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CAST(floor(-ln(CAST(bc.c_bi + 1 AS DOUBLE) /
+         |      (uc.c_ctx + vs.v)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_nll_e6
+         |  FROM bi JOIN bc USING (bigram)
+         |  JOIN uc ON uc.term = bi.ctx, vs
+         |  GROUP BY bi.doc_id)
+         |SELECT n.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  sc.sum_nll_e6, sc.sum_nll_e6 // sc.n_bigrams AS mean_nll_e6
+         |FROM norm n LEFT JOIN sc USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Zipf rank-frequency slope: the post-curation corpus-health audit
     // (natural text ⇒ slope ≈ −1). Integer-quantized log coordinates
     // make every regression sum exact int64 — only the final slope

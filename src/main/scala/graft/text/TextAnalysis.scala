@@ -511,6 +511,58 @@ object TextAnalysis {
           .as("char_entropy"))
   }
 
+  /** Bigram language-model surprisal — the CCNet-style perplexity
+    * filter re-expressed relationally: train add-one-smoothed bigram
+    * probabilities on the corpus itself, score every document by its
+    * mean bigram negative log-likelihood (high = unlike the corpus =
+    * gibberish or off-distribution; low = fluent/templated). p(b|a) =
+    * (c(a,b) + 1) / (c(a) + V) with c(a) the corpus unigram count and
+    * V the distinct-term vocabulary size.
+    *
+    * Engine-exact: each bigram's NLL is quantized to an int64
+    * (⌊−ln(p)·10⁶⌋), so per-document sums are exact integer math —
+    * order-independent — and the mean is integer DIV. A true KenLM
+    * drops in by replacing the counts join with a scored lookup table
+    * of the same (bigram → nll) shape.
+    *
+    * Scale shape: bigrams come from a zero-join array zip on the scan
+    * (adjacent-pair slices, no posexplode self-join); the model is ONE
+    * map-side-combined count per table (bigram, unigram) plus two
+    * scalars; scoring is two term-keyed equi-joins (model-sized build
+    * sides) and one per-doc aggregate. Everything is linear in corpus
+    * tokens. */
+  def bigramSurprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(normalized(col(textCol)))
+    val n = size(toks)
+    // adjacent pairs via two shifted slices — scan-level, no join
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val docBigrams = docs.repartition(col(idCol))
+      .select(col(idCol), explode(pairs).as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+    val unigrams = docs.repartition(col(idCol))
+      .select(explode(toks).as("term"))
+    val uniCnt = unigrams.groupBy("term").agg(count(lit(1)).as("c_ctx"))
+    val vocabSize = unigrams.select(countDistinct(col("term")).as("v"))
+    val biCnt = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
+    val nll = floor(-log((col("c_bi") + 1).cast("double") /
+      (col("c_ctx") + col("v"))) * 1000000).cast("long")
+    val scored = docBigrams
+      .join(biCnt, "bigram")
+      .join(uniCnt.withColumnRenamed("term", "ctx"), "ctx")
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nll).as("sum_nll_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sum_nll_e6"),
+        expr("sum_nll_e6 DIV n_bigrams").as("mean_nll_e6"))
+  }
+
   /** Zipf rank-frequency slope — the corpus-health audit run after
     * curation: natural language follows freq ∝ rank^s with s ≈ −1;
     * a slope far from −1 flags template spam (too flat) or a

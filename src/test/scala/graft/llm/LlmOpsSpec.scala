@@ -669,6 +669,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"charStats must not shuffle:\n$plan")
   }
 
+  test("bigramSurprisal: add-one bigram NLL exact; off-distribution docs score higher (t16)") {
+    // unigrams a:2 b:2 x:1 y:1 solo:1 → V=5; bigrams "a b":2 "b a":1 "x y":1
+    // nll(a b) = floor(-ln((2+1)/(2+5))*1e6) = 847297
+    // nll(b a) = floor(-ln((1+1)/(2+5))*1e6) = 1252762
+    // nll(x y) = floor(-ln((1+1)/(1+5))*1e6) = 1098612
+    val d = Seq((1L, "a b a b"), (2L, "x y"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(1L).getAs[Long]("sum_nll_e6") == 2 * 847297L + 1252762L)
+    assert(out(1L).getAs[Long]("mean_nll_e6") == (2 * 847297L + 1252762L) / 3)
+    assert(out(2L).getAs[Long]("mean_nll_e6") == 1098612L)
+    // the doc repeating the corpus's common bigram is LESS surprising
+    assert(out(1L).getAs[Long]("mean_nll_e6") < out(2L).getAs[Long]("mean_nll_e6"))
+    // one-token and empty docs: zero bigrams, null scores, still present
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getAs[Long]("n_bigrams") == 0L)
+      assert(out(id).isNullAt(out(id).fieldIndex("mean_nll_e6")))
+    }
+    // deterministic under repartition (integer sums are order-free)
+    def sums(rows: Array[org.apache.spark.sql.Row]): Map[Long, Long] =
+      rows.map { r =>
+        val i = r.fieldIndex("sum_nll_e6")
+        r.getLong(0) -> (if (r.isNullAt(i)) -1L else r.getLong(i))
+      }.toMap
+    val out2 = sums(TextAnalysis.bigramSurprisal(d.repartition(5)).collect())
+    assert(sums(out.values.toArray) == out2)
+  }
+
   test("zipfSlope: decreasing frequencies slope negative, uniform exactly zero (v9)") {
     // freqs 8,4,2,1 over four terms → strictly decreasing → slope < 0
     val skewed = Seq((1L, (("aa " * 8) + ("bb " * 4) + ("cc " * 2) + "dd").trim))

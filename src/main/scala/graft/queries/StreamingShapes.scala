@@ -183,5 +183,80 @@ object StreamingShapes {
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("periods_since"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "periods_since")
+    },
+
+    // Trending event types: per 6h tumbling window, top-3 types by
+    // count with the delta vs the type's PREVIOUS window — the
+    // dashboard "what's rising" query. Rank and lag are both windows
+    // over the (window × type)-sized AGGREGATE, never the raw stream;
+    // the rank filter must apply AFTER the lag so a type's delta sees
+    // its true predecessor even when that window didn't chart.
+    QueryDef.sql(
+      "w7_trending",
+      """WITH agg AS (
+        |  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT win, event_type, n,
+        |    n - lag(n) OVER (PARTITION BY event_type ORDER BY win) AS delta,
+        |    CAST(row_number() OVER (PARTITION BY win
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM agg)
+        |SELECT strftime(to_timestamp(win), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, n, rnk, delta
+        |FROM d WHERE rnk <= 3
+        |ORDER BY win_start, rnk""".stripMargin) { (s, dir) =>
+      val agg = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy("event_type").orderBy(col("w.start"))
+      val byWin = Window.partitionBy("w").orderBy(col("n").desc, col("event_type"))
+      agg
+        .withColumn("delta", col("n") - lag(col("n"), 1).over(byType))
+        .withColumn("rnk", row_number().over(byWin).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("rnk"), col("delta"))
+        .orderBy("win_start", "rnk")
+    },
+
+    // Burst collapse (debounce): per (user, type), events < 30 min
+    // apart fold into one burst and only the first survives — temporal
+    // dedup where J8's exact keys can't reach. One key exchange; see
+    // operators.BurstCollapse.
+    QueryDef.sql(
+      "p12_debounce",
+      """WITH prev AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    (p IS NULL OR epoch_us(ts) - epoch_us(p) >= 1800000000) AS new_burst,
+        |    CAST(sum(CASE WHEN p IS NULL OR epoch_us(ts) - epoch_us(p) >= 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS burst_seq
+        |  FROM prev),
+        |sized AS (
+        |  SELECT user_id, event_type, event_id, ts, new_burst, burst_seq,
+        |    CAST(count(*) OVER (PARTITION BY user_id, event_type, burst_seq)
+        |      AS BIGINT) AS n_collapsed
+        |  FROM marked)
+        |SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  burst_seq, n_collapsed
+        |FROM sized WHERE new_burst
+        |ORDER BY user_id, event_type, burst_seq""".stripMargin) { (s, dir) =>
+      graft.operators.BurstCollapse.collapse(
+        Tables.events(s, dir).select("user_id", "event_type", "event_id", "ts"),
+        Seq("user_id", "event_type"), "ts", "event_id", gapUs = 1800000000L)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("burst_seq"), col("n_collapsed"))
+        .orderBy("user_id", "event_type", "burst_seq")
     })
 }

@@ -1561,6 +1561,84 @@ object LlmOps {
         .orderBy("source")
     },
 
+    // DSIR importance weighting: hashed-bigram log-likelihood ratio of
+    // a target domain (lang='en') vs the raw corpus, per-bucket weights
+    // quantized to int64 so doc scores are exact integer sums. The
+    // 256-row weight table broadcasts back onto the bigram stream —
+    // nothing corpus-sized shuffles beyond the doc-keyed sum
+    QueryDef.sql(
+      "c11_importance_weights", {
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(md5(bigram), $p, 1)) - 1)"
+        s"""WITH $normCte,
+           |$spanTkCte,
+           |bi AS (
+           |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+           |  FROM tk, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+           |occ AS (
+           |  SELECT bi.doc_id, CAST(${hx(1)} * 16 + ${hx(2)} AS INTEGER) AS b,
+           |    d.lang = 'en' AS is_target
+           |  FROM bi JOIN documents d USING (doc_id)),
+           |bc AS (
+           |  SELECT b, CAST(count(*) AS BIGINT) AS r_b,
+           |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+           |  FROM occ GROUP BY b),
+           |tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS rr,
+           |        CAST(sum(t_b) AS BIGINT) AS tt FROM bc),
+           |w AS (
+           |  SELECT b, CAST(floor(ln(
+           |    (CAST(t_b + 1 AS DOUBLE) / (tt + 256)) /
+           |    (CAST(r_b + 1 AS DOUBLE) / (rr + 256))) * 1000000) AS BIGINT) AS w_e6
+           |  FROM bc, tot),
+           |sc AS (
+           |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(w_e6) AS BIGINT) AS sum_w_e6
+           |  FROM occ JOIN w USING (b) GROUP BY occ.doc_id)
+           |SELECT d.doc_id, d.lang = 'en' AS is_target,
+           |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           |  sc.sum_w_e6, sc.sum_w_e6 // sc.n_bigrams AS mean_w_e6
+           |FROM documents d LEFT JOIN sc USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, dir) =>
+      Curation.importanceWeights(Tables.documents(s, dir),
+        col("lang") === "en").orderBy("doc_id")
+    },
+
+    // temperature-smoothed mixture (alpha = 1/2): per-source sampling
+    // share proportional to sqrt(count) — sqrt of an int64 is IEEE-
+    // correctly-rounded at BOTH engines (a general pow(alpha) is not),
+    // every downstream step is integer division
+    QueryDef.sql(
+      "c12_temperature_mix", {
+        val h = "md5(CAST(doc_id AS VARCHAR))"
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
+        val u20 = (2 to 5).foldLeft(hx(1))((acc, p) => s"($acc * 16 + ${hx(p)})")
+        s"""WITH cnt AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY source),
+           |qq AS (
+           |  SELECT source, n_docs,
+           |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS q
+           |  FROM cnt),
+           |tot AS (SELECT CAST(sum(q) AS BIGINT) AS sq,
+           |        CAST(min(q) AS BIGINT) AS qmin FROM qq),
+           |r AS (
+           |  SELECT source, n_docs, q,
+           |    (q * 1000000) // sq AS share_e6,
+           |    (qmin * 1000000) // q AS rate_e6
+           |  FROM qq, tot),
+           |adm AS (
+           |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_admitted
+           |  FROM documents d JOIN r USING (source)
+           |  WHERE $u20 < (rate_e6 * 1048576) // 1000000
+           |  GROUP BY d.source)
+           |SELECT r.source, r.n_docs, r.q, r.share_e6, r.rate_e6,
+           |  coalesce(adm.n_admitted, 0) AS n_admitted
+           |FROM r LEFT JOIN adm USING (source)
+           |ORDER BY r.source""".stripMargin
+      }) { (s, dir) =>
+      Curation.temperatureMix(Tables.documents(s, dir)).orderBy("source")
+    },
+
     // weighted source mixing (epoch oversampling) — deterministic
     // content-hash membership for the fractional epoch
     QueryDef.sql(

@@ -403,6 +403,111 @@ object Curation {
         col("desired_tokens"), col("full_epochs"), col("extra_rate256"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-bigram profile looks like a TARGET
+    * domain relative to the raw corpus. Feature = md5-hashed word
+    * bigram → one of 256 buckets; per-bucket weight = add-one-smoothed
+    * log-likelihood ratio ln(p_target / p_raw); per-doc score = mean
+    * bucket weight over the doc's bigram occurrences. Docs that read
+    * like the target get positive scores — feed the score into
+    * [[weightedSampleByHash]] (after squashing to [0,1]) to resample.
+    *
+    * Engine-exact: per-bucket weights quantized to int64 (⌊w·10⁶⌋), so
+    * per-doc sums are order-free exact integer arithmetic and the mean
+    * is integer DIV. The ln argument is built from the same division
+    * sequence at both engines (two double divisions, one ratio) —
+    * int64 products would overflow at web-corpus bigram counts.
+    *
+    * Scale shape: one bigram-bucket aggregate (map-side combined, 256
+    * groups), the 256-row weight table broadcast back onto the bigram
+    * stream, one doc-keyed aggregate. Nothing corpus-sized shuffles
+    * beyond the doc-keyed sum; the target profile costs one extra
+    * conditional sum inside the SAME bucket aggregate, not a second
+    * pass. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(
+      graft.text.TextAnalysis.normalized(col(textCol)))
+    val n = size(toks)
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val occ = docs.repartition(col(idCol))
+      .select(col(idCol), isTarget.as("__tgt"), explode(pairs).as("bigram"))
+      .withColumn("b", hashBucket(col("bigram")))
+    val bucketCnt = occ.groupBy("b").agg(
+      count(lit(1)).as("r_b"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_b"))
+    val totals = bucketCnt.agg(
+      sum(col("r_b")).as("__R"), sum(col("t_b")).as("__T"))
+    val weights = bucketCnt.crossJoin(broadcast(totals))
+      .withColumn("w_e6", floor(log(
+        ((col("t_b") + 1).cast("double") / (col("__T") + 256)) /
+          ((col("r_b") + 1).cast("double") / (col("__R") + 256))) * 1000000)
+        .cast("long"))
+      .select("b", "w_e6")
+    val scored = occ.join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_e6")).as("sum_w_e6"))
+    docs.select(col(idCol), isTarget.as("is_target")).join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sum_w_e6"),
+        expr("sum_w_e6 DIV n_bigrams").as("mean_w_e6"))
+  }
+
+  /** Temperature-smoothed source mixture (the multilingual-sampling
+    * α-exponent move, α = 1/2): sampling share per source ∝ √count
+    * instead of count, lifting small sources without letting a giant
+    * one drown the mix. Emits the per-source plan — raw count, √count
+    * quantized, the exact integer sampling rate out of 10⁶ — plus how
+    * many of the source's docs the deterministic content-hash rule
+    * admits at that rate.
+    *
+    * The output MIXTURE share of source i is √cᵢ/Σ√c, so the per-doc
+    * admission rate is ∝ share/count = 1/√cᵢ, normalized so the
+    * smallest source keeps everything: rateᵢ = √c_min/√cᵢ (a giant
+    * source is downsampled by its size ratio's square root; the
+    * smallest passes whole).
+    *
+    * Engine-exact: √ of an int64 is IEEE-correctly-rounded at both
+    * engines (unlike a general pow(α)), q = ⌊√c·10³⌋ makes every share
+    * a ratio of int64s; share_e6 = (q·10⁶) DIV Σq and rate_e6 =
+    * (q_min·10⁶) DIV qᵢ are integer division. Admission compares a
+    * 20-bit md5-derived uniform (0..1048575) against
+    * (rate_e6·2²⁰) DIV 10⁶ — pure int64, no float threshold anywhere.
+    *
+    * Scale shape: per-source counts are one map-side-combined
+    * aggregate; the source-rate table (|sources| rows) broadcasts back
+    * onto the scan for the admission count — the same shape as
+    * [[sourceMixByWeights]], so a data-driven rate table scales past
+    * any literal map. */
+  def temperatureMix(docs: DataFrame, keyCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val cnt = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("q", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+    val tot = cnt.agg(sum(col("q")).as("__Q"), min(col("q")).as("__qmin"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .withColumn("share_e6", expr("(q * 1000000) DIV __Q"))
+      .withColumn("rate_e6", expr("(__qmin * 1000000) DIV q"))
+      .select(col(srcCol), col("n_docs"), col("q"), col("share_e6"),
+        col("rate_e6"))
+    // 20-bit uniform from the md5 prefix: five hex digits
+    val hexVal = (p: Int) =>
+      (instr(lit("0123456789abcdef"),
+        substring(md5(col(keyCol).cast("string")), p, 1)) - 1)
+    val u20 = (1 to 5).map(hexVal).reduce((a, b) => a * 16 + b).cast("long")
+    val admitted = docs
+      .join(broadcast(rates.select(col(srcCol), col("rate_e6"))), srcCol)
+      .filter(u20 < expr("(rate_e6 * 1048576) DIV 1000000"))
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_admitted"))
+    rates.join(admitted, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"), col("q"), col("share_e6"),
+        col("rate_e6"), coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+  }
+
   /** Offset-binned sharding: shard = floor(cumulative-tokens-before /
     * budget) in `orderCol` order. Semantics to be aware of: a shard can
     * exceed the budget by at most the one document that straddles its

@@ -255,6 +255,55 @@ class CurationSpec extends SparkSuite {
       out("d").getAs[Long]("extra_rate256") == 0L)
   }
 
+  test("importanceWeights: target-like docs score above off-target ones (c11)") {
+    // target docs share a distinctive bigram vocabulary; raw corpus has
+    // a disjoint one. A held-out doc WRITTEN LIKE the target must score
+    // higher than one written like the background.
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta gamma delta alpha beta", true)) ++
+      (21L to 40L).map(i => (i, "red green blue yellow red green", false)) ++
+      Seq((41L, "alpha beta gamma delta", false),   // target-like held-out
+          (42L, "red green blue yellow", false)))   // background-like
+      .toDF("doc_id", "text", "tgt")
+    val out = Curation.importanceWeights(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val likeTarget = out(41L).getAs[Long]("mean_w_e6")
+    val likeRaw = out(42L).getAs[Long]("mean_w_e6")
+    assert(likeTarget > 0 && likeRaw < 0 && likeTarget > likeRaw)
+    // empty doc: no bigrams, null scores, still present
+    val empty = Curation.importanceWeights(
+      docs.union(Seq((43L, "", false)).toDF("doc_id", "text", "tgt")),
+      col("tgt")).filter(col("doc_id") === 43L).collect()(0)
+    assert(empty.getAs[Long]("n_bigrams") == 0L && empty.isNullAt(3))
+  }
+
+  test("temperatureMix: sqrt-share lifts small sources; rates are exact integers (c12)") {
+    // 400 vs 100 vs 25 docs: raw shares 16:4:1, sqrt shares 4:2:1
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "mid")) ++
+      (501L to 525L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val bySrc = Curation.temperatureMix(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // q = floor(sqrt(n)*1000): 20000, 10000, 5000 -> sum 35000
+    assert(bySrc("big").getAs[Long]("q") == 20000L)
+    assert(bySrc("mid").getAs[Long]("q") == 10000L)
+    assert(bySrc("small").getAs[Long]("q") == 5000L)
+    // mixture share prop. to sqrt(count); admission rate = qmin/q
+    assert(bySrc("big").getAs[Long]("share_e6") == 20000L * 1000000L / 35000L)
+    assert(bySrc("big").getAs[Long]("rate_e6") == 5000L * 1000000L / 20000L)
+    assert(bySrc("small").getAs[Long]("rate_e6") == 1000000L)
+    // smallest source passes whole; the giant is sqrt-downsampled, so
+    // its admitted FRACTION is ~rate (0.25) while small keeps ~all
+    val admBig = bySrc("big").getAs[Long]("n_admitted").toDouble / 400
+    val admSmall = bySrc("small").getAs[Long]("n_admitted").toDouble / 25
+    assert(admSmall > 0.9 && admBig < 0.4 && admSmall > admBig)
+    // resulting mixture is flattened toward sqrt shares: output ratio
+    // big:small ~ 4:1 instead of the raw 16:1
+    val outBig = bySrc("big").getAs[Long]("n_admitted").toDouble
+    val outSmall = bySrc("small").getAs[Long]("n_admitted").toDouble
+    assert(outBig / outSmall < 8.0)
+  }
+
   test("semanticContamination: banded probe finds paraphrase-level leaks, reports absence too (x3)") {
     val emb = Seq(
       (1L, Array(1.0f, 1.0f)),    // train

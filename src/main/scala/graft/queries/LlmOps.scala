@@ -670,6 +670,74 @@ object LlmOps {
         .orderBy("query_id")
     },
 
+    // product-quantization / ADC audit (the FAISS IVF-PQ memory side):
+    // vectors stored as 8 subspace codes, probe distances via a
+    // broadcast 4-cell-per-subspace lookup table; per probe, the PQ
+    // top-1 vs exact top-1 and top-10 overlap. Everything on the
+    // integer grid: sign-bit cell assignment, truncating integer-mean
+    // reconstruction values, int64 squared distances
+    QueryDef.sql(
+      "e9_pq_audit",
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |cs AS (
+         |  SELECT vec_id, CAST(j AS INTEGER) AS sub,
+         |    CAST(CASE WHEN qv[j*8+1] >= 0 THEN 2 ELSE 0 END +
+         |         CASE WHEN qv[j*8+5] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS code
+         |  FROM q, unnest(generate_series(0, 7)) AS u(j)),
+         |cd AS (
+         |  SELECT cs.sub, cs.code, CAST(p AS INTEGER) AS pos,
+         |    CAST(sum(q.qv[cs.sub*8 + p]) AS BIGINT) //
+         |      CAST(count(*) AS BIGINT) AS cv
+         |  FROM cs JOIN q USING (vec_id),
+         |    unnest(generate_series(1, 8)) AS v(p)
+         |  GROUP BY 1, 2, 3),
+         |ps AS (
+         |  SELECT vec_id AS probe_id, CAST(j AS INTEGER) AS sub,
+         |    CAST(p AS INTEGER) AS pos, qv[j*8 + p] AS pv
+         |  FROM q, unnest(generate_series(0, 7)) AS u(j),
+         |    unnest(generate_series(1, 8)) AS v(p)
+         |  WHERE vec_id < $KnnQueryLimit),
+         |lut AS (
+         |  SELECT probe_id, sub, code,
+         |    CAST(sum((pv - cv) * (pv - cv)) AS BIGINT) AS d2s
+         |  FROM ps JOIN cd USING (sub, pos) GROUP BY 1, 2, 3),
+         |pq AS (
+         |  SELECT probe_id, cs.vec_id AS neighbor_id,
+         |    CAST(sum(d2s) AS BIGINT) AS pq_d2
+         |  FROM cs JOIN lut USING (sub, code) WHERE cs.vec_id <> probe_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> (p.qv[i+1]-c.qv[i+1])*(p.qv[i+1]-c.qv[i+1]))) AS BIGINT) AS e_d2
+         |  FROM q c CROSS JOIN (SELECT * FROM q WHERE vec_id < $KnnQueryLimit) p
+         |  WHERE c.vec_id <> p.vec_id),
+         |jj AS (
+         |  SELECT probe_id, neighbor_id, e_d2, pq_d2,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY e_d2, neighbor_id) AS er,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY pq_d2, neighbor_id) AS pr
+         |  FROM ex JOIN pq USING (probe_id, neighbor_id)),
+         |et AS (SELECT probe_id, neighbor_id AS exact_id, e_d2 AS exact_d2
+         |       FROM jj WHERE er = 1),
+         |pt AS (SELECT probe_id, neighbor_id AS pq_id, e_d2 AS pq_exact_d2
+         |       FROM jj WHERE pr = 1),
+         |ov AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS topk_overlap
+         |       FROM jj WHERE er <= 10 AND pr <= 10 GROUP BY 1)
+         |SELECT et.probe_id, et.exact_id, et.exact_d2, pt.pq_id,
+         |  pt.pq_exact_d2, pt.pq_exact_d2 - et.exact_d2 AS overshoot_d2,
+         |  coalesce(ov.topk_overlap, 0) AS topk_overlap
+         |FROM et JOIN pt USING (probe_id) LEFT JOIN ov USING (probe_id)
+         |ORDER BY et.probe_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Pq.pqAudit(emb, col("vec_id") < KnnQueryLimit)
+        .orderBy("probe_id")
+    },
+
     // corpus-sized mislabel audit: EVERY vector is a probe, so nothing
     // can broadcast — both sides bucket by sign-LSH (probe side
     // multi-probes its nearest one-bit-flip bucket too) and meet in a

@@ -2173,6 +2173,49 @@ object LlmOps {
       TextAnalysis.bigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // per-source distribution drift: KL(source || corpus) over the
+    // corpus top-200 terms, add-one smoothing on the source side.
+    // Every post-top-N frame is |sources|*200 rows; contributions are
+    // int64-quantized so sums are order-free
+    QueryDef.sql(
+      "t17_source_divergence",
+      s"""WITH $normCte,
+         |$termCte,
+         |st0 AS (
+         |  SELECT d.source, t.term
+         |  FROM terms t JOIN documents d USING (doc_id) WHERE t.term <> ''),
+         |top AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS c_ct
+         |  FROM st0 GROUP BY term ORDER BY c_ct DESC, term LIMIT 200),
+         |nc AS (SELECT CAST(sum(c_ct) AS BIGINT) AS nc,
+         |       CAST(count(*) AS BIGINT) AS v FROM top),
+         |stc AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st0
+         |  FROM st0 JOIN top USING (term) GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.source, top.term, top.c_ct
+         |  FROM (SELECT DISTINCT source FROM documents) s, top),
+         |cells AS (
+         |  SELECT g.source, g.term, g.c_ct, coalesce(stc.c_st0, 0) AS c_st
+         |  FROM grid g LEFT JOIN stc
+         |    ON stc.source = g.source AND stc.term = g.term),
+         |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS ns
+         |       FROM cells GROUP BY 1)
+         |SELECT c.source, CAST(max(ns.ns) AS BIGINT) AS n_obs,
+         |  CAST(sum(CASE WHEN c.c_st > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_present,
+         |  CAST(sum(CAST(floor(
+         |    (CAST(c.c_st + 1 AS DOUBLE) / (ns.ns + nc.v)) *
+         |    ln((CAST(c.c_st + 1 AS DOUBLE) / (ns.ns + nc.v)) /
+         |       (CAST(c.c_ct AS DOUBLE) / nc.nc)) * 1000000000) AS BIGINT))
+         |    AS BIGINT) AS kl_e9
+         |FROM cells c JOIN ns USING (source), nc
+         |GROUP BY c.source
+         |ORDER BY c.source""".stripMargin) { (s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir), topN = 200)
+        .orderBy("source")
+    },
+
     // Zipf rank-frequency slope: the post-curation corpus-health audit
     // (natural text ⇒ slope ≈ −1). Integer-quantized log coordinates
     // make every regression sum exact int64 — only the final slope

@@ -622,4 +622,49 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("cutoff"),
         (col("n_tokens") >= col("cutoff")).as("passes"))
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * corpus's top-`topN` terms — the corpus-health audit that catches
+    * a source whose vocabulary has drifted from the mix (template
+    * spam, wrong language, scraper breakage) before it trains. Source
+    * term probabilities are add-one smoothed over the top-N support
+    * (so a source missing a common term still scores finitely);
+    * corpus probabilities are raw.
+    *
+    * Engine-exact: per-term contributions are quantized to int64
+    * (⌊p·ln(p/q)·10⁹⌋) so per-source sums are order-free exact; the
+    * doubles feeding ln come from identical division sequences at
+    * both engines.
+    *
+    * Scale shape: one map-side-combined term aggregate, a TakeOrdered
+    * top-N (no global sort), then every frame is bounded by
+    * |sources|·topN — the grid, the per-source sums, and the final
+    * rollup are all broadcast-sized. The corpus-sized term stream is
+    * touched twice (top-N build, per-source counts), both linear. */
+  def sourceDivergence(docs: DataFrame, topN: Int = 200,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(topN >= 2 && topN <= 1000)
+    val occ = docs.repartition(col(idCol))
+      .select(col(srcCol), explode(split(normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val top = occ.groupBy("term").agg(count(lit(1)).as("c_ct"))
+      .orderBy(col("c_ct").desc, col("term")).limit(topN)
+    val nc = top.agg(sum(col("c_ct")).as("__nc"), count(lit(1)).as("__v"))
+    val stc = occ.join(broadcast(top.select("term")), Seq("term"), "left_semi")
+      .groupBy(col(srcCol), col("term")).agg(count(lit(1)).as("c_st0"))
+    val grid = docs.select(col(srcCol)).distinct().crossJoin(broadcast(top))
+    val cells = grid.join(stc, Seq(srcCol, "term"), "left")
+      .withColumn("c_st", coalesce(col("c_st0"), lit(0L)))
+    val ns = cells.groupBy(col(srcCol)).agg(sum(col("c_st")).as("__ns"))
+    val pS = (col("c_st") + 1).cast("double") / (col("__ns") + col("__v"))
+    val pC = col("c_ct").cast("double") / col("__nc")
+    cells.join(ns, srcCol).crossJoin(broadcast(nc))
+      .withColumn("kl_term_e9",
+        floor(pS * log(pS / pC) * 1000000000L).cast("long"))
+      .groupBy(col(srcCol))
+      .agg(max(col("__ns")).as("n_obs"),
+        sum(when(col("c_st") > 0, 1L).otherwise(0L)).as("n_present"),
+        sum(col("kl_term_e9")).as("kl_e9"))
+  }
 }

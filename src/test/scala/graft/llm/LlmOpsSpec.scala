@@ -699,6 +699,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(sums(out.values.toArray) == out2)
   }
 
+  test("sourceDivergence: drifted source scores far above in-distribution ones (t17)") {
+    // two sources share the corpus-dominant vocabulary; the third is
+    // pure template spam with a disjoint one
+    val docs = (
+      (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog", "a")) ++
+      (21L to 40L).map(i => (i, "the quick brown fox naps under the old dog", "b")) ++
+      (41L to 45L).map(i => (i, "buy cheap pills now click here buy cheap", "spam")))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(docs, topN = 20)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val klA = out("a").getAs[Long]("kl_e9")
+    val klB = out("b").getAs[Long]("kl_e9")
+    val klSpam = out("spam").getAs[Long]("kl_e9")
+    assert(klSpam > klA && klSpam > klB,
+      s"spam KL $klSpam should dominate a=$klA b=$klB")
+    // in-distribution sources sit close to the corpus; the drifted one
+    // is an order of magnitude away
+    assert(klSpam > 2L * math.max(klA, klB))
+    // a source with no occurrences still appears (all-smoothing mass)
+    val withEmpty = TextAnalysis.sourceDivergence(
+      docs.union(Seq((46L, "", "hollow")).toDF("doc_id", "text", "source")),
+      topN = 20).filter(col("source") === "hollow").collect()
+    assert(withEmpty.length == 1 && withEmpty.head.getAs[Long]("n_obs") == 0L)
+  }
+
   test("zipfSlope: decreasing frequencies slope negative, uniform exactly zero (v9)") {
     // freqs 8,4,2,1 over four terms → strictly decreasing → slope < 0
     val skewed = Seq((1L, (("aa " * 8) + ("bb " * 4) + ("cc " * 2) + "dd").trim))

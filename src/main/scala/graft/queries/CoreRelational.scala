@@ -1039,6 +1039,33 @@ object CoreRelational {
         .orderBy("user_id", "event_id")
     },
 
+    // --- O7: lag/lead neighbors --------------------------------------
+    // The temporal-context projection every sequence feature build
+    // starts from: each event annotated with its per-user predecessor/
+    // successor type and the inter-event gap. lag and lead share ONE
+    // window spec, so the whole query is a single Sort+Exchange on
+    // user_id — integer-µs gaps, engine-exact.
+    QueryDef.sql(
+      "o7_lag_lead",
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // --- P10: bucketed interval JOIN ---------------------------------
     // P8 is a scalar-window filter; this is the JOIN form (points ×
     // per-key windows) that naive Spark plans as a broadcast nested

@@ -1346,6 +1346,38 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // the decontamination APPLY step: per TRAIN doc, its eval-shingle
+    // leak fraction and the integer-threshold keep/drop verdict —
+    // x1 reports the eval side, this decides the train side
+    QueryDef.sql(
+      "x4_decontaminate",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$splitCte,
+         |tagged AS (
+         |  SELECT sh.doc_id, sh.shingle, s.split
+         |  FROM sh JOIN splits s ON s.doc_id = sh.doc_id),
+         |evsh AS (SELECT DISTINCT shingle FROM tagged WHERE split <> 'train'),
+         |tr AS (SELECT * FROM tagged WHERE split = 'train'),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+         |        FROM tr GROUP BY 1),
+         |hit AS (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+         |  FROM tr JOIN evsh USING (shingle) GROUP BY 1)
+         |SELECT t.doc_id, t.n_ngrams,
+         |  coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+         |  round(CAST(coalesce(h.n_eval_hits, 0) AS DOUBLE) / t.n_ngrams, 4)
+         |    AS contamination,
+         |  coalesce(h.n_eval_hits, 0) * 1000 < t.n_ngrams * 200 AS keep
+         |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        distinctShingles(s, dir),
+        docs.select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("split")))
+        .orderBy("doc_id")
+    },
+
     // train→eval NEAR-dup contamination: MinHash-LSH probe of the
     // eval split against the train split (catches edited benchmark
     // copies that exact shingle overlap misses)
@@ -2247,6 +2279,33 @@ object LlmOps {
            |FROM s""".stripMargin
       }) { (s, dir) =>
       TextAnalysis.zipfSlope(Tables.documents(s, dir), topN = 200)
+    },
+
+    // vocabulary coverage curve: occurrences covered by the top-k
+    // terms for each token budget — the tokenizer-sizing read. All
+    // bounded: TakeOrdered top-max(budget), cumsum over <=4096 rows
+    QueryDef.sql(
+      "v10_vocab_coverage",
+      s"""WITH $normCte,
+         |$termCte,
+         |v AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+         |      FROM terms WHERE term <> '' GROUP BY term),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v),
+         |top AS (
+         |  SELECT term, tf,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank
+         |  FROM v ORDER BY tf DESC, term LIMIT 4096),
+         |r AS (SELECT rank, CAST(sum(tf) OVER (ORDER BY rank
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM top),
+         |b(budget) AS (VALUES (16), (64), (256), (1024), (4096))
+         |SELECT CAST(b.budget AS BIGINT) AS budget,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(max(r.cum) AS BIGINT) AS covered, tot.total,
+         |  round(CAST(max(r.cum) AS DOUBLE) / tot.total, 6) AS coverage
+         |FROM b JOIN r ON r.rank <= b.budget, tot
+         |GROUP BY b.budget, tot.total
+         |ORDER BY budget""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir)).orderBy("budget")
     },
 
     // data-driven length gate: the cutoff is the corpus's own p10 of

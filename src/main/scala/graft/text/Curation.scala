@@ -83,6 +83,34 @@ object Curation {
           col("n_ngrams"), 4).as("contamination"))
   }
 
+  /** The APPLY step of contamination control ([[crossSplitContamination]]
+    * reports; this decides): for every TRAIN document, the fraction of
+    * its distinct k-grams that appear anywhere in the eval/val splits,
+    * and the keep/drop verdict under `maxPermille` (drop when
+    * hits·1000 ≥ n_grams·maxPermille — integer arithmetic, no float
+    * threshold). Training on kept docs cannot leak more than the
+    * threshold's worth of any benchmark document's n-grams.
+    *
+    * Scale shape mirrors the report direction: eval shingles reduced
+    * to DISTINCT once (eval sets are small), then ONE semi-join probe
+    * per train shingle — never doc×doc. */
+  def decontaminate(shingled: DataFrame, splits: DataFrame,
+      maxPermille: Int = 200, idCol: String = "doc_id"): DataFrame = {
+    require(maxPermille >= 0 && maxPermille <= 1000)
+    val tagged = shingled.join(splits, idCol)
+    val evalShingles = tagged.filter(col("split") =!= "train")
+      .select("shingle").distinct()
+    val train = tagged.filter(col("split") === "train")
+    val hits = train.join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_hits"))
+    val h = coalesce(col("n_eval_hits"), lit(0L))
+    train.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"), h.as("n_eval_hits"),
+        round(h.cast("double") / col("n_ngrams"), 4).as("contamination"),
+        (h * 1000 < col("n_ngrams") * maxPermille).as("keep"))
+  }
+
   /** Train→eval NEAR-duplicate contamination (the leakage mode
     * [[crossSplitContamination]]'s exact shingle overlap misses:
     * lightly edited benchmark copies): for every non-train document,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -621,6 +622,41 @@ object TextAnalysis {
     counts.crossJoin(broadcast(cut))
       .select(col(idCol), col("n_tokens"), col("cutoff"),
         (col("n_tokens") >= col("cutoff")).as("passes"))
+  }
+
+  /** Vocabulary coverage curve: for each token budget k, the fraction
+    * of corpus token OCCURRENCES covered by the top-k terms — the
+    * sizing curve a tokenizer/vocab decision reads (diminishing
+    * returns past the knee). Exact integer counts; only the final
+    * coverage ratio is FP (identical int64 inputs at both engines).
+    *
+    * Scale shape: one map-side-combined vocab aggregate, a TakeOrdered
+    * top-max(budgets) (no global sort of the vocabulary), then the
+    * cumulative sum and budget join run over ≤ max(budgets) rows —
+    * constant-bounded, corpus-independent (the v9 idiom). */
+  def vocabCoverage(docs: DataFrame,
+      budgets: Seq[Int] = Seq(16, 64, 256, 1024, 4096),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(b => b > 0 && b <= 65536))
+    val vocab = termOccurrences(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val tot = vocab.agg(sum(col("tf")).as("__total"))
+    val top = vocab.orderBy(col("tf").desc, col("term")).limit(budgets.max)
+    val ord = Window.orderBy(col("tf").desc, col("term"))
+    val ranked = top
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("tf")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val b = docs.sparkSession.createDataFrame(
+      budgets.map(Tuple1(_))).toDF("budget")
+    ranked.join(broadcast(b), col("rank") <= col("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_terms"), max(col("cum")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("budget").cast("long").as("budget"), col("n_terms"),
+        col("covered"), col("__total").as("total"),
+        round(col("covered").cast("double") / col("__total"), 6).as("coverage"))
   }
 
   /** Per-source distribution drift: KL(source ‖ corpus) over the

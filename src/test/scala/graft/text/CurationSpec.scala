@@ -255,6 +255,51 @@ class CurationSpec extends SparkSuite {
       out("d").getAs[Long]("extra_rate256") == 0L)
   }
 
+  test("decontaminate: leaking train docs dropped at the integer threshold (x4)") {
+    // shingles: train doc 1 shares 3/10 grams with eval (30% > 20% ->
+    // drop), doc 2 shares 1/10 (10% -> keep), doc 3 clean
+    val shingled = (
+      (1 to 10).map(i => (1L, if (i <= 3) s"ev$i" else s"a$i")) ++
+      (1 to 10).map(i => (2L, if (i <= 1) s"ev$i" else s"b$i")) ++
+      (1 to 10).map(i => (3L, s"c$i")) ++
+      (1 to 5).map(i => (9L, s"ev$i"))) // the eval doc
+      .toDF("doc_id", "shingle")
+    val splits = Seq((1L, "train"), (2L, "train"), (3L, "train"), (9L, "val"))
+      .toDF("doc_id", "split")
+    val out = Curation.decontaminate(shingled, splits, maxPermille = 200)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // only train docs judged
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("n_eval_hits") == 3L)
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("keep") &&
+      out(3L).getAs[Long]("n_eval_hits") == 0L)
+    // exact boundary: 2/10 = the 200-permille threshold -> DROP
+    // (keep is strict <)
+    val boundary = Curation.decontaminate(
+      (1 to 10).map(i => (1L, if (i <= 2) s"ev$i" else s"a$i"))
+        .toDF("doc_id", "shingle")
+        .union(Seq((9L, "ev1"), (9L, "ev2")).toDF("doc_id", "shingle")),
+      Seq((1L, "train"), (9L, "val")).toDF("doc_id", "split"),
+      maxPermille = 200).collect().head
+    assert(!boundary.getAs[Boolean]("keep"))
+  }
+
+  test("vocabCoverage: exact cumulative coverage, budgets past the vocab saturate (v10)") {
+    // vocabulary: w1 x 8, w2 x 4, w3 x 2, w4 x 1 -> total 15
+    val docs = Seq((1L, "w1 w1 w1 w1 w1 w1 w1 w1 w2 w2 w2 w2 w3 w3 w4"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, budgets = Seq(1, 2, 16))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("covered") == 8L)
+    assert(out(2L).getAs[Long]("covered") == 12L)
+    assert(out(2L).getAs[Double]("coverage") == 0.8)
+    // budget beyond vocab: all 4 terms, full coverage
+    assert(out(16L).getAs[Long]("n_terms") == 4L)
+    assert(out(16L).getAs[Long]("covered") == 15L)
+    assert(out(16L).getAs[Double]("coverage") == 1.0)
+  }
+
   test("importanceWeights: target-like docs score above off-target ones (c11)") {
     // target docs share a distinctive bigram vocabulary; raw corpus has
     // a disjoint one. A held-out doc WRITTEN LIKE the target must score

@@ -262,45 +262,49 @@ object LlmOps {
     centroidMemo(s"kmeans:$dir")
   }
 
-  /** Unrolled-Lloyd CTE chain mirroring Clustering.kmeans: `q` is the
-    * integer-grid corpus, `cent{t}` the round-t centroids, `a{t}` the
-    * assignment under them; `a$KmeansIters` is the final assignment.
-    * Generated from the same constants as the Spark plan. */
-  private val kmeansCtes: String = {
+  /** Unrolled-Lloyd CTE chain mirroring Clustering.kmeans: `{pfx}q` is
+    * the integer-grid corpus, `{pfx}cent{t}` the round-t centroids,
+    * `{pfx}a{t}` the assignment under them; `{pfx}a{iters}` is the
+    * final assignment. Generated from the same constants as the Spark
+    * plan; the prefix lets several k-arms coexist in one WITH (the
+    * elbow sweep). */
+  private def kmeansCtesFor(k: Int, iters: Int, pfx: String): String = {
     val seedOrd = "md5(CAST(vec_id AS VARCHAR)), vec_id"
     def dist2(q: String, c: String) =
       s"CAST(list_sum(list_transform(generate_series(1, len($q)), " +
         s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i]))) AS BIGINT)"
     def assignCte(t: Int) =
-      s"""a$t AS (
+      s"""${pfx}a$t AS (
          |  SELECT vec_id, qv, cluster, dist2 FROM (
          |    SELECT vec_id, qv, cluster, dist2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
          |    FROM (
          |      SELECT q.vec_id, q.qv, c.cluster, ${dist2("q.qv", "c.qv")} AS dist2
-         |      FROM q CROSS JOIN cent$t c))
+         |      FROM ${pfx}q q CROSS JOIN ${pfx}cent$t c))
          |  WHERE rn = 1)""".stripMargin
     def updateCte(t: Int) =
-      s"""cent${t + 1} AS (
+      s"""${pfx}cent${t + 1} AS (
          |  SELECT p.cluster, coalesce(u.cv, p.qv) AS qv
-         |  FROM cent$t p LEFT JOIN (
+         |  FROM ${pfx}cent$t p LEFT JOIN (
          |    SELECT cluster, list(c ORDER BY i) AS cv FROM (
          |      SELECT cluster, i,
          |        CAST(round(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
-         |      FROM a$t, unnest(generate_series(1, len(qv))) AS u(i)
+         |      FROM ${pfx}a$t, unnest(generate_series(1, len(qv))) AS u(i)
          |      GROUP BY cluster, i)
          |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
-    val rounds = (0 until KmeansIters)
-      .flatMap(t => Seq(assignCte(t), updateCte(t))) :+ assignCte(KmeansIters)
-    s"""q AS (
+    val rounds = (0 until iters)
+      .flatMap(t => Seq(assignCte(t), updateCte(t))) :+ assignCte(iters)
+    s"""${pfx}q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * $KmeansScale) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |cent0 AS (
+       |${pfx}cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY $seedOrd) - 1 AS BIGINT) AS cluster, qv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY $seedOrd LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, qv FROM ${pfx}q ORDER BY $seedOrd LIMIT $k)),
        |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  private val kmeansCtes: String = kmeansCtesFor(KmeansK, KmeansIters, "")
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -1070,6 +1074,42 @@ object LlmOps {
       graft.similarity.Clustering.silhouette(
         kmeansShared(s, dir), kmeansCentroids(s, dir))
         .orderBy("vec_id")
+    },
+
+    // elbow sweep: total inertia (exact int64) across k in {2,4,8} —
+    // the "how many topic buckets does this corpus have" read before
+    // clustering-scoped curation. Each arm is a full deterministic
+    // Lloyd run; the k=8 arm REUSES the shared k1/k2/e7 training.
+    // Oracle = three unrolled-Lloyd CTE chains, prefix-isolated
+    QueryDef.sql(
+      "k4_elbow", {
+        val arms = Seq(2, 4).map(k =>
+          kmeansCtesFor(k, KmeansIters, s"k${k}_")).mkString(",\n")
+        def armSel(k: Int, pfx: String) =
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_used,
+             |  CAST(sum(dist2) AS BIGINT) AS inertia
+             |FROM ${pfx}a$KmeansIters""".stripMargin
+        s"""WITH $kmeansCtes,
+           |$arms
+           |${armSel(2, "k2_")}
+           |UNION ALL
+           |${armSel(4, "k4_")}
+           |UNION ALL
+           |${armSel(KmeansK, "")}
+           |ORDER BY k""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      def arm(k: Int, assigned: DataFrame) = assigned.agg(
+        countDistinct(col("cluster")).cast("long").as("n_used"),
+        sum(col("dist2")).as("inertia"))
+        .select(lit(k.toLong).as("k"), col("n_used"), col("inertia"))
+      val small = Seq(2, 4).map { k =>
+        arm(k, graft.similarity.Clustering
+          .kmeans(emb, k, KmeansIters, KmeansScale)._1)
+      }
+      (small :+ arm(KmeansK, kmeansShared(s, dir)))
+        .reduce(_.unionAll(_)).orderBy("k")
     },
 
     // SemDeDup: semantic dedup scoped to the trained k-means clusters —

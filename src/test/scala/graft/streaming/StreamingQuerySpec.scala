@@ -10,6 +10,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingQuerySpec extends SparkSuite {
 
+  /** Same ts normalization as [[Tables.events]]: the driver's events
+    * parquet has shipped both TIMESTAMP(NANOS) (read as long under the
+    * legacy conf) and plain-µs NTZ encodings — branch on the inferred
+    * schema so the stream loads either.
+    */
+  private def normalizeTs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   test("watermarked windowed agg over a stream matches the batch result") {
     val dir = sf("sf0.001")
     // nanos timestamps: same legacy conf + conversion as Tables.events
@@ -22,10 +36,9 @@ class StreamingQuerySpec extends SparkSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
@@ -69,10 +82,9 @@ class StreamingQuerySpec extends SparkSuite {
       .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
-    val stream = agg(spark.readStream
+    val stream = agg(normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
       .withWatermark("ts", "1 hour"))
     val q = stream.writeStream
       .outputMode("complete")

@@ -19,6 +19,7 @@ object SparkEntry {
     () => graft.queries.LlmOps.defs,
     () => graft.queries.DomainOps.defs,
     () => graft.queries.StreamingShapes.defs,
+    () => graft.queries.TimeseriesOps.defs,
     () => graft.queries.Coverage.defs,
     () => graft.queries.TpchShapes.defs)
 

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid timeseries operators over an irregular observation
+  * stream — the workloads a gauge-observation store (the reference is
+  * a coastal water-level timeseries DB; its obs arrive with gaps and
+  * `-99999` sentinel nulls, run/ingestObsTasks.py) needs once data is
+  * in: gap-filling against a fixed time grid, interpolation,
+  * downsampling, and anomaly flagging.
+  *
+  * Scale shape: everything is (series key)-partitioned. The spine
+  * explode is linear in series-hours; the obs→bucket collapse and the
+  * spine join are ONE shuffle each on (key, bucket); the fill /
+  * interpolation / rolling windows partition by key only — a series'
+  * grid rows (bounded by its observed time range) must fit a task,
+  * which holds for any physical sensor (a decade of hourly rows is
+  * 87k). For 100 TB of MANY series this parallelizes across keys; for
+  * a single pathological series, chunk the grid by (key, year) and
+  * carry the boundary row — the LOCF carry composes associatively.
+  */
+object Timeseries {
+
+  /** One row per (key, grid bucket) from each series' first to last
+    * observed bucket — the regular grid a fill targets. `step` is any
+    * Spark interval literal (e.g. "1 hour"), `trunc` the matching
+    * date_trunc unit.
+    */
+  def spine(df: DataFrame, keys: Seq[String], tsCol: String,
+      trunc: String = "hour", step: String = "1 hour"): DataFrame = {
+    val k = keys.map(col)
+    df.groupBy(k: _*)
+      .agg(min(date_trunc(trunc, col(tsCol))).as("__h0"),
+        max(date_trunc(trunc, col(tsCol))).as("__h1"))
+      .select(k :+ explode(sequence(col("__h0"), col("__h1"),
+        expr(s"INTERVAL $step"))).as("bucket"): _*)
+  }
+
+  /** Collapse observations to one value per (key, bucket): the LAST
+    * by (ts, tieCol) — keep-latest semantics, deterministic under
+    * duplicate timestamps. One shuffle; rank ≤ 1 compiles to
+    * WindowGroupLimit so no bucket materializes more than its top row
+    * per partition before the limit.
+    */
+  def lastPerBucket(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, trunc: String = "hour"): DataFrame = {
+    val b = date_trunc(trunc, col(tsCol)).as("bucket")
+    val w = Window.partitionBy((keys.map(col) :+ col("bucket")): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.select((keys.map(col) :+ b :+ col(tsCol) :+ col(tieCol) :+ col(valueCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col("bucket") :+ col(valueCol)): _*)
+  }
+
+  /** Gap-fill a series onto its regular grid with last-observation-
+    * carried-forward. Output: keys, bucket, `is_obs` (a real
+    * observation landed in this bucket), `<valueCol>_locf` (the
+    * carried value — NULL before the first observation). LOCF copies
+    * values, never computes on them, so doubles pass through bit-exact.
+    */
+  def gapFillLocf(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String,
+      trunc: String = "hour", step: String = "1 hour"): DataFrame = {
+    val grid = spine(df, keys, tsCol, trunc, step)
+    val obs = lastPerBucket(df, keys, tsCol, tieCol, valueCol, trunc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keys :+ "bucket", "left")
+      .select((keys.map(col) :+ col("bucket") :+
+        col(valueCol).isNotNull.as("is_obs") :+
+        last(col(valueCol), ignoreNulls = true).over(w)
+          .as(s"${valueCol}_locf")): _*)
+  }
+
+  /** Linear interpolation onto the regular grid, integer-quantized so
+    * both engines agree bit-for-bit: with prev/next the nearest
+    * observed buckets (second distances dh, Dh as exact longs cast to
+    * double — exact below 2⁵³), the interpolated value is
+    *   floor((prev·(Dh−dh) + next·dh) · 1e6 / Dh)  (micro-units, long)
+    * — one fused double expression evaluated identically by any IEEE
+    * engine, then floored. Grid points outside [first, last] obs get
+    * NULL; observed buckets return their own value exactly.
+    */
+  def interpolate(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String,
+      trunc: String = "hour", step: String = "1 hour"): DataFrame = {
+    val grid = spine(df, keys, tsCol, trunc, step)
+    val obs = lastPerBucket(df, keys, tsCol, tieCol, valueCol, trunc)
+    val kw = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val back = kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = kw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col(valueCol).isNotNull, col("bucket"))
+    val joined = grid.join(obs, keys :+ "bucket", "left")
+      .select((keys.map(col) :+ col("bucket") :+ col(valueCol) :+
+        last(col(valueCol), ignoreNulls = true).over(back).as("__pv") :+
+        last(obsBucket, ignoreNulls = true).over(back).as("__pb") :+
+        first(col(valueCol), ignoreNulls = true).over(fwd).as("__nv") :+
+        first(obsBucket, ignoreNulls = true).over(fwd).as("__nb")): _*)
+    val dh = (unix_seconds(col("bucket")) - unix_seconds(col("__pb"))).cast("double")
+    val tot = (unix_seconds(col("__nb")) - unix_seconds(col("__pb"))).cast("double")
+    val interp = floor(
+      (col("__pv") * (tot - dh) + col("__nv") * dh) * lit(1e6) / tot).cast("long")
+    val exact = floor(col(valueCol) * lit(1e6)).cast("long")
+    joined.select((keys.map(col) :+ col("bucket") :+
+      col(valueCol).isNotNull.as("is_obs") :+
+      when(col(valueCol).isNotNull, exact)
+        .when(col("__pv").isNotNull && col("__nv").isNotNull, interp)
+        .as("value_interp_micro")): _*)
+  }
+
+  /** OHLC-style downsample: per (keys, bucket) the first/last (by
+    * (ts, tieCol)) and min/max values plus the row count — the classic
+    * resample for plotting and compaction. open/close are exact PICKS
+    * of stored doubles (min_by/max_by on a packed (ts, tie) struct),
+    * high/low exact comparisons — no arithmetic, bit-exact on any
+    * engine. ONE map-side-combined aggregate, no window.
+    */
+  def ohlc(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, trunc: String = "day"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    df.groupBy((keys.map(col) :+ date_trunc(trunc, col(tsCol)).as("bucket")): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rolling z-score anomaly flags, integer-exact: values quantize to
+    * milli-units q = floor(value·1000); over the trailing frame
+    * [−lookback, −1] (the current row EXCLUDED — it must not defend
+    * itself) the running sums S = Σq and S2 = Σq² are exact longs, and
+    *   |z| > k  ⇔  (n·q − S)²·(n−1) > k²·n·(n·S2 − S²)
+    * cross-multiplies the sample-variance denominator away — every
+    * comparison is int64 arithmetic, so the flag can never differ
+    * between engines on a boundary tie. Rows with fewer than `minPrev`
+    * trailing observations are unflagged (cold start).
+    */
+  def rollingZScoreFlags(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String,
+      lookback: Int = 12, minPrev: Int = 8, k: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val q = floor(col(valueCol) * lit(1000)).cast("long")
+    val base = df.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+      q.as("q")): _*)
+      .select(col("*"),
+        sum(col("q")).over(w).as("s1"),
+        sum(col("q") * col("q")).over(w).as("s2"),
+        count(lit(1)).over(w).as("n"))
+    val dev = col("n") * col("q") - col("s1")
+    val varNum = col("n") * col("s2") - col("s1") * col("s1")
+    base.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
+      col("n") :+
+      (col("n") >= minPrev &&
+        dev * dev * (col("n") - 1) > lit(k * k) * col("n") * varNum)
+        .as("is_anomaly")): _*)
+  }
+
+  /** SCD2-style run collapse: consecutive rows (per key, time-ordered)
+    * holding the SAME value of `stateCol` merge into one validity
+    * interval [from_ts, to_ts) — to_ts is the NEXT run's start (NULL
+    * for the open run), exactly the effective-dating a slowly-changing
+    * dimension table records. Change detection is lag() ≠ current; run
+    * ids are a running sum of change flags — two windows on ONE
+    * partitioning, then one aggregate.
+    */
+  def valueRuns(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val kw = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val changed = when(lag(col(stateCol), 1).over(kw).isNull ||
+      lag(col(stateCol), 1).over(kw) =!= col(stateCol), 1L).otherwise(0L)
+    val runs = df
+      .select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col(stateCol)): _*)
+      .withColumn("__run", sum(changed).over(
+        kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("__run") :+ col(stateCol)): _*)
+      .agg(min(col(tsCol)).as("from_ts"), max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("n_events"))
+    val rw = Window.partitionBy(keys.map(col): _*).orderBy(col("from_ts"))
+    runs.select((keys.map(col) :+ col(stateCol) :+ col("from_ts") :+
+      lead(col("from_ts"), 1).over(rw).as("to_ts") :+ col("n_events")): _*)
+  }
+}

@@ -109,6 +109,29 @@ object Dedup {
       .select(s"a_$idCol", s"b_$idCol").distinct()
   }
 
+  /** Cross-source near-dup overlap matrix: for each UNORDERED source
+    * pair, how many LSH candidate near-dup pairs land between them —
+    * the inter-source duplication profile a mixture planner reads
+    * before weighting sources (two crawls of the same sites should not
+    * both get full weight). Input is the already-deduped candidate
+    * pair list; cost is two doc_id equi-joins against the (id, source)
+    * projection plus one tiny aggregate — the pair list, not the
+    * corpus, dominates. Diagonal rows (a source against itself) are
+    * included: within-source duplication.
+    */
+  def sourceOverlapMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    val dims = docs.select(col(idCol), col(srcCol))
+    val withSrc = pairs
+      .join(dims.toDF(s"a_$idCol", "__a_src"), s"a_$idCol")
+      .join(dims.toDF(s"b_$idCol", "__b_src"), s"b_$idCol")
+    withSrc
+      .select(least(col("__a_src"), col("__b_src")).as("source_a"),
+        greatest(col("__a_src"), col("__b_src")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Estimated Jaccard from signature agreement for candidate pairs. */
   def minHashEstimate(pairs: DataFrame, signatures: DataFrame,
       numHashes: Int = 8, idCol: String = "doc_id"): DataFrame = {

@@ -2567,5 +2567,76 @@ object LlmOps {
         Tables.documents(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")))
         .orderBy("doc_id")
+    },
+
+    // --- D15: cross-source near-dup overlap matrix -------------------
+    // The inter-source duplication profile a mixture planner reads
+    // before weighting sources: per unordered source pair, the LSH
+    // candidate near-dup pairs between them. Two doc_id equi-joins on
+    // the shared memoized pair list + one tiny aggregate.
+    QueryDef.sql(
+      "d15_source_overlap",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte,
+         |pairs AS (
+         |$pairsSelect)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a_doc_id
+         |JOIN documents db ON db.doc_id = p.b_doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      Dedup.sourceOverlapMatrix(candidatePairs(s, dir), Tables.documents(s, dir))
+        .orderBy("source_a", "source_b")
+    },
+
+    // --- C13: deterministic exact-k sample per stratum ---------------
+    // Seedless reservoir equivalent: the k smallest (md5(id), id) rows
+    // of each source. rank ≤ k compiles to WindowGroupLimit — the
+    // shuffle carries O(k·strata·tasks) rows, never the corpus.
+    QueryDef.sql(
+      "c13_exact_k_sample",
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rk <= 10
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      Curation.exactKPerStratum(Tables.documents(s, dir),
+        col("source"), col("doc_id"), k = 10)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+    },
+
+    // --- T18: equal-frequency token-count bins -----------------------
+    // Discretization without the single-task global-ntile trap: exact
+    // interpolated quantile edges as ONE broadcast scalar row, bin
+    // assignment on the scan, then a bin-sized rollup.
+    QueryDef.sql(
+      "t18_quantile_bins", {
+        val edges = (1 until 8).map(i =>
+          s"round(quantile_cont(n_tokens, ${i / 8.0}), 6) AS e$i").mkString(", ")
+        val binExpr = (1 until 8).map(i =>
+          s"CASE WHEN n_tokens >= e$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           |    AS n_tokens FROM documents),
+           |e AS (SELECT $edges FROM c),
+           |b AS (SELECT doc_id, n_tokens, CAST($binExpr AS BIGINT) AS bin FROM c, e)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(n_tokens) AS lo, max(n_tokens) AS hi
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+      }) { (s, dir) =>
+      val c = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.quantileBins(c, "n_tokens", n = 8)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("lo"), max(col("n_tokens")).as("hi"))
+        .orderBy("bin")
     })
 }

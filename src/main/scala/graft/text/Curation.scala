@@ -556,6 +556,48 @@ object Curation {
     *     the partition id — parallel across partitions) + the
     *     partition's offset = the global running total.
     */
+  /** Deterministic EXACT-k sample per stratum: the k rows with the
+    * smallest (md5(key), key) order — a seedless reservoir-sample
+    * equivalent (rate-based [[stratifiedSample]] keeps ≈rate·|stratum|,
+    * which under- or over-shoots small strata; eval-set construction
+    * wants exactly k). rank ≤ k compiles to WindowGroupLimit, so each
+    * map task keeps only its local top-k per stratum BEFORE the
+    * exchange — the shuffle carries O(k · strata · tasks) rows, never
+    * the corpus. Samples are stable under repartitioning and
+    * engine-portable (md5 everywhere).
+    */
+  def exactKPerStratum(df: DataFrame, strata: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(strata).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Equal-frequency discretization of a numeric column into `n` bins:
+    * edges are the exact interpolated (i/n)-quantiles (the a12/t14
+    * idiom — integer-valued inputs give binary-fraction interpolants,
+    * cross-engine stable), computed as ONE scalar aggregate and
+    * broadcast back onto the scan; a row's bin is the count of edges
+    * at or below its value. NO global sort / single-task ntile — the
+    * classic `ntile(n) OVER (ORDER BY v)` formulation funnels the
+    * whole corpus through one task and is scale-hostile; this shape is
+    * two linear passes. Emits the input plus `bin` (0..n−1).
+    */
+  def quantileBins(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 1024, s"n must be in [2,1024], got $n")
+    val edgeCols = (1 until n).map(i =>
+      round(expr(s"percentile($valueCol, ${i.toDouble / n})"), 6)
+        .as(s"__e$i"))
+    val edges = df.agg(edgeCols.head, edgeCols.tail: _*)
+    val bin = (1 until n).map(i =>
+      when(col(valueCol) >= col(s"__e$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin", bin)
+      .select(df.columns.map(col).toIndexedSeq :+ col("bin"): _*)
+  }
+
   def packShards(df: DataFrame, tokenCol: String, budget: Long,
       orderCol: String = "doc_id"): DataFrame = {
     val (ranged, offCol) = withPartitionOffsets(

@@ -788,4 +788,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(cleaned(401L).getAs[Long]("n_removed") == 18L,
       "both later occurrences in one doc must go")
   }
+
+  test("sourceOverlapMatrix profiles near-dup pairs by unordered source pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, base, "crawlA"), (2L, base, "crawlB"),   // cross-source dup
+      (3L, base + "!", "crawlB"),                   // near-dup of 1,2
+      (4L, "completely different text about spark plans", "crawlA"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.minHashCandidatePairs(
+      Dedup.minHashSignatures(Dedup.shingles(docs, distinct = false)))
+    val m = Dedup.sourceOverlapMatrix(pairs, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 1-2 and 1-3 cross; 2-3 within crawlB
+    assert(m(("crawlA", "crawlB")) == 2L)
+    assert(m(("crawlB", "crawlB")) == 1L)
+    assert(!m.contains(("crawlA", "crawlA")))
+    // symmetric pairs must fold onto one unordered key
+    assert(m.keys.forall { case (a, b) => a <= b })
+  }
 }

@@ -395,4 +395,44 @@ class CurationSpec extends SparkSuite {
     assert(m.getAs[Long]("distinct_stopwords") >= 2L)
     assert(m.getAs[Long]("alpha_word_frac_scaled") == 10000L)
   }
+
+  test("exactKPerStratum returns exactly k per stratum, stable and nested") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val k5 = Curation.exactKPerStratum(df, col("source"), col("doc_id"), 5)
+      .collect()
+    assert(k5.length == 15)
+    assert(k5.groupBy(_.getString(1)).values.forall(_.length == 5))
+    // repartitioning must not change membership
+    val k5b = Curation.exactKPerStratum(df.repartition(7), col("source"),
+      col("doc_id"), 5).collect().map(_.getLong(0)).toSet
+    assert(k5b == k5.map(_.getLong(0)).toSet)
+    // k=3 sample nests inside k=5 (same hash order prefix)
+    val k3 = Curation.exactKPerStratum(df, col("source"), col("doc_id"), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k5b))
+  }
+
+  test("exactKPerStratum compiles to WindowGroupLimit") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val p = Curation.exactKPerStratum(df, col("source"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("quantileBins gives equal-frequency bins with ordered edges") {
+    val df = (0L until 800L).map(i => (i, i / 2)).toDF("doc_id", "v")
+    val out = Curation.quantileBins(df, "v", 8)
+    val sizes = out.groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    // uniform input → near-equal bins (interpolated edges may put the
+    // boundary value on either side by at most one repeat group)
+    assert(sizes.values.forall(n => n >= 98 && n <= 102), sizes)
+    // bins are ordered: every value in bin b is <= every value in b+1
+    val byBin = out.groupBy("bin").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bin").collect()
+    byBin.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(1))
+    }
+  }
 }

@@ -20,6 +20,7 @@ object SparkEntry {
     () => graft.queries.DomainOps.defs,
     () => graft.queries.StreamingShapes.defs,
     () => graft.queries.TimeseriesOps.defs,
+    () => graft.queries.DiagnosticsOps.defs,
     () => graft.queries.Coverage.defs,
     () => graft.queries.TpchShapes.defs)
 

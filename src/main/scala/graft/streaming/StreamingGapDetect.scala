@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming series-gap detector: the online counterpart of the batch
+  * grid gap-fill ([[graft.operators.Timeseries.gapFillLocf]]) — a
+  * monitoring station (the reference ingests tide-gauge feeds whose
+  * stations go silent; run/ingestObsTasks.py re-harvests on a
+  * schedule) wants an ALERT when a series stops reporting, not a
+  * backfilled hole after the fact.
+  *
+  * Semantics: per key, once a series has been seen, emit one alert
+  * row each time the EVENT-TIME clock (the stream's watermark — not
+  * wall time, so replays reproduce identical alerts) passes
+  * `last_seen + gap` with no newer row. After alerting, the detector
+  * re-arms at the alert horizon: a series silent for 3 gaps yields 3
+  * alerts with increasing `silent_for_ms`, and a series that resumes
+  * resets to its new last-seen time.
+  *
+  * Mechanics: `flatMapGroupsWithState` with EventTimeTimeout. On
+  * data: update last-seen to the max event time, clear any pending
+  * horizon, re-arm the timer at `last_seen + gap`. On timeout (the
+  * watermark passed the armed horizon): emit the alert, advance the
+  * horizon one gap, re-arm. State per key is two longs — bounded by
+  * key cardinality, independent of stream length or gap count.
+  *
+  * Scale shape: state ops shuffle once on the grouping key and keep
+  * state partition-local thereafter; a million silent stations cost a
+  * million 16-byte states and one timer wheel scan per micro-batch.
+  * The caller MUST apply `.withWatermark` before [[alerts]]; with no
+  * watermark the event-time clock never advances and nothing fires.
+  */
+object StreamingGapDetect {
+
+  final case class SeriesEvent(key: String, ts: Timestamp)
+  final case class GapAlert(key: String, last_ts: Timestamp,
+      horizon_ts: Timestamp, silent_for_ms: Long)
+  /** lastSeenMs = newest event time seen; horizonMs = next alert
+    * deadline (lastSeen + k·gap for the k-th consecutive alert). */
+  final case class GapState(lastSeenMs: Long, horizonMs: Long)
+
+  def alerts(events: Dataset[SeriesEvent], gapMs: Long): Dataset[GapAlert] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[SeriesEvent], state: GroupState[GapState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed the armed horizon with no new data
+            val st = state.get
+            val alert = GapAlert(key, new Timestamp(st.lastSeenMs),
+              new Timestamp(st.horizonMs), st.horizonMs - st.lastSeenMs)
+            val next = GapState(st.lastSeenMs, st.horizonMs + gapMs)
+            state.update(next)
+            state.setTimeoutTimestamp(next.horizonMs)
+            Iterator.single(alert)
+          } else {
+            // new data: last-seen advances, any pending horizon resets
+            val newest = rows.map(_.ts.getTime).max
+            val last = state.getOption.fold(newest)(s => math.max(s.lastSeenMs, newest))
+            val next = GapState(last, last + gapMs)
+            state.update(next)
+            // setTimeoutTimestamp requires a value beyond the current
+            // watermark; a horizon already passed fires next batch via
+            // the max(..) clamp
+            state.setTimeoutTimestamp(
+              math.max(next.horizonMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+}

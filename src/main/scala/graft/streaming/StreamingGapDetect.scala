@@ -12,12 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * backfilled hole after the fact.
   *
   * Semantics: per key, once a series has been seen, emit one alert
-  * row each time the EVENT-TIME clock (the stream's watermark — not
-  * wall time, so replays reproduce identical alerts) passes
-  * `last_seen + gap` with no newer row. After alerting, the detector
-  * re-arms at the alert horizon: a series silent for 3 gaps yields 3
-  * alerts with increasing `silent_for_ms`, and a series that resumes
-  * resets to its new last-seen time.
+  * row for EVERY elapsed gap the EVENT-TIME clock (the stream's
+  * watermark — not wall time, so replays and re-batchings reproduce
+  * identical alerts) passes without a newer row: a series silent for
+  * 3 gaps yields 3 alerts with increasing `silent_for_ms`, whether
+  * the watermark crossed those horizons in three batches or one. A
+  * series that resumes resets to its new last-seen time. Rows at or
+  * before the current watermark on arrival are dropped upstream by
+  * Spark's standard late-data filter.
   *
   * Mechanics: `flatMapGroupsWithState` with EventTimeTimeout. On
   * data: update last-seen to the max event time, clear any pending
@@ -50,14 +52,24 @@ object StreamingGapDetect {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[SeriesEvent], state: GroupState[GapState]) => {
           if (state.hasTimedOut) {
-            // watermark passed the armed horizon with no new data
+            // the watermark passed the armed horizon with no new data.
+            // It may have passed SEVERAL horizons in one jump (a batch
+            // can advance event time by hours) — emit one alert per
+            // elapsed gap so the alert sequence is identical however
+            // the same events are batched, then re-arm strictly beyond
+            // the watermark (a timer at or behind it is rejected).
             val st = state.get
-            val alert = GapAlert(key, new Timestamp(st.lastSeenMs),
-              new Timestamp(st.horizonMs), st.horizonMs - st.lastSeenMs)
-            val next = GapState(st.lastSeenMs, st.horizonMs + gapMs)
-            state.update(next)
-            state.setTimeoutTimestamp(next.horizonMs)
-            Iterator.single(alert)
+            val wm = state.getCurrentWatermarkMs()
+            val out = Vector.newBuilder[GapAlert]
+            var h = st.horizonMs
+            while (h <= wm) {
+              out += GapAlert(key, new Timestamp(st.lastSeenMs),
+                new Timestamp(h), h - st.lastSeenMs)
+              h += gapMs
+            }
+            state.update(GapState(st.lastSeenMs, h))
+            state.setTimeoutTimestamp(h) // h > wm by loop exit
+            out.result().iterator
           } else {
             // new data: last-seen advances, any pending horizon resets
             val newest = rows.map(_.ts.getTime).max

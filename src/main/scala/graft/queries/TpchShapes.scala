@@ -473,5 +473,62 @@ object TpchShapes {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("bal_cents")) / 100.0, 2).as("totacctbal"))
         .orderBy("c_nationkey")
+    },
+
+    // Q21 shape (waiting-supplier multi-EXISTS), adapted to the
+    // driver's columns: in a finished multi-supplier order, the
+    // supplier whose LATEST shipment strictly trails every other
+    // supplier's "kept the order waiting". The oracle keeps TPC-H's
+    // correlated EXISTS / NOT-EXISTS formulation; the Spark plan is
+    // the scale-right rewrite — ONE (order, supplier) aggregate, two
+    // same-partitioning windows (max + count-at-max share a single
+    // exchange), an orders equi-join, a broadcast supplier dim, and a
+    // TakeOrdered top-20. No lineitem self-joins: the EXISTS pair
+    // would scan and shuffle lineitem three times.
+    QueryDef.sql(
+      "q21_waiting_supplier",
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+        |  FROM lineitem GROUP BY l_orderkey, l_suppkey)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ls l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate >= l1.ms)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ls = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("ms"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val flagged = ls
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("max1", max(col("ms")).over(w))
+        .withColumn("cnt_at_max",
+          sum(when(col("ms") === col("max1"), 1L).otherwise(0L)).over(w))
+        .filter(col("n_supp") >= 2 && col("ms") === col("max1") &&
+          col("cnt_at_max") === 1)
+      flagged
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     })
 }

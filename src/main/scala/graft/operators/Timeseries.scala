@@ -162,6 +162,38 @@ object Timeseries {
         .as("is_anomaly")): _*)
   }
 
+  /** Merge overlapping/abutting intervals per key into coverage
+    * "islands" — the gaps-and-islands problem: given per-row
+    * [start, end) spans (an obs validity window, a harvest file's
+    * coverage), the maximal contiguous covered spans. A new island
+    * starts where an interval's start exceeds the running max of all
+    * previous ends; island ids are a running sum of those starts; one
+    * aggregate then collapses each island. Two windows + one aggregate
+    * on ONE key partitioning, all integer-µs comparisons. The
+    * complement of the result inside [min start, max end) is the
+    * downtime report.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    val kw = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    // strictly-before frame: the running max of PRIOR ends only — the
+    // current row must not mask its own gap
+    val prior = kw.rowsBetween(Window.unboundedPreceding, -1)
+    val newIsland = when(
+      max(col(endCol)).over(prior).isNull ||
+        col(startCol) > max(col(endCol)).over(prior), 1L).otherwise(0L)
+    df.select((keys.map(col) :+ col(startCol) :+ col(endCol)): _*)
+      .withColumn("__island", sum(newIsland).over(
+        kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("__island")): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select((keys.map(col) :+ col("island_start") :+ col("island_end") :+
+        col("n_intervals")): _*)
+  }
+
   /** SCD2-style run collapse: consecutive rows (per key, time-ordered)
     * holding the SAME value of `stateCol` merge into one validity
     * interval [from_ts, to_ts) — to_ts is the NEXT run's start (NULL

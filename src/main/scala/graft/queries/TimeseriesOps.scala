@@ -159,5 +159,36 @@ object TimeseriesOps {
       val e = Tables.events(s, dir).filter(col("user_id") % 25 === 0)
       Timeseries.valueRuns(e, Seq("user_id"), "ts", "event_id", "event_type")
         .orderBy("user_id", "from_ts")
+    },
+
+    // --- TS6: coverage islands (merge overlapping intervals) ---------
+    // Each event covers [ts, ts+2h); merged per user into maximal
+    // contiguous spans — "when was this series reporting". Two windows
+    // + one aggregate on one key partitioning; the strictly-prior
+    // running-max frame keeps a row from masking its own gap.
+    QueryDef.sql(
+      "ts6_coverage_islands",
+      """WITH e AS (SELECT user_id, ts AS s0, ts + INTERVAL 2 HOUR AS e0
+        |  FROM events WHERE user_id % 25 = 0),
+        |m AS (SELECT user_id, s0, e0,
+        |    CASE WHEN max(e0) OVER w IS NULL OR s0 > max(e0) OVER w
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s0, e0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT user_id, s0, e0,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(s0) AS island_start, max(e0) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island_start""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).filter(col("user_id") % 25 === 0)
+        .select(col("user_id"), col("ts").as("s0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("e0"))
+      Timeseries.mergeIntervals(e, Seq("user_id"), "s0", "e0")
+        .select(col("user_id"), col("island_start"), col("island_end"),
+          col("n_intervals"))
+        .orderBy("user_id", "island_start")
     })
 }

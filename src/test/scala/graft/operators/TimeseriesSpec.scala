@@ -105,6 +105,28 @@ class TimeseriesSpec extends SparkSuite {
     assert(runs(2).isNullAt(3))
   }
 
+  test("mergeIntervals collapses overlap and abutment but keeps true gaps") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")), // overlap
+      (1L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")), // abuts (NOT >)
+      (1L, ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00")), // gap
+      (1L, ts("2024-01-01 06:10:00"), ts("2024-01-01 06:20:00")), // contained
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("k", "s0", "e0")
+    val out = Timeseries.mergeIntervals(df, Seq("k"), "s0", "e0")
+      .orderBy("k", "island_start").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 2)
+    assert(k1(0).getTimestamp(1) == ts("2024-01-01 00:00:00") &&
+      k1(0).getTimestamp(2) == ts("2024-01-01 04:00:00") &&
+      k1(0).getLong(3) == 3L)
+    assert(k1(1).getTimestamp(1) == ts("2024-01-01 06:00:00") &&
+      k1(1).getTimestamp(2) == ts("2024-01-01 07:00:00") &&
+      k1(1).getLong(3) == 2L)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
   test("gap-fill family plans stay join-safe and reuse the key partitioning") {
     val e = graft.Tables.events(spark, sf("sf0.001"))
       .filter(col("user_id") % 25 === 0)

@@ -162,6 +162,77 @@ object Timeseries {
         .as("is_anomaly")): _*)
   }
 
+  /** Half-life EWMA smoother, integer-exact: α = 1/2 per step makes
+    * every weight an exact power of two, so with values quantized to
+    * milli-units the weighted numerator and denominator are exact
+    * int64 sums and the smoothed value is one integer division —
+    * engines cannot disagree. The window is the trailing `lookback`
+    * rows (missing history just drops those terms, exactly the
+    * restarted-EWMA convention); weight of the current row is
+    * 2^(lookback−1), halving per step back. One sort-shuffle window,
+    * `lookback` lag() terms sharing it.
+    */
+  def ewmaHalfLife(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, lookback: Int = 8): DataFrame = {
+    require(lookback >= 2 && lookback <= 20,
+      s"lookback in [2,20] keeps weights*values inside int64, got $lookback")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val q = floor(col(valueCol) * lit(1000)).cast("long")
+    val base = df.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+      q.as("q")): _*)
+    val terms = (0 until lookback).map { o =>
+      val wgt = 1L << (lookback - 1 - o)
+      val l = if (o == 0) col("q") else lag(col("q"), o).over(w)
+      (when(l.isNotNull, l * wgt).otherwise(0L),
+        when(l.isNotNull, lit(wgt)).otherwise(0L))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
+      num.as("__num") :+ den.as("__den")): _*)
+      .select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
+        expr("__num DIV __den").as("ewma_milli")): _*)
+  }
+
+  /** Lagged cross-correlation of two aligned series columns: for each
+    * lag k in [0, maxLag], Pearson r between x(t) and y(t+k). The six
+    * sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 over
+    * integer-valued series; FP enters only in the final
+    * textbook-formula division, computed from identical integers on
+    * any engine and rounded at 6 (the v9/zipf idiom). `series` must
+    * be ONE pre-aggregated row per `orderCol` value (e.g. hourly
+    * rollups) — constant-bounded, so the single-partition lead window
+    * over it is control-plane, not corpus-sized; the distributed work
+    * is the rollup that produced it.
+    */
+  def laggedCorrelation(series: DataFrame, orderCol: String, xCol: String,
+      yCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag in [0,64], got $maxLag")
+    val w = Window.orderBy(col(orderCol))
+    val lagged = series.select(Seq(col(orderCol), col(xCol).as("__x")) ++
+      (0 to maxLag).map(k => lead(col(yCol), k).over(w).as(s"__y$k")): _*)
+    val arms = (0 to maxLag).map { k =>
+      val y = col(s"__y$k")
+      val ok = y.isNotNull
+      val z = (c: Column) => when(ok, c).otherwise(0L)
+      lagged.agg(
+        lit(k).as("lag"),
+        sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(z(col("__x"))).as("sx"),
+        sum(z(y)).as("sy"),
+        sum(z(col("__x") * y)).as("sxy"),
+        sum(z(col("__x") * col("__x"))).as("sxx"),
+        sum(z(y * y)).as("syy"))
+    }
+    arms.reduce(_ unionAll _)
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r"))
+  }
+
   /** Merge overlapping/abutting intervals per key into coverage
     * "islands" — the gaps-and-islands problem: given per-row
     * [start, end) spans (an obs validity window, a harvest file's

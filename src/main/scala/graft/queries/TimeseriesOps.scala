@@ -190,5 +190,74 @@ object TimeseriesOps {
         .select(col("user_id"), col("island_start"), col("island_end"),
           col("n_intervals"))
         .orderBy("user_id", "island_start")
+    },
+
+    // --- TS7: half-life EWMA smoother, integer-exact -----------------
+    // α = 1/2 per step ⇒ every weight an exact power of two; milli-unit
+    // quantization makes numerator/denominator exact int64 sums and
+    // the smoothed value ONE integer division (Spark DIV ≡ DuckDB //).
+    QueryDef.sql(
+      "ts7_ewma", {
+        val n = 8
+        val lagCols = (1 until n).map(o => s"lag(q, $o) OVER w AS q$o").mkString(",\n        |    ")
+        val num = (s"q * ${1L << (n - 1)}" +: (1 until n).map(o =>
+          s"coalesce(q$o, 0) * ${1L << (n - 1 - o)}")).mkString(" + ")
+        val den = (s"${1L << (n - 1)}" +: (1 until n).map(o =>
+          s"CASE WHEN q$o IS NULL THEN 0 ELSE ${1L << (n - 1 - o)} END")).mkString(" + ")
+        s"""WITH e AS ($SampledEvents),
+           |b AS (SELECT user_id, ts, event_id,
+           |    CAST(floor(value * 1000) AS BIGINT) AS q FROM e),
+           |l AS (SELECT user_id, ts, event_id, q,
+           |    $lagCols
+           |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT user_id, ts, event_id, q,
+           |  CAST(($num) // ($den) AS BIGINT) AS ewma_milli
+           |FROM l ORDER BY user_id, ts, event_id""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.events(s, dir).filter(col("user_id") % 25 === 0)
+      Timeseries.ewmaHalfLife(e, Seq("user_id"), "ts", "event_id", "value",
+        lookback = 8)
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // --- TS8: lagged cross-correlation of two series -----------------
+    // Hourly click vs purchase counts; for lag k in 0..3, Pearson r
+    // between x(t) and y(t+k). Sufficient sums exact int64; FP only in
+    // the final textbook division (identical integer inputs both
+    // engines, rounded at 6 — the v9 idiom). The lead window runs over
+    // the PRE-AGGREGATED ~720-row series (control-plane); the
+    // distributed work is the hourly rollup.
+    QueryDef.sql(
+      "ts8_xcorr", {
+        val series =
+          """series AS (SELECT date_trunc('hour', ts) AS h,
+            |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+            |  FROM events GROUP BY date_trunc('hour', ts))""".stripMargin
+        val arms = (0 to 3).map { k =>
+          s"""SELECT $k AS lag,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN x ELSE 0 END) AS BIGINT) AS sx,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN yk ELSE 0 END) AS BIGINT) AS sy,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN x * yk ELSE 0 END) AS BIGINT) AS sxy,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN x * x ELSE 0 END) AS BIGINT) AS sxx,
+             |  CAST(sum(CASE WHEN yk IS NOT NULL THEN yk * yk ELSE 0 END) AS BIGINT) AS syy
+             |FROM (SELECT x, lead(y, $k) OVER (ORDER BY h) AS yk FROM series)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $series,
+           |sums AS (
+           |$arms)
+           |SELECT lag, n,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+           |FROM sums ORDER BY lag""".stripMargin
+      }) { (s, dir) =>
+      val series = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      Timeseries.laggedCorrelation(series, "h", "x", "y", maxLag = 3)
+        .orderBy("lag")
     })
 }

@@ -105,6 +105,35 @@ class TimeseriesSpec extends SparkSuite {
     assert(runs(2).isNullAt(3))
   }
 
+  test("ewmaHalfLife halves weights per step and restarts cleanly") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 20.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, 40.0))
+      .toDF("k", "ts", "eid", "v")
+    val out = Timeseries.ewmaHalfLife(df, Seq("k"), "ts", "eid", "v",
+      lookback = 8).orderBy("eid").collect()
+    // row 1: only itself -> exact value
+    assert(out(0).getLong(4) == 10000L)
+    // row 2: (20000*128 + 10000*64) / 192 = 16666 (integer division)
+    assert(out(1).getLong(4) == (20000L * 128 + 10000L * 64) / 192)
+    // row 3: (40000*128 + 20000*64 + 10000*32) / 224
+    assert(out(2).getLong(4) == (40000L * 128 + 20000L * 64 + 10000L * 32) / 224)
+  }
+
+  test("laggedCorrelation finds the planted lag") {
+    // y is exactly x shifted by 2: r(lag=2) == 1, other lags weaker
+    val x = Seq(5L, 9L, 2L, 8L, 1L, 7L, 3L, 6L, 4L, 10L)
+    val rows = x.indices.map { i =>
+      (ts(f"2024-01-01 ${i}%02d:00:00"), x(i), x.lift(i - 2).getOrElse(0L) * 3 + 1)
+    }
+    val series = rows.toDF("h", "x", "y")
+    val out = Timeseries.laggedCorrelation(series, "h", "x", "y", maxLag = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(2) == 1.0, out) // y(t+2) = 3*x(t)+1 exactly
+    assert(math.abs(out(0)) < 1.0 && math.abs(out(1)) < 1.0)
+  }
+
   test("mergeIntervals collapses overlap and abutment but keeps true gaps") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),

@@ -171,6 +171,11 @@ object Timeseries {
     * restarted-EWMA convention); weight of the current row is
     * 2^(lookback−1), halving per step back. One sort-shuffle window,
     * `lookback` lag() terms sharing it.
+    *
+    * Cross-engine caveat: the final integer division is exact parity
+    * only for NON-NEGATIVE quantized values — Spark's `DIV` truncates
+    * toward zero while some engines' `//` floors, and the two differ
+    * on negatives. Shift a signed series up before smoothing.
     */
   def ewmaHalfLife(df: DataFrame, keys: Seq[String], tsCol: String,
       tieCol: String, valueCol: String, lookback: Int = 8): DataFrame = {
@@ -271,7 +276,9 @@ object Timeseries {
     * for the open run), exactly the effective-dating a slowly-changing
     * dimension table records. Change detection is lag() ≠ current; run
     * ids are a running sum of change flags — two windows on ONE
-    * partitioning, then one aggregate.
+    * partitioning, then one aggregate. `stateCol` must be non-null:
+    * lag()'s null marks "first row of the key", so a null STATE would
+    * be indistinguishable from it (coalesce a sentinel in first).
     */
   def valueRuns(df: DataFrame, keys: Seq[String], tsCol: String,
       tieCol: String, stateCol: String): DataFrame = {

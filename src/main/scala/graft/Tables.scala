@@ -36,9 +36,16 @@ object Tables {
     * schema so both encodings load identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** The events `ts` normalization shared by the batch loader above
+    * and any streaming read of the same files: the driver has shipped
+    * both TIMESTAMP(NANOS) (long under the legacy conf) and plain-µs
+    * NTZ encodings — branch on the actual schema. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -43,7 +43,12 @@ object SkewProfile {
     */
   def partitionBalance(df: DataFrame, keys: Seq[Column],
       buckets: Int = 32): DataFrame = {
-    require(buckets >= 2 && buckets <= 256, s"buckets in [2,256], got $buckets")
+    // must divide the 256-value hash space: a non-divisor count would
+    // bake a modulo bias into the audit itself (e.g. 48 buckets -> the
+    // first 16 get 6/256 of the space, the rest 5/256 — a ~20% skew a
+    // real hash partitioner would not have)
+    require(buckets >= 2 && buckets <= 256 && 256 % buckets == 0,
+      s"buckets must divide 256 (2,4,8,...,256), got $buckets")
     val b = graft.text.Curation.hashBucket(concat_ws("|", keys: _*)) % buckets
     val counts = df.groupBy(b.as("bucket")).agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("__t"))

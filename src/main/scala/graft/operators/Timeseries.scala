@@ -217,25 +217,37 @@ object Timeseries {
     val w = Window.orderBy(col(orderCol))
     val lagged = series.select(Seq(col(orderCol), col(xCol).as("__x")) ++
       (0 to maxLag).map(k => lead(col(yCol), k).over(w).as(s"__y$k")): _*)
-    val arms = (0 to maxLag).map { k =>
+    // ONE aggregation pass producing all 6 sums for every lag as a
+    // wide single row (an aggregate per lag would re-evaluate the
+    // window and its upstream rollup maxLag+1 times), then the row
+    // explodes into per-lag records
+    val aggCols = (0 to maxLag).flatMap { k =>
       val y = col(s"__y$k")
       val ok = y.isNotNull
-      val z = (c: Column) => when(ok, c).otherwise(0L)
-      lagged.agg(
-        lit(k).as("lag"),
-        sum(when(ok, 1L).otherwise(0L)).as("n"),
-        sum(z(col("__x"))).as("sx"),
-        sum(z(y)).as("sy"),
-        sum(z(col("__x") * y)).as("sxy"),
-        sum(z(col("__x") * col("__x"))).as("sxx"),
-        sum(z(y * y)).as("syy"))
+      def z(c: Column) = when(ok, c).otherwise(0L)
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as(s"n$k"),
+        sum(z(col("__x"))).as(s"sx$k"),
+        sum(z(y)).as(s"sy$k"),
+        sum(z(col("__x") * y)).as(s"sxy$k"),
+        sum(z(col("__x") * col("__x"))).as(s"sxx$k"),
+        sum(z(y * y)).as(s"syy$k"))
     }
-    arms.reduce(_ unionAll _)
-      .select(col("lag"), col("n"),
+    val wide = lagged.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = wide.select(explode(array((0 to maxLag).map(k =>
+      struct(lit(k).as("lag"), col(s"n$k").as("n"), col(s"sx$k").as("sx"),
+        col(s"sy$k").as("sy"), col(s"sxy$k").as("sxy"),
+        col(s"sxx$k").as("sxx"), col(s"syy$k").as("syy"))): _*)).as("a"))
+      .select(col("a.*"))
+    // degenerate arms (zero variance, n<=1) -> NULL r, matching SQL
+    // engines where x/0.0 is NULL (Spark alone would yield NaN/Inf)
+    val varProd =
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    stacked.select(col("lag"), col("n"),
+      when(varProd > 0,
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-          .as("r"))
+          sqrt(varProd), 6)).as("r"))
   }
 
   /** Merge overlapping/abutting intervals per key into coverage
@@ -291,9 +303,11 @@ object Timeseries {
       .withColumn("__run", sum(changed).over(
         kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys.map(col) :+ col("__run") :+ col(stateCol)): _*)
-      .agg(min(col(tsCol)).as("from_ts"), max(col(tsCol)).as("last_ts"),
-        count(lit(1)).as("n_events"))
-    val rw = Window.partitionBy(keys.map(col): _*).orderBy(col("from_ts"))
+      .agg(min(col(tsCol)).as("from_ts"), count(lit(1)).as("n_events"))
+    // chain by the strictly-increasing run id, NOT from_ts: two runs
+    // can share a boundary timestamp (tie broken only by tieCol), and
+    // an order on from_ts alone would make lead() partition-dependent
+    val rw = Window.partitionBy(keys.map(col): _*).orderBy(col("__run"))
     runs.select((keys.map(col) :+ col(stateCol) :+ col("from_ts") :+
       lead(col("from_ts"), 1).over(rw).as("to_ts") :+ col("n_events")): _*)
   }

@@ -153,7 +153,7 @@ object TimeseriesOps {
          |    CAST(count(*) AS BIGINT) AS n_events
          |  FROM r GROUP BY user_id, run, event_type)
          |SELECT user_id, event_type, from_ts,
-         |  lead(from_ts) OVER (PARTITION BY user_id ORDER BY from_ts) AS to_ts,
+         |  lead(from_ts) OVER (PARTITION BY user_id ORDER BY run) AS to_ts,
          |  n_events
          |FROM g ORDER BY user_id, from_ts""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir).filter(col("user_id") % 25 === 0)

@@ -13,12 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: per key, once a series has been seen, emit one alert
   * row for EVERY elapsed gap the EVENT-TIME clock (the stream's
-  * watermark — not wall time, so replays and re-batchings reproduce
-  * identical alerts) passes without a newer row: a series silent for
-  * 3 gaps yields 3 alerts with increasing `silent_for_ms`, whether
-  * the watermark crossed those horizons in three batches or one. A
-  * series that resumes resets to its new last-seen time. Rows at or
-  * before the current watermark on arrival are dropped upstream by
+  * watermark — not wall time, so replays reproduce identical alerts)
+  * passes without a newer row: a series silent for 3 gaps yields 3
+  * alerts with increasing `silent_for_ms`, whether the watermark
+  * crossed those horizons in three batches or one. A series that
+  * resumes resets to its new last-seen time — and because a key with
+  * data is never invoked via the timeout path, the data branch FIRST
+  * emits catch-up alerts for every horizon at or before the current
+  * watermark, so a resume arriving a batch after the clock advanced
+  * cannot swallow them. Precision boundary: the in-batch watermark is
+  * the batch-START one (watermarks are batch-granular by
+  * construction), so a resume riding the SAME batch as the rows that
+  * advance the clock supersedes horizons between that watermark and
+  * its own timestamp — the one place batching is observable. Rows at
+  * or before the current watermark on arrival are dropped upstream by
   * Spark's standard late-data filter.
   *
   * Mechanics: `flatMapGroupsWithState` with EventTimeTimeout. On
@@ -71,7 +79,23 @@ object StreamingGapDetect {
             state.setTimeoutTimestamp(h) // h > wm by loop exit
             out.result().iterator
           } else {
-            // new data: last-seen advances, any pending horizon resets
+            // new data. If the same batch ALSO advanced the watermark
+            // past pending horizons, the timeout path will never fire
+            // for this key (a key with data is not timed out) — emit
+            // the catch-up alerts here first, or a resume arriving in
+            // the same batch would silently swallow them and the alert
+            // history would depend on batching.
+            val wm = state.getCurrentWatermarkMs()
+            val out = Vector.newBuilder[GapAlert]
+            state.getOption.foreach { st =>
+              var h = st.horizonMs
+              while (h <= wm) {
+                out += GapAlert(key, new Timestamp(st.lastSeenMs),
+                  new Timestamp(h), h - st.lastSeenMs)
+                h += gapMs
+              }
+            }
+            // then the reset: last-seen advances, pending horizon rearms
             val newest = rows.map(_.ts.getTime).max
             val last = state.getOption.fold(newest)(s => math.max(s.lastSeenMs, newest))
             val next = GapState(last, last + gapMs)
@@ -79,9 +103,8 @@ object StreamingGapDetect {
             // setTimeoutTimestamp requires a value beyond the current
             // watermark; a horizon already passed fires next batch via
             // the max(..) clamp
-            state.setTimeoutTimestamp(
-              math.max(next.horizonMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            state.setTimeoutTimestamp(math.max(next.horizonMs, wm + 1))
+            out.result().iterator
           }
         })
   }

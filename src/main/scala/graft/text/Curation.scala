@@ -586,10 +586,14 @@ object Curation {
     */
   def quantileBins(df: DataFrame, valueCol: String, n: Int): DataFrame = {
     require(n >= 2 && n <= 1024, s"n must be in [2,1024], got $n")
-    val edgeCols = (1 until n).map(i =>
-      round(expr(s"percentile($valueCol, ${i.toDouble / n})"), 6)
-        .as(s"__e$i"))
-    val edges = df.agg(edgeCols.head, edgeCols.tail: _*)
+    // ONE percentile aggregate over an array of probabilities — n-1
+    // independent percentile() calls would each materialize their own
+    // full value histogram in the aggregation buffer
+    val ps = (1 until n).map(i => i.toDouble / n).mkString(", ")
+    val edges = df
+      .agg(expr(s"percentile($valueCol, array($ps))").as("__es"))
+      .select((1 until n).map(i =>
+        round(element_at(col("__es"), i), 6).as(s"__e$i")): _*)
     val bin = (1 until n).map(i =>
       when(col(valueCol) >= col(s"__e$i"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -117,4 +117,40 @@ class StreamingGapDetectSpec extends SparkSuite {
     // Y kept reporting within the gap: no Y alerts in either run
     assert(r1.forall(_._1 == "X") && r2.forall(_._1 == "X"))
   }
+
+  test("a resume one batch after the clock advance still yields the elapsed alerts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // X@10 (gap 5s) goes silent; Y@40 advances the clock; X resumes in
+    // the NEXT batch. The timeout path never fires for a key with data
+    // in the batch — the data-branch catch-up must emit 15..40 anyway.
+    val input = MemoryStream[SeriesEvent]
+    val q = StreamingGapDetect.alerts(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 5_000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_resume")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(SeriesEvent("X", t(10)), SeriesEvent("Y", t(11)))
+    q.processAllAvailable()
+    input.addData(SeriesEvent("Y", t(40)))
+    q.processAllAvailable()
+    input.addData(SeriesEvent("X", t(41)))   // resume; wm is now 40
+    q.processAllAvailable()
+    val xs = spark.table("gap_resume").as[GapAlert].collect().toSeq
+      .filter(_.key == "X").sortBy(_.horizon_ts.getTime)
+    assert(xs.map(_.silent_for_ms) ==
+      Seq(5_000L, 10_000L, 15_000L, 20_000L, 25_000L, 30_000L))
+    assert(xs.forall(_.last_ts == t(10)))
+    // and the reset took: the next alert (if any) measures from 41s
+    input.addData(SeriesEvent("Y", t(47)))
+    q.processAllAvailable()
+    input.addData(SeriesEvent("Y", t(48)))
+    q.processAllAvailable()
+    val after = spark.table("gap_resume").as[GapAlert].collect().toSeq
+      .filter(_.key == "X").sortBy(_.horizon_ts.getTime)
+    assert(after.size == 7 && after.last.last_ts == t(41) &&
+      after.last.silent_for_ms == 5_000L)
+    q.stop()
+  }
 }

@@ -10,19 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingQuerySpec extends SparkSuite {
 
-  /** Same ts normalization as [[Tables.events]]: the driver's events
-    * parquet has shipped both TIMESTAMP(NANOS) (read as long under the
-    * legacy conf) and plain-µs NTZ encodings — branch on the inferred
-    * schema so the stream loads either.
-    */
   private def normalizeTs(df: org.apache.spark.sql.DataFrame) =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
-    }
+    Tables.normalizeTs(df)
 
   test("watermarked windowed agg over a stream matches the batch result") {
     val dir = sf("sf0.001")

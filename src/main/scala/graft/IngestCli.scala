@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   IngestCli QueryObs        --store <dir> --station <name> --start <ts> --end <ts>
   *   IngestCli BuildAnnIndex   --embeddings <parquet> --index <dir> [--k N --iters N --scale N]
   *   IngestCli QueryAnn        --index <dir> --queries <parquet> [--k N --nprobe N --limit N]
+  *   IngestCli Rollup          --store <dir>   (incremental daily OHLC tier)
   */
 object IngestCli {
 
@@ -155,6 +156,18 @@ object IngestCli {
             "\"" + esc(k) + "\":" + vs
           }
           println(parts.mkString("{", ",", "}"))
+        }
+
+      case "Rollup" =>
+        // incremental daily OHLC serving tier: rebuilds only the
+        // (source, date) partitions whose fact counts drifted —
+        // idempotent, run on any cadence after ingest
+        val store = new GaugeStore(spark, req("store"))
+        val rebuilt = store.rollupDaily()
+        if (rebuilt.isEmpty) println("rollup up to date, rebuilt 0 partition(s)")
+        else {
+          rebuilt.foreach { case (ds, d) => println(s"rebuilt $ds/$d") }
+          println(s"rebuilt ${rebuilt.size} partition(s)")
         }
 
       case "Compact" =>

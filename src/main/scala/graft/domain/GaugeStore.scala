@@ -687,4 +687,80 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     }
     actions.toSeq
   }
+
+  /** Incremental daily OHLC rollup of the obs fact — the serving tier
+    * a timeseries dashboard reads instead of scanning raw obs (the
+    * reference's UI pulls windowed raw rows per request,
+    * get_obs_timeseries_station_data.sql; a rollup bounds that read by
+    * days, not observations). One row per (data_source_part, obs_date,
+    * source_id): open/close by (time, timemark) pick, high/low/n — the
+    * [[graft.operators.Timeseries.ohlc]] aggregate over the sparse
+    * fact's single populated measure.
+    *
+    * INCREMENTAL + IDEMPOTENT: a partition is (re)built only when its
+    * fact row count disagrees with the rollup's recorded `n` sum —
+    * catches new dates AND late-arriving rows appended into an
+    * already-rolled date. Staleness detection is two control-plane
+    * aggregates (O(#partitions) rows); the rebuild scans ONLY the
+    * stale (source, date) partitions (partition-pruned disjunction)
+    * and dynamic-partition-overwrites exactly those rollup dirs. A
+    * clean second run rebuilds nothing. Returns the rebuilt partition
+    * keys.
+    */
+  def rollupDaily(): Seq[(String, String)] = {
+    val fs = fsys
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path("gauge_data"))))
+      return Seq.empty
+    val fact = spark.read.parquet(path("gauge_data"))
+    val factCounts = fact.groupBy(col("data_source_part"), col("obs_date"))
+      .agg(count(lit(1)).as("__fact_n"))
+    val rollPath = path("gauge_rollup_daily")
+    val rollCounts =
+      if (fs.exists(new org.apache.hadoop.fs.Path(rollPath)))
+        spark.read.parquet(rollPath)
+          .groupBy(col("data_source_part"), col("obs_date"))
+          .agg(sum(col("n")).as("__roll_n"))
+      else factCounts.select(col("data_source_part"), col("obs_date"),
+        lit(null).cast("long").as("__roll_n")).limit(0)
+    // control plane: one row per (source, date) partition
+    val stale = factCounts
+      .join(rollCounts, Seq("data_source_part", "obs_date"), "left")
+      .filter(col("__roll_n").isNull || col("__roll_n") =!= col("__fact_n"))
+      .select(col("data_source_part"), col("obs_date").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    if (stale.isEmpty) return Seq.empty
+    // partition-pruned scan of only the stale partitions
+    val pred = stale.map { case (ds, d) =>
+      col("data_source_part") === ds && col("obs_date") === to_date(lit(d))
+    }.reduce(_ || _)
+    // only measures actually present in this store's fact schema (the
+    // sparse wide fact may carry a subset, e.g. single-source stores)
+    val present = Schemas.obsMeasures.filter(fact.columns.contains)
+    val value =
+      if (present.isEmpty) lit(null).cast("double")
+      else coalesce(present.map(col): _*)
+    val scoped = fact.filter(pred)
+      .select(col("data_source_part"), col("obs_date"), col("source_id"),
+        col("time"), col("timemark"), value.as("__v"))
+    val rolled = graft.operators.Timeseries.ohlc(
+      scoped, Seq("data_source_part", "obs_date", "source_id"),
+      "time", "timemark", "__v", trunc = "day")
+      .drop("bucket") // obs_date already carries the day
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rolled.write.mode(SaveMode.Overwrite)
+      .partitionBy("data_source_part", "obs_date").parquet(rollPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    stale
+  }
+
+  /** The daily rollup table (empty frame if never built). */
+  def rollupDailyTable: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path("gauge_rollup_daily"))
+    require(fsys.exists(p), s"no rollup at $p — run rollupDaily() first")
+    spark.read.parquet(path("gauge_rollup_daily"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, HybridRetrieval}
 import graft.text.{Curation, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -2638,5 +2638,69 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tokens")).as("lo"), max(col("n_tokens")).as("hi"))
         .orderBy("bin")
+    },
+
+    // --- E10: hybrid lexical+vector retrieval, RRF-fused -------------
+    // The RAG serving read: a shared-distinct-term keyword arm and the
+    // e1 brute-force cosine arm each rank per query; reciprocal-rank
+    // fusion merges RANKS (never the incomparable scores), with the
+    // fused score in exact ppm ints (1e6 DIV (60+rank)) so rankings
+    // cannot drift on an FP boundary. Queries broadcast; corpus-sized
+    // work is one scan per arm.
+    QueryDef.sql(
+      "e10_hybrid_rrf",
+      s"""WITH $normCte,
+         |$termCte,
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM terms
+         |  WHERE doc_id < 4),
+         |dt AS (SELECT DISTINCT doc_id AS neighbor_id, term FROM terms),
+         |lex0 AS (
+         |  SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM dt JOIN qt ON dt.term = qt.term AND query_id <> neighbor_id
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY overlap DESC, neighbor_id) AS BIGINT) AS rank_lex
+         |  FROM lex0 QUALIFY rank_lex <= 10),
+         |qv AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+         |  WHERE vec_id < 4),
+         |cv AS (SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings),
+         |vs AS (
+         |  SELECT query_id, neighbor_id, ${sqlCosine("q", "c")} AS cos
+         |  FROM cv CROSS JOIN qv WHERE query_id <> neighbor_id),
+         |vec AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank_vec
+         |  FROM vs QUALIFY rank_vec <= 10),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         |    l.rank_lex, v.rank_vec,
+         |    CAST((CASE WHEN l.rank_lex IS NULL THEN 0
+         |        ELSE 1000000 // (60 + l.rank_lex) END) +
+         |      (CASE WHEN v.rank_vec IS NULL THEN 0
+         |        ELSE 1000000 // (60 + v.rank_vec) END) AS BIGINT) AS rrf_ppm
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_ppm DESC, neighbor_id) AS BIGINT) AS rank,
+         |  neighbor_id, rrf_ppm, rank_lex, rank_vec
+         |FROM fused QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val terms = TextAnalysis.termOccurrences(
+        Tables.documents(s, dir), "doc_id", "text")
+      val lex = HybridRetrieval.lexicalTopK(
+        terms, terms.filter(col("doc_id") < 4), k = 10)
+      val emb = Tables.embeddings(s, dir)
+      val vec = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 4), 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      HybridRetrieval.rrfFuse(lex, vec, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("rrf_ppm"), col("rank_a").as("rank_lex"),
+          col("rank_b").cast("long").as("rank_vec"))
+        .orderBy("query_id", "rank")
     })
 }

@@ -92,7 +92,7 @@ object TextAnalysis {
   /** Normalized-text terms, one row per occurrence. The pre-explode
     * repartition spreads compact sources before the fan-out (same trap
     * as Dedup.shingles). */
-  private def termOccurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def termOccurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(col(idCol))
       .select(col(idCol), explode(split(normalized(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")

@@ -167,6 +167,32 @@ object Dedup {
           (col("a_sz") + col("b_sz") - col("inter")), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment for candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| in exact ppm ints (inter·1e6 DIV |side|). Jaccard
+    * misses inclusion — a tweet quoted inside a long article has tiny
+    * Jaccard but containment(A)≈1 — and dedup policies treat "B
+    * engulfs A" differently from "A≈B" (drop the contained copy, keep
+    * the superset). Same join shape as [[jaccardVerify]]: candidates
+    * only, one shingle equi-join.
+    */
+  def containmentVerify(pairs: DataFrame, shingled: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingled.toDF(s"a_$idCol", "shingle"), s"a_$idCol")
+      .join(shingled.toDF(s"b_$idCol", "shingle"), Seq(s"b_$idCol", "shingle"))
+      .groupBy(s"a_$idCol", s"b_$idCol").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq(s"a_$idCol", s"b_$idCol"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.toDF(s"a_$idCol", "a_sz"), s"a_$idCol")
+      .join(sizes.toDF(s"b_$idCol", "b_sz"), s"b_$idCol")
+      .select(col(s"a_$idCol"), col(s"b_$idCol"),
+        col("a_sz"), col("b_sz"), col("inter"),
+        expr("inter * 1000000 DIV a_sz").as("cont_a_ppm"),
+        expr("inter * 1000000 DIV b_sz").as("cont_b_ppm"))
+  }
+
   /** SimHash over word tokens, `bits` wide (≤32). Token hash = first 8
     * md5 hex digits; simhash bit j = sign of Σ_tokens (bit_j ? +1 : −1).
     * Returns the simhash as a bit string column for portability. */

@@ -2640,6 +2640,82 @@ object LlmOps {
         .orderBy("bin")
     },
 
+    // --- D16: asymmetric containment for candidate pairs -------------
+    // Jaccard misses inclusion (a quote inside a long article); the
+    // per-side containment inter/|side| in exact ppm ints separates
+    // "B engulfs A" from "A≈B". Candidates only, one shingle equi-join.
+    QueryDef.sql(
+      "d16_containment",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |$sigCte,
+         |$bandCte,
+         |pairs AS (
+         |$pairsSelect),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a_doc_id, p.b_doc_id, CAST(count(*) AS BIGINT) AS inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_doc_id
+         |  JOIN sh sb ON sb.doc_id = p.b_doc_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.a_doc_id AS a_doc_id, p.b_doc_id AS b_doc_id,
+         |  za.sz AS a_sz, zb.sz AS b_sz,
+         |  coalesce(i.inter, 0) AS inter,
+         |  CAST(coalesce(i.inter, 0) * 1000000 // za.sz AS BIGINT) AS cont_a_ppm,
+         |  CAST(coalesce(i.inter, 0) * 1000000 // zb.sz AS BIGINT) AS cont_b_ppm
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.a_doc_id = p.a_doc_id AND i.b_doc_id = p.b_doc_id
+         |JOIN sizes za ON za.doc_id = p.a_doc_id
+         |JOIN sizes zb ON zb.doc_id = p.b_doc_id
+         |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin) { (s, dir) =>
+      Dedup.containmentVerify(candidatePairs(s, dir), distinctShingles(s, dir))
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+
+    // --- T19: tokenizer fertility audit by language -------------------
+    // Subword pieces per whitespace token per predicted language — the
+    // "does this tokenizer tax language X" read; exact integer sums,
+    // fertility in ppm via integer division.
+    QueryDef.sql(
+      "t19_fertility", {
+        val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+        val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+          val ws = words.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter($toks, x -> x IN ($ws))) AS BIGINT) AS score_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.langProfiles.map(_._1)
+        val cases = langs.zipWithIndex.map { case (lang, i) =>
+          val conds = (s"score_$lang > 0" +:
+            langs.drop(i + 1).map(o => s"score_$lang >= score_$o")).mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString("\n    ")
+        s"""WITH s AS (
+           |  SELECT CASE $cases ELSE 'und' END AS lang_pred,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+           |    CAST(len(regexp_extract_all(text, '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_sub
+           |  FROM (SELECT text, $scores FROM documents))
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(n_sub) AS BIGINT) AS sum_subwords,
+           |  CAST(sum(n_sub) * 1000000 // greatest(sum(n_tok), 1) AS BIGINT)
+           |    AS fertility_ppm
+           |FROM s GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select(col("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_sub"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+          sum("n_sub").as("sum_subwords"))
+        .withColumn("fertility_ppm",
+          expr("sum_subwords * 1000000 DIV greatest(sum_tokens, 1)"))
+        .orderBy("lang_pred")
+    },
+
     // --- E10: hybrid lexical+vector retrieval, RRF-fused -------------
     // The RAG serving read: a shared-distinct-term keyword arm and the
     // e1 brute-force cosine arm each rank per query; reciprocal-rank

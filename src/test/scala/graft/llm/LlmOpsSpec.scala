@@ -789,6 +789,24 @@ class LlmOpsSpec extends SparkSuite {
       "both later occurrences in one doc must go")
   }
 
+  test("containmentVerify separates engulfing from symmetric near-dup") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog tonight"
+    val big = small + " and then a very long unrelated tail keeps going " +
+      "with plenty of extra words that the small document never mentions at all"
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val pairs = Seq((1L, 2L)).toDF("a_doc_id", "b_doc_id")
+    val r = Dedup.containmentVerify(pairs, sh).collect().head
+    val (aSz, bSz, inter) = (r.getAs[Long]("a_sz"), r.getAs[Long]("b_sz"),
+      r.getAs[Long]("inter"))
+    assert(aSz < bSz && inter > 0)
+    // A is (nearly) contained in B; B is far from contained in A
+    assert(r.getAs[Long]("cont_a_ppm") > 900000L)
+    assert(r.getAs[Long]("cont_b_ppm") < 600000L)
+    assert(r.getAs[Long]("cont_a_ppm") == inter * 1000000L / aSz)
+  }
+
   test("sourceOverlapMatrix profiles near-dup pairs by unordered source pair") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again ok"

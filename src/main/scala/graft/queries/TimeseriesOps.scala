@@ -259,5 +259,37 @@ object TimeseriesOps {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
       Timeseries.laggedCorrelation(series, "h", "x", "y", maxLag = 3)
         .orderBy("lag")
+    },
+
+    // --- TS9: seasonal (hour-of-day) baseline + deviation counts -----
+    // The diurnal-profile read: per (event_type, hour-of-day) the
+    // exact milli-unit mean (integer division) and how many events run
+    // past 2x their own baseline. Two aggregates on the same key — the
+    // baseline re-joins the quantized scan by its group key, so every
+    // comparison is int64.
+    QueryDef.sql(
+      "ts9_seasonal_profile",
+      """WITH q AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |    CAST(floor(value * 1000) AS BIGINT) AS qv FROM events),
+        |base AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) // count(*) AS BIGINT) AS mean_milli
+        |  FROM q GROUP BY event_type, hod)
+        |SELECT b.event_type, b.hod, b.n, b.mean_milli,
+        |  CAST(sum(CASE WHEN q.qv > 2 * b.mean_milli THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_2x
+        |FROM q JOIN base b ON q.event_type = b.event_type AND q.hod = b.hod
+        |GROUP BY b.event_type, b.hod, b.n, b.mean_milli
+        |ORDER BY b.event_type, b.hod""".stripMargin) { (s, dir) =>
+      val q = Tables.events(s, dir).select(col("event_type"),
+        hour(col("ts")).as("hod"),
+        floor(col("value") * 1000).cast("long").as("qv"))
+      val base = q.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), expr("sum(qv) DIV count(1)").as("mean_milli"))
+      q.join(base, Seq("event_type", "hod"))
+        .groupBy("event_type", "hod", "n", "mean_milli")
+        .agg(sum(when(col("qv") > lit(2) * col("mean_milli"), 1L).otherwise(0L))
+          .as("n_over_2x"))
+        .select("event_type", "hod", "n", "mean_milli", "n_over_2x")
+        .orderBy("event_type", "hod")
     })
 }

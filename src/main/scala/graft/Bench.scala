@@ -108,13 +108,23 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .sortBy(_._1)
     val perRun: Seq[Map[String, Double]] = (1 to runsN).map { r =>
-      names.map { case (name, fn) =>
+      val run = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (run $r): ${e.getMessage}"); false
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // state sweep (untimed): release cached relations and any
+        // persisted RDD a query pinned, so one query's blocks can't
+        // tax the rest of the suite — r6's 167-query medians carried
+        // exactly this cross-query memory-pressure tail
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        name -> (if (ok) elapsed else -1.0)
       }.toMap
+      System.gc() // settle between full passes, outside any timer
+      run
     }
     val totals = perRun.map(_.values.filter(_ >= 0).sum)
     val results = names.map { case (name, _) =>

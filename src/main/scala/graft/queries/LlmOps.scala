@@ -2044,7 +2044,7 @@ object LlmOps {
              |  FROM v${r - 1} v, b$r b)""".stripMargin
         }.mkString(",\n")
         val out = (1 to K).map(r =>
-          s"SELECT CAST($r AS BIGINT) AS round, a AS merge_left, b AS merge_right, cnt AS pair_count FROM b$r")
+          s"SELECT CAST($r AS BIGINT) AS round, a AS merge_left, b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
           .mkString("\nUNION ALL\n")
         s"""WITH $normCte,
            |w AS (
@@ -2107,7 +2107,7 @@ object LlmOps {
            |  coalesce(p.n_pieces, 0) AS n_pieces
            |FROM documents d LEFT JOIN (
            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           |    sum(np) AS n_pieces
+           |    CAST(sum(np) AS BIGINT) AS n_pieces
            |  FROM pieces GROUP BY 1) p ON p.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }) { (s, dir) =>

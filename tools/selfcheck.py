@@ -16,16 +16,27 @@ def load_tables(con, sf_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+def _sval(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and v != v:  # NaN
+        return "NULL"
+    return str(v)
+
 def norm(df):
+    # Stringify EVERY value, exactly like the driver's hash does. This
+    # is deliberately strict: an int64 3 and a float64 3.0 are numerically
+    # equal but stringify differently ("3" vs "3.0"), and the driver
+    # hashes strings — DuckDB's HUGEINT sum() burned us this way in r6
+    # (n1/v6/v7 were selfcheck-green, driver-red). Cast oracle sums to
+    # BIGINT instead of loosening this compare.
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize dtypes: timestamps -> iso strings, floats -> rounded
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df
+        else:
+            df[c] = df[c].map(_sval)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]

@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *   IngestCli SeedStations    --stations <glob> --store <dir>
   *   IngestCli SequenceIngest  --harvestDir <dir> --catalog <csv> --store <dir> [--now <ts>]
   *   IngestCli QueryObs        --store <dir> --station <name> --start <ts> --end <ts>
+  *   IngestCli QueryServe      --store <dir>   (stdin/stdout JSON request loop)
   *   IngestCli BuildAnnIndex   --embeddings <parquet> --index <dir> [--k N --iters N --scale N]
   *   IngestCli QueryAnn        --index <dir> --queries <parquet> [--k N --nprobe N --limit N]
   *   IngestCli Rollup          --store <dir>   (incremental daily OHLC tier)
@@ -106,6 +107,16 @@ object IngestCli {
           req("dataSource"), req("instance"))
         println(QueryApi.jsonAgg(df, "time_stamp",
           df.columns.filterNot(_ == "time_stamp").toSeq))
+
+      case "QueryServe" =>
+        // long-running read-path endpoint (QueryServe scaladoc): one
+        // JSON request per stdin line, one JSON response per stdout
+        // line, warm session across requests — the engine half of the
+        // reference's REST serving surface (README.md:151-166)
+        val store = new GaugeStore(spark, req("store"))
+        System.err.println("[serve] ready (blank line or 'quit' ends)")
+        QueryServe.serve(store,
+          scala.io.Source.stdin.getLines(), println)
 
       case "StreamObs" =>
         // streaming obs ingest, one AvailableNow drain per catalog

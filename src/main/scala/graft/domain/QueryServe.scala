@@ -1,0 +1,81 @@
+package graft.domain
+
+/** Long-running serving loop for the §3.3 read path — the engine-side
+  * equivalent of the reference's Django-REST endpoints over the serving
+  * views and crosstab functions (`/root/reference/README.md:151-166`,
+  * `scripts/get_obs_timeseries_station_data.sql`): one JSON request per
+  * stdin line, one JSON response per stdout line. Deliberately NOT a
+  * web framework (out of engine scope — any sidecar can adapt lines to
+  * HTTP); the value is a warm SparkSession serving repeated reads
+  * without per-query JVM/session startup.
+  *
+  * Request: a flat JSON object, `op` plus the op's parameters, e.g.
+  * `{"op":"get_obs_timeseries_station_data","station":"Eastport",
+  * "start":"2023-04-23T00:00:00","end":"2023-04-24T00:00:00"}`.
+  * Response: the same JSON array the reference API returns (the
+  * JSON_AGG contract), or `{"error":"..."}`; the loop never dies on a
+  * bad request. Blank line or `quit` ends the session.
+  *
+  * Scale: dims stay broadcast; each request reads ONLY the fact
+  * partitions its time range prunes to (`gaugeDataForRange` /
+  * `modelDataForTimemark`), so request cost is window-bounded no matter
+  * how large the store grows.
+  */
+object QueryServe {
+
+  /** Minimal flat-object JSON parse (string values only — the request
+    * contract above). No JSON library on the zero-egress classpath;
+    * escaped quotes/backslashes in values are unescaped. */
+  private[domain] def parse(line: String): Map[String, String] =
+    """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(line).map { m =>
+        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        un(m.group(1)) -> un(m.group(2))
+      }.toMap
+
+  private def jsonError(msg: String): String =
+    "{\"error\":\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("\\p{Cntrl}", " ") + "\"}"
+
+  /** One request → one JSON line. Never throws. */
+  def handle(store: GaugeStore, req: Map[String, String]): String =
+    try {
+      def p(k: String) = req.getOrElse(k, sys.error(s"missing '$k'"))
+      req.getOrElse("op", sys.error("missing 'op'")) match {
+        case "get_obs_timeseries_station_data" =>
+          QueryApi.obsTimeseriesStationDataJson(
+            store.gaugeDataForRange(p("start"), p("end")),
+            store.gaugeSource, store.stations,
+            p("station"), p("start"), p("end"))
+        case "get_obs_timeseries_station_data_allparms" =>
+          QueryApi.obsTimeseriesStationDataAllParmsJson(
+            store.gaugeDataForRange(p("start"), p("end")),
+            store.gaugeSource, store.stations,
+            p("station"), p("start"), p("end"), p("nowcastSource"))
+        case "get_forecast_timeseries_station_data" =>
+          val df = QueryApi.forecastTimeseriesStationData(
+            store.modelDataForTimemark(p("timemark").replace("T", " ")),
+            store.modelSource, store.stations,
+            p("station"), p("timemark"), p("maxEnd"),
+            p("dataSource"), p("instance"))
+          QueryApi.jsonAgg(df, "time_stamp",
+            df.columns.filterNot(_ == "time_stamp").toSeq)
+        case "get_nowcast_timeseries_station_data" =>
+          val df = QueryApi.nowcastTimeseriesStationData(
+            store.modelData, store.modelSource, store.stations,
+            p("station"), p("start"), p("end"),
+            p("dataSource"), p("instance"))
+          QueryApi.jsonAgg(df, "time_stamp",
+            df.columns.filterNot(_ == "time_stamp").toSeq)
+        case other => sys.error(s"unknown op '$other'")
+      }
+    } catch { case e: Throwable =>
+      jsonError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+
+  /** The serve loop, I/O-abstracted so specs drive it directly. */
+  def serve(store: GaugeStore, in: Iterator[String],
+      out: String => Unit): Unit =
+    in.map(_.trim).takeWhile(l => l.nonEmpty && l != "quit")
+      .foreach(line => out(handle(store, parse(line))))
+}

@@ -14,10 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") return events(spark, sfDir)
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  /** Resolved-plan cache, keyed by (session, dir, table): each
+    * `spark.read.parquet` call lists files and reads parquet footers
+    * EAGERLY on the driver, so a 167-query bench pass re-paid ~2 schema
+    * inferences per query in serial driver time. A production engine
+    * resolves schemas once through its catalog; this is that, in one
+    * map — the cached object is an immutable logical plan (no data is
+    * cached; every query still scans parquet). The driver's testdata
+    * dirs are immutable per session, which is what makes the cached
+    * file listing safe. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    resolved.computeIfAbsent(
+      (System.identityHashCode(spark).toString, sfDir, name), _ =>
+      if (name == "events") eventsUncached(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
@@ -35,7 +48,10 @@ object Tables {
     * re-write ts as a plain µs timestamp instead — branch on the read
     * schema so both encodings load identically.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+
+  private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }

@@ -147,24 +147,46 @@ object Dedup {
         round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard for candidate pairs via shingle
-    * intersection counts — the verification stage after LSH.
-    * |A∩B| from one equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|. */
+  /** Per-candidate-doc shingle SETS — the shared input of both verify
+    * stages. The semi-join prunes the corpus shingle table to docs that
+    * appear in some pair (LSH guarantees candidates ≪ corpus; AQE
+    * broadcasts the id side when runtime-small), so verification never
+    * shuffles corpus-sized data — without the prune, the intersection
+    * join re-shuffles EVERY shingle because the post-join size estimate
+    * defeats auto-broadcast. One aggregation builds (id, shingle-set,
+    * size); both join arms of the verify then carry an IDENTICAL
+    * subtree, which physical planning computes once (ReuseExchange).
+    * Set size is bounded by document length — the same bound the
+    * exploded shingle table already had per doc. */
+  private def candidateShingleSets(pairs: DataFrame, shingled: DataFrame,
+      idCol: String): DataFrame = {
+    val shCol = shingled.columns.filterNot(_ == idCol).head
+    val ids = pairs.select(col(s"a_$idCol").as(idCol))
+      .union(pairs.select(col(s"b_$idCol").as(idCol)))
+      .distinct()
+    shingled.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col(shCol)).as("shset"))
+      .select(col(idCol), col("shset"),
+        size(col("shset")).cast("long").as("sz"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs via shingle-set
+    * intersection — the verification stage after LSH. |A∩B| by
+    * array_intersect over the candidate-pruned per-doc sets;
+    * |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardVerify(pairs: DataFrame, shingled: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingled.toDF(s"a_$idCol", "shingle"), s"a_$idCol")
-      .join(shingled.toDF(s"b_$idCol", "shingle"), Seq(s"b_$idCol", "shingle"))
-      .groupBy(s"a_$idCol", s"b_$idCol").agg(count(lit(1)).as("inter"))
+    val sets = candidateShingleSets(pairs, shingled, idCol)
+    val inter = size(array_intersect(col("a_set"), col("b_set"))).cast("long")
     pairs
-      .join(inter, Seq(s"a_$idCol", s"b_$idCol"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.toDF(s"a_$idCol", "a_sz"), s"a_$idCol")
-      .join(sizes.toDF(s"b_$idCol", "b_sz"), s"b_$idCol")
+      .join(sets.select(col(idCol).as(s"a_$idCol"),
+        col("shset").as("a_set"), col("sz").as("a_sz")), s"a_$idCol")
+      .join(sets.select(col(idCol).as(s"b_$idCol"),
+        col("shset").as("b_set"), col("sz").as("b_sz")), s"b_$idCol")
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
-        round(col("inter").cast("double") /
-          (col("a_sz") + col("b_sz") - col("inter")), 4).as("jaccard"))
+        round(inter.cast("double") /
+          (col("a_sz") + col("b_sz") - inter), 4).as("jaccard"))
   }
 
   /** ASYMMETRIC containment for candidate pairs: |A∩B|/|A| and
@@ -177,16 +199,14 @@ object Dedup {
     */
   def containmentVerify(pairs: DataFrame, shingled: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingled.toDF(s"a_$idCol", "shingle"), s"a_$idCol")
-      .join(shingled.toDF(s"b_$idCol", "shingle"), Seq(s"b_$idCol", "shingle"))
-      .groupBy(s"a_$idCol", s"b_$idCol").agg(count(lit(1)).as("inter"))
+    val sets = candidateShingleSets(pairs, shingled, idCol)
     pairs
-      .join(inter, Seq(s"a_$idCol", s"b_$idCol"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.toDF(s"a_$idCol", "a_sz"), s"a_$idCol")
-      .join(sizes.toDF(s"b_$idCol", "b_sz"), s"b_$idCol")
+      .join(sets.select(col(idCol).as(s"a_$idCol"),
+        col("shset").as("a_set"), col("sz").as("a_sz")), s"a_$idCol")
+      .join(sets.select(col(idCol).as(s"b_$idCol"),
+        col("shset").as("b_set"), col("sz").as("b_sz")), s"b_$idCol")
+      .withColumn("inter",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
       .select(col(s"a_$idCol"), col(s"b_$idCol"),
         col("a_sz"), col("b_sz"), col("inter"),
         expr("inter * 1000000 DIV a_sz").as("cont_a_ppm"),

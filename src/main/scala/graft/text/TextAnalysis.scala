@@ -340,16 +340,18 @@ object TextAnalysis {
       .select(explode(tokens(normalized(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("n"))
-    // Iterative persist-and-release (the MLlib loop idiom): each round's
-    // vocab is materialized from the previous round's cached blocks,
-    // then the previous round is unpersisted — at most TWO vocab-sized
-    // block sets live at any point, and everything is released before
-    // return. (r6 used eager localCheckpoints here, which are not
-    // releasable via unpersist and pinned one block set per round for
-    // the rest of the JVM — measurable memory pressure across a long
-    // bench suite.)
+    // Iterative persist-and-release (the MLlib loop idiom): round r's
+    // pair-count action materializes the current vocab from the
+    // previous round's cached blocks, after which the previous round is
+    // unpersisted — at most TWO vocab-sized block sets live at any
+    // point, zero extra materialization jobs, and everything is
+    // released before return. (r6 used eager localCheckpoints here,
+    // which are not releasable via unpersist and pinned one block set
+    // per round for the life of the JVM — measurable memory pressure
+    // across a long bench suite.)
     import org.apache.spark.storage.StorageLevel
     var cur = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to rounds) {
       val syms = split(trim(col("s")), "  ")
@@ -363,6 +365,8 @@ object TextAnalysis {
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      // cur is materialized now — its parent's blocks are no longer needed
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (pairRows.nonEmpty) {
         val (a, b, cnt) =
           (pairRows(0).getString(0), pairRows(0).getString(1), pairRows(0).getLong(2))
@@ -370,12 +374,12 @@ object TextAnalysis {
         val next = cur.select(
           replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"), col("n"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize from cur's blocks before releasing them
-        cur.unpersist(blocking = false)
+        prev = cur
         cur = next
       }
     }
     cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("round", "left", "right", "pair_count")
       .select(col("round").cast("long").as("round"), col("left"),

@@ -21,6 +21,7 @@ object SparkEntry {
     () => graft.queries.StreamingShapes.defs,
     () => graft.queries.TimeseriesOps.defs,
     () => graft.queries.DiagnosticsOps.defs,
+    () => graft.queries.GraphOps.defs,
     () => graft.queries.Coverage.defs,
     () => graft.queries.TpchShapes.defs)
 

@@ -1,0 +1,150 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relation-derived graphs.
+  *
+  * The reference engine has no graph surface; these operators cover what
+  * a training-data / analytics pipeline needs once entities and their
+  * co-occurrences become a graph: degree profiles, triangle/clustering
+  * structure, and PageRank-style importance. All of them are expressed
+  * as joins + aggregations so Catalyst/AQE plan them like any other
+  * relational query (broadcast vs shuffle, skew splitting).
+  *
+  * Scale shape:
+  *  - Edge construction from an (entity, container) relation is ONE
+  *    self-equi-join on the container key; fan-out per container is
+  *    C(size, 2), bounded by the max container size — linear overall.
+  *  - Triangle counting uses degree ordering (orient every edge from
+  *    its lower-(degree,id) endpoint to the higher one), the standard
+  *    trick that bounds per-vertex wedge generation by O(sqrt(E)) —
+  *    on a skewed power-law graph this is the difference between a
+  *    runnable plan and a hub-node explosion.
+  *  - PageRank is the textbook join-agg iteration, but with INTEGER
+  *    mass (fixed-point, SCALE=1e15): long sums are order-independent,
+  *    so the result is bit-identical across partitionings AND across
+  *    engines — the floating-point version cannot be hash-verified.
+  *
+  * All arithmetic is integer (`div`, long sums) for engine-portable
+  * determinism; the DuckDB oracles compute identical values with `//`.
+  */
+object Graph {
+
+  /** Co-occurrence edges: entities sharing a container, e.g. parts
+    * co-purchased in the same order. One shuffle on the container key;
+    * the a.p < b.p predicate keeps each undirected edge once.
+    *
+    * Input must have columns (container, entity); output (s, d, w)
+    * with s < d and w = number of shared containers.
+    */
+  def coOccurrenceEdges(rel: DataFrame,
+      containerCol: String, entityCol: String): DataFrame = {
+    val op = rel.select(col(containerCol).as("o"), col(entityCol).as("p")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("s"), col("b.p").as("d"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Undirected degree per node of an (s, d) edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("s").as("node"))
+      .unionAll(edges.select(col("d").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Histogram of the degree sequence: degree -> node count. The
+    * first diagnostic of whether a graph is join-safe (a power-law
+    * tail here means salting/orientation everywhere downstream). */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
+  /** One-row triangle census: nodes, edges, wedges, triangles, and
+    * global transitivity (3T/W) in exact ppm.
+    *
+    * Each edge is oriented from its lower (degree, node) endpoint to
+    * the higher via a single packed long key degree*2^32 + node (both
+    * factors < 2^31). Every triangle then has exactly one vertex with
+    * two out-edges, and the closing edge is oriented low-key -> high-
+    * key, so `count(wedge join closing-edge)` counts each triangle
+    * exactly once with no post-dedup.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val key = col("degree") * lit(4294967296L) + col("node")
+    // the degree lookup is |V|-sized — broadcast both orientation joins
+    val dkey = broadcast(degrees(edges).select(col("node"), key.as("kk")))
+    val de = edges
+      .join(dkey.as("ks"), col("ks.node") === col("s"))
+      .join(dkey.as("kd"), col("kd.node") === col("d"))
+      .select(
+        when(col("ks.kk") < col("kd.kk"), col("s")).otherwise(col("d")).as("u"),
+        when(col("ks.kk") < col("kd.kk"), col("d")).otherwise(col("s")).as("v"),
+        greatest(col("ks.kk"), col("kd.kk")).as("kv"))
+    // Wedge side: de ⋈ de on u — e1/e2 are the SAME shuffle exchange
+    // (ReuseExchange computes it once). Closing side: broadcast the
+    // |E|-sized oriented edge list so the |wedges| (≈ E^1.5 worst
+    // case) intermediate is never shuffled or materialized — wedges
+    // stream through one codegen stage probing the hash table. At
+    // cluster scale where |E| outgrows a broadcast, the fallback is
+    // partitioning wedges by their closing pair (one shuffle of the
+    // wedge stream) — same counts, one more exchange.
+    val closing = broadcast(
+      de.select(col("u").as("cu"), col("v").as("cv")))
+    val tri = de.as("e1")
+      .join(de.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .join(closing, col("cu") === col("e1.v") && col("cv") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = degrees(edges)
+      .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+    val counts = degrees(edges).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    counts.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div n_wedges").as("transitivity_ppm"))
+  }
+
+  /** Fixed-point PageRank over the symmetrized edge list: `iters`
+    * rounds of score = 0.15/N + 0.85 * sum(in-neighbor mass), all in
+    * integer arithmetic at SCALE = 1e15 (damping as *85 div 100).
+    *
+    * The symmetric graph has no dangling nodes and every graph node
+    * receives mass each round, so the node set is closed under the
+    * iteration. N enters the plan as a 1-row broadcast scalar (no
+    * driver-side count job). Returns (node, score) for all nodes.
+    */
+  val PageRankScale = 1000000000000000L // 1e15: 85*SCALE << Long.Max
+
+  /** Loop-invariant PageRank input (u, v, deg_u) — symmetrized edges
+    * annotated with the out-degree. Callers should persist this once
+    * (it is joined every iteration); see [[pageRank]]. */
+  def pageRankInput(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("s").as("u"), col("d").as("v"))
+      .unionAll(edges.select(col("d").as("u"), col("s").as("v")))
+    sym.join(sym.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+  }
+
+  /** `ed` is [[pageRankInput]] (ideally persisted). Each iteration
+    * broadcasts the |V|-sized score vector into the edge scan and
+    * map-side-combines the per-destination sums — one small shuffle
+    * per round, the edge list never moves. On a graph whose score
+    * vector outgrows a broadcast (1B+ nodes), drop the broadcast hint:
+    * persisting `ed` pre-partitioned on u makes Catalyst reuse its
+    * distribution and shuffle only the score side. */
+  def pageRank(ed: DataFrame, iters: Int = 5): DataFrame = {
+    val deg = ed.select(col("u"), col("deg")).distinct()
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var score = deg.crossJoin(broadcast(nRow))
+      .select(col("u").as("node"), expr(s"$PageRankScale div n").as("score"))
+    for (_ <- 1 to iters) {
+      score = ed.join(broadcast(score), col("node") === col("u"))
+        .groupBy(col("v"))
+        .agg(sum(expr("score div deg")).as("m"))
+        .crossJoin(broadcast(nRow))
+        .select(col("v").as("node"),
+          expr(s"(15 * ($PageRankScale div n)) div 100 + (85 * m) div 100").as("score"))
+    }
+    score
+  }
+}

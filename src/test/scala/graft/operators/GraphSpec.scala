@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.graph.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph analytics on hand-checkable graphs: exact triangle counts on
+  * known topologies, PageRank mass conservation / symmetry, and edge
+  * construction from a container relation.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // K4 (complete graph on 4 nodes): 4 triangles, 6 edges, every
+  // degree 3, transitivity = 1.
+  private lazy val k4 = Seq(
+    (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+    (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)).toDF("s", "d", "w")
+
+  // path 1-2-3 plus pendant 4 off node 2: no triangles, 1 wedge at
+  // each of nodes 2 (three) and none elsewhere
+  private lazy val path = Seq(
+    (1L, 2L, 1L), (2L, 3L, 1L), (2L, 4L, 1L)).toDF("s", "d", "w")
+
+  test("coOccurrenceEdges: C(size,2) pairs per container, weights count shared containers") {
+    val rel = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // order 10: parts 1,2,3
+      (20L, 1L), (20L, 2L),            // order 20: parts 1,2 again
+      (30L, 5L)                        // singleton: no edges
+    ).toDF("o", "p")
+    val e = Graph.coOccurrenceEdges(rel, "o", "p")
+      .orderBy("s", "d").as[(Long, Long, Long)].collect()
+    assert(e.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("triangleStats: K4 has 4 triangles, transitivity 1") {
+    val r = Graph.triangleStats(k4).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4)
+    assert(r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_wedges") == 12) // 4 * C(3,2)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Long]("transitivity_ppm") == 1000000)
+  }
+
+  test("triangleStats: tree has zero triangles") {
+    val r = Graph.triangleStats(path).collect().head
+    assert(r.getAs[Long]("n_triangles") == 0)
+    assert(r.getAs[Long]("transitivity_ppm") == 0)
+  }
+
+  test("pageRank: symmetric regular graph stays uniform; mass is conserved") {
+    val scores = Graph.pageRank(Graph.pageRankInput(k4), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // K4 is regular: the uniform vector is the fixed point, so every
+    // node keeps SCALE/4 (up to the deterministic integer-div dust)
+    assert(scores.size == 4)
+    assert(scores.values.toSet.size == 1)
+    val total = scores.values.sum
+    val scale = Graph.PageRankScale
+    assert(total <= scale && total > scale - scale / 100) // <=1% div dust
+  }
+
+  test("pageRank: higher-degree node ranks higher on a star") {
+    // star: center 1 linked to 2,3,4
+    val star = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)).toDF("s", "d", "w")
+    val scores = Graph.pageRank(Graph.pageRankInput(star), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) == scores(3L) && scores(3L) == scores(4L))
+  }
+
+  test("degreeDistribution: star is one hub of degree 3 + three leaves of degree 1") {
+    val star = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)).toDF("s", "d", "w")
+    val dist = Graph.degreeDistribution(star)
+      .as[(Long, Long)].collect().toSeq
+    assert(dist == Seq((1L, 3L), (3L, 1L)))
+  }
+}

@@ -22,6 +22,7 @@ object SparkEntry {
     () => graft.queries.TimeseriesOps.defs,
     () => graft.queries.DiagnosticsOps.defs,
     () => graft.queries.GraphOps.defs,
+    () => graft.queries.StatsOps.defs,
     () => graft.queries.Coverage.defs,
     () => graft.queries.TpchShapes.defs)
 

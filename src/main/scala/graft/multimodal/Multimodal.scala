@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * Pixel-level ops are REAL wherever a bare JVM has the codec:
   * [[resize]] and [[extractFeatures]] decode + bilinear-scale
   * PNG/JPEG/GIF/TIFF via `javax.imageio`; [[decodeAudioMeta]] and
-  * [[sampleFrames]] parse WAV/AIFF/AU via `javax.sound.sampled`.
-  * Only payloads with genuinely absent codecs (video, MP3/OGG) take
+  * [[sampleFrames]] parse WAV/AIFF/AU via `javax.sound.sampled`;
+  * MJPEG/AVI video is demuxed by the pure-JVM [[AviMjpeg]] RIFF parser
+  * and its frames JPEG-decoded to rasters via `javax.imageio`.
+  * Only payloads with genuinely absent codecs (H.264, MP3/OGG) take
   * the deterministic-fake path, flagged `decoded = false`, with the
   * identical Dataset shape (the typed `map`/`flatMap` here is Scala's
   * analogue of a Pandas-UDF `mapInPandas` batch transform), so a real
@@ -59,6 +61,13 @@ object Multimodal {
     * weak-magic reader claims, and parse failures fall back to
     * [[stubDecode]] so the pipeline stays total and deterministic. */
   def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    // video first: RIFF/AVI has a strong 12-byte magic and imageio
+    // readers would never claim it — dims come from the avih header
+    AviMjpeg.parseInfo(bytes).foreach { info =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      return MediaMeta(docId, bytes.length.toLong,
+        d.map("%02x".format(_)).mkString, info.width, info.height, "avi")
+    }
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -320,10 +329,13 @@ object Multimodal {
 
   /** Frame sampling: emits `n` (doc_id, frame_idx, frame_md5) rows per
     * blob — REAL for JDK-decodable audio (WAV/AIFF/AU): `n` evenly
-    * spaced PCM frames are pulled from the decoded stream and hashed.
-    * Video payloads keep the deterministic digest fake (no video codec
-    * exists in a bare JVM) with the identical flatMap shape, so a real
-    * demuxer drops in per-container without touching the plan. */
+    * spaced PCM frames are pulled from the decoded stream and hashed —
+    * and REAL for MJPEG/AVI video: [[AviMjpeg]] demuxes the container,
+    * the evenly spaced frames are JPEG-decoded via javax.imageio, and
+    * the md5 is over the decoded ARGB raster (pixel content, not
+    * compressed bytes). Containers with no JVM codec (H.264 etc.)
+    * keep the deterministic digest fake with the identical flatMap
+    * shape, so further demuxers drop in without touching the plan. */
   def sampleFrames(blobs: DataFrame, n: Int,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     val pairs = blobs.select(col(idCol).cast("long"), col(blobCol))
@@ -338,7 +350,27 @@ object Multimodal {
       val bytes = r.getAs[Array[Byte]](1)
       val md = java.security.MessageDigest.getInstance("MD5")
       def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
-      audioFrames(bytes) match {
+      val videoPayloads = AviMjpeg.framePayloads(bytes)
+      if (videoPayloads.nonEmpty) {
+        val total = videoPayloads.length
+        (0 until n).map { i =>
+          val idx = math.min(total - 1, (i.toLong * total / n).toInt)
+          md.reset()
+          AviMjpeg.decodeFrame(bytes, idx) match {
+            case Some((w, h, argb)) =>
+              // hash the decoded raster (big-endian ints): identical
+              // pixels hash identically regardless of JPEG byte noise
+              val bb = java.nio.ByteBuffer.allocate(8 + argb.length * 4)
+              bb.putInt(w).putInt(h)
+              argb.foreach(bb.putInt)
+              md.update(bb.array())
+            case None =>
+              val (off, len) = videoPayloads(idx)
+              md.update(bytes, off, len) // undecodable frame: payload hash
+          }
+          Row(docId, i, hex(md.digest()))
+        }
+      } else audioFrames(bytes) match {
         case Some((frameSize, pcm)) if pcm.length >= frameSize && frameSize > 0 =>
           val total = pcm.length / frameSize
           (0 until n).map { i =>

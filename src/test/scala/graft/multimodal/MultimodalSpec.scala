@@ -149,4 +149,70 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1).getAs[Long]("n_distinct_bytes") == 2L)
     assert(out(1).getAs[Long]("ascii_ratio_scaled") == 1000000L)
   }
+
+  // ---- MJPEG/AVI video ------------------------------------------------
+
+  /** JPEG frame of a solid color (encoder-realistic: every frame is a
+    * real JDK-encoded JPEG, not a synthetic byte blob). */
+  private def jpegFrame(rgb: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private lazy val aviBytes = AviMjpeg.writeAvi(
+    Seq(jpegFrame(0xff0000), jpegFrame(0x00ff00), jpegFrame(0x0000ff)),
+    width = 16, height = 16, fps = 10)
+
+  test("AviMjpeg round-trip: writer output demuxes to the same frames") {
+    assert(AviMjpeg.isAvi(aviBytes))
+    val info = AviMjpeg.parseInfo(aviBytes).get
+    assert(info.width == 16 && info.height == 16 && info.totalFrames == 3)
+    assert(info.microSecPerFrame == 100000)
+    val fs = AviMjpeg.framePayloads(aviBytes)
+    assert(fs.length == 3)
+    // every demuxed payload is a decodable JPEG with the right dims
+    (0 until 3).foreach { i =>
+      val (w, h, argb) = AviMjpeg.decodeFrame(aviBytes, i).get
+      assert(w == 16 && h == 16 && argb.length == 256)
+    }
+    // red / green / blue frames decode to distinct dominant channels
+    def dominant(argb: Array[Int]): Int = {
+      val p = argb(0)
+      Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff).zipWithIndex.maxBy(_._1)._2
+    }
+    assert((0 until 3).map(i =>
+      dominant(AviMjpeg.decodeFrame(aviBytes, i).get._3)) == Seq(0, 1, 2))
+    assert(AviMjpeg.decodeFrame(aviBytes, 3).isEmpty)
+  }
+
+  test("AviMjpeg rejects truncated and non-AVI payloads without throwing") {
+    assert(AviMjpeg.framePayloads(aviBytes.take(40)).isEmpty)
+    assert(AviMjpeg.parseInfo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(AviMjpeg.framePayloads(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decode reports avi format with header dimensions") {
+    val meta = Multimodal.decode(9L, aviBytes)
+    assert(meta.format == "avi")
+    assert(meta.width == 16 && meta.height == 16)
+  }
+
+  test("sampleFrames REALLY samples decoded video rasters") {
+    val df = Seq((5L, aviBytes)).toDF("doc_id", "blob")
+    val out = Multimodal.sampleFrames(df, n = 3).orderBy("frame_idx").collect()
+    assert(out.length == 3)
+    // three distinct-color frames -> three distinct raster hashes
+    assert(out.map(_.getAs[String]("frame_md5")).distinct.length == 3)
+    // hashes are raster-based: byte-identical re-encode of the same
+    // pixel content (a second writer pass) hashes identically
+    val again = Multimodal.sampleFrames(df, n = 3).orderBy("frame_idx").collect()
+    assert(out.map(_.getString(2)).toSeq == again.map(_.getString(2)).toSeq)
+    // a WAV (also RIFF) still takes the audio path, not the demuxer
+    val wav = Seq((6L, wavBytes(8000, 32))).toDF("doc_id", "blob")
+    assert(Multimodal.sampleFrames(wav, n = 2).count() == 2)
+  }
 }

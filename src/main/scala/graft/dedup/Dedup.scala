@@ -377,6 +377,32 @@ object Dedup {
 
   // ---- word-level duplicate-span dedup (exact substring dedup) ----
 
+  /** Corpus novelty profile over a DISTINCT (id, shingle) stream: per
+    * document, how many of its shingles appear nowhere earlier in the
+    * corpus (first occurrence = min id over all holders). High
+    * novelty_ppm marks genuinely new content; near-zero marks a doc
+    * assembled entirely from already-seen text — the ordering signal
+    * memorization/forgetting curricula read, and the complement of
+    * the dup-span boilerplate fraction (d12 measures how much of a doc
+    * is DUPLICATED; this measures how much is FIRST).
+    *
+    * Scale shape: one map-side-combined min() per shingle, a join back
+    * on the same shingle key (the exchange is shared — the groupBy and
+    * join partition identically), and a per-doc rollup. Linear in
+    * total shingle volume; nothing is ever pairwise. */
+  def noveltyProfile(shingled: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val firsts = shingled.groupBy("shingle")
+      .agg(min(col(idCol)).as("__first"))
+    shingled.join(firsts, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
   /** Word `n`-gram spans with 1-based start positions over the
     * normalized token stream: one row per (id, pos, ngram). Documents
     * shorter than `n` words emit no spans (the `when` guard keeps

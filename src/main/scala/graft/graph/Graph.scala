@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over relation-derived graphs.
@@ -103,6 +103,59 @@ object Graph {
     counts.crossJoin(wedges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("3 * n_triangles * 1000000 div n_wedges").as("transitivity_ppm"))
+  }
+
+  /** Probe-bounded link prediction over the undirected (s, d, w) edge
+    * list: for each probe node, the top-`topK` non-adjacent candidates
+    * ranked by an INTEGER Adamic-Adar score — Σ over common neighbors
+    * m of `1e6 div deg(m)` (hubs contribute ~0, exactly the signal
+    * weighting the measure is for) — with the raw common-neighbor
+    * count and a Jaccard-of-neighborhoods ppm alongside.
+    *
+    * Scale shape: the wedge join (probe-adjacency ⋈ full adjacency on
+    * the shared middle node) is the triangle-counting shuffle, but the
+    * probe restriction lands BEFORE the join, so the wedge stream is
+    * Σ_{m ∈ N(probes)} deg(m), not the full graph's wedge count; and
+    * `maxMidDegree` drops super-hub middles ahead of the fan-out — at
+    * web scale a celebrity node would otherwise emit deg² wedge pairs
+    * while contributing ≈0 to every score. The degree table is |V|-
+    * sized and broadcast; candidates-per-probe are pruned to `topK`
+    * by WindowGroupLimit before the final sort. All ranking keys are
+    * exact integers, so the top-k set is engine-reproducible.
+    */
+  def linkPrediction(edges: DataFrame, isProbe: Column => Column,
+      topK: Int, maxMidDegree: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("s").as("u"), col("d").as("v"))
+      .unionAll(edges.select(col("d").as("u"), col("s").as("v")))
+    val deg = degrees(edges)
+    // annotate each adjacency row with the MIDDLE (v-side) degree once;
+    // both wedge arms read the same annotated frame (ReuseExchange)
+    val adj = sym.join(broadcast(deg),
+        col("v") === col("node"))
+      .filter(col("degree") <= maxMidDegree)
+      .select(col("u"), col("v"), col("degree").as("mid_deg"))
+    val scored = adj.filter(isProbe(col("u"))).as("a")
+      .join(adj.as("b"),
+        col("a.v") === col("b.v") && col("a.u") =!= col("b.u"))
+      .groupBy(col("a.u").as("src"), col("b.u").as("dst"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div a.mid_deg")).as("aa_scaled"))
+    val nonAdj = scored.join(sym,
+      col("src") === col("u") && col("dst") === col("v"), "left_anti")
+    val withDeg = nonAdj
+      .join(broadcast(deg.select(col("node").as("src"),
+        col("degree").as("sdeg"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"),
+        col("degree").as("ddeg"))), "dst")
+    val w = Window.partitionBy("src")
+      .orderBy(desc("aa_scaled"), desc("common"), asc("dst"))
+    withDeg
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("src"), col("rank").cast("long").as("rank"), col("dst"),
+        col("common"), col("aa_scaled"),
+        expr("common * 1000000 div (sdeg + ddeg - common)").as("jaccard_ppm"))
   }
 
   /** Fixed-point PageRank over the symmetrized edge list: `iters`

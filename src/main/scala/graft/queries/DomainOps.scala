@@ -228,5 +228,110 @@ object DomainOps {
       Domains.dedupPerDomain(
         Tables.documents(s, dir).withColumn("url", urlCol), "url")
         .orderBy("domain", "kept_doc_id")
+    },
+
+    // URL canonicalization + URL-level dedup: the step a web-corpus
+    // pipeline runs BEFORE any content dedup (it needs no document
+    // bytes — a trillion-URL frontier dedups as a projection + one
+    // map-side-combined groupBy). Three raw variants per doc: a messy
+    // form (uppercase scheme/host, www, trailing-dot host, default
+    // port, doubled slashes, trackers, fragment), its clean twin, and
+    // a per-source shared URL — so the canonicalizer provably
+    // collapses both within-doc noise and cross-doc duplicates. The
+    // per-source rollup carries a 32-bit-hash SUM over the distinct
+    // canonical strings: a single changed byte in any canonical form
+    // fails the hash compare, so the oracle checks the full string
+    // set, not just counts.
+    QueryDef.sql(
+      "n7_url_canonicalize", {
+        val trackerPred = Domains.TrackingParamPrefixes
+          .map(p => s"NOT starts_with(p, '$p')").mkString(" AND ")
+        val hx = (1 to 8).map(j =>
+          s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+          .mkString(" + ")
+        s"""WITH raw AS (
+           |  SELECT source, doc_id, unnest([
+           |    'HTTPS://WWW.' || upper(source) || '-NEWS.COM.:443//p//' ||
+           |      CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag',
+           |    'https://' || source || '-news.com/p/' ||
+           |      CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+           |    'http://' || source || '.example.org:0080/about/']) AS u
+           |  FROM documents),
+           |parts AS (
+           |  SELECT source, trim(u) AS t FROM raw),
+           |auth AS (
+           |  SELECT source, t,
+           |    CASE WHEN regexp_extract(t, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) = ''
+           |         THEN 'http'
+           |         ELSE lower(regexp_extract(t, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+           |    END AS scheme,
+           |    regexp_replace(regexp_replace(t,
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?#@]*@', '') AS rest
+           |  FROM parts),
+           |hp AS (
+           |  SELECT source, scheme, rest,
+           |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+           |    regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+           |      '#.*$$', '') AS tl
+           |  FROM auth),
+           |comp AS (
+           |  SELECT source, scheme,
+           |    regexp_replace(regexp_replace(lower(
+           |      regexp_replace(hostport, ':[0-9]*$$', '')),
+           |      '\\.+$$', ''), '^www\\.', '') AS hostn,
+           |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+           |    regexp_replace(regexp_replace(
+           |      regexp_extract(tl, '^([^?]*)', 1), '//+', '/', 'g'),
+           |      '/+$$', '') AS path,
+           |    list_sort(list_filter(string_split(
+           |      regexp_extract(tl, '\\?(.*)$$', 1), '&'),
+           |      p -> p <> '' AND $trackerPred)) AS kept
+           |  FROM hp),
+           |cano AS (
+           |  SELECT source,
+           |    scheme || '://' || hostn ||
+           |    CASE WHEN port = '' THEN ''
+           |         WHEN scheme = 'http' AND CAST(port AS BIGINT) = 80 THEN ''
+           |         WHEN scheme = 'https' AND CAST(port AS BIGINT) = 443 THEN ''
+           |         ELSE ':' || CAST(CAST(port AS BIGINT) AS VARCHAR) END ||
+           |    path ||
+           |    CASE WHEN len(kept) = 0 THEN ''
+           |         ELSE '?' || array_to_string(kept, '&') END AS canonical
+           |  FROM comp),
+           |grp AS (
+           |  SELECT source, canonical, CAST(count(*) AS BIGINT) AS cnt,
+           |    md5(canonical) AS h
+           |  FROM cano GROUP BY 1, 2)
+           |SELECT source,
+           |  CAST(sum(cnt) AS BIGINT) AS n_raw,
+           |  CAST(count(*) AS BIGINT) AS n_canonical,
+           |  CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+           |    AS collapse_ppm,
+           |  CAST(sum($hx) AS BIGINT) AS canon_hash_sum
+           |FROM grp GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val raws = Tables.documents(s, dir).select(col("source"),
+        explode(array(
+          concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit("-NEWS.COM.:443//p//"), id, lit("/?utm_source=feed&b=2&a=1#frag")),
+          concat(lit("https://"), col("source"), lit("-news.com/p/"),
+            id, lit("?a=1&b=2")),
+          concat(lit("http://"), col("source"),
+            lit(".example.org:0080/about/")))).as("u"))
+      val grp = raws
+        .select(col("source"), Domains.canonicalizeUrl(col("u")).as("canonical"))
+        .groupBy("source", "canonical")
+        .agg(count(lit(1)).as("cnt"))
+      grp.groupBy("source")
+        .agg(sum(col("cnt")).as("n_raw"),
+          count(lit(1)).as("n_canonical"),
+          sum(conv(substring(md5(col("canonical")), 1, 8), 16, 10)
+            .cast("long")).as("canon_hash_sum"))
+        .select(col("source"), col("n_raw"), col("n_canonical"),
+          expr("(n_raw - n_canonical) * 1000000 div n_raw").as("collapse_ppm"),
+          col("canon_hash_sum"))
+        .orderBy("source")
     })
 }

@@ -114,5 +114,43 @@ object GraphOps {
       }) { (s, dir) =>
       Graph.pageRank(prInput(s, dir), iters = 5)
         .orderBy(desc("score"), asc("node")).limit(20)
+    },
+
+    // --- G6: link prediction (integer Adamic-Adar) ------------------
+    // "Which parts will be co-purchased next": top-3 non-adjacent
+    // candidates per probe part, ranked by Σ 1e6 div deg(middle) over
+    // common neighbors. The probe restriction lands BEFORE the wedge
+    // join and super-hub middles (deg > 500) are dropped ahead of the
+    // fan-out — the two guards that keep the wedge stream bounded on a
+    // power-law graph. All-integer ranking keys -> engine-exact top-k.
+    QueryDef.sql(
+      "g6_link_prediction",
+      s"""$edgeCte,
+         |sym AS (SELECT s AS u, d AS v FROM e UNION ALL SELECT d, s FROM e),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+         |        GROUP BY 1),
+         |adj AS (SELECT sym.u, sym.v, deg.degree AS mid_deg
+         |        FROM sym JOIN deg ON deg.node = sym.v
+         |        WHERE deg.degree <= 500),
+         |sc AS (SELECT a.u AS src, b.u AS dst,
+         |         CAST(count(*) AS BIGINT) AS common,
+         |         CAST(sum(1000000 // a.mid_deg) AS BIGINT) AS aa_scaled
+         |       FROM adj a JOIN adj b ON b.v = a.v AND b.u <> a.u
+         |       WHERE a.u % 25 = 0 GROUP BY 1, 2),
+         |na AS (SELECT * FROM sc WHERE NOT EXISTS (
+         |         SELECT 1 FROM sym WHERE sym.u = sc.src AND sym.v = sc.dst)),
+         |wd AS (SELECT na.*, ds.degree AS sdeg, dd.degree AS ddeg
+         |       FROM na JOIN deg ds ON ds.node = na.src
+         |       JOIN deg dd ON dd.node = na.dst),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY aa_scaled DESC, common DESC, dst) AS rank FROM wd)
+         |SELECT src, CAST(rank AS BIGINT) AS rank, dst, common, aa_scaled,
+         |  CAST(common * 1000000 // (sdeg + ddeg - common) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin) { (s, dir) =>
+      Graph.linkPrediction(edges(s, dir), u => u % 25 === 0,
+          topK = 3, maxMidDegree = 500L)
+        .orderBy("src", "rank")
     })
 }

@@ -2716,6 +2716,29 @@ object LlmOps {
         .orderBy("lang_pred")
     },
 
+    // --- T20: corpus novelty profile ---------------------------------
+    // Per document, the fraction of its distinct shingles appearing
+    // nowhere earlier (min doc_id over holders = this doc) — the
+    // complement of d12's boilerplate fraction, and the signal a
+    // memorization-aware curriculum orders by. One min() per shingle +
+    // a join back on the SAME shingle key + a per-doc rollup — linear,
+    // never pairwise. Shares the memoized distinct-shingle frame.
+    QueryDef.sql(
+      "t20_novelty_profile",
+      s"""WITH $normCte,
+         |$shingleCte,
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN f USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.noveltyProfile(distinctShingles(s, dir)).orderBy("doc_id")
+    },
+
     // --- E10: hybrid lexical+vector retrieval, RRF-fused -------------
     // The RAG serving read: a shared-distinct-term keyword arm and the
     // e1 brute-force cosine arm each rank per query; reciprocal-rank

@@ -49,6 +49,64 @@ object Domains {
   /** `registrableDomain(host(url))` — the one-call form. */
   def domainOf(url: Column): Column = registrableDomain(host(url))
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: click/campaign
+    * trackers that vary per crawl visit without changing the resource
+    * (the single largest source of spurious URL "uniqueness" in web
+    * crawls). Matched as `name=` prefixes; `utm_` matches the whole
+    * Google Analytics family. */
+  val TrackingParamPrefixes: Seq[String] =
+    Seq("utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "mc_cid=", "mc_eid=")
+
+  /** Canonical form of a crawl URL — the key for URL-level dedup (the
+    * step web-corpus pipelines run BEFORE fetching/content dedup,
+    * since it needs no document bytes at all):
+    *
+    *  - scheme lowercased; missing scheme defaults to `http`
+    *  - userinfo stripped; host lowercased; leading `www.` and
+    *    trailing dots removed
+    *  - default ports dropped (`:80` http, `:443` https); other ports
+    *    kept, numerically normalized (`:0080` -> `:80`)
+    *  - path: duplicate slashes collapsed, trailing slashes stripped
+    *  - fragment dropped; tracking params
+    *    ([[TrackingParamPrefixes]]) and empty params dropped; the
+    *    surviving params byte-sorted
+    *
+    * Everything is regexp/array column expressions (codegen'd,
+    * scan-level — the shape that runs over a trillion-URL frontier as
+    * a projection, no shuffle). The same steps are SQL-expressible,
+    * so the n7 oracle reproduces the string bit-for-bit. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val rawScheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val scheme = when(rawScheme === "", lit("http")).otherwise(rawScheme)
+    // authority+rest with scheme and userinfo stripped
+    val rest = regexp_replace(
+      regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+      "^[^/?#@]*@", "")
+    val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
+    val hostNorm = regexp_replace(regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]*$", "")),
+      "\\.+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portNum = port.cast("long")
+    val portSfx = when(port === "", lit(""))
+      .when(scheme === "http" && portNum === 80L, lit(""))
+      .when(scheme === "https" && portNum === 443L, lit(""))
+      .otherwise(concat(lit(":"), portNum.cast("string")))
+    // path + query, fragment dropped
+    val tail = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""), "#.*$", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "//+", "/"),
+      "/+$", "")
+    val query = regexp_extract(tail, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !TrackingParamPrefixes
+        .map(pre => p.startsWith(pre)).reduce(_ || _)))
+    val qSfx = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), hostNorm, portSfx, path, qSfx)
+  }
+
   /** Per-domain corpus profile: document count, distinct-content count
     * (by normalized-text fingerprint), duplicate count, and total
     * token volume — the table a curation pass reads before deciding

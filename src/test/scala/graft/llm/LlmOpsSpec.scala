@@ -826,4 +826,20 @@ class LlmOpsSpec extends SparkSuite {
     // symmetric pairs must fold onto one unordered key
     assert(m.keys.forall { case (a, b) => a <= b })
   }
+
+  test("noveltyProfile: first holder of a shingle is novel, copies are not (t20)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa bbbb"),        // 5 distinct 5-char shingles, all first here
+      (2L, "aaaa bbbb"),        // exact copy: zero novel
+      (3L, "aaaa bbbb cccc"))   // extends 1: 10 shingles, 5 first here
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyProfile(Dedup.shingles(d, 5))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(out(1L) == ((5L, 5L, 1000000L)))
+    assert(out(2L) == ((5L, 0L, 0L)))
+    assert(out(3L) == ((10L, 5L, 500000L)))
+  }
 }

@@ -69,6 +69,39 @@ class GraphSpec extends SparkSuite {
     assert(scores(2L) == scores(3L) && scores(3L) == scores(4L))
   }
 
+  test("linkPrediction: path+pendant predicts all leaf pairs through the middle") {
+    // edges 1-2, 2-3, 2-4: every leaf pair (1,3), (1,4), (3,4) shares
+    // exactly middle 2 (degree 3) -> aa = 1e6 div 3, jaccard = 1/1
+    val r = Graph.linkPrediction(path, _ => lit(true), topK = 5)
+      .orderBy("src", "rank")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val leafPairs = r.map(x => (x._1, x._3)).toSet
+    assert(leafPairs == Set((1L, 3L), (1L, 4L), (3L, 1L), (3L, 4L),
+      (4L, 1L), (4L, 3L)))
+    assert(r.forall(_._4 == 1L))      // common = 1
+    assert(r.forall(_._5 == 333333L)) // aa = 1e6 div 3
+    assert(r.forall(_._6 == 1000000L)) // jaccard ppm = 1/1
+  }
+
+  test("linkPrediction: maxMidDegree drops the hub middle entirely") {
+    val r = Graph.linkPrediction(path, _ => lit(true),
+      topK = 5, maxMidDegree = 2L)
+    assert(r.count() == 0)
+  }
+
+  test("linkPrediction: square diagonal scores both shared corners") {
+    // cycle 1-2-3-4-1: diagonal (1,3) shares middles {2,4}, both deg 2
+    val square = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("s", "d", "w")
+    val r = Graph.linkPrediction(square, u => u === 1L, topK = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 3L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("linkPrediction: complete graph has no candidates") {
+    assert(Graph.linkPrediction(k4, _ => lit(true), topK = 5).count() == 0)
+  }
+
   test("degreeDistribution: star is one hub of degree 3 + three leaves of degree 1") {
     val star = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)).toDF("s", "d", "w")
     val dist = Graph.degreeDistribution(star)

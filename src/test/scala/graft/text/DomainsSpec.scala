@@ -29,6 +29,45 @@ class DomainsSpec extends SparkSuite {
     }
   }
 
+  test("canonicalizeUrl: case, www, trailing dots, default ports, slashes, trackers, fragments") {
+    val cases = Seq(
+      // messy twin of a clean URL -> identical canonical form
+      ("HTTPS://WWW.Example.COM.:443//a//b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+      // scheme-less defaults to http; leading-zero port normalizes
+      ("example.org:0080/about/", "http://example.org/about"),
+      // non-default port survives, numerically normalized
+      ("http://example.org:08080/x", "http://example.org:8080/x"),
+      // https default port dropped only for https
+      ("http://example.com:443/x", "http://example.com:443/x"),
+      // tracker-only query vanishes entirely
+      ("https://a.net/p?utm_campaign=c&fbclid=123", "https://a.net/p"),
+      // empty params dropped; survivors byte-sorted
+      ("https://a.net/p?z=1&&y=2&gclid=g", "https://a.net/p?y=2&z=1"),
+      // root path normalizes to no path; userinfo stripped
+      ("https://user:pw@Host.com/", "https://host.com"),
+      ("  http://spaced.example.com  ", "http://spaced.example.com"))
+      .toDF("url", "want")
+    cases.select(Domains.canonicalizeUrl(col("url")).as("got"), col("want"))
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(1),
+          s"canonical '${r.getString(0)}' != expected '${r.getString(1)}'")
+      }
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM.:443//a//b/?utm_source=x&b=2&a=1#frag",
+      "example.org:0080/about/", "https://a.net/p?z=1&&y=2",
+      "https://user@h.com:9999/deep/path/?q=1").toDF("url")
+    val once = urls.select(Domains.canonicalizeUrl(col("url")).as("c1"))
+    val twice = once.select(col("c1"),
+      Domains.canonicalizeUrl(col("c1")).as("c2"))
+    twice.collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.toSeq}"))
+  }
+
   test("capPerDomain keeps exactly cap docs per domain, deterministically") {
     val docs = (1L to 40L).map(i =>
       (i, s"https://${if (i % 2 == 0) "even" else "odd"}.example.com/$i", s"text $i"))

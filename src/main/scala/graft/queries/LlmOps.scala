@@ -2801,5 +2801,61 @@ object LlmOps {
           col("rrf_ppm"), col("rank_a").as("rank_lex"),
           col("rank_b").cast("long").as("rank_vec"))
         .orderBy("query_id", "rank")
+    },
+
+    // --- E11: MMR diversified retrieval ------------------------------
+    // The re-ranker between "top-k nearest" and "what a RAG context
+    // window wants": greedy picks minimizing rel_d2 − min d2 to the
+    // already-picked set (λ=1/2 in distance form) — closest to the
+    // query AND farthest from prior picks. Exact QuantizedSqDist ints
+    // end to end, so the greedy argmin can't flip on an FP boundary;
+    // the oracle unrolls the selectK rounds as CTEs (v6's discipline).
+    // Candidate stage = probe-broadcast corpus pass (memoized);
+    // greedy stage joins candidate-sized frames only.
+    QueryDef.sql(
+      "e11_mmr_rerank", {
+        def d2(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(64), " +
+            s"i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))) AS BIGINT)"
+        def round(r: Int) =
+          s"""sc$r AS (
+             |  SELECT c.query_id, c.neighbor_id, first(c.ce) AS ce,
+             |    c.rel_d2, min(${d2("c.ce", "s.ce")}) AS div_d2
+             |  FROM cand c JOIN acc${r - 1} s ON s.query_id = c.query_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} x
+             |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+             |  GROUP BY c.query_id, c.neighbor_id, c.rel_d2),
+             |sel$r AS (
+             |  SELECT query_id, neighbor_id, ce, rel_d2, div_d2,
+             |    CAST($r AS BIGINT) AS rank
+             |  FROM sc$r QUALIFY row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rel_d2 - div_d2, neighbor_id) = 1),
+             |acc$r AS (SELECT * FROM acc${r - 1} UNION ALL SELECT * FROM sel$r)"""
+            .stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+           |  FROM embeddings),
+           |p AS (SELECT vec_id AS query_id, qe AS pe FROM q WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT p.query_id, c.vec_id AS neighbor_id, c.qe AS ce,
+           |    ${d2("pe", "c.qe")} AS rel_d2
+           |  FROM q c CROSS JOIN p WHERE c.vec_id <> p.query_id),
+           |cand AS (
+           |  SELECT * FROM scored QUALIFY row_number() OVER (
+           |    PARTITION BY query_id ORDER BY rel_d2, neighbor_id) <= 8),
+           |acc1 AS (
+           |  SELECT query_id, neighbor_id, ce, rel_d2,
+           |    CAST(NULL AS BIGINT) AS div_d2, CAST(1 AS BIGINT) AS rank
+           |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rel_d2, neighbor_id) = 1),
+           |${(2 to 4).map(round).mkString(",\n")}
+           |SELECT query_id, rank, neighbor_id, rel_d2, div_d2
+           |FROM acc4 ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cand = memoized(s"mmrcand:$dir")(Ann.mmrCandidates(
+        emb, emb.filter(col("vec_id") % 50 === 0), candidateK = 8))
+      Ann.mmrRerank(cand, selectK = 4).orderBy("query_id", "rank")
     })
 }

@@ -63,6 +63,90 @@ object Ann {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversified retrieval — the
+    * re-ranking step between "top-k nearest" and "what a RAG context
+    * window actually wants": from each probe's `candidateK` nearest
+    * candidates, greedily pick `selectK` where each pick minimizes
+    * `rel_d2 − min_{s ∈ picked} d2(cand, s)` — closest to the query
+    * AND farthest from everything already picked (λ = 1/2 in distance
+    * form). Eight near-identical copies of one result waste the whole
+    * context budget; MMR trades a little relevance for coverage.
+    *
+    * Everything runs on [[graft.functions.QuantizedSqDist]] integer
+    * distances, so scores are order-independent exact int64 and the
+    * greedy argmin (tie-broken by candidate id) picks the same set on
+    * any engine or partitioning — the property an FP-cosine MMR
+    * cannot have at an equality boundary.
+    *
+    * Scale shape: the candidate stage is [[bruteForceTopK]]'s probe-
+    * broadcast single corpus pass (swap in the IVF/LSH candidate
+    * stage past broadcast limits); the greedy stage is `selectK − 1`
+    * joins on frames of ≤ probes·candidateK rows — candidate-sized,
+    * never corpus-sized, exactly like the LSH verify stages. Output:
+    * (query_id, rank, neighbor_id, rel_d2, div_d2) with div_d2 NULL
+    * on the rank-1 pick (nothing selected yet). */
+  def mmrCandidates(
+      corpus: DataFrame, probes: DataFrame, candidateK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+    val n = probeCountCapped(probes, maxBroadcastProbes)
+    require(n <= maxBroadcastProbes,
+      s"mmrCandidates: probe set exceeds $maxBroadcastProbes rows — feed " +
+        "the greedy stage from ivfTopK/lshTopK candidates instead")
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("p_vec"))
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_d2"), col("neighbor_id"))
+    c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_vec"),
+        graft.functions.QuantizedSqDist(col("p_vec"), col("c_vec"))
+          .as("rel_d2"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= candidateK)
+      .drop("__r")
+  }
+
+  /** Greedy stage over a prepared `(query_id, neighbor_id, c_vec,
+    * rel_d2)` candidate frame — [[mmrCandidates]], or any IVF/LSH
+    * candidate stage with the same schema. The frame is joined
+    * `selectK − 1` times; callers running it more than once should
+    * persist/memoize it (the query layer does) rather than re-running
+    * the corpus pass per greedy round. */
+  def mmrRerank(cand: DataFrame, selectK: Int): DataFrame = {
+    require(selectK >= 1, s"selectK must be >= 1, got $selectK")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_d2"), col("neighbor_id"))
+    val pick1 = cand
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("c_vec"),
+        col("rel_d2"), lit(null).cast("long").as("div_d2"),
+        lit(1L).as("rank"))
+    var selected = pick1
+    for (r <- 2 to selectK) {
+      val rem = cand.join(selected
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scoredR = rem.as("cnd").join(
+          selected.select(col("query_id"), col("c_vec").as("s_vec")).as("sel"),
+          Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("cnd.c_vec")).as("c_vec"),
+          first(col("cnd.rel_d2")).as("rel_d2"),
+          min(graft.functions.QuantizedSqDist(col("cnd.c_vec"),
+            col("s_vec"))).as("div_d2"))
+      val wMmr = Window.partitionBy("query_id")
+        .orderBy(col("rel_d2") - col("div_d2"), col("neighbor_id"))
+      val pickR = scoredR
+        .withColumn("__r", row_number().over(wMmr)).filter(col("__r") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("c_vec"),
+          col("rel_d2"), col("div_d2"), lit(r.toLong).as("rank"))
+      selected = selected.unionAll(pickR)
+    }
+    selected.select(col("query_id"), col("rank"), col("neighbor_id"),
+      col("rel_d2"), col("div_d2"))
+  }
+
   /** Label-noise audit (mislabel detection): for each probe vector,
     * its k nearest corpus vectors by EXACT scaled-integer squared
     * Euclidean distance — `floor(x·10⁶)` per dimension, so distances

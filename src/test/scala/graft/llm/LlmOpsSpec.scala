@@ -827,6 +827,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(m.keys.forall { case (a, b) => a <= b })
   }
 
+  test("mmrRerank skips the near-duplicate of the first pick for a diverse one (e11)") {
+    import spark.implicits._
+    // probe at origin; c1 closest, c2 a near-dup of c1, c3 farther
+    // from the query but far from c1 — MMR must pick c1 then c3
+    val corpus = Seq(
+      (100L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.01f, 0.0f)),
+      (3L, Array(-1.2f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 100L)
+    val out = Ann.mmrRerank(Ann.mmrCandidates(corpus, probes, candidateK = 4),
+        selectK = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L))
+    assert(out(0).isNullAt(out(0).fieldIndex("div_d2"))) // nothing picked yet
+    // pure-relevance order would have been c1 then c2
+    val pureTop2 = Ann.mmrCandidates(corpus, probes, candidateK = 2)
+      .orderBy("rel_d2").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(pureTop2 == Seq(1L, 2L))
+  }
+
   test("noveltyProfile: first holder of a shingle is novel, copies are not (t20)") {
     import spark.implicits._
     val d = Seq(

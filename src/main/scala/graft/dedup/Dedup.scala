@@ -213,6 +213,52 @@ object Dedup {
         expr("inter * 1000000 DIV b_sz").as("cont_b_ppm"))
   }
 
+  /** MinHash calibration curve: estimated vs EXACT Jaccard per
+    * signature-agreement level. For each LSH candidate pair, the
+    * estimator is `matching components / numHashes` (ppm); the truth
+    * is the shingle-set Jaccard. Grouped by match count, the curve
+    * (n_pairs, mean/min/max exact ppm per level) is the read that
+    * decides whether a signature width is trustworthy BEFORE a
+    * corpus-wide dedup commits to it — e8's recall audit, but for the
+    * MinHash estimator itself.
+    *
+    * Scale shape: candidates-only joins throughout (signatures are
+    * id-keyed equi-joins; shingle sets ride the d5 candidate-pruned
+    * aggregation), then a ≤ numHashes+1-row rollup. All-integer ppm. */
+  def minHashCalibration(pairs: DataFrame, signatures: DataFrame,
+      shingled: DataFrame, numHashes: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val hCols = (1 to numHashes).map(i => s"h$i")
+    def sigSide(side: String) = signatures.select(
+      col(idCol).as(s"${side}_$idCol") +:
+        hCols.map(h => col(h).as(s"${side}_$h")): _*)
+    val matches = hCols.map(h =>
+      when(col(s"a_$h") === col(s"b_$h"), 1L).otherwise(0L)).reduce(_ + _)
+    val sets = candidateShingleSets(pairs, shingled, idCol)
+    val inter = size(array_intersect(col("a_set"), col("b_set"))).cast("long")
+    pairs
+      .join(sets.select(col(idCol).as(s"a_$idCol"),
+        col("shset").as("a_set"), col("sz").as("a_sz")), s"a_$idCol")
+      .join(sets.select(col(idCol).as(s"b_$idCol"),
+        col("shset").as("b_set"), col("sz").as("b_sz")), s"b_$idCol")
+      .withColumn("inter", inter)
+      .withColumn("exact_ppm",
+        expr("inter * 1000000 DIV (a_sz + b_sz - inter)"))
+      .join(sigSide("a"), s"a_$idCol")
+      .join(sigSide("b"), s"b_$idCol")
+      .withColumn("matches", matches)
+      .groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("__sum"),
+        min(col("exact_ppm")).as("min_exact_ppm"),
+        max(col("exact_ppm")).as("max_exact_ppm"))
+      .select(col("matches"),
+        expr(s"matches * 1000000 div $numHashes").as("est_ppm"),
+        col("n_pairs"),
+        expr("__sum div n_pairs").as("mean_exact_ppm"),
+        col("min_exact_ppm"), col("max_exact_ppm"))
+  }
+
   /** SimHash over word tokens, `bits` wide (≤32). Token hash = first 8
     * md5 hex digits; simhash bit j = sign of Σ_tokens (bit_j ? +1 : −1).
     * Returns the simhash as a bit string column for portability. */

@@ -484,6 +484,53 @@ object LlmOps {
       Dedup.jaccardVerify(candidatePairs(s, dir), sh).orderBy("a_doc_id", "b_doc_id")
     },
 
+    // --- D17: MinHash calibration curve ------------------------------
+    // Estimated (matching components / 8) vs EXACT Jaccard per
+    // agreement level over the LSH candidate pairs — the audit that
+    // decides whether the signature width is trustworthy BEFORE a
+    // corpus-wide dedup commits to it. Candidates-only joins; the
+    // rollup is <= 9 rows. All-integer ppm on both engines.
+    QueryDef.sql(
+      "d17_minhash_calibration", {
+        val matchSum = (1 to NumHashes)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $normCte,
+           |$shingleCte,
+           |$sigCte,
+           |$bandCte,
+           |pairs AS (
+           |$pairsSelect),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.a_doc_id, p.b_doc_id, count(*) AS inter
+           |  FROM pairs p
+           |  JOIN sh sa ON sa.doc_id = p.a_doc_id
+           |  JOIN sh sb ON sb.doc_id = p.b_doc_id AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2),
+           |cal AS (
+           |  SELECT CAST($matchSum AS BIGINT) AS matches,
+           |    coalesce(i.inter, 0) * 1000000 //
+           |      (za.sz + zb.sz - coalesce(i.inter, 0)) AS exact_ppm
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_doc_id
+           |  JOIN sig sb ON sb.doc_id = p.b_doc_id
+           |  LEFT JOIN inter i ON i.a_doc_id = p.a_doc_id
+           |    AND i.b_doc_id = p.b_doc_id
+           |  JOIN sizes za ON za.doc_id = p.a_doc_id
+           |  JOIN sizes zb ON zb.doc_id = p.b_doc_id)
+           |SELECT matches,
+           |  CAST(matches * 1000000 // $NumHashes AS BIGINT) AS est_ppm,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+           |  CAST(min(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           |  CAST(max(exact_ppm) AS BIGINT) AS max_exact_ppm
+           |FROM cal GROUP BY matches ORDER BY matches""".stripMargin
+      }) { (s, dir) =>
+      Dedup.minHashCalibration(candidatePairs(s, dir), sigs(s, dir),
+        distinctShingles(s, dir), NumHashes).orderBy("matches")
+    },
+
     QueryDef.sql(
       "d6_embedding_neardups",
       s"""WITH b AS (

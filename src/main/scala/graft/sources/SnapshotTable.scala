@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-log table format: snapshot isolation + time travel on
+  * immutable parquet, the variant [[graft.domain.GaugeStore]]'s
+  * scaladoc defers to for object stores (its commit protocol needs
+  * atomic DIRECTORY rename; this needs only "create fails if the
+  * target exists" on one small FILE — the guarantee S3-style stores
+  * and every HDFS/POSIX filesystem give).
+  *
+  * Layout under `root`:
+  *   data/<commit-uuid>-partNNNNN.parquet   — immutable data files
+  *   _log/00000001.json, 00000002.json, …   — one manifest per commit
+  *
+  * A manifest lists the files the commit ADDs and the files it
+  * REMOVEs (logically — removed files stay on disk so older snapshots
+  * keep reading them; [[vacuum]] reclaims files no LIVE snapshot
+  * references). The table state at version v is replay(1..v):
+  * adds minus removes. Readers resolve a snapshot to a concrete file
+  * list and never race writers; writers race each other only on the
+  * next log filename — optimistic concurrency, loser recomputes and
+  * retries. The commit POINT is the rename of one staged manifest to
+  * its final name: before it the commit is invisible staging garbage,
+  * after it the commit is fully visible. No reader ever sees a
+  * half-commit.
+  *
+  * Scale shape: the log is O(#commits) small JSON files and replay is
+  * driver-side metadata work ∝ total files ever added — the same cost
+  * class as parquet footer listing, and compaction keeps the live
+  * file count bounded. Data-file IO is untouched Spark parquet
+  * (pushdown, pruning, vectorized read all apply: the snapshot only
+  * decides WHICH files the scan gets).
+  */
+final class SnapshotTable(spark: SparkSession, val root: String) {
+
+  private def fs: FileSystem =
+    FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def logDir = new Path(s"$root/_log")
+  private def dataDir = new Path(s"$root/data")
+
+  private def versionOf(name: String): Option[Int] =
+    if (name.matches("\\d{8}\\.json")) Some(name.take(8).toInt) else None
+
+  /** Newest committed version; 0 = empty table. */
+  def currentVersion: Int =
+    if (!fs.exists(logDir)) 0
+    else fs.listStatus(logDir).flatMap(s => versionOf(s.getPath.getName))
+      .foldLeft(0)(math.max)
+
+  // ---- manifest encode/decode (dependency-free, like Bench floors) --
+
+  private def encode(add: Seq[String], remove: Seq[String]): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    s"""{"add":${arr(add)},"remove":${arr(remove)}}"""
+  }
+
+  private def decode(json: String): (Seq[String], Seq[String]) = {
+    def arr(key: String): Seq[String] = {
+      val m = s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+      m.map(_.group(1)).filter(_.nonEmpty).toSeq
+        .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+    }
+    (arr("add"), arr("remove"))
+  }
+
+  private def readManifest(v: Int): (Seq[String], Seq[String]) = {
+    val p = new Path(logDir, f"$v%08d.json")
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      decode(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Concrete data-file list of snapshot `version` (default: newest).
+    * Replay order doesn't matter for correctness (a file is added
+    * exactly once and removed at most once, after its add). */
+  def files(version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    (1 to v).foreach { i =>
+      val (add, remove) = readManifest(i)
+      live ++= add
+      live --= remove
+    }
+    live.toSeq
+  }
+
+  /** Read snapshot `version` (default newest). Empty snapshots read
+    * as an empty frame of the newest schema when any commit exists. */
+  def read(version: Option[Int] = None): DataFrame = {
+    val fl = files(version)
+    if (fl.nonEmpty) spark.read.parquet(fl: _*)
+    else {
+      val any = files(None)
+      require(any.nonEmpty, s"snapshot table $root has no data files at all")
+      spark.read.parquet(any: _*).limit(0)
+    }
+  }
+
+  /** Stage `df` as new immutable data files, return their paths. Files
+    * are invisible until a manifest references them. */
+  private def stageFiles(df: DataFrame): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val tmp = new Path(s"$root/_staging/$commitId")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    val moved = parts.map { st =>
+      val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
+      require(fs.rename(st.getPath, dst), s"stage move failed: $dst")
+      // store FULLY-QUALIFIED paths: vacuum compares manifests against
+      // listStatus output, which is always qualified (file:/…) — an
+      // unqualified manifest path would never match and vacuum would
+      // reap live files
+      fs.makeQualified(dst).toString
+    }
+    fs.delete(tmp, true)
+    moved.toSeq
+  }
+
+  /** Optimistic commit: write the manifest under `_staging`, then
+    * rename it to the next log slot. If another writer took the slot,
+    * recompute and retry — data files are uuid-named, so retries never
+    * collide. Returns the committed version. */
+  private def commit(add: Seq[String], remove: Seq[String],
+      maxAttempts: Int = 20): Int = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(encode(add, remove)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = currentVersion + 1
+      val target = new Path(logDir, f"$next%08d.json")
+      // rename fails if the target exists — the loser of a race lands
+      // here and retries against the new head
+      if (!fs.exists(target) && fs.rename(tmp, target)) return next
+      attempt += 1
+    }
+    fs.delete(tmp, true)
+    throw new IllegalStateException(
+      s"commit lost $maxAttempts optimistic races on $root")
+  }
+
+  /** Append `df` as a new snapshot; returns the committed version. */
+  def append(df: DataFrame): Int = commit(stageFiles(df), Nil)
+
+  /** Rewrite the CURRENT live file set as `coalesceTo` files in one
+    * commit (add rewritten + remove originals). Readers of older
+    * snapshots are untouched — the originals remain on disk until
+    * [[vacuum]]. Returns the committed version, or 0 when the table
+    * is empty (nothing to compact). */
+  def compact(coalesceTo: Int = 1): Int = {
+    val before = files(None)
+    if (before.isEmpty) 0
+    else {
+      val rewritten = stageFiles(
+        spark.read.parquet(before: _*).coalesce(coalesceTo))
+      commit(rewritten, before)
+    }
+  }
+
+  /** Delete data files referenced by NO snapshot at or above
+    * `retainFrom` (and stranded staging). Time travel below
+    * `retainFrom` stops working — that's the retention contract.
+    * Returns the number of files deleted. */
+  def vacuum(retainFrom: Int): Int = {
+    val keep = (retainFrom to currentVersion)
+      .flatMap(v => files(Some(v))).toSet
+    val have =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir)
+        .map(s => fs.makeQualified(s.getPath).toString).toSeq
+    val doomed = have.filterNot(keep.contains)
+    doomed.foreach(f => fs.delete(new Path(f), false))
+    fs.delete(new Path(s"$root/_staging"), true)
+    doomed.size
+  }
+}

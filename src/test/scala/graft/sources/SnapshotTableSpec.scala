@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Manifest-log snapshot table: time travel, compaction that preserves
+  * history, crash-invisibility of staged work, optimistic-race
+  * behavior, and vacuum retention. */
+class SnapshotTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpTable(): SnapshotTable = {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    new SnapshotTable(spark, dir)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append creates versions; every old snapshot stays readable") {
+    val t = tmpTable()
+    assert(t.currentVersion == 0)
+    val v1 = t.append(Seq(1L, 2L).toDF("id"))
+    val v2 = t.append(Seq(3L).toDF("id"))
+    val v3 = t.append(Seq(4L, 5L).toDF("id"))
+    assert((v1, v2, v3) == ((1, 2, 3)))
+    assert(ids(t.read()) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(t.read(Some(1))) == Set(1L, 2L))
+    assert(ids(t.read(Some(2))) == Set(1L, 2L, 3L))
+    assert(t.read(Some(0)).count() == 0) // empty snapshot, newest schema
+  }
+
+  test("compact shrinks the live file list without touching history") {
+    val t = tmpTable()
+    (1L to 4L).foreach(i => t.append(Seq(i).toDF("id")))
+    val filesBefore = t.files().size
+    val vc = t.compact(coalesceTo = 1)
+    assert(vc == 5)
+    assert(t.files().size == 1 && filesBefore >= 4)
+    assert(ids(t.read()) == Set(1L, 2L, 3L, 4L))
+    // pre-compaction snapshots still resolve to the ORIGINAL files
+    assert(ids(t.read(Some(2))) == Set(1L, 2L))
+    assert(t.files(Some(2)).size == 2)
+  }
+
+  test("uncommitted staging is invisible; the manifest rename is the commit point") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id"))
+    // simulate a writer crash: data files staged into data/, manifest
+    // written under _staging/, but never renamed into _log
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"${t.root}/data/dead-part-0.parquet")
+    Seq(99L).toDF("id").write.parquet(s"${t.root}/_staging/crash")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.root}/_staging/crash"))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    fs.rename(part, orphan)
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"${t.root}/_staging/manifest-crash.json")
+    val out = fs.create(manifest, true)
+    out.write(s"""{"add":["$orphan"],"remove":[]}""".getBytes("UTF-8"))
+    out.close()
+    // readers never see the orphan
+    assert(t.currentVersion == 1)
+    assert(ids(t.read()) == Set(1L))
+    // vacuum reaps the orphan data file and staging leftovers
+    val reaped = t.vacuum(retainFrom = 1)
+    assert(reaped == 1)
+    assert(ids(t.read()) == Set(1L))
+  }
+
+  test("optimistic race: a squatted next slot is skipped, not overwritten") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id"))
+    // squat version 2 with a valid empty manifest (a concurrent writer
+    // that won the race)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val squat = new org.apache.hadoop.fs.Path(s"${t.root}/_log/00000002.json")
+    val out = fs.create(squat, false)
+    out.write("""{"add":[],"remove":[]}""".getBytes("UTF-8"))
+    out.close()
+    val v = t.append(Seq(2L).toDF("id"))
+    assert(v == 3, "loser of the race must land on the NEXT slot")
+    assert(ids(t.read()) == Set(1L, 2L))
+    assert(ids(t.read(Some(2))) == Set(1L)) // squatter's empty commit intact
+  }
+
+  test("vacuum honors retention: files below retainFrom are reaped, the rest read fine") {
+    val t = tmpTable()
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    t.compact(coalesceTo = 1) // v4: originals now historical-only
+    val reaped = t.vacuum(retainFrom = 4)
+    assert(reaped == 3, "the three pre-compaction files are unreferenced >= v4")
+    assert(ids(t.read()) == Set(1L, 2L, 3L))
+    // time travel below the retention floor is gone (files deleted) —
+    // the metadata still resolves, but the read must fail
+    intercept[Exception] { t.read(Some(2)).count() }
+  }
+
+  test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
+    val t = tmpTable()
+    t.append((1L to 100L).toDF("id"))
+    t.append((101L to 200L).toDF("id"))
+    val plan = t.read(Some(1)).filter(col("id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("7"))
+  }
+}

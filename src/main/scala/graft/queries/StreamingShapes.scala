@@ -222,6 +222,39 @@ object StreamingShapes {
         .orderBy("win_start", "rnk")
     },
 
+    // W8: user-journey transition matrix — the Markov chain a product
+    // funnel or next-event predictor reads: P(next type | prev type)
+    // over per-user event order. One sort-shuffle window (o7's
+    // partitioning) + a |types|²-sized rollup; row-share in exact ppm
+    // (n · 1e6 div row total) so the matrix hash-compares. At corpus
+    // scale the window shuffle carries the event stream once — the
+    // same cost class as sessionize.
+    QueryDef.sql(
+      "w8_event_transitions",
+      """WITH seq AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |m AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS share_ppm
+        |FROM m ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, dir)
+        .select(lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type").as("next_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("share_ppm",
+          expr("n * 1000000 div sum(n) OVER (PARTITION BY prev_type)"))
+        .orderBy("prev_type", "next_type")
+    },
+
     // Burst collapse (debounce): per (user, type), events < 30 min
     // apart fold into one burst and only the first survives — temporal
     // dedup where J8's exact keys can't reach. One key exchange; see

@@ -170,6 +170,37 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Row-level change-data-capture between two snapshots, as a frame
+    * with a `_change` column (`insert` / `delete`).
+    *
+    * Fast path: when no manifest in `(fromVersion, toVersion]` removes
+    * files (append-only history), the delta is EXACTLY the rows of the
+    * files added in the range — a file-pruned scan, no shuffle at all,
+    * which is what makes incremental consumers (a downstream dedup
+    * probe, a rollup refresh) cheap at any table size. With removals
+    * in range (compaction, rewrites) file identity no longer implies
+    * row identity, so it falls back to the exact two-sided
+    * `exceptAll` — a compaction-only range correctly diffs to empty. */
+  def diff(fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromVersion && fromVersion <= toVersion &&
+      toVersion <= currentVersion,
+      s"bad diff range [$fromVersion, $toVersion] vs current $currentVersion")
+    val manifests = (fromVersion + 1 to toVersion).map(readManifest)
+    if (manifests.forall(_._2.isEmpty)) {
+      val added = manifests.flatMap(_._1)
+      val rows =
+        if (added.nonEmpty) spark.read.parquet(added: _*)
+        else read(Some(toVersion)).limit(0)
+      rows.withColumn("_change", lit("insert"))
+    } else {
+      val from = read(Some(fromVersion))
+      val to = read(Some(toVersion))
+      to.exceptAll(from).withColumn("_change", lit("insert"))
+        .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
+    }
+  }
+
   /** Delete data files referenced by NO snapshot at or above
     * `retainFrom` (and stranded staging). Time travel below
     * `retainFrom` stops working — that's the retention contract.

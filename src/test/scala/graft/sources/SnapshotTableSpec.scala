@@ -98,6 +98,25 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[Exception] { t.read(Some(2)).count() }
   }
 
+  test("diff: append-only range is a file-pruned insert stream; compaction diffs to empty") {
+    val t = tmpTable()
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.append(Seq(4L).toDF("id"))
+    val d = t.diff(1, 3)
+    assert(d.select("_change").distinct().collect().map(_.getString(0)).toSeq == Seq("insert"))
+    assert(ids(d) == Set(3L, 4L))
+    // fast path: only the two added files are read — never snapshot 1's
+    assert(d.inputFiles.length == 2)
+    // compaction-only range: exact fallback, zero row changes
+    t.compact(coalesceTo = 1)
+    assert(t.diff(3, 4).count() == 0)
+    // range spanning an append AND the compaction still finds the row
+    val spanning = t.diff(2, 4)
+    assert(ids(spanning.filter(col("_change") === "insert")) == Set(4L))
+    assert(spanning.filter(col("_change") === "delete").count() == 0)
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

@@ -143,16 +143,19 @@ object Graph {
         sum(expr("1000000 div a.mid_deg")).as("aa_scaled"))
     val nonAdj = scored.join(sym,
       col("src") === col("u") && col("dst") === col("v"), "left_anti")
-    val withDeg = nonAdj
+    // rank BEFORE the degree joins: the ranking keys (aa, common, dst)
+    // never read a degree, so WindowGroupLimit prunes the multi-
+    // million-pair candidate stream to topK·probes rows and the two
+    // jaccard-only joins touch just those
+    val w = Window.partitionBy("src")
+      .orderBy(desc("aa_scaled"), desc("common"), asc("dst"))
+    nonAdj
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
       .join(broadcast(deg.select(col("node").as("src"),
         col("degree").as("sdeg"))), "src")
       .join(broadcast(deg.select(col("node").as("dst"),
         col("degree").as("ddeg"))), "dst")
-    val w = Window.partitionBy("src")
-      .orderBy(desc("aa_scaled"), desc("common"), asc("dst"))
-    withDeg
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .select(col("src"), col("rank").cast("long").as("rank"), col("dst"),
         col("common"), col("aa_scaled"),
         expr("common * 1000000 div (sdeg + ddeg - common)").as("jaccard_ppm"))
@@ -181,23 +184,50 @@ object Graph {
   /** `ed` is [[pageRankInput]] (ideally persisted). Each iteration
     * broadcasts the |V|-sized score vector into the edge scan and
     * map-side-combines the per-destination sums — one small shuffle
-    * per round, the edge list never moves. On a graph whose score
-    * vector outgrows a broadcast (1B+ nodes), drop the broadcast hint:
-    * persisting `ed` pre-partitioned on u makes Catalyst reuse its
-    * distribution and shuffle only the score side. */
-  def pageRank(ed: DataFrame, iters: Int = 5): DataFrame = {
+    * per round, the edge list never moves.
+    *
+    * The score vector is MATERIALIZED to the driver each round (the
+    * kmeans-centroid discipline — |V|·16 bytes, ~160 MB even at 10M
+    * nodes) so round r's plan reads a literal table. The lazy
+    * alternative re-derives every earlier round inside each round's
+    * broadcast build — O(iters²) total work; measured 11 s for 5
+    * rounds on the sf0.1 co-purchase graph vs ~linear after. On a
+    * graph whose score vector outgrows the driver (1B+ nodes), set
+    * `maxDriverNodes` lower: the fallback keeps the lazy chain and
+    * drops the broadcast hint case to a shuffle join against `ed`
+    * pre-partitioned on u. */
+  def pageRank(ed: DataFrame, iters: Int = 5,
+      maxDriverNodes: Long = 50000000L): DataFrame = {
+    val spark = ed.sparkSession
     val deg = ed.select(col("u"), col("deg")).distinct()
-    val nRow = deg.agg(count(lit(1)).as("n"))
-    var score = deg.crossJoin(broadcast(nRow))
-      .select(col("u").as("node"), expr(s"$PageRankScale div n").as("score"))
-    for (_ <- 1 to iters) {
-      score = ed.join(broadcast(score), col("node") === col("u"))
-        .groupBy(col("v"))
-        .agg(sum(expr("score div deg")).as("m"))
-        .crossJoin(broadcast(nRow))
-        .select(col("v").as("node"),
-          expr(s"(15 * ($PageRankScale div n)) div 100 + (85 * m) div 100").as("score"))
+    val n = deg.count()
+    require(n > 0, "pageRank on an empty graph")
+    val base = PageRankScale / n          // same div both engines: n > 0
+    val teleport = (15L * base) / 100L
+    if (n <= maxDriverNodes) {
+      var score = deg.select(col("u").as("node"), lit(base).as("score"))
+      for (_ <- 1 to iters) {
+        val next = ed.join(broadcast(score), col("node") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("score div deg")).as("m"))
+          .select(col("v").as("node"),
+            (lit(teleport) + expr("(85 * m) div 100")).as("score"))
+        val rows = next.collect().toIndexedSeq
+        score = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows,
+            math.max(1, rows.length / 500000)), next.schema)
+      }
+      score
+    } else {
+      var score = deg.select(col("u").as("node"), lit(base).as("score"))
+      for (_ <- 1 to iters) {
+        score = ed.join(score, col("node") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("score div deg")).as("m"))
+          .select(col("v").as("node"),
+            (lit(teleport) + expr("(85 * m) div 100")).as("score"))
+      }
+      score
     }
-    score
   }
 }

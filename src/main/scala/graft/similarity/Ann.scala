@@ -109,26 +109,41 @@ object Ann {
 
   /** Greedy stage over a prepared `(query_id, neighbor_id, c_vec,
     * rel_d2)` candidate frame — [[mmrCandidates]], or any IVF/LSH
-    * candidate stage with the same schema. The frame is joined
-    * `selectK − 1` times; callers running it more than once should
-    * persist/memoize it (the query layer does) rather than re-running
-    * the corpus pass per greedy round. */
+    * candidate stage with the same schema. Each round's picks are
+    * MATERIALIZED to the driver (selectK·|probes| rows — probe-bounded
+    * by construction, the kmeans-centroid discipline) so round r joins
+    * a literal picks table; the lazy union-tree alternative re-derives
+    * round r−1 inside both branches of round r — 2^(selectK−1)
+    * recomputes of the first pick and a storm of tiny stages (measured
+    * 7 s at sf0.1 for what is sub-second work). */
   def mmrRerank(cand: DataFrame, selectK: Int): DataFrame = {
     require(selectK >= 1, s"selectK must be >= 1, got $selectK")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = cand.sparkSession
+    val pickSchema = StructType(Seq(
+      StructField("query_id", cand.schema("query_id").dataType),
+      StructField("neighbor_id", cand.schema("neighbor_id").dataType),
+      StructField("c_vec", cand.schema("c_vec").dataType),
+      StructField("rel_d2", cand.schema("rel_d2").dataType),
+      StructField("div_d2", LongType),
+      StructField("rank", LongType)))
+    def pickDf(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), pickSchema)
     val w = Window.partitionBy("query_id")
       .orderBy(col("rel_d2"), col("neighbor_id"))
-    val pick1 = cand
+    var picked: Seq[Row] = cand
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("c_vec"),
-        col("rel_d2"), lit(null).cast("long").as("div_d2"),
-        lit(1L).as("rank"))
-    var selected = pick1
+      .select(col("query_id"), col("neighbor_id"), col("c_vec"), col("rel_d2"))
+      .collect().toIndexedSeq
+      .map(r => Row(r.get(0), r.get(1), r.get(2), r.get(3), null, 1L))
     for (r <- 2 to selectK) {
-      val rem = cand.join(selected
-          .select(col("query_id"), col("neighbor_id")),
+      val sel = pickDf(picked)
+      val rem = cand.join(
+        broadcast(sel.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")
       val scoredR = rem.as("cnd").join(
-          selected.select(col("query_id"), col("c_vec").as("s_vec")).as("sel"),
+          broadcast(sel.select(col("query_id"), col("c_vec").as("s_vec"))),
           Seq("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(first(col("cnd.c_vec")).as("c_vec"),
@@ -137,13 +152,15 @@ object Ann {
             col("s_vec"))).as("div_d2"))
       val wMmr = Window.partitionBy("query_id")
         .orderBy(col("rel_d2") - col("div_d2"), col("neighbor_id"))
-      val pickR = scoredR
+      picked = picked ++ scoredR
         .withColumn("__r", row_number().over(wMmr)).filter(col("__r") === 1)
         .select(col("query_id"), col("neighbor_id"), col("c_vec"),
-          col("rel_d2"), col("div_d2"), lit(r.toLong).as("rank"))
-      selected = selected.unionAll(pickR)
+          col("rel_d2"), col("div_d2"))
+        .collect().toIndexedSeq
+        .map(x => Row(x.get(0), x.get(1), x.get(2), x.get(3), x.get(4),
+          r.toLong))
     }
-    selected.select(col("query_id"), col("rank"), col("neighbor_id"),
+    pickDf(picked).select(col("query_id"), col("rank"), col("neighbor_id"),
       col("rel_d2"), col("div_d2"))
   }
 

@@ -44,6 +44,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "rolling_hash takes exactly 1 argument")
         RollingHash(args.head)
       }))
+    // column-expression composites exposed to SQL: the expression tree
+    // is built by the same Column helpers the DataFrame path uses, so
+    // SQL and Scala callers can never drift
+    ext.injectFunction((
+      FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(graft.text.Domains.getClass.getName, "canonical_url"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "canonical_url takes exactly 1 argument")
+        org.apache.spark.sql.graftbridge.ColumnBridge.toExpression(
+          graft.text.Domains.canonicalizeUrl(
+            org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(args.head)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("registrable_domain"),
+      new ExpressionInfo(graft.text.Domains.getClass.getName, "registrable_domain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "registrable_domain takes exactly 1 argument")
+        org.apache.spark.sql.graftbridge.ColumnBridge.toExpression(
+          graft.text.Domains.domainOf(
+            org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(args.head)))
+      }))
     // HOF-cosine → fused native kernel rewrite (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineSimilarity)
   }

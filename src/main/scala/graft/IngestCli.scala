@@ -145,8 +145,9 @@ object IngestCli {
         // deployment mode (native expressions callable from plain SQL)
         val row = spark.sql(
           "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos, " +
-            "rolling_hash('abc') AS rh").head()
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)}}""")
+            "rolling_hash('abc') AS rh, " +
+            "canonical_url('HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=1') AS cu").head()
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}"}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

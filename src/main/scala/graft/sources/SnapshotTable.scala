@@ -52,10 +52,15 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   // ---- manifest encode/decode (dependency-free, like Bench floors) --
 
-  private def encode(add: Seq[String], remove: Seq[String]): String = {
+  private def encode(add: Seq[String], remove: Seq[String],
+      tag: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"add":${arr(add)},"remove":${arr(remove)}}"""
+    val t = tag.map(v => s""","tag":"$v"""").getOrElse("")
+    s"""{"add":${arr(add)},"remove":${arr(remove)}$t}"""
   }
+
+  private def tagOf(json: String): Option[String] =
+    """"tag"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
   private def decode(json: String): (Seq[String], Seq[String]) = {
     def arr(key: String): Seq[String] = {
@@ -66,15 +71,18 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     (arr("add"), arr("remove"))
   }
 
-  private def readManifest(v: Int): (Seq[String], Seq[String]) = {
+  private def readManifestRaw(v: Int): String = {
     val p = new Path(logDir, f"$v%08d.json")
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      decode(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
+
+  private def readManifest(v: Int): (Seq[String], Seq[String]) =
+    decode(readManifestRaw(v))
 
   /** Concrete data-file list of snapshot `version` (default: newest).
     * Replay order doesn't matter for correctness (a file is added
@@ -131,11 +139,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * recompute and retry — data files are uuid-named, so retries never
     * collide. Returns the committed version. */
   private def commit(add: Seq[String], remove: Seq[String],
-      maxAttempts: Int = 20): Int = {
+      tag: Option[String] = None, maxAttempts: Int = 20): Int = {
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
-    try out.write(encode(add, remove)
+    try out.write(encode(add, remove, tag)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     var attempt = 0
@@ -154,6 +162,31 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   /** Append `df` as a new snapshot; returns the committed version. */
   def append(df: DataFrame): Int = commit(stageFiles(df), Nil)
+
+  /** Tags already committed (O(#commits) driver metadata walk). */
+  def committedTags: Set[String] =
+    (1 to currentVersion).flatMap(v => tagOf(readManifestRaw(v))).toSet
+
+  /** Idempotent TAGGED append — the exactly-once building block for a
+    * streaming sink: the tag (e.g. `batch-<id>` from foreachBatch) is
+    * recorded in the manifest, and a replayed micro-batch whose tag is
+    * already committed is skipped, so a crash between "sink wrote" and
+    * "checkpoint advanced" cannot double-append. Returns the committed
+    * version, or None when the tag was already present. Contract: one
+    * live writer per tag stream (Spark's single-active-query
+    * guarantee); concurrent DIFFERENT-tag writers still interleave
+    * safely through the optimistic version race. */
+  def appendIfAbsent(df: DataFrame, tag: String): Option[Int] =
+    if (committedTags.contains(tag)) None
+    else Some(commit(stageFiles(df), Nil, Some(tag)))
+
+  /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
+    * batch id. `stream.writeStream.foreachBatch(table.streamingSink _)`
+    * (plus a checkpoint) is a transactional streaming table sink. */
+  def streamingSink(batch: DataFrame, batchId: Long): Unit = {
+    appendIfAbsent(batch, s"batch-$batchId")
+    ()
+  }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
     * commit (add rewritten + remove originals). Readers of older

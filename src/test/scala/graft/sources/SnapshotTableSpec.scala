@@ -117,6 +117,47 @@ class SnapshotTableSpec extends SparkSuite {
     assert(spanning.filter(col("_change") === "delete").count() == 0)
   }
 
+  test("tagged appends are exactly-once: a replayed micro-batch is skipped") {
+    val t = tmpTable()
+    assert(t.appendIfAbsent(Seq(1L).toDF("id"), "batch-0") == Some(1))
+    assert(t.appendIfAbsent(Seq(2L).toDF("id"), "batch-1") == Some(2))
+    // crash-replay of batch 1: same tag, different (retried) frame —
+    // must be a no-op even though the data differs
+    assert(t.appendIfAbsent(Seq(99L).toDF("id"), "batch-1") == None)
+    assert(t.currentVersion == 2)
+    assert(ids(t.read()) == Set(1L, 2L))
+    assert(t.committedTags == Set("batch-0", "batch-1"))
+    // untagged commits never block tagged ones
+    t.append(Seq(3L).toDF("id"))
+    assert(t.appendIfAbsent(Seq(4L).toDF("id"), "batch-2") == Some(4))
+    assert(ids(t.read()) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("streamingSink drains a real stream into snapshots, exactly-once across restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = tmpTable()
+    val ms = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsink").toString
+    def runOnce(): Unit = {
+      val q = ms.toDF().toDF("id").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(t.streamingSink _)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    ms.addData(1L, 2L)
+    runOnce()
+    ms.addData(3L)
+    runOnce()
+    assert(ids(t.read()) == Set(1L, 2L, 3L))
+    // restart from the same checkpoint with no new data: no new commits
+    val before = t.currentVersion
+    runOnce()
+    assert(t.currentVersion == before)
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

@@ -121,4 +121,27 @@ class StreamingQuerySpec extends SparkSuite {
     val h = spark.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
     assert(h == 97L * 131 + 98)
   }
+
+  test("canonical_url / registrable_domain are SQL-callable composites") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(graft.text.Domains.getClass.getName, "canonical_url"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ColumnBridge.toExpression(
+          graft.text.Domains.canonicalizeUrl(ColumnBridge.toColumn(args.head))))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("registrable_domain"),
+      new ExpressionInfo(graft.text.Domains.getClass.getName, "registrable_domain"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ColumnBridge.toExpression(
+          graft.text.Domains.domainOf(ColumnBridge.toColumn(args.head))))
+    val r = spark.sql(
+      "SELECT canonical_url('HTTPS://WWW.Example.COM.:443//a//b/?utm_source=x&b=2&a=1#frag') AS c, " +
+        "registrable_domain('http://user@sub.example.co.uk:8080/a') AS d").head()
+    assert(r.getString(0) == "https://example.com/a/b?a=1&b=2")
+    assert(r.getString(1) == "example.co.uk")
+  }
 }

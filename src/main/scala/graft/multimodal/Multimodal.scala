@@ -327,6 +327,77 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic solid-color JPEG — fixture/synthesis helper for the
+    * video path (frame CONTENT never reaches an oracle; only container
+    * metadata does, and that is fixed by [[AviMjpeg.writeAvi]] args). */
+  def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG/AVI payload per id, parameterized in closed
+    * form — (id % 3 + 1) frames, width 16 + 8·(id % 2), height 16,
+    * fps 5 + id % 3 — so an oracle can state the expected container
+    * metadata WITHOUT parsing bytes while the engine derives it by
+    * genuinely demuxing them (mm_video_meta's proof shape). */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    val w = (16 + 8 * (id % 2)).toInt
+    val fps = (5 + id % 3).toInt
+    val frames = (0 until n).map(i =>
+      solidJpeg(w, 16, ((id * 2654435761L + i * 40503L) & 0xffffffL).toInt))
+    AviMjpeg.writeAvi(frames, w, 16, fps)
+  }
+
+  /** (id, blob) frame of [[syntheticAvi]] payloads for an id frame. */
+  def syntheticAviBlobs(ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+    ids.select(col(idCol).cast("long"))
+      .mapPartitions(it => it.map { r =>
+        val id = r.getLong(0); Row(id, syntheticAvi(id))
+      })(enc)
+  }
+
+  /** REAL video-container metadata per blob: the RIFF walk reads the
+    * avih header AND counts the movi frame chunks independently, so
+    * `n_frames` (demuxed) vs `hdr_frames` (declared) exposes truncated
+    * or lying containers. Non-AVI payloads report `is_avi = false`
+    * with zeroed fields (total, like every decode path here). Same
+    * partition-wise map shape as [[decodeMeta]] — no shuffle. */
+  def videoMeta(blobs: DataFrame,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("hdr_frames", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("usec_per_frame", LongType),
+      StructField("is_avi", BooleanType))))
+    pairs.mapPartitions(it => it.map { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      AviMjpeg.parseInfo(b) match {
+        case Some(info) => Row(id, AviMjpeg.framePayloads(b).length.toLong,
+          info.totalFrames.toLong, info.width.toLong, info.height.toLong,
+          info.microSecPerFrame.toLong, true)
+        case None => Row(id, 0L, 0L, 0L, 0L, 0L, false)
+      }
+    })(enc)
+  }
+
   /** Frame sampling: emits `n` (doc_id, frame_idx, frame_md5) rows per
     * blob — REAL for JDK-decodable audio (WAV/AIFF/AU): `n` evenly
     * spaced PCM frames are pulled from the decoded stream and hashed —

@@ -2616,6 +2616,32 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // --- MM: real video demux, oracle-checked ------------------------
+    // The engine builds a genuine MJPEG/AVI container per probe doc
+    // (closed-form parameters), then derives the metadata by PARSING
+    // THE BYTES — RIFF walk for the avih header plus an independent
+    // movi frame-chunk count — while the oracle simply states the
+    // generator's closed form. Any bug in the writer OR the demuxer
+    // (sizes, padding, header offsets, frame walk) breaks the hash.
+    // Probe-bounded (doc_id % 10): imageio JPEG encode per frame is
+    // the costly part and never touches the full corpus.
+    QueryDef.sql(
+      "mm_video_meta",
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS hdr_frames,
+        |  CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height,
+        |  CAST(1000000 // (5 + doc_id % 3) AS BIGINT) AS usec_per_frame,
+        |  TRUE AS is_avi
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      Multimodal.videoMeta(Multimodal.syntheticAviBlobs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"))))
+        .orderBy("doc_id")
+    },
+
     // --- D15: cross-source near-dup overlap matrix -------------------
     // The inter-source duplication profile a mixture planner reads
     // before weighting sources: per unordered source pair, the LSH

@@ -189,6 +189,22 @@ class MultimodalSpec extends SparkSuite {
     assert(AviMjpeg.decodeFrame(aviBytes, 3).isEmpty)
   }
 
+  test("videoMeta parses synthetic AVI metadata; non-AVI reports is_avi=false") {
+    import spark.implicits._
+    val ids = Seq(10L, 11L, 12L).toDF("doc_id")
+    val out = Multimodal.videoMeta(Multimodal.syntheticAviBlobs(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getBoolean(6))).toMap
+    // closed form: frames = id%3+1, width = 16+8*(id%2), usec = 1e6/(5+id%3)
+    assert(out(10L) == ((2L, 2L, 16L, 166666L, true)))
+    assert(out(11L) == ((3L, 3L, 24L, 142857L, true)))
+    assert(out(12L) == ((1L, 1L, 16L, 200000L, true)))
+    val notAvi = Multimodal.videoMeta(
+      Seq((1L, "not a video".getBytes("UTF-8"))).toDF("doc_id", "blob"))
+      .collect().head
+    assert(!notAvi.getBoolean(6) && notAvi.getLong(1) == 0L)
+  }
+
   test("AviMjpeg rejects truncated and non-AVI payloads without throwing") {
     assert(AviMjpeg.framePayloads(aviBytes.take(40)).isEmpty)
     assert(AviMjpeg.parseInfo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)

@@ -203,6 +203,48 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Copy-on-write MERGE (upsert): every live row whose key matches a
+    * `source` row is replaced by it; source rows with new keys append.
+    * Only the files that actually CONTAIN a matching key are rewritten
+    * — matched via `input_file_name()` on one keys-only scan (column-
+    * pruned to the key columns), so a point update to a 10k-file table
+    * rewrites one file, not the table. Untouched files stay shared
+    * with every older snapshot; the swap is one manifest commit
+    * (add rewritten+source, remove affected), atomic like any other.
+    * Readers of prior snapshots see pre-merge data — MERGE is just
+    * another snapshot.
+    *
+    * `source` must be key-unique (enforced — a dup-keyed source makes
+    * "replace" ill-defined). Returns the committed version. */
+  def merge(source: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0, "merge source has duplicate keys")
+    val live = files(None)
+    if (live.isEmpty) return append(source)
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    // one column-pruned scan finds the files holding matching keys;
+    // Path-normalize both sides (input_file_name emits file:///-style
+    // URIs, manifests store file:/-style)
+    val affected = spark.read.parquet(live: _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+      .join(keys, keyCols, "left_semi")
+      .select("__f").distinct().collect()
+      .map(r => new Path(r.getString(0)))
+      .map(p => fs.makeQualified(p).toString).toSeq
+    val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
+    require(affected.forall(normLive.contains),
+      s"merge: matched file outside the live set (path normalization)")
+    if (affected.isEmpty) return commit(stageFiles(source), Nil)
+    val survivors = spark.read.parquet(affected: _*)
+      .join(keys, keyCols, "left_anti")
+    val rewritten = stageFiles(
+      survivors.select(source.columns.map(col): _*).unionAll(source))
+    commit(rewritten, affected)
+  }
+
   /** Row-level change-data-capture between two snapshots, as a frame
     * with a `_change` column (`insert` / `delete`).
     *

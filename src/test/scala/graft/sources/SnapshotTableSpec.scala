@@ -158,6 +158,42 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.currentVersion == before)
   }
 
+  test("merge rewrites only the files containing matched keys") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    val before = t.files().toSet
+    // update key 3 (lives in file 2 only) and insert new key 9
+    val v = t.merge(Seq((3L, "C!"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    assert(v == 4)
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "C!", 4L -> "d", 5L -> "e", 9L -> "i"))
+    // copy-on-write: files 1 and 3 survive untouched; only file 2 left the live set
+    val after = t.files().toSet
+    assert((before -- after).size == 1, "exactly the file holding key 3 is rewritten")
+    // pre-merge snapshot still reads the old value
+    val old = t.read(Some(3)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(3L) == "c" && !old.contains(9L))
+  }
+
+  test("merge with only new keys appends without removing anything") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val before = t.files().toSet
+    t.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(before.subsetOf(t.files().toSet))
+    assert(t.read().count() == 2)
+  }
+
+  test("merge refuses a duplicate-keyed source") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((2L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

@@ -53,10 +53,27 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   // ---- manifest encode/decode (dependency-free, like Bench floors) --
 
   private def encode(add: Seq[String], remove: Seq[String],
-      tag: Option[String] = None): String = {
+      tag: Option[String] = None,
+      stats: Seq[SnapshotTable.FileStat] = Nil): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val t = tag.map(v => s""","tag":"$v"""").getOrElse("")
-    s"""{"add":${arr(add)},"remove":${arr(remove)}$t}"""
+    val st =
+      if (stats.isEmpty) ""
+      else s""","stats":${arr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
+    s"""{"add":${arr(add)},"remove":${arr(remove)}$t$st}"""
+  }
+
+  private def statsOf(json: String): Seq[SnapshotTable.FileStat] = {
+    val m = """"stats"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+      .flatMap { s =>
+        s.split('|') match {
+          case Array(f, c, lo, hi) =>
+            Some(SnapshotTable.FileStat(f, c, lo.toLong, hi.toLong))
+          case _ => None
+        }
+      }
   }
 
   private def tagOf(json: String): Option[String] =
@@ -114,13 +131,42 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   /** Stage `df` as new immutable data files, return their paths. Files
     * are invisible until a manifest references them. */
-  private def stageFiles(df: DataFrame): Seq[String] = {
+  private def stageFiles(df: DataFrame): Seq[String] =
+    stageFilesWithStats(df, Nil)._1
+
+  /** Stage `df`; additionally compute per-file min/max for the LONG
+    * columns in `statCols` with ONE column-pruned job over the staged
+    * parquet (grouped by `input_file_name()` — never a per-file footer
+    * read), re-keyed to the final data-file names. */
+  private def stageFilesWithStats(df: DataFrame, statCols: Seq[String])
+      : (Seq[String], Seq[SnapshotTable.FileStat]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tmpStats: Seq[(String, String, Long, Long)] =
+      if (statCols.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__lo_$c"),
+          max(col(c).cast("long")).as(s"__hi_$c")))
+        spark.read.parquet(tmp.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().toIndexedSeq.flatMap { r =>
+            val name = new Path(r.getString(0)).getName
+            statCols.flatMap { c =>
+              val lo = r.getAs[Any](s"__lo_$c")
+              val hi = r.getAs[Any](s"__hi_$c")
+              if (lo == null || hi == null) Nil
+              else Seq((name, c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            }
+          }
+      }
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    var stats = List.empty[SnapshotTable.FileStat]
     val moved = parts.map { st =>
       val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
       require(fs.rename(st.getPath, dst), s"stage move failed: $dst")
@@ -128,10 +174,14 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       // listStatus output, which is always qualified (file:/…) — an
       // unqualified manifest path would never match and vacuum would
       // reap live files
-      fs.makeQualified(dst).toString
+      val fin = fs.makeQualified(dst).toString
+      tmpStats.filter(_._1 == st.getPath.getName).foreach { case (_, c, lo, hi) =>
+        stats ::= SnapshotTable.FileStat(fin, c, lo, hi)
+      }
+      fin
     }
     fs.delete(tmp, true)
-    moved.toSeq
+    (moved.toSeq, stats.reverse)
   }
 
   /** Optimistic commit: write the manifest under `_staging`, then
@@ -139,11 +189,12 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * recompute and retry — data files are uuid-named, so retries never
     * collide. Returns the committed version. */
   private def commit(add: Seq[String], remove: Seq[String],
-      tag: Option[String] = None, maxAttempts: Int = 20): Int = {
+      tag: Option[String] = None,
+      stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20): Int = {
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
-    try out.write(encode(add, remove, tag)
+    try out.write(encode(add, remove, tag, stats)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     var attempt = 0
@@ -162,6 +213,41 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   /** Append `df` as a new snapshot; returns the committed version. */
   def append(df: DataFrame): Int = commit(stageFiles(df), Nil)
+
+  /** Append with per-file min/max recorded in the manifest for the
+    * (long-valued) `statCols` — the Iceberg-style scan-planning stats
+    * that let [[prunedFiles]] skip files from METADATA alone: at 100k
+    * files, pruning from manifests is a driver-side replay, where even
+    * parquet-footer pruning is 100k reads before the first task. */
+  def appendWithStats(df: DataFrame, statCols: Seq[String]): Int = {
+    val (staged, stats) = stageFilesWithStats(df, statCols)
+    commit(staged, Nil, None, stats)
+  }
+
+  /** Live files of snapshot `version` that can contain a `colName`
+    * value in `[lo, hi]`: files with a recorded disjoint range are
+    * skipped, files with NO recorded stat for the column are kept
+    * (pruning must never be wrong, only incomplete). */
+  def prunedFiles(colName: String, lo: Long, hi: Long,
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion)
+    val stats: Map[String, (Long, Long)] =
+      (1 to v).flatMap(i => statsOf(readManifestRaw(i)))
+        .filter(_.col == colName)
+        .map(s => s.file -> (s.lo, s.hi)).toMap
+    files(version).filter { f =>
+      stats.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+  }
+
+  /** Read only the files that can satisfy `colName BETWEEN lo AND hi`
+    * (manifest-stat pruning); the caller still applies the row-level
+    * predicate — pruning narrows IO, it never filters rows. */
+  def readPruned(colName: String, lo: Long, hi: Long,
+      version: Option[Int] = None): DataFrame = {
+    val fl = prunedFiles(colName, lo, hi, version)
+    if (fl.nonEmpty) spark.read.parquet(fl: _*) else read(version).limit(0)
+  }
 
   /** Tags already committed (O(#commits) driver metadata walk). */
   def committedTags: Set[String] =
@@ -292,4 +378,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     fs.delete(new Path(s"$root/_staging"), true)
     doomed.size
   }
+}
+
+object SnapshotTable {
+  /** Per-file column range recorded in a manifest (long columns). */
+  final case class FileStat(file: String, col: String, lo: Long, hi: Long)
 }

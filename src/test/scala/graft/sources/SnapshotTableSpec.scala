@@ -194,6 +194,27 @@ class SnapshotTableSpec extends SparkSuite {
     }
   }
 
+  test("manifest-stat pruning skips disjoint files and keeps stat-less ones") {
+    val t = tmpTable()
+    // three appends with disjoint id ranges, stats recorded
+    t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((101L to 200L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((201L to 300L).toDF("id").coalesce(1), Seq("id"))
+    // plus one append WITHOUT stats: must always be scanned
+    t.append(Seq(9999L).toDF("id").coalesce(1))
+    assert(t.files().size == 4)
+    val pruned = t.prunedFiles("id", 150L, 160L)
+    assert(pruned.size == 2, "the matching file + the stat-less file")
+    val rows = t.readPruned("id", 150L, 160L)
+      .filter(col("id").between(150L, 160L))
+    assert(rows.count() == 11)
+    assert(rows.inputFiles.length == 2)
+    // a range nothing matches still scans only the stat-less file
+    assert(t.prunedFiles("id", 500L, 600L).size == 1)
+    // stats survive compaction-free merges of other keys; full read intact
+    assert(t.read().count() == 301)
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

@@ -134,5 +134,86 @@ object StatsOps {
           """round((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
             |  / ((r2 - mu*mu) * (r2 - mu*mu)) - 3, 6) AS excess_kurtosis""".stripMargin)
         .orderBy("flag")
+    },
+
+    // --- A21: CUPED variance-reduced experiment readout -------------
+    // The A/B-test read with pre-period adjustment (Deng et al. 2013):
+    // per user, pre-cutoff spend X and post-cutoff spend Y (exact
+    // cents); θ = cov(X,Y)/var(X) POOLED from integer power sums
+    // (decimal/HUGEINT — n·Sxx overflows int64 at the 10× replica);
+    // per deterministic md5 arm, adjusted mean = E[Y] − θ(E[X] − E[X]
+    // pooled). Identical final expression shape on both engines, so
+    // the FP epilogue is bit-reproducible like a19/a20. Scale shape:
+    // one user-level rollup + one 1-row global broadcast + a 2-row arm
+    // rollup.
+    QueryDef.sql(
+      "a21_cuped", {
+        val arm =
+          "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2"
+        s"""WITH u AS (
+           |  SELECT user_id, CAST($arm AS BIGINT) AS arm,
+           |    CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+           |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+           |    CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+           |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+           |  FROM events GROUP BY user_id),
+           |g AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy
+           |  FROM u),
+           |t AS (
+           |  SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta,
+           |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx
+           |  FROM g),
+           |a AS (
+           |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           |    CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+           |  FROM u GROUP BY arm)
+           |SELECT arm, n_users, sy_a AS sum_post_cents,
+           |  round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE), 4) AS mean_post_cents,
+           |  round(theta, 6) AS theta,
+           |  round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+           |    - theta * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE) - gx), 4)
+           |    AS cuped_mean_cents
+           |FROM a, t ORDER BY arm""".stripMargin
+      }) { (s, dir) =>
+      // Spark spells DuckDB's strpos(s, sub) as instr(s, sub) — same
+      // 1-based, 0-if-absent contract, so the arm bucket is identical
+      val arm =
+        "(instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1) % 2"
+      val cutoff = "TIMESTAMP '2024-01-15 00:00:00'"
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          expr(s"""CAST(COALESCE(sum(CASE WHEN ts < $cutoff
+                   |  THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)"""
+            .stripMargin).as("x"),
+          expr(s"""CAST(COALESCE(sum(CASE WHEN ts >= $cutoff
+                   |  THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)"""
+            .stripMargin).as("y"))
+        .withColumn("arm", expr(s"CAST($arm AS BIGINT)"))
+      val g = u.agg(
+        expr("CAST(count(*) AS DECIMAL(38,0))").as("n"),
+        expr("CAST(sum(x) AS DECIMAL(38,0))").as("sx"),
+        expr("CAST(sum(y) AS DECIMAL(38,0))").as("sy"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("sxx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * y)").as("sxy"))
+        .selectExpr(
+          "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta",
+          "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx")
+      val a = u.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx_a"),
+        sum(col("y")).as("sy_a"))
+      a.crossJoin(broadcast(g))
+        .selectExpr("arm", "n_users", "sy_a AS sum_post_cents",
+          "round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE), 4) AS mean_post_cents",
+          "round(theta, 6) AS theta",
+          """round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+            |  - theta * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE) - gx), 4)
+            |  AS cuped_mean_cents""".stripMargin)
+        .orderBy("arm")
     })
 }

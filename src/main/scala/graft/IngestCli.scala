@@ -140,6 +140,42 @@ object IngestCli {
           req("watchDir"), s"${req("store")}/_checkpoints/model_manifests")
         println("streamed model-run drain complete")
 
+      case "Snapshot" =>
+        // control surface for the manifest-log table format
+        // (sources.SnapshotTable): append/read/history/diff/merge/
+        // compact/vacuum — the lakehouse maintenance verbs as CLI ops
+        val t = new graft.sources.SnapshotTable(spark, req("table"))
+        req("op") match {
+          case "append" =>
+            val df = spark.read.parquet(req("from"))
+            val v = opts.get("statCols")
+              .map(cs => t.appendWithStats(df,
+                cs.split(',').toSeq.filter(_.nonEmpty)))
+              .getOrElse(t.append(df))
+            println(s"committed version $v")
+          case "read" =>
+            val version = opts.get("version").map(_.toInt)
+            println(s"rows=${t.read(version).count()} " +
+              s"files=${t.files(version).size} " +
+              s"version=${version.getOrElse(t.currentVersion)}")
+          case "history" =>
+            (1 to t.currentVersion).foreach(v =>
+              println(s"v$v files=${t.files(Some(v)).size}"))
+          case "diff" =>
+            println(s"changes=${t.diff(req("fromVersion").toInt,
+              req("toVersion").toInt).count()}")
+          case "merge" =>
+            println("merged into version " + t.merge(
+              spark.read.parquet(req("from")),
+              req("keys").split(',').toSeq.filter(_.nonEmpty)))
+          case "compact" =>
+            println("compacted into version " +
+              t.compact(opts.getOrElse("coalesceTo", "1").toInt))
+          case "vacuum" =>
+            println(s"reaped ${t.vacuum(req("retainFrom").toInt)} files")
+          case other => sys.error(s"unknown snapshot op: $other")
+        }
+
       case "SqlCheck" =>
         // smoke-proves the GraftExtensions SQL surface is live in this
         // deployment mode (native expressions callable from plain SQL)

@@ -1,0 +1,52 @@
+package graft.domain
+
+import graft.{IngestCli, SparkSuite}
+import graft.sources.SnapshotTable
+
+/** The `Snapshot` CLI task: lakehouse maintenance verbs (append /
+  * read / history / diff / merge / compact / vacuum) driven through
+  * the same dispatch the deployment uses. */
+class SnapshotCliSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def captured(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("append/read/merge/compact/vacuum round-trip through the CLI") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcli").toString
+    val table = s"$dir/tbl"
+    val in1 = s"$dir/in1"; val in2 = s"$dir/in2"; val upd = s"$dir/upd"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(in1)
+    Seq((3L, "c")).toDF("id", "v").write.parquet(in2)
+    Seq((2L, "B!"), (9L, "i")).toDF("id", "v").write.parquet(upd)
+
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+
+    assert(run("append", "from" -> in1, "statCols" -> "id")
+      .contains("committed version 1"))
+    assert(run("append", "from" -> in2).contains("committed version 2"))
+    assert(run("read").contains("rows=3"))
+    assert(run("read", "version" -> "1").contains("rows=2"))
+    assert(run("diff", "fromVersion" -> "1", "toVersion" -> "2")
+      .contains("changes=1"))
+    assert(run("merge", "from" -> upd, "keys" -> "id")
+      .contains("merged into version 3"))
+    assert(run("read").contains("rows=4"))
+    assert(run("compact").contains("compacted into version 4"))
+    val history = run("history")
+    assert(history.linesIterator.size == 4 && history.contains("v4 files=1"))
+    val reaped = run("vacuum", "retainFrom" -> "4")
+    assert("reaped (\\d+) files".r.findFirstMatchIn(reaped)
+      .exists(_.group(1).toInt >= 3))
+    // post-vacuum the live snapshot is intact with merged values
+    val t = new SnapshotTable(spark, table)
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "i"))
+  }
+}

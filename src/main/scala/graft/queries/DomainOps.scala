@@ -266,7 +266,7 @@ object DomainOps {
            |         ELSE lower(regexp_extract(t, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
            |    END AS scheme,
            |    regexp_replace(regexp_replace(t,
-           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?#@]*@', '') AS rest
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?#]*@', '') AS rest
            |  FROM parts),
            |hp AS (
            |  SELECT source, scheme, rest,

@@ -80,9 +80,12 @@ object Domains {
     val rawScheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val scheme = when(rawScheme === "", lit("http")).otherwise(rawScheme)
     // authority+rest with scheme and userinfo stripped
+    // userinfo = everything before the LAST '@' in the authority
+    // (greedy, not crossing /?#): a double-@ authority must strip in
+    // ONE pass or canonicalization loses idempotence (property-spec'd)
     val rest = regexp_replace(
       regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
-      "^[^/?#@]*@", "")
+      "^[^/?#]*@", "")
     val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
     val hostNorm = regexp_replace(regexp_replace(
       lower(regexp_replace(hostport, ":[0-9]*$", "")),

@@ -84,4 +84,70 @@ class DomainsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  /** Reference canonicalization in plain java.util.regex + Scala
+    * collections, mirroring [[Domains.canonicalizeUrl]] step for step
+    * — independent of Catalyst. ASCII-only inputs (the generators
+    * enforce it): Scala's string sort is UTF-16, Spark's array_sort
+    * is UTF-8 byte order; they agree exactly on ASCII. */
+  private def refCanonical(url: String): String = {
+    val u = url.trim
+    val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+    val rawScheme = schemeRe.findFirstMatchIn(u)
+      .map(_.group(1).toLowerCase).getOrElse("")
+    val scheme = if (rawScheme.isEmpty) "http" else rawScheme
+    val rest = u.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+      .replaceFirst("^[^/?#]*@", "")
+    val hostport = "^([^/?#]*)".r.findFirstMatchIn(rest)
+      .map(_.group(1)).getOrElse("")
+    val hostNorm = hostport.replaceFirst(":[0-9]*$", "").toLowerCase
+      .replaceFirst("\\.+$", "").replaceFirst("^www\\.", "")
+    val port = ":([0-9]+)$".r.findFirstMatchIn(hostport)
+      .map(_.group(1)).getOrElse("")
+    val portNum = if (port.isEmpty) -1L else port.toLong
+    val portSfx =
+      if (port.isEmpty) ""
+      else if (scheme == "http" && portNum == 80L) ""
+      else if (scheme == "https" && portNum == 443L) ""
+      else s":$portNum"
+    val tail = rest.replaceFirst("^[^/?#]*", "").replaceFirst("#.*$", "")
+    val path = "^([^?]*)".r.findFirstMatchIn(tail).map(_.group(1)).getOrElse("")
+      .replaceAll("//+", "/").replaceFirst("/+$", "")
+    val query = "\\?(.*)$".r.findFirstMatchIn(tail).map(_.group(1)).getOrElse("")
+    val kept = query.split("&", -1)
+      .filter(p => p.nonEmpty && !Domains.TrackingParamPrefixes.exists(p.startsWith))
+      .sorted
+    val qSfx = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    scheme + "://" + hostNorm + portSfx + path + qSfx
+  }
+
+  private val canoUrlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("", "http://", "https://", "HTTPS://", "HtTp://",
+      "ftp://")
+    user <- Gen.oneOf("", "user@", "user:pw@")
+    h <- hostGen
+    port <- Gen.oneOf("", ":80", ":443", ":0080", ":8080", ":08080", ":")
+    path <- Gen.oneOf("", "/", "//", "/a/b", "/a//b/", "/a/b///", "/p/1")
+    q <- Gen.oneOf("", "?", "?a=1", "?b=2&a=1", "?utm_source=x&b=2&a=1",
+      "?z=1&&y=2&gclid=g", "?fbclid=1&utm_campaign=c", "?ref=rss&a=1&A=2")
+    frag <- Gen.oneOf("", "#", "#frag", "#a#b")
+    pad <- Gen.oneOf("", "  ")
+  } yield pad + scheme + user + h + port + path + q + frag
+
+  test("canonicalizeUrl matches the independent reference and is idempotent") {
+    val gen = Gen.listOfN(64, Gen.frequency(9 -> canoUrlGen, 1 -> junkGen))
+    (1 to 20).foreach { seed =>
+      val urls = gen.apply(Gen.Parameters.default, Seed(seed.toLong + 1000)).get
+      val got = urls.toDF("url").select(
+        Domains.canonicalizeUrl(col("url")).as("c1"),
+        Domains.canonicalizeUrl(Domains.canonicalizeUrl(col("url"))).as("c2"),
+        col("url")).collect()
+      got.foreach { r =>
+        val (c1, c2, u) = (r.getString(0), r.getString(1), r.getString(2))
+        assert(c1 == refCanonical(u),
+          s"seed=$seed url=<$u> spark=<$c1> ref=<${refCanonical(u)}>")
+        assert(c2 == c1, s"seed=$seed not idempotent: <$u> -> <$c1> -> <$c2>")
+      }
+    }
+  }
 }

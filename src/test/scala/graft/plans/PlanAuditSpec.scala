@@ -226,6 +226,52 @@ class PlanAuditSpec extends SparkSuite {
       s"vocab top-N must prune map-side, plan:\n${p.take(3000)}")
   }
 
+  test("n7_url_canonicalize: scan-level canonicalization — no join anywhere") {
+    val p = plan("n7_url_canonicalize")
+    assert(!p.contains("Join"), "canonicalization must stay a projection")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both rollups must map-side combine")
+  }
+
+  test("g6_link_prediction: broadcast degree joins, rank prunes before jaccard joins") {
+    val p = plan("g6_link_prediction")
+    assert(!p.contains("CartesianProduct"), "wedge join must stay an equi-join")
+    assert(p.contains("WindowGroupLimit"), "top-k must prune map-side")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "degree annotate + both jaccard joins must broadcast the |V| table")
+    // the rank filter must execute before the sdeg/ddeg joins: the
+    // window's rank column is an INPUT to the join projections (rank
+    // appears in a Project above a BroadcastHashJoin), not computed
+    // above them — a Window node above the last join means the prune
+    // regressed to ranking the full joined pair stream
+    val windowIdx = p.indexOf("Window ")
+    val firstJoinIdx = p.indexOf("BroadcastHashJoin")
+    assert(windowIdx > firstJoinIdx,
+      s"rank window must sit below the jaccard joins, plan:\n${p.take(3000)}")
+  }
+
+  test("t20_novelty_profile: linear shingle rollups, never pairwise") {
+    val p = plan("t20_novelty_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty must never be all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "min-per-shingle and per-doc rollups must map-side combine")
+  }
+
+  test("w8_event_transitions: one sort-shuffle window feeds a tiny rollup") {
+    val p = plan("w8_event_transitions")
+    assert(p.contains("Window") || p.contains("lag"), "lag must run as a window")
+    assert(!p.contains("Join"), "transition matrix needs no join")
+  }
+
+  test("a21_cuped: the only non-equi join is the 1-row theta broadcast") {
+    val p = plan("a21_cuped")
+    assert(!p.contains("CartesianProduct"),
+      "the scalar broadcast must not plan as a cartesian")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "user rollup and arm rollup must map-side combine")
+  }
+
   test("t13_fuzzy_pairs_suffix: two disjoint blocked arms, no pair-level distinct exchange") {
     val p = plan("t13_fuzzy_pairs_suffix")
     assert(p.contains("Union"), "both arms must contribute")

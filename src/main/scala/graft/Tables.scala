@@ -24,13 +24,31 @@ object Tables {
     * dirs are immutable per session, which is what makes the cached
     * file listing safe. */
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.computeIfAbsent(
-      (System.identityHashCode(spark).toString, sfDir, name), _ =>
-      if (name == "events") eventsUncached(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** Cache entries are validated for LIVENESS on every hit (the
+    * LlmOps.memoized discipline): a frame is served only while its
+    * owning session is the active, un-stopped one — keying by session
+    * identity hash is unsound (identity hashes can be reused after GC,
+    * serving a plan bound to a dead SparkContext) and pins dead
+    * sessions forever. One live session at a time is this engine's
+    * deployment shape (CLI / Verify / Bench); a stale entry simply
+    * rebuilds. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (sfDir, name)
+    val cached = resolved.get(key)
+    val live = cached != null &&
+      !cached.sparkSession.sparkContext.isStopped &&
+      (cached.sparkSession eq spark)
+    if (live) cached
+    else {
+      val df =
+        if (name == "events") eventsUncached(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$name.parquet")
+      resolved.put(key, df)
+      df
+    }
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")

@@ -72,7 +72,16 @@ object Graph {
     * exactly once with no post-dedup.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val key = col("degree") * lit(4294967296L) + col("node")
+    // the packed key needs node ∈ [0, 2^32): larger/negative ids would
+    // silently corrupt orientations (wrong counts, no error) — the
+    // in-plan assert makes that failure loud at scan time. Dense ids
+    // beyond 2^32 should be re-mapped before calling (zipWithIndex or
+    // a rank join), NOT hashed (collisions merge nodes).
+    val guard = coalesce(
+      assert_true(col("node") >= 0L && col("node") < 4294967296L,
+        lit("triangleStats: node id outside [0, 2^32) — re-map to dense ids"))
+        .cast("long"), lit(0L))
+    val key = col("degree") * lit(4294967296L) + col("node") + guard
     // the degree lookup is |V|-sized — broadcast both orientation joins
     val dkey = broadcast(degrees(edges).select(col("node"), key.as("kk")))
     val de = edges
@@ -110,7 +119,14 @@ object Graph {
     * ranked by an INTEGER Adamic-Adar score — Σ over common neighbors
     * m of `1e6 div deg(m)` (hubs contribute ~0, exactly the signal
     * weighting the measure is for) — with the raw common-neighbor
-    * count and a Jaccard-of-neighborhoods ppm alongside.
+    * count and a jaccard_ppm column alongside. NOTE: `common` (and
+    * therefore jaccard_ppm's intersection) is counted over the
+    * hub-CAPPED adjacency while sdeg/ddeg are full degrees, so
+    * jaccard_ppm is a LOWER BOUND on the true neighborhood Jaccard —
+    * exact when no common neighbor exceeds `maxMidDegree`, deflated
+    * (possibly 0) for pairs connected only through super-hubs. That is
+    * the deliberate trade: the capped intersection is what stays
+    * computable on a power-law graph.
     *
     * Scale shape: the wedge join (probe-adjacency ⋈ full adjacency on
     * the shared middle node) is the triangle-counting shuffle, but the

@@ -94,6 +94,14 @@ object AviMjpeg {
     val fs = framePayloads(b)
     if (idx < 0 || idx >= fs.length) return None
     val (off, len) = fs(idx)
+    decodePayload(b, off, len)
+  }
+
+  /** Decode one already-located frame payload slice — the form callers
+    * holding a [[framePayloads]] list use, so sampling n frames walks
+    * the container ONCE instead of re-parsing the RIFF per frame. */
+  def decodePayload(b: Array[Byte], off: Int,
+      len: Int): Option[(Int, Int, Array[Int])] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(b, off, len))
@@ -101,7 +109,6 @@ object AviMjpeg {
       else Some((img.getWidth, img.getHeight,
         img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
     } catch { case scala.util.control.NonFatal(_) => None }
-  }
 
   // ---- writer (sink side: shard assembly + test fixtures) ----------
 

@@ -427,7 +427,11 @@ object Multimodal {
         (0 until n).map { i =>
           val idx = math.min(total - 1, (i.toLong * total / n).toInt)
           md.reset()
-          AviMjpeg.decodeFrame(bytes, idx) match {
+          // decode from the payload list already in hand — re-walking
+          // the container per frame (decodeFrame) is n redundant RIFF
+          // parses per blob in this hot path
+          val (poff, plen) = videoPayloads(idx)
+          AviMjpeg.decodePayload(bytes, poff, plen) match {
             case Some((w, h, argb)) =>
               // hash the decoded raster (big-endian ints): identical
               // pixels hash identically regardless of JPEG byte noise
@@ -436,8 +440,7 @@ object Multimodal {
               argb.foreach(bb.putInt)
               md.update(bb.array())
             case None =>
-              val (off, len) = videoPayloads(idx)
-              md.update(bytes, off, len) // undecodable frame: payload hash
+              md.update(bytes, poff, plen) // undecodable frame: payload hash
           }
           Row(docId, i, hex(md.digest()))
         }

@@ -278,7 +278,7 @@ object DomainOps {
            |  SELECT source, scheme,
            |    regexp_replace(regexp_replace(lower(
            |      regexp_replace(hostport, ':[0-9]*$$', '')),
-           |      '\\.+$$', ''), '^www\\.', '') AS hostn,
+           |      '\\.+$$', ''), '^(www\\.)+', '') AS hostn,
            |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
            |    regexp_replace(regexp_replace(
            |      regexp_extract(tl, '^([^?]*)', 1), '//+', '/', 'g'),

@@ -27,17 +27,9 @@ object GraphOps {
   // ---- shared frames, persisted once per sf dir --------------------
   // edges feeds g3/g4; the PageRank loop-invariant (u, v, deg) feeds
   // g5's five join rounds. Same liveness discipline as the LSH memo.
-  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private val memo = new graft.QueryMemo
   private def memoized(key: String)(build: => DataFrame): DataFrame =
-    memo.get(key) match {
-      case Some(df) if !df.sparkSession.sparkContext.isStopped &&
-          SparkSession.getActiveSession.exists(_ eq df.sparkSession) => df
-      case _ =>
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        memo.put(key, df)
-        df
-    }
+    memo(key)(build)
   private def edges(s: SparkSession, dir: String): DataFrame =
     memoized(s"edges:$dir")(Graph.coOccurrenceEdges(
       Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))

@@ -221,20 +221,9 @@ object LlmOps {
   // pass computes it once (engine-level operator reuse, not a
   // benchmark trick — any real deployment materializes signatures).
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def memoized(key: String)(build: => DataFrame): DataFrame = {
-    // a cached frame is only valid for a live session — rebuild if the
-    // owning session was stopped or a different session is asking
-    memo.get(key) match {
-      case Some(df) if !df.sparkSession.sparkContext.isStopped &&
-          SparkSession.getActiveSession.exists(_ eq df.sparkSession) => df
-      case _ =>
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        memo.put(key, df)
-        df
-    }
-  }
+  private val memo = new graft.QueryMemo
+  private def memoized(key: String)(build: => DataFrame): DataFrame =
+    memo(key)(build)
   private def sigs(s: SparkSession, dir: String): DataFrame =
     memoized(s"sigs:$dir")(Dedup.minHashSignatures(
       Dedup.shingles(Tables.documents(s, dir), ShingleK, distinct = false), NumHashes))

@@ -21,10 +21,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * adds minus removes. Readers resolve a snapshot to a concrete file
   * list and never race writers; writers race each other only on the
   * next log filename — optimistic concurrency, loser recomputes and
-  * retries. The commit POINT is the rename of one staged manifest to
-  * its final name: before it the commit is invisible staging garbage,
+  * retries. The commit POINT is the atomic publish of one FULLY-
+  * WRITTEN staged manifest into its log slot (hard link on POSIX —
+  * link(2) fails EEXIST atomically; no-overwrite rename on HDFS; see
+  * `publish`): before it the commit is invisible staging garbage,
   * after it the commit is fully visible. No reader ever sees a
-  * half-commit.
+  * half-commit, and a race loser can never clobber the winner's
+  * manifest.
   *
   * Scale shape: the log is O(#commits) small JSON files and replay is
   * driver-side metadata work ∝ total files ever added — the same cost
@@ -201,15 +204,38 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     while (attempt < maxAttempts) {
       val next = currentVersion + 1
       val target = new Path(logDir, f"$next%08d.json")
-      // rename fails if the target exists — the loser of a race lands
-      // here and retries against the new head
-      if (!fs.exists(target) && fs.rename(tmp, target)) return next
+      if (publish(tmp, target)) return next
       attempt += 1
     }
-    fs.delete(tmp, true)
+    fs.delete(tmp, false)
     throw new IllegalStateException(
       s"commit lost $maxAttempts optimistic races on $root")
   }
+
+  /** Atomically publish a FULLY-WRITTEN manifest into a log slot;
+    * false = the slot was already taken (loser retries). The claim
+    * must be atomic-if-absent AND expose only complete content:
+    *  - local `file://`: hard link (link(2) fails EEXIST atomically;
+    *    the linked content is the already-complete tmp file) — a
+    *    bare rename(2) REPLACES an existing destination, which would
+    *    silently destroy the race winner's committed manifest
+    *  - HDFS: `rename` without overwrite is atomic and fails on an
+    *    existing destination
+    *  - other stores: exists+rename best effort; a store without
+    *    atomic-if-absent (bare S3) needs a conditional-PUT client or
+    *    an external lock, as Delta/Iceberg document for the same slot */
+  private def publish(tmp: Path, target: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(target) && fs.rename(tmp, target)
 
   /** Append `df` as a new snapshot; returns the committed version. */
   def append(df: DataFrame): Int = commit(stageFiles(df), Nil)
@@ -250,8 +276,21 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   }
 
   /** Tags already committed (O(#commits) driver metadata walk). */
-  def committedTags: Set[String] =
-    (1 to currentVersion).flatMap(v => tagOf(readManifestRaw(v))).toSet
+  /** Incremental: only manifests ABOVE the last scanned version are
+    * read, so a streaming sink's per-batch check is O(new commits),
+    * not O(log length) — a naive full rescan per micro-batch is
+    * quadratic manifest IO over the stream's lifetime. Commits from
+    * OTHER writer instances are still seen (the scan keys on the
+    * shared log's head, not on this instance's writes). */
+  def committedTags: Set[String] = synchronized {
+    val cur = currentVersion
+    val (seen, tags) = tagScan
+    if (cur > seen)
+      tagScan = (cur,
+        tags ++ (seen + 1 to cur).flatMap(v => tagOf(readManifestRaw(v))))
+    tagScan._2
+  }
+  private var tagScan: (Int, Set[String]) = (0, Set.empty)
 
   /** Idempotent TAGGED append — the exactly-once building block for a
     * streaming sink: the tag (e.g. `batch-<id>` from foreachBatch) is
@@ -366,7 +405,7 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * `retainFrom` (and stranded staging). Time travel below
     * `retainFrom` stops working — that's the retention contract.
     * Returns the number of files deleted. */
-  def vacuum(retainFrom: Int): Int = {
+  def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L): Int = {
     val keep = (retainFrom to currentVersion)
       .flatMap(v => files(Some(v))).toSet
     val have =
@@ -375,7 +414,15 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
         .map(s => fs.makeQualified(s.getPath).toString).toSeq
     val doomed = have.filterNot(keep.contains)
     doomed.foreach(f => fs.delete(new Path(f), false))
-    fs.delete(new Path(s"$root/_staging"), true)
+    // staging entries younger than the grace window may belong to an
+    // IN-FLIGHT commit on another writer — deleting them would strand
+    // that commit mid-publish; only provably-stale staging is reaped
+    val staging = new Path(s"$root/_staging")
+    if (fs.exists(staging)) {
+      val cutoff = System.currentTimeMillis() - stagingGraceMs
+      fs.listStatus(staging).filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     doomed.size
   }
 }

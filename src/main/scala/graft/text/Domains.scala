@@ -89,7 +89,7 @@ object Domains {
     val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
     val hostNorm = regexp_replace(regexp_replace(
       lower(regexp_replace(hostport, ":[0-9]*$", "")),
-      "\\.+$", ""), "^www\\.", "")
+      "\\.+$", ""), "^(www\\.)+", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val portNum = port.cast("long")
     val portSfx = when(port === "", lit(""))

@@ -86,6 +86,21 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t.read(Some(2))) == Set(1L)) // squatter's empty commit intact
   }
 
+  test("genuinely concurrent writers never lose a commit") {
+    val t = tmpTable()
+    // two threads, 8 appends each, racing on every log slot: the
+    // hard-link publish must serialize them with zero lost manifests
+    val threads = (0 until 2).map { tid =>
+      new Thread(() => (0 until 8).foreach { i =>
+        t.append(Seq(tid * 100L + i).toDF("id")); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.currentVersion == 16, "every commit must land in its own slot")
+    assert(ids(t.read()) ==
+      ((0 until 8).map(_.toLong) ++ (0 until 8).map(100L + _)).toSet)
+  }
+
   test("vacuum honors retention: files below retainFrom are reaped, the rest read fine") {
     val t = tmpTable()
     (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))

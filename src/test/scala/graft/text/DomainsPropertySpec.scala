@@ -43,7 +43,7 @@ class DomainsPropertySpec extends SparkSuite {
 
   private val label: Gen[String] = Gen.oneOf(
     Gen.oneOf("example", "news", "cdn", "a", "x9", "sub-domain", "10",
-      "192", "EXAMPLE", "MiXeD"),
+      "192", "EXAMPLE", "MiXeD", "www", "WWW"),
     Gen.const(""), // empty label -> consecutive dots
     Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
 
@@ -101,7 +101,7 @@ class DomainsPropertySpec extends SparkSuite {
     val hostport = "^([^/?#]*)".r.findFirstMatchIn(rest)
       .map(_.group(1)).getOrElse("")
     val hostNorm = hostport.replaceFirst(":[0-9]*$", "").toLowerCase
-      .replaceFirst("\\.+$", "").replaceFirst("^www\\.", "")
+      .replaceFirst("\\.+$", "").replaceFirst("^(www\\.)+", "")
     val port = ":([0-9]+)$".r.findFirstMatchIn(hostport)
       .map(_.group(1)).getOrElse("")
     val portNum = if (port.isEmpty) -1L else port.toLong

@@ -367,6 +367,44 @@ object Multimodal {
       })(enc)
   }
 
+  /** Deterministic mono 16-bit PCM WAV, parameterized in closed form —
+    * sample rate 8000 + 4000·(id % 3), 500 + 100·(id % 5) frames —
+    * the audio twin of [[syntheticAvi]]: an oracle states the expected
+    * header fields while the engine derives them by genuinely parsing
+    * the WAV bytes (mm_audio_meta's proof shape). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = (8000 + 4000 * (id % 3)).toInt
+    val n = (500 + 100 * (id % 5)).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((id * 131 + i * 17) % 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (id, blob) frame of [[syntheticWav]] payloads for an id frame. */
+  def syntheticWavBlobs(ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+    ids.select(col(idCol).cast("long"))
+      .mapPartitions(it => it.map { r =>
+        val id = r.getLong(0); Row(id, syntheticWav(id))
+      })(enc)
+  }
+
   /** REAL video-container metadata per blob: the RIFF walk reads the
     * avih header AND counts the movi frame chunks independently, so
     * `n_frames` (demuxed) vs `hdr_frames` (declared) exposes truncated

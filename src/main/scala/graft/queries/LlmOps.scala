@@ -778,6 +778,100 @@ object LlmOps {
         .orderBy("probe_id")
     },
 
+    // --- E12: the production IVF-PQ serve, end to end ----------------
+    // FAISS's read path composed from the engine's proven stages:
+    // trained-IVF partition pruning (e7's assignment/probe, verbatim)
+    // feeds candidates to ADC scoring (e9's codebook/LUT, verbatim),
+    // and the ADC shortlist gets an exact integer re-rank — the
+    // two-stage cheap-scan/exact-finish every billion-vector serving
+    // system runs. All ranking keys int64 -> engine-reproducible.
+    QueryDef.sql(
+      "e12_ivf_pq_search", {
+        val NProbe = 2
+        s"""WITH $kmeansCtes,
+           |fcent AS (
+           |  SELECT cluster AS centroid_id,
+           |    list_transform(qv, x -> CAST(CAST(x AS DOUBLE) / $KmeansScale AS FLOAT)) AS cvv
+           |  FROM cent$KmeansIters),
+           |assign AS (
+           |  SELECT vec_id AS neighbor_id, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id, fcent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "fcent.cvv")} DESC, fcent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN fcent)
+           |  WHERE r = 1),
+           |probe AS (
+           |  SELECT query_id, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id AS query_id, fcent.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosine("e.embedding", "fcent.cvv")} DESC, fcent.centroid_id) AS r
+           |    FROM embeddings e CROSS JOIN fcent
+           |    WHERE e.vec_id < $KnnQueryLimit)
+           |  WHERE r <= $NProbe),
+           |pq0 AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cs AS (
+           |  SELECT vec_id, CAST(j AS INTEGER) AS sub,
+           |    CAST(CASE WHEN qv[j*8+1] >= 0 THEN 2 ELSE 0 END +
+           |         CASE WHEN qv[j*8+5] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS code
+           |  FROM pq0, unnest(generate_series(0, 7)) AS u(j)),
+           |cd AS (
+           |  SELECT cs.sub, cs.code, CAST(p AS INTEGER) AS pos,
+           |    CAST(sum(pq0.qv[cs.sub*8 + p]) AS BIGINT) //
+           |      CAST(count(*) AS BIGINT) AS cv
+           |  FROM cs JOIN pq0 USING (vec_id),
+           |    unnest(generate_series(1, 8)) AS v(p)
+           |  GROUP BY 1, 2, 3),
+           |ps AS (
+           |  SELECT vec_id AS probe_id, CAST(j AS INTEGER) AS sub,
+           |    CAST(p AS INTEGER) AS pos, qv[j*8 + p] AS pv
+           |  FROM pq0, unnest(generate_series(0, 7)) AS u(j),
+           |    unnest(generate_series(1, 8)) AS v(p)
+           |  WHERE vec_id < $KnnQueryLimit),
+           |lut AS (
+           |  SELECT probe_id, sub, code,
+           |    CAST(sum((pv - cv) * (pv - cv)) AS BIGINT) AS d2s
+           |  FROM ps JOIN cd USING (sub, pos) GROUP BY 1, 2, 3),
+           |cand AS (
+           |  SELECT p.query_id, a.neighbor_id
+           |  FROM probe p JOIN assign a USING (centroid_id)
+           |  WHERE a.neighbor_id <> p.query_id),
+           |adc AS (
+           |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.d2s) AS BIGINT) AS pq_d2
+           |  FROM cand c JOIN cs ON cs.vec_id = c.neighbor_id
+           |  JOIN lut l ON l.probe_id = c.query_id
+           |    AND l.sub = cs.sub AND l.code = cs.code
+           |  GROUP BY 1, 2),
+           |short AS (
+           |  SELECT * FROM adc QUALIFY row_number() OVER (
+           |    PARTITION BY query_id ORDER BY pq_d2, neighbor_id) <= 10),
+           |rer AS (
+           |  SELECT s.query_id, s.neighbor_id, s.pq_d2,
+           |    CAST(list_sum(list_transform(range(64),
+           |      i -> (pqa.qv[i+1]-pqb.qv[i+1])*(pqa.qv[i+1]-pqb.qv[i+1])))
+           |      AS BIGINT) AS exact_d2
+           |  FROM short s
+           |  JOIN pq0 pqa ON pqa.vec_id = s.query_id
+           |  JOIN pq0 pqb ON pqb.vec_id = s.neighbor_id)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY exact_d2, neighbor_id) AS BIGINT) AS rank,
+           |  neighbor_id, pq_d2, exact_d2
+           |FROM rer
+           |QUALIFY rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cf = graft.similarity.Clustering.centroidFrame(
+        emb, kmeansCentroids(s, dir), KmeansScale)
+      graft.similarity.Pq.ivfPqSearch(emb, cf,
+          col("vec_id") < KnnQueryLimit, nProbe = 2, rerankK = 10, topK = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // corpus-sized mislabel audit: EVERY vector is a probe, so nothing
     // can broadcast — both sides bucket by sign-LSH (probe side
     // multi-probes its nearest one-bit-flip bucket too) and meet in a
@@ -2627,6 +2721,31 @@ object LlmOps {
       (s, dir) =>
       Multimodal.videoMeta(Multimodal.syntheticAviBlobs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"))))
+        .orderBy("doc_id")
+    },
+
+    // --- MM: real audio header parse, oracle-checked -----------------
+    // The audio twin of mm_video_meta: genuine WAV containers built
+    // from closed-form parameters, metadata derived by javax.sound
+    // PARSING THE BYTES, oracle stating the closed form. duration_ms
+    // truncates frames·1000/rate — exact integer division on the
+    // oracle side matches the engine's FP-then-truncate because the
+    // quotients are exactly representable at these magnitudes.
+    QueryDef.sql(
+      "mm_audio_meta",
+      """SELECT doc_id,
+        |  CAST(8000 + 4000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(500 + 100 * (doc_id % 5) AS BIGINT) AS n_frames,
+        |  CAST((500 + 100 * (doc_id % 5)) * 1000 //
+        |    (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms,
+        |  TRUE AS decoded
+        |FROM documents WHERE doc_id % 10 = 5 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      Multimodal.decodeAudioMeta(Multimodal.syntheticWavBlobs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
           .select(col("doc_id"))))
         .orderBy("doc_id")
     },

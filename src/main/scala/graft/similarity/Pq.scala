@@ -52,12 +52,13 @@ object Pq {
         col("s.sub_qv").as("sub_qv"))
   }
 
-  /** PQ/ADC accuracy audit over `probePred`-selected probes: per
-    * probe, the exact top-1, the PQ top-1 with its exact-distance
-    * overshoot, and |exact top-k ∩ PQ top-k|. */
-  def pqAudit(emb: DataFrame, probePred: Column, dims: Int = 64,
-      numSub: Int = 8, scale: Int = 1000, topK: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The shared ADC machinery: quantized corpus, subspace code
+    * stream, data-trained codebook, and the per-probe lookup table —
+    * the parts [[pqAudit]] and [[ivfPqSearch]] both build on.
+    * Returns (quant, codes, lut). */
+  private def adcParts(emb: DataFrame, probePred: Column, dims: Int,
+      numSub: Int, scale: Int, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(dims % numSub == 0, s"dims $dims not divisible by numSub $numSub")
     val subDim = dims / numSub
     val quant = emb.select(col(idCol),
@@ -75,13 +76,24 @@ object Pq {
         s => s.getField("cv")).as("c_qv"))
 
     // probe lookup tables: dist(probe subvector, every codebook cell)
-    val probes = quant.filter(probePred)
-      .select(col(idCol).as("probe_id"), col("qv").as("p_qv"))
     val probeSubs = codeStream(quant.filter(probePred), numSub, subDim, idCol)
       .select(col(idCol).as("probe_id"), col("sub"), col("sub_qv").as("p_sub_qv"))
     val lut = probeSubs.join(codebook, Seq("sub"))
       .select(col("probe_id"), col("sub"), col("code"),
         graft.functions.QuantizedSqDist(col("p_sub_qv"), col("c_qv")).as("d2s"))
+    (quant, codes, lut)
+  }
+
+  /** PQ/ADC accuracy audit over `probePred`-selected probes: per
+    * probe, the exact top-1, the PQ top-1 with its exact-distance
+    * overshoot, and |exact top-k ∩ PQ top-k|. */
+  def pqAudit(emb: DataFrame, probePred: Column, dims: Int = 64,
+      numSub: Int = 8, scale: Int = 1000, topK: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (quant, codes, lut) =
+      adcParts(emb, probePred, dims, numSub, scale, idCol, vecCol)
+    val probes = quant.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("qv").as("p_qv"))
 
     // ADC pass: corpus code stream x broadcast LUT, numSub adds/vector
     val pq = codes.join(broadcast(lut), Seq("sub", "code"))
@@ -115,5 +127,72 @@ object Pq {
         col("pq_id"), col("pq_exact_d2"),
         (col("pq_exact_d2") - col("exact_d2")).as("overshoot_d2"),
         coalesce(col("topk_overlap"), lit(0L)).as("topk_overlap"))
+  }
+
+  /** The PRODUCTION ANN serve path end-to-end — FAISS's IVF-PQ read,
+    * composed from the engine's own proven stages: (1) probes pick
+    * their `nProbe` nearest trained IVF centroids and candidates come
+    * ONLY from those inverted lists (partition pruning — at 100 TB the
+    * lists are partition directories and non-probed lists are never
+    * read); (2) candidates are scored by ADC — `numSub` integer table
+    * lookups + adds per vector instead of a full-dimension loop;
+    * (3) the `rerankK` best by ADC are re-ranked by EXACT quantized
+    * distance (the standard two-stage serve: cheap scan, exact
+    * finish). Every ranking key is exact int64, so the result is
+    * engine-reproducible end to end.
+    *
+    * Output: (query_id, rank, neighbor_id, pq_d2, exact_d2), `topK`
+    * rows per probe ranked by (exact_d2, neighbor_id). */
+  def ivfPqSearch(emb: DataFrame, centroids: DataFrame, probePred: Column,
+      nProbe: Int = 2, rerankK: Int = 10, topK: Int = 5,
+      dims: Int = 64, numSub: Int = 8, scale: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (quant, codes, lut) =
+      adcParts(emb, probePred, dims, numSub, scale, idCol, vecCol)
+    // IVF side: corpus assignment + probe centroid lists (float-cosine
+    // ranked exactly like Ann.ivfTopK / the e7 oracle)
+    val lists = Ann.ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("centroid_vec"))
+    val probeCents = {
+      val scored = emb.filter(probePred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .join(broadcast(c))
+        .select(col("query_id"), col("centroid_id"),
+          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nProbe)
+        .select(col("query_id"), col("centroid_id"))
+    }
+    val cand = lists.join(broadcast(probeCents), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // ADC over candidates only: 8 lookups + adds per candidate
+    val adc = cand
+      .join(codes.withColumnRenamed(idCol, "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(lut.withColumnRenamed("probe_id", "query_id")),
+        Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d2s")).as("pq_d2"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("pq_d2"), col("neighbor_id"))
+    val short = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= rerankK).drop("__r")
+    // exact finish on the shortlist
+    val rer = short
+      .join(quant.select(col(idCol).as("query_id"), col("qv").as("p_qv")),
+        Seq("query_id"))
+      .join(quant.select(col(idCol).as("neighbor_id"), col("qv").as("c_qv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pq_d2"),
+        graft.functions.QuantizedSqDist(col("p_qv"), col("c_qv")).as("exact_d2"))
+    val wFin = Window.partitionBy("query_id")
+      .orderBy(col("exact_d2"), col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("pq_d2"), col("exact_d2"))
   }
 }

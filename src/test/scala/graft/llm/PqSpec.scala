@@ -46,6 +46,31 @@ class PqSpec extends SparkSuite {
     assert(out.forall(_.getAs[Long]("exact_d2") > 0L))
   }
 
+  test("ivfPqSearch: candidates come only from probed lists; exact finish orders the output (e12)") {
+    import graft.similarity.Clustering
+    // two tight clusters; centroids at the cluster centers
+    val emb = (
+      (0L to 4L).map(i => (i, Array.tabulate(8)(d => 1.0f + 0.01f * i))) ++
+        (10L to 14L).map(i => (i, Array.tabulate(8)(d => -1.0f - 0.01f * (i - 10)))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Array.fill(8)(1.0f)), (101L, Array.fill(8)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Pq.ivfPqSearch(emb, cents, col("vec_id") === 0L,
+      nProbe = 1, rerankK = 8, topK = 4, dims = 8, numSub = 2)
+      .orderBy("rank").collect()
+    // nProbe=1: only cluster A's inverted list is scanned — every
+    // neighbor is a cluster-A member, never a cluster-B id
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("neighbor_id") <= 4L),
+      s"got ${out.map(_.getAs[Long]("neighbor_id")).mkString(",")}")
+    // exact finish: output sorted by exact_d2 and rank is 1..n
+    val e = out.map(_.getAs[Long]("exact_d2")).toSeq
+    assert(e == e.sorted)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    // nearest cluster-A sibling (id 1, +0.01 away) wins rank 1
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
   test("ADC lookup joins broadcast; no cartesian anywhere") {
     val vecs = (0L until 30L).map(i =>
       (i, Array.tabulate(8)(d => (i * 0.1 + d).toFloat)))

@@ -172,7 +172,11 @@ object IngestCli {
             println("compacted into version " +
               t.compact(opts.getOrElse("coalesceTo", "1").toInt))
           case "vacuum" =>
-            println(s"reaped ${t.vacuum(req("retainFrom").toInt)} files")
+            // graceMs: in-flight-commit protection window (default 1h);
+            // files under data/ younger than this are never reaped even
+            // when unreferenced — they may be a commit mid-publish
+            println(s"reaped ${t.vacuum(req("retainFrom").toInt,
+              opts.getOrElse("graceMs", "3600000").toLong)} files")
           case other => sys.error(s"unknown snapshot op: $other")
         }
 

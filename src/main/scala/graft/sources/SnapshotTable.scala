@@ -41,6 +41,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   private def fs: FileSystem =
     FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
 
+  /** see the test-seam comment in `commit` */
+  private[sources] var raceInjector: () => Unit = () => ()
+
   private def logDir = new Path(s"$root/_log")
   private def dataDir = new Path(s"$root/data")
 
@@ -55,11 +58,43 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   // ---- manifest encode/decode (dependency-free, like Bench floors) --
 
+  /** JSON string escaping for manifest values. `appendIfAbsent` is a
+    * public API, so a tag containing `"` or `\` must round-trip — an
+    * unescaped quote would corrupt the manifest and break the decode
+    * of add/remove for that AND every later read of the table. */
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** one JSON string token, escape-aware */
+  private val StrTok = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
   private def encode(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil): String = {
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    val t = tag.map(v => s""","tag":"$v"""").getOrElse("")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
+    // '|' is the stat-field separator — a path containing it would
+    // decode as garbage, so reject it up front (uuid-part names never
+    // contain one; this guards only hand-constructed stats)
+    stats.foreach(s => require(!s.file.contains("|") && !s.col.contains("|"),
+      s"stat path/col must not contain '|': ${s.file}|${s.col}"))
     val st =
       if (stats.isEmpty) ""
       else s""","stats":${arr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
@@ -67,9 +102,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   }
 
   private def statsOf(json: String): Seq[SnapshotTable.FileStat] = {
-    val m = """"stats"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+    val m = """"stats"\s*:\s*\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r.findFirstMatchIn(json)
     m.map(_.group(1)).filter(_.nonEmpty).toSeq
-      .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+      .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
       .flatMap { s =>
         s.split('|') match {
           case Array(f, c, lo, hi) =>
@@ -80,13 +115,15 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   }
 
   private def tagOf(json: String): Option[String] =
-    """"tag"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    """"tag"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unesc(m.group(1)))
 
   private def decode(json: String): (Seq[String], Seq[String]) = {
     def arr(key: String): Seq[String] = {
-      val m = s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+      val m = (s""""$key"\\s*:\\s*\\[""" + """((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""").r
+        .findFirstMatchIn(json)
       m.map(_.group(1)).filter(_.nonEmpty).toSeq
-        .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+        .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
     }
     (arr("add"), arr("remove"))
   }
@@ -189,22 +226,57 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 
   /** Optimistic commit: write the manifest under `_staging`, then
     * rename it to the next log slot. If another writer took the slot,
-    * recompute and retry — data files are uuid-named, so retries never
-    * collide. Returns the committed version. */
+    * retry — data files are uuid-named, so retries never collide.
+    *
+    * Isolation (the Delta "WriteSerializable" shape): append-only
+    * commits commute and republish into the next free slot unchanged.
+    * A REMOVE-bearing commit (compact/merge) does NOT commute with a
+    * concurrent commit that removed any of the same files — replaying
+    * both would keep BOTH rewrites live (duplicated rows), so before
+    * every publish attempt the manifests committed after `base` (the
+    * version the remove set was resolved against) are checked, and an
+    * intersecting remove set aborts with [[SnapshotTable.CommitConflict]];
+    * the caller ([[compact]]/[[merge]]) recomputes from the new head and
+    * retries. Blind appends racing a merge are allowed, as in Delta's
+    * default isolation — the merge simply does not see rows committed
+    * after its snapshot. Returns the committed version. */
   private def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
-      stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20): Int = {
+      stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
+      base: Int = -1): Int = {
+    require(remove.isEmpty || base >= 0,
+      "remove-bearing commits must pass the base version for conflict checks")
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // test seam: runs once at the exact race window (staged, not yet
+    // published), then self-disarms — lets specs inject a concurrent
+    // commit deterministically instead of praying a thread interleaves
+    val inject = raceInjector
+    raceInjector = () => ()
+    inject()
+    val removeSet = remove.toSet
+    var checkedUpTo = base
     var attempt = 0
     while (attempt < maxAttempts) {
-      val next = currentVersion + 1
-      val target = new Path(logDir, f"$next%08d.json")
-      if (publish(tmp, target)) return next
+      val head = currentVersion
+      if (removeSet.nonEmpty && head > checkedUpTo) {
+        val clash = (checkedUpTo + 1 to head).flatMap { v =>
+          readManifest(v)._2.filter(removeSet.contains)
+        }
+        if (clash.nonEmpty) {
+          fs.delete(tmp, false)
+          throw new SnapshotTable.CommitConflict(
+            s"concurrent commit already removed ${clash.head} " +
+              s"(+${clash.size - 1} more) on $root — recompute from v$head")
+        }
+        checkedUpTo = head
+      }
+      val target = new Path(logDir, f"${head + 1}%08d.json")
+      if (publish(tmp, target)) return head + 1
       attempt += 1
     }
     fs.delete(tmp, false)
@@ -318,14 +390,38 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * snapshots are untouched — the originals remain on disk until
     * [[vacuum]]. Returns the committed version, or 0 when the table
     * is empty (nothing to compact). */
-  def compact(coalesceTo: Int = 1): Int = {
-    val before = files(None)
-    if (before.isEmpty) 0
-    else {
-      val rewritten = stageFiles(
-        spark.read.parquet(before: _*).coalesce(coalesceTo))
-      commit(rewritten, before)
+  def compact(coalesceTo: Int = 1): Int =
+    retryingOnConflict("compact") {
+      val base = currentVersion
+      val before = files(Some(base))
+      if (before.isEmpty) 0
+      else {
+        val rewritten = stageFiles(
+          spark.read.parquet(before: _*).coalesce(coalesceTo))
+        commit(rewritten, before, base = base)
+      }
     }
+
+  /** Recompute-and-retry loop for remove-bearing operations whose
+    * optimistic commit hit a true remove-set conflict. Each retry
+    * re-resolves the live set from the NEW head, so the recomputation
+    * is against post-conflict reality — the "loser recomputes" half of
+    * the optimistic-concurrency contract. Staged files of an aborted
+    * attempt stay unreferenced and are reaped by [[vacuum]] after its
+    * grace window. */
+  private def retryingOnConflict[A](op: String, maxAttempts: Int = 5)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case c: SnapshotTable.CommitConflict =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"$op lost $maxAttempts recompute rounds on $root: ${c.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write MERGE (upsert): every live row whose key matches a
@@ -347,27 +443,34 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     val dupKeys = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dupKeys == 0, "merge source has duplicate keys")
-    val live = files(None)
-    if (live.isEmpty) return append(source)
-    val keys = source.select(keyCols.map(col): _*).distinct()
-    // one column-pruned scan finds the files holding matching keys;
-    // Path-normalize both sides (input_file_name emits file:///-style
-    // URIs, manifests store file:/-style)
-    val affected = spark.read.parquet(live: _*)
-      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-      .join(keys, keyCols, "left_semi")
-      .select("__f").distinct().collect()
-      .map(r => new Path(r.getString(0)))
-      .map(p => fs.makeQualified(p).toString).toSeq
-    val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
-    require(affected.forall(normLive.contains),
-      s"merge: matched file outside the live set (path normalization)")
-    if (affected.isEmpty) return commit(stageFiles(source), Nil)
-    val survivors = spark.read.parquet(affected: _*)
-      .join(keys, keyCols, "left_anti")
-    val rewritten = stageFiles(
-      survivors.select(source.columns.map(col): _*).unionAll(source))
-    commit(rewritten, affected)
+    retryingOnConflict("merge") {
+      val base = currentVersion
+      val live = files(Some(base))
+      if (live.isEmpty) append(source)
+      else {
+        val keys = source.select(keyCols.map(col): _*).distinct()
+        // one column-pruned scan finds the files holding matching keys;
+        // Path-normalize both sides (input_file_name emits file:///-style
+        // URIs, manifests store file:/-style)
+        val affected = spark.read.parquet(live: _*)
+          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+          .join(keys, keyCols, "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => new Path(r.getString(0)))
+          .map(p => fs.makeQualified(p).toString).toSeq
+        val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
+        require(affected.forall(normLive.contains),
+          s"merge: matched file outside the live set (path normalization)")
+        if (affected.isEmpty) commit(stageFiles(source), Nil)
+        else {
+          val survivors = spark.read.parquet(affected: _*)
+            .join(keys, keyCols, "left_anti")
+          val rewritten = stageFiles(
+            survivors.select(source.columns.map(col): _*).unionAll(source))
+          commit(rewritten, affected, base = base)
+        }
+      }
+    }
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame
@@ -404,13 +507,25 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   /** Delete data files referenced by NO snapshot at or above
     * `retainFrom` (and stranded staging). Time travel below
     * `retainFrom` stops working — that's the retention contract.
-    * Returns the number of files deleted. */
+    *
+    * In-flight-commit safety: `stageFiles` moves a commit's parquet
+    * into `data/` BEFORE its manifest publishes, so an unreferenced
+    * file under `data/` may belong to a commit that is about to become
+    * visible — deleting it would let the commit succeed while its new
+    * snapshot references vanished files (silent loss of committed
+    * data). So, exactly like Delta/Iceberg retention, vacuum only
+    * reaps unreferenced data files whose modification time is older
+    * than `stagingGraceMs` — a commit either publishes within the
+    * grace window or is abandoned staging. Returns the number of
+    * files deleted. */
   def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L): Int = {
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
     val keep = (retainFrom to currentVersion)
       .flatMap(v => files(Some(v))).toSet
     val have =
       if (!fs.exists(dataDir)) Seq.empty
       else fs.listStatus(dataDir)
+        .filter(_.getModificationTime < cutoff)
         .map(s => fs.makeQualified(s.getPath).toString).toSeq
     val doomed = have.filterNot(keep.contains)
     doomed.foreach(f => fs.delete(new Path(f), false))
@@ -419,7 +534,6 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     // that commit mid-publish; only provably-stale staging is reaped
     val staging = new Path(s"$root/_staging")
     if (fs.exists(staging)) {
-      val cutoff = System.currentTimeMillis() - stagingGraceMs
       fs.listStatus(staging).filter(_.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
@@ -430,4 +544,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
 object SnapshotTable {
   /** Per-file column range recorded in a manifest (long columns). */
   final case class FileStat(file: String, col: String, lo: Long, hi: Long)
+
+  /** A remove-bearing commit (compact/merge) raced a concurrent commit
+    * that removed one of the same files; the operation recomputes from
+    * the new head (see `commit`'s isolation scaladoc). */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
 }

@@ -41,7 +41,7 @@ class SnapshotCliSpec extends SparkSuite {
     assert(run("compact").contains("compacted into version 4"))
     val history = run("history")
     assert(history.linesIterator.size == 4 && history.contains("v4 files=1"))
-    val reaped = run("vacuum", "retainFrom" -> "4")
+    val reaped = run("vacuum", "retainFrom" -> "4", "graceMs" -> "-1000")
     assert("reaped (\\d+) files".r.findFirstMatchIn(reaped)
       .exists(_.group(1).toInt >= 3))
     // post-vacuum the live snapshot is intact with merged values

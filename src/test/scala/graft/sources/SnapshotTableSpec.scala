@@ -63,8 +63,12 @@ class SnapshotTableSpec extends SparkSuite {
     // readers never see the orphan
     assert(t.currentVersion == 1)
     assert(ids(t.read()) == Set(1L))
-    // vacuum reaps the orphan data file and staging leftovers
-    val reaped = t.vacuum(retainFrom = 1)
+    // vacuum reaps the orphan data file and staging leftovers — but
+    // only once provably stale (negative grace = everything eligible;
+    // inside the default grace window the orphan might be an in-flight
+    // commit and MUST survive, see the dedicated grace test)
+    assert(t.vacuum(retainFrom = 1) == 0, "fresh orphan is inside the grace window")
+    val reaped = t.vacuum(retainFrom = 1, stagingGraceMs = -1000L)
     assert(reaped == 1)
     assert(ids(t.read()) == Set(1L))
   }
@@ -105,7 +109,7 @@ class SnapshotTableSpec extends SparkSuite {
     val t = tmpTable()
     (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
     t.compact(coalesceTo = 1) // v4: originals now historical-only
-    val reaped = t.vacuum(retainFrom = 4)
+    val reaped = t.vacuum(retainFrom = 4, stagingGraceMs = -1000L)
     assert(reaped == 3, "the three pre-compaction files are unreferenced >= v4")
     assert(ids(t.read()) == Set(1L, 2L, 3L))
     // time travel below the retention floor is gone (files deleted) —
@@ -228,6 +232,69 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.prunedFiles("id", 500L, 600L).size == 1)
     // stats survive compaction-free merges of other keys; full read intact
     assert(t.read().count() == 301)
+  }
+
+  test("vacuum grace protects a pre-publish data file until its commit lands") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id"))
+    // simulate another writer mid-commit: parquet already staged into
+    // data/ (stageFiles moves files there BEFORE the manifest
+    // publishes), manifest not yet in _log — referenced by no snapshot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"${t.root}/data/inflight-part-00000.parquet")
+    Seq(99L).toDF("id").coalesce(1).write.parquet(s"${t.root}/_staging/w2")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.root}/_staging/w2"))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    fs.rename(part, inflight)
+    // a vacuum racing that commit (default 1h grace) must NOT reap it
+    assert(t.vacuum(retainFrom = 1) == 0)
+    // ...so when the commit's manifest publishes, the data is intact
+    val qual = fs.makeQualified(inflight).toString
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"${t.root}/_log/00000002.json"), false)
+    out.write(s"""{"add":["$qual"],"remove":[]}""".getBytes("UTF-8"))
+    out.close()
+    assert(ids(t.read()) == Set(1L, 99L))
+  }
+
+  test("remove/remove race: the loser detects the conflict and recomputes") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    // at the exact pre-publish window of the merge below, a concurrent
+    // writer compacts the table — removing the very file the merge
+    // resolved its remove set against
+    t.raceInjector = () => { new SnapshotTable(spark, t.root).compact(1); () }
+    t.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    // without conflict detection both rewrites stay live and key 2
+    // duplicates; with it the merge recomputed against the new head
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got.size == 2, s"remove/remove race duplicated rows: $got")
+    assert(got.toMap == Map(1L -> "A", 2L -> "b"))
+  }
+
+  test("append racing a merge commutes (no spurious conflict)") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    // blind appends are allowed concurrently with a merge (Delta's
+    // default isolation): the merge lands WITHOUT a recompute round
+    t.raceInjector = () => { new SnapshotTable(spark, t.root).append(
+      Seq((5L, "e")).toDF("id", "v")); () }
+    t.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "A", 5L -> "e"))
+  }
+
+  test("manifest strings with quotes/backslashes round-trip (tags, paths)") {
+    val t = tmpTable()
+    val tag = """weird "quoted" \back\slash tag"""
+    assert(t.appendIfAbsent(Seq(1L).toDF("id"), tag).isDefined)
+    assert(t.committedTags == Set(tag))
+    // the add/remove arrays of that and later manifests still decode
+    t.append(Seq(2L).toDF("id"))
+    assert(ids(t.read()) == Set(1L, 2L))
+    // replay of the weird tag is still recognized as committed
+    assert(t.appendIfAbsent(Seq(9L).toDF("id"), tag) == None)
   }
 
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {

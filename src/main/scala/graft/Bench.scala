@@ -140,9 +140,20 @@ object Bench {
       .mkString("[", ",", "]")
     // self-policing regression gate against the committed quiet-box
     // floor file: a loaded-box run diagnoses itself instead of waiting
-    // for a judge-side diff (round-5's e2/e3 scare was exactly this)
+    // for a judge-side diff (round-5's e2/e3 scare was exactly this).
+    // Gate on each query's BEST run, not its median: a genuine plan
+    // regression (extra shuffle, lost pushdown, dropped broadcast)
+    // slows EVERY pass, so it survives the min; box load that taxes
+    // one or two of the passes (the r7 pattern — totals 191/174/108 s
+    // within one JVM, the last pass at the quiet-box floor) does not.
+    // Medians stay the REPORTED numbers ("queries"): they are the
+    // honest wall time; the min is only the regression discriminator.
+    val bests = names.map { case (name, _) =>
+      val good = perRun.map(_(name)).filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
+    }
     val floors = loadFloors(java.nio.file.Paths.get(floorsFile))
-    val regs = regressions(results, floors)
+    val regs = regressions(bests, floors)
     regs.foreach { case (n, m, f) =>
       System.err.println(f"[bench] REGRESSION $n: median $m%.2fs vs floor $f%.2fs") }
     val regsJson = regs.map { case (n, m, f) =>
@@ -168,7 +179,14 @@ object Bench {
       .map { case (dp, m) => render(dp, m) }
       .find(_.length <= budget)
       .getOrElse(render(1, 1.0))
-    val full = render(9, 0.0)
+    // full-precision dump also records each query's best run — the
+    // gate's discriminator — so a flagged run is diagnosable from the
+    // artifact alone (median≫best = box noise; best≫floor = real)
+    val bestsJson = bests.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .mkString("{", ",", "}")
+    val full = render(9, 0.0).dropRight(1) + s""","best_queries":$bestsJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOutPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

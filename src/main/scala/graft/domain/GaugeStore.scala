@@ -426,6 +426,23 @@ final class GaugeStore(spark: SparkSession, val root: String) {
       .filter(col("run_date") === to_date(lit(timemark)))
       .drop("run_date")
 
+  /** Partition-pruned model scan for a TIME-range query (the nowcast
+    * serving path): a nowcast row's run timemark sits within
+    * `horizonDays` of the row's `time` by construction (each run
+    * contributes the nowcast segment at its own clock), so only
+    * run_date partitions inside the widened [start, end] window can
+    * hold qualifying rows. Without this, years of model runs mean
+    * every nowcast request lists every partition; with it, request IO
+    * is window-bounded like [[gaugeDataForRange]]. The widening is
+    * symmetric so the bound is safe whichever side of `time` a
+    * deployment's run clock lands on. */
+  def modelDataForRange(startDate: String, endDate: String,
+      horizonDays: Int = 7): DataFrame =
+    spark.read.parquet(path("model_data"))
+      .filter(col("run_date") >= date_sub(to_date(lit(startDate)), horizonDays) &&
+        col("run_date") <= date_add(to_date(lit(endDate)), horizonDays))
+      .drop("run_date")
+
   def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
 
   /** Scoped model-fact repair: `df` holds the REPAIRED rows of one (or

@@ -25,13 +25,28 @@ object QueryServe {
 
   /** Minimal flat-object JSON parse (string values only — the request
     * contract above). No JSON library on the zero-egress classpath;
-    * escaped quotes/backslashes in values are unescaped. */
-  private[domain] def parse(line: String): Map[String, String] =
-    """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      .findAllMatchIn(line).map { m =>
-        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-        un(m.group(1)) -> un(m.group(2))
-      }.toMap
+    * escaped quotes/backslashes in values are unescaped.
+    *
+    * Strict about what it does NOT understand: any residue beyond the
+    * `"k":"v"` pairs and object punctuation (nested objects, numeric
+    * or bare values, trailing junk) REJECTS the request instead of
+    * silently dropping keys — a dropped parameter would serve a
+    * wrong-but-plausible answer, which violates the "never lies" half
+    * of the serving contract. */
+  private val PairRe = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  private[domain] def parse(line: String): Map[String, String] = {
+    val pairs = PairRe.findAllMatchIn(line).map { m =>
+      def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      un(m.group(1)) -> un(m.group(2))
+    }.toList
+    val residue = PairRe.replaceAllIn(line,
+      java.util.regex.Matcher.quoteReplacement(""))
+      .replaceAll("[\\s{},]", "")
+    require(residue.isEmpty,
+      s"unparseable request content (flat string-valued JSON only): '$residue'")
+    pairs.toMap
+  }
 
   private def jsonError(msg: String): String =
     "{\"error\":\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -61,8 +76,13 @@ object QueryServe {
           QueryApi.jsonAgg(df, "time_stamp",
             df.columns.filterNot(_ == "time_stamp").toSeq)
         case "get_nowcast_timeseries_station_data" =>
+          // run_date-pruned scan: a nowcast row's run timemark sits
+          // within the horizon of its `time`, so only partitions near
+          // [start, end] can contribute — never the whole run history
           val df = QueryApi.nowcastTimeseriesStationData(
-            store.modelData, store.modelSource, store.stations,
+            store.modelDataForRange(p("start"), p("end"),
+              req.getOrElse("horizonDays", "7").toInt),
+            store.modelSource, store.stations,
             p("station"), p("start"), p("end"),
             p("dataSource"), p("instance"))
           QueryApi.jsonAgg(df, "time_stamp",
@@ -73,9 +93,15 @@ object QueryServe {
       jsonError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
 
-  /** The serve loop, I/O-abstracted so specs drive it directly. */
+  /** The serve loop, I/O-abstracted so specs drive it directly. A
+    * parse rejection answers `{"error":...}` like any other bad
+    * request — the loop never dies. */
   def serve(store: GaugeStore, in: Iterator[String],
       out: String => Unit): Unit =
     in.map(_.trim).takeWhile(l => l.nonEmpty && l != "quit")
-      .foreach(line => out(handle(store, parse(line))))
+      .foreach { line =>
+        out(try handle(store, parse(line)) catch { case e: Throwable =>
+          jsonError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        })
+      }
 }

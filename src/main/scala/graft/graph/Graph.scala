@@ -71,7 +71,8 @@ object Graph {
     * key, so `count(wedge join closing-edge)` counts each triangle
     * exactly once with no post-dedup.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+      maxBroadcastEdges: Long = 20000000L): DataFrame = {
     // the packed key needs node ∈ [0, 2^32): larger/negative ids would
     // silently corrupt orientations (wrong counts, no error) — the
     // in-plan assert makes that failure loud at scan time. Dense ids
@@ -92,15 +93,23 @@ object Graph {
         when(col("ks.kk") < col("kd.kk"), col("d")).otherwise(col("s")).as("v"),
         greatest(col("ks.kk"), col("kd.kk")).as("kv"))
     // Wedge side: de ⋈ de on u — e1/e2 are the SAME shuffle exchange
-    // (ReuseExchange computes it once). Closing side: broadcast the
-    // |E|-sized oriented edge list so the |wedges| (≈ E^1.5 worst
-    // case) intermediate is never shuffled or materialized — wedges
-    // stream through one codegen stage probing the hash table. At
-    // cluster scale where |E| outgrows a broadcast, the fallback is
-    // partitioning wedges by their closing pair (one shuffle of the
-    // wedge stream) — same counts, one more exchange.
-    val closing = broadcast(
-      de.select(col("u").as("cu"), col("v").as("cv")))
+    // (ReuseExchange computes it once). Closing side, two plans gated
+    // on |E| (the pageRank maxDriverNodes discipline — the count is
+    // one job over the caller's usually-persisted edge list):
+    //  - |E| <= maxBroadcastEdges: broadcast the oriented edge list so
+    //    the |wedges| (≈ E^1.5 worst case) intermediate is never
+    //    shuffled or materialized — wedges stream through one codegen
+    //    stage probing the hash table.
+    //  - |E| larger: a broadcast would grow linearly with data and
+    //    hard-fail past the executor heap, so partition the wedge
+    //    stream AND the closing edges by the closing pair (u_closing =
+    //    e1.v, v_closing = e2.v) — a plain shuffle equi-join. Same
+    //    counts, one more exchange of the wedge stream; each closing-
+    //    pair partition is edge-sized, so no single task explodes.
+    val closingRaw = de.select(col("u").as("cu"), col("v").as("cv"))
+    val closing =
+      if (edges.count() <= maxBroadcastEdges) broadcast(closingRaw)
+      else closingRaw
     val tri = de.as("e1")
       .join(de.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .join(closing, col("cu") === col("e1.v") && col("cv") === col("e2.v"))

@@ -43,6 +43,15 @@ object LlmOps {
   val FuzzyLenBucket = 32
   val FuzzyCmpLen = 80
   val SignDims = Seq(1, 17, 33, 49)
+  /** e5's corpus-sized audit buckets on 6 sign bits (64 buckets), not
+    * the query-time 4 (16): with EVERY vector a probe, candidate pairs
+    * scale as n²/buckets·budget, so two extra bits cut the dominant
+    * join 4× (sf1: ~14 s → ~3.5 s) at a small recall cost the audit
+    * tolerates by design (k_found reports the shortfall). The join
+    * shape itself is already candidate-optimal — a plain equi-join on
+    * the bucket code, nothing broadcast; bucket WIDTH is the only
+    * knob, exactly like nprobe/nlist in the IVF family. */
+  val KnnAuditSignDims = Seq(1, 11, 21, 31, 41, 51)
   /** Two independent 4-bit hyperplane bands for the banded near-dup
     * path (d10) — disjoint components so the bands are uncorrelated. */
   val NearDupBands = Seq(Seq(1, 17, 33, 49), Seq(9, 25, 41, 57))
@@ -879,12 +888,13 @@ object LlmOps {
     // integer distances, (dist, bucket) flip ordering, id tie-breaks.
     QueryDef.sql(
       "e5_label_knn_bucketed", {
-        val own = sqlSignBucket("embedding")
-        def flipBucket(i: Int) = SignDims.zipWithIndex.map { case (d, j) =>
+        val dims = KnnAuditSignDims
+        val own = sqlSignBucket("embedding", dims)
+        def flipBucket(i: Int) = dims.zipWithIndex.map { case (d, j) =>
           val (t, f) = if (j == i) ("'0'", "'1'") else ("'1'", "'0'")
           s"CASE WHEN embedding[$d] >= 0 THEN $t ELSE $f END"
         }.mkString(" || ")
-        val flipArms = SignDims.zipWithIndex.map { case (d, i) =>
+        val flipArms = dims.zipWithIndex.map { case (d, i) =>
           s"SELECT vec_id, abs(CAST(embedding[$d] AS DOUBLE)) AS fdist, ${flipBucket(i)} AS bucket FROM embeddings"
         }.mkString("\n  UNION ALL ")
         s"""WITH qv AS (
@@ -921,8 +931,8 @@ object LlmOps {
            |FROM knn GROUP BY 1, 2 ORDER BY probe_id""".stripMargin
       }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Ann.labelKnnAgreementBucketed(emb, emb, k = KnnK, SignDims, probeBudget = 2)
-        .orderBy("probe_id")
+      Ann.labelKnnAgreementBucketed(emb, emb, k = KnnK, KnnAuditSignDims,
+        probeBudget = 2).orderBy("probe_id")
     },
 
     // the corpus-sized mislabel audit on ADAPTIVE buckets — e5's scale

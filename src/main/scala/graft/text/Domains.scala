@@ -19,14 +19,29 @@ import org.apache.spark.sql.functions._
   * document list.
   */
 object Domains {
-  /** Two-level public suffixes the last-two-label heuristic would
-    * split wrong (registrable = one label MORE than the suffix). A
-    * deliberately small, fixed set — the full public-suffix list is a
-    * data file, and these cover the common country-commercial forms;
-    * extend per deployment. */
-  val TwoLevelSuffixes: Seq[String] = Seq(
+  /** Minimal built-in fallback when the bundled PSL snapshot resource
+    * is missing from the classpath (repackaged deployments). */
+  val BuiltinTwoLevelSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "co.jp", "co.kr", "co.in", "co.nz",
     "com.au", "com.br", "com.cn", "com.mx", "com.tr", "com.ar", "com.sg")
+
+  /** Two-level public suffixes the last-two-label heuristic would
+    * split wrong (registrable = one label MORE than the suffix).
+    * Data-file-driven: loaded once from the bundled snapshot of the
+    * Public Suffix List (publicsuffix.org, public data) at
+    * `graft/psl_two_level.txt` — one lowercase suffix per line, `#`
+    * comments — so a deployment regenerates the file from a current
+    * PSL download instead of patching code. Falls back to
+    * [[BuiltinTwoLevelSuffixes]] when the resource is absent.
+    * ~500 entries compile to one `InSet` per registrable-domain call
+    * (hash lookup, still scan-level); three-label and wildcard PSL
+    * rules remain out of scope of the two-level heuristic. */
+  val TwoLevelSuffixes: Seq[String] =
+    Option(getClass.getResourceAsStream("/graft/psl_two_level.txt")).map { in =>
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally in.close()
+    }.filter(_.nonEmpty).getOrElse(BuiltinTwoLevelSuffixes)
 
   /** Lowercased host of a URL: scheme (if any) and userinfo stripped,
     * then everything up to the first `/`, `:`, `?` or `#`. Tolerates
@@ -53,9 +68,16 @@ object Domains {
     * trackers that vary per crawl visit without changing the resource
     * (the single largest source of spurious URL "uniqueness" in web
     * crawls). Matched as `name=` prefixes; `utm_` matches the whole
-    * Google Analytics family. */
+    * Google Analytics family.
+    *
+    * Deliberately NOT in the default list: `ref=` — on many sites it
+    * is a FUNCTIONAL parameter (git hosting uses `?ref=branch` to
+    * select a different resource), so dropping it would silently
+    * collapse genuinely distinct documents. A deployment that knows
+    * its corpus carries only referral-tracking `ref=` can pass an
+    * extended list to [[canonicalizeUrl]]. */
   val TrackingParamPrefixes: Seq[String] =
-    Seq("utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "mc_cid=", "mc_eid=")
+    Seq("utm_", "fbclid=", "gclid=", "msclkid=", "mc_cid=", "mc_eid=")
 
   /** Canonical form of a crawl URL — the key for URL-level dedup (the
     * step web-corpus pipelines run BEFORE fetching/content dedup,
@@ -67,15 +89,17 @@ object Domains {
     *  - default ports dropped (`:80` http, `:443` https); other ports
     *    kept, numerically normalized (`:0080` -> `:80`)
     *  - path: duplicate slashes collapsed, trailing slashes stripped
-    *  - fragment dropped; tracking params
-    *    ([[TrackingParamPrefixes]]) and empty params dropped; the
+    *  - fragment dropped; tracking params (`trackingPrefixes`,
+    *    default [[TrackingParamPrefixes]] — tunable per corpus, see
+    *    the `ref=` note there) and empty params dropped; the
     *    surviving params byte-sorted
     *
     * Everything is regexp/array column expressions (codegen'd,
     * scan-level — the shape that runs over a trillion-URL frontier as
     * a projection, no shuffle). The same steps are SQL-expressible,
     * so the n7 oracle reproduces the string bit-for-bit. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column,
+      trackingPrefixes: Seq[String] = TrackingParamPrefixes): Column = {
     val u = trim(url)
     val rawScheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val scheme = when(rawScheme === "", lit("http")).otherwise(rawScheme)
@@ -103,7 +127,7 @@ object Domains {
       "/+$", "")
     val query = regexp_extract(tail, "\\?(.*)$", 1)
     val kept = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !TrackingParamPrefixes
+      p =!= "" && !trackingPrefixes
         .map(pre => p.startsWith(pre)).reduce(_ || _)))
     val qSfx = when(size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(kept, "&")))

@@ -38,6 +38,33 @@ class GaugeStoreSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("obs_date"))
   }
 
+  test("modelDataForRange prunes run_date partitions to the widened window") {
+    val root = Files.createTempDirectory("graft-store-mdr").toString
+    val store = new GaugeStore(spark, root)
+    val fact = Seq(
+      ("2023-01-01 12:00:00", "2023-01-01 13:00:00", 1.0),
+      ("2023-04-23 12:00:00", "2023-04-23 13:00:00", 2.0),
+      ("2023-09-30 12:00:00", "2023-09-30 13:00:00", 3.0))
+      .toDF("tm", "t", "water_level")
+      .select(lit(7L).as("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"))
+    store.appendModelData(fact)
+    val pruned = store.modelDataForRange(
+      "2023-04-20 00:00:00", "2023-04-25 00:00:00", horizonDays = 7)
+    // only the April run survives the partition filter
+    assert(pruned.collect().map(_.getAs[Double]("water_level")).toSeq == Seq(2.0))
+    // the run_date predicate must reach the scan as a partition filter
+    // (inputFiles reports pre-pruning listing, so assert on the plan +
+    // the post-execution numFiles metric)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("run_date"))
+    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.metrics("numFiles").value == 1,
+      "January and September run partitions must not be read")
+  }
+
   test("cross-batch compaction keeps latest timemark per (source,time)") {
     val root = Files.createTempDirectory("graft-store2").toString
     val store = new GaugeStore(spark, root)

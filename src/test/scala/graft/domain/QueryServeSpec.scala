@@ -68,4 +68,32 @@ class QueryServeSpec extends SparkSuite {
     assert(m("name") == "a \"quoted\" st\\ation")
     assert(m("n") == "2")
   }
+
+  test("parse rejects unconsumed residue instead of silently dropping keys") {
+    // a numeric value would previously drop the key and serve a
+    // wrong-but-plausible answer; now it is a loud rejection
+    intercept[IllegalArgumentException] {
+      QueryServe.parse("""{"op":"q","horizon":5}""")
+    }
+    intercept[IllegalArgumentException] {
+      QueryServe.parse("""{"op":"q","nested":{"a":"b"}}""")
+    }
+    intercept[IllegalArgumentException] {
+      QueryServe.parse("""{"op":"q"} trailing junk""")
+    }
+    // the happy path is unaffected
+    assert(QueryServe.parse("""{"op":"q"}""") == Map("op" -> "q"))
+  }
+
+  test("serve answers a parse rejection with an error line, loop survives") {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    QueryServe.serve(store, Iterator(
+      """{"op":"get_obs_timeseries_station_data","limit":10}""",
+      """{"op":"get_obs_timeseries_station_data","station":"8410140",""" +
+        """"start":"2023-04-23T00:00:00","end":"2023-04-24T00:00:00"}"""),
+      out += _)
+    assert(out.length == 2)
+    assert(out(0).startsWith("{\"error\":") && out(0).contains("unparseable"), out(0))
+    assert(out(1).startsWith("["), out(1))
+  }
 }

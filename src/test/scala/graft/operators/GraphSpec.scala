@@ -42,6 +42,37 @@ class GraphSpec extends SparkSuite {
     assert(r.getAs[Long]("transitivity_ppm") == 1000000)
   }
 
+  test("triangleStats: shuffle fallback (edge count above the broadcast gate) matches") {
+    // forced-low threshold: the closing-edge side must NOT carry the
+    // user broadcast hint — the join partitions wedges by their
+    // closing pair instead — and the census must be identical
+    val shuffled = Graph.triangleStats(k4, maxBroadcastEdges = 0L)
+    val hinted = shuffled.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.exists(
+            _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }
+    // the |V|-sized degree-key broadcasts remain (legitimate at any
+    // scale); the |E|-sized closing-edge one is gone: on K4 the degree
+    // table is hinted twice per census branch, so count strictly fewer
+    // hints than the broadcast plan
+    val hintedDefault = Graph.triangleStats(k4).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.exists(
+            _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }
+    assert(hinted.size < hintedDefault.size,
+      s"closing-edge broadcast hint must be dropped: ${hinted.size} vs ${hintedDefault.size}")
+    val r = shuffled.collect().head
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Long]("n_wedges") == 12)
+    assert(r.getAs[Long]("transitivity_ppm") == 1000000)
+    // and on the triangle-free tree
+    assert(Graph.triangleStats(path, maxBroadcastEdges = 0L)
+      .collect().head.getAs[Long]("n_triangles") == 0)
+  }
+
   test("triangleStats: tree has zero triangles") {
     val r = Graph.triangleStats(path).collect().head
     assert(r.getAs[Long]("n_triangles") == 0)

@@ -29,6 +29,36 @@ class DomainsSpec extends SparkSuite {
     }
   }
 
+  test("PSL snapshot: co.za/com.eg-class hosts split at the right label") {
+    // these long-tail two-level suffixes come from the bundled
+    // psl_two_level.txt, not the built-in fallback
+    assert(Domains.TwoLevelSuffixes.size > Domains.BuiltinTwoLevelSuffixes.size,
+      "the bundled PSL snapshot must be loaded from resources")
+    val cases = Seq(
+      ("https://www.shop.example.co.za/x", "example.co.za"),
+      ("http://news.example.com.eg/y", "example.com.eg"),
+      ("https://example.ac.th", "example.ac.th"),
+      ("sub.deep.example.com.ng", "example.com.ng"),
+      ("https://example.gob.mx/z", "example.gob.mx"),
+      // a NON-suffix two-label tail still splits last-two
+      ("https://a.b.example.com/x", "example.com"))
+      .toDF("url", "want")
+    cases.select(Domains.domainOf(col("url")).as("d"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1),
+        s"domain '${r.getString(0)}' != expected '${r.getString(1)}'"))
+  }
+
+  test("ref= is functional by default; a custom tracker list can drop it") {
+    val urls = Seq("https://git.example.com/repo/file?ref=main").toDF("url")
+    // default: ref=main selects a different resource — KEPT
+    assert(urls.select(Domains.canonicalizeUrl(col("url"))).head().getString(0)
+      == "https://git.example.com/repo/file?ref=main")
+    // referral-tracking corpus: caller opts into dropping it
+    val extended = Domains.TrackingParamPrefixes :+ "ref="
+    assert(urls.select(Domains.canonicalizeUrl(col("url"), extended))
+      .head().getString(0) == "https://git.example.com/repo/file")
+  }
+
   test("canonicalizeUrl: case, www, trailing dots, default ports, slashes, trackers, fragments") {
     val cases = Seq(
       // messy twin of a clean URL -> identical canonical form

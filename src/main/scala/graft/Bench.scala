@@ -51,6 +51,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the generated-class cache defaults to 100 entries; a 182-query
+      // suite evicts every query's compiled stages between passes, so
+      // each pass re-pays janino compilation (~0.3-1 s/query — the r7
+      // "suite-context noise" that no isolated run reproduced). Sized
+      // to hold the whole suite's stages.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -22,6 +22,8 @@ object DeterminismAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // hold the whole suite's generated stages (see Bench.session)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

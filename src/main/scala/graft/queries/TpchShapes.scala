@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Classic analytic query shapes (TPC-H Q3/Q5/Q6 flavored, adapted to
   * the driver's schema subset) — bench depth for the relational core:
@@ -530,5 +531,290 @@ object TpchShapes {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    }) ++ partsuppDefs
+
+  // ---- partsupp-derived shapes (Q2/Q9/Q11/Q16/Q20) -----------------
+  //
+  // The driver testdata carries no partsupp table, so BOTH engines
+  // derive the same one from part × supplier keys: dbgen's own
+  // supplier-assignment closed form (TPC-H spec 4.2.3 — part p's i-th
+  // supplier is (p + i·(S/4 + p/S)) mod S, i ∈ 0..3, here 0-based
+  // keys) plus integer availqty/supplycost as fixed functions of the
+  // keys. All-BIGINT arithmetic → bit-identical across engines. The
+  // derived table is |part|·4 rows (80k at sf0.1) — broadcast-sized
+  // by construction at any sf, and the derivation itself is
+  // scan-level: part keys × a 4-element literal array × one 1-row
+  // supplier-count scalar (no data shuffle).
+  //
+  // Two honesty caveats, identical in both engines so parity holds:
+  // at S=10 (sf0.001) the stride can collide mod S, duplicating a
+  // (part, supplier) pair with different offers; and the testdata's
+  // lineitem picked l_suppkey independently of this formula, so the
+  // Q9/Q20 composite-key joins match ~4/S of lineitems — the JOIN
+  // SHAPE (the thing these queries exist to exercise) is unchanged.
+
+  private val psSuppkeySql =
+    "(p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt"
+
+  /** DuckDB CTEs `sc` (supplier count) + `partsupp`. */
+  private val partsuppSql: String =
+    s"""sc AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier),
+       |partsupp AS (
+       |  SELECT p_partkey AS ps_partkey,
+       |    $psSuppkeySql AS ps_suppkey,
+       |    (p_partkey * 7 + i * 13) % 9999 + 1 AS ps_availqty,
+       |    (p_partkey * 31 + ($psSuppkeySql) * 17) % 99901 + 100
+       |      AS ps_supplycost_cents
+       |  FROM part CROSS JOIN sc
+       |  CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i) it)""".stripMargin
+
+  /** Spark twin of [[partsuppSql]]. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sc = Tables.supplier(s, dir).agg(count(lit(1)).cast("long").as("s_cnt"))
+    val suppkey = "(p_partkey + i * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt"
+    Tables.part(s, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(sc))
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(array((0L to 3L).map(lit(_)): _*)).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        expr(suppkey).as("ps_suppkey"),
+        expr("(p_partkey * 7 + i * 13) % 9999 + 1").as("ps_availqty"),
+        expr(s"(p_partkey * 31 + ($suppkey) * 17) % 99901 + 100")
+          .as("ps_supplycost_cents"))
+  }
+
+  private def partsuppDefs: Seq[QueryDef] = Seq(
+
+    // Q2 shape: min-cost supplier per part within a region — the
+    // correlated-min join. Plan: partsupp (broadcast-sized) joins
+    // broadcast dims; the per-part min and the rejoin share one
+    // ps_partkey exchange; part filter lands before the rejoin.
+    QueryDef.sql(
+      "q2_min_cost_supplier",
+      s"""WITH $partsuppSql,
+         |cost AS (
+         |  SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+         |         s.s_acctbal, s.s_name, n.n_name
+         |  FROM partsupp ps
+         |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         |  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+         |  JOIN region r   ON r.r_regionkey = n.n_regionkey
+         |  WHERE r.r_name = 'EUROPE'),
+         |best AS (
+         |  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost
+         |  FROM cost GROUP BY 1)
+         |SELECT c.s_acctbal, c.s_name, c.n_name,
+         |  c.ps_partkey AS p_partkey, p.p_brand,
+         |  c.ps_supplycost_cents AS supplycost_cents
+         |FROM cost c
+         |JOIN best b ON b.ps_partkey = c.ps_partkey
+         |           AND c.ps_supplycost_cents = b.min_cost
+         |JOIN part p ON p.p_partkey = c.ps_partkey
+         |WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      val cost = partsupp(s, dir)
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("ps_suppkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+        .select(col("ps_partkey"), col("ps_supplycost_cents"),
+          col("s_acctbal"), col("s_name"), col("n_name"))
+      val best = cost.groupBy("ps_partkey")
+        .agg(min(col("ps_supplycost_cents")).as("min_cost"))
+      cost.join(best, Seq("ps_partkey"))
+        .filter(col("ps_supplycost_cents") === col("min_cost"))
+        .join(Tables.part(s, dir)
+            .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+            .select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("ps_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"), col("p_brand"),
+          col("ps_supplycost_cents").as("supplycost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q9 shape: product-line profit by nation × year. Money stays
+    // integer end-to-end: revenue rounds to cents PER ROW (identical
+    // double → identical floor in both engines), then BIGINT sums —
+    // order-independent, so the nation×year rollup hash-matches.
+    QueryDef.sql(
+      "q9_product_profit",
+      s"""WITH $partsuppSql
+         |SELECT n.n_name AS nation,
+         |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(
+         |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+         |    - ps.ps_supplycost_cents * CAST(floor(l.l_quantity) AS BIGINT)
+         |  ) AS BIGINT) AS profit_cents
+         |FROM lineitem l
+         |JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+         |JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+         |                AND ps.ps_suppkey = l.l_suppkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN nation n   ON n.n_nationkey = s.s_nationkey
+         |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").like("%red%"))
+            .select(col("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .join(partsupp(s, dir),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")
+            - col("ps_supplycost_cents") * floor(col("l_quantity")).cast("long"))
+          .cast("long").as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q11 shape: important stock — regional inventory value per part
+    // vs a scale-invariant share threshold (2× the mean part value,
+    // not TPC-H's absolute fraction, so the predicate stays selective
+    // at every sf; region not nation, so the filtered supplier set is
+    // non-empty even at sf0.001's 10 suppliers). Integer value → total enters as a 1-row broadcast
+    // scalar; one ps_partkey aggregation.
+    QueryDef.sql(
+      "q11_important_stock",
+      s"""WITH $partsuppSql,
+         |natps AS (
+         |  SELECT ps.ps_partkey,
+         |    ps.ps_supplycost_cents * ps.ps_availqty AS v
+         |  FROM partsupp ps
+         |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         |  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+         |  JOIN region r   ON r.r_regionkey = n.n_regionkey
+         |  WHERE r.r_name = 'EUROPE'),
+         |agg AS (
+         |  SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+         |  FROM natps GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(v) AS BIGINT) AS total,
+         |         CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np
+         |  FROM natps)
+         |SELECT a.ps_partkey, a.value_cents
+         |FROM agg a CROSS JOIN tot
+         |WHERE a.value_cents * np > 2 * total
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, dir) =>
+      val natps = partsupp(s, dir)
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("s_suppkey") === col("ps_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+              col("r_regionkey") === col("n_regionkey"))
+            .select(col("n_nationkey"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+      val agg = natps.groupBy("ps_partkey")
+        .agg(sum(col("v")).cast("long").as("value_cents"))
+      val tot = natps.agg(sum(col("v")).cast("long").as("total"),
+        countDistinct(col("ps_partkey")).cast("long").as("np"))
+      agg.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("np") > lit(2) * col("total"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+
+    // Q16 shape: supplier diversity per (brand, type, size) with a
+    // NOT-IN supplier exclusion (negative balance proxies the spec's
+    // complaint-comment filter — the schema carries no s_comment).
+    // The exclusion compiles to a broadcast anti-join; the distinct
+    // count rides one (brand, type, size) exchange.
+    QueryDef.sql(
+      "q16_part_supplier_cnt",
+      s"""WITH $partsuppSql
+         |SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+         |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp ps
+         |JOIN part p ON p.p_partkey = ps.ps_partkey
+         |WHERE p.p_brand <> 'Brand#2'
+         |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND ps.ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      partsupp(s, dir)
+        .join(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#2" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("p_partkey") === col("ps_partkey"))
+        .join(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey")),
+          col("s_suppkey") === col("ps_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // Q20 shape: suppliers holding excess stock (availqty > half the
+    // year's shipped quantity) of a part-name family, in one nation.
+    // The inner existence test is a LEFT SEMI chain: shipped pairs
+    // aggregate ONCE on (part, supp), then probe partsupp — never a
+    // row-per-lineitem join into the supplier scan.
+    QueryDef.sql(
+      "q20_excess_stock",
+      s"""WITH $partsuppSql,
+         |shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |excess AS (
+         |  SELECT DISTINCT ps.ps_suppkey
+         |  FROM partsupp ps
+         |  JOIN part p    ON p.p_partkey = ps.ps_partkey
+         |                AND p.p_name LIKE 'small%'
+         |  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+         |                 AND sh.l_suppkey = ps.ps_suppkey
+         |  WHERE 2 * ps.ps_availqty > sh.qty)
+         |SELECT s.s_name, n.n_name
+         |FROM supplier s
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey
+         |WHERE n.n_name = 'NATION_3'
+         |  AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+         |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).cast("long").as("qty"))
+      val excess = partsupp(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").like("small%"))
+            .select(col("p_partkey")),
+          col("p_partkey") === col("ps_partkey"))
+        .join(shipped,
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .filter(lit(2) * col("ps_availqty") > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_3")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(excess, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
     })
 }

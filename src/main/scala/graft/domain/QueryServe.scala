@@ -52,7 +52,9 @@ object QueryServe {
     "{\"error\":\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\"}"
 
-  /** One request → one JSON line. Never throws. */
+  /** One request → one JSON line. Never throws on request-level
+    * errors; fatal JVM errors (OOM, linkage) propagate — serving from
+    * a possibly-corrupt session would be the "lies" failure mode. */
   def handle(store: GaugeStore, req: Map[String, String]): String =
     try {
       def p(k: String) = req.getOrElse(k, sys.error(s"missing '$k'"))
@@ -77,11 +79,17 @@ object QueryServe {
             df.columns.filterNot(_ == "time_stamp").toSeq)
         case "get_nowcast_timeseries_station_data" =>
           // run_date-pruned scan: a nowcast row's run timemark sits
-          // within the horizon of its `time`, so only partitions near
-          // [start, end] can contribute — never the whole run history
+          // within the horizon of its `time` (nowcast segments are
+          // emitted at their own run's clock), so only partitions near
+          // [start, end] can contribute — never the whole run history.
+          // CONTRACT: `horizonDays` (default 35 — generous even for
+          // monthly run cadences) must bound the deployment's real
+          // |time − timemark| for nowcast sources; a run violating it
+          // would be pruned out SILENTLY, so a deployment with longer
+          // nowcast hindcasts must pass its own horizonDays.
           val df = QueryApi.nowcastTimeseriesStationData(
             store.modelDataForRange(p("start"), p("end"),
-              req.getOrElse("horizonDays", "7").toInt),
+              req.getOrElse("horizonDays", "35").toInt),
             store.modelSource, store.stations,
             p("station"), p("start"), p("end"),
             p("dataSource"), p("instance"))
@@ -89,7 +97,7 @@ object QueryServe {
             df.columns.filterNot(_ == "time_stamp").toSeq)
         case other => sys.error(s"unknown op '$other'")
       }
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       jsonError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
 
@@ -100,7 +108,8 @@ object QueryServe {
       out: String => Unit): Unit =
     in.map(_.trim).takeWhile(l => l.nonEmpty && l != "quit")
       .foreach { line =>
-        out(try handle(store, parse(line)) catch { case e: Throwable =>
+        out(try handle(store, parse(line))
+        catch { case scala.util.control.NonFatal(e) =>
           jsonError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         })
       }

@@ -71,8 +71,14 @@ object Graph {
     * key, so `count(wedge join closing-edge)` counts each triangle
     * exactly once with no post-dedup.
     */
+  /** `knownEdgeCount`: the broadcast-vs-shuffle gate needs |E|; with
+    * None this method RUNS `edges.count()` at call time (an action —
+    * cheap on the persisted edge lists callers normally hold, but it
+    * recomputes an expensive unpersisted derivation twice). Callers
+    * with such a derivation should pass the count they already know. */
   def triangleStats(edges: DataFrame,
-      maxBroadcastEdges: Long = 20000000L): DataFrame = {
+      maxBroadcastEdges: Long = 20000000L,
+      knownEdgeCount: Option[Long] = None): DataFrame = {
     // the packed key needs node ∈ [0, 2^32): larger/negative ids would
     // silently corrupt orientations (wrong counts, no error) — the
     // in-plan assert makes that failure loud at scan time. Dense ids
@@ -113,7 +119,8 @@ object Graph {
     val closingRaw = de.select(
       (col("u") * lit(4294967296L) + col("v")).as("ck"))
     val closing =
-      if (edges.count() <= maxBroadcastEdges) broadcast(closingRaw)
+      if (knownEdgeCount.getOrElse(edges.count()) <= maxBroadcastEdges)
+        broadcast(closingRaw)
       else closingRaw
     val tri = de.as("e1")
       .join(de.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))

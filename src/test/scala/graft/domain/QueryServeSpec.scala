@@ -62,6 +62,40 @@ class QueryServeSpec extends SparkSuite {
       out(3).contains("\"tidal_gauge_water_level\":1.25"), out(3))
   }
 
+  test("serve answers a nowcast request from the run_date-pruned scan") {
+    // model fixture in the SAME store: one run at timemark 2023-04-23
+    // 12:00 with two nowcast-side rows
+    val mmeta = meta.copy(data_source = "GFSFORECAST_EC95D",
+      source_name = "adcirc", source_archive = "renci",
+      filename_prefix = "FORECAST")
+    Files.write(Paths.get(dir, "FORECAST_NOAASTATIONS.csv"),
+      ("TIME,STATION,WATER_LEVEL\n" +
+        "2023-04-23T10:30:00,8410140,0.81\n" +
+        "2023-04-23T11:30:00,8410140,0.92").getBytes)
+    val src = ModelIngest.buildModelSource(store.stations, mmeta, "inst1", "synoptic")
+    val fact = ModelIngest.ingestRun(spark, mmeta, src, store.stations,
+      lit("2023-04-23 12:00:00"), s"$dir/FORECAST_NOAASTATIONS.csv")
+    store.writeModelSource(src)
+    store.appendModelData(fact.drop("model_run_id"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    QueryServe.serve(store, Iterator(
+      """{"op":"get_nowcast_timeseries_station_data","station":"8410140",""" +
+        """"start":"2023-04-23T00:00:00","end":"2023-04-24T00:00:00",""" +
+        """"dataSource":"GFSFORECAST_EC95D","instance":"inst1"}"""),
+      out += _)
+    assert(out.length == 1)
+    assert(out(0).startsWith("[") &&
+      out(0).contains("\"time_stamp\":\"2023-04-23 10:30:00\"") &&
+      out(0).contains("\"GFSFORECAST_EC95D\":0.81") &&
+      out(0).contains("\"time_stamp\":\"2023-04-23 11:30:00\""), out(0))
+    // the serve path reads the PRUNED scan: run_date must appear as a
+    // partition filter in the frame the op is built over
+    val plan = store.modelDataForRange(
+      "2023-04-23 00:00:00", "2023-04-24 00:00:00", 35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("run_date"))
+  }
+
   test("parse handles escaped quotes and ignores non-string noise") {
     val m = QueryServe.parse("""{"op":"q","name":"a \"quoted\" st\\ation","n":"2"}""")
     assert(m("op") == "q")

@@ -272,6 +272,32 @@ class PlanAuditSpec extends SparkSuite {
       "user rollup and arm rollup must map-side combine")
   }
 
+  test("partsupp shapes: derived table stays broadcast-shaped, no cartesian blowup") {
+    // the partsupp derivation contains exactly one 1-row scalar cross
+    // (the supplier count) — a BNLJ against a single row, the
+    // established scalar-broadcast idiom. Nothing else may nest-loop.
+    val q2 = plan("q2_min_cost_supplier")
+    assert(!q2.contains("CartesianProduct"), "q2 must never cartesian")
+    assert(q2.contains("BroadcastHashJoin"), "q2 dims must broadcast")
+    val q9 = plan("q9_product_profit")
+    assert(!q9.contains("CartesianProduct"), "q9 must never cartesian")
+    assert("HashAggregate".r.findAllIn(q9).size >= 2,
+      "q9 profit rollup must map-side combine")
+    val q16 = plan("q16_part_supplier_cnt")
+    assert(q16.contains("LeftAnti"),
+      "q16's NOT IN must plan as an anti join")
+  }
+
+  test("g4_triangle_census: closing edges broadcast on the default gate") {
+    val p = plan("g4_triangle_census")
+    assert(!p.contains("CartesianProduct"))
+    // the wedge-probe side must be a hash join against the broadcast
+    // packed-key closing table (the shuffle fallback is exercised
+    // separately in GraphSpec at a forced-low threshold)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"orientation + closing joins must broadcast, plan:\n${p.take(3000)}")
+  }
+
   test("t13_fuzzy_pairs_suffix: two disjoint blocked arms, no pair-level distinct exchange") {
     val p = plan("t13_fuzzy_pairs_suffix")
     assert(p.contains("Union"), "both arms must contribute")

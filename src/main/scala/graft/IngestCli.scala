@@ -177,6 +177,28 @@ object IngestCli {
             // when unreferenced — they may be a commit mid-publish
             println(s"reaped ${t.vacuum(req("retainFrom").toInt,
               opts.getOrElse("graceMs", "3600000").toLong)} files")
+          case "aggRefresh" =>
+            // CDC-maintained rollup: keep a COUNT/SUM state of this
+            // table in a second snapshot table (--state), refreshed
+            // from diff() since the base version recorded in the state
+            // table's newest manifest tag (aggstate-v<N>). Idempotent:
+            // re-running with no new base commits is a no-op.
+            val stateT = new graft.sources.SnapshotTable(spark, req("state"))
+            val keys = req("keys").split(',').toSeq.filter(_.nonEmpty)
+            val sums = req("sums").split(',').toSeq.filter(_.nonEmpty)
+            val prevV = stateT.committedTags
+              .flatMap(tag => "^aggstate-v(\\d+)$".r.findFirstMatchIn(tag)
+                .map(_.group(1).toInt))
+              .foldLeft(0)(math.max)
+            val prev = if (prevV == 0) None else Some(stateT.read())
+            val (next, to) = graft.sources.IncrementalAgg.refresh(
+              t, prev, prevV, keys, sums)
+            if (to == prevV) println(s"state already at v$to, no refresh")
+            else {
+              stateT.overwrite(next, Some(s"aggstate-v$to"))
+              println(s"state refreshed to v$to " +
+                s"(${stateT.read().count()} groups)")
+            }
           case other => sys.error(s"unknown snapshot op: $other")
         }
 

@@ -385,6 +385,20 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Replace the ENTIRE live contents with `df` in one commit —
+    * truncate-and-load (the state-refresh pattern: e.g.
+    * [[IncrementalAgg]] snapshots each refreshed rollup state).
+    * Older snapshots still read the prior contents; the optional tag
+    * rides the manifest like any other (e.g. to record the base
+    * version a derived state reflects). A remove-bearing commit, so
+    * it participates in the same conflict detection as merge/compact. */
+  def overwrite(df: DataFrame, tag: Option[String] = None): Int =
+    retryingOnConflict("overwrite") {
+      val base = currentVersion
+      val live = files(Some(base))
+      commit(stageFiles(df), live, tag, base = if (live.isEmpty) -1 else base)
+    }
+
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
     * commit (add rewritten + remove originals). Readers of older
     * snapshots are untouched — the originals remain on disk until

@@ -49,4 +49,28 @@ class SnapshotCliSpec extends SparkSuite {
     val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "i"))
   }
+
+  test("aggRefresh maintains a CDC rollup state table through the CLI") {
+    val dir = java.nio.file.Files.createTempDirectory("snapagg").toString
+    val table = s"$dir/tbl"; val state = s"$dir/state"
+    val in1 = s"$dir/in1"; val in2 = s"$dir/in2"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v").write.parquet(in1)
+    Seq(("a", 4L), ("c", 7L)).toDF("k", "v").write.parquet(in2)
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+    run("append", "from" -> in1)
+    assert(run("aggRefresh", "state" -> state,
+      "keys" -> "k", "sums" -> "v").contains("state refreshed to v1 (2 groups)"))
+    // idempotent when nothing changed
+    assert(run("aggRefresh", "state" -> state,
+      "keys" -> "k", "sums" -> "v").contains("already at v1"))
+    run("append", "from" -> in2)
+    assert(run("aggRefresh", "state" -> state,
+      "keys" -> "k", "sums" -> "v").contains("state refreshed to v2 (3 groups)"))
+    val st = new SnapshotTable(spark, state).read()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st == Set(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
+  }
 }

@@ -297,6 +297,20 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.appendIfAbsent(Seq(9L).toDF("id"), tag) == None)
   }
 
+  test("overwrite replaces the live contents; older snapshots and tags intact") {
+    val t = tmpTable()
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v = t.overwrite(Seq(9L).toDF("id"), Some("state-v1"))
+    assert(v == 2)
+    assert(ids(t.read()) == Set(9L))
+    assert(ids(t.read(Some(1))) == Set(1L, 2L)) // time travel intact
+    assert(t.committedTags == Set("state-v1"))
+    // overwrite on an empty table is a plain first commit
+    val t2 = tmpTable()
+    assert(t2.overwrite(Seq(5L).toDF("id")) == 1)
+    assert(ids(t2.read()) == Set(5L))
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

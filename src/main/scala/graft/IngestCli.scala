@@ -191,10 +191,13 @@ object IngestCli {
                 .map(_.group(1).toInt))
               .foldLeft(0)(math.max)
             val prev = if (prevV == 0) None else Some(stateT.read())
-            val (next, to) = graft.sources.IncrementalAgg.refresh(
-              t, prev, prevV, keys, sums)
-            if (to == prevV) println(s"state already at v$to, no refresh")
+            if (t.currentVersion == prevV)
+              // also covers an empty base table (v0 == v0): nothing to
+              // aggregate and SnapshotTable.read would refuse anyway
+              println(s"state already at v$prevV, no refresh")
             else {
+              val (next, to) = graft.sources.IncrementalAgg.refresh(
+                t, prev, prevV, keys, sums)
               stateT.overwrite(next, Some(s"aggstate-v$to"))
               println(s"state refreshed to v$to " +
                 s"(${stateT.read().count()} groups)")

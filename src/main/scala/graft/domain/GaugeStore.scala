@@ -435,9 +435,15 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     * every nowcast request lists every partition; with it, request IO
     * is window-bounded like [[gaugeDataForRange]]. The widening is
     * symmetric so the bound is safe whichever side of `time` a
-    * deployment's run clock lands on. */
+    * deployment's run clock lands on.
+    *
+    * CONTRACT: `horizonDays` must bound the deployment's real
+    * |time − timemark| for the rows being served — a run outside it
+    * is pruned SILENTLY. The default (35 days) is generous even for
+    * monthly run cadences; a deployment with longer hindcasts must
+    * pass its own. */
   def modelDataForRange(startDate: String, endDate: String,
-      horizonDays: Int = 7): DataFrame =
+      horizonDays: Int = 35): DataFrame =
     spark.read.parquet(path("model_data"))
       .filter(col("run_date") >= date_sub(to_date(lit(startDate)), horizonDays) &&
         col("run_date") <= date_add(to_date(lit(endDate)), horizonDays))

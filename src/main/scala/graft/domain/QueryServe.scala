@@ -82,11 +82,8 @@ object QueryServe {
           // within the horizon of its `time` (nowcast segments are
           // emitted at their own run's clock), so only partitions near
           // [start, end] can contribute — never the whole run history.
-          // CONTRACT: `horizonDays` (default 35 — generous even for
-          // monthly run cadences) must bound the deployment's real
-          // |time − timemark| for nowcast sources; a run violating it
-          // would be pruned out SILENTLY, so a deployment with longer
-          // nowcast hindcasts must pass its own horizonDays.
+          // The silent-pruning CONTRACT and the 35-day default live on
+          // GaugeStore.modelDataForRange; requests override per call.
           val df = QueryApi.nowcastTimeseriesStationData(
             store.modelDataForRange(p("start"), p("end"),
               req.getOrElse("horizonDays", "35").toInt),

@@ -70,8 +70,8 @@ object Graph {
     * two out-edges, and the closing edge is oriented low-key -> high-
     * key, so `count(wedge join closing-edge)` counts each triangle
     * exactly once with no post-dedup.
-    */
-  /** `knownEdgeCount`: the broadcast-vs-shuffle gate needs |E|; with
+    *
+    * `knownEdgeCount`: the broadcast-vs-shuffle gate needs |E|; with
     * None this method RUNS `edges.count()` at call time (an action —
     * cheap on the persisted edge lists callers normally hold, but it
     * recomputes an expensive unpersisted derivation twice). Callers

@@ -50,6 +50,12 @@ object IncrementalAgg {
       stateVersion: Int, keys: Seq[String], sumCols: Seq[String])
       : (DataFrame, Int) = {
     require(keys.nonEmpty, "incremental aggregate needs group keys")
+    // a lost/corrupt state must be rebuilt via recompute — promoting a
+    // PARTIAL delta (changes since stateVersion only) to "the state"
+    // would serve wrong counts with no error
+    require(state.isDefined || stateVersion == 0,
+      "state=None with stateVersion>0: the delta since that version is " +
+        "not the full state — cold-start from version 0 or recompute()")
     val to = table.currentVersion
     if (to == stateVersion && state.isDefined) return (state.get, to)
     val d = table.diff(stateVersion, to)
@@ -64,8 +70,18 @@ object IncrementalAgg {
         delta.select(keys.map(col) ++ Seq(col("__dn").as("__n")) ++
           sumCols.map(c => col(s"__d_$c").as(s"sum_$c")): _*)
       case Some(st) =>
-        st.join(delta, keys, "full_outer")
-          .select(keys.map(col) ++ Seq(
+        // NULL-SAFE key match: groupBy treats null keys as one group,
+        // but an equi-join never matches null==null — a plain
+        // keys-join would leave a null-keyed state row permanently
+        // stale while stacking a fresh delta row beside it each
+        // refresh. <=> + coalesced key output keeps null groups as
+        // single, correctly-updated rows.
+        val dd = delta.select(
+          keys.map(c => col(c).as(s"__dk_$c")) ++
+            (Seq("__dn") ++ sumCols.map(c => s"__d_$c")).map(col): _*)
+        val cond = keys.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
+        st.join(dd, cond, "full_outer")
+          .select(keys.map(c => coalesce(col(c), col(s"__dk_$c")).as(c)) ++ Seq(
             (coalesce(col("__n"), lit(0L)) +
               coalesce(col("__dn"), lit(0L))).as("__n")) ++
             sumCols.map(c =>

@@ -71,6 +71,11 @@ class GraphSpec extends SparkSuite {
     // and on the triangle-free tree
     assert(Graph.triangleStats(path, maxBroadcastEdges = 0L)
       .collect().head.getAs[Long]("n_triangles") == 0)
+    // a caller-supplied edge count drives the same gate without the
+    // count action (K4 has 6 edges: 6 > 5 forces the shuffle path)
+    val viaKnown = Graph.triangleStats(k4,
+      maxBroadcastEdges = 5L, knownEdgeCount = Some(6L))
+    assert(viaKnown.collect().head.getAs[Long]("n_triangles") == 4)
   }
 
   test("triangleStats: tree has zero triangles") {

@@ -16,7 +16,7 @@ class IncrementalAggSpec extends SparkSuite {
   private def sorted(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
     df.select(col("k"), col("__n"), col("sum_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(r => Option(r._1)) // null-keyed groups sort first
 
   private def check(t: SnapshotTable,
       st: (org.apache.spark.sql.DataFrame, Int)): Unit =
@@ -49,21 +49,55 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sorted(st._1).find(_._1 == "b").contains(("b", 1L, 99L)))
   }
 
-  test("a group deleted by a merge leaves the state entirely") {
+  test("a group whose count reaches zero leaves the state entirely") {
     val t = tbl()
     t.append(Seq(("a", 1L), ("b", 5L), ("b", 6L)).toDF("k", "v"))
-    var st = IncrementalAgg.refresh(t, None, 0, Seq("k"), Seq("v"))
-    // merge replaces BOTH b rows with one a row (key-level upsert on k
-    // cannot delete, so emulate via a merge keyed on (k,v) pairs that
-    // rewrites the file): here, rewrite b's rows to a's group instead
+    // state keyed on (k, v): a merge on k deletes rows (b,5) and (b,6)
+    // and inserts (b,0) — groups (b,5)/(b,6) hit __n = 0 and must DROP
+    def kv(st: org.apache.spark.sql.DataFrame) =
+      st.select(col("k"), col("v"), col("__n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    var st = IncrementalAgg.refresh(t, None, 0, Seq("k", "v"), Nil)
+    assert(kv(st._1) == Set(("a", 1L, 1L), ("b", 5L, 1L), ("b", 6L, 1L)))
     t.merge(Seq(("b", 0L)).toDF("k", "v"), Seq("k"))
-    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
-    check(t, st)
-    assert(sorted(st._1) == Seq(("a", 1L, 1L), ("b", 1L, 0L)))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k", "v"), Nil)
+    assert(kv(st._1) == Set(("a", 1L, 1L), ("b", 0L, 1L)),
+      "dead groups must not linger in the state")
     // no-change refresh is the identity
-    val again = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    val again = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k", "v"), Nil)
     assert(again._2 == st._2)
-    assert(sorted(again._1) == sorted(st._1))
+    assert(kv(again._1) == kv(st._1))
+  }
+
+  test("NULL group keys stay one correctly-updated group (null-safe merge join)") {
+    val t = tbl()
+    t.append(Seq((Option.empty[String], 1L), (Some("a"), 2L),
+      (Option.empty[String], 3L)).toDF("k", "v"))
+    var st = IncrementalAgg.refresh(t, None, 0, Seq("k"), Seq("v"))
+    def nulls(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("k").isNull)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(nulls(st._1) == Seq((2L, 4L)))
+    // two more refresh rounds touching the null group: a plain
+    // keys-join would stack a fresh null row per round and never
+    // apply deltas to the old one
+    t.append(Seq((Option.empty[String], 10L)).toDF("k", "v"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(nulls(st._1) == Seq((3L, 14L)), s"got ${nulls(st._1)}")
+    t.append(Seq((Option.empty[String], 100L)).toDF("k", "v"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(nulls(st._1) == Seq((4L, 114L)))
+    check(t, st)
+  }
+
+  test("a lost state cannot masquerade as a delta rebuild") {
+    val t = tbl()
+    t.append(Seq(("a", 1L)).toDF("k", "v"))
+    t.append(Seq(("b", 2L)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.refresh(t, None, 1, Seq("k"), Seq("v"))
+    }
   }
 
   test("stale state catches up across several versions in one refresh") {

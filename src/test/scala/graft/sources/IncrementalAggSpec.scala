@@ -91,6 +91,43 @@ class IncrementalAggSpec extends SparkSuite {
     check(t, st)
   }
 
+  test("streaming composition: exactly-once sink + per-batch CDC refresh = live rollup") {
+    // the full lakehouse loop: a stream drains into the snapshot table
+    // through the tagged exactly-once sink, and each batch refreshes
+    // the rollup from the CDC — a continuously-maintained aggregate
+    // whose per-batch cost is the new files only
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = tbl()
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var stateV = 0
+    val ms = MemoryStream[(String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("incrsink").toString
+    def drain(): Unit = {
+      val q = ms.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          t.streamingSink(batch, id)
+          val (s2, v2) = IncrementalAgg.refresh(t, state, stateV, Seq("k"), Seq("v"))
+          // materialize: a lazy state frame would chain plans per batch
+          state = Some(spark.createDataFrame(
+            spark.sparkContext.parallelize(s2.collect().toIndexedSeq), s2.schema))
+          stateV = v2
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(("a", 1L), ("b", 10L))
+    drain()
+    ms.addData(("a", 2L))
+    drain()
+    assert(sorted(state.get) == Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+    check(t, (state.get, stateV))
+    // replayed batches are no-ops for BOTH the table and the rollup
+    drain()
+    assert(sorted(state.get) == Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+  }
+
   test("a lost state cannot masquerade as a delta rebuild") {
     val t = tbl()
     t.append(Seq(("a", 1L)).toDF("k", "v"))

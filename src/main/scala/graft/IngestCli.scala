@@ -169,8 +169,16 @@ object IngestCli {
               spark.read.parquet(req("from")),
               req("keys").split(',').toSeq.filter(_.nonEmpty)))
           case "compact" =>
+            // optional: --zorder c1,c2 re-clusters the rewrite on a
+            // Morton curve; --statCols c1,c2 records per-file min/max
+            // in the manifest (metadata-only pruning on later reads)
             println("compacted into version " +
-              t.compact(opts.getOrElse("coalesceTo", "1").toInt))
+              t.compact(opts.getOrElse("coalesceTo", "1").toInt,
+                opts.get("zorder").map(_.split(',').toSeq.filter(_.nonEmpty))
+                  .getOrElse(Nil),
+                opts.getOrElse("zorderBits", "6").toInt,
+                opts.get("statCols").map(_.split(',').toSeq.filter(_.nonEmpty))
+                  .getOrElse(Nil)))
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even

@@ -403,16 +403,30 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * commit (add rewritten + remove originals). Readers of older
     * snapshots are untouched — the originals remain on disk until
     * [[vacuum]]. Returns the committed version, or 0 when the table
-    * is empty (nothing to compact). */
-  def compact(coalesceTo: Int = 1): Int =
+    * is empty (nothing to compact).
+    *
+    * `zorderCols` re-clusters the rewrite on a Morton curve
+    * ([[graft.operators.ZOrderLayout]]) so min/max stats stay tight on
+    * EVERY clustered dimension; `statCols` records per-file min/max in
+    * the new manifest — together they make [[readPruned]] effective
+    * again after compaction (append-time stats die with the removed
+    * files). This is the Delta/Iceberg `OPTIMIZE ... ZORDER BY` shape:
+    * maintenance that trades one rewrite for metadata-only scan
+    * planning on the read path. */
+  def compact(coalesceTo: Int = 1, zorderCols: Seq[String] = Nil,
+      zorderBits: Int = 6, statCols: Seq[String] = Nil): Int =
     retryingOnConflict("compact") {
       val base = currentVersion
       val before = files(Some(base))
       if (before.isEmpty) 0
       else {
-        val rewritten = stageFiles(
-          spark.read.parquet(before: _*).coalesce(coalesceTo))
-        commit(rewritten, before, base = base)
+        val rows = spark.read.parquet(before: _*)
+        val laid =
+          if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
+          else graft.operators.ZOrderLayout.layout(
+            rows, zorderCols, zorderBits, coalesceTo)
+        val (rewritten, stats) = stageFilesWithStats(laid, statCols)
+        commit(rewritten, before, stats = stats, base = base)
       }
     }
 

@@ -297,6 +297,29 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.appendIfAbsent(Seq(9L).toDF("id"), tag) == None)
   }
 
+  test("z-order compact restores metadata pruning after the append stats die") {
+    val t = tmpTable()
+    // interleaved appends: every file spans most of the id range, so
+    // even WITH stats nothing could prune — the worst layout
+    t.appendWithStats((1L to 400L by 4).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((2L to 400L by 4).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((3L to 400L by 4).toDF("id").coalesce(1), Seq("id"))
+    assert(t.prunedFiles("id", 10L, 20L).size == 3, "interleaved: no pruning possible")
+    // z-order compact into 4 files with fresh stats: the rewrite
+    // clusters by id, so a narrow range hits ~1 file from METADATA
+    t.compact(coalesceTo = 4, zorderCols = Seq("id"), statCols = Seq("id"))
+    assert(t.files().size == 4)
+    val pruned = t.prunedFiles("id", 10L, 20L)
+    assert(pruned.size <= 2, s"clustered stats must prune, got ${pruned.size} files")
+    val rows = t.readPruned("id", 10L, 20L)
+      .filter(col("id").between(10L, 20L))
+    // residues 1,2,3 mod 4 in [10,20]: 13,17 / 10,14,18 / 11,15,19
+    assert(rows.count() == 8)
+    // full read intact and time travel still resolves pre-compaction
+    assert(t.read().count() == 300)
+    assert(t.read(Some(1)).count() == 100)
+  }
+
   test("overwrite replaces the live contents; older snapshots and tags intact") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

@@ -142,8 +142,9 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     decode(readManifestRaw(v))
 
   /** Concrete data-file list of snapshot `version` (default: newest).
-    * Replay order doesn't matter for correctness (a file is added
-    * exactly once and removed at most once, after its add). */
+    * Replayed in version order — required since [[restore]] may RE-ADD
+    * a file some earlier manifest removed (add/remove/add sequences
+    * resolve by last action wins). */
   def files(version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
@@ -346,6 +347,49 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     val fl = prunedFiles(colName, lo, hi, version)
     if (fl.nonEmpty) spark.read.parquet(fl: _*) else read(version).limit(0)
   }
+
+  /** Conjunctive multi-column stat pruning: files that can satisfy
+    * EVERY `(col, lo, hi)` range at once — the read-path payoff of
+    * Z-order compaction, whose whole point is stats tight on several
+    * dimensions simultaneously (one-column pruning only ever uses the
+    * primary sort dimension). Per predicate, a file with no recorded
+    * stat is kept — pruning is never wrong, only incomplete. */
+  def prunedFilesMulti(preds: Seq[(String, Long, Long)],
+      version: Option[Int] = None): Seq[String] = {
+    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    preds.map { case (c, lo, hi) => prunedFiles(c, lo, hi, version).toSet }
+      .reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** [[prunedFilesMulti]] as a frame; row-level predicates still apply
+    * downstream. */
+  def readPrunedMulti(preds: Seq[(String, Long, Long)],
+      version: Option[Int] = None): DataFrame = {
+    val fl = prunedFilesMulti(preds, version)
+    if (fl.nonEmpty) spark.read.parquet(fl: _*) else read(version).limit(0)
+  }
+
+  /** Restore the table to the contents of snapshot `version` as a NEW
+    * commit (Delta-style RESTORE): re-adds that snapshot's files and
+    * removes the current extras — metadata-only, no data rewrite, so
+    * the bad deploy's rollback is one manifest whatever the table
+    * size. History is preserved (the bad versions stay readable);
+    * fails if `version`'s files were already vacuumed below the
+    * retention floor (the read would fail the same way). */
+  def restore(version: Int): Int =
+    retryingOnConflict("restore") {
+      val base = currentVersion
+      val target = files(Some(version)).toSet
+      val live = files(Some(base)).toSet
+      target.foreach { f =>
+        require(fs.exists(new Path(f)),
+          s"restore($version): data file vacuumed away: $f")
+      }
+      val add = (target -- live).toSeq.sorted
+      val remove = (live -- target).toSeq.sorted
+      if (add.isEmpty && remove.isEmpty) base
+      else commit(add, remove, base = if (remove.isEmpty) -1 else base)
+    }
 
   /** Tags already committed (O(#commits) driver metadata walk). */
   /** Incremental: only manifests ABOVE the last scanned version are

@@ -320,6 +320,43 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read(Some(1)).count() == 100)
   }
 
+  test("multi-column pruning intersects per-dimension stats") {
+    val t = tmpTable()
+    // two files, clustered so (a, b) stats are disjoint per file
+    t.appendWithStats(Seq((1L, 100L), (2L, 110L)).toDF("a", "b").coalesce(1),
+      Seq("a", "b"))
+    t.appendWithStats(Seq((10L, 100L), (11L, 110L)).toDF("a", "b").coalesce(1),
+      Seq("a", "b"))
+    // b alone cannot prune (both files span 100..110); a narrows to 1
+    assert(t.prunedFiles("b", 100L, 105L).size == 2)
+    assert(t.prunedFilesMulti(Seq(("a", 1L, 5L), ("b", 100L, 105L))).size == 1)
+    val rows = t.readPrunedMulti(Seq(("a", 1L, 5L), ("b", 100L, 105L)))
+      .filter(col("a").between(1L, 5L) && col("b").between(100L, 105L))
+    assert(rows.count() == 1)
+    // a range matching nothing reads empty with the right schema
+    assert(t.readPrunedMulti(Seq(("a", 500L, 600L), ("b", 0L, 1L))).count() == 0)
+  }
+
+  test("restore rolls back to an old snapshot as a new metadata-only commit") {
+    val t = tmpTable()
+    t.append(Seq(1L, 2L).toDF("id"))          // v1: the good state
+    t.merge(Seq((1L)).toDF("id"), Seq("id"))  // v2: rewrites file(s)
+    t.append(Seq(99L).toDF("id"))             // v3: the bad deploy
+    assert(ids(t.read()) == Set(1L, 2L, 99L))
+    val v = t.restore(1)
+    assert(v == 4, "restore is a NEW commit, not history rewriting")
+    assert(ids(t.read()) == Set(1L, 2L))
+    // the bad versions remain time-travelable
+    assert(ids(t.read(Some(3))) == Set(1L, 2L, 99L))
+    // restoring to the current state is a no-op (no empty commit)
+    assert(t.restore(4) == 4)
+    assert(t.currentVersion == 4)
+    // ...and the diff across the restore is exact (delete of 99)
+    val d = t.diff(3, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((99L, "delete")))
+  }
+
   test("overwrite replaces the live contents; older snapshots and tags intact") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

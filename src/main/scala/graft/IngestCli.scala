@@ -101,8 +101,12 @@ object IngestCli {
 
       case "QueryNowcast" =>
         val store = new GaugeStore(spark, req("store"))
+        // run_date-pruned like the QueryServe nowcast path; horizon
+        // contract documented on GaugeStore.modelDataForRange
         val df = QueryApi.nowcastTimeseriesStationData(
-          store.modelData, store.modelSource, store.stations,
+          store.modelDataForRange(req("start"), req("end"),
+            opts.getOrElse("horizonDays", "35").toInt),
+          store.modelSource, store.stations,
           req("station"), req("start"), req("end"),
           req("dataSource"), req("instance"))
         println(QueryApi.jsonAgg(df, "time_stamp",
@@ -145,13 +149,15 @@ object IngestCli {
         // (sources.SnapshotTable): append/read/history/diff/merge/
         // compact/vacuum — the lakehouse maintenance verbs as CLI ops
         val t = new graft.sources.SnapshotTable(spark, req("table"))
+        // one parser for every comma-separated column-list option
+        def csvOpt(name: String): Seq[String] =
+          opts.get(name).map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
         req("op") match {
           case "append" =>
             val df = spark.read.parquet(req("from"))
-            val v = opts.get("statCols")
-              .map(cs => t.appendWithStats(df,
-                cs.split(',').toSeq.filter(_.nonEmpty)))
-              .getOrElse(t.append(df))
+            val v =
+              if (csvOpt("statCols").nonEmpty) t.appendWithStats(df, csvOpt("statCols"))
+              else t.append(df)
             println(s"committed version $v")
           case "read" =>
             val version = opts.get("version").map(_.toInt)
@@ -167,18 +173,15 @@ object IngestCli {
           case "merge" =>
             println("merged into version " + t.merge(
               spark.read.parquet(req("from")),
-              req("keys").split(',').toSeq.filter(_.nonEmpty)))
+              csvOpt("keys")))
           case "compact" =>
             // optional: --zorder c1,c2 re-clusters the rewrite on a
             // Morton curve; --statCols c1,c2 records per-file min/max
             // in the manifest (metadata-only pruning on later reads)
             println("compacted into version " +
               t.compact(opts.getOrElse("coalesceTo", "1").toInt,
-                opts.get("zorder").map(_.split(',').toSeq.filter(_.nonEmpty))
-                  .getOrElse(Nil),
-                opts.getOrElse("zorderBits", "6").toInt,
-                opts.get("statCols").map(_.split(',').toSeq.filter(_.nonEmpty))
-                  .getOrElse(Nil)))
+                csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt,
+                csvOpt("statCols")))
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even
@@ -192,8 +195,8 @@ object IngestCli {
             // table's newest manifest tag (aggstate-v<N>). Idempotent:
             // re-running with no new base commits is a no-op.
             val stateT = new graft.sources.SnapshotTable(spark, req("state"))
-            val keys = req("keys").split(',').toSeq.filter(_.nonEmpty)
-            val sums = req("sums").split(',').toSeq.filter(_.nonEmpty)
+            val keys = csvOpt("keys")
+            val sums = csvOpt("sums")
             val prevV = stateT.committedTags
               .flatMap(tag => "^aggstate-v(\\d+)$".r.findFirstMatchIn(tag)
                 .map(_.group(1).toInt))

@@ -56,6 +56,10 @@ object IncrementalAgg {
     require(state.isDefined || stateVersion == 0,
       "state=None with stateVersion>0: the delta since that version is " +
         "not the full state — cold-start from version 0 or recompute()")
+    // a clear error at the right altitude: the underlying read of an
+    // empty table would otherwise throw a misleading "no data files"
+    require(table.currentVersion > 0,
+      s"empty base table at ${table.root} — nothing to aggregate yet")
     val to = table.currentVersion
     if (to == stateVersion && state.isDefined) return (state.get, to)
     val d = table.diff(stateVersion, to)

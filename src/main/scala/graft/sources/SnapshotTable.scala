@@ -231,22 +231,24 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     *
     * Isolation (the Delta "WriteSerializable" shape): append-only
     * commits commute and republish into the next free slot unchanged.
-    * A REMOVE-bearing commit (compact/merge) does NOT commute with a
-    * concurrent commit that removed any of the same files — replaying
-    * both would keep BOTH rewrites live (duplicated rows), so before
+    * A REMOVE-bearing or `keyed` commit (compact/merge/overwrite/
+    * restore; merge even on its no-files-matched branches) does NOT
+    * commute with a concurrent remove-bearing commit — the interleave
+    * may have rewritten rows or, via [[restore]], resurrected keys the
+    * plan never saw, so replaying both would duplicate rows. Before
     * every publish attempt the manifests committed after `base` (the
-    * version the remove set was resolved against) are checked, and an
-    * intersecting remove set aborts with [[SnapshotTable.CommitConflict]];
-    * the caller ([[compact]]/[[merge]]) recomputes from the new head and
-    * retries. Blind appends racing a merge are allowed, as in Delta's
-    * default isolation — the merge simply does not see rows committed
-    * after its snapshot. Returns the committed version. */
+    * version the plan was resolved against) are scanned; ANY with a
+    * non-empty remove set aborts with
+    * [[SnapshotTable.CommitConflict]] and the caller recomputes from
+    * the new head. Blind appends racing anything still commute, as in
+    * Delta's default isolation — a merge simply does not see rows
+    * committed after its snapshot. Returns the committed version. */
   private def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
-      base: Int = -1): Int = {
-    require(remove.isEmpty || base >= 0,
-      "remove-bearing commits must pass the base version for conflict checks")
+      base: Int = -1, keyed: Boolean = false): Int = {
+    require((remove.isEmpty && !keyed) || base >= 0,
+      "remove-bearing/keyed commits must pass the base version for conflict checks")
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
@@ -259,20 +261,28 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     val inject = raceInjector
     raceInjector = () => ()
     inject()
-    val removeSet = remove.toSet
+    val checkRemoves = remove.nonEmpty || keyed
     var checkedUpTo = base
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = currentVersion
-      if (removeSet.nonEmpty && head > checkedUpTo) {
+      if (checkRemoves && head > checkedUpTo) {
+        // ANY interleaved remove-bearing commit conflicts: a rewrite
+        // (merge/compact/overwrite) or a restore's re-add changed rows
+        // or RESURRECTED keys this commit's plan never saw — a plain
+        // remove-set intersection misses the resurrection case (a
+        // restore re-ADDS a file with keys a concurrent keyed merge
+        // believed absent). Blind append-only interleaves still
+        // commute. False conflicts only cost a recompute round.
         val clash = (checkedUpTo + 1 to head).flatMap { v =>
-          readManifest(v)._2.filter(removeSet.contains)
+          readManifest(v)._2.headOption.map(f => (v, f))
         }
         if (clash.nonEmpty) {
           fs.delete(tmp, false)
           throw new SnapshotTable.CommitConflict(
-            s"concurrent commit already removed ${clash.head} " +
-              s"(+${clash.size - 1} more) on $root — recompute from v$head")
+            s"concurrent remove-bearing commit(s) " +
+              s"${clash.map(_._1).mkString("v", ",v", "")} landed on " +
+              s"$root (first removed: ${clash.head._2}) — recompute from v$head")
         }
         checkedUpTo = head
       }
@@ -323,21 +333,33 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     commit(staged, Nil, None, stats)
   }
 
+  /** ONE manifest replay producing both the live file list and the
+    * per-(file, col) stat map — the pruning entry points share it so a
+    * k-predicate prune costs one O(#commits) driver pass, not 2k. */
+  private def liveFilesAndStats(version: Option[Int])
+      : (Seq[String], Map[(String, String), (Long, Long)]) = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    (1 to v).foreach { i =>
+      val raw = readManifestRaw(i)
+      val (add, remove) = decode(raw)
+      live ++= add
+      live --= remove
+      statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
+    }
+    (live.toSeq, stats.toMap)
+  }
+
   /** Live files of snapshot `version` that can contain a `colName`
     * value in `[lo, hi]`: files with a recorded disjoint range are
     * skipped, files with NO recorded stat for the column are kept
     * (pruning must never be wrong, only incomplete). */
   def prunedFiles(colName: String, lo: Long, hi: Long,
-      version: Option[Int] = None): Seq[String] = {
-    val v = version.getOrElse(currentVersion)
-    val stats: Map[String, (Long, Long)] =
-      (1 to v).flatMap(i => statsOf(readManifestRaw(i)))
-        .filter(_.col == colName)
-        .map(s => s.file -> (s.lo, s.hi)).toMap
-    files(version).filter { f =>
-      stats.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
-    }
-  }
+      version: Option[Int] = None): Seq[String] =
+    prunedFilesMulti(Seq((colName, lo, hi)), version)
 
   /** Read only the files that can satisfy `colName BETWEEN lo AND hi`
     * (manifest-stat pruning); the caller still applies the row-level
@@ -357,8 +379,12 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   def prunedFilesMulti(preds: Seq[(String, Long, Long)],
       version: Option[Int] = None): Seq[String] = {
     require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
-    preds.map { case (c, lo, hi) => prunedFiles(c, lo, hi, version).toSet }
-      .reduce(_ intersect _).toSeq.sorted
+    val (live, stats) = liveFilesAndStats(version)
+    live.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        stats.get((f, c)).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      }
+    }
   }
 
   /** [[prunedFilesMulti]] as a frame; row-level predicates still apply
@@ -388,7 +414,18 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       val add = (target -- live).toSeq.sorted
       val remove = (live -- target).toSeq.sorted
       if (add.isEmpty && remove.isEmpty) base
-      else commit(add, remove, base = if (remove.isEmpty) -1 else base)
+      else {
+        // freshen the re-added files' modification times BEFORE the
+        // commit: every other op that makes files live stages FRESH
+        // parquet, which vacuum's mtime grace window protects while
+        // the commit is in flight — a re-added file keeps its ORIGINAL
+        // mtime, so a concurrent vacuum (whose keep-set predates this
+        // commit) would otherwise reap it as stale-and-unreferenced,
+        // corrupting the snapshot this commit is about to publish
+        val now = System.currentTimeMillis()
+        add.foreach(f => fs.setTimes(new Path(f), now, -1))
+        commit(add, remove, base = base, keyed = true)
+      }
     }
 
   /** Tags already committed (O(#commits) driver metadata walk). */
@@ -518,7 +555,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     retryingOnConflict("merge") {
       val base = currentVersion
       val live = files(Some(base))
-      if (live.isEmpty) append(source)
+      // keyed = true on every branch: even an append-shaped merge (no
+      // matching live files) must conflict with an interleaved
+      // remove-bearing commit — a restore could have resurrected the
+      // very keys this plan decided were absent
+      if (live.isEmpty) commit(stageFiles(source), Nil, base = base, keyed = true)
       else {
         val keys = source.select(keyCols.map(col): _*).distinct()
         // one column-pruned scan finds the files holding matching keys;
@@ -533,7 +574,8 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
         val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
         require(affected.forall(normLive.contains),
           s"merge: matched file outside the live set (path normalization)")
-        if (affected.isEmpty) commit(stageFiles(source), Nil)
+        if (affected.isEmpty)
+          commit(stageFiles(source), Nil, base = base, keyed = true)
         else {
           val survivors = spark.read.parquet(affected: _*)
             .join(keys, keyCols, "left_anti")

@@ -29,20 +29,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * half-commit, and a race loser can never clobber the winner's
   * manifest.
   *
-  * Scale shape: the log is O(#commits) small JSON files and replay is
-  * driver-side metadata work ∝ total files ever added — the same cost
-  * class as parquet footer listing, and compaction keeps the live
-  * file count bounded. Data-file IO is untouched Spark parquet
-  * (pushdown, pruning, vectorized read all apply: the snapshot only
-  * decides WHICH files the scan gets).
+  * Scale shape: the log is O(#commits) small JSON files, but replay is
+  * NOT O(#commits) per read — every `checkpointInterval` commits the
+  * committer writes `_log/NNNNNNNN.checkpoint.json` holding the fully
+  * replayed state (live files + live-file stats + tags) at that
+  * version, and every state read replays newest-checkpoint-≤-v plus
+  * the ≤ interval-sized manifest tail (the Delta checkpoint-parquet /
+  * Iceberg snapshot-manifest idea). Without this, the class's own
+  * streaming sink — one commit per micro-batch — would make query
+  * PLANNING cost grow forever with stream lifetime (~10k manifest
+  * reads per read after a week at one batch/minute). Data-file IO is
+  * untouched Spark parquet (pushdown, pruning, vectorized read all
+  * apply: the snapshot only decides WHICH files the scan gets).
   */
-final class SnapshotTable(spark: SparkSession, val root: String) {
+final class SnapshotTable(spark: SparkSession, val root: String,
+    val checkpointInterval: Int = 20) {
 
   private def fs: FileSystem =
     FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
 
   /** see the test-seam comment in `commit` */
   private[sources] var raceInjector: () => Unit = () => ()
+
+  /** Diagnostic counter: manifest + checkpoint files this instance has
+    * opened — the spec's O(tail) replay assertions read it. */
+  private[sources] var metaReads: Long = 0L
 
   private def logDir = new Path(s"$root/_log")
   private def dataDir = new Path(s"$root/data")
@@ -85,10 +96,13 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   /** one JSON string token, escape-aware */
   private val StrTok = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
+  private def jsonArr(xs: Seq[String]): String =
+    xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+
   private def encode(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
-      stats: Seq[SnapshotTable.FileStat] = Nil): String = {
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+      stats: Seq[SnapshotTable.FileStat] = Nil,
+      keyed: Boolean = false): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // '|' is the stat-field separator — a path containing it would
     // decode as garbage, so reject it up front (uuid-part names never
@@ -97,8 +111,13 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       s"stat path/col must not contain '|': ${s.file}|${s.col}"))
     val st =
       if (stats.isEmpty) ""
-      else s""","stats":${arr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
-    s"""{"add":${arr(add)},"remove":${arr(remove)}$t$st}"""
+      else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
+    // keyed marker: this commit's PLAN depended on the live row/key
+    // set (merge/overwrite/restore/compact) — recorded so a concurrent
+    // keyed writer can detect it even when this commit removed nothing
+    // (an append-shaped merge); see `commit`'s isolation scaladoc
+    val k = if (keyed) s""","keyed":true""" else ""
+    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$k}"""
   }
 
   private def statsOf(json: String): Seq[SnapshotTable.FileStat] = {
@@ -118,17 +137,21 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     """"tag"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(m => unesc(m.group(1)))
 
-  private def decode(json: String): (Seq[String], Seq[String]) = {
-    def arr(key: String): Seq[String] = {
-      val m = (s""""$key"\\s*:\\s*\\[""" + """((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""").r
-        .findFirstMatchIn(json)
-      m.map(_.group(1)).filter(_.nonEmpty).toSeq
-        .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
-    }
-    (arr("add"), arr("remove"))
+  private def keyedOf(json: String): Boolean =
+    """"keyed"\s*:\s*true""".r.findFirstIn(json).isDefined
+
+  private def arrOf(json: String, key: String): Seq[String] = {
+    val m = (s""""$key"\\s*:\\s*\\[""" + """((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""").r
+      .findFirstMatchIn(json)
+    m.map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
   }
 
+  private def decode(json: String): (Seq[String], Seq[String]) =
+    (arrOf(json, "add"), arrOf(json, "remove"))
+
   private def readManifestRaw(v: Int): String = {
+    metaReads += 1
     val p = new Path(logDir, f"$v%08d.json")
     val in = fs.open(p)
     try {
@@ -141,21 +164,100 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
   private def readManifest(v: Int): (Seq[String], Seq[String]) =
     decode(readManifestRaw(v))
 
-  /** Concrete data-file list of snapshot `version` (default: newest).
-    * Replayed in version order — required since [[restore]] may RE-ADD
-    * a file some earlier manifest removed (add/remove/add sequences
-    * resolve by last action wins). */
+  // ---- checkpointing: replay = newest checkpoint + manifest tail ----
+
+  private def checkpointPath(v: Int) = new Path(logDir, f"$v%08d.checkpoint.json")
+
+  private val CkptName = "(\\d{8})\\.checkpoint\\.json".r
+
+  /** Newest checkpoint version ≤ `v`; 0 = replay from the beginning. */
+  private def checkpointAtOrBelow(v: Int): Int =
+    if (!fs.exists(logDir)) 0
+    else fs.listStatus(logDir).flatMap(s => s.getPath.getName match {
+      case CkptName(n) => Some(n.toInt)
+      case _ => None
+    }).filter(_ <= v).foldLeft(0)(math.max)
+
+  /** (live files, live-file stats, tags) recorded at checkpoint `v`. */
+  private def readCheckpoint(v: Int)
+      : (Seq[String], Seq[SnapshotTable.FileStat], Seq[String]) = {
+    metaReads += 1
+    val p = checkpointPath(v)
+    val in = fs.open(p)
+    val raw = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"))
+  }
+
+  /** Fully replayed table state at version `v`: live files in add
+    * order, their recorded stats, and every tag committed ≤ v. Seeds
+    * from the newest checkpoint ≤ v, then replays the manifest tail —
+    * O(checkpointInterval) metadata reads however long the log is.
+    * Replay is in version order — required since [[restore]] may
+    * RE-ADD a file some earlier manifest removed (add/remove/add
+    * resolves by last action wins). */
+  private def replayState(v: Int): (Seq[String],
+      Map[(String, String), (Long, Long)], Set[String]) = {
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    val tags = scala.collection.mutable.Set[String]()
+    val c = checkpointAtOrBelow(v)
+    if (c > 0) {
+      val (l, st, tg) = readCheckpoint(c)
+      live ++= l
+      st.foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
+      tags ++= tg
+    }
+    (c + 1 to v).foreach { i =>
+      val raw = readManifestRaw(i)
+      val (add, remove) = decode(raw)
+      live ++= add
+      live --= remove
+      statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
+      tagOf(raw).foreach(tags += _)
+    }
+    (live.toSeq, stats.toMap, tags.toSet)
+  }
+
+  /** Write the checkpoint for version `v` when it's an interval
+    * multiple. Best-effort AND idempotent: the content is the
+    * deterministic replay at v, published atomically like a manifest
+    * (a racing writer's duplicate attempt loses the hard-link race and
+    * is discarded); an IO failure only delays checkpointing to the
+    * next multiple — correctness never depends on one existing. */
+  private def maybeCheckpoint(v: Int): Unit =
+    if (checkpointInterval > 0 && v % checkpointInterval == 0) try {
+      if (!fs.exists(checkpointPath(v))) {
+        val (live, stats, tags) = replayState(v)
+        val liveSet = live.toSet
+        // only LIVE files' stats ride forward: a removed file's ranges
+        // can never prune anything again, and dropping them keeps the
+        // checkpoint O(live files), not O(files ever added)
+        val st = stats.collect {
+          case ((f, c), (lo, hi)) if liveSet.contains(f) =>
+            SnapshotTable.FileStat(f, c, lo, hi)
+        }.toSeq.sortBy(s => (s.file, s.col))
+        st.foreach(s => require(!s.file.contains("|") && !s.col.contains("|")))
+        val body = s"""{"live":${jsonArr(live)}""" +
+          s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
+          s""","tags":${jsonArr(tags.toSeq.sorted)}}"""
+        val tmp = new Path(s"$root/_staging/ckpt-${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!publish(tmp, checkpointPath(v))) fs.delete(tmp, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Concrete data-file list of snapshot `version` (default: newest). */
   def files(version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    (1 to v).foreach { i =>
-      val (add, remove) = readManifest(i)
-      live ++= add
-      live --= remove
-    }
-    live.toSeq
+    replayState(v)._1
   }
 
   /** Read snapshot `version` (default newest). Empty snapshots read
@@ -238,9 +340,14 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * plan never saw, so replaying both would duplicate rows. Before
     * every publish attempt the manifests committed after `base` (the
     * version the plan was resolved against) are scanned; ANY with a
-    * non-empty remove set aborts with
+    * non-empty remove set OR a `keyed` marker aborts with
     * [[SnapshotTable.CommitConflict]] and the caller recomputes from
-    * the new head. Blind appends racing anything still commute, as in
+    * the new head. The keyed MARKER is what closes the append-shaped
+    * hole: a merge that matched no live files commits adds only, so a
+    * remove-set scan alone would let two concurrent insert-only merges
+    * of the same key both land — duplicate keys with no error. Every
+    * keyed commit writes the marker, and every keyed writer conflicts
+    * on seeing one. Blind appends racing anything still commute, as in
     * Delta's default isolation — a merge simply does not see rows
     * committed after its snapshot. Returns the committed version. */
   private def commit(add: Seq[String], remove: Seq[String],
@@ -249,10 +356,11 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
       base: Int = -1, keyed: Boolean = false): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
+    val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
-    try out.write(encode(add, remove, tag, stats)
+    try out.write(encode(add, remove, tag, stats, keyed = checkRemoves)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -261,33 +369,40 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     val inject = raceInjector
     raceInjector = () => ()
     inject()
-    val checkRemoves = remove.nonEmpty || keyed
     var checkedUpTo = base
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = currentVersion
       if (checkRemoves && head > checkedUpTo) {
-        // ANY interleaved remove-bearing commit conflicts: a rewrite
-        // (merge/compact/overwrite) or a restore's re-add changed rows
-        // or RESURRECTED keys this commit's plan never saw — a plain
-        // remove-set intersection misses the resurrection case (a
-        // restore re-ADDS a file with keys a concurrent keyed merge
-        // believed absent). Blind append-only interleaves still
-        // commute. False conflicts only cost a recompute round.
+        // ANY interleaved remove-bearing OR keyed commit conflicts: a
+        // rewrite (merge/compact/overwrite) or a restore's re-add
+        // changed rows or RESURRECTED keys this commit's plan never
+        // saw, and an append-shaped keyed commit inserted keys it
+        // decided were absent — a plain remove-set intersection misses
+        // both the resurrection and the insert-only-merge case. Blind
+        // append-only interleaves still commute. False conflicts only
+        // cost a recompute round.
         val clash = (checkedUpTo + 1 to head).flatMap { v =>
-          readManifest(v)._2.headOption.map(f => (v, f))
+          val raw = readManifestRaw(v)
+          val rem = decode(raw)._2
+          if (rem.nonEmpty) Some((v, s"removed ${rem.head}"))
+          else if (keyedOf(raw)) Some((v, "keyed append"))
+          else None
         }
         if (clash.nonEmpty) {
           fs.delete(tmp, false)
           throw new SnapshotTable.CommitConflict(
-            s"concurrent remove-bearing commit(s) " +
+            s"concurrent keyed/remove-bearing commit(s) " +
               s"${clash.map(_._1).mkString("v", ",v", "")} landed on " +
-              s"$root (first removed: ${clash.head._2}) — recompute from v$head")
+              s"$root (first: ${clash.head._2}) — recompute from v$head")
         }
         checkedUpTo = head
       }
       val target = new Path(logDir, f"${head + 1}%08d.json")
-      if (publish(tmp, target)) return head + 1
+      if (publish(tmp, target)) {
+        maybeCheckpoint(head + 1)
+        return head + 1
+      }
       attempt += 1
     }
     fs.delete(tmp, false)
@@ -333,24 +448,16 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     commit(staged, Nil, None, stats)
   }
 
-  /** ONE manifest replay producing both the live file list and the
-    * per-(file, col) stat map — the pruning entry points share it so a
-    * k-predicate prune costs one O(#commits) driver pass, not 2k. */
+  /** ONE checkpoint-seeded replay producing both the live file list
+    * and the per-(file, col) stat map — the pruning entry points share
+    * it so a k-predicate prune costs one O(tail) driver pass, not 2k. */
   private def liveFilesAndStats(version: Option[Int])
       : (Seq[String], Map[(String, String), (Long, Long)]) = {
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
-    (1 to v).foreach { i =>
-      val raw = readManifestRaw(i)
-      val (add, remove) = decode(raw)
-      live ++= add
-      live --= remove
-      statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
-    }
-    (live.toSeq, stats.toMap)
+    val (live, stats, _) = replayState(v)
+    (live, stats)
   }
 
   /** Live files of snapshot `version` that can contain a `colName`
@@ -437,11 +544,18 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * shared log's head, not on this instance's writes). */
   def committedTags: Set[String] = synchronized {
     val cur = currentVersion
-    val (seen, tags) = tagScan
+    var (seen, tags) = tagScan
+    if (seen == 0) {
+      // cold instance: seed from the newest checkpoint (which records
+      // every tag ≤ its version) so a restarted streaming writer's
+      // first idempotence check replays the tail, not the whole log
+      val c = checkpointAtOrBelow(cur)
+      if (c > 0) { seen = c; tags ++= readCheckpoint(c)._3 }
+    }
     if (cur > seen)
-      tagScan = (cur,
-        tags ++ (seen + 1 to cur).flatMap(v => tagOf(readManifestRaw(v))))
-    tagScan._2
+      tags = tags ++ (seen + 1 to cur).flatMap(v => tagOf(readManifestRaw(v)))
+    tagScan = (math.max(cur, seen), tags)
+    tags
   }
   private var tagScan: (Int, Set[String]) = (0, Set.empty)
 
@@ -477,7 +591,12 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     retryingOnConflict("overwrite") {
       val base = currentVersion
       val live = files(Some(base))
-      commit(stageFiles(df), live, tag, base = if (live.isEmpty) -1 else base)
+      // keyed even when the table is empty: two concurrent FIRST
+      // overwrites would otherwise both land as unchecked add-only
+      // commits and the table would hold the UNION of both frames —
+      // with the marker the loser conflicts, re-resolves the winner's
+      // live set, and removes it, preserving replace-everything
+      commit(stageFiles(df), live, tag, base = base, keyed = true)
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -634,8 +753,25 @@ final class SnapshotTable(spark: SparkSession, val root: String) {
     * files deleted. */
   def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L): Int = {
     val cutoff = System.currentTimeMillis() - stagingGraceMs
-    val keep = (retainFrom to currentVersion)
-      .flatMap(v => files(Some(v))).toSet
+    // keep-set in ONE log walk: maintain the running live set, union
+    // it into keep at every version >= retainFrom. The former
+    // files(v)-per-retained-version loop replayed manifests 1..v for
+    // EACH v — Σv ≈ n²/2 manifest reads; this is O(tail) reads seeded
+    // from the newest checkpoint <= retainFrom, same keep-set.
+    val cur = currentVersion
+    val keep = scala.collection.mutable.Set[String]()
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val c0 = checkpointAtOrBelow(math.max(0, math.min(retainFrom, cur)))
+    if (c0 > 0) {
+      live ++= readCheckpoint(c0)._1
+      if (c0 >= retainFrom) keep ++= live
+    }
+    (c0 + 1 to cur).foreach { v =>
+      val (add, remove) = readManifest(v)
+      live ++= add
+      live --= remove
+      if (v >= retainFrom) keep ++= live
+    }
     val have =
       if (!fs.exists(dataDir)) Seq.empty
       else fs.listStatus(dataDir)

@@ -371,6 +371,94 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t2.read()) == Set(5L))
   }
 
+  test("checkpointed log: a fresh reader replays newest checkpoint + tail only") {
+    val dir = java.nio.file.Files.createTempDirectory("snapckpt").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 5)
+    (1L to 12L).foreach { i =>
+      if (i % 3 == 0) assert(t.appendIfAbsent(Seq(i).toDF("id"), s"tag-$i").isDefined)
+      else t.append(Seq(i).toDF("id"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log/00000005.checkpoint.json")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log/00000010.checkpoint.json")))
+    // a COLD instance (no in-memory state) must resolve the newest
+    // snapshot from checkpoint@10 + manifests 11..12 — never the full
+    // 12-manifest replay the pre-checkpoint code did
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 5)
+    t2.metaReads = 0
+    assert(ids(t2.read()) == (1L to 12L).toSet)
+    assert(t2.metaReads <= 3, s"expected ckpt+2 manifests, opened ${t2.metaReads}")
+    // time travel seeds from the checkpoint at-or-below the target
+    t2.metaReads = 0
+    assert(ids(t2.read(Some(7))) == (1L to 7L).toSet)
+    assert(t2.metaReads <= 3)
+    // tags survive the checkpoint: a cold writer's idempotence check
+    // is tail-sized, and replayed tags are still recognized
+    val t3 = new SnapshotTable(spark, dir, checkpointInterval = 5)
+    t3.metaReads = 0
+    assert(t3.appendIfAbsent(Seq(99L).toDF("id"), "tag-3") == None)
+    assert(t3.metaReads <= 3, s"cold tag check opened ${t3.metaReads}")
+    assert(t3.committedTags == Set("tag-3", "tag-6", "tag-9", "tag-12"))
+  }
+
+  test("checkpoint carries live-file stats; pruning works from the tail replay") {
+    val dir = java.nio.file.Files.createTempDirectory("snapckst").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((101L to 200L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((201L to 300L).toDF("id").coalesce(1), Seq("id"))  // ckpt@3
+    t.appendWithStats((301L to 400L).toDF("id").coalesce(1), Seq("id"))
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t2.metaReads = 0
+    // stats recorded BEFORE the checkpoint must still prune after it
+    assert(t2.prunedFiles("id", 150L, 160L).size == 1)
+    assert(t2.metaReads <= 2, s"ckpt+1 manifest expected, got ${t2.metaReads}")
+    assert(t2.readPruned("id", 350L, 360L).count() == 100)
+  }
+
+  test("vacuum keep-set is a single log pass (checkpoint-seeded), same semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("snapvac").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 4)
+    (1L to 7L).foreach(i => t.append(Seq(i).toDF("id")))
+    t.compact(coalesceTo = 1)  // v8: the 7 originals go historical
+    t.metaReads = 0
+    val reaped = t.vacuum(retainFrom = 8, stagingGraceMs = -1000L)
+    assert(reaped == 7)
+    // one walk: ckpt@8? (8 % 4 == 0 → checkpoint exists at v8) + tail
+    assert(t.metaReads <= 2, s"vacuum replayed ${t.metaReads} metadata files")
+    assert(ids(t.read()) == (1L to 7L).toSet)
+    intercept[Exception] { t.read(Some(3)).count() }
+  }
+
+  test("concurrent insert-only merges of the same key conflict (no duplicate keys)") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    // both merges are APPEND-SHAPED (key 2 matches no live file), so
+    // neither removes anything — the keyed manifest marker is the only
+    // thing that can make them conflict; without it both land and the
+    // table ends up with two rows for key 2
+    t.raceInjector = () => { new SnapshotTable(spark, t.root).merge(
+      Seq((2L, "first")).toDF("id", "v"), Seq("id")); () }
+    t.merge(Seq((2L, "second")).toDF("id", "v"), Seq("id"))
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows.count(_._1 == 2L) == 1,
+      s"insert-only merge race duplicated key 2: $rows")
+    // the loser recomputed: its upsert REPLACED the winner's row
+    assert(rows.toMap == Map(1L -> "a", 2L -> "second"))
+  }
+
+  test("concurrent first overwrites on an empty table: one winner, not the union") {
+    val t = tmpTable()
+    t.raceInjector = () => { new SnapshotTable(spark, t.root)
+      .overwrite(Seq(7L).toDF("id")); () }
+    t.overwrite(Seq(8L).toDF("id"))
+    // replace-everything semantics: the loser detects the winner's
+    // keyed commit, re-resolves, and removes the winner's files
+    assert(ids(t.read()) == Set(8L), "empty-table overwrite race produced a union")
+    assert(ids(t.read(Some(1))) == Set(7L), "winner's snapshot stays time-travelable")
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

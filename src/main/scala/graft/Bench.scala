@@ -32,16 +32,32 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
-  /** Self-policing gate: a median counts as a regression when it
-    * exceeds 2× its committed floor AND the absolute slip is >0.25 s
-    * (sub-second queries swing ±2× on box noise alone; a real plan
-    * regression on a fast query still clears a quarter second). */
+  /** Self-policing gate, two discriminators per query:
+    *  - BEST of N > 2× floor AND +0.25 s: a genuine plan regression
+    *    (extra shuffle, lost pushdown, dropped broadcast) slows EVERY
+    *    pass, so it survives the min; box load that taxes one or two
+    *    passes does not. (Sub-second queries swing ±2× on noise alone;
+    *    a real regression on a fast query still clears 0.25 s.)
+    *  - MEDIAN > 3× floor AND +1.0 s: the backstop — a regression that
+    *    inflates most-but-not-all passes (added GC/memory pressure
+    *    with an occasional lucky pass) clears the best gate but still
+    *    degrades every REPORTED number; the looser ratio keeps loaded-
+    *    box medians (~2× in r7's worst run) from false-flagging.
+    * Flagged value = whichever discriminator tripped (best first). */
   private[graft] def regressions(
-      results: Seq[(String, Double)], floors: Map[String, Double])
-      : Seq[(String, Double, Double)] =
-    results.collect {
-      case (name, med) if med >= 0 && floors.get(name).exists(f =>
-        med > 2 * f && med - f > 0.25) => (name, med, floors(name))
+      medians: Seq[(String, Double)], bests: Map[String, Double],
+      floors: Map[String, Double]): Seq[(String, Double, Double)] =
+    medians.collect {
+      case (name, med) if floors.contains(name) && {
+        val f = floors(name)
+        val b = bests.getOrElse(name, -1.0)
+        (b >= 0 && b > 2 * f && b - f > 0.25) ||
+          (med >= 0 && med > 3 * f && med - f > 1.0)
+      } =>
+        val f = floors(name)
+        val b = bests.getOrElse(name, -1.0)
+        val tripping = if (b >= 0 && b > 2 * f && b - f > 0.25) b else med
+        (name, tripping, f)
     }
 
   /** One shared local session shape for every bench entry point. */
@@ -152,17 +168,16 @@ object Bench {
     // self-policing regression gate against the committed quiet-box
     // floor file: a loaded-box run diagnoses itself instead of waiting
     // for a judge-side diff (round-5's e2/e3 scare was exactly this).
-    // Gate on each query's BEST run, not its median: a genuine plan
-    // regression (extra shuffle, lost pushdown, dropped broadcast)
-    // slows EVERY pass, so it survives the min; box load that taxes
-    // one or two of the passes (the r7 pattern — totals 191/174/108 s
-    // within one JVM, the last pass at the quiet-box floor) does not.
-    // Medians stay the REPORTED numbers ("queries"); "regressions"
-    // values are therefore [best, floor] pairs, labeled as such.
+    // Two discriminators (see `regressions`): best-of-N at 2× catches
+    // plan regressions through box load (the r7 pattern — totals
+    // 191/174/108 s within one JVM, the last pass at the quiet-box
+    // floor); median at 3× catches degradation that a single lucky
+    // pass would otherwise hide. Medians stay the REPORTED numbers
+    // ("queries"); "regressions" values are [tripping-value, floor].
     val floors = loadFloors(java.nio.file.Paths.get(floorsFile))
-    val regs = regressions(bests, floors)
+    val regs = regressions(results, bests.toMap, floors)
     regs.foreach { case (n, b, f) =>
-      System.err.println(f"[bench] REGRESSION $n: best-of-$runsN $b%.2fs vs floor $f%.2fs") }
+      System.err.println(f"[bench] REGRESSION $n: $b%.2fs vs floor $f%.2fs (best+median gate)") }
     val regsJson = regs.map { case (n, b, f) =>
       f""""$n":[$b%.3f,$f%.3f]""" }.mkString("{", ",", "}")
     def render(dp: Int, minShow: Double): String = {

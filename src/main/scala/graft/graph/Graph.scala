@@ -88,7 +88,12 @@ object Graph {
       assert_true(col("node") >= 0L && col("node") < 4294967296L,
         lit("triangleStats: node id outside [0, 2^32) — re-map to dense ids"))
         .cast("long"), lit(0L))
-    val key = col("degree") * lit(4294967296L) + col("node") + guard
+    // bit-level pack, not degree*2^32+node: the multiplication throws
+    // under spark.sql.ansi.enabled for degree >= 2^31 where shiftleft
+    // just wraps (same signed-order caveat either way — degree < 2^31
+    // always holds here since degree <= |V|-1 <= 2^32-1 only matters
+    // at >2 billion edges per node, and the pack stays injective)
+    val key = shiftleft(col("degree"), 32).bitwiseOR(col("node")) + guard
     // the degree lookup is |V|-sized — broadcast both orientation joins
     val dkey = broadcast(degrees(edges).select(col("node"), key.as("kk")))
     val de = edges
@@ -115,9 +120,12 @@ object Graph {
     // single-long closing key (node < 2^32 is already asserted in-plan
     // by `guard`): one 8-byte hash/probe per wedge instead of a
     // two-column struct key — measured ~35% off the census wall time,
-    // and the wedge stream is where all the time goes
+    // and the wedge stream is where all the time goes. Packed with
+    // shiftleft|OR, not u*2^32+v: equality-only use, and the bit pack
+    // neither overflows nor throws under spark.sql.ansi.enabled for
+    // u >= 2^31 (the multiplication does)
     val closingRaw = de.select(
-      (col("u") * lit(4294967296L) + col("v")).as("ck"))
+      shiftleft(col("u"), 32).bitwiseOR(col("v")).as("ck"))
     val closing =
       if (knownEdgeCount.getOrElse(edges.count()) <= maxBroadcastEdges)
         broadcast(closingRaw)
@@ -125,7 +133,7 @@ object Graph {
     val tri = de.as("e1")
       .join(de.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .join(closing,
-        col("ck") === col("e1.v") * lit(4294967296L) + col("e2.v"))
+        col("ck") === shiftleft(col("e1.v"), 32).bitwiseOR(col("e2.v")))
       .agg(count(lit(1)).as("n_triangles"))
     val wedges = degrees(edges)
       .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))

@@ -64,16 +64,6 @@ object ZOrderLayout {
       acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
     }
 
-  def rangeBucket(df: DataFrame, colName: String, bits: Int): Column = {
-    requireOrderable(df, colName)
-    val nBuckets = 1 << bits
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df
-      .select(col(colName).cast("double").as("__q"))
-      .stat.approxQuantile("__q", probs, 0.001)
-    bucketExpr(colName, bounds)
-  }
-
   /** Lay `df` out on the Z-curve over `cols`: range-partition into
     * `numFiles` partitions by the interleaved z-value and sort within
     * each, so a subsequent parquet write produces files whose min/max

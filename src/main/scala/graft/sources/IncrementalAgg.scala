@@ -35,8 +35,14 @@ object IncrementalAgg {
     *
     * @param table        the snapshot table holding the base rows
     * @param state        prior aggregate state: one row per group with
-    *                     `keys`, `__n` (row count) and `sum_<c>` per
-    *                     sum column — exactly this object's output; or
+    *                     `keys`, `__n` (row count) and, per sum column,
+    *                     `sum_<c>` plus `nn_<c>` (its non-null value
+    *                     count — what makes SQL's NULL-sum semantics
+    *                     maintainable: SUM is NULL iff nn = 0, so an
+    *                     all-NULL group reports NULL, not 0, and a
+    *                     delete stripping the last non-null value
+    *                     returns the sum to NULL, exactly like the
+    *                     recompute) — exactly this object's output; or
     *                     None for a cold start
     * @param stateVersion the table version `state` reflects (0 cold)
     * @param keys         group-by key columns
@@ -56,6 +62,13 @@ object IncrementalAgg {
     require(state.isDefined || stateVersion == 0,
       "state=None with stateVersion>0: the delta since that version is " +
         "not the full state — cold-start from version 0 or recompute()")
+    // clear error at the right altitude for states persisted before the
+    // nn_<c> column existed: NULL-sum semantics cannot be maintained
+    // without the non-null counts, so the state must be rebuilt once
+    state.foreach(st => require(
+      sumCols.forall(c => st.columns.contains(s"nn_$c")),
+      "state lacks nn_<c> non-null counts (pre-upgrade format) — " +
+        "rebuild it once via recompute()"))
     // a clear error at the right altitude: the underlying read of an
     // empty table would otherwise throw a misleading "no data files"
     require(table.currentVersion > 0,
@@ -68,11 +81,17 @@ object IncrementalAgg {
     val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = d.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("__dn"),
-        sumCols.map(c => sum(col(c) * sign).as(s"__d_$c")): _*)
+        sumCols.flatMap(c => Seq(
+          sum(col(c) * sign).as(s"__d_$c"),
+          // signed NON-NULL count: the discriminator between "sum is
+          // 0" and "sum is NULL (no non-null values)" — coalescing the
+          // sum alone silently turns an all-NULL group into 0
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$c"))): _*)
     val merged = state match {
       case None =>
         delta.select(keys.map(col) ++ Seq(col("__dn").as("__n")) ++
-          sumCols.map(c => col(s"__d_$c").as(s"sum_$c")): _*)
+          sumCols.flatMap(c => Seq(col(s"__d_$c").as(s"sum_$c"),
+            col(s"__dnn_$c").as(s"nn_$c"))): _*)
       case Some(st) =>
         // NULL-SAFE key match: groupBy treats null keys as one group,
         // but an equi-join never matches null==null — a plain
@@ -82,26 +101,39 @@ object IncrementalAgg {
         // single, correctly-updated rows.
         val dd = delta.select(
           keys.map(c => col(c).as(s"__dk_$c")) ++
-            (Seq("__dn") ++ sumCols.map(c => s"__d_$c")).map(col): _*)
+            (Seq("__dn") ++
+              sumCols.flatMap(c => Seq(s"__d_$c", s"__dnn_$c"))).map(col): _*)
         val cond = keys.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
         st.join(dd, cond, "full_outer")
           .select(keys.map(c => coalesce(col(c), col(s"__dk_$c")).as(c)) ++ Seq(
             (coalesce(col("__n"), lit(0L)) +
               coalesce(col("__dn"), lit(0L))).as("__n")) ++
-            sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0L).cast(st.schema(s"sum_$c").dataType)) +
-                coalesce(col(s"__d_$c"), lit(0L).cast(st.schema(s"sum_$c").dataType)))
-                .as(s"sum_$c")): _*)
+            sumCols.flatMap { c =>
+              val typ = st.schema(s"sum_$c").dataType
+              val nn = coalesce(col(s"nn_$c"), lit(0L)) +
+                coalesce(col(s"__dnn_$c"), lit(0L))
+              Seq(
+                // SUM is NULL exactly when the group holds zero
+                // non-null values — matching SQL/recompute semantics
+                // for all-NULL groups and for deletes that strip the
+                // last non-null value
+                when(nn === 0L, lit(null).cast(typ))
+                  .otherwise(coalesce(col(s"sum_$c"), lit(0L).cast(typ)) +
+                    coalesce(col(s"__d_$c"), lit(0L).cast(typ))).as(s"sum_$c"),
+                nn.as(s"nn_$c"))
+            }: _*)
     }
     (merged.filter(col("__n") > 0), to)
   }
 
   /** Full recompute of the same state shape — the oracle the
     * incremental path must equal at every version (spec-pinned), and
-    * the cold-start/repair path. */
+    * the cold-start/repair path. `nn_<c>` = COUNT(c), the non-null
+    * value count the incremental path maintains. */
   def recompute(table: SnapshotTable, keys: Seq[String],
       sumCols: Seq[String], version: Option[Int] = None): DataFrame =
     table.read(version).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+          count(col(c)).as(s"nn_$c"))): _*)
 }

@@ -21,14 +21,27 @@ class BenchGateSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/nonexistent/floor.json")).isEmpty)
   }
 
-  test("gate flags >2x slips over 0.25s; tolerates noise, new queries, failures") {
+  test("gate flags >2x BEST slips over 0.25s; tolerates noise, new queries, failures") {
     val floors = Map("a" -> 1.0, "b" -> 0.05, "c" -> 0.5, "d" -> 1.0)
-    val results = Seq(
-      "a" -> 2.6,   // 2.6x floor, +1.6s -> regression
-      "b" -> 0.15,  // 3x floor but only +0.1s -> noise, not flagged
-      "c" -> 0.9,   // 1.8x floor -> inside band
+    val medians = Seq(
+      "a" -> 2.7,   // best 2.6x floor, +1.6s -> regression (best value reported)
+      "b" -> 0.15,  // best 3x floor but only +0.1s -> noise, not flagged
+      "c" -> 0.9,   // best 1.8x floor -> inside band
       "d" -> -1.0,  // failed query: reported via "failed", not the gate
       "new_query" -> 9.9) // no committed floor yet -> skipped
-    assert(Bench.regressions(results, floors) == Seq(("a", 2.6, 1.0)))
+    val bests = Map("a" -> 2.6, "b" -> 0.15, "c" -> 0.9, "d" -> -1.0,
+      "new_query" -> 9.9)
+    assert(Bench.regressions(medians, bests, floors) == Seq(("a", 2.6, 1.0)))
+  }
+
+  test("median backstop: most-passes degradation with one lucky pass still trips") {
+    val floors = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1)
+    val medians = Seq(
+      "a" -> 4.5, // best clears (lucky pass at 1.1x) but median 4.5x, +3.5s -> trips
+      "b" -> 2.4, // best clears AND median inside 3x -> loaded box, not flagged
+      "c" -> 0.9) // median 9x floor but +0.8s < 1.0s abs -> sub-second noise
+    val bests = Map("a" -> 1.1, "b" -> 1.2, "c" -> 0.15)
+    assert(Bench.regressions(medians, bests, floors) == Seq(("a", 4.5, 1.0)),
+      "median gate must catch what one lucky pass hides")
   }
 }

@@ -128,6 +128,37 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sorted(state.get) == Seq(("a", 2L, 3L), ("b", 1L, 10L)))
   }
 
+  test("all-NULL value groups report NULL, not 0, across refreshes and deletes") {
+    val t = tbl()
+    def sums(df: org.apache.spark.sql.DataFrame): Map[String, Option[Long]] =
+      df.select(col("k"), col("sum_v")).collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    t.append(Seq(("a", Option.empty[Long]), ("b", Some(5L)))
+      .toDF("k", "v"))
+    var st = IncrementalAgg.refresh(t, None, 0, Seq("k"), Seq("v"))
+    assert(sums(st._1) == Map("a" -> None, "b" -> Some(5L)))
+    // a refresh touching OTHER groups must not turn a's NULL into 0
+    t.append(Seq(("c", Some(1L))).toDF("k", "v"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(sums(st._1) == Map("a" -> None, "b" -> Some(5L), "c" -> Some(1L)),
+      s"all-NULL group coerced: ${sums(st._1)}")
+    assert(sums(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == sums(st._1))
+    // a merge replacing b's only non-null value with NULL returns its
+    // sum to NULL (delete -5 alone would leave 0 — nn catches it)
+    t.merge(Seq(("b", Option.empty[Long])).toDF("k", "v"), Seq("k"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(sums(st._1) == Map("a" -> None, "b" -> None, "c" -> Some(1L)))
+    assert(sums(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == sums(st._1))
+    // ...and a later non-null arrival revives the sum
+    t.append(Seq(("b", Some(7L))).toDF("k", "v"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(sums(st._1) == Map("a" -> None, "b" -> Some(7L), "c" -> Some(1L)))
+    // (check() unboxes sum_v as Long and would NPE on a's NULL — the
+    // recompute comparison above is the oracle here)
+    assert(sums(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == sums(st._1))
+  }
+
   test("a lost state cannot masquerade as a delta rebuild") {
     val t = tbl()
     t.append(Seq(("a", 1L)).toDF("k", "v"))

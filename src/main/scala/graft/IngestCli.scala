@@ -47,12 +47,12 @@ object IngestCli {
 
     task match {
       case "SeedStations" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         store.writeStations(ObsIngest.seedStations(spark, req("stations")))
         println(s"seeded ${store.stations.count()} stations")
 
       case "SequenceIngest" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val now = opts.get("now").map(lit(_)).getOrElse(current_timestamp()).cast("timestamp")
         val catalog = loadCatalog(spark, req("catalog"))
@@ -61,14 +61,14 @@ object IngestCli {
         println(s"ingested $n new files")
 
       case "QueryObs" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         println(QueryApi.obsTimeseriesStationDataJson(
           store.gaugeDataForRange(req("start"), req("end")),
           store.gaugeSource, store.stations,
           req("station"), req("start"), req("end")))
 
       case "QueryObsAllParms" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         println(QueryApi.obsTimeseriesStationDataAllParmsJson(
           store.gaugeDataForRange(req("start"), req("end")),
           store.gaugeSource, store.stations,
@@ -77,7 +77,7 @@ object IngestCli {
       case "ModelRunIngest" =>
         // SequenceIngest for one ADCIRC run dir (runModelIngest.py:553-580):
         // FORECAST_*/NOWCAST_* data + meta_* station files under --runDir.
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val n = modelRunIngest(spark, store,
           runDir = req("runDir"), modelRunId = req("modelRunID"),
@@ -90,7 +90,7 @@ object IngestCli {
         println(s"ingested $n model files")
 
       case "QueryForecast" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         val df = QueryApi.forecastTimeseriesStationData(
           store.modelDataForTimemark(req("timemark").replace("T", " ")),
           store.modelSource, store.stations,
@@ -100,7 +100,7 @@ object IngestCli {
           df.columns.filterNot(_ == "time_stamp").toSeq))
 
       case "QueryNowcast" =>
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         // run_date-pruned like the QueryServe nowcast path; horizon
         // contract documented on GaugeStore.modelDataForRange
         val df = QueryApi.nowcastTimeseriesStationData(
@@ -117,7 +117,7 @@ object IngestCli {
         // JSON request per stdin line, one JSON response per stdout
         // line, warm session across requests — the engine half of the
         // reference's REST serving surface (README.md:151-166)
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         System.err.println("[serve] ready (blank line or 'quit' ends)")
         QueryServe.serve(store,
           scala.io.Source.stdin.getLines(), println)
@@ -126,7 +126,7 @@ object IngestCli {
         // streaming obs ingest, one AvailableNow drain per catalog
         // source (cron-equivalent): the file-source checkpoint under
         // the store replaces the ledger anti-join for idempotence
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         loadCatalog(spark, req("catalog")).foreach { meta =>
           graft.streaming.StreamingIngest.runOnce(spark, meta, store,
@@ -138,7 +138,7 @@ object IngestCli {
       case "StreamModelRuns" =>
         // drain run-manifest announcements (StreamingModelIngest):
         // each manifest row hands a completed run to modelRunIngest
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         graft.streaming.StreamingModelIngest.runOnce(spark, store,
           req("watchDir"), s"${req("store")}/_checkpoints/model_manifests")
@@ -208,7 +208,7 @@ object IngestCli {
               println(s"state already at v$prevV, no refresh")
             else {
               val (next, to) = graft.sources.IncrementalAgg.refresh(
-                t, prev, prevV, keys, sums)
+                t, prev, prevV, keys, sums, csvOpt("minmax"))
               stateT.overwrite(next, Some(s"aggstate-v$to"))
               println(s"state refreshed to v$to " +
                 s"(${stateT.read().count()} groups)")
@@ -229,7 +229,7 @@ object IngestCli {
         // operational table statistics (files/bytes/leaves + the worst
         // leaf by file count — the compaction trigger signal); pure FS
         // metadata walk, no Spark jobs
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         val tables = opts.getOrElse("tables",
           "gauge_data,model_data,ledger_obs,ledger_model,stations," +
             "gauge_source,model_source,apsviz_station,retain_obs_station")
@@ -250,7 +250,7 @@ object IngestCli {
         // incremental daily OHLC serving tier: rebuilds only the
         // (source, date) partitions whose fact counts drifted —
         // idempotent, run on any cadence after ingest
-        val store = new GaugeStore(spark, req("store"))
+        val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
         val rebuilt = store.rollupDaily()
         if (rebuilt.isEmpty) println("rollup up to date, rebuilt 0 partition(s)")
         else {
@@ -274,9 +274,9 @@ object IngestCli {
         // and are rejected), and a z-order sweep rewrites EVERY leaf
         // every run — re-laying rows out is the point — so unlike the
         // plain path it is NOT idempotent; run it on a slower cadence.
-        val store = new GaugeStore(spark,
+        val store = GaugeStore.open(spark,
           opts.getOrElse("store", opts.getOrElse("index",
-            sys.error("missing --store or --index"))))
+            sys.error("missing --store or --index"))), opts.get("backend"))
         store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
         val tables = (if (opts.contains("index"))
           opts.getOrElse("tables", "lists")
@@ -402,7 +402,7 @@ object IngestCli {
         val runDirs = HistoricalArchive.archive(spark, man)
         println(s"archived ${man.count()} files into ${runDirs.length} run dirs")
         if (opts.get("ingest").contains("true")) {
-          val store = new GaugeStore(spark, req("store"))
+          val store = GaugeStore.open(spark, req("store"), opts.get("backend"))
           store.vacuum().foreach(a => System.err.println(s"[vacuum] $a"))
           val runs = man.select("run_id", "ensemble_db", "ADCIRCgrid_db",
             "storm_db", "forcing", "instance", "advisory_db", "timemark")

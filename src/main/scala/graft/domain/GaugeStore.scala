@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   * recompute-and-overwrite of the affected partitions — the ledger is
   * O(#files) rows, so a full overwrite is cheap at any data scale.
   */
-final class GaugeStore(spark: SparkSession, val root: String) {
+class GaugeStore(val spark: SparkSession, val root: String) {
 
-  private def path(t: String) = s"$root/$t"
+  protected def path(t: String) = s"$root/$t"
 
-  private def fsys = org.apache.hadoop.fs.FileSystem.get(
+  protected def fsys = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
   /** Backup-dir suffix: wall-clock millis (meaningful ACROSS process
@@ -98,13 +98,22 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     fs.mkdirs(commitsRoot)
     val committed = new org.apache.hadoop.fs.Path(commitsRoot, commitId)
     require(fs.rename(staging, committed), s"commit rename failed: $commitId")
-    finalizeCommit(committed)
+    publishCommit(committed)
   }
+
+  /** Publish one committed-but-unfinalized staging dir into the live
+    * tables — the step [[atomicCommit]] runs right after its commit
+    * rename and [[vacuum]] re-runs for commits stranded by a crash.
+    * MUST be idempotent under re-runs. The base implementation is the
+    * rename-per-file finalize; [[SnapshotGaugeStore]] overrides it to
+    * route fact tables through manifest commits instead. */
+  protected def publishCommit(committed: org.apache.hadoop.fs.Path): Unit =
+    finalizeCommit(committed)
 
   /** Move every staged data file into its table at the same relative
     * path, then drop the commit dir. Spark metadata files (`_SUCCESS`)
     * are skipped — each live table keeps its own. */
-  private def finalizeCommit(committed: org.apache.hadoop.fs.Path): Unit = {
+  protected final def finalizeCommit(committed: org.apache.hadoop.fs.Path): Unit = {
     val fs = fsys
     val rootPath = new org.apache.hadoop.fs.Path(root)
     def walk(dir: org.apache.hadoop.fs.Path, rel: List[String]): Unit =
@@ -654,7 +663,7 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     if (fs.exists(commitsRoot))
       fs.listStatus(commitsRoot).filter(_.isDirectory)
         .sortBy(_.getPath.getName).foreach { c =>
-          finalizeCommit(c.getPath)
+          publishCommit(c.getPath)
           actions += s"finalized commit ${c.getPath.getName}"
         }
     val stagingRoot = new org.apache.hadoop.fs.Path(rootPath, "_staging")
@@ -785,5 +794,37 @@ final class GaugeStore(spark: SparkSession, val root: String) {
     val p = new org.apache.hadoop.fs.Path(path("gauge_rollup_daily"))
     require(fsys.exists(p), s"no rollup at $p — run rollupDaily() first")
     spark.read.parquet(path("gauge_rollup_daily"))
+  }
+}
+
+object GaugeStore {
+  /** Open the store at `root` with backend auto-detection. A store
+    * created with `backend = Some("snapshot")` writes a `_backend`
+    * marker; every later open (CLI calls pass no backend) routes the
+    * fact tables through the manifest-log [[SnapshotTable]]s
+    * automatically, so one `--backend snapshot` at creation is the
+    * only CLI surface change and mixing backends on one store is
+    * impossible. The gauge manifest dir is a fallback detector for
+    * stores whose marker was lost. */
+  def open(spark: SparkSession, root: String,
+      backend: Option[String] = None): GaugeStore = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_backend")
+    val snap = backend match {
+      case Some("snapshot") => true
+      case Some("plain") => false
+      case Some(other) => sys.error(s"unknown --backend $other (snapshot|plain)")
+      case None => fs.exists(marker) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/gauge_data/_log"))
+    }
+    if (snap) {
+      if (!fs.exists(marker)) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+        val out = fs.create(marker, false)
+        try out.write("snapshot".getBytes("UTF-8")) finally out.close()
+      }
+      new SnapshotGaugeStore(spark, root)
+    } else new GaugeStore(spark, root)
   }
 }

@@ -572,6 +572,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     if (committedTags.contains(tag)) None
     else Some(commit(stageFiles(df), Nil, Some(tag)))
 
+  /** [[appendIfAbsent]] + [[appendWithStats]]: idempotent tagged
+    * append that also records per-file min/max for `statCols` — the
+    * exactly-once ingest commit for a PRUNABLE fact table. */
+  def appendIfAbsentWithStats(df: DataFrame, tag: String,
+      statCols: Seq[String]): Option[Int] =
+    if (committedTags.contains(tag)) None
+    else {
+      val (staged, stats) = stageFilesWithStats(df, statCols)
+      Some(commit(staged, Nil, Some(tag), stats))
+    }
+
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
     * batch id. `stream.writeStream.foreachBatch(table.streamingSink _)`
     * (plus a checkpoint) is a transactional streaming table sink. */
@@ -704,6 +715,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         }
       }
     }
+  }
+
+  /** Copy-on-write rewrite of a SUBSET of live files in one keyed
+    * commit: exactly `affected` leaves the live set, the staged rows
+    * of `replacement` enter it, every other live file is untouched —
+    * the primitive behind scoped repairs (a bounded keep-latest dedup,
+    * a partition-aligned rerun swap) where the caller has already
+    * resolved WHICH files hold the rows being rewritten (typically via
+    * [[prunedFilesMulti]]) and rebuilt their full contents.
+    *
+    * `base` must be the version `affected` was resolved against; a
+    * concurrent keyed/remove-bearing commit after it throws
+    * [[SnapshotTable.CommitConflict]] — the caller re-resolves from
+    * the new head and retries (unlike [[merge]], the recompute needs
+    * the caller's scope predicate, so the retry loop lives with the
+    * caller). Returns the committed version. */
+  def replaceFiles(base: Int, affected: Seq[String],
+      replacement: DataFrame,
+      statCols: Seq[String] = Nil): Int = {
+    val liveNow = files(Some(base)).map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
+    require(norm.forall(liveNow.contains),
+      s"replaceFiles: affected file not live at v$base")
+    val (staged, stats) = stageFilesWithStats(replacement, statCols)
+    commit(staged, norm, stats = stats, base = base, keyed = true)
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame

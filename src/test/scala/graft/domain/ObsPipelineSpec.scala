@@ -10,6 +10,10 @@ import java.nio.file.{Files, Paths}
   */
 class ObsPipelineSpec extends SparkSuite {
 
+  /** Store factory — [[SnapshotObsPipelineSpec]] overrides it to run
+    * the identical pipeline against the manifest-log-backed store. */
+  protected def mkStore(root: String): GaugeStore = new GaugeStore(spark, root)
+
   private lazy val dir = Files.createTempDirectory("graft-obs").toString
 
   private val meta = SourceMeta(
@@ -212,7 +216,7 @@ class ObsPipelineSpec extends SparkSuite {
     // sibling meta file: station list for the retain snapshot
     Files.write(Paths.get(harvest, "noaaweb_stationdata_meta_water_level_2023-04-23T12_00_00.csv"),
       "STATION\n8410140\n8418150".getBytes)
-    val store = new GaugeStore(spark, s"$root/store")
+    val store = mkStore(s"$root/store")
     store.writeStations(stations)
     val n = graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
       lit("2023-04-24 00:00:00"))
@@ -235,7 +239,7 @@ class ObsPipelineSpec extends SparkSuite {
     val metaFile = Paths.get(harvest, "noaaweb_stationdata_meta_water_level_2023-04-23T12_00_00.csv")
     Files.write(dataFile, "TIME,STATION,WATER_LEVEL\n2023-04-23T10:00:00,8410140,1.10".getBytes)
     Files.write(metaFile, "STATION\n8410140".getBytes)
-    val store = new GaugeStore(spark, s"$root/store")
+    val store = mkStore(s"$root/store")
     store.writeStations(stations)
     val n = graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
       lit("2023-04-24 00:00:00"), deleteProcessed = true)
@@ -244,4 +248,11 @@ class ObsPipelineSpec extends SparkSuite {
     assert(!Files.exists(dataFile) && !Files.exists(metaFile)) // then files removed
     assert(store.ledger.filter(col("ingested")).count() == 1)  // ledger is the record
   }
+}
+
+/** The same end-to-end obs pipeline over the snapshot-backed store:
+  * every staged fact batch becomes one tagged manifest commit. */
+class SnapshotObsPipelineSpec extends ObsPipelineSpec {
+  override protected def mkStore(root: String): GaugeStore =
+    new SnapshotGaugeStore(spark, root)
 }

@@ -12,6 +12,11 @@ import java.nio.file.Files
 class RollupSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Store factory — [[SnapshotRollupSpec]] overrides it to prove the
+    * CDC-driven refresh rebuilds the same partitions the staleness
+    * scan does. */
+  protected def mkStore(root: String): GaugeStore = new GaugeStore(spark, root)
+
   private def mkFact(rows: Seq[(Long, String, String, Double)]) =
     rows.toDF("source_id", "tm", "t", "water_level")
       .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
@@ -19,7 +24,7 @@ class RollupSpec extends SparkSuite {
 
   test("rollup builds, is idempotent, and repairs late-arriving partitions") {
     val root = Files.createTempDirectory("graft-rollup").toString
-    val store = new GaugeStore(spark, root)
+    val store = mkStore(root)
     store.appendGaugeData(mkFact(Seq(
       (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
       (1L, "2023-04-23 00:00:00", "2023-04-23 02:00:00", 5.0),
@@ -59,7 +64,7 @@ class RollupSpec extends SparkSuite {
 
   test("rollup spans sources and keeps per-source rows separate") {
     val root = Files.createTempDirectory("graft-rollup2").toString
-    val store = new GaugeStore(spark, root)
+    val store = mkStore(root)
     store.appendGaugeData(mkFact(Seq(
       (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0))), "tidal_gauge")
     store.appendGaugeData(mkFact(Seq(
@@ -70,4 +75,13 @@ class RollupSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("data_source_part")).toSet ==
       Set("tidal_gauge", "river_gauge"))
   }
+}
+
+/** Identical rollup scenarios over [[SnapshotGaugeStore]]: the
+  * CDC-driven refresh (diff since the reflected version) must rebuild
+  * exactly the partitions the base staleness scan rebuilds, including
+  * the late-arrival repair, and a clean re-run rebuilds nothing. */
+class SnapshotRollupSpec extends RollupSpec {
+  override protected def mkStore(root: String): GaugeStore =
+    new SnapshotGaugeStore(spark, root)
 }

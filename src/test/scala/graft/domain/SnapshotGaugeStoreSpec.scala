@@ -1,0 +1,140 @@
+package graft.domain
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[SnapshotGaugeStore]]-specific behavior beyond the shared
+  * pipeline/rollup scenarios (SnapshotObsPipelineSpec /
+  * SnapshotRollupSpec): manifest-stat file pruning standing in for
+  * directory pruning, copy-on-write scoped repairs with time travel,
+  * idempotent crash re-publication of the multi-table commit, and the
+  * backend auto-detecting factory. */
+class SnapshotGaugeStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkStore(): SnapshotGaugeStore =
+    new SnapshotGaugeStore(spark,
+      Files.createTempDirectory("snapstore").toString)
+
+  private def fact(rows: (Long, String, String, Double)*) =
+    rows.toDF("source_id", "tm", "t", "water_level")
+      .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"))
+
+  private def model(rows: (Long, String, String, Double)*) =
+    rows.toDF("source_id", "tm", "t", "water_level")
+      .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"))
+
+  test("gaugeDataForRange prunes files from manifest day stats") {
+    val store = mkStore()
+    store.appendGaugeData(fact((1L, "2023-04-01 00:00:00", "2023-04-01 01:00:00", 1.0)).coalesce(1), "tidal_gauge")
+    store.appendGaugeData(fact((1L, "2023-05-01 00:00:00", "2023-05-01 01:00:00", 2.0)).coalesce(1), "tidal_gauge")
+    store.appendGaugeData(fact((1L, "2023-06-01 00:00:00", "2023-06-01 01:00:00", 3.0)).coalesce(1), "tidal_gauge")
+    assert(store.gaugeTable.files().size == 3)
+    val may = store.gaugeDataForRange("2023-05-01", "2023-05-02")
+    assert(may.count() == 1)
+    assert(may.inputFiles.length == 1,
+      s"day-range scan read ${may.inputFiles.length} of 3 files — manifest pruning lost")
+    assert(store.gaugeData.count() == 3)
+  }
+
+  test("scoped compactGaugeData dedups in-scope, preserves co-located out-of-scope rows, keeps history") {
+    val store = mkStore()
+    // one file holding BOTH an in-scope dup and an out-of-scope row
+    store.appendGaugeData(fact(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
+      (1L, "2023-04-23 00:00:00", "2023-05-05 01:00:00", 7.0)).coalesce(1), "tidal_gauge")
+    // later timemark rewrites the 04-23 01:00 observation
+    store.appendGaugeData(fact(
+      (1L, "2023-04-23 12:00:00", "2023-04-23 01:00:00", 9.9)).coalesce(1), "tidal_gauge")
+    val preVersion = store.gaugeTable.currentVersion
+    store.compactGaugeData(scope = Some(("2023-04-23", "2023-04-23")))
+    val rows = store.gaugeData.select("time", "water_level").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    assert(rows == Map(
+      "2023-04-23 01:00:00.0" -> 9.9,   // keep-latest won
+      "2023-05-05 01:00:00.0" -> 7.0))  // out-of-scope row carried through
+    // pre-repair snapshot still shows the duplicate (snapshot isolation)
+    val old = spark.read.parquet(store.gaugeTable.files(Some(preVersion)): _*)
+    assert(old.count() == 3)
+  }
+
+  test("swapModelRunDatePartitions replaces one run's rows, other runs intact") {
+    val store = mkStore()
+    store.appendModelData(model(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
+      (1L, "2023-04-24 00:00:00", "2023-04-24 01:00:00", 2.0)).coalesce(1))
+    // repair run 2023-04-23 with corrected values
+    store.swapModelRunDatePartitions(model(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 5.5)))
+    val got = store.modelData.select("water_level").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(2.0, 5.5), s"got $got")
+    // a repair of a run date with no prior rows appends
+    store.swapModelRunDatePartitions(model(
+      (1L, "2023-04-25 00:00:00", "2023-04-25 01:00:00", 3.0)))
+    assert(store.modelData.count() == 3)
+  }
+
+  test("crash-stranded commit publishes the fact exactly once across re-runs") {
+    val store = mkStore()
+    val root = store.root
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    // on-disk state of a kill right after the commit rename
+    store.stageGaugeData(fact((7L, "2023-04-23 00:00:00", "2023-04-23 10:00:00", 1.0)),
+      "tidal_gauge", s"$root/_staging/c1")
+    fs.mkdirs(p("_commits"))
+    assert(fs.rename(p("_staging/c1"), p("_commits/c1")))
+    assert(!store.hasGaugeData) // committed-but-unpublished: invisible
+    val actions = store.vacuum()
+    assert(actions.exists(_.contains("finalized commit c1")), actions.toString)
+    assert(store.gaugeData.count() == 1)
+    // crash WINDOW inside publish: fact's tagged manifest landed but
+    // the commit dir survived (kill before the staged-subdir delete) —
+    // the re-run must skip the fact via its tag, not append it again
+    store.stageGaugeData(fact((7L, "2023-04-23 00:00:00", "2023-04-23 10:00:00", 1.0)),
+      "tidal_gauge", s"$root/_staging/c1")
+    assert(fs.rename(p("_staging/c1"), p("_commits/c1")))
+    store.vacuum()
+    assert(store.gaugeData.count() == 1,
+      "re-published commit duplicated the fact despite its tag")
+    assert(store.gaugeTable.committedTags.contains("commit-c1"))
+  }
+
+  test("binPackCompact routes facts through a snapshot compact and is idempotent") {
+    val store = mkStore()
+    (1 to 4).foreach(i => store.appendGaugeData(
+      fact((1L, "2023-04-23 00:00:00", f"2023-04-23 0$i:00:00", i.toDouble)).coalesce(1),
+      "tidal_gauge"))
+    assert(store.gaugeTable.files().size == 4)
+    val actions = store.binPackCompact("gauge_data")
+    assert(actions.exists(_.startsWith("compacted gauge_data")), actions.toString)
+    assert(store.gaugeTable.files().size == 1)
+    assert(store.gaugeData.count() == 4)
+    assert(store.binPackCompact("gauge_data").isEmpty, "second run must be a no-op")
+    // pruning still works after compaction (stats refreshed on rewrite)
+    val day = store.gaugeDataForRange("2023-04-23", "2023-04-23")
+    assert(day.count() == 4 && day.inputFiles.length == 1)
+  }
+
+  test("GaugeStore.open auto-detects the snapshot backend from the marker") {
+    val root = Files.createTempDirectory("snapopen").toString
+    val created = GaugeStore.open(spark, root, Some("snapshot"))
+    assert(created.isInstanceOf[SnapshotGaugeStore])
+    created.appendGaugeData(fact((1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0)), "tidal_gauge")
+    // later opens pass no backend (the CLI's default) and must route
+    // to the same backend — mixing would read the manifest dirs as raw
+    // parquet
+    val reopened = GaugeStore.open(spark, root)
+    assert(reopened.isInstanceOf[SnapshotGaugeStore])
+    assert(reopened.gaugeData.count() == 1)
+    // a plain store keeps opening plain
+    val plainRoot = Files.createTempDirectory("plainopen").toString
+    val plain = GaugeStore.open(spark, plainRoot)
+    assert(!plain.isInstanceOf[SnapshotGaugeStore])
+  }
+}

@@ -159,6 +159,54 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sums(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == sums(st._1))
   }
 
+  test("MIN/MAX: inserts fold in; deletes tying an extremum trigger a group rescan") {
+    val t = tbl()
+    // rows carry an identity (k, id) so a MERGE can rewrite ONE row of
+    // a group — the CDC delete+insert pair the invalidation test sees
+    def rows(xs: (String, Long, Long)*) = xs.toDF("k", "id", "v")
+    def mm(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.select(col("k"), col("min_v"), col("max_v")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def refresh(st: Option[(org.apache.spark.sql.DataFrame, Int)]) =
+      IncrementalAgg.refresh(t, st.map(_._1), st.map(_._2).getOrElse(0),
+        Seq("k"), Seq("v"), Seq("v"))
+    def checkMM(st: (org.apache.spark.sql.DataFrame, Int)): Unit =
+      assert(mm(st._1) == mm(IncrementalAgg.recompute(t, Seq("k"), Seq("v"),
+        minMaxCols = Seq("v"))),
+        s"min/max state diverged from the recompute at v${st._2}")
+    t.append(rows(("a", 1L, 5L), ("a", 2L, 3L), ("b", 3L, 10L)))
+    var st = refresh(None)
+    assert(mm(st._1) == Map("a" -> ((3L, 5L)), "b" -> ((10L, 10L))))
+    // append-only: extrema improve with no rescan
+    t.append(rows(("a", 4L, 1L), ("a", 5L, 9L)))
+    st = refresh(Some(st))
+    assert(mm(st._1) == Map("a" -> ((1L, 9L)), "b" -> ((10L, 10L))))
+    checkMM(st)
+    // rewrite the row holding a's MIN (id=4: 1 -> 6): the deleted
+    // value ties the stored min — rescan must find the true new min 3
+    t.merge(rows(("a", 4L, 6L)), Seq("k", "id"))
+    st = refresh(Some(st))
+    assert(mm(st._1)("a") == ((3L, 9L)))
+    checkMM(st)
+    // rewrite the row NOW holding the min (id=2: 3 -> 4): ties again,
+    // rescan steps the min to the next survivor
+    t.merge(rows(("a", 2L, 4L)), Seq("k", "id"))
+    st = refresh(Some(st))
+    assert(mm(st._1)("a") == ((4L, 9L)))
+    checkMM(st)
+    // rewrite a NON-extremal row (id=1: 5 -> 8): the deleted value
+    // ties neither extremum — the no-rescan fold keeps (4, 9)
+    t.merge(rows(("a", 1L, 8L)), Seq("k", "id"))
+    st = refresh(Some(st))
+    assert(mm(st._1)("a") == ((4L, 9L)))
+    checkMM(st)
+    // replace b's only row (10 -> 7): both extrema invalidate at once
+    t.merge(rows(("b", 3L, 7L)), Seq("k", "id"))
+    st = refresh(Some(st))
+    assert(mm(st._1)("b") == ((7L, 7L)))
+    checkMM(st)
+  }
+
   test("a lost state cannot masquerade as a delta rebuild") {
     val t = tbl()
     t.append(Seq(("a", 1L)).toDF("k", "v"))

@@ -182,6 +182,18 @@ object IngestCli {
               t.compact(opts.getOrElse("coalesceTo", "1").toInt,
                 csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt,
                 csvOpt("statCols")))
+          case "delete" =>
+            // --where is a SQL boolean over the table's columns; the
+            // optional --prune col:lo:hi[,col:lo:hi] narrows candidate
+            // files from manifest stats BEFORE any scan
+            val prune = csvOpt("prune").map { s =>
+              s.split(':') match {
+                case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
+                case _ => sys.error(s"bad --prune entry $s (want col:lo:hi)")
+              }
+            }
+            val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"))
+            println(if (v == 0) "nothing matched" else s"deleted into version $v")
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even

@@ -102,8 +102,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def encode(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil,
-      keyed: Boolean = false): String = {
+      keyed: Boolean = false,
+      schema: Option[String] = None): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
+    // latest-writer schema (Spark StructType JSON): lets readers plan
+    // with ONE recorded schema instead of footer-merging 100k files,
+    // and makes add-a-column appends readable across old files
+    // (missing columns null-fill). Recorded by every commit that
+    // stages a frame; replay keeps the newest. Serialized LAST so the
+    // first-match field parsers can never land inside the blob (its
+    // escaping already prevents that; the ordering is belt-and-braces).
+    val sc = schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("")
     // '|' is the stat-field separator — a path containing it would
     // decode as garbage, so reject it up front (uuid-part names never
     // contain one; this guards only hand-constructed stats)
@@ -117,7 +126,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // keyed writer can detect it even when this commit removed nothing
     // (an append-shaped merge); see `commit`'s isolation scaladoc
     val k = if (keyed) s""","keyed":true""" else ""
-    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$k}"""
+    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$k$sc}"""
   }
 
   private def statsOf(json: String): Seq[SnapshotTable.FileStat] = {
@@ -139,6 +148,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   private def keyedOf(json: String): Boolean =
     """"keyed"\s*:\s*true""".r.findFirstIn(json).isDefined
+
+  private def schemaOf(json: String): Option[String] =
+    """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unesc(m.group(1)))
 
   private def arrOf(json: String, key: String): Seq[String] = {
     val m = (s""""$key"\\s*:\\s*\\[""" + """((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""").r
@@ -178,9 +191,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       case _ => None
     }).filter(_ <= v).foldLeft(0)(math.max)
 
-  /** (live files, live-file stats, tags) recorded at checkpoint `v`. */
-  private def readCheckpoint(v: Int)
-      : (Seq[String], Seq[SnapshotTable.FileStat], Seq[String]) = {
+  /** (live files, live-file stats, tags, latest schema) at checkpoint
+    * `v`. */
+  private def readCheckpoint(v: Int): (Seq[String],
+      Seq[SnapshotTable.FileStat], Seq[String], Option[String]) = {
     metaReads += 1
     val p = checkpointPath(v)
     val in = fs.open(p)
@@ -189,7 +203,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"))
+    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"), schemaOf(raw))
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -200,16 +214,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * RE-ADD a file some earlier manifest removed (add/remove/add
     * resolves by last action wins). */
   private def replayState(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String]) = {
+      Map[(String, String), (Long, Long)], Set[String]) =
+    replayStateFull(v) match { case (l, st, tg, _) => (l, st, tg) }
+
+  private def replayStateFull(v: Int): (Seq[String],
+      Map[(String, String), (Long, Long)], Set[String], Option[String]) = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
     val tags = scala.collection.mutable.Set[String]()
+    var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
-      val (l, st, tg) = readCheckpoint(c)
+      val (l, st, tg, sc) = readCheckpoint(c)
       live ++= l
       st.foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
       tags ++= tg
+      schema = sc
     }
     (c + 1 to v).foreach { i =>
       val raw = readManifestRaw(i)
@@ -218,8 +238,35 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       live --= remove
       statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
       tagOf(raw).foreach(tags += _)
+      schemaOf(raw).foreach(s => schema = Some(s))
     }
-    (live.toSeq, stats.toMap, tags.toSet)
+    (live.toSeq, stats.toMap, tags.toSet, schema)
+  }
+
+  /** The recorded schema of snapshot `version` (newest writer's frame
+    * schema at or before it), if any commit recorded one. */
+  def schemaAt(version: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    replayStateFull(v)._4.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Schema-pinned parquet read of a concrete file list: files missing
+    * a later-added column null-fill it, and planning never touches
+    * footers beyond Spark's split listing — the reason the schema
+    * rides the manifest instead of mergeSchema (which reads EVERY
+    * footer at planning time). Falls back to footer inference for
+    * pre-schema-tracking tables. */
+  private[graft] def readFiles(fl: Seq[String],
+      version: Option[Int] = None): DataFrame = {
+    val reader = schemaAt(version) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    reader.parquet(fl: _*)
   }
 
   /** Write the checkpoint for version `v` when it's an interval
@@ -231,7 +278,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def maybeCheckpoint(v: Int): Unit =
     if (checkpointInterval > 0 && v % checkpointInterval == 0) try {
       if (!fs.exists(checkpointPath(v))) {
-        val (live, stats, tags) = replayState(v)
+        val (live, stats, tags, schema) = replayStateFull(v)
         val liveSet = live.toSet
         // only LIVE files' stats ride forward: a removed file's ranges
         // can never prune anything again, and dropping them keeps the
@@ -243,7 +290,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         st.foreach(s => require(!s.file.contains("|") && !s.col.contains("|")))
         val body = s"""{"live":${jsonArr(live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
-          s""","tags":${jsonArr(tags.toSeq.sorted)}}"""
+          s""","tags":${jsonArr(tags.toSeq.sorted)}""" +
+          schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("") + "}"
         val tmp = new Path(s"$root/_staging/ckpt-${java.util.UUID.randomUUID()}.json")
         val out = fs.create(tmp, true)
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -260,15 +308,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     replayState(v)._1
   }
 
-  /** Read snapshot `version` (default newest). Empty snapshots read
-    * as an empty frame of the newest schema when any commit exists. */
+  /** Read snapshot `version` (default newest), planned with the
+    * RECORDED schema when one exists (see [[readFiles]] — add-a-column
+    * appends read correctly over old files, which null-fill). Empty
+    * snapshots read as an empty frame of the schema. */
   def read(version: Option[Int] = None): DataFrame = {
-    val fl = files(version)
-    if (fl.nonEmpty) spark.read.parquet(fl: _*)
-    else {
-      val any = files(None)
-      require(any.nonEmpty, s"snapshot table $root has no data files at all")
-      spark.read.parquet(any: _*).limit(0)
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val (fl, _, _, sc) = replayStateFull(v)
+    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (fl.nonEmpty)
+      schema.map(spark.read.schema).getOrElse(spark.read).parquet(fl: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None =>
+        val any = files(None)
+        require(any.nonEmpty, s"snapshot table $root has no data files at all")
+        spark.read.parquet(any: _*).limit(0)
     }
   }
 
@@ -353,14 +412,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
-      base: Int = -1, keyed: Boolean = false): Int = {
+      base: Int = -1, keyed: Boolean = false,
+      schema: Option[String] = None): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
-    try out.write(encode(add, remove, tag, stats, keyed = checkRemoves)
+    try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
+      schema = schema)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -436,7 +497,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     } else !fs.exists(target) && fs.rename(tmp, target)
 
   /** Append `df` as a new snapshot; returns the committed version. */
-  def append(df: DataFrame): Int = commit(stageFiles(df), Nil)
+  def append(df: DataFrame): Int =
+    commit(stageFiles(df), Nil, schema = Some(df.schema.json))
 
   /** Append with per-file min/max recorded in the manifest for the
     * (long-valued) `statCols` — the Iceberg-style scan-planning stats
@@ -445,7 +507,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * parquet-footer pruning is 100k reads before the first task. */
   def appendWithStats(df: DataFrame, statCols: Seq[String]): Int = {
     val (staged, stats) = stageFilesWithStats(df, statCols)
-    commit(staged, Nil, None, stats)
+    commit(staged, Nil, None, stats, schema = Some(df.schema.json))
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -474,7 +536,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def readPruned(colName: String, lo: Long, hi: Long,
       version: Option[Int] = None): DataFrame = {
     val fl = prunedFiles(colName, lo, hi, version)
-    if (fl.nonEmpty) spark.read.parquet(fl: _*) else read(version).limit(0)
+    if (fl.nonEmpty) readFiles(fl, version) else read(version).limit(0)
   }
 
   /** Conjunctive multi-column stat pruning: files that can satisfy
@@ -499,7 +561,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def readPrunedMulti(preds: Seq[(String, Long, Long)],
       version: Option[Int] = None): DataFrame = {
     val fl = prunedFilesMulti(preds, version)
-    if (fl.nonEmpty) spark.read.parquet(fl: _*) else read(version).limit(0)
+    if (fl.nonEmpty) readFiles(fl, version) else read(version).limit(0)
   }
 
   /** Restore the table to the contents of snapshot `version` as a NEW
@@ -531,7 +593,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // corrupting the snapshot this commit is about to publish
         val now = System.currentTimeMillis()
         add.foreach(f => fs.setTimes(new Path(f), now, -1))
-        commit(add, remove, base = base, keyed = true)
+        commit(add, remove, base = base, keyed = true,
+          schema = replayStateFull(version)._4)
       }
     }
 
@@ -570,7 +633,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * safely through the optimistic version race. */
   def appendIfAbsent(df: DataFrame, tag: String): Option[Int] =
     if (committedTags.contains(tag)) None
-    else Some(commit(stageFiles(df), Nil, Some(tag)))
+    else Some(commit(stageFiles(df), Nil, Some(tag),
+      schema = Some(df.schema.json)))
 
   /** [[appendIfAbsent]] + [[appendWithStats]]: idempotent tagged
     * append that also records per-file min/max for `statCols` — the
@@ -580,7 +644,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     if (committedTags.contains(tag)) None
     else {
       val (staged, stats) = stageFilesWithStats(df, statCols)
-      Some(commit(staged, Nil, Some(tag), stats))
+      Some(commit(staged, Nil, Some(tag), stats,
+        schema = Some(df.schema.json)))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -607,7 +672,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // commits and the table would hold the UNION of both frames —
       // with the marker the loser conflicts, re-resolves the winner's
       // live set, and removes it, preserving replace-everything
-      commit(stageFiles(df), live, tag, base = base, keyed = true)
+      commit(stageFiles(df), live, tag, base = base, keyed = true,
+        schema = Some(df.schema.json))
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -631,13 +697,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val before = files(Some(base))
       if (before.isEmpty) 0
       else {
-        val rows = spark.read.parquet(before: _*)
+        val rows = readFiles(before, Some(base))
         val laid =
           if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
         val (rewritten, stats) = stageFilesWithStats(laid, statCols)
-        commit(rewritten, before, stats = stats, base = base)
+        commit(rewritten, before, stats = stats, base = base,
+          schema = Some(laid.schema.json))
       }
     }
 
@@ -689,13 +756,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // matching live files) must conflict with an interleaved
       // remove-bearing commit — a restore could have resurrected the
       // very keys this plan decided were absent
-      if (live.isEmpty) commit(stageFiles(source), Nil, base = base, keyed = true)
+      if (live.isEmpty)
+        commit(stageFiles(source), Nil, base = base, keyed = true,
+          schema = Some(source.schema.json))
       else {
         val keys = source.select(keyCols.map(col): _*).distinct()
         // one column-pruned scan finds the files holding matching keys;
         // Path-normalize both sides (input_file_name emits file:///-style
         // URIs, manifests store file:/-style)
-        val affected = spark.read.parquet(live: _*)
+        val affected = readFiles(live, Some(base))
           .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
           .join(keys, keyCols, "left_semi")
           .select("__f").distinct().collect()
@@ -705,17 +774,65 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         require(affected.forall(normLive.contains),
           s"merge: matched file outside the live set (path normalization)")
         if (affected.isEmpty)
-          commit(stageFiles(source), Nil, base = base, keyed = true)
+          commit(stageFiles(source), Nil, base = base, keyed = true,
+            schema = Some(source.schema.json))
         else {
-          val survivors = spark.read.parquet(affected: _*)
+          val survivors = readFiles(affected, Some(base))
             .join(keys, keyCols, "left_anti")
           val rewritten = stageFiles(
             survivors.select(source.columns.map(col): _*).unionAll(source))
-          commit(rewritten, affected, base = base)
+          commit(rewritten, affected, base = base,
+            schema = Some(source.schema.json))
         }
       }
     }
   }
+
+  /** Copy-on-write DELETE: remove every live row matching `cond` in
+    * one keyed commit. Only the files that actually CONTAIN a matching
+    * row are rewritten — found with one `input_file_name()` scan over
+    * the stat-pruned candidates (`prunePreds`, the manifest-stat
+    * ranges from [[prunedFilesMulti]], narrow the scan BEFORE any IO;
+    * pass the ranges implied by `cond` when the table records stats on
+    * its columns). Untouched files stay shared with older snapshots,
+    * which still read the deleted rows — DELETE is just another
+    * snapshot, vacuumable like any rewrite. Returns the committed
+    * version, or 0 when nothing matched (no empty commit).
+    *
+    * `statCols` re-records pruning stats for the rewritten files (the
+    * originals' stats die with them, exactly like [[compact]]). */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+      prunePreds: Seq[(String, Long, Long)] = Nil,
+      statCols: Seq[String] = Nil): Int =
+    retryingOnConflict("deleteWhere") {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val candidates =
+          if (prunePreds.isEmpty) files(Some(base))
+          else prunedFilesMulti(prunePreds, Some(base))
+        if (candidates.isEmpty) 0
+        else {
+          // one column-pruned scan finds the files with matches (the
+          // merge shape): a point delete on a 10k-file table rewrites
+          // one file, not every candidate
+          val affected = readFiles(candidates, Some(base))
+            .filter(cond).select(input_file_name().as("__f"))
+            .distinct().collect()
+            .map(r => fs.makeQualified(new Path(r.getString(0))).toString).toSeq
+          if (affected.isEmpty) 0
+          else {
+            val survivors = readFiles(affected, Some(base))
+              .filter(!org.apache.spark.sql.functions.coalesce(
+                cond, org.apache.spark.sql.functions.lit(false)))
+            val (staged, stats) = stageFilesWithStats(survivors, statCols)
+            commit(staged, affected, stats = stats, base = base, keyed = true,
+              schema = Some(survivors.schema.json))
+          }
+        }
+      }
+    }
 
   /** Copy-on-write rewrite of a SUBSET of live files in one keyed
     * commit: exactly `affected` leaves the live set, the staged rows
@@ -739,7 +856,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
     val (staged, stats) = stageFilesWithStats(replacement, statCols)
-    commit(staged, norm, stats = stats, base = base, keyed = true)
+    commit(staged, norm, stats = stats, base = base, keyed = true,
+      schema = Some(replacement.schema.json))
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame

@@ -459,6 +459,60 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t.read(Some(1))) == Set(7L), "winner's snapshot stays time-travelable")
   }
 
+  test("deleteWhere rewrites only files with matches; history and stats survive") {
+    val t = tmpTable()
+    t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((101L to 200L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((201L to 300L).toDF("id").coalesce(1), Seq("id"))
+    val before = t.files().toSet
+    // delete 10 rows that live entirely in file 2; the stat ranges
+    // prune files 1 and 3 before any IO
+    val v = t.deleteWhere(col("id").between(150L, 159L),
+      prunePreds = Seq(("id", 150L, 159L)), statCols = Seq("id"))
+    assert(v == 4)
+    assert(t.read().count() == 290)
+    assert(t.read().filter(col("id").between(150L, 159L)).count() == 0)
+    // copy-on-write: exactly one file left the live set
+    assert((before -- t.files().toSet).size == 1)
+    // the pre-delete snapshot still reads all 300 rows
+    assert(t.read(Some(3)).count() == 300)
+    // the rewritten file's fresh stats still prune
+    assert(t.prunedFiles("id", 110L, 120L).size == 1)
+    // a delete matching nothing commits nothing
+    assert(t.deleteWhere(col("id") === 9999L) == 0)
+    assert(t.currentVersion == 4)
+    // NULL predicate rows are kept (SQL semantics: null is not true)
+    val t2 = tmpTable()
+    t2.append(Seq(Some(1L), None, Some(3L)).toDF("id"))
+    t2.deleteWhere(col("id") === 1L)
+    assert(t2.read().count() == 2)
+  }
+
+  test("schema evolution: widened appends read across old files; restore rolls schema back") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // add-a-column append: the new schema rides the manifest
+    t.append(Seq((2L, "b", "x")).toDF("id", "v", "extra"))
+    val df = t.read()
+    assert(df.columns.toSeq == Seq("id", "v", "extra"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("x")),
+      "old files must null-fill the later-added column")
+    // time travel reads with the schema AS OF that version
+    assert(t.read(Some(1)).columns.toSeq == Seq("id", "v"))
+    // compaction rewrites under the widened schema
+    t.compact(1)
+    assert(t.read().columns.toSeq == Seq("id", "v", "extra"))
+    assert(t.read().filter(col("extra") === "x").count() == 1)
+    // RESTORE rolls the schema back together with the data
+    t.restore(1)
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(ids(t.read()) == Set(1L))
+    // ...and forward again: the widened history is still readable
+    assert(t.read(Some(3)).columns.toSeq == Seq("id", "v", "extra"))
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

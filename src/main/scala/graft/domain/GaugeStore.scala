@@ -821,8 +821,12 @@ object GaugeStore {
     if (snap) {
       if (!fs.exists(marker)) {
         fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-        val out = fs.create(marker, false)
-        try out.write("snapshot".getBytes("UTF-8")) finally out.close()
+        // two concurrent first opens race on the marker; either copy
+        // has identical content, so the loser just proceeds
+        try {
+          val out = fs.create(marker, false)
+          try out.write("snapshot".getBytes("UTF-8")) finally out.close()
+        } catch { case _: java.io.IOException => () }
       }
       new SnapshotGaugeStore(spark, root)
     } else new GaugeStore(spark, root)

@@ -98,13 +98,29 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
     var attempt = 0
     while (attempt < 5) {
       val base = gaugeTable.currentVersion
-      val affected = scope match {
+      val dayPruned = scope match {
         case Some((lo, hi)) =>
           gaugeTable.prunedFiles("obs_day", dayOf(lo), dayOf(hi), Some(base))
         case None => gaugeTable.files(Some(base))
       }
+      // a data-source scope narrows the FILE set too (one column-pruned
+      // content scan, the merge shape) — otherwise a one-source dedup
+      // on an 11-source store rewrites every file of the table
+      val affected = (dataSource, dayPruned.nonEmpty) match {
+        case (Some(ds), true) =>
+          import org.apache.spark.sql.functions.input_file_name
+          val fs = fsys
+          gaugeTable.readFiles(dayPruned, Some(base))
+            .filter(col("data_source_part") === ds)
+            .select(input_file_name().as("__f")).distinct().collect()
+            .map(r => fs.makeQualified(
+              new org.apache.hadoop.fs.Path(r.getString(0))).toString).toSeq
+        case _ => dayPruned
+      }
       if (affected.isEmpty) return
-      val rows = spark.read.parquet(affected: _*)
+      // schema-pinned read: footer sampling could drop a later-added
+      // measure column from the rewrite
+      val rows = gaugeTable.readFiles(affected, Some(base))
       val inScope = Seq(
         scope.map { case (lo, hi) => col("obs_day").between(dayOf(lo), dayOf(hi)) },
         dataSource.map(ds => col("data_source_part") === ds)
@@ -155,6 +171,9 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
     * class's partition swap loop. */
   override def swapModelRunDatePartitions(df: DataFrame): Unit = {
     val repaired = withModelParts(df)
+    // a repair is per-run: null-timemark rows have no run to replace
+    require(repaired.filter(col("run_day").isNull).limit(1).count() == 0,
+      "swapModelRunDatePartitions: repair rows must carry a timemark")
     val days = repaired.select(col("run_day")).distinct()
       .collect().map(_.getLong(0))
     if (days.isEmpty) return
@@ -165,8 +184,11 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
         if (modelTable.currentVersion == 0) Seq.empty
         else modelTable.prunedFiles("run_day", days.min, days.max, Some(base))
       if (affected.isEmpty) { appendModelData(df); return }
-      val rows = spark.read.parquet(affected: _*)
-      val replacement = rows.filter(!col("run_day").isin(days.toSeq: _*))
+      val rows = modelTable.readFiles(affected, Some(base))
+      // null-safe keep-predicate: a co-located row with NULL run_day
+      // must be carried through, not silently dropped (NULL isin = NULL)
+      val replacement = rows.filter(
+        !coalesce(col("run_day").isin(days.toSeq: _*), lit(false)))
         .unionByName(repaired)
       try {
         modelTable.replaceFiles(base, affected, replacement, Seq("run_day"))
@@ -219,19 +241,35 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
   private def rollupVersionPath = new org.apache.hadoop.fs.Path(
     path("gauge_rollup_daily_version"))
 
+  /** A missing/corrupt marker degrades to 0 — a FULL rebuild of every
+    * live (source, date) group, which is slow but idempotent and
+    * self-healing; throwing here would wedge rollup maintenance until
+    * an operator deleted the file by hand. */
   private def rollupVersion: Int = {
     val fs = fsys
     if (!fs.exists(rollupVersionPath)) 0
     else {
       val in = fs.open(rollupVersionPath)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
+      scala.util.Try(txt.toInt).getOrElse {
+        System.err.println(
+          s"[rollup] corrupt version marker '$txt' at $rollupVersionPath — full rebuild")
+        0
+      }
     }
   }
 
+  /** tmp + rename so a crash mid-write can't leave a half-written
+    * marker as the live one (the read side tolerates it anyway). */
   private def writeRollupVersion(v: Int): Unit = {
-    val out = fsys.create(rollupVersionPath, true)
+    val fs = fsys
+    val tmp = new org.apache.hadoop.fs.Path(
+      rollupVersionPath.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(rollupVersionPath, false)
+    require(fs.rename(tmp, rollupVersionPath), s"marker swap failed: $rollupVersionPath")
   }
 
   /** CDC-driven incremental rollup: diff the fact since the version
@@ -272,13 +310,32 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       "time", "timemark", "__v", trunc = "day")
       .drop("bucket")
     val rollPath = path("gauge_rollup_daily")
+    // groups the CDC touched but that now hold ZERO fact rows produce
+    // no partition in `rolled`, and dynamic overwrite only replaces
+    // partitions PRESENT in the write — their stale rollup dirs must
+    // be deleted explicitly or a fully-deleted day serves forever
+    val survivingGroups = scoped.select(col("data_source_part"),
+      col("obs_date").cast("string")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val emptied = stale.filterNot(survivingGroups.contains)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rolled.write.mode(SaveMode.Overwrite)
-      .partitionBy("data_source_part", "obs_date").parquet(rollPath)
-    finally prev match {
+    try {
+      if (survivingGroups.nonEmpty)
+        rolled.write.mode(SaveMode.Overwrite)
+          .partitionBy("data_source_part", "obs_date").parquet(rollPath)
+    } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (emptied.nonEmpty) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      val fs = fsys
+      emptied.foreach { case (ds, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$rollPath/data_source_part=${escapePathName(ds)}/obs_date=${escapePathName(d)}"),
+          true)
+      }
     }
     writeRollupVersion(cur)
     stale

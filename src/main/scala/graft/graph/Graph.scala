@@ -91,9 +91,13 @@ object Graph {
     // bit-level pack, not degree*2^32+node: the multiplication throws
     // under spark.sql.ansi.enabled for degree >= 2^31 where shiftleft
     // just wraps (same signed-order caveat either way — degree < 2^31
-    // always holds here since degree <= |V|-1 <= 2^32-1 only matters
-    // at >2 billion edges per node, and the pack stays injective)
-    val key = shiftleft(col("degree"), 32).bitwiseOR(col("node")) + guard
+    // always holds here since degree <= |V|-1, and 2^31+ edges at one
+    // node is beyond any real graph; the pack stays injective).
+    // Operands are cast to long FIRST: Spark's ShiftLeft masks the
+    // shift mod 32 for IntegerType inputs, so an int-typed id column
+    // would silently degenerate the key to x<<0.
+    val key = shiftleft(col("degree").cast("long"), 32)
+      .bitwiseOR(col("node").cast("long")) + guard
     // the degree lookup is |V|-sized — broadcast both orientation joins
     val dkey = broadcast(degrees(edges).select(col("node"), key.as("kk")))
     val de = edges
@@ -125,7 +129,8 @@ object Graph {
     // neither overflows nor throws under spark.sql.ansi.enabled for
     // u >= 2^31 (the multiplication does)
     val closingRaw = de.select(
-      shiftleft(col("u"), 32).bitwiseOR(col("v")).as("ck"))
+      shiftleft(col("u").cast("long"), 32)
+        .bitwiseOR(col("v").cast("long")).as("ck"))
     val closing =
       if (knownEdgeCount.getOrElse(edges.count()) <= maxBroadcastEdges)
         broadcast(closingRaw)
@@ -133,7 +138,8 @@ object Graph {
     val tri = de.as("e1")
       .join(de.as("e2"), col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .join(closing,
-        col("ck") === shiftleft(col("e1.v"), 32).bitwiseOR(col("e2.v")))
+        col("ck") === shiftleft(col("e1.v").cast("long"), 32)
+          .bitwiseOR(col("e2.v").cast("long")))
       .agg(count(lit(1)).as("n_triangles"))
     val wedges = degrees(edges)
       .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))

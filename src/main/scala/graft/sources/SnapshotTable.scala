@@ -534,10 +534,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * (manifest-stat pruning); the caller still applies the row-level
     * predicate — pruning narrows IO, it never filters rows. */
   def readPruned(colName: String, lo: Long, hi: Long,
-      version: Option[Int] = None): DataFrame = {
-    val fl = prunedFiles(colName, lo, hi, version)
-    if (fl.nonEmpty) readFiles(fl, version) else read(version).limit(0)
-  }
+      version: Option[Int] = None): DataFrame =
+    readPrunedMulti(Seq((colName, lo, hi)), version)
 
   /** Conjunctive multi-column stat pruning: files that can satisfy
     * EVERY `(col, lo, hi)` range at once — the read-path payoff of
@@ -560,8 +558,28 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * downstream. */
   def readPrunedMulti(preds: Seq[(String, Long, Long)],
       version: Option[Int] = None): DataFrame = {
-    val fl = prunedFilesMulti(preds, version)
-    if (fl.nonEmpty) readFiles(fl, version) else read(version).limit(0)
+    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    // ONE pinned replay supplies the file list AND the schema: a
+    // second resolution could land on a concurrent writer's newer
+    // version and plan these files with the wrong schema
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val (live, stats, _, sc) = replayStateFull(v)
+    val fl = live.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        stats.get((f, c)).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      }
+    }
+    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    if (fl.nonEmpty) reader.parquet(fl: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => read(Some(v)).limit(0)
+    }
   }
 
   /** Restore the table to the contents of snapshot `version` as a NEW
@@ -877,14 +895,23 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       toVersion <= currentVersion,
       s"bad diff range [$fromVersion, $toVersion] vs current $currentVersion")
     val manifests = (fromVersion + 1 to toVersion).map(readManifest)
+    // both sides read under toVersion's RECORDED schema: a widened
+    // append inside the range otherwise leaves `from` and `to` with
+    // different column sets (exceptAll refuses) and lets the fast
+    // path's footer sampling drop the new column from the CDC; under
+    // one schema, pre-widening rows null-fill and a widened re-insert
+    // of the same narrow row correctly diffs as a change
     if (manifests.forall(_._2.isEmpty)) {
       val added = manifests.flatMap(_._1)
       val rows =
-        if (added.nonEmpty) spark.read.parquet(added: _*)
+        if (added.nonEmpty) readFiles(added, Some(toVersion))
         else read(Some(toVersion)).limit(0)
       rows.withColumn("_change", lit("insert"))
     } else {
-      val from = read(Some(fromVersion))
+      val fromFiles = files(Some(fromVersion))
+      val from =
+        if (fromFiles.nonEmpty) readFiles(fromFiles, Some(toVersion))
+        else read(Some(toVersion)).limit(0)
       val to = read(Some(toVersion))
       to.exceptAll(from).withColumn("_change", lit("insert"))
         .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))

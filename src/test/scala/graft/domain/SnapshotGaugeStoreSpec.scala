@@ -121,6 +121,45 @@ class SnapshotGaugeStoreSpec extends SparkSuite {
     assert(day.count() == 4 && day.inputFiles.length == 1)
   }
 
+  test("rollupDaily clears the rollup partition of a fully-deleted day") {
+    val store = mkStore()
+    store.appendGaugeData(fact(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
+      (1L, "2023-04-23 00:00:00", "2023-04-24 01:00:00", 2.0)), "tidal_gauge")
+    assert(store.rollupDaily().size == 2)
+    assert(store.rollupDailyTable.count() == 2)
+    // GDPR-style purge of day 23 via the snapshot DELETE
+    val day = java.time.LocalDate.parse("2023-04-23").toEpochDay
+    assert(store.gaugeTable.deleteWhere(col("obs_day") === day,
+      prunePreds = Seq(("obs_day", day, day)), statCols = Seq("obs_day")) > 0)
+    val rebuilt = store.rollupDaily()
+    assert(rebuilt.map(_._2) == Seq("2023-04-23"))
+    // the emptied day's rollup partition must be GONE, not stale —
+    // dynamic overwrite alone cannot remove a partition with no rows
+    val left = store.rollupDailyTable.select(col("obs_date").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("2023-04-24"), s"stale rollup rows survived: $left")
+    assert(store.rollupDaily().isEmpty)
+  }
+
+  test("dataSource-scoped compactGaugeData rewrites only that source's files") {
+    val store = mkStore()
+    store.appendGaugeData(fact(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
+      (1L, "2023-04-23 12:00:00", "2023-04-23 01:00:00", 9.0)).coalesce(1), "tidal_gauge")
+    store.appendGaugeData(fact(
+      (2L, "2023-04-23 00:00:00", "2023-04-23 02:00:00", 5.0)).coalesce(1), "river_gauge")
+    val before = store.gaugeTable.files().toSet
+    store.compactGaugeData(dataSource = Some("tidal_gauge"))
+    val after = store.gaugeTable.files().toSet
+    // only the tidal file was rewritten; river's file is untouched
+    assert((before -- after).size == 1,
+      s"source-scoped repair rewrote ${(before -- after).size} of ${before.size} files")
+    val rows = store.gaugeData.select("source_id", "water_level").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    assert(rows == Set(1L -> 9.0, 2L -> 5.0), s"got $rows")
+  }
+
   test("GaugeStore.open auto-detects the snapshot backend from the marker") {
     val root = Files.createTempDirectory("snapopen").toString
     val created = GaugeStore.open(spark, root, Some("snapshot"))

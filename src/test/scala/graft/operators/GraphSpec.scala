@@ -78,6 +78,24 @@ class GraphSpec extends SparkSuite {
     assert(viaKnown.collect().head.getAs[Long]("n_triangles") == 4)
   }
 
+  test("triangleStats: int-typed edge ids count identically (ShiftLeft int masking)") {
+    // Spark's ShiftLeft masks the shift mod 32 for IntegerType, so an
+    // un-cast packed key would degenerate to x<<0 on int ids and
+    // overcount via bitwise-OR collisions; ids that SHARE OR-bits
+    // (1|2=3 etc.) make the collision observable on small graphs
+    val k4int = Seq(
+      (1, 2, 1), (1, 3, 1), (1, 4, 1),
+      (2, 3, 1), (2, 4, 1), (3, 4, 1)).toDF("s", "d", "w")
+    val r = Graph.triangleStats(k4int).collect().head
+    assert(r.getAs[Long]("n_triangles") == 4,
+      "int-typed ids must produce the same census as long-typed")
+    assert(r.getAs[Long]("transitivity_ppm") == 1000000)
+    // path graph with int ids: zero triangles (no false closings)
+    val pathInt = Seq((1, 2, 1), (2, 3, 1), (2, 4, 1)).toDF("s", "d", "w")
+    assert(Graph.triangleStats(pathInt).collect().head
+      .getAs[Long]("n_triangles") == 0)
+  }
+
   test("triangleStats: tree has zero triangles") {
     val r = Graph.triangleStats(path).collect().head
     assert(r.getAs[Long]("n_triangles") == 0)

@@ -513,6 +513,23 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read(Some(3)).columns.toSeq == Seq("id", "v", "extra"))
   }
 
+  test("diff spans a schema widening: both sides align under the to-version schema") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", "x")).toDF("id", "v", "extra"))
+    // fast path across the widening: old file null-fills `extra`
+    val fast = t.diff(0, 2).orderBy("id").collect()
+    assert(fast.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(fast.map(r => Option(r.getString(2))).toSeq == Seq(None, Some("x")))
+    // removal fallback across the widening: compact then diff the span —
+    // un-aligned schemas would make exceptAll throw
+    t.compact(1)
+    assert(t.diff(2, 3).count() == 0, "compaction-only range diffs empty")
+    val span = t.diff(1, 3).collect()
+    assert(span.map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((2L, "insert")), s"got ${span.mkString(",")}")
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

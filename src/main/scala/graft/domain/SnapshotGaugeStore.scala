@@ -96,7 +96,7 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       dataSource: Option[String] = None): Unit = {
     if (!hasGaugeData) return
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 20) {
       val base = gaugeTable.currentVersion
       val dayPruned = scope match {
         case Some((lo, hi)) =>
@@ -134,10 +134,13 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
         gaugeTable.replaceFiles(base, affected, replacement, Seq("obs_day"))
         return
       } catch {
-        case _: SnapshotTable.CommitConflict => attempt += 1
+        case _: SnapshotTable.CommitConflict =>
+          attempt += 1
+          Thread.sleep(math.min(1600L, 25L << math.min(attempt, 6)) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
-    sys.error(s"compactGaugeData lost 5 recompute rounds on $root")
+    sys.error(s"compactGaugeData lost 20 recompute rounds on $root")
   }
 
   override def appendModelData(df: DataFrame): Unit = {
@@ -178,7 +181,7 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       .collect().map(_.getLong(0))
     if (days.isEmpty) return
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 20) {
       val base = modelTable.currentVersion
       val affected =
         if (modelTable.currentVersion == 0) Seq.empty
@@ -194,10 +197,13 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
         modelTable.replaceFiles(base, affected, replacement, Seq("run_day"))
         return
       } catch {
-        case _: SnapshotTable.CommitConflict => attempt += 1
+        case _: SnapshotTable.CommitConflict =>
+          attempt += 1
+          Thread.sleep(math.min(1600L, 25L << math.min(attempt, 6)) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
-    sys.error(s"swapModelRunDatePartitions lost 5 recompute rounds on $root")
+    sys.error(s"swapModelRunDatePartitions lost 20 recompute rounds on $root")
   }
 
   /** Staged fact parquet publishes as ONE tagged manifest commit per

@@ -83,18 +83,57 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     b.toString
   }
 
-  private def unesc(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
-      else { b.append(s.charAt(i)); i += 1 }
+  // Field parsers are LINEAR hand-rolled scanners, not regexes: Java's
+  // regex engine recurses one stack frame per alternation-star step, so
+  // matching a `(char|escape)*` group is O(content length) STACK depth
+  // — a checkpoint's live array grows with the table and overflowed the
+  // stack in the concurrency stress spec at mere kilobytes. Key lookup
+  // by indexOf is sound because every quote inside a stored string is
+  // escaped (`\"`), so the bare sequence `"key":` can never occur
+  // inside string content (incl. the schema blob, which is also
+  // serialized last).
+
+  /** String tokens of the array at `"key":[...]`; Nil if absent. */
+  private def arrOf(json: String, key: String): Seq[String] = {
+    val kIdx = json.indexOf("\"" + key + "\":[")
+    if (kIdx < 0) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = kIdx + key.length + 4 // past `"key":[`
+      var done = false
+      while (!done && i < json.length) {
+        json.charAt(i) match {
+          case ']' => done = true
+          case '"' =>
+            val sb = new StringBuilder
+            i += 1
+            while (json.charAt(i) != '"') {
+              if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+              else { sb.append(json.charAt(i)); i += 1 }
+            }
+            out += sb.toString
+            i += 1
+          case _ => i += 1 // separator comma
+        }
+      }
+      out.toSeq
     }
-    b.toString
   }
 
-  /** one JSON string token, escape-aware */
-  private val StrTok = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  /** The scalar string at `"key":"..."`; None if absent. */
+  private def strOf(json: String, key: String): Option[String] = {
+    val kIdx = json.indexOf("\"" + key + "\":\"")
+    if (kIdx < 0) None
+    else {
+      var i = kIdx + key.length + 4 // past `"key":"`
+      val sb = new StringBuilder
+      while (json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+        else { sb.append(json.charAt(i)); i += 1 }
+      }
+      Some(sb.toString)
+    }
+  }
 
   private def jsonArr(xs: Seq[String]): String =
     xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
@@ -129,36 +168,21 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$k$sc}"""
   }
 
-  private def statsOf(json: String): Seq[SnapshotTable.FileStat] = {
-    val m = """"stats"\s*:\s*\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r.findFirstMatchIn(json)
-    m.map(_.group(1)).filter(_.nonEmpty).toSeq
-      .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
-      .flatMap { s =>
-        s.split('|') match {
-          case Array(f, c, lo, hi) =>
-            Some(SnapshotTable.FileStat(f, c, lo.toLong, hi.toLong))
-          case _ => None
-        }
+  private def statsOf(json: String): Seq[SnapshotTable.FileStat] =
+    arrOf(json, "stats").flatMap { s =>
+      s.split('|') match {
+        case Array(f, c, lo, hi) =>
+          Some(SnapshotTable.FileStat(f, c, lo.toLong, hi.toLong))
+        case _ => None
       }
-  }
+    }
 
-  private def tagOf(json: String): Option[String] =
-    """"tag"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(m => unesc(m.group(1)))
+  private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
   private def keyedOf(json: String): Boolean =
-    """"keyed"\s*:\s*true""".r.findFirstIn(json).isDefined
+    json.contains(""""keyed":true""")
 
-  private def schemaOf(json: String): Option[String] =
-    """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(m => unesc(m.group(1)))
-
-  private def arrOf(json: String, key: String): Seq[String] = {
-    val m = (s""""$key"\\s*:\\s*\\[""" + """((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""").r
-      .findFirstMatchIn(json)
-    m.map(_.group(1)).filter(_.nonEmpty).toSeq
-      .flatMap(StrTok.findAllMatchIn(_).map(mm => unesc(mm.group(1))))
-  }
+  private def schemaOf(json: String): Option[String] = strOf(json, "schema")
 
   private def decode(json: String): (Seq[String], Seq[String]) =
     (arrOf(json, "add"), arrOf(json, "remove"))
@@ -732,8 +756,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * is against post-conflict reality — the "loser recomputes" half of
     * the optimistic-concurrency contract. Staged files of an aborted
     * attempt stay unreferenced and are reaped by [[vacuum]] after its
-    * grace window. */
-  private def retryingOnConflict[A](op: String, maxAttempts: Int = 5)(body: => A): A = {
+    * grace window.
+    *
+    * Jittered exponential backoff between rounds: under sustained
+    * keyed-writer contention (every commit conflicts with every
+    * concurrent one by design), lockstep retries can starve a slow
+    * writer through many rounds — the stress spec exhausted a 5-round
+    * no-backoff budget with just three writers. Desynchronizing the
+    * losers makes each round's winner-take-one progress stick (same
+    * shape as Delta's commit retry loop). */
+  private def retryingOnConflict[A](op: String, maxAttempts: Int = 20)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
@@ -743,6 +775,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           if (attempt >= maxAttempts)
             throw new IllegalStateException(
               s"$op lost $maxAttempts recompute rounds on $root: ${c.getMessage}")
+          Thread.sleep(math.min(1600L, 25L << math.min(attempt, 6)) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
     throw new IllegalStateException("unreachable")

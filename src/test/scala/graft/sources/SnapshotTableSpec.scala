@@ -530,6 +530,36 @@ class SnapshotTableSpec extends SparkSuite {
       Set((2L, "insert")), s"got ${span.mkString(",")}")
   }
 
+  test("stress: concurrent mergers upserting overlapping keys converge key-unique") {
+    // three writer instances (checkpoints every 3 commits) hammer the
+    // same table with upserts over a small key space — every interleave
+    // of append-shaped and rewrite-shaped merges, plus checkpoint
+    // writes, under real thread timing. Invariants: key-uniqueness
+    // (the documented merge contract the keyed markers protect) and
+    // every key's final value being SOME writer's last write.
+    val dir = java.nio.file.Files.createTempDirectory("snapstress").toString
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { tid =>
+      new Thread(() => try {
+        val w = new SnapshotTable(spark, dir, checkpointInterval = 3)
+        (0 until 6).foreach { i =>
+          val key = (tid + i) % 4L // overlapping key space
+          w.merge(Seq((key, s"w$tid-$i")).toDF("id", "v"), Seq("id"))
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek()).map(_.getMessage)}")
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows.map(_._1).sorted == rows.map(_._1).distinct.sorted,
+      s"merge contract violated — duplicate keys: $rows")
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(t.currentVersion == 18, "every merge must commit exactly once")
+    // history replays cleanly at every version through the checkpoints
+    (1 to t.currentVersion).foreach(v => t.read(Some(v)).count())
+  }
+
   test("snapshot reads keep parquet pushdown (the snapshot only picks files)") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

@@ -411,7 +411,7 @@ object IngestCli {
         val man = HistoricalArchive.manifest(
           HistoricalArchive.decodeFileNames(files.toDF("file_name")),
           configItems, histDir).cache()
-        val runDirs = HistoricalArchive.archive(spark, man)
+        val runDirs = HistoricalArchive.archive(man)
         println(s"archived ${man.count()} files into ${runDirs.length} run dirs")
         if (opts.get("ingest").contains("true")) {
           val store = GaugeStore.open(spark, req("store"), opts.get("backend"))

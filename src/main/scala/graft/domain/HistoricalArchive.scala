@@ -141,28 +141,40 @@ object HistoricalArchive {
     * — such files can only exist on the harvester's POSIX volume, the
     * same place the reference runs. The archived SHORT names are
     * Hadoop-safe, so everything downstream is distributed-FS-clean. */
-  def archive(spark: org.apache.spark.sql.SparkSession,
-      manifestRows: DataFrame): Seq[String] = {
+  def archive(manifestRows: DataFrame): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     manifestRows
       .select("run_id", "dir_path", "file_name", "station_type")
-      .collect().map { r =>
+      .collect().flatMap { r =>
         val (runId, dir, file, stype) =
           (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
         val runDir = Paths.get(dir, runId)
         Files.createDirectories(runDir)
-        def cp(src: String, dst: String): Unit = {
+        def cp(src: String, dst: String): Boolean = {
           val s = Paths.get(dir, src)
-          if (Files.exists(s))
-            Files.copy(s, runDir.resolve(dst), StandardCopyOption.REPLACE_EXISTING)
+          val ok = Files.exists(s)
+          if (ok) Files.copy(s, runDir.resolve(dst),
+            StandardCopyOption.REPLACE_EXISTING)
+          ok
         }
-        cp(file, s"FORECAST_$stype.csv")
         val metaName = {
           val parts = file.split("_")
           (parts.take(1) ++ Array("meta") ++ parts.drop(1)).mkString("_")
         }
-        cp(metaName, s"meta_FORECAST_$stype.csv")
-        runDir.toString
+        // the PRIMARY data file vanishing between manifest build and
+        // this copy is a real inconsistency: reporting the run as
+        // archived would chain --ingest onto an empty dir and record
+        // the run as handled with nothing ingested. Exclude it (loud),
+        // so a re-run retries once the file is back. The meta sibling
+        // stays optional — many sources never produce one.
+        if (cp(file, s"FORECAST_$stype.csv")) {
+          cp(metaName, s"meta_FORECAST_$stype.csv")
+          Some(runDir.toString)
+        } else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"archive: source file vanished, run $runId excluded: $dir/$file")
+          None
+        }
       }.distinct.toSeq
   }
 }

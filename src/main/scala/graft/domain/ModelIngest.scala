@@ -96,6 +96,12 @@ object ModelIngest {
     val harvest = spark.read
       .schema(Schemas.harvestCsv(meta.source_variable))
       .option("header", "true")
+      // FAILFAST like the obs path (ObsIngest.readHarvest) and the
+      // reference's pandas read_csv: a structurally corrupt run file
+      // throws at the FIRST action — which in modelRunIngest is the
+      // ledger-bounds aggregate, i.e. BEFORE the run's atomic commit —
+      // instead of silently null-parsing rows into the fact
+      .option("mode", "FAILFAST")
       .csv(paths: _*)
     val lowered = harvest.columns.foldLeft(harvest) { (df, c) =>
       df.withColumnRenamed(c, c.toLowerCase)
@@ -127,7 +133,8 @@ object ModelIngest {
       sourceInstance: String, forcingMetclass: String, advisory: String,
       timemark: Column, processingDatetime: Column): DataFrame =
     spark.read.schema(Schemas.harvestCsv(meta.source_variable))
-      .option("header", "true").csv(s"$dirPath/$fileName")
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(s"$dirPath/$fileName")
       .agg(min(col("TIME")).as("data_begin_time"),
         max(col("TIME")).as("data_end_time"))
       .select(

@@ -45,6 +45,11 @@ object QueryServe {
       .replaceAll("[\\s{},]", "")
     require(residue.isEmpty,
       s"unparseable request content (flat string-valued JSON only): '$residue'")
+    // duplicate keys would silently resolve last-wins through toMap —
+    // {"station":"A","station":"B"} answering with B's data is exactly
+    // the wrong-but-plausible response the strict parse exists to stop
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate request key(s): ${dups.mkString(", ")}")
     pairs.toMap
   }
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulMonitor {
 
-  final case class Reading(station: String, value: Double)
+  final case class Reading(station: String, ts: Long, value: Double)
   final case class MonitorState(n: Long, last: Double)
   final case class MonitorOut(
       station: String, n: Long, last: Double, max_jump: Double, jumped: Boolean)
@@ -30,7 +30,13 @@ object StatefulMonitor {
         (station: String, rows: Iterator[Reading], state: GroupState[MonitorState]) => {
           var st = state.getOption.getOrElse(MonitorState(0L, Double.NaN))
           var maxJump = 0.0
-          rows.foreach { r =>
+          // flatMapGroupsWithState gives NO row ordering — two rows of
+          // one station in one batch arrive in shuffle order, which
+          // would make max_jump/last (and the persisted state, hence
+          // every later batch) replay-dependent. Sorting the group by
+          // event time (value tiebreak) pins the fold; a group is one
+          // station's batch slice, so the sort is tiny.
+          rows.toSeq.sortBy(r => (r.ts, r.value)).foreach { r =>
             val jump = if (st.n == 0) 0.0 else math.abs(r.value - st.last)
             maxJump = math.max(maxJump, jump)
             st = MonitorState(st.n + 1, r.value)

@@ -39,7 +39,13 @@ object StreamStreamJoin {
     val keyCond = keys.map(k => l(k) === rr(s"__r_$k")).reduce(_ && _)
     val lower = rr(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSec SECONDS")
     val upper = rr(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec SECONDS")
-    l.join(rr, keyCond && lower && upper, joinType)
-      .drop(keys.map(k => s"__r_$k"): _*)
+    val joined = l.join(rr, keyCond && lower && upper, joinType)
+    // collapse the two key copies with COALESCE, not a bare drop of the
+    // right's: under rightOuter/fullOuter an unmatched right row has
+    // null left-side keys, and dropping __r_k would emit a key-less,
+    // unattributable row
+    val collapsed = keys.foldLeft(joined)((df, k) =>
+      df.withColumn(k, coalesce(l(k), rr(s"__r_$k"))))
+    collapsed.drop(keys.map(k => s"__r_$k"): _*)
   }
 }

@@ -59,7 +59,11 @@ object StreamingAsOfJoin {
           val (ripe, hold) = buf.partition(_._1 <= wm)
           var carry = st0.carry
           val out = Vector.newBuilder[AsOfMatch]
-          ripe.sortBy(t => (t._1, t._2)).foreach { case (ts, side, v) =>
+          // value is the final tiebreak: two right rows with EQUAL
+          // event time would otherwise keep buffer-insertion order —
+          // arrival/partition dependent — and a replay could carry a
+          // different one of them into every later probe's enrichment
+          ripe.sortBy(t => (t._1, t._2, t._3)).foreach { case (ts, side, v) =>
             if (side == 0) carry = Some((ts, v))
             else out += AsOfMatch(key, new Timestamp(ts), v,
               carry.map(c => new Timestamp(c._1)), carry.map(_._2))

@@ -33,10 +33,17 @@ object StreamingIngest {
       maxFileAge: String = "31d",
       deleteProcessed: Boolean = false): StreamingQuery = {
 
-    val stations = store.stations
     val stream = spark.readStream
       .schema(Schemas.harvestCsv(meta.source_variable))
       .option("header", "true")
+      // FAILFAST matches the batch path (ObsIngest.readHarvest) and
+      // the reference's pandas read_csv: a structurally corrupt file
+      // STOPS the stream loudly (operator removes it; the checkpoint
+      // has not advanced, so the rest replays) instead of PERMISSIVE's
+      // silent null rows being ledgered-and-deleted as processed —
+      // without this, batch and streaming semantics drift on exactly
+      // the input that matters
+      .option("mode", "FAILFAST")
       .option("maxFileAge", maxFileAge)       // 31-day lookback analogue
       // S7: reference deletes harvest files after load
       // (ingestObsTasks.py:412-414); cleanSource=delete is the

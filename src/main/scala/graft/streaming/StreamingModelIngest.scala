@@ -93,20 +93,56 @@ object StreamingModelIngest {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"skipping malformed manifest $file: missing/empty " +
             missing.mkString(", "))
-      } else graft.IngestCli.modelRunIngest(spark, store,
-        runDir = r.getAs[String]("run_dir"),
-        modelRunId = r.getAs[String]("model_run_id"),
-        timemark = r.getAs[String]("timemark"),
-        ensemble = r.getAs[String]("ensemble"),
-        grid = r.getAs[String]("grid"),
-        storm = s("storm").filterNot(v => v == "none" || v == "None"),
-        sourceInstance = r.getAs[String]("instance"),
-        forcingMetclass = r.getAs[String]("metclass"),
-        uiDataUrl = uiDataUrl,
-        processingDatetime = s("processing_datetime"),
-        advisory = s("advisory"))
+      } else {
+        // field validation alone is not isolation: a manifest whose
+        // run DIR is corrupt (bad FORECAST csv, commit failure) makes
+        // modelRunIngest THROW, and an uncaught throw kills the query
+        // before the checkpoint commits — the batch replays into the
+        // same exception forever and every manifest behind it stalls.
+        // Catch per RUN, record a durable dead-letter row (the
+        // operator's re-drive list — modelRunIngest is idempotent via
+        // the rerun gate, so re-running a repaired run is safe), and
+        // let the stream advance.
+        try {
+          graft.IngestCli.modelRunIngest(spark, store,
+            runDir = r.getAs[String]("run_dir"),
+            modelRunId = r.getAs[String]("model_run_id"),
+            timemark = r.getAs[String]("timemark"),
+            ensemble = r.getAs[String]("ensemble"),
+            grid = r.getAs[String]("grid"),
+            storm = s("storm").filterNot(v => v == "none" || v == "None"),
+            sourceInstance = r.getAs[String]("instance"),
+            forcingMetclass = r.getAs[String]("metclass"),
+            uiDataUrl = uiDataUrl,
+            processingDatetime = s("processing_datetime"),
+            advisory = s("advisory"))
+          ()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val runId = r.getAs[String]("model_run_id")
+            org.slf4j.LoggerFactory.getLogger(getClass).error(
+              s"model run $runId failed ingest — dead-lettered: ${e.getMessage}")
+            import spark.implicits._
+            Seq((runId, r.getAs[String]("run_dir"),
+              String.valueOf(e.getMessage),
+              java.time.Instant.now().toString))
+              .toDF("model_run_id", "run_dir", "error", "failed_at")
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(s"${store.root}/model_ingest_errors")
+        }
+      }
     }
   }
+
+  /** Dead-lettered runs (empty frame if none ever failed) — the
+    * operator's re-drive list for [[ingestBatch]] failures. */
+  def deadLetters(spark: SparkSession, store: GaugeStore): DataFrame =
+    if (new java.io.File(s"${store.root}/model_ingest_errors").exists())
+      spark.read.parquet(s"${store.root}/model_ingest_errors")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "model_run_id STRING, run_dir STRING, error STRING, failed_at STRING"))
 
   /** Drain every manifest currently in the watch dir and stop — the
     * queue-drain single pass. */

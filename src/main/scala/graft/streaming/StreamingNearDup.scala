@@ -74,6 +74,14 @@ object StreamingNearDup {
       k: Int, numHashes: Int, rowsPerBand: Int)
       : org.apache.spark.sql.Dataset[BandRow] = {
     require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
+    // surfaced at the API boundary instead of deep in the stream: a
+    // non-numeric id (UUID string) would either throw mid-micro-batch
+    // under ANSI or null out and NPE in the BandRow encoder
+    require(Seq("tinyint", "smallint", "int", "bigint")
+      .contains(docs.schema(idCol).dataType.simpleString),
+      s"id column $idCol must be an integral type (got " +
+        s"${docs.schema(idCol).dataType.simpleString}); hash or " +
+        "zipWithIndex string ids to longs first")
     val numBands = numHashes / rowsPerBand
     val spark = docs.sparkSession
     import spark.implicits._

@@ -86,7 +86,14 @@ class HistoricalArchiveSpec extends SparkSuite {
     assert(rows(0).getAs[String]("ADCIRCgrid_db") == "ec95d")
     assert(rows(0).getAs[String]("forcing") == "synoptic")
 
-    val runDirs = HistoricalArchive.archive(spark, man)
+    // a manifest row whose source file vanished must NOT be reported
+    // as archived (an empty run dir would chain --ingest into a silent
+    // 0-file no-op and mark the run handled)
+    val ghost = man.withColumn("file_name", lit("vanished_nonexistent.csv"))
+    assert(HistoricalArchive.archive(ghost).isEmpty,
+      "vanished source file must exclude the run from the archive result")
+
+    val runDirs = HistoricalArchive.archive(man)
     assert(runDirs.length == 1)
     val runDir = s"$root/4358-2023042306-gfsforecast"
     assert(Files.exists(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv")))

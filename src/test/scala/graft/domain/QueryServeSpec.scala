@@ -119,6 +119,15 @@ class QueryServeSpec extends SparkSuite {
     assert(QueryServe.parse("""{"op":"q"}""") == Map("op" -> "q"))
   }
 
+  test("parse rejects duplicate keys instead of silently keeping the last") {
+    val ex = intercept[IllegalArgumentException] {
+      QueryServe.parse("""{"op":"q","station":"A","station":"B"}""")
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // non-duplicated requests are untouched
+    assert(QueryServe.parse("""{"op":"q","station":"A"}""")("station") == "A")
+  }
+
   test("serve answers a parse rejection with an error line, loop survives") {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     QueryServe.serve(store, Iterator(

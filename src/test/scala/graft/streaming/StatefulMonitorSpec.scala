@@ -19,7 +19,7 @@ class StatefulMonitorSpec extends SparkSuite {
       .start()
 
     // batch 1: two stations, smooth readings
-    input.addData(Reading("A", 1.00), Reading("A", 1.10), Reading("B", 5.00))
+    input.addData(Reading("A", 1L, 1.00), Reading("A", 2L, 1.10), Reading("B", 1L, 5.00))
     q.processAllAvailable()
     val b1 = spark.table("monitor_out").as[MonitorOut].collect()
       .map(o => o.station -> o).toMap
@@ -27,7 +27,7 @@ class StatefulMonitorSpec extends SparkSuite {
     assert(b1("B").n == 1 && !b1("B").jumped)   // first reading never jumps
 
     // batch 2: A spikes (state carried: 1.10 -> 9.0 across batches)
-    input.addData(Reading("A", 9.00))
+    input.addData(Reading("A", 3L, 9.00))
     q.processAllAvailable()
     val b2 = spark.table("monitor_out").as[MonitorOut].collect()
       .filter(_.n == 3)

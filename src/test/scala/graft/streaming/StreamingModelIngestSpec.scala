@@ -114,4 +114,42 @@ class StreamingModelIngestSpec extends SparkSuite {
     assert(store.modelData.count() == 3)
     assert(store.modelLedger.filter(col("model_run_id") === runId).count() == 1)
   }
+
+  test("a run dir that throws is dead-lettered; the stream and later manifests survive") {
+    val root = Files.createTempDirectory("graft-smodel-poison").toString
+    val watch = s"$root/watch"; val ckpt = s"$root/ckpt"
+    val goodId = "4360-2023042312-gfsforecast"
+    val goodDir = s"$root/$goodId"
+    writeRun(goodDir, 0.5)
+    val store = mkStore(root)
+
+    // a FULLY-POPULATED manifest whose run dir holds a CORRUPT data
+    // file: field validation passes, modelRunIngest THROWS (FAILFAST
+    // parse) — previously this killed the query before the checkpoint
+    // committed and the batch crash-looped forever, stalling every
+    // manifest behind it
+    val poisonDir = s"$root/poisonrun"
+    Files.createDirectories(Paths.get(poisonDir))
+    Files.write(Paths.get(poisonDir, "FORECAST_NOAASTATIONS.csv"),
+      "TIME,STATION,WATER_LEVEL\nnot-a-time,8410140,abc".getBytes)
+    writeManifest(watch, "poison.csv", "poisonrun", poisonDir,
+      "2023-04-23T13:00:00")
+    writeManifest(watch, "good.csv", goodId, goodDir, "2023-04-23T13:30:00")
+
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    // the good run landed in FULL despite the poison one (liveness is
+    // the contract here; whatever the poison run half-committed before
+    // throwing is repaired by the rerun gate when the operator
+    // re-drives it from the dead-letter list)
+    assert(store.modelLedger.filter(col("model_run_id") === goodId).count() == 1)
+    assert(store.modelData.filter(
+      col("timemark") === lit("2023-04-23 12:00:00").cast("timestamp")).count() >= 3)
+    // the failure is durably recorded for operator re-drive
+    val dead = StreamingModelIngest.deadLetters(spark, store).collect()
+    assert(dead.length == 1 && dead(0).getString(0) == "poisonrun",
+      s"dead letters: ${dead.mkString}")
+    // drained checkpoint: a re-run re-ingests nothing and re-fails nothing
+    StreamingModelIngest.runOnce(spark, store, watch, ckpt)
+    assert(StreamingModelIngest.deadLetters(spark, store).count() == 1)
+  }
 }

@@ -40,6 +40,15 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
 
   private val MaxDist = (Long.MaxValue >> 16)
 
+  /** Per-difference guard: |d| above this makes d*d alone exceed the
+    * 2^47 packed-distance budget, so the candidate is already a
+    * contract violation — and without the guard d*d (or the running
+    * sum) can WRAP int64 negative, sneak past `best > MaxDist`, and
+    * return a garbage packed value instead of the documented null.
+    * With every |d| <= DGuard, acc <= dim * 2^47 stays far inside
+    * int64 for any realistic dim. */
+  private val DGuard = 11863283L
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -70,7 +79,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
       val off = c * dim
       while (j < dim && acc < best) {
         val d = v.getLong(j) - flat(off + j)
-        acc += d * d
+        if (d > DGuard || d < -DGuard) acc = Long.MaxValue
+        else acc += d * d
         j += 1
       }
       if (j == dim && acc < best) { best = acc; bestC = c }
@@ -106,7 +116,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
          |      int $j = 0;
          |      for (; $j < $dim && $acc < $best; $j++) {
          |        long $d = $v.getLong($j) - $flatRef[$off + $j];
-         |        $acc += $d * $d;
+         |        if ($d > ${DGuard}L || $d < -${DGuard}L) { $acc = Long.MAX_VALUE; }
+         |        else { $acc += $d * $d; }
          |      }
          |      if ($j == $dim && $acc < $best) { $best = $acc; $bestC = $c; }
          |    }

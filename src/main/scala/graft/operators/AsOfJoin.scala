@@ -55,6 +55,12 @@ import org.apache.spark.sql.types._
   */
 object AsOfJoin {
 
+  /** Carry-table broadcast ceiling (#keys x timeBuckets rows): above
+    * this the per-bucket join runs as a plain shuffle instead of a
+    * forced broadcast. ~4M summary rows of payload structs is
+    * comfortably inside executor memory; a 100M-key table is not. */
+  private val MaxBroadcastCarryRows = 4000000L
+
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       payloadCols: Seq[String], payloadPrefix: String = "asof_",
@@ -92,17 +98,26 @@ object AsOfJoin {
 
     val matched = timeOrdinal(u.schema("__t").dataType) match {
       case Some(ord) if timeBuckets > 1 =>
-        // One agg pass for the bucket bounds. Exact bounds aren't
-        // required for correctness (any monotone map works); they just
-        // spread the buckets evenly.
+        // One agg pass for the bucket bounds — plus the key-cardinality
+        // estimate the carry-broadcast gate needs (free in the same
+        // pass). Exact bounds aren't required for correctness (any
+        // monotone map works); they just spread the buckets evenly.
         val bounds = u.agg(min(ord(col("__t"))).as("mn"),
-          max(ord(col("__t"))).as("mx")).head()
+          max(ord(col("__t"))).as("mx"),
+          approx_count_distinct(struct(keyCols: _*)).as("nk")).head()
         if (bounds.isNullAt(0) || bounds.getDouble(0) == bounds.getDouble(1)) {
           singlePhase(u, keyCols, needB, needF)
         } else {
           val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
           val b = bucketExpr(ord(col("__t")), mn, mx, timeBuckets)
-          twoPhase(u.withColumn("__b", b), keys, keyCols, needB, needF)
+          // the carry table is #keys x timeBuckets rows of payload: a
+          // FORCED broadcast (Spark obeys the hint regardless of size)
+          // would OOM on a high-cardinality key — gate it on the
+          // estimated row count and fall back to a plain shuffle join
+          // (same results; the big side pays one more exchange)
+          val carryRows = bounds.getLong(2) * timeBuckets
+          twoPhase(u.withColumn("__b", b), keys, keyCols, needB, needF,
+            broadcastCarry = carryRows <= MaxBroadcastCarryRows)
         }
       case _ => singlePhase(u, keyCols, needB, needF)
     }
@@ -123,7 +138,15 @@ object AsOfJoin {
     }
     val outCols = left.columns.map(c => col(s"__l.$c").as(c)) ++
       payloadCols.map(c => col(s"__best.$c").as(payloadPrefix + c))
-    matched.withColumn("__best", best).select(outCols.toSeq: _*)
+    // a NULL left time matches NOTHING (the doc contract, and DuckDB
+    // ASOF semantics) — masked HERE so every plan shape agrees: in
+    // singlePhase a null __t sorts nulls-first and its forward frame
+    // would otherwise see every right row; in twoPhase `least` sends
+    // the null ordinal to the last bucket where the backward carry
+    // would match it
+    val bestSafe = when(col("__t").isNull,
+      lit(null).cast(r0.schema("__p").dataType)).otherwise(best)
+    matched.withColumn("__best", bestSafe).select(outCols.toSeq: _*)
   }
 
   /** Nearest-match convenience: closer of backward/forward, tie →
@@ -192,7 +215,8 @@ object AsOfJoin {
     * bucket carry travels through a tiny per-bucket summary table.
     */
   private def twoPhase(bucketed: DataFrame, keys: Seq[String],
-      keyCols: Seq[Column], needB: Boolean, needF: Boolean): DataFrame = {
+      keyCols: Seq[Column], needB: Boolean, needF: Boolean,
+      broadcastCarry: Boolean): DataFrame = {
     val partCols = keyCols :+ col("__b")
     val wLocalB = Window.partitionBy(partCols: _*)
       .orderBy(col("__t").asc, col("__side").asc)
@@ -231,7 +255,8 @@ object AsOfJoin {
       (if (needB) Seq(col("__cb")) else Nil) ++
       (if (needF) Seq(col("__cf")) else Nil)
     val carry = carry1.select(carryCols: _*)
-    val joined = local.join(broadcast(carry), keys :+ "__b", "left")
+    val joined = local.join(
+      if (broadcastCarry) broadcast(carry) else carry, keys :+ "__b", "left")
     val withB = if (needB)
       joined.withColumn("__mb", coalesce(col("__mb0"), col("__cb"))) else joined
     if (needF) withB.withColumn("__mf", coalesce(col("__mf0"), col("__cf")))

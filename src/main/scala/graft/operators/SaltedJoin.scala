@@ -20,6 +20,10 @@ object SaltedJoin {
   def inner(
       large: DataFrame, small: DataFrame,
       key: String, buckets: Int, discriminator: Column): DataFrame = {
+    // buckets=0 would be pmod-by-zero: an ANSI runtime error, or with
+    // ANSI off a NULL salt that matches nothing — a silently EMPTY
+    // "inner join", the worst failure shape
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val saltedLarge = large.withColumn("__salt",
       pmod(xxhash64(discriminator), lit(buckets)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -133,12 +133,19 @@ object Timeseries {
   /** Rolling z-score anomaly flags, integer-exact: values quantize to
     * milli-units q = floor(value·1000); over the trailing frame
     * [−lookback, −1] (the current row EXCLUDED — it must not defend
-    * itself) the running sums S = Σq and S2 = Σq² are exact longs, and
+    * itself) the running sums S = Σq and S2 = Σq² are exact, and
     *   |z| > k  ⇔  (n·q − S)²·(n−1) > k²·n·(n·S2 − S²)
     * cross-multiplies the sample-variance denominator away — every
-    * comparison is int64 arithmetic, so the flag can never differ
-    * between engines on a boundary tie. Rows with fewer than `minPrev`
-    * trailing observations are unflagged (cold start).
+    * comparison is exact integer arithmetic, so the flag can never
+    * differ between engines on a boundary tie. The window sums stay
+    * int64 (the fast sliding-frame path; exact for |value| up to
+    * ~9·10⁵, and ANSI mode fails LOUDLY beyond instead of wrapping);
+    * the cross-multiplied comparison — which overflows int64 already
+    * near |value| ≈ 4·10⁴ — runs in decimal(38,0), matching DuckDB
+    * where sum(BIGINT) products are HUGEINT. Rows with fewer than
+    * `minPrev` trailing OBSERVATIONS are unflagged (cold start; n
+    * counts non-null values — a null reading must neither inflate the
+    * sample size nor be flagged itself).
     */
   def rollingZScoreFlags(df: DataFrame, keys: Seq[String], tsCol: String,
       tieCol: String, valueCol: String,
@@ -147,18 +154,23 @@ object Timeseries {
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-lookback, -1)
     val q = floor(col(valueCol) * lit(1000)).cast("long")
+    val dec = "decimal(38,0)"
     val base = df.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
       q.as("q")): _*)
       .select(col("*"),
         sum(col("q")).over(w).as("s1"),
         sum(col("q") * col("q")).over(w).as("s2"),
-        count(lit(1)).over(w).as("n"))
-    val dev = col("n") * col("q") - col("s1")
-    val varNum = col("n") * col("s2") - col("s1") * col("s1")
+        count(col("q")).over(w).as("n"))
+    val nD = col("n").cast(dec)
+    val dev = nD * col("q").cast(dec) - col("s1").cast(dec)
+    val varNum = nD * col("s2").cast(dec) -
+      col("s1").cast(dec) * col("s1").cast(dec)
     base.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
       col("n") :+
-      (col("n") >= minPrev &&
-        dev * dev * (col("n") - 1) > lit(k * k) * col("n") * varNum)
+      coalesce(
+        col("n") >= minPrev &&
+          dev * dev * (nD - 1) > lit(k * k) * nD * varNum,
+        lit(false))
         .as("is_anomaly")): _*)
   }
 
@@ -197,7 +209,11 @@ object Timeseries {
     base.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
       num.as("__num") :+ den.as("__den")): _*)
       .select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+ col("q") :+
-        expr("__num DIV __den").as("ewma_milli")): _*)
+        // a row whose current value AND every lookback lag are null
+        // has den = 0 (all weights dropped): the EWMA is undefined —
+        // NULL, not a DIVIDE_BY_ZERO that kills the job under ANSI
+        when(col("__den") === 0L, lit(null).cast("long"))
+          .otherwise(expr("__num DIV __den")).as("ewma_milli")): _*)
   }
 
   /** Lagged cross-correlation of two aligned series columns: for each
@@ -223,7 +239,11 @@ object Timeseries {
     // explodes into per-lag records
     val aggCols = (0 to maxLag).flatMap { k =>
       val y = col(s"__y$k")
-      val ok = y.isNotNull
+      // BOTH series must be present: counting an x-null row into n
+      // while its terms drop from the sums would skew every lag's r
+      // (x is never null for rollup-produced series, but the operator
+      // must not silently corrupt on gappy input)
+      val ok = y.isNotNull && col("__x").isNotNull
       def z(c: Column) = when(ok, c).otherwise(0L)
       Seq(
         sum(when(ok, 1L).otherwise(0L)).as(s"n$k"),

@@ -75,7 +75,11 @@ object FuseCosineSimilarity extends Rule[LogicalPlan] {
         finish) if isZero(zero) && isIdentity(finish) =>
       val (accSide, sqSide) =
         if (stripCast(al).semanticEquals(s)) (al, ar) else (ar, al)
-      sqSide match {
+      // stripCast BEFORE matching the square: for non-double elements
+      // (array<float> — the common embedding type) the analyzer wraps
+      // x*x as Cast(Multiply(x,x), double), and matching the raw node
+      // would silently never fuse exactly the inputs the kernel is for
+      stripCast(sqSide) match {
         case Multiply(l, r, _)
             if stripCast(accSide).semanticEquals(s) &&
               stripCast(l).semanticEquals(x) && stripCast(r).semanticEquals(x) =>
@@ -85,12 +89,29 @@ object FuseCosineSimilarity extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The element types [[CosineSimilarity]]'s getters accept — the
+    * rewrite must not fire for anything else (an HOF cosine over
+    * array<string> works via implicit casts; substituting the kernel
+    * would turn it into a runtime IllegalArgumentException, since
+    * checkInputDataTypes never re-runs post-analysis). */
+  private def fusableElement(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(t, _) => t match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case d @ Divide(dotE, Multiply(Sqrt(n1), Sqrt(n2), _), _) =>
         (asDot(dotE), asNormAgg(n1), asNormAgg(n2)) match {
           case (Some((a, b)), Some(na), Some(nb))
-              if a.semanticEquals(na) && b.semanticEquals(nb) =>
+              if a.semanticEquals(na) && b.semanticEquals(nb) &&
+                fusableElement(a) && fusableElement(b) =>
             CosineSimilarity(a, b)
           case _ => d
         }

@@ -120,7 +120,7 @@ object TimeseriesOps {
         |    CAST(floor(value * 1000) AS BIGINT) AS q FROM events),
         |w AS (SELECT user_id, ts, event_id, q,
         |    sum(q) OVER f AS s1, sum(q * q) OVER f AS s2,
-        |    CAST(count(*) OVER f AS BIGINT) AS n
+        |    CAST(count(q) OVER f AS BIGINT) AS n
         |  FROM b WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, ts, event_id, q, n

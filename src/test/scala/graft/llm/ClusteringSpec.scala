@@ -74,6 +74,15 @@ class ClusteringSpec extends SparkSuite {
     val out = Clustering.assign(bad, Array(0 -> Array(0L, 0L, 0L)))
       .select("cluster").collect()
     assert(out.forall(_.isNullAt(0)))
+    // a coordinate far outside the 2^47 dist² contract must be NULL,
+    // not an int64-wrapped garbage packing (d*d wraps negative, sneaks
+    // past `best > MaxDist`, and unpacks to a bogus cluster)
+    val huge = Seq((1L, Seq(4000000000L, 0L))).toDF("vec_id", "qv")
+    val hugeOut = graft.similarity.Clustering
+      .assign(huge, Array(0 -> Array(0L, 0L)))
+      .select("cluster").collect()
+    assert(hugeOut.forall(_.isNullAt(0)),
+      "contract-violating distance must degrade to null, not wrap")
   }
 
   test("silhouette: separated clusters score high, a boundary point scores ~0, zero-shuffle-safe fields (k3)") {

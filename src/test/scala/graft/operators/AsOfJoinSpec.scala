@@ -44,6 +44,29 @@ class AsOfJoinSpec extends SparkSuite {
     semanticsCase(timeBuckets = 1)
   }
 
+  test("as-of join: NULL left time matches nothing, every direction and plan shape") {
+    val left = Seq((1L, Option.empty[Long], "nul"), (1L, Some(4L), "ok"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 3L, 30.0), (1L, 6L, 60.0)).toDF("k", "rt", "v")
+    for (dir <- Seq("backward", "forward", "nearest");
+         buckets <- Seq(1, 32)) {
+      val out = AsOfJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+        timeBuckets = buckets, direction = dir).collect()
+        .map(r => r.getAs[String]("tag") ->
+          (if (r.isNullAt(r.fieldIndex("asof_v"))) None
+           else Some(r.getAs[Double]("asof_v")))).toMap
+      assert(out("nul").isEmpty,
+        s"null left time matched in direction=$dir buckets=$buckets: $out")
+      val expectOk = dir match {
+        case "backward" => 30.0
+        case _ => 60.0 // forward: 6; nearest: |4-3|=1 vs |6-4|=2 -> 30.0!
+      }
+      val want = if (dir == "nearest") 30.0 else expectOk
+      assert(out("ok").contains(want),
+        s"direction=$dir buckets=$buckets got ${out("ok")}")
+    }
+  }
+
   test("as-of join: NULL keys never match, on either side") {
     val left = Seq(
       (Some(1L), 5L, "a"),

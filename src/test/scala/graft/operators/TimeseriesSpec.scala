@@ -88,6 +88,43 @@ class TimeseriesSpec extends SparkSuite {
     assert(f2 == Seq(11L))
   }
 
+  test("rollingZScoreFlags: huge magnitudes don't overflow; null readings neither count nor flag") {
+    // |value| ~ 1e5 quantizes to q ~ 1e8: dev²·(n−1) ≈ 1e18·12 blows
+    // int64 (the pre-fix silent-flip regime started at |value| ≈ 4e4)
+    // — the decimal(38,0) comparison (DuckDB's HUGEINT twin) must
+    // survive AND still flag the genuine spike
+    val big = (1 to 10).map(i =>
+      (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, Some(1.0e5 + (i % 2))))
+    val spike = Seq((1L, ts("2024-01-01 00:11:00"), 11L, Some(9.9e5)))
+    val out = Timeseries.rollingZScoreFlags(
+      (big ++ spike).toDF("k", "ts", "eid", "v"), Seq("k"), "ts", "eid", "v",
+      lookback = 12, minPrev = 8, k = 3L)
+    assert(out.filter($"is_anomaly").collect().map(_.getLong(2)).toSeq == Seq(11L))
+    // a NULL reading: never counted into n (it would skew the variance
+    // against its non-null neighbours) and itself flagged FALSE
+    val withNull = (big ++
+      Seq((1L, ts("2024-01-01 00:11:00"), 11L, Option.empty[Double]),
+        (1L, ts("2024-01-01 00:12:00"), 12L, Some(1.0e6)))).toDF("k", "ts", "eid", "v")
+    val rows = Timeseries.rollingZScoreFlags(withNull, Seq("k"), "ts", "eid", "v",
+      lookback = 12, minPrev = 8, k = 3L).orderBy("eid").collect()
+    val nullRow = rows.find(_.getLong(2) == 11L).get
+    assert(!nullRow.getAs[Boolean]("is_anomaly"), "null reading must not flag")
+    val after = rows.find(_.getLong(2) == 12L).get
+    assert(after.getAs[Long]("n") == 10L,
+      s"null reading counted into the sample: n=${after.getAs[Long]("n")}")
+  }
+
+  test("ewmaHalfLife: an all-null history yields NULL, not divide-by-zero") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Option.empty[Double]),
+      (1L, ts("2024-01-01 01:00:00"), 2L, Some(10.0)))
+      .toDF("k", "ts", "eid", "v")
+    val out = Timeseries.ewmaHalfLife(df, Seq("k"), "ts", "eid", "v",
+      lookback = 8).orderBy("eid").collect()
+    assert(out(0).isNullAt(4), "no observed value anywhere in the window -> NULL")
+    assert(out(1).getLong(4) == 10000L, "later rows smooth over available history")
+  }
+
   test("valueRuns collapses consecutive states into effective intervals") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "a"),

@@ -33,6 +33,40 @@ class FuseCosineSimilaritySpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("raw float-lambda HOF (analyzer casts AROUND x*x) also fuses") {
+    spark.experimental.extraOptimizations = Seq(FuseCosineSimilarity)
+    try {
+      // the user form without explicit per-element casts: over
+      // array<float> the analyzer wraps the PRODUCT in the cast
+      // (Add(s, Cast(Multiply(x,x)))) — the norm matcher must strip it
+      // or float embeddings silently never fuse
+      val hof = vecs.selectExpr("id",
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) /
+          |(sqrt(aggregate(a, 0D, (s, x) -> s + x * x)) *
+          | sqrt(aggregate(b, 0D, (s, x) -> s + x * x))) AS c""".stripMargin)
+      assert(hof.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.CosineSimilarity])),
+        "float-element norm with analyzer-inserted cast did not fuse")
+      hof.collect() // and it executes
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("array<string> cosine is NOT rewritten (kernel would throw at runtime)") {
+    spark.experimental.extraOptimizations = Seq(FuseCosineSimilarity)
+    try {
+      val p = java.nio.file.Files.createTempDirectory("graft-fuse-s").toString + "/v"
+      Seq((1L, Seq("1", "2"), Seq("3", "4"))).toDF("id", "a", "b").write.parquet(p)
+      val sv = spark.read.parquet(p)
+      val hof = sv.select(col("id"), Vectors.cosineHof(col("a"), col("b")).as("c"))
+      assert(!hof.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.CosineSimilarity])),
+        "rewrite fired for array<string> — the kernel has no string getter")
+      // the implicit-cast HOF form still computes
+      val c = hof.collect().head.getDouble(1)
+      assert(c > 0.9 && c <= 1.0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("unrelated divisions are left untouched") {
     spark.experimental.extraOptimizations = Seq(FuseCosineSimilarity)
     try {

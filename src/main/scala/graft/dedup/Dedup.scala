@@ -744,6 +744,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       suffixBlock: Boolean = false): DataFrame = {
     require(maxDist >= 0 && blockPrefix > 0 && lenBucket > maxDist && cmpLen > 0)
+    // the suffix arm's shared-prefix exclusion assumes the compared
+    // prefix COVERS the block key: with cmpLen < blockPrefix two docs
+    // equal on cmpLen chars but split by the longer block key would be
+    // excluded from BOTH arms — a silently lost near-match
+    require(cmpLen >= blockPrefix,
+      s"cmpLen ($cmpLen) must cover blockPrefix ($blockPrefix)")
     val norm = docs.select(col(idCol),
       TextAnalysis.normalized(col(textCol)).as("__n"))
     // One blocked arm under block key `key`. Group identity =

@@ -38,8 +38,12 @@ object DedupIndex {
     * the band −1 exact-fingerprint pseudo-bucket for short ones. */
   private[dedup] def allBands(docs: DataFrame, k: Int, numHashes: Int,
       rowsPerBand: Int, idCol: String, textCol: String): DataFrame = {
+    // distinct=false: minHashSignatures' min() makes the per-doc
+    // shingle distinct redundant, and skipping it skips a full
+    // exploded-shingle shuffle on EVERY admission batch
     val sigs = Dedup.minHashSignatures(
-      Dedup.shingles(docs, k, idCol, textCol), numHashes, idCol)
+      Dedup.shingles(docs, k, idCol, textCol, distinct = false),
+      numHashes, idCol)
     val banded = Dedup.bandDigests(sigs, numHashes, rowsPerBand, idCol)
     val short = docs.join(sigs.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), lit(-1).as("band"),

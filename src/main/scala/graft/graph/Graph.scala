@@ -147,7 +147,11 @@ object Graph {
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
     counts.crossJoin(wedges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("3 * n_triangles * 1000000 div n_wedges").as("transitivity_ppm"))
+        // a wedge-free graph (perfect matching) has UNDEFINED
+        // transitivity: NULL, not a DIVIDE_BY_ZERO that kills the job
+        // under ANSI mode (oracle mirrors with NULLIF)
+        expr("3 * n_triangles * 1000000 div nullif(n_wedges, 0)")
+          .as("transitivity_ppm"))
   }
 
   /** Probe-bounded link prediction over the undirected (s, d, w) edge

@@ -76,7 +76,7 @@ object GraphOps {
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
          |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         |  CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS transitivity_ppm
+         |  CAST(3 * n_triangles * 1000000 // nullif(n_wedges, 0) AS BIGINT) AS transitivity_ppm
          |FROM nn, ne, w, tri""".stripMargin) { (s, dir) =>
       Graph.triangleStats(edges(s, dir))
     },

@@ -1548,7 +1548,7 @@ object LlmOps {
          |  coalesce(h.n_eval_hits, 0) AS n_eval_hits,
          |  round(CAST(coalesce(h.n_eval_hits, 0) AS DOUBLE) / t.n_ngrams, 4)
          |    AS contamination,
-         |  coalesce(h.n_eval_hits, 0) * 1000 < t.n_ngrams * 200 AS keep
+         |  coalesce(h.n_eval_hits, 0) * 1000 <= t.n_ngrams * 200 AS keep
          |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)

@@ -330,6 +330,24 @@ object Ann {
   /** IVF top-k: probe the `nprobe` nearest inverted lists per query,
     * exact cosine ranking within the probed lists. Scanned fraction ≈
     * nprobe / numCentroids of the corpus. */
+  /** Probe selection shared by EVERY IVF serve path (ivfTopK,
+    * ivfTopKIndexed, Pq.ivfPqSearch): score (query_id, q_vec) rows
+    * against the broadcast (centroid_id, centroid_vec) table by float
+    * cosine, window-rank per query, keep the top `nprobe` with
+    * deterministic centroid-id ties. One definition, so a tie-break or
+    * broadcast change cannot drift the serve paths apart. */
+  private[similarity] def probeCentroids(queries: DataFrame,
+      c: DataFrame, nprobe: Int): DataFrame = {
+    val scored = queries
+      .join(broadcast(c))
+      .select(col("query_id"), col("q_vec"), col("centroid_id"),
+        graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+  }
+
   def ivfTopK(
       corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
@@ -338,15 +356,9 @@ object Ann {
       .withColumnRenamed(idCol, "neighbor_id")
       .withColumnRenamed(vecCol, "c_vec")
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    val probes = {
-      val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .join(broadcast(c))
-        .select(col("query_id"), col("q_vec"), col("centroid_id"),
-          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
-      val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("q_vec"), col("centroid_id"))
-    }
+    val probes = probeCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      c, nprobe)
     val scored = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -436,15 +448,9 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = centroids.sparkSession
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    val probes = {
-      val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .join(broadcast(c))
-        .select(col("query_id"), col("q_vec"), col("centroid_id"),
-          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
-      val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("q_vec"), col("centroid_id"))
-    }
+    val probes = probeCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      c, nprobe)
     val probedLists = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(indexPath)

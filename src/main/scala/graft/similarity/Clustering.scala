@@ -154,6 +154,10 @@ object Clustering {
     * needed. */
   def silhouette(assigned: DataFrame,
       centroids: Array[(Int, Array[Long])]): DataFrame = {
+    // k = 1 has no "other" cluster: the =!= join below would silently
+    // return an EMPTY frame instead of a score — make it loud
+    require(centroids.length >= 2,
+      s"silhouette needs >= 2 centroids, got ${centroids.length}")
     val spark = assigned.sparkSession
     import spark.implicits._
     val cf = broadcast(centroids.toSeq

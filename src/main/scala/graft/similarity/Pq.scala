@@ -155,17 +155,11 @@ object Pq {
       .select(col(idCol).as("neighbor_id"), col("centroid_id"))
     val c = centroids.select(col(idCol).as("centroid_id"),
       col(vecCol).as("centroid_vec"))
-    val probeCents = {
-      val scored = emb.filter(probePred)
-        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .join(broadcast(c))
-        .select(col("query_id"), col("centroid_id"),
-          graft.dedup.Vectors.cosine(col("q_vec"), col("centroid_vec")).as("ccos"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= nProbe)
-        .select(col("query_id"), col("centroid_id"))
-    }
+    val probeCents = Ann.probeCentroids(
+      emb.filter(probePred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      c, nProbe)
+      .select("query_id", "centroid_id")
     val cand = lists.join(broadcast(probeCents), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))

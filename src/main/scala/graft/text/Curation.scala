@@ -108,7 +108,10 @@ object Curation {
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_ngrams"), h.as("n_eval_hits"),
         round(h.cast("double") / col("n_ngrams"), 4).as("contamination"),
-        (h * 1000 < col("n_ngrams") * maxPermille).as("keep"))
+        // <= so maxPermille = 0 means "drop any hit" while KEEPING
+        // clean docs (h = 0): the strict < dropped the whole train
+        // split at the zero-tolerance setting
+        (h * 1000 <= col("n_ngrams") * maxPermille).as("keep"))
   }
 
   /** Train→eval NEAR-duplicate contamination (the leakage mode
@@ -161,8 +164,12 @@ object Curation {
       sum(col("t_size")).as("n_candidates"),
       sum(when(col("est_jaccard") >= threshold, col("t_size"))
         .otherwise(0L)).as("n_neardup_train"),
-      max(struct(col("est_jaccard").as("est"),
-        (-col("t_min_id")).as("neg"))).as("mx"))
+      // min over (−est, id): est desc with id-asc ties — the id is
+      // never negated, so STRING doc ids tie-break correctly instead
+      // of null-casting (max(struct(est, −id)) silently lost the
+      // best_train_doc pointer for non-numeric ids)
+      min(struct((-col("est_jaccard")).as("nest"),
+        col("t_min_id").as("id"))).as("mx"))
     // root at SPLITS, not at the signature frame: an eval doc too short
     // to shingle has no signature but must still appear with zero
     // candidates (the oracle's LEFT JOIN semantics)
@@ -172,8 +179,8 @@ object Curation {
       .select(col(idCol), col("split"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_neardup_train"), lit(0L)).as("n_neardup_train"),
-        col("mx.est").as("max_est_jaccard"),
-        (-col("mx.neg")).cast("long").as("best_train_doc"))
+        (-col("mx.nest")).as("max_est_jaccard"),
+        col("mx.id").as("best_train_doc"))
   }
 
   /** Train→eval SEMANTIC contamination (the leakage mode both shingle
@@ -375,8 +382,17 @@ object Curation {
       "default must be (copies >= 0, 0 <= frac <= 256)")
     val w = broadcast(weights.toDF(strataCol, "__copies", "__frac"))
     val joined = df.join(w, Seq(strataCol), "left")
-    val copies = coalesce(col("__copies"), lit(default._1))
-    val frac = coalesce(col("__frac"), lit(default._2))
+    // the literal-map form validates its weights at call time; the
+    // data-driven rows get the same contract IN-PLAN — a negative
+    // copies would otherwise explode(sequence(0, -1)) into bogus
+    // negative-epoch rows that leak a meant-to-be-excluded stratum
+    def checked(c: Column, ok: Column, what: String) = coalesce(
+      assert_true(ok, lit(s"sourceMixByWeights: $what out of range"))
+        .cast("int"), lit(0)) + c
+    val copies = checked(coalesce(col("__copies"), lit(default._1)),
+      coalesce(col("__copies"), lit(0)) >= 0, "copies < 0")
+    val frac = checked(coalesce(col("__frac"), lit(default._2)),
+      coalesce(col("__frac"), lit(0)).between(0, 256), "frac")
     mixExpand(joined, keyCol, copies, frac).drop("__copies", "__frac")
   }
 

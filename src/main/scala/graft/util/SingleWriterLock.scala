@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object SingleWriterLock {
   def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the PATH'S OWN filesystem, not the default FS: an s3a:// index
+    // on an hdfs-default cluster would otherwise throw "Wrong FS", and
+    // a scheme-less path would put the marker on a different store
+    // than the index it guards (two writers with different defaults
+    // would not mutually exclude)
     val lock = new org.apache.hadoop.fs.Path(path + "_append_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stream = try fs.create(lock, false) catch {
       case e: java.io.IOException => throw new IllegalStateException(
         s"another append holds $lock (or a crashed one stranded it — " +

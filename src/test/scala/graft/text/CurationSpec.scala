@@ -274,15 +274,26 @@ class CurationSpec extends SparkSuite {
     assert(out(2L).getAs[Boolean]("keep"))
     assert(out(3L).getAs[Boolean]("keep") &&
       out(3L).getAs[Long]("n_eval_hits") == 0L)
-    // exact boundary: 2/10 = the 200-permille threshold -> DROP
-    // (keep is strict <)
-    val boundary = Curation.decontaminate(
-      (1 to 10).map(i => (1L, if (i <= 2) s"ev$i" else s"a$i"))
-        .toDF("doc_id", "shingle")
-        .union(Seq((9L, "ev1"), (9L, "ev2")).toDF("doc_id", "shingle")),
-      Seq((1L, "train"), (9L, "val")).toDF("doc_id", "split"),
+    // exact boundary: 2/10 = the 200-permille threshold -> KEEP
+    // ("maxPermille" is the maximum ALLOWED contamination, inclusive —
+    // strict < made maxPermille = 0 drop even zero-hit docs)
+    val boundaryDocs = (1 to 10).map(i => (1L, if (i <= 2) s"ev$i" else s"a$i"))
+      .toDF("doc_id", "shingle")
+      .union(Seq((9L, "ev1"), (9L, "ev2")).toDF("doc_id", "shingle"))
+    val boundarySplits = Seq((1L, "train"), (9L, "val")).toDF("doc_id", "split")
+    val boundary = Curation.decontaminate(boundaryDocs, boundarySplits,
       maxPermille = 200).collect().head
-    assert(!boundary.getAs[Boolean]("keep"))
+    assert(boundary.getAs[Boolean]("keep"))
+    // one permille under the doc's contamination drops it
+    assert(!Curation.decontaminate(boundaryDocs, boundarySplits,
+      maxPermille = 199).collect().head.getAs[Boolean]("keep"))
+    // zero tolerance: ANY hit drops, a clean doc survives
+    val zero = Curation.decontaminate(
+      boundaryDocs.union(Seq((2L, "clean")).toDF("doc_id", "shingle")),
+      boundarySplits.union(Seq((2L, "train")).toDF("doc_id", "split")),
+      maxPermille = 0).collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!zero(1L) && zero(2L),
+      s"zero tolerance must drop any-hit docs but keep clean ones: $zero")
   }
 
   test("vocabCoverage: exact cumulative coverage, budgets past the vocab saturate (v10)") {

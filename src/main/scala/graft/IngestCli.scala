@@ -23,8 +23,15 @@ object IngestCli {
 
   def main(args: Array[String]): Unit = {
     val task = args.headOption.getOrElse(sys.error("usage: IngestCli <task> [--opt v]..."))
-    val opts = args.drop(1).grouped(2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    val rest = args.drop(1)
+    // STRICT pairing: a value-less flag would silently shift every
+    // later pair (or vanish entirely — e.g. a bare --ingest making
+    // ArchiveHistorical report success without ingesting); fail loud
+    require(rest.length % 2 == 0 &&
+      rest.grouped(2).forall(p => p(0).startsWith("--") && !p(1).startsWith("--")),
+      s"options must be --key value pairs, got: ${rest.mkString(" ")}")
+    val opts = rest.grouped(2).collect {
+      case Array(k, v) => k.drop(2) -> v
     }.toMap
 
     val spark = SparkSession.builder()
@@ -512,7 +519,8 @@ object IngestCli {
     var total = 0L
     val harvest = ObsIngest.readHarvest(spark, meta,
       fileNames.map(n => s"$harvestDir/$n"): _*)
-    val candidates = ObsIngest.harvestFileMeta(harvest, meta, harvestDir, now)
+    val candidates = ObsIngest.harvestFileMeta(harvest, meta, harvestDir, now,
+      allFiles = fileNames)
     val fresh = ObsIngest.newFilesOnly(candidates, store.ledger, now).cache()
     try {
       val freshNames = fresh.select("file_name").collect().map(_.getString(0)).toSeq
@@ -523,12 +531,6 @@ object IngestCli {
           // ledger (empty result or dangling file reads)
           val loadable = fresh.filter(!col("ingested"))
             .select("file_name").collect().map(_.getString(0))
-          val retainSeed = fresh.filter(!col("ingested"))
-            .select(col("file_name"),
-              date_format(col("data_begin_time"), "yyyy-MM-dd HH:mm:ss").as("b"),
-              date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
-              date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
-            .collect().toIndexedSeq
           // fact batch + ledger rows publish as ONE atomic commit (the
           // reference's COPY + UPDATE ingested inside one transaction,
           // ingestObsTasks.py:145-149/:405-409): ledger rows stage
@@ -567,22 +569,56 @@ object IngestCli {
               Some(meta.data_source))
           }
           upsertGaugeSource(store, ObsIngest.buildGaugeSource(stations, meta), meta)
-          // retain-obs-station snapshots from sibling meta files,
-          // driven from the pre-collected seed rows — `fresh` is not
-          // consumed after the ledger mutation above
-          // (runRetainObsStationCreateIngest, SURVEY §3.1)
-          val processedMeta = retainSeed.flatMap { r =>
+        total += freshNames.length
+      }
+      // retain-obs processing runs UNCONDITIONALLY (not inside the
+      // new-files branch): its idempotence keys on the retain META
+      // ledger, so a crash that committed the data but not the retain
+      // side recovers on the next run even when that run ingests
+      // nothing new
+      val ingestedNames = freshNames
+          // retain-obs-station snapshots from sibling meta files
+          // (runRetainObsStationCreateIngest, SURVEY §3.1). Candidates
+          // derive from the DATA ledger minus the retain META ledger —
+          // not from this run's in-memory batch: a crash AFTER the
+          // atomic commit (data ledgered, retain not yet written)
+          // self-heals on the next run instead of skipping the batch's
+          // snapshots forever (recovery keyed on `fresh` cannot see
+          // them — newFilesOnly is empty once the ledger holds the
+          // batch). Per-meta-file fault isolation: one corrupt meta
+          // CSV loses only itself (no retain-ledger row → retried),
+          // never the files after it.
+          val doneMeta = store.retainObsStationFileMeta
+            .filter(col("data_source") === meta.data_source)
+            .select("file_name").collect().map(_.getString(0)).toSet
+          val retainCandidates = store.ledger
+            .filter(col("data_source") === meta.data_source &&
+              col("source_name") === meta.source_name)
+            .select(col("file_name"),
+              date_format(col("data_begin_time"), "yyyy-MM-dd HH:mm:ss").as("b"),
+              date_format(col("data_end_time"), "yyyy-MM-dd HH:mm:ss").as("e"),
+              date_format(col("timemark"), "yyyy-MM-dd HH:mm:ss").as("tm"))
+            .collect().toIndexedSeq
+          val processedMeta = retainCandidates.flatMap { r =>
             val metaName = ObsIngest.metaFileNameFor(r.getString(0))
             val metaPath = new org.apache.hadoop.fs.Path(s"$harvestDir/$metaName")
-            if (metaName != r.getString(0) && fs.exists(metaPath)) {
-              val raw = spark.read.option("header", "true").csv(metaPath.toString)
-              val names = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
-                .withColumnRenamed("station", "station_name")
-                .select("station_name").distinct()
-              store.appendRetainObsStations(
-                ObsIngest.retainObsStations(stations, names, meta,
-                  lit(r.getString(3)), lit(r.getString(1)), lit(r.getString(2))))
-              Some((metaName, r.getString(3), r.getString(1), r.getString(2)))
+            if (metaName != r.getString(0) && !doneMeta.contains(metaName) &&
+              fs.exists(metaPath)) {
+              try {
+                val raw = spark.read.option("header", "true").csv(metaPath.toString)
+                val names = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
+                  .withColumnRenamed("station", "station_name")
+                  .select("station_name").distinct()
+                store.appendRetainObsStations(
+                  ObsIngest.retainObsStations(stations, names, meta,
+                    lit(r.getString(3)), lit(r.getString(1)), lit(r.getString(2))))
+                Some((metaName, r.getString(3), r.getString(1), r.getString(2)))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[retain] $metaName failed (${e.getMessage}) — will retry next run")
+                  None
+              }
             } else None
           }
           // per-meta-file bookkeeping ledger with the ingested commit
@@ -611,12 +647,10 @@ object IngestCli {
             // equivalent of the streaming cleanSource=delete option.
             // The ledger, not file absence, stays the idempotence
             // source of truth.
-            (freshNames ++ processedMeta.map(_._1)).foreach { n =>
+            (ingestedNames ++ processedMeta.map(_._1)).foreach { n =>
               fs.delete(new org.apache.hadoop.fs.Path(s"$harvestDir/$n"), false)
             }
           }
-        total += freshNames.length
-      }
     } finally fresh.unpersist()
     total
   }
@@ -707,7 +741,7 @@ object IngestCli {
       // forecast queries)
       val current = allSources.reduce(_ unionByName _).dropDuplicates("source_id")
       val merged =
-        if (new java.io.File(s"${store.root}/model_source").exists()) {
+        if (store.tableExists("model_source")) {
           val ids = current.select("source_id").collect().map(_.getLong(0)).toSeq
           store.modelSource.filter(!col("source_id").isin(ids: _*))
             .unionByName(current)
@@ -726,14 +760,8 @@ object IngestCli {
     // swaps ONLY the run_date partitions of this timemark.
     if (store.hasModelData && ledgerNames.nonEmpty) {
       val tm = lit(tmStr).cast("timestamp")
-      val scopeStats = store.modelLedger.filter(
-        col("data_source") === dataSource &&
-          col("source_instance") === sourceInstance &&
-          col("forcing_metclass") === forcingMetclass &&
-          col("timemark") === tm)
-        .agg(count(lit(1)).as("rows"), countDistinct("file_name").as("files"))
-        .collect()(0)
-      if (scopeStats.getLong(0) > scopeStats.getLong(1)) {
+      if (ModelIngest.rerunRepairNeeded(store.modelLedger, dataSource,
+        sourceInstance, forcingMetclass, tm)) {
         // the swapped run_date partition may also hold OTHER timemarks
         // of the same date — they ride through the rewrite untouched
         val scoped = store.modelDataForTimemark(tmStr)
@@ -815,7 +843,7 @@ object IngestCli {
   private def upsertGaugeSource(store: GaugeStore, src: org.apache.spark.sql.DataFrame, meta: SourceMeta): Unit = {
     val spark = src.sparkSession
     val merged =
-      if (new java.io.File(s"${store.root}/gauge_source").exists())
+      if (store.tableExists("gauge_source"))
         store.gaugeSource
           .filter(!(col("data_source") === meta.data_source &&
             col("source_name") === meta.source_name &&

@@ -133,13 +133,21 @@ class GaugeStore(val spark: SparkSession, val root: String) {
     fs.delete(committed, true)
   }
 
+  /** Existence via the root's OWN filesystem: java.io.File is always
+    * false for hdfs://-s3a:// roots, which silently turns readOrEmpty
+    * into "missing", has* into false, and dim upserts into blind
+    * overwrites on exactly the object-store deployments the snapshot
+    * backend targets. */
+  def tableExists(table: String): Boolean =
+    fsys.exists(new org.apache.hadoop.fs.Path(path(table)))
+
   private def emptyFrame(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def readOrEmpty(table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (new java.io.File(path(table)).exists()) spark.read.parquet(path(table))
+    if (tableExists(table)) spark.read.parquet(path(table))
     else emptyFrame(schema)
 
   def writeStations(df: DataFrame): Unit =
@@ -210,7 +218,7 @@ class GaugeStore(val spark: SparkSession, val root: String) {
       .drop("data_source_part", "obs_date")
 
   def hasGaugeData: Boolean =
-    new java.io.File(path("gauge_data")).exists()
+    tableExists("gauge_data")
 
   /** Cross-batch keep-latest repair (J8 across appends): rewrite the
     * fact with duplicates resolved.
@@ -458,7 +466,7 @@ class GaugeStore(val spark: SparkSession, val root: String) {
         col("run_date") <= date_add(to_date(lit(endDate)), horizonDays))
       .drop("run_date")
 
-  def hasModelData: Boolean = new java.io.File(path("model_data")).exists()
+  def hasModelData: Boolean = tableExists("model_data")
 
   /** Scoped model-fact repair: `df` holds the REPAIRED rows of one (or
     * few) run timemarks; only the run_date partitions df produces are
@@ -503,7 +511,7 @@ class GaugeStore(val spark: SparkSession, val root: String) {
     * `ingested` guard, ingestModelTasks.py:295). */
   def appendApsVizStations(df: DataFrame): Unit = {
     val p = path("apsviz_station")
-    if (new java.io.File(p).exists()) {
+    if (tableExists("apsviz_station")) {
       val runIds = df.select("model_run_id").distinct()
         .collect().map(_.getString(0)).toSeq
       val kept = spark.read.parquet(p)
@@ -523,11 +531,11 @@ class GaugeStore(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Append).parquet(path("retain_obs_station"))
 
   def hasRetainObsStations: Boolean =
-    new java.io.File(path("retain_obs_station")).exists()
+    tableExists("retain_obs_station")
 
   def retainObsStations: DataFrame = spark.read.parquet(path("retain_obs_station"))
 
-  def hasLedger: Boolean = new java.io.File(path("ledger_obs")).exists()
+  def hasLedger: Boolean = tableExists("ledger_obs")
 
   def ledger: DataFrame = readOrEmpty("ledger_obs", Schemas.harvestObsFileMeta)
 
@@ -551,7 +559,7 @@ class GaugeStore(val spark: SparkSession, val root: String) {
     * plain string (no partition-value type inference) and pins column
     * order. */
   def modelLedger: DataFrame =
-    if (new java.io.File(path("ledger_model")).exists())
+    if (tableExists("ledger_model"))
       spark.read.schema(Schemas.harvestModelFileMeta).parquet(path("ledger_model"))
     else emptyFrame(Schemas.harvestModelFileMeta)
 

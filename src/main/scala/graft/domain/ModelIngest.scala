@@ -49,7 +49,11 @@ object ModelIngest {
     */
   def dataSourceName(ensemble: String, grid: String, storm: Option[String]): String =
     storm match {
-      case Some(s) if s.nonEmpty && s != "none" =>
+      // "none"/"None" are the dashboard DB's no-storm literals (Python
+      // str(None)); guarding HERE — not at call sites — keeps a
+      // NONE_-prefixed data_source from splitting a synoptic run off
+      // from its siblings
+      case Some(s) if s.nonEmpty && s.toLowerCase != "none" =>
         s"${s}_${ensemble}_$grid".toUpperCase
       case _ => s"${ensemble}_$grid".toUpperCase
     }
@@ -160,6 +164,27 @@ object ModelIngest {
     * deleted only when the same (file, source keys, timemark) has >1
     * distinct processing_datetime — i.e. the run was harvested more
     * than once. */
+  /** Run-scope repair trigger — the gate [[graft.IngestCli]]'s
+    * modelRunIngest actually runs after each commit: more ledger rows
+    * than distinct files in the (data_source, instance, metclass,
+    * timemark) scope means a rerun under a NEW processing stamp or a
+    * same-stamp crash retry double-appended; either way the scoped
+    * keep-latest repair must run. Centralized here so the pipeline
+    * gate and the per-file [[rerunDetected]] (the reference's J9
+    * shape, spec-pinned) cannot drift apart silently. */
+  def rerunRepairNeeded(ledger: DataFrame, dataSource: String,
+      sourceInstance: String, forcingMetclass: String,
+      timemark: Column): Boolean = {
+    val stats = ledger.filter(
+      col("data_source") === dataSource &&
+        col("source_instance") === sourceInstance &&
+        col("forcing_metclass") === forcingMetclass &&
+        col("timemark") === timemark)
+      .agg(count(lit(1)).as("rows"), countDistinct("file_name").as("files"))
+      .collect()(0)
+    stats.getLong(0) > stats.getLong(1)
+  }
+
   def rerunDetected(
       ledger: DataFrame, fileName: String, timemark: Column,
       dataSource: Option[String] = None,
@@ -180,8 +205,11 @@ object ModelIngest {
     */
   def dedupRun(fact: DataFrame, timemark: Column, precedence: Column): DataFrame = {
     val inScope = col("timemark") === timemark
+    // null-timemark rows pass through UNTOUCHED: === is NULL for them,
+    // so filter(inScope) and filter(!inScope) would BOTH drop the row
+    // (the silent-loss shape KeepLatestDedup.scoped already guards)
     KeepLatestDedup(fact.filter(inScope), Seq("source_id", "time"), Seq(precedence))
-      .unionByName(fact.filter(!inScope))
+      .unionByName(fact.filter(!coalesce(inScope, lit(false))))
   }
 
   /** ApsViz station snapshot for a run

@@ -63,10 +63,29 @@ object ObsIngest {
       harvest: DataFrame,
       meta: SourceMeta,
       dirPath: String,
-      processingDatetime: Column): DataFrame =
-    harvest
+      processingDatetime: Column,
+      allFiles: Seq[String] = Nil): DataFrame = {
+    val bounded = harvest
       .groupBy("file_name")
       .agg(min(col("TIME")).as("data_begin_time"), max(col("TIME")).as("data_end_time"))
+    // a HEADER-ONLY file contributes no rows, hence no group: without
+    // a ledger row it is re-scanned on every run forever and
+    // --deleteProcessed never removes it. When the caller knows the
+    // discovered file list, zero-row files get the same null-bounds
+    // shape as all-null-TIME files (P9: pre-marked ingested).
+    val withEmpties =
+      if (allFiles.isEmpty) bounded
+      else {
+        val spark = harvest.sparkSession
+        import spark.implicits._
+        bounded.unionByName(
+          allFiles.toDF("file_name")
+            .join(bounded.select("file_name"), Seq("file_name"), "left_anti")
+            .select(col("file_name"),
+              lit(null).cast("timestamp").as("data_begin_time"),
+              lit(null).cast("timestamp").as("data_end_time")))
+      }
+    withEmpties
       .select(
         lit(dirPath).as("dir_path"),
         col("file_name"),
@@ -82,6 +101,7 @@ object ObsIngest {
         timemarkFromFileName(col("file_name")).as("timemark"),
         (col("data_begin_time").isNull && col("data_end_time").isNull).as("ingested"),
         lit(false).as("overlap_past_file_date_time"))
+  }
 
   /** Ledger anti-join (J4): keep only files not already present in the
     * ledger, looking back `lookbackDays` (31 in the reference,
@@ -154,8 +174,16 @@ object ObsIngest {
     * NULL.
     */
   def routeMeasure(data: DataFrame, variable: String): DataFrame = {
+    // case-normalize AND validate: a case-mismatched or typo'd catalog
+    // variable would match NO measure, so the fold would overwrite the
+    // populated column with NULL and the source would ingest with every
+    // measurement silently lost
+    val v = variable.toLowerCase
+    require(Schemas.obsMeasures.contains(v),
+      s"unknown source_variable '$variable' — not one of " +
+        Schemas.obsMeasures.mkString(", "))
     val withMeasures = Schemas.obsMeasures.foldLeft(data) { (df, m) =>
-      if (m == variable) df else df.withColumn(m, lit(null).cast("double"))
+      if (m == v) df else df.withColumn(m, lit(null).cast("double"))
     }
     withMeasures.select(
       col("source_id") +: col("timemark") +: col("time") +:

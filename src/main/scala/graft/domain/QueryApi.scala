@@ -104,9 +104,18 @@ object QueryApi {
       fact: DataFrame, source: DataFrame, station: DataFrame,
       stationName: String, startDate: String, endDate: String,
       nowcastSource: String): DataFrame = {
+    // a nowcastSource that IS one of the fixed categories must not
+    // duplicate the pivot value (duplicate columns -> ambiguous
+    // reference AnalysisException); its data already serves under the
+    // fixed category's column
+    val fixedKeys = Set("air_barometer", "ocean_buoy", "tidal_gauge",
+      "tidal_predictions", "coastal_gauge", "river_gauge", "stream_gauge",
+      "wind_anemometer")
+    val nowcastCat: Seq[(String, String)] =
+      if (fixedKeys.contains(nowcastSource)) Nil
+      else Seq(nowcastSource -> FixedPivot.sanitize(nowcastSource))
     val cats: Seq[(String, String)] = Seq(
-      "air_barometer" -> "air_barometer",
-      nowcastSource -> FixedPivot.sanitize(nowcastSource),
+      "air_barometer" -> "air_barometer") ++ nowcastCat ++ Seq(
       "ocean_buoy" -> "ocean_buoy_wave_height",
       "tidal_gauge" -> "tidal_gauge_water_level",
       "tidal_predictions" -> "tidal_predictions",
@@ -194,11 +203,17 @@ object QueryApi {
       lit("{"),
       concat_ws(",",
         (idCol +: valueCols).map { c =>
+          // NaN/Infinity are not legal JSON tokens — a harvest cell
+          // the CSV reader parsed as Double.NaN would otherwise break
+          // every consumer's parse; serialize them as null
+          val sv = col(c).cast("string")
+          val finite = when(sv.isin("NaN", "Infinity", "-Infinity"),
+            lit("null")).otherwise(sv)
           concat(lit("\"" + c + "\":"),
             when(col(c).isNull, lit("null"))
               .otherwise(
                 if (c == idCol) concat(lit("\""), col(c), lit("\""))
-                else col(c).cast("string")))
+                else finite))
         }: _*),
       lit("}"))
     // the array is assembled ON EXECUTORS: collect_list the (id, obj)

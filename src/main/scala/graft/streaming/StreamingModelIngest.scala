@@ -137,7 +137,7 @@ object StreamingModelIngest {
   /** Dead-lettered runs (empty frame if none ever failed) — the
     * operator's re-drive list for [[ingestBatch]] failures. */
   def deadLetters(spark: SparkSession, store: GaugeStore): DataFrame =
-    if (new java.io.File(s"${store.root}/model_ingest_errors").exists())
+    if (store.tableExists("model_ingest_errors"))
       spark.read.parquet(s"${store.root}/model_ingest_errors")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -230,6 +230,63 @@ class ObsPipelineSpec extends SparkSuite {
     assert(row.getAs[String]("data_source") == "tidal_gauge")
     assert(row.getAs[Boolean]("ingested"))            // commit marker flipped
     assert(row.getAs[java.sql.Timestamp]("begin_date") != null)
+
+    // CRASH RECOVERY: the retain snapshots derive from the DATA ledger
+    // minus the retain META ledger — wipe the retain side (the on-disk
+    // state a crash between the atomic commit and the retain append
+    // leaves) and a re-run with NO new data files must rebuild it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/store/retain_obs_station"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/store/retain_obs_station_file_meta"), true)
+    val n2 = graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 00:00:00"))
+    assert(n2 == 0, "no new data files — only the retain side recovers")
+    assert(store.retainObsStations.count() == 2,
+      "retain snapshots lost after a post-commit crash were not re-seeded")
+    assert(store.retainObsStationFileMeta.count() == 1)
+    // and a further clean re-run reprocesses nothing
+    graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-24 00:00:00"))
+    assert(store.retainObsStations.count() == 2)
+  }
+
+  test("header-only harvest files are ledgered once, not re-scanned forever") {
+    val root = Files.createTempDirectory("graft-empty").toString
+    val harvest = s"$root/harvest"; Files.createDirectories(Paths.get(harvest))
+    val emptyFile = Paths.get(harvest,
+      "noaaweb_stationdata_water_level_2023-04-25T00_00_00.csv")
+    Files.write(emptyFile, "TIME,STATION,WATER_LEVEL".getBytes)
+    val store = mkStore(s"$root/store")
+    store.writeStations(stations)
+    graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-26 00:00:00"), deleteProcessed = true)
+    // the zero-row file gets the P9 null-bounds ledger shape
+    // (pre-marked ingested) and deleteProcessed may remove it
+    val row = store.ledger.collect()
+    assert(row.length == 1 && row(0).getAs[Boolean]("ingested"),
+      s"header-only file must be ledgered ingested=true: ${row.mkString}")
+    assert(row(0).getAs[java.sql.Timestamp]("data_begin_time") == null)
+    assert(!Files.exists(emptyFile), "ledgered empty file must be deletable")
+    // re-run: nothing to do
+    assert(graft.IngestCli.sequenceIngest(spark, store, Seq(meta), harvest,
+      lit("2023-04-26 00:00:00")) == 0)
+  }
+
+  test("routeMeasure: case-insensitive variable; unknown variable fails loud") {
+    import spark.implicits._
+    val data = Seq((1L, "2023-04-23 10:00:00", "2023-04-23 12:00:00", 1.5))
+      .toDF("source_id", "t", "tm", "water_level")
+      .select(col("source_id"), col("tm").cast("timestamp").as("timemark"),
+        col("t").cast("timestamp").as("time"), col("water_level"))
+    // a case-mismatched catalog variable must keep the data (it used
+    // to NULL-overwrite the populated column — silent total loss)
+    val routed = ObsIngest.routeMeasure(data, "WATER_LEVEL")
+    assert(routed.select("water_level").collect().head.getDouble(0) == 1.5)
+    intercept[IllegalArgumentException] {
+      ObsIngest.routeMeasure(data, "watter_level")
+    }
   }
 
   test("deleteProcessed removes harvest + meta files after the ledger commits (S7)") {

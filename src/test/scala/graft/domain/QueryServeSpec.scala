@@ -119,6 +119,17 @@ class QueryServeSpec extends SparkSuite {
     assert(QueryServe.parse("""{"op":"q"}""") == Map("op" -> "q"))
   }
 
+  test("jsonAgg serializes NaN/Infinity as null — responses stay legal JSON") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Double.NaN)), (2L, Some(1.5)),
+      (3L, Some(Double.PositiveInfinity)), (4L, None))
+      .toDF("k", "v").selectExpr("CAST(k AS STRING) AS k", "v")
+    val out = QueryApi.jsonAgg(df, "k", Seq("v"))
+    assert(!out.contains("NaN") && !out.contains("Infinity"),
+      s"non-finite doubles leaked into JSON: $out")
+    assert(out.contains("\"v\":null") && out.contains("\"v\":1.5"))
+  }
+
   test("parse rejects duplicate keys instead of silently keeping the last") {
     val ex = intercept[IllegalArgumentException] {
       QueryServe.parse("""{"op":"q","station":"A","station":"B"}""")

@@ -14,7 +14,7 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Resolved-plan cache, keyed by (session, dir, table): each
+  /** Resolved-plan cache, keyed by (dir, table): each
     * `spark.read.parquet` call lists files and reads parquet footers
     * EAGERLY on the driver, so a 167-query bench pass re-paid ~2 schema
     * inferences per query in serial driver time. A production engine
@@ -42,6 +42,12 @@ object Tables {
       (cached.sparkSession eq spark)
     if (live) cached
     else {
+      // sweep EVERY dead-session entry, not just this key: entries for
+      // other (dir, table) keys would otherwise pin their dead
+      // SparkContext object graphs until the exact key is re-requested
+      resolved.entrySet().removeIf(e =>
+        e.getValue.sparkSession.sparkContext.isStopped ||
+          !(e.getValue.sparkSession eq spark))
       val df =
         if (name == "events") eventsUncached(spark, sfDir)
         else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2)
+      sys.error("usage: graft.Verify <sfDir> <outDir> [namePrefixes]")
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (builder-local): comma-separated query-name
     // prefixes to run — the driver always passes exactly two args

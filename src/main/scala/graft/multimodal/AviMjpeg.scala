@@ -130,7 +130,10 @@ object AviMjpeg {
       chunk("LIST", listType.getBytes("US-ASCII") ++ body)
 
     val mspf = if (fps > 0) 1000000 / fps else 40000
-    val avih = u32(mspf.toLong) ++ u32(0) ++ u32(0) ++ u32(0x10) /*HASINDEX-less, interleaved*/ ++
+    // dwFlags = AVIF_ISINTERLEAVED (0x100). No idx1 chunk is written,
+    // so AVIF_HASINDEX (0x10) must NOT be advertised — an external
+    // demuxer honoring it would seek a missing index.
+    val avih = u32(mspf.toLong) ++ u32(0) ++ u32(0) ++ u32(0x100) ++
       u32(jpegFrames.length.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
       u32(width.toLong) ++ u32(height.toLong) ++ Array.fill(16)(0.toByte)
     val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++

@@ -48,11 +48,16 @@ object Multimodal {
       format = if ((d(2) & 1) == 0) "png" else "jpeg")
   }
 
-  /** Formats the real decoder trusts: all have multi-byte magic that
-    * cannot collide with text payloads. javax.imageio's BMP ("BM" — two
-    * ASCII chars) and WBMP (no magic at all) readers claim arbitrary
-    * byte streams and would make results payload-dependent. */
-  private val trustedFormats = Set("png", "jpeg", "jpg", "gif", "tiff", "tif")
+  /** Formats the real decoder trusts on HEADER parse alone: their
+    * magics contain non-printable bytes, so a text payload can never
+    * collide. javax.imageio's BMP ("BM" — two ASCII chars) and WBMP
+    * (no magic at all) readers claim arbitrary byte streams and would
+    * make results payload-dependent. GIF's magic ("GIF87a"/"GIF89a")
+    * is SIX PRINTABLE chars — a text document ABOUT the GIF format can
+    * start with it — so GIF is trusted only after a FULL frame decode
+    * succeeds (garbage after a colliding prefix throws; real GIFs are
+    * small, so the extra decompression is noise). */
+  private val trustedFormats = Set("png", "jpeg", "jpg", "tiff", "tif")
 
   /** REAL image-metadata decode via the JDK's javax.imageio: the
     * matching reader parses the container header (`getWidth(0)` /
@@ -70,14 +75,23 @@ object Multimodal {
     }
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // a stripped JDK can have no ImageInputStreamSpi: null must take
+    // the stub path, not throw out of getImageReaders — the scaladoc
+    // promises totality
+    if (in == null) return stubDecode(docId, bytes)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (readers.hasNext) {
         val r = readers.next()
         try {
           val fmt = r.getFormatName.toLowerCase
-          if (trustedFormats(fmt)) {
+          if (trustedFormats(fmt) || fmt == "gif") {
             r.setInput(in)
+            // printable-magic formats must PROVE themselves: a full
+            // frame decode of text-after-"GIF89a" garbage throws and
+            // falls back to the stub (header-only getWidth would
+            // happily return garbage dims)
+            if (fmt == "gif") r.read(0)
             val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
             MediaMeta(docId, bytes.length.toLong,
               d.map("%02x".format(_)).mkString,
@@ -97,7 +111,11 @@ object Multimodal {
     * would move every byte for nothing. */
   private def spread(blobs: DataFrame, idCol: String): DataFrame = {
     val parallelism = blobs.sparkSession.sparkContext.defaultParallelism
-    if (blobs.rdd.getNumPartitions < parallelism) blobs.repartition(col(idCol))
+    // explicit count: repartition(col) alone uses
+    // spark.sql.shuffle.partitions, which can be BELOW parallelism —
+    // paying the shuffle without achieving the spread
+    if (blobs.rdd.getNumPartitions < parallelism)
+      blobs.repartition(parallelism, col(idCol))
     else blobs
   }
 
@@ -139,7 +157,13 @@ object Multimodal {
       when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
         .otherwise("unknown").as("format"),
       when(isPng, beU32(17)).when(isGif, leU16(7)).when(isBmp, leU32(19)).as("width"),
-      when(isPng, beU32(21)).when(isGif, leU16(9)).when(isBmp, leU32(23)).as("height"))
+      when(isPng, beU32(21)).when(isGif, leU16(9))
+        // BITMAPINFOHEADER biHeight is SIGNED — negative means a
+        // top-down bitmap; report the magnitude, not a ~4.3e9 u32
+        .when(isBmp, {
+          val raw = leU32(23)
+          when(raw > 2147483647L, lit(4294967296L) - raw).otherwise(raw)
+        }).as("height"))
   }
 
   /** REAL codec-free feature extraction: integer byte-distribution
@@ -175,13 +199,18 @@ object Multimodal {
       bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (in == null) return None // no ImageInputStreamSpi: total, not a throw
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) None
       else {
         val reader = readers.next()
         try {
-          if (!trustedFormats(reader.getFormatName.toLowerCase)) None
+          // gif is admitted here because this path FULLY decodes — the
+          // read(0) below IS the proof a printable-magic collision
+          // cannot fake (garbage after "GIF89a" throws → None)
+          val fmt = reader.getFormatName.toLowerCase
+          if (!(trustedFormats(fmt) || fmt == "gif")) None
           else {
             reader.setInput(in)
             Option(reader.read(0))
@@ -447,7 +476,9 @@ object Multimodal {
     * shape, so further demuxers drop in without touching the plan. */
   def sampleFrames(blobs: DataFrame, n: Int,
       idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
-    val pairs = blobs.select(col(idCol).cast("long"), col(blobCol))
+    // the COSTLIEST op here (RIFF demux + per-frame JPEG decode):
+    // spread compact inputs like every other decode path
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
     import org.apache.spark.sql.Row
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),

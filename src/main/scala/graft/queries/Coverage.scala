@@ -19,15 +19,24 @@ import org.apache.spark.sql.types._
   */
 object Coverage {
 
+  /** see s1_csv_roundtrip */
+  private lazy val csvStageDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_csv_stage")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
       "s1_csv_roundtrip",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
       // stage to headerless CSV (S6) then scan with declared schema (S1);
-      // unique dir per invocation — a fixed path races concurrent runs
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv_stage").toString
+      // ONE dir per JVM (mode=overwrite makes re-invocations safe,
+      // distinct JVMs still get distinct dirs) — a dir per INVOCATION
+      // leaked a nation-sized CSV copy into /tmp on every Verify/
+      // bench/audit execution, unbounded on a long-lived host
+      val tmp = Coverage.csvStageDir
       Tables.nation(s, dir)
         .write.mode("overwrite").option("header", "false").csv(tmp)
       s.read

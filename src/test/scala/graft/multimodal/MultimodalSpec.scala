@@ -37,6 +37,20 @@ class MultimodalSpec extends SparkSuite {
     assert(metas(2) == expectStub)
   }
 
+  test("a TEXT payload starting 'GIF89a' stubs, a real GIF decodes (printable-magic proof)") {
+    // "GIF89a" is six printable chars: a document ABOUT the GIF format
+    // used to be claimed by the JDK GIF reader, whose header-only
+    // getWidth returned garbage dims from the following text — the
+    // full-decode proof must reject it while keeping real GIFs real
+    val textTrap = "GIF89a is the 1989 revision of the GIF format..."
+      .getBytes("UTF-8")
+    val m = Multimodal.decode(7L, textTrap)
+    assert(m == Multimodal.stubDecode(7L, textTrap),
+      s"text with a GIF-magic prefix was decoded as an image: $m")
+    val realGif = Multimodal.decode(8L, imageBytes("gif", 31, 14))
+    assert(realGif.format == "gif" && realGif.width == 31 && realGif.height == 14)
+  }
+
   test("imageHeaderMeta parses PNG/GIF headers with pure column expressions") {
     val out = Multimodal.imageHeaderMeta(blobs).orderBy("doc_id").collect()
     assert(out(0).getAs[String]("format") == "png")

@@ -36,25 +36,51 @@ import org.apache.spark.sql.functions._
   */
 object CoreRelational {
 
+  /** The as-of fixture every j10/j10b/j11/j12 arm shares: purchases as
+    * the probe side, clicks keyed-unique per (user, ts) — AsOfJoin's
+    * determinism contract. ONE definition so a tie-rule change cannot
+    * desynchronize the four direction/plan variants. */
+  private def asofSides(ev: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max("event_id").as("click_event_id"))
+      .select("user_id", "click_ts", "click_event_id")
+    (purchases, clicks)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // --- A-class baseline aggregation (TPC-H Q1 flavored) ------------
     QueryDef.sql(
       "q1_sum_agg",
+      // money sums run over EXACT integer units (price/disc carry 2
+      // decimals each, so price*(1-disc) is exact at 4): a double sum
+      // is partial-agg-order dependent and can flip round(.,2) at a
+      // boundary across shuffle-partition counts — the a10/q9 cents
+      // discipline applied to the flagship shape (sums in decimal /
+      // DuckDB HUGEINT for SF headroom; qty is integer-valued, its
+      // double sum is exact)
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2)                        AS sum_qty,
-        |  round(sum(l_extendedprice), 2)                   AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_discount), 4)                        AS avg_disc,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+        |  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
         |  count(*)                                         AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(sum(round(col("l_extendedprice") * 100, 0).cast(dec)) / 100.0, 2)
+            .as("sum_base_price"),
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast(dec)) / 10000.0, 2).as("sum_disc_price"),
+          round(sum(round(col("l_discount") * 100, 0).cast(dec)) / 100.0 /
+            count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -319,14 +345,7 @@ object CoreRelational {
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.user_id, p.purchase_event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
-      // right side made unique per (key, time) — AsOfJoin's determinism
-      // contract
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("click_ts"))
-        .agg(max("event_id").as("click_event_id"))
-        .select("user_id", "click_ts", "click_event_id")
+      val (purchases, clicks) = asofSides(ev)
       graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
         "ts", "click_ts", Seq("click_event_id", "click_ts"))
         .select(col("user_id"), col("purchase_event_id"),
@@ -356,12 +375,7 @@ object CoreRelational {
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.user_id, p.purchase_event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("click_ts"))
-        .agg(max("event_id").as("click_event_id"))
-        .select("user_id", "click_ts", "click_event_id")
+      val (purchases, clicks) = asofSides(ev)
       graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
         "ts", "click_ts", Seq("click_event_id", "click_ts"), timeBuckets = 1)
         .select(col("user_id"), col("purchase_event_id"),
@@ -672,12 +686,7 @@ object CoreRelational {
         |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
         |ORDER BY p.user_id, p.purchase_event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("click_ts"))
-        .agg(max("event_id").as("click_event_id"))
-        .select("user_id", "click_ts", "click_event_id")
+      val (purchases, clicks) = asofSides(ev)
       graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
         "ts", "click_ts", Seq("click_event_id", "click_ts"),
         payloadPrefix = "next_", direction = "forward")
@@ -724,12 +733,7 @@ object CoreRelational {
         |FROM b JOIN f USING (purchase_event_id)
         |ORDER BY b.user_id, b.purchase_event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_event_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("click_ts"))
-        .agg(max("event_id").as("click_event_id"))
-        .select("user_id", "click_ts", "click_event_id")
+      val (purchases, clicks) = asofSides(ev)
       graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
         "ts", "click_ts", Seq("click_event_id", "click_ts"),
         payloadPrefix = "near_", direction = "nearest")
@@ -928,17 +932,20 @@ object CoreRelational {
 
     // argmax/argmin + boolean aggregate surface: max_by/min_by with a
     // composite UNIQUE ordering key (chars then id — ties would
-    // otherwise be engine-arbitrary), bool_or/bool_and gates
+    // otherwise be engine-arbitrary; the 2^40 stride keeps the pack
+    // injective up to a trillion doc ids, where *1e6 broke at 1e6
+    // docs and made tie winners engine-arbitrary again), bool_or/
+    // bool_and gates
     QueryDef.sql(
       "a16_argmax_funcs",
       """SELECT lang,
-        |  CAST(arg_max(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS longest_doc,
-        |  CAST(arg_min(doc_id, n_chars * 1000000 + doc_id) AS BIGINT) AS shortest_doc,
+        |  CAST(arg_max(doc_id, n_chars * 1099511627776 + doc_id) AS BIGINT) AS longest_doc,
+        |  CAST(arg_min(doc_id, n_chars * 1099511627776 + doc_id) AS BIGINT) AS shortest_doc,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
         |  bool_or(n_chars > 400) AS any_long,
         |  bool_and(n_chars > 40) AS all_nontrivial
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val key = col("n_chars") * 1000000L + col("doc_id")
+      val key = col("n_chars") * 1099511627776L + col("doc_id") // 2^40 stride
       Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(

@@ -58,17 +58,19 @@ object DomainOps {
       .map(s => s"'$s'").mkString("(", ", ", ")")
     s"""urls AS (SELECT doc_id, text, $urlSql AS url FROM documents),
        |hosts AS (
-       |  SELECT doc_id, text, string_split(regexp_extract(lower(trim(url)),
-       |    '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1), '.') AS l
+       |  SELECT doc_id, text, rtrim(regexp_extract(lower(trim(url)),
+       |    '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1), '.') AS h
        |  FROM urls),
+       |labs AS (SELECT doc_id, text, h, string_split(h, '.') AS l FROM hosts),
        |rd AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN len(l) >= 3 AND
+       |    CASE WHEN regexp_matches(h, '^\\d{1,3}(\\.\\d{1,3}){3}$$') THEN h
+       |      WHEN len(l) >= 3 AND
        |        array_to_string(list_slice(l, len(l) - 1, len(l)), '.') IN $suffixes
        |      THEN array_to_string(list_slice(l, len(l) - 2, len(l)), '.')
        |      ELSE array_to_string(list_slice(l, greatest(len(l) - 1, 1), len(l)), '.')
        |    END AS domain
-       |  FROM hosts)""".stripMargin
+       |  FROM labs)""".stripMargin
   }
 
   private val normSql =
@@ -201,7 +203,13 @@ object DomainOps {
            |ORDER BY doc_id, epoch""".stripMargin
       }) { (s, dir) =>
       val docs = Tables.documents(s, dir).withColumn("url", urlCol)
-      val weights = Domains.domainRollup(docs, "url").select(
+      // weights need only n_docs per domain: the full domainRollup
+      // would normalize+md5 every document's TEXT and run a
+      // countDistinct, all discarded — at corpus scale a whole wasted
+      // pass (the oracle's roll CTE is the plain count too)
+      val weights = docs
+        .groupBy(Domains.domainOf(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_docs")).select(
         col("domain"),
         when(col("n_docs") >= 100, 0).when(col("n_docs") < 20, 1)
           .otherwise(0).as("copies"),

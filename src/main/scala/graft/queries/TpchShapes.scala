@@ -17,7 +17,7 @@ object TpchShapes {
     // does all the work; plan should be scan→filter→partial/final agg)
     QueryDef.sql(
       "q6_forecast_revenue",
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -28,7 +28,10 @@ object TpchShapes {
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        // exact 1e-4-unit sum (the q1 discipline): double sums flip
+        // round(.,2) boundaries on partial-agg ordering
+        .agg(round(sum(round(col("l_extendedprice") * col("l_discount") * 10000, 0)
+          .cast("decimal(38,0)")) / 10000.0, 2).as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -36,7 +39,7 @@ object TpchShapes {
     QueryDef.sql(
       "q3_shipping_priority",
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -55,7 +58,8 @@ object TpchShapes {
             .filter(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("decimal(38,0)")) / 10000.0, 2).as("revenue"))
         .select(col("o_orderkey"), col("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -66,7 +70,7 @@ object TpchShapes {
     QueryDef.sql(
       "q5_local_supplier_volume",
       """SELECT n.n_name,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM customer c
         |JOIN orders o   ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -91,7 +95,8 @@ object TpchShapes {
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("decimal(38,0)")) / 10000.0, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -147,12 +152,14 @@ object TpchShapes {
       val pk = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
         .select("p_partkey")
       val li = Tables.lineitem(s, dir)
-        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+        // the Brand#23 slice is ~1/25 of part, which still scales with
+        // SF — AQE decides (see q7's supplier note)
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
         .select("l_partkey", "l_quantity", "l_extendedprice")
       val thr = li.groupBy(col("l_partkey").as("t_partkey"))
         .agg((lit(0.2) * avg("l_quantity")).as("max_qty"))
         .select("t_partkey", "max_qty")
-      li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("max_qty"))
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"))
@@ -179,7 +186,8 @@ object TpchShapes {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        // part scales with SF — AQE decides (see q7's supplier note)
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_type"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
@@ -251,7 +259,10 @@ object TpchShapes {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        // supplier SCALES with SF — no broadcast hint (a forced hint is
+        // obeyed at any size and OOMs at real scale); AQE still
+        // broadcasts it at bench scale, where it fits
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
@@ -524,8 +535,8 @@ object TpchShapes {
         .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
             .select(col("o_orderkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-            .select(col("s_suppkey"), col("s_name"))),
+        // supplier scales with SF — AQE decides (see q7's note)
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
           col("s_suppkey") === col("l_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))

@@ -47,8 +47,14 @@ object Domains {
     * then everything up to the first `/`, `:`, `?` or `#`. Tolerates
     * scheme-less and mixed-case URLs — crawl metadata is messy. */
   def host(url: Column): Column =
-    regexp_extract(lower(trim(url)),
-      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1)
+    // trailing dots stripped (the DNS-absolute form 'example.com.'):
+    // without this the last-label slice degenerates to a pseudo-domain
+    // ('com.' / 'net.') that collapses EVERY absolute-form host of any
+    // site into one key — caps mis-apply and a blocklist entry for the
+    // real domain never matches. canonicalizeUrl already strips them;
+    // the domain path must agree.
+    rtrim(regexp_extract(lower(trim(url)),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1), ".")
 
   /** Registrable domain of a host: last two labels, or last three when
     * the two-label tail is a known two-level suffix (`example.co.uk`,
@@ -58,7 +64,12 @@ object Domains {
     val n = size(labels)
     val last2 = concat_ws(".", slice(labels, greatest(n - 1, lit(1)), lit(2)))
     val last3 = concat_ws(".", slice(labels, greatest(n - 2, lit(1)), lit(3)))
-    when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3).otherwise(last2)
+    // an IPv4 literal has no registrable suffix: the WHOLE address is
+    // the key (last-2-labels would alias every host on 10.20.*.* that
+    // shares its final octets — '4.30' — across unrelated networks)
+    when(hostCol.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), hostCol)
+      .when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
+      .otherwise(last2)
   }
 
   /** `registrableDomain(host(url))` — the one-call form. */

@@ -26,14 +26,19 @@ class DomainsPropertySpec extends SparkSuite {
   private def refHost(url: String): String =
     HostRe.findFirstMatchIn(url.trim.toLowerCase)
       .map(_.group(1)).getOrElse("")
+      .reverse.dropWhile(_ == '.').reverse // DNS-absolute trailing dots
 
   /** Reference registrable-domain heuristic, written over plain Scala
-    * collections: last two labels, or last three when the two-label
-    * tail is a known two-level suffix. `split(_, -1)` keeps trailing
-    * empties — the semantics both Spark's `split` and DuckDB's
-    * `string_split` share for hosts like `example.com.`. */
+    * collections: the whole address for IPv4 literals (no registrable
+    * suffix exists; last-2-labels would alias unrelated networks by
+    * their final octets), else last two labels, or last three when the
+    * two-label tail is a known two-level suffix. `split(_, -1)` keeps
+    * interior empty labels, matching Spark's `split` and DuckDB's
+    * `string_split`. */
   private def refDomain(url: String): String = {
-    val labels = refHost(url).split("\\.", -1)
+    val h = refHost(url)
+    if (h.matches("^\\d{1,3}(\\.\\d{1,3}){3}$")) return h
+    val labels = h.split("\\.", -1)
     val n = labels.length
     val last2 = labels.slice(math.max(n - 2, 0), n).mkString(".")
     if (n >= 3 && Domains.TwoLevelSuffixes.contains(last2))

@@ -64,7 +64,9 @@ object DomainOps {
        |labs AS (SELECT doc_id, text, h, string_split(h, '.') AS l FROM hosts),
        |rd AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN regexp_matches(h, '^\\d{1,3}(\\.\\d{1,3}){3}$$') THEN h
+       |    CASE WHEN len(l) = 4 AND h <> '' AND
+       |        translate(h, '0123456789.', '') = '' AND
+       |        NOT contains(h, '..') AND h NOT LIKE '.%' THEN h
        |      WHEN len(l) >= 3 AND
        |        array_to_string(list_slice(l, len(l) - 1, len(l)), '.') IN $suffixes
        |      THEN array_to_string(list_slice(l, len(l) - 2, len(l)), '.')

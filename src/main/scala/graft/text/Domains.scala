@@ -66,8 +66,17 @@ object Domains {
     val last3 = concat_ws(".", slice(labels, greatest(n - 2, lit(1)), lit(3)))
     // an IPv4 literal has no registrable suffix: the WHOLE address is
     // the key (last-2-labels would alias every host on 10.20.*.* that
-    // shares its final octets — '4.30' — across unrelated networks)
-    when(hostCol.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), hostCol)
+    // shares its final octets — '4.30' — across unrelated networks).
+    // IP test = digits/dots only + exactly 4 non-empty labels: cheap
+    // string ops, no per-row regex (rlike measured ~2x on the domain
+    // queries); nonstandard all-digit labels (>3 digits) also match —
+    // they are not valid hostnames either, and whole-host is the safer
+    // key for them too. Mirrored verbatim in the oracle CTE and the
+    // property-spec reference.
+    val isIp4 = n === 4 && hostCol =!= "" &&
+      translate(hostCol, "0123456789.", "") === "" &&
+      !hostCol.contains("..") && !hostCol.startsWith(".")
+    when(isIp4, hostCol)
       .when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
       .otherwise(last2)
   }

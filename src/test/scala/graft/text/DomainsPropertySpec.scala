@@ -37,8 +37,11 @@ class DomainsPropertySpec extends SparkSuite {
     * `string_split`. */
   private def refDomain(url: String): String = {
     val h = refHost(url)
-    if (h.matches("^\\d{1,3}(\\.\\d{1,3}){3}$")) return h
     val labels = h.split("\\.", -1)
+    val isIp4 = labels.length == 4 && h.nonEmpty &&
+      h.forall(c => c.isDigit || c == '.') &&
+      !h.contains("..") && !h.startsWith(".")
+    if (isIp4) return h
     val n = labels.length
     val last2 = labels.slice(math.max(n - 2, 0), n).mkString(".")
     if (n >= 3 && Domains.TwoLevelSuffixes.contains(last2))

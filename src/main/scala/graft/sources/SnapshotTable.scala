@@ -29,18 +29,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * half-commit, and a race loser can never clobber the winner's
   * manifest.
   *
-  * Scale shape: the log is O(#commits) small JSON files, but replay is
-  * NOT O(#commits) per read — every `checkpointInterval` commits the
-  * committer writes `_log/NNNNNNNN.checkpoint.json` holding the fully
-  * replayed state (live files + live-file stats + tags) at that
-  * version, and every state read replays newest-checkpoint-≤-v plus
-  * the ≤ interval-sized manifest tail (the Delta checkpoint-parquet /
-  * Iceberg snapshot-manifest idea). Without this, the class's own
-  * streaming sink — one commit per micro-batch — would make query
-  * PLANNING cost grow forever with stream lifetime (~10k manifest
-  * reads per read after a week at one batch/minute). Data-file IO is
-  * untouched Spark parquet (pushdown, pruning, vectorized read all
-  * apply: the snapshot only decides WHICH files the scan gets).
+  * Scale shape: the log is O(#commits) small JSON files, but NO read
+  * cost grows with that —
+  *  - replay is O(checkpointInterval): every interval commits the
+  *    committer writes `_log/NNNNNNNN.checkpoint.json` holding the
+  *    fully replayed state (live files + live-file stats + tags) at
+  *    that version, and every state read replays
+  *    newest-checkpoint-≤-v plus the ≤ interval-sized manifest tail
+  *    (the Delta checkpoint-parquet / Iceberg snapshot-manifest idea);
+  *  - log LISTING is gone from the hot path: `_log/_last_checkpoint`
+  *    (one tiny file at a known name, the Delta `_last_checkpoint`
+  *    idea) records the newest checkpoint version, so resolving the
+  *    head is one GET plus ≤ interval existence probes instead of
+  *    listing O(#commits-ever) names — the op that costs hundreds of
+  *    paginated LIST calls per cold planning on an object store after
+  *    a year of per-micro-batch streaming commits;
+  *  - the log itself is reclaimed by [[vacuumLog]] (and [[vacuum]]),
+  *    which deletes manifests already subsumed by a retained
+  *    checkpoint — time travel keeps working within retention.
+  * Data-file IO is untouched Spark parquet (pushdown, pruning,
+  * vectorized read all apply: the snapshot only decides WHICH files
+  * the scan gets).
   */
 final class SnapshotTable(spark: SparkSession, val root: String,
     val checkpointInterval: Int = 20) {
@@ -55,17 +64,118 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * opened — the spec's O(tail) replay assertions read it. */
   private[sources] var metaReads: Long = 0L
 
+  /** Diagnostic counter: full `_log` directory LISTINGS this instance
+    * has performed. Listings are the metadata op that grows with
+    * commit count (O(#commits-ever) names — hundreds of paginated LIST
+    * calls on an object store after a year of streaming commits), so
+    * the hot read path must do ZERO of them once a checkpoint exists:
+    * it reads the O(1) `_last_checkpoint` pointer instead and only
+    * falls back to listing when the pointer is absent/corrupt or the
+    * read time-travels below the newest checkpoint. */
+  private[sources] var logLists: Long = 0L
+
   private def logDir = new Path(s"$root/_log")
   private def dataDir = new Path(s"$root/data")
 
   private def versionOf(name: String): Option[Int] =
     if (name.matches("\\d{8}\\.json")) Some(name.take(8).toInt) else None
 
-  /** Newest committed version; 0 = empty table. */
-  def currentVersion: Int =
-    if (!fs.exists(logDir)) 0
-    else fs.listStatus(logDir).flatMap(s => versionOf(s.getPath.getName))
-      .foldLeft(0)(math.max)
+  private def manifestPath(v: Int) = new Path(logDir, f"$v%08d.json")
+
+  private def listLog(): Array[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(logDir)) Array.empty
+    else { logLists += 1; fs.listStatus(logDir) }
+
+  // ---- _last_checkpoint pointer: O(1) cold-read planning -------------
+  //
+  // The log is one file per commit, so any operation that LISTS it pays
+  // O(#commits-ever) — under the streaming sink (~one commit per
+  // micro-batch) that's ~500k names after a year, listed on EVERY cold
+  // planning. The fix is the Delta `_last_checkpoint` idea: a tiny
+  // pointer file at a KNOWN name records the newest checkpoint version
+  // (plus the log-retention floor), so a cold read does one GET of the
+  // pointer, one GET of that checkpoint, and ≤ checkpointInterval
+  // manifest GETs found by sequential existence probes — no listing at
+  // all. The pointer is purely an accelerator: it is parsed
+  // defensively and ANY absence/staleness/corruption falls back to the
+  // listing path, so a torn overwrite can never corrupt reads.
+
+  private def pointerPath = new Path(logDir, "_last_checkpoint")
+
+  /** First integer at `"key":` (unquoted JSON number); None if absent. */
+  private def intOf(json: String, key: String): Option[Int] = {
+    val kIdx = json.indexOf("\"" + key + "\":")
+    if (kIdx < 0) None
+    else {
+      var i = kIdx + key.length + 3
+      val sb = new StringBuilder
+      while (i < json.length && json.charAt(i).isDigit) { sb.append(json.charAt(i)); i += 1 }
+      if (sb.isEmpty) None else Some(sb.toString.toInt)
+    }
+  }
+
+  /** (newest checkpoint version, log-retention floor) from the pointer
+    * file; None on absence or any parse/IO problem (callers fall back
+    * to listing). The floor is the newest checkpoint whose OLDER log
+    * entries [[vacuumLog]] has deleted — versions below it are no
+    * longer replayable and fail with a clear retention error. */
+  private def readPointer(): Option[(Int, Int)] = try {
+    if (!fs.exists(pointerPath)) None
+    else {
+      val in = fs.open(pointerPath)
+      val raw = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      intOf(raw, "version").map(v => (v, intOf(raw, "floor").getOrElse(0)))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Overwrite the pointer. Monotonic in `version` (a lagging writer's
+    * late checkpoint never regresses it) and best-effort: on `file://`
+    * the swap is an atomic rename; elsewhere a brief delete+rename
+    * absence window only costs readers the listing fallback. */
+  private def writePointer(version: Int, floor: Int): Unit = try {
+    val cur = readPointer()
+    val v = math.max(version, cur.map(_._1).getOrElse(0))
+    val f = math.max(floor, cur.map(_._2).getOrElse(0))
+    if (!cur.contains((v, f))) {
+      val body = s"""{"version":$v,"floor":$f}"""
+      val tmp = new Path(s"$root/_staging/ptr-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.getUri.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(pointerPath).toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        fs.delete(pointerPath, false)
+        if (!fs.rename(tmp, pointerPath)) fs.delete(tmp, false)
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Lowest version still replayable (0 = full history retained): the
+    * floor recorded by [[vacuumLog]], whose older manifests are gone. */
+  def retentionFloor: Int = readPointer().map(_._2).getOrElse(0)
+
+  /** Newest committed version; 0 = empty table. Pointer fast path:
+    * manifests are gap-free above any checkpoint (commits claim
+    * sequential slots; [[vacuumLog]] only deletes BELOW one), so the
+    * head is found by probing forward from the pointer's checkpoint —
+    * ≤ checkpointInterval existence checks, zero listings. */
+  def currentVersion: Int = readPointer() match {
+    case Some((c, _)) if c > 0 && fs.exists(checkpointPath(c)) =>
+      var v = c
+      while (fs.exists(manifestPath(v + 1))) v += 1
+      v
+    case _ =>
+      listLog().flatMap(s => versionOf(s.getPath.getName)).foldLeft(0)(math.max)
+  }
 
   // ---- manifest encode/decode (dependency-free, like Bench floors) --
 
@@ -207,13 +317,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   private val CkptName = "(\\d{8})\\.checkpoint\\.json".r
 
-  /** Newest checkpoint version ≤ `v`; 0 = replay from the beginning. */
-  private def checkpointAtOrBelow(v: Int): Int =
-    if (!fs.exists(logDir)) 0
-    else fs.listStatus(logDir).flatMap(s => s.getPath.getName match {
-      case CkptName(n) => Some(n.toInt)
-      case _ => None
-    }).filter(_ <= v).foldLeft(0)(math.max)
+  /** Newest checkpoint version ≤ `v`; 0 = replay from the beginning.
+    * Pointer fast path (the hot read resolves the HEAD, which is ≥ the
+    * newest checkpoint, so this is zero listings in steady state);
+    * time travel below the newest checkpoint falls back to one
+    * listing to find an older retained checkpoint. */
+  private def checkpointAtOrBelow(v: Int): Int = readPointer() match {
+    case Some((c, _)) if c > 0 && c <= v && fs.exists(checkpointPath(c)) => c
+    case _ =>
+      listLog().flatMap(s => s.getPath.getName match {
+        case CkptName(n) => Some(n.toInt)
+        case _ => None
+      }).filter(_ <= v).foldLeft(0)(math.max)
+  }
 
   /** (live files, live-file stats, tags, latest schema) at checkpoint
     * `v`. */
@@ -243,6 +359,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   private def replayStateFull(v: Int): (Seq[String],
       Map[(String, String), (Long, Long)], Set[String], Option[String]) = {
+    val floor = retentionFloor
+    if (v > 0 && v < floor)
+      throw new IllegalArgumentException(
+        s"snapshot $v of $root was vacuumed below the log-retention " +
+          s"floor $floor (vacuumLog deleted its manifests); time travel " +
+          s"only works at versions >= $floor")
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
     val tags = scala.collection.mutable.Set[String]()
@@ -322,6 +444,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         finally out.close()
         if (!publish(tmp, checkpointPath(v))) fs.delete(tmp, false)
       }
+      // advance the pointer whether this writer won the publish race or
+      // a concurrent one did — either way checkpoint v now exists
+      writePointer(v, 0)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Concrete data-file list of snapshot `version` (default: newest). */
@@ -928,6 +1053,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(0 <= fromVersion && fromVersion <= toVersion &&
       toVersion <= currentVersion,
       s"bad diff range [$fromVersion, $toVersion] vs current $currentVersion")
+    require(fromVersion >= retentionFloor || fromVersion == toVersion,
+      s"diff from $fromVersion needs manifests below the log-retention " +
+        s"floor $retentionFloor of $root (deleted by vacuumLog)")
     val manifests = (fromVersion + 1 to toVersion).map(readManifest)
     // both sides read under toVersion's RECORDED schema: a widened
     // append inside the range otherwise leaves `from` and `to` with
@@ -964,8 +1092,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * data). So, exactly like Delta/Iceberg retention, vacuum only
     * reaps unreferenced data files whose modification time is older
     * than `stagingGraceMs` — a commit either publishes within the
-    * grace window or is abandoned staging. Returns the number of
-    * files deleted. */
+    * grace window or is abandoned staging.
+    *
+    * Also truncates the manifest LOG below `retainFrom` (see
+    * [[vacuumLog]]): time travel below the retention point stops
+    * resolving even for versions whose data files happened to survive
+    * — the uniform retention contract, and the only thing that stops
+    * the log growing one file per commit forever. Returns the number
+    * of DATA files deleted. */
   def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L): Int = {
     val cutoff = System.currentTimeMillis() - stagingGraceMs
     // keep-set in ONE log walk: maintain the running live set, union
@@ -974,18 +1108,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // EACH v — Σv ≈ n²/2 manifest reads; this is O(tail) reads seeded
     // from the newest checkpoint <= retainFrom, same keep-set.
     val cur = currentVersion
+    // versions below the log-retention floor are no longer replayable
+    // (vacuumLog deleted their manifests), so retaining them is
+    // meaningless AND the keep-walk below could not read them anyway
+    val rf = math.max(retainFrom, retentionFloor)
     val keep = scala.collection.mutable.Set[String]()
     val live = scala.collection.mutable.LinkedHashSet[String]()
-    val c0 = checkpointAtOrBelow(math.max(0, math.min(retainFrom, cur)))
+    val c0 = checkpointAtOrBelow(math.max(0, math.min(rf, cur)))
     if (c0 > 0) {
       live ++= readCheckpoint(c0)._1
-      if (c0 >= retainFrom) keep ++= live
+      if (c0 >= rf) keep ++= live
     }
     (c0 + 1 to cur).foreach { v =>
       val (add, remove) = readManifest(v)
       live ++= add
       live --= remove
-      if (v >= retainFrom) keep ++= live
+      if (v >= rf) keep ++= live
     }
     val have =
       if (!fs.exists(dataDir)) Seq.empty
@@ -1002,7 +1140,58 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       fs.listStatus(staging).filter(_.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // data below retainFrom is (partially) gone, so the log entries
+    // that only serve sub-retainFrom time travel serve nothing — reap
+    // them too, or the log grows one file per commit forever and every
+    // LISTING-path metadata op degrades with stream lifetime
+    vacuumLogBelow(rf)
     doomed.size
+  }
+
+  /** Truncate the manifest log so only the last `retainVersions`
+    * snapshots stay time-travelable: deletes every manifest at or
+    * below the newest checkpoint ≤ the horizon (its state is fully in
+    * the checkpoint) and every older checkpoint, then records that
+    * floor in `_last_checkpoint`. Reads at or above the floor replay
+    * exactly as before; below it they fail with a clear retention
+    * error — the same contract [[vacuum]] applies to data files.
+    * Returns the number of log files deleted. */
+  def vacuumLog(retainVersions: Int): Int = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1")
+    vacuumLogBelow(currentVersion - retainVersions + 1)
+  }
+
+  /** Log truncation below version `horizon` (exclusive of the floor
+    * checkpoint that keeps `horizon` and everything above replayable).
+    * One listing — this is maintenance, never the read path. */
+  private def vacuumLogBelow(horizon: Int): Int = {
+    val h = math.min(horizon, currentVersion)
+    if (h <= 1) 0
+    else {
+      val entries = listLog()
+      val ckpts = entries.flatMap(s => s.getPath.getName match {
+        case CkptName(n) => Some(n.toInt)
+        case _ => None
+      })
+      // the floor must be a checkpoint ≤ h: replay of any v >= floor is
+      // checkpoint(floor) + manifests floor+1..v, none of which we touch
+      val floor = ckpts.filter(_ <= h).foldLeft(0)(math.max)
+      if (floor <= 0 || floor <= retentionFloor) 0
+      else {
+        // record the floor BEFORE deleting: a crash mid-delete then
+        // reads below the floor as a clean retention error, never as a
+        // confusing FileNotFound mid-replay
+        writePointer(ckpts.foldLeft(0)(math.max), floor)
+        val doomed = entries.filter { s =>
+          s.getPath.getName match {
+            case CkptName(n) => n.toInt < floor
+            case name => versionOf(name).exists(_ <= floor)
+          }
+        }
+        doomed.foreach(s => fs.delete(s.getPath, false))
+        doomed.length
+      }
+    }
   }
 }
 

@@ -568,4 +568,93 @@ class SnapshotTableSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("7"))
   }
+
+  // ---- _last_checkpoint pointer + log retention ---------------------
+
+  test("_last_checkpoint: cold reads perform ZERO log listings on a >5x-interval log") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 17L).foreach(i => t.append(Seq(i).toDF("id"))) // ckpts at 3,6,9,12,15
+    // a brand-new instance = a cold planner: head resolution and the
+    // state replay must both ride the pointer, never a directory list
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t2.logLists = 0; t2.metaReads = 0
+    assert(ids(t2.read()) == (1L to 17L).toSet)
+    assert(t2.logLists == 0, s"cold read listed _log ${t2.logLists} times")
+    assert(t2.metaReads <= 3, // ckpt@15 + manifests 16,17
+      s"cold read opened ${t2.metaReads} metadata files (want ckpt + tail)")
+    val t3 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t3.logLists = 0
+    assert(t3.currentVersion == 17)
+    assert(t3.logLists == 0, "head resolution listed the log")
+  }
+
+  test("_last_checkpoint is advisory: a corrupt pointer falls back to listing") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 7L).foreach(i => t.append(Seq(i).toDF("id")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_log/_last_checkpoint")
+    val out = fs.create(ptr, true)
+    out.write("not json at all".getBytes("UTF-8")); out.close()
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(t2.currentVersion == 7)
+    assert(ids(t2.read()) == (1L to 7L).toSet)
+    assert(t2.logLists > 0, "corrupt pointer must route through the listing fallback")
+  }
+
+  test("vacuumLog: within retention replays exactly, below it fails with the retention error") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(t.appendIfAbsent(Seq(1L).toDF("id"), "early-tag").contains(1))
+    (2L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
+    val before = (6 to 17).map(v => v -> ids(t.read(Some(v)))).toMap
+    // horizon = 17-10+1 = 8 → floor = newest checkpoint ≤ 8 = 6:
+    // manifests 1..6 + checkpoint 3 go, checkpoint 6 + manifests 7..17 stay
+    val deleted = t.vacuumLog(retainVersions = 10)
+    assert(deleted == 7, s"expected 6 manifests + 1 checkpoint deleted, got $deleted")
+    assert(t.retentionFloor == 6)
+    (6 to 17).foreach(v => assert(ids(t.read(Some(v))) == before(v),
+      s"version $v changed after vacuumLog"))
+    val e = intercept[IllegalArgumentException](t.read(Some(5)))
+    assert(e.getMessage.contains("log-retention floor"), e.getMessage)
+    intercept[IllegalArgumentException](t.diff(2, 17))
+    assert(t.diff(6, 17).count() == 11) // appends 7..17, one row each
+    // the early tag survives through the checkpoint's tag record, so a
+    // cold writer's exactly-once check still dedups pre-floor batches
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(t2.appendIfAbsent(Seq(99L).toDF("id"), "early-tag").isEmpty)
+    // restore within retention still works (metadata-only rollback)
+    t2.restore(10)
+    assert(ids(t2.read()) == before(10))
+    // cold planning after truncation: still zero listings
+    val t3 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t3.logLists = 0
+    assert(t3.currentVersion == 18) // 17 appends + restore commit
+    assert(t3.logLists == 0)
+    // idempotent: a second pass at the same horizon deletes nothing
+    assert(t2.vacuumLog(retainVersions = 13) == 0)
+  }
+
+  test("vacuum truncates the log below retainFrom along with the data sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
+    t.vacuum(retainFrom = 10, stagingGraceMs = -1000L)
+    assert(t.retentionFloor == 9) // newest checkpoint ≤ 10
+    assert(ids(t.read(Some(9))) == (1L to 9L).toSet)
+    intercept[IllegalArgumentException](t.read(Some(8)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.matches("0000000[1-9]\\.json")),
+      s"pre-floor manifests survived: $names")
+    assert(names.contains("00000009.checkpoint.json"))
+    // a later vacuum asking for MORE retention than remains is clamped,
+    // not crashed (the old manifests are simply gone)
+    t.vacuum(retainFrom = 2, stagingGraceMs = -1000L)
+    assert(ids(t.read()) == (1L to 17L).toSet)
+  }
 }

@@ -205,8 +205,11 @@ object IngestCli {
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even
             // when unreferenced — they may be a commit mid-publish
+            // truncateLog=false: Delta-style split knob — reap data
+            // but keep the manifest history (see SnapshotTable.vacuum)
             println(s"reaped ${t.vacuum(req("retainFrom").toInt,
-              opts.getOrElse("graceMs", "3600000").toLong)} files")
+              opts.getOrElse("graceMs", "3600000").toLong,
+              opts.getOrElse("truncateLog", "true").toBoolean)} files")
           case "aggRefresh" =>
             // CDC-maintained rollup: keep a COUNT/SUM state of this
             // table in a second snapshot table (--state), refreshed

@@ -93,7 +93,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   // micro-batch) that's ~500k names after a year, listed on EVERY cold
   // planning. The fix is the Delta `_last_checkpoint` idea: a tiny
   // pointer file at a KNOWN name records the newest checkpoint version
-  // (plus the log-retention floor), so a cold read does one GET of the
+  // (the retention record lives in `_retention_floor`, its own file —
+  // see below), so a cold read does one GET of the
   // pointer, one GET of that checkpoint, and ≤ checkpointInterval
   // manifest GETs found by sequential existence probes — no listing at
   // all. The pointer is purely an accelerator: it is parsed
@@ -135,11 +136,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   /** Overwrite the pointer. Monotonic in `version` (a lagging writer's
     * late checkpoint never regresses it) and best-effort: on `file://`
     * the swap is an atomic rename; elsewhere a brief delete+rename
-    * absence window only costs readers the listing fallback. */
-  private def writePointer(version: Int, floor: Int): Unit = try {
+    * absence window only costs readers the listing fallback.
+    *
+    * The pointer no longer CARRIES the retention floor — that lives in
+    * `_retention_floor`, a file only the vacuum paths write (see
+    * [[writeFloor]]) — but a legacy `floor` field already present is
+    * preserved so pre-migration tables keep their recorded floor. */
+  private def writePointer(version: Int): Unit = try {
     val cur = readPointer()
     val v = math.max(version, cur.map(_._1).getOrElse(0))
-    val f = math.max(floor, cur.map(_._2).getOrElse(0))
+    val f = cur.map(_._2).getOrElse(0)
     if (!cur.contains((v, f))) {
       val body = s"""{"version":$v,"floor":$f}"""
       val tmp = new Path(s"$root/_staging/ptr-${java.util.UUID.randomUUID()}.json")
@@ -159,9 +165,106 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Lowest version still replayable (0 = full history retained): the
-    * floor recorded by [[vacuumLog]], whose older manifests are gone. */
-  def retentionFloor: Int = readPointer().map(_._2).getOrElse(0)
+  // ---- _retention_floor: the log-retention record --------------------
+  //
+  // Two integers, both monotonic:
+  //  - `floor`: the REPLAY floor — the checkpoint below which
+  //    [[vacuumLog]] has deleted manifests. Replay of any v >= floor
+  //    is unaffected (checkpoint(floor) + surviving tail).
+  //  - `boundary`: the USER-FACING retention boundary (>= floor) —
+  //    [[vacuum]] records its `retainFrom` here, so any read below it
+  //    fails with the clean retention error even where manifests
+  //    happen to survive but the data files may not (a remove-bearing
+  //    history vacuumed at rf leaves [floor, rf) resolvable in
+  //    metadata while referencing reaped files — erroring uniformly at
+  //    the boundary beats a FileNotFound mid-scan).
+  // The record lives in its OWN file that no checkpoint path ever
+  // writes: the previous design rode the floor on `_last_checkpoint`,
+  // where a concurrent `maybeCheckpoint`'s read-modify-write could
+  // interleave with a vacuum's and silently regress the floor to 0.
+  // Writers here are vacuum/maintenance only; a lost update between
+  // two concurrent vacuums is monotonic-idempotent (the next pass
+  // re-records), and reads additionally fall back to the floor DERIVED
+  // from the surviving log itself (see [[derivedReplayFloor]]).
+
+  private def floorPath = new Path(logDir, "_retention_floor")
+
+  /** (replay floor, boundary) from `_retention_floor`; None on
+    * absence or any parse/IO problem. */
+  private def readFloorFile(): Option[(Int, Int)] = try {
+    if (!fs.exists(floorPath)) None
+    else {
+      val in = fs.open(floorPath)
+      val raw = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      intOf(raw, "floor").map(f => (f, intOf(raw, "boundary").getOrElse(f)))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Record retention state, monotonic max on both fields (a legacy
+    * pointer-carried floor is folded in on first write). Returns
+    * whether the requested values LANDED — confirmed by read-back —
+    * so [[vacuumLogBelow]] can refuse to delete manifests whose only
+    * retention record failed to persist. */
+  private def writeFloor(floor: Int, boundary: Int): Boolean = try {
+    val (curF, curB) = readFloorFile().getOrElse((0, 0))
+    val legacy = readPointer().map(_._2).getOrElse(0)
+    val f = math.max(math.max(floor, curF), legacy)
+    val b = math.max(math.max(boundary, curB), f)
+    if ((f, b) != (curF, curB)) {
+      val body = s"""{"floor":$f,"boundary":$b}"""
+      val tmp = new Path(s"$root/_staging/floor-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.getUri.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(floorPath).toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        fs.delete(floorPath, false)
+        if (!fs.rename(tmp, floorPath)) fs.delete(tmp, false)
+      }
+    }
+    readFloorFile().exists { case (gf, gb) => gf >= floor && gb >= boundary }
+  } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Replay floor derived from the SURVIVING log itself (one listing):
+    * 0 when the full history is present, else the smallest surviving
+    * checkpoint ([[vacuumLogBelow]] only ever deletes below one, so
+    * that checkpoint plus the tail above it is exactly what replays).
+    * The fallback when the recorded floor state is lost or clobbered —
+    * maintenance/diagnostic path only, never the hot read. */
+  private def derivedReplayFloor(): Int = {
+    val entries = listLog()
+    val manifests = entries.flatMap(s => versionOf(s.getPath.getName))
+    val ckpts = entries.flatMap(s => s.getPath.getName match {
+      case CkptName(n) => Some(n.toInt)
+      case _ => None
+    })
+    if (ckpts.isEmpty || manifests.exists(_ <= 1)) 0 else ckpts.min
+  }
+
+  /** Lowest version still readable (0 = full history retained): the
+    * user-facing boundary recorded by [[vacuum]]/[[vacuumLog]] (legacy
+    * pointer-carried floors honored). Reads below it fail with a clean
+    * retention error. */
+  def retentionFloor: Int = {
+    val legacy = readPointer().map(_._2).getOrElse(0)
+    math.max(readFloorFile().map(_._2).getOrElse(0), legacy)
+  }
+
+  /** The REPLAY floor (<= [[retentionFloor]]): manifests strictly below
+    * it are gone; [[vacuumLogBelow]]'s idempotence guard reads it. */
+  private def replayFloorV: Int = {
+    val legacy = readPointer().map(_._2).getOrElse(0)
+    math.max(readFloorFile().map(_._1).getOrElse(0), legacy)
+  }
 
   /** Newest committed version; 0 = empty table. Pointer fast path:
     * manifests are gap-free above any checkpoint (commits claim
@@ -365,6 +468,28 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         s"snapshot $v of $root was vacuumed below the log-retention " +
           s"floor $floor (vacuumLog deleted its manifests); time travel " +
           s"only works at versions >= $floor")
+    try replayStateFullUnchecked(v)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        // the recorded floor was lost/clobbered and v is really below
+        // the true floor: re-derive it from the surviving log, re-record
+        // it (self-heal, best-effort), and degrade to the CLEAN
+        // retention error instead of a FileNotFound mid-replay. A miss
+        // at or above the derived floor is genuine corruption — rethrow.
+        val derived = derivedReplayFloor()
+        if (v > 0 && v < derived) {
+          writeFloor(derived, derived)
+          throw new IllegalArgumentException(
+            s"snapshot $v of $root was vacuumed below the log-retention " +
+              s"floor $derived (vacuumLog deleted its manifests; the " +
+              s"recorded floor was missing and has been re-derived); " +
+              s"time travel only works at versions >= $derived")
+        } else throw e
+    }
+  }
+
+  private def replayStateFullUnchecked(v: Int): (Seq[String],
+      Map[(String, String), (Long, Long)], Set[String], Option[String]) = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
     val tags = scala.collection.mutable.Set[String]()
@@ -446,7 +571,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
       // advance the pointer whether this writer won the publish race or
       // a concurrent one did — either way checkpoint v now exists
-      writePointer(v, 0)
+      writePointer(v)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Concrete data-file list of snapshot `version` (default: newest). */
@@ -1053,7 +1178,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(0 <= fromVersion && fromVersion <= toVersion &&
       toVersion <= currentVersion,
       s"bad diff range [$fromVersion, $toVersion] vs current $currentVersion")
-    require(fromVersion >= retentionFloor || fromVersion == toVersion,
+    // no from == to carve-out: the body replays toVersion either way,
+    // which throws the retention error below the floor — requiring the
+    // floor up front keeps the error message consistent for all shapes
+    require(fromVersion >= retentionFloor,
       s"diff from $fromVersion needs manifests below the log-retention " +
         s"floor $retentionFloor of $root (deleted by vacuumLog)")
     val manifests = (fromVersion + 1 to toVersion).map(readManifest)
@@ -1094,13 +1222,30 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * than `stagingGraceMs` — a commit either publishes within the
     * grace window or is abandoned staging.
     *
-    * Also truncates the manifest LOG below `retainFrom` (see
-    * [[vacuumLog]]): time travel below the retention point stops
-    * resolving even for versions whose data files happened to survive
-    * — the uniform retention contract, and the only thing that stops
-    * the log growing one file per commit forever. Returns the number
-    * of DATA files deleted. */
-  def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L): Int = {
+    * `retainFrom` itself is recorded as the user-facing retention
+    * BOUNDARY (`_retention_floor`), so any read below it fails with
+    * the clean retention error — uniformly, including versions in
+    * `[checkpoint-floor, retainFrom)` whose manifests survive but
+    * whose data files may not (a remove-bearing history would
+    * otherwise resolve those snapshots in metadata and die with
+    * FileNotFound mid-scan).
+    *
+    * With `truncateLog` (the default) the manifest LOG below
+    * `retainFrom` is also reaped (see [[vacuumLog]]) — the only thing
+    * that stops the log growing one file per commit forever.
+    * `truncateLog = false` is the Delta-style split knob (data
+    * retention separate from log retention): the log is kept intact,
+    * and on an APPEND-ONLY history (nothing reaped) time travel below
+    * `retainFrom` keeps working; if data WAS reaped the boundary is
+    * still recorded, because those snapshots are unreadable either
+    * way and the clean error beats FileNotFound.
+    *
+    * `retainFrom` is clamped to the current version: the head
+    * snapshot is always retained (a beyond-head `retainFrom` must not
+    * empty the keep-set and reap live data). Returns the number of
+    * DATA files deleted. */
+  def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L,
+      truncateLog: Boolean = true): Int = {
     val cutoff = System.currentTimeMillis() - stagingGraceMs
     // keep-set in ONE log walk: maintain the running live set, union
     // it into keep at every version >= retainFrom. The former
@@ -1108,13 +1253,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // EACH v — Σv ≈ n²/2 manifest reads; this is O(tail) reads seeded
     // from the newest checkpoint <= retainFrom, same keep-set.
     val cur = currentVersion
-    // versions below the log-retention floor are no longer replayable
-    // (vacuumLog deleted their manifests), so retaining them is
-    // meaningless AND the keep-walk below could not read them anyway
-    val rf = math.max(retainFrom, retentionFloor)
+    // versions below the retention boundary are no longer readable
+    // (vacuumLog deleted their manifests and/or a prior vacuum reaped
+    // their data), so retaining them is meaningless AND the keep-walk
+    // below could not read them anyway; clamp to the head so a
+    // beyond-head retainFrom cannot empty the keep-set
+    var rf = math.min(math.max(retainFrom, retentionFloor), math.max(cur, 1))
     val keep = scala.collection.mutable.Set[String]()
     val live = scala.collection.mutable.LinkedHashSet[String]()
-    val c0 = checkpointAtOrBelow(math.max(0, math.min(rf, cur)))
+    var c0 = checkpointAtOrBelow(math.max(0, math.min(rf, cur)))
+    if (c0 == 0 && cur > 0 && !fs.exists(manifestPath(1))) {
+      // the recorded floor state was lost: manifest 1 is gone, so a
+      // from-zero keep-walk would die on FileNotFound. Re-derive the
+      // true replay floor from the surviving log and walk from there.
+      rf = math.min(math.max(rf, derivedReplayFloor()), math.max(cur, 1))
+      c0 = checkpointAtOrBelow(math.max(0, math.min(rf, cur)))
+    }
     if (c0 > 0) {
       live ++= readCheckpoint(c0)._1
       if (c0 >= rf) keep ++= live
@@ -1131,6 +1285,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         .filter(_.getModificationTime < cutoff)
         .map(s => fs.makeQualified(s.getPath).toString).toSeq
     val doomed = have.filterNot(keep.contains)
+    // record the user-facing boundary BEFORE deleting anything: a
+    // crash mid-sweep then reads below retainFrom as the clean
+    // retention error, never a FileNotFound mid-scan. If the record
+    // cannot be persisted, refuse to delete (ADVICE r10: the floor
+    // write is the only thing standing between a reaped file and a
+    // raw FileNotFound for every later reader).
+    val mustRecord = rf > 1 && (truncateLog || doomed.nonEmpty)
+    if (mustRecord && !writeFloor(0, rf)) return 0
     doomed.foreach(f => fs.delete(new Path(f), false))
     // staging entries younger than the grace window may belong to an
     // IN-FLIGHT commit on another writer — deleting them would strand
@@ -1144,15 +1306,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // that only serve sub-retainFrom time travel serve nothing — reap
     // them too, or the log grows one file per commit forever and every
     // LISTING-path metadata op degrades with stream lifetime
-    vacuumLogBelow(rf)
+    // (suppressed by truncateLog = false: the Delta-style opt-out for
+    // callers who want data retention without destroying history
+    // metadata — see the method scaladoc for what stays readable)
+    if (truncateLog) vacuumLogBelow(rf)
     doomed.size
   }
 
   /** Truncate the manifest log so only the last `retainVersions`
     * snapshots stay time-travelable: deletes every manifest at or
     * below the newest checkpoint ≤ the horizon (its state is fully in
-    * the checkpoint) and every older checkpoint, then records that
-    * floor in `_last_checkpoint`. Reads at or above the floor replay
+    * the checkpoint) and every older checkpoint, having FIRST recorded
+    * that floor in `_retention_floor` (deletion is refused if the
+    * record does not land). Reads at or above the floor replay
     * exactly as before; below it they fail with a clear retention
     * error — the same contract [[vacuum]] applies to data files.
     * Returns the number of log files deleted. */
@@ -1176,12 +1342,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // the floor must be a checkpoint ≤ h: replay of any v >= floor is
       // checkpoint(floor) + manifests floor+1..v, none of which we touch
       val floor = ckpts.filter(_ <= h).foldLeft(0)(math.max)
-      if (floor <= 0 || floor <= retentionFloor) 0
+      if (floor <= 0 || floor <= replayFloorV) 0
+      // record the floor BEFORE deleting, and ONLY delete if the
+      // record landed (read-back confirmed): a crash mid-delete then
+      // reads below the floor as a clean retention error, never as a
+      // confusing FileNotFound mid-replay — and a failed record never
+      // leaves deleted manifests with no floor on file at all
+      else if (!writeFloor(floor, floor)) 0
       else {
-        // record the floor BEFORE deleting: a crash mid-delete then
-        // reads below the floor as a clean retention error, never as a
-        // confusing FileNotFound mid-replay
-        writePointer(ckpts.foldLeft(0)(math.max), floor)
+        writePointer(ckpts.foldLeft(0)(math.max))
         val doomed = entries.filter { s =>
           s.getPath.getName match {
             case CkptName(n) => n.toInt < floor

@@ -112,9 +112,11 @@ class SnapshotTableSpec extends SparkSuite {
     val reaped = t.vacuum(retainFrom = 4, stagingGraceMs = -1000L)
     assert(reaped == 3, "the three pre-compaction files are unreferenced >= v4")
     assert(ids(t.read()) == Set(1L, 2L, 3L))
-    // time travel below the retention floor is gone (files deleted) —
-    // the metadata still resolves, but the read must fail
-    intercept[Exception] { t.read(Some(2)).count() }
+    // time travel below the retention boundary is gone (files deleted);
+    // the failure is the CLEAN retention error at plan time, never a
+    // FileNotFound mid-scan
+    val e = intercept[IllegalArgumentException] { t.read(Some(2)).count() }
+    assert(e.getMessage.contains("log-retention floor"), e.getMessage)
   }
 
   test("diff: append-only range is a file-pruned insert stream; compaction diffs to empty") {
@@ -642,8 +644,13 @@ class SnapshotTableSpec extends SparkSuite {
     val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
     (1L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
     t.vacuum(retainFrom = 10, stagingGraceMs = -1000L)
-    assert(t.retentionFloor == 9) // newest checkpoint ≤ 10
-    assert(ids(t.read(Some(9))) == (1L to 9L).toSet)
+    // retainFrom ITSELF is the user-facing boundary: v9's manifests
+    // survive (the checkpoint floor is 9) but the retention contract
+    // is uniform at 10 — on a remove-bearing history v9's data could
+    // be gone, and the clean error beats a FileNotFound mid-scan
+    assert(t.retentionFloor == 10)
+    assert(ids(t.read(Some(10))) == (1L to 10L).toSet)
+    intercept[IllegalArgumentException](t.read(Some(9)))
     intercept[IllegalArgumentException](t.read(Some(8)))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -656,5 +663,95 @@ class SnapshotTableSpec extends SparkSuite {
     // not crashed (the old manifests are simply gone)
     t.vacuum(retainFrom = 2, stagingGraceMs = -1000L)
     assert(ids(t.read()) == (1L to 17L).toSet)
+  }
+
+  test("retention floor lives outside the checkpoint path: pointer loss/churn never regresses it") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
+    assert(t.vacuumLog(retainVersions = 10) > 0)
+    assert(t.retentionFloor == 6)
+    // clobber `_last_checkpoint` entirely — the r10 race writes it with
+    // floor 0 from a concurrent maybeCheckpoint; deletion is strictly
+    // worse than any torn write it could produce
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/_last_checkpoint"), false))
+    assert(t.retentionFloor == 6, "floor must not ride on the pointer")
+    // checkpoint-path writes (appends crossing interval multiples
+    // rewrite the pointer) must never touch the floor either
+    (18L to 24L).foreach(i => t.append(Seq(i).toDF("id")))
+    assert(t.retentionFloor == 6)
+    val e = intercept[IllegalArgumentException](t.read(Some(5)))
+    assert(e.getMessage.contains("log-retention floor"), e.getMessage)
+  }
+
+  test("lost floor state degrades to the clean retention error, self-heals, and vacuum survives") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
+    assert(t.vacuumLog(retainVersions = 10) > 0) // replay floor 6
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/_last_checkpoint"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/_retention_floor"), false)
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(t2.retentionFloor == 0, "precondition: every record gone")
+    // a read below the true floor must NOT surface the replay's raw
+    // FileNotFound — the floor is re-derived from the surviving log
+    val e = intercept[IllegalArgumentException](t2.read(Some(5)))
+    assert(e.getMessage.contains("log-retention floor 6"), e.getMessage)
+    assert(t2.retentionFloor == 6, "derived floor is re-recorded (self-heal)")
+    assert(ids(t2.read(Some(7))) == (1L to 7L).toSet)
+    // vacuum with lost state and retainFrom below the true floor used
+    // to crash its keep-walk on readManifest(1); it must clamp instead
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/_retention_floor"), false)
+    val t3 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t3.vacuum(retainFrom = 2, stagingGraceMs = -1000L)
+    assert(ids(t3.read()) == (1L to 17L).toSet)
+  }
+
+  test("vacuum truncateLog=false: history intact on append-only; boundary still recorded when data reaped") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 7L).foreach(i => t.append(Seq(i).toDF("id")))
+    // append-only: nothing is reaped, so opting out of log truncation
+    // keeps the WHOLE history time-travelable (the Delta split-knob
+    // contract: data retention and log retention are separate)
+    assert(t.vacuum(retainFrom = 3, stagingGraceMs = -1000L, truncateLog = false) == 0)
+    assert(t.retentionFloor == 0)
+    assert(ids(t.read(Some(2))) == Set(1L, 2L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log/00000001.json")),
+      "truncateLog=false must leave the manifest log alone")
+    // once a remove-bearing history has data reaped below retainFrom,
+    // the boundary IS recorded even with truncateLog=false: those
+    // snapshots reference deleted files, and the clean retention error
+    // beats a FileNotFound mid-scan
+    t.compact(coalesceTo = 1) // v8
+    assert(t.vacuum(retainFrom = 8, stagingGraceMs = -1000L, truncateLog = false) == 7)
+    assert(t.retentionFloor == 8)
+    val e = intercept[IllegalArgumentException](t.read(Some(5)))
+    assert(e.getMessage.contains("log-retention floor"), e.getMessage)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log/00000001.json")),
+      "the manifest log itself still survives")
+  }
+
+  test("diff below the floor errors uniformly, including from == to; beyond-head vacuum keeps the head") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 17L).foreach(i => t.append(Seq(i).toDF("id")))
+    t.vacuumLog(retainVersions = 10) // floor 6
+    // the old from == to carve-out produced an inconsistent generic
+    // error from the body's replay; now the same retention message
+    val e = intercept[IllegalArgumentException](t.diff(5, 5))
+    assert(e.getMessage.contains("log-retention floor"), e.getMessage)
+    assert(t.diff(6, 6).count() == 0)
+    // retainFrom beyond the head clamps to the head instead of
+    // emptying the keep-set and reaping LIVE data
+    assert(t.vacuum(retainFrom = 999, stagingGraceMs = -1000L) == 0)
+    assert(ids(t.read()) == (1L to 17L).toSet)
+    assert(t.retentionFloor == 17)
   }
 }

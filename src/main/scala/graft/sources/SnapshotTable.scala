@@ -62,7 +62,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   /** Diagnostic counter: manifest + checkpoint files this instance has
     * opened — the spec's O(tail) replay assertions read it. */
-  private[sources] var metaReads: Long = 0L
+  private[graft] var metaReads: Long = 0L
 
   /** Diagnostic counter: full `_log` directory LISTINGS this instance
     * has performed. Listings are the metadata op that grows with
@@ -72,7 +72,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * it reads the O(1) `_last_checkpoint` pointer instead and only
     * falls back to listing when the pointer is absent/corrupt or the
     * read time-travels below the newest checkpoint. */
-  private[sources] var logLists: Long = 0L
+  private[graft] var logLists: Long = 0L
 
   private def logDir = new Path(s"$root/_log")
   private def dataDir = new Path(s"$root/data")

@@ -806,14 +806,26 @@ class GaugeStore(val spark: SparkSession, val root: String) {
 }
 
 object GaugeStore {
-  /** Open the store at `root` with backend auto-detection. A store
-    * created with `backend = Some("snapshot")` writes a `_backend`
-    * marker; every later open (CLI calls pass no backend) routes the
-    * fact tables through the manifest-log [[SnapshotTable]]s
-    * automatically, so one `--backend snapshot` at creation is the
-    * only CLI surface change and mixing backends on one store is
-    * impossible. The gauge manifest dir is a fallback detector for
-    * stores whose marker was lost. */
+  /** Open the store at `root` with backend auto-detection.
+    *
+    * DEFAULT (ADR, round 11): a NEW store — nothing on disk yet —
+    * gets the manifest-log snapshot backend. It is the backend whose
+    * guarantees hold on an object store at scale: atomic commits
+    * without atomic rename, O(1)-listing planning under
+    * per-micro-batch commit rates, time travel, CDC-maintained
+    * rollups, and manifest-stat file pruning. The rename-based plain
+    * backend remains for EXISTING stores (auto-detected: store
+    * content on disk with neither the `_backend` marker nor a gauge
+    * manifest log) and via an explicit `--backend plain` — it is the
+    * simpler layout for a local-filesystem deployment and the
+    * migration-free path for stores created before round 11.
+    *
+    * A store created under `backend = Some("snapshot")` (or the new
+    * default) writes a `_backend` marker; every later open (CLI calls
+    * pass no backend) routes the fact tables through the manifest-log
+    * [[SnapshotTable]]s automatically, so backends never mix on one
+    * store. The gauge manifest dir is a fallback detector for stores
+    * whose marker was lost. */
   def open(spark: SparkSession, root: String,
       backend: Option[String] = None): GaugeStore = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -823,8 +835,12 @@ object GaugeStore {
       case Some("snapshot") => true
       case Some("plain") => false
       case Some(other) => sys.error(s"unknown --backend $other (snapshot|plain)")
-      case None => fs.exists(marker) ||
-        fs.exists(new org.apache.hadoop.fs.Path(s"$root/gauge_data/_log"))
+      case None =>
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val existing = fs.exists(rootP) && fs.listStatus(rootP).nonEmpty
+        fs.exists(marker) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/gauge_data/_log")) ||
+          !existing // new store: snapshot by default (ADR above)
     }
     if (snap) {
       if (!fs.exists(marker)) {

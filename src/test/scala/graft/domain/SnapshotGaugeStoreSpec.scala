@@ -2,7 +2,7 @@ package graft.domain
 
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** [[SnapshotGaugeStore]]-specific behavior beyond the shared
   * pipeline/rollup scenarios (SnapshotObsPipelineSpec /
@@ -171,9 +171,23 @@ class SnapshotGaugeStoreSpec extends SparkSuite {
     val reopened = GaugeStore.open(spark, root)
     assert(reopened.isInstanceOf[SnapshotGaugeStore])
     assert(reopened.gaugeData.count() == 1)
-    // a plain store keeps opening plain
+    // NEW stores default to the snapshot backend (round-11 ADR) and
+    // stamp the marker so every later open stays consistent
+    val freshRoot = Files.createTempDirectory("freshopen").toString
+    val fresh = GaugeStore.open(spark, freshRoot)
+    assert(fresh.isInstanceOf[SnapshotGaugeStore])
+    assert(Files.exists(Paths.get(freshRoot, "_backend")))
+    // an EXISTING plain store (content on disk, no marker, no manifest
+    // log) keeps opening plain — pre-ADR stores never migrate silently
     val plainRoot = Files.createTempDirectory("plainopen").toString
+    val legacy = new GaugeStore(spark, plainRoot)
+    legacy.appendGaugeData(fact((1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0)), "tidal_gauge")
     val plain = GaugeStore.open(spark, plainRoot)
     assert(!plain.isInstanceOf[SnapshotGaugeStore])
+    assert(plain.gaugeData.count() == 1)
+    // explicit opt-out still creates a plain store on a fresh dir
+    val optOutRoot = Files.createTempDirectory("optout").toString
+    assert(!GaugeStore.open(spark, optOutRoot, Some("plain"))
+      .isInstanceOf[SnapshotGaugeStore])
   }
 }

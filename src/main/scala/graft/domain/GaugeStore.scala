@@ -784,7 +784,7 @@ class GaugeStore(val spark: SparkSession, val root: String) {
         col("time"), col("timemark"), value.as("__v"))
     val rolled = graft.operators.Timeseries.ohlc(
       scoped, Seq("data_source_part", "obs_date", "source_id"),
-      "time", "timemark", "__v", trunc = "day")
+      "time", "timemark", "__v", trunc = "day", withMean = true)
       .drop("bucket") // obs_date already carries the day
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -313,7 +313,7 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       col("source_id"), col("time"), col("timemark"), value.as("__v"))
     val rolled = graft.operators.Timeseries.ohlc(
       scoped, Seq("data_source_part", "obs_date", "source_id"),
-      "time", "timemark", "__v", trunc = "day")
+      "time", "timemark", "__v", trunc = "day", withMean = true)
       .drop("bucket")
     val rollPath = path("gauge_rollup_daily")
     // groups the CDC touched but that now hold ZERO fact rows produce

@@ -119,15 +119,21 @@ object Timeseries {
     * engine. ONE map-side-combined aggregate, no window.
     */
   def ohlc(df: DataFrame, keys: Seq[String], tsCol: String,
-      tieCol: String, valueCol: String, trunc: String = "day"): DataFrame = {
+      tieCol: String, valueCol: String, trunc: String = "day",
+      withMean: Boolean = false): DataFrame = {
     val ord = struct(col(tsCol), col(tieCol))
+    // `mean` (AVG of non-null values) is opt-in so the ts3 oracle
+    // contract stays byte-stable; the rollup tiers pass true — the
+    // reference's serving views expose averaged-measure shapes
+    val aggs = Seq(
+      min_by(col(valueCol), ord).as("open"),
+      max(col(valueCol)).as("high"),
+      min(col(valueCol)).as("low"),
+      max_by(col(valueCol), ord).as("close"),
+      count(lit(1)).as("n")) ++
+      (if (withMean) Seq(avg(col(valueCol)).as("mean")) else Nil)
     df.groupBy((keys.map(col) :+ date_trunc(trunc, col(tsCol)).as("bucket")): _*)
-      .agg(
-        min_by(col(valueCol), ord).as("open"),
-        max(col(valueCol)).as("high"),
-        min(col(valueCol)).as("low"),
-        max_by(col(valueCol), ord).as("close"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Rolling z-score anomaly flags, integer-exact: values quantize to

@@ -204,6 +204,25 @@ object IncrementalAgg {
     (repaired, to)
   }
 
+  /** Derive `avg_<c>` columns from a state frame. AVG is algebraic,
+    * not distributive — it is never STORED in the state; it composes
+    * at read time from the two distributive components the state
+    * already maintains: `avg_<c> = sum_<c> / nn_<c>` (the NON-NULL
+    * count, not `__n` — SQL AVG ignores NULLs). NULL exactly when the
+    * group holds zero non-null values, matching AVG semantics and the
+    * recompute. Integer/long sums divide in double — one division
+    * over an exact sum, the same shape Spark's and DuckDB's own AVG
+    * use for integral inputs (for decimal columns use Spark avg's
+    * decimal result type directly instead of this helper). */
+  def withAvg(state: DataFrame, avgCols: Seq[String]): DataFrame =
+    avgCols.foldLeft(state) { (df, c) =>
+      require(df.columns.contains(s"sum_$c") && df.columns.contains(s"nn_$c"),
+        s"state lacks sum_$c/nn_$c — include '$c' in sumCols when refreshing")
+      df.withColumn(s"avg_$c",
+        when(col(s"nn_$c") === 0L, lit(null).cast("double"))
+          .otherwise(col(s"sum_$c").cast("double") / col(s"nn_$c")))
+    }
+
   /** Full recompute of the same state shape — the oracle the
     * incremental path must equal at every version (spec-pinned), and
     * the cold-start/repair path. `nn_<c>` = COUNT(c), the non-null

@@ -40,6 +40,9 @@ class RollupSpec extends SparkSuite {
     assert(r1.getAs[Double]("open") == 1.0 && r1.getAs[Double]("close") == 2.0)
     assert(r1.getAs[Double]("high") == 5.0 && r1.getAs[Double]("low") == 1.0)
     assert(r1.getAs[Long]("n") == 3L)
+    // averaged-measure shape (the reference's serving views): exact
+    // on these binary-representable values
+    assert(r1.getAs[Double]("mean") == (1.0 + 5.0 + 2.0) / 3)
 
     // clean re-run: nothing rebuilt
     assert(store.rollupDaily().isEmpty)
@@ -54,6 +57,7 @@ class RollupSpec extends SparkSuite {
       .collect().head
     assert(r2.getAs[Double]("close") == 0.5 && r2.getAs[Double]("low") == 0.5)
     assert(r2.getAs[Long]("n") == 4L)
+    assert(r2.getAs[Double]("mean") == (1.0 + 5.0 + 2.0 + 0.5) / 4)
     // the untouched 04-24 partition was not rewritten
     val r3 = store.rollupDailyTable
       .filter(col("obs_date") === to_date(lit("2023-04-24")))

@@ -159,6 +159,48 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sums(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == sums(st._1))
   }
 
+  test("AVG derives from sum/nn and equals the recompute across append/merge/delete") {
+    val t = tbl()
+    def avgs(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+      IncrementalAgg.withAvg(df, Seq("v"))
+        .select(col("k"), col("avg_v")).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def oracle(): Map[String, Option[Double]] = {
+      // the independent oracle: Spark's own AVG over the live table —
+      // NOT this module's recompute (which would share a bug)
+      t.read().groupBy(col("k")).agg(avg(col("v")).as("a"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    }
+    // group a: all-NULL (avg must be NULL, not 0/0 or 0)
+    t.append(Seq(("a", Option.empty[Long]), ("b", Some(4L)), ("b", Some(5L)),
+      ("c", Some(10L)), ("c", Option.empty[Long])).toDF("k", "v"))
+    var st = IncrementalAgg.refresh(t, None, 0, Seq("k"), Seq("v"))
+    assert(avgs(st._1) == Map("a" -> None, "b" -> Some(4.5), "c" -> Some(10.0)))
+    assert(avgs(st._1) == oracle())
+    // append shifts a mean; NULLs must not dilute it (nn, not __n)
+    t.append(Seq(("b", Some(9L)), ("b", Option.empty[Long])).toDF("k", "v"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(avgs(st._1)("b").contains(6.0))
+    assert(avgs(st._1) == oracle())
+    // merge replacing c's only non-null value with NULL: avg -> NULL
+    t.merge(Seq(("c", Option.empty[Long])).toDF("k", "v"), Seq("k"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(avgs(st._1)("c").isEmpty)
+    assert(avgs(st._1) == oracle())
+    // delete via merge collapsing b to one row
+    t.merge(Seq(("b", Some(7L))).toDF("k", "v"), Seq("k"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"))
+    assert(avgs(st._1)("b").contains(7.0))
+    assert(avgs(st._1) == oracle())
+    // the recompute path derives identically
+    assert(avgs(IncrementalAgg.recompute(t, Seq("k"), Seq("v"))) == avgs(st._1))
+    // asking for avg of a column the state never summed is a clear error
+    intercept[IllegalArgumentException](
+      IncrementalAgg.withAvg(st._1, Seq("nope")))
+  }
+
   test("MIN/MAX: inserts fold in; deletes tying an extremum trigger a group rescan") {
     val t = tbl()
     // rows carry an identity (k, id) so a MERGE can rewrite ONE row of

@@ -157,9 +157,18 @@ object Dedup {
     * size); both join arms of the verify then carry an IDENTICAL
     * subtree, which physical planning computes once (ReuseExchange).
     * Set size is bounded by document length — the same bound the
-    * exploded shingle table already had per doc. */
-  private def candidateShingleSets(pairs: DataFrame, shingled: DataFrame,
-      idCol: String): DataFrame = {
+    * exploded shingle table already had per doc.
+    *
+    * PUBLIC so callers can materialize it ONCE for the whole verify
+    * family — [[jaccardVerify]], [[containmentVerify]] and
+    * [[minHashCalibration]] all accept the prebuilt frame via their
+    * `sets` parameter. Without that, each verify query re-aggregates
+    * the candidate shingle sets per execution; with it, a suite or
+    * serving deployment pays the corpus-touching semi-join+groupBy
+    * exactly once however many verify reads run (and in whatever
+    * order — the first caller builds, the rest reuse). */
+  def candidateShingleSets(pairs: DataFrame, shingled: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val shCol = shingled.columns.filterNot(_ == idCol).head
     val ids = pairs.select(col(s"a_$idCol").as(idCol))
       .union(pairs.select(col(s"b_$idCol").as(idCol)))
@@ -176,8 +185,10 @@ object Dedup {
     * array_intersect over the candidate-pruned per-doc sets;
     * |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardVerify(pairs: DataFrame, shingled: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val sets = candidateShingleSets(pairs, shingled, idCol)
+      idCol: String = "doc_id",
+      prebuiltSets: Option[DataFrame] = None): DataFrame = {
+    val sets = prebuiltSets.getOrElse(
+      candidateShingleSets(pairs, shingled, idCol))
     val inter = size(array_intersect(col("a_set"), col("b_set"))).cast("long")
     pairs
       .join(sets.select(col(idCol).as(s"a_$idCol"),
@@ -198,8 +209,10 @@ object Dedup {
     * only, one shingle equi-join.
     */
   def containmentVerify(pairs: DataFrame, shingled: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val sets = candidateShingleSets(pairs, shingled, idCol)
+      idCol: String = "doc_id",
+      prebuiltSets: Option[DataFrame] = None): DataFrame = {
+    val sets = prebuiltSets.getOrElse(
+      candidateShingleSets(pairs, shingled, idCol))
     pairs
       .join(sets.select(col(idCol).as(s"a_$idCol"),
         col("shset").as("a_set"), col("sz").as("a_sz")), s"a_$idCol")
@@ -227,14 +240,16 @@ object Dedup {
     * aggregation), then a ≤ numHashes+1-row rollup. All-integer ppm. */
   def minHashCalibration(pairs: DataFrame, signatures: DataFrame,
       shingled: DataFrame, numHashes: Int = 8,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      prebuiltSets: Option[DataFrame] = None): DataFrame = {
     val hCols = (1 to numHashes).map(i => s"h$i")
     def sigSide(side: String) = signatures.select(
       col(idCol).as(s"${side}_$idCol") +:
         hCols.map(h => col(h).as(s"${side}_$h")): _*)
     val matches = hCols.map(h =>
       when(col(s"a_$h") === col(s"b_$h"), 1L).otherwise(0L)).reduce(_ + _)
-    val sets = candidateShingleSets(pairs, shingled, idCol)
+    val sets = prebuiltSets.getOrElse(
+      candidateShingleSets(pairs, shingled, idCol))
     val inter = size(array_intersect(col("a_set"), col("b_set"))).cast("long")
     pairs
       .join(sets.select(col(idCol).as(s"a_$idCol"),

@@ -243,6 +243,14 @@ object LlmOps {
       Dedup.minHashCandidatePairs(sigs(s, dir), NumHashes, RowsPerBand))
   private def dupGroupsShared(s: SparkSession, dir: String): DataFrame =
     memoized(s"groups:$dir")(Dedup.dupGroups(candidatePairs(s, dir)))
+  /** d5/d16/d17 all verify against the same candidate-pruned per-doc
+    * shingle sets; materialized once so the corpus-touching semi-join
+    * + collect_set aggregation is paid by WHICHEVER verify query runs
+    * first (suite order stops mattering — the r10 d16 cold-order
+    * dependency) and never re-paid per run. */
+  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+    memoized(s"shsets:$dir")(Dedup.candidateShingleSets(
+      candidatePairs(s, dir), distinctShingles(s, dir)))
   /** k1/k2/e7 share one training run (the expensive part is the Lloyd
     * passes, not the final projections). Centroid arrays (k·dim longs,
     * driver-side by construction) cache alongside the assigned frame. */
@@ -479,7 +487,9 @@ object LlmOps {
          |JOIN sizes zb ON zb.doc_id = p.b_doc_id
          |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin) { (s, dir) =>
       val sh = distinctShingles(s, dir)
-      Dedup.jaccardVerify(candidatePairs(s, dir), sh).orderBy("a_doc_id", "b_doc_id")
+      Dedup.jaccardVerify(candidatePairs(s, dir), sh,
+        prebuiltSets = Some(sharedShingleSets(s, dir)))
+        .orderBy("a_doc_id", "b_doc_id")
     },
 
     // --- D17: MinHash calibration curve ------------------------------
@@ -526,7 +536,8 @@ object LlmOps {
            |FROM cal GROUP BY matches ORDER BY matches""".stripMargin
       }) { (s, dir) =>
       Dedup.minHashCalibration(candidatePairs(s, dir), sigs(s, dir),
-        distinctShingles(s, dir), NumHashes).orderBy("matches")
+        distinctShingles(s, dir), NumHashes,
+        prebuiltSets = Some(sharedShingleSets(s, dir))).orderBy("matches")
     },
 
     QueryDef.sql(
@@ -2861,7 +2872,8 @@ object LlmOps {
          |JOIN sizes za ON za.doc_id = p.a_doc_id
          |JOIN sizes zb ON zb.doc_id = p.b_doc_id
          |ORDER BY p.a_doc_id, p.b_doc_id""".stripMargin) { (s, dir) =>
-      Dedup.containmentVerify(candidatePairs(s, dir), distinctShingles(s, dir))
+      Dedup.containmentVerify(candidatePairs(s, dir), distinctShingles(s, dir),
+        prebuiltSets = Some(sharedShingleSets(s, dir)))
         .orderBy("a_doc_id", "b_doc_id")
     },
 

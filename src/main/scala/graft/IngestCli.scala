@@ -201,6 +201,17 @@ object IngestCli {
             }
             val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"))
             println(if (v == 0) "nothing matched" else s"deleted into version $v")
+          case "restore" =>
+            // metadata-only rollback: re-adds snapshot v's files as a
+            // new commit, no data rewrite (refuses if vacuumed)
+            println(s"restored snapshot ${req("version")} as version " +
+              t.restore(req("version").toInt))
+          case "vacuumLog" =>
+            // log-only retention: truncate manifests below the newest
+            // checkpoint that keeps the last N snapshots replayable
+            // (data files untouched — see vacuum for the data sweep)
+            val n = t.vacuumLog(req("retainVersions").toInt)
+            println(s"deleted $n log files (retention floor now ${t.retentionFloor})")
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even

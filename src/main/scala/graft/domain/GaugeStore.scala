@@ -797,7 +797,11 @@ class GaugeStore(val spark: SparkSession, val root: String) {
     stale
   }
 
-  /** The daily rollup table (empty frame if never built). */
+  /** The daily rollup table (empty frame if never built). NOTE: the
+    * rollup gained a `mean` column in round 11 — a rollup tier built
+    * before that has partitions without it; since this is a derived
+    * tier, rebuild it once (delete the table dir + version marker and
+    * re-run rollupDaily) rather than serving a mixed schema. */
   def rollupDailyTable: DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path("gauge_rollup_daily"))
     require(fsys.exists(p), s"no rollup at $p — run rollupDaily() first")
@@ -831,16 +835,29 @@ object GaugeStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$root/_backend")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val logP = new org.apache.hadoop.fs.Path(s"$root/gauge_data/_log")
+    val isSnap = fs.exists(marker) || fs.exists(logP)
+    val existing = fs.exists(rootP) && fs.listStatus(rootP).nonEmpty
     val snap = backend match {
-      case Some("snapshot") => true
-      case Some("plain") => false
+      // an explicit backend that CONTRADICTS what is on disk would mix
+      // layouts (plain code reading manifest dirs as raw parquet, or
+      // snapshot code planting a manifest log inside a plain table) —
+      // refuse instead; with snapshot the default for new stores, a
+      // habitual `--backend plain` against one is now an easy mistake
+      case Some("snapshot") =>
+        require(isSnap || !existing,
+          s"store at $root has plain-backend content — open it without " +
+            s"--backend (auto-detects plain); backends never mix")
+        true
+      case Some("plain") =>
+        require(!isSnap,
+          s"store at $root is snapshot-backed (_backend marker / " +
+            s"manifest log present) — refusing --backend plain")
+        false
       case Some(other) => sys.error(s"unknown --backend $other (snapshot|plain)")
       case None =>
-        val rootP = new org.apache.hadoop.fs.Path(root)
-        val existing = fs.exists(rootP) && fs.listStatus(rootP).nonEmpty
-        fs.exists(marker) ||
-          fs.exists(new org.apache.hadoop.fs.Path(s"$root/gauge_data/_log")) ||
-          !existing // new store: snapshot by default (ADR above)
+        isSnap || !existing // new store: snapshot by default (ADR above)
     }
     if (snap) {
       if (!fs.exists(marker)) {

@@ -1235,10 +1235,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * that stops the log growing one file per commit forever.
     * `truncateLog = false` is the Delta-style split knob (data
     * retention separate from log retention): the log is kept intact,
-    * and on an APPEND-ONLY history (nothing reaped) time travel below
-    * `retainFrom` keeps working; if data WAS reaped the boundary is
-    * still recorded, because those snapshots are unreadable either
-    * way and the clean error beats FileNotFound.
+    * and on an APPEND-ONLY history (no referenced file reaped —
+    * sweeping never-committed orphans does not count) time travel
+    * below `retainFrom` keeps working; if referenced data WAS reaped
+    * the boundary is still recorded, because those snapshots are
+    * unreadable either way and the clean error beats FileNotFound.
+    * One under-recording corner: a doomed file removed BEFORE the
+    * keep-walk's seed checkpoint is indistinguishable from an orphan
+    * here, so reads of the pre-checkpoint versions that referenced it
+    * can still fail with FileNotFound — the pre-boundary behavior,
+    * only reachable with `truncateLog = false` on a remove-bearing
+    * history.
     *
     * `retainFrom` is clamped to the current version: the head
     * snapshot is always retained (a beyond-head `retainFrom` must not
@@ -1269,13 +1276,23 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       rf = math.min(math.max(rf, derivedReplayFloor()), math.max(cur, 1))
       c0 = checkpointAtOrBelow(math.max(0, math.min(rf, cur)))
     }
+    // `seen` = every file some SURVIVING log entry references — the
+    // discriminator between reaping history (must record the retention
+    // boundary) and sweeping never-committed orphans (no snapshot ever
+    // referenced them, so no boundary is owed). Files removed before
+    // the seed checkpoint are not in it — reaping those under
+    // truncateLog=false under-records the boundary, the corner the
+    // scaladoc documents.
+    val seen = scala.collection.mutable.Set[String]()
     if (c0 > 0) {
       live ++= readCheckpoint(c0)._1
+      seen ++= live
       if (c0 >= rf) keep ++= live
     }
     (c0 + 1 to cur).foreach { v =>
       val (add, remove) = readManifest(v)
       live ++= add
+      seen ++= add
       live --= remove
       if (v >= rf) keep ++= live
     }
@@ -1290,8 +1307,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // retention error, never a FileNotFound mid-scan. If the record
     // cannot be persisted, refuse to delete (ADVICE r10: the floor
     // write is the only thing standing between a reaped file and a
-    // raw FileNotFound for every later reader).
-    val mustRecord = rf > 1 && (truncateLog || doomed.nonEmpty)
+    // raw FileNotFound for every later reader). Orphan-only sweeps
+    // (doomed files NO surviving snapshot references) owe no boundary
+    // — an append-only history stays fully time-travelable through a
+    // vacuum that merely cleans crashed-commit strays.
+    val mustRecord = rf > 1 &&
+      (truncateLog || doomed.exists(seen.contains))
     if (mustRecord && !writeFloor(0, rf)) return 0
     doomed.foreach(f => fs.delete(new Path(f), false))
     // staging entries younger than the grace window may belong to an

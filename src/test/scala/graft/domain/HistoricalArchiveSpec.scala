@@ -137,7 +137,10 @@ class HistoricalArchiveSpec extends SparkSuite {
     val runDir = s"$root/4358-2023042306-gfsforecast"
     assert(Files.exists(Paths.get(runDir, "FORECAST_NOAASTATIONS.csv")))
     assert(Files.exists(Paths.get(runDir, "meta_FORECAST_NOAASTATIONS.csv")))
-    val store = new GaugeStore(spark, s"$root/store")
+    // the CLI created the store (snapshot-backed by the r11 default) —
+    // read it back through the auto-detecting factory, never a
+    // hardcoded backend
+    val store = GaugeStore.open(spark, s"$root/store")
     assert(store.modelData.count() == 2)            // the good file's rows
     assert(store.modelLedger.filter(col("ingested")).count() == 1)
     // same-stamp re-run (crash-retry shape): archive is idempotent and

@@ -48,6 +48,31 @@ class SnapshotCliSpec extends SparkSuite {
     val t = new SnapshotTable(spark, table)
     val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "i"))
+    // restore below the vacuum boundary is refused with the clean
+    // retention error (retainFrom = 4 was recorded as the boundary)
+    intercept[IllegalArgumentException] { run("restore", "version" -> "3") }
+  }
+
+  test("vacuumLog truncates history through the CLI and reports the floor") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcli-vl").toString
+    val table = s"$dir/tbl"
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+    val t = new SnapshotTable(spark, table, checkpointInterval = 3)
+    (1L to 8L).foreach(i => t.append(Seq(i).toDF("id")))
+    val outLog = run("vacuumLog", "retainVersions" -> "3")
+    // horizon 6 -> floor at checkpoint 6: manifests 1..6 + ckpt 3 go
+    assert(outLog.contains("(retention floor now 6)"), outLog)
+    assert("deleted (\\d+) log files".r.findFirstMatchIn(outLog)
+      .exists(_.group(1).toInt == 7), outLog)
+    assert(run("read").contains("rows=8"))
+    assert(run("read", "version" -> "6").contains("rows=6"))
+    // restore within retention: metadata-only rollback through the CLI
+    assert(run("restore", "version" -> "7")
+      .contains("restored snapshot 7 as version 9"))
+    assert(run("read").contains("rows=7"))
   }
 
   test("aggRefresh maintains a CDC rollup state table through the CLI") {

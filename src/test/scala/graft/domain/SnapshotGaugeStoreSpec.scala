@@ -189,5 +189,12 @@ class SnapshotGaugeStoreSpec extends SparkSuite {
     val optOutRoot = Files.createTempDirectory("optout").toString
     assert(!GaugeStore.open(spark, optOutRoot, Some("plain"))
       .isInstanceOf[SnapshotGaugeStore])
+    // an explicit backend CONTRADICTING the on-disk layout is refused —
+    // mixing would read manifest dirs as raw parquet (or plant a log
+    // inside a plain table)
+    intercept[IllegalArgumentException](
+      GaugeStore.open(spark, root, Some("plain")))       // snapshot store
+    intercept[IllegalArgumentException](
+      GaugeStore.open(spark, plainRoot, Some("snapshot"))) // plain store
   }
 }

@@ -725,6 +725,14 @@ class SnapshotTableSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log/00000001.json")),
       "truncateLog=false must leave the manifest log alone")
+    // sweeping a never-committed ORPHAN is not "reaping history": no
+    // snapshot referenced it, so no retention boundary is owed and the
+    // full history stays time-travelable
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/data/orphan-stray.parquet")
+    val out = fs.create(orphan, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(t.vacuum(retainFrom = 5, stagingGraceMs = -1000L, truncateLog = false) == 1)
+    assert(!fs.exists(orphan) && t.retentionFloor == 0)
+    assert(ids(t.read(Some(2))) == Set(1L, 2L))
     // once a remove-bearing history has data reaped below retainFrom,
     // the boundary IS recorded even with truncateLog=false: those
     // snapshots reference deleted files, and the clean retention error

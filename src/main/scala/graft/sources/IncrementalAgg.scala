@@ -66,12 +66,18 @@ object IncrementalAgg {
     *                     the invalidated keys — one scan bounded by the
     *                     invalidated groups' rows, and only when
     *                     invalidations exist at all)
+    * @param rescanBroadcastLimit max invalidated-group count shipped
+    *                     as a broadcast semi-join build side; beyond
+    *                     it (a mass delete) the rescan probe falls
+    *                     back to a shuffle join instead of collecting
+    *                     millions of keys on the driver
     * @return (new state, the version it reflects). Groups whose row
     *         count reaches zero are dropped from the state.
     */
   def refresh(table: SnapshotTable, state: Option[DataFrame],
       stateVersion: Int, keys: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil)
+      minMaxCols: Seq[String] = Nil,
+      rescanBroadcastLimit: Long = 1000000L)
       : (DataFrame, Int) = {
     require(keys.nonEmpty, "incremental aggregate needs group keys")
     // a lost/corrupt state must be rebuilt via recompute — promoting a
@@ -179,13 +185,22 @@ object IncrementalAgg {
         // invalidations exist — the append-only path never pays it.
         val bad = alive.filter(col("__rescan"))
           .select(keys.map(c => col(c).as(s"__rk_$c")): _*)
-        if (bad.isEmpty) alive.drop("__rescan")
+        // the count doubles as the emptiness probe AND the broadcast
+        // gate: the invalidated-key set is usually tiny (groups whose
+        // extremum was deleted THIS refresh), but a mass delete can
+        // flag millions of groups — force-broadcasting that would
+        // collect it on the driver and OOM, so past the limit the
+        // semi-join falls back to a shuffle (AQE may still pick a
+        // broadcast build if the runtime size allows)
+        val nBad = bad.count()
+        if (nBad == 0) alive.drop("__rescan")
         else {
+          val probe = if (nBad <= rescanBroadcastLimit) broadcast(bad) else bad
           val keyCond = keys.map(c => col(c) <=> col(s"__rk_$c")).reduce(_ && _)
           val fixAggs = minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"__fmin_$c"), max(col(c)).as(s"__fmax_$c")))
           val fixed = table.read(Some(to))
-            .join(broadcast(bad), keyCond, "left_semi")
+            .join(probe, keyCond, "left_semi")
             .groupBy(keys.map(col): _*)
             .agg(fixAggs.head, fixAggs.tail: _*)
             .select(keys.map(c => col(c).as(s"__fk_$c")) ++

@@ -249,6 +249,26 @@ class IncrementalAggSpec extends SparkSuite {
     checkMM(st)
   }
 
+  test("rescan past the broadcast gate (shuffle semi-join) repairs identically") {
+    val t = tbl()
+    def rows(xs: (String, Long, Long)*) = xs.toDF("k", "id", "v")
+    t.append(rows(("a", 1L, 5L), ("a", 2L, 3L), ("b", 3L, 10L)))
+    var st = IncrementalAgg.refresh(t, None, 0, Seq("k"), Seq("v"), Seq("v"))
+    // invalidate BOTH groups' extrema in one merge, with the broadcast
+    // limit at 0 so the rescan probe takes the shuffle fallback — the
+    // mass-delete shape where collecting the invalidated keys on the
+    // driver is exactly what must NOT happen
+    t.merge(rows(("a", 2L, 7L), ("b", 3L, 4L)), Seq("k", "id"))
+    st = IncrementalAgg.refresh(t, Some(st._1), st._2, Seq("k"), Seq("v"),
+      Seq("v"), rescanBroadcastLimit = 0L)
+    val got = st._1.select(col("k"), col("min_v"), col("max_v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = IncrementalAgg.recompute(t, Seq("k"), Seq("v"),
+      minMaxCols = Seq("v")).select(col("k"), col("min_v"), col("max_v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want && got("a") == ((5L, 7L)) && got("b") == ((4L, 4L)))
+  }
+
   test("a lost state cannot masquerade as a delta rebuild") {
     val t = tbl()
     t.append(Seq(("a", 1L)).toDF("k", "v"))

@@ -172,8 +172,16 @@ object IngestCli {
               s"files=${t.files(version).size} " +
               s"version=${version.getOrElse(t.currentVersion)}")
           case "history" =>
-            (1 to t.currentVersion).foreach(v =>
-              println(s"v$v files=${t.files(Some(v)).size}"))
+            // newest-first commit log (--limit, default 20): version,
+            // wall-clock, add/remove counts, tag, keyed marker — reads
+            // only the last N manifests, never a cost that grows with
+            // table lifetime (the old loop replayed EVERY version)
+            t.history(opts.getOrElse("limit", "20").toInt)
+              .collect().foreach { r =>
+                println(s"v${r.getInt(0)} at=${r.getTimestamp(1)} " +
+                  s"add=${r.getInt(2)} remove=${r.getInt(3)} " +
+                  s"tag=${Option(r.get(4)).getOrElse("-")} keyed=${r.getBoolean(5)}")
+              }
           case "diff" =>
             println(s"changes=${t.diff(req("fromVersion").toInt,
               req("toVersion").toInt).count()}")

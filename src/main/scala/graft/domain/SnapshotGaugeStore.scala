@@ -66,7 +66,12 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       .withColumn("run_day", unix_date(to_date(col("timemark"))).cast("long"))
 
   override def appendGaugeData(df: DataFrame, dataSource: String): Unit = {
-    gaugeTable.appendWithStats(withGaugeParts(df, dataSource), Seq("obs_day"))
+    // data_source_part is a per-append literal, so every staged file
+    // records lo == hi string bounds — a later source-scoped
+    // maintenance op prunes other sources' files from METADATA alone
+    // (11-source store, one-source dedup: 1/11th of the candidate IO)
+    gaugeTable.appendWithStats(withGaugeParts(df, dataSource),
+      Seq("obs_day", "data_source_part"))
     ()
   }
 
@@ -103,14 +108,23 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
           gaugeTable.prunedFiles("obs_day", dayOf(lo), dayOf(hi), Some(base))
         case None => gaugeTable.files(Some(base))
       }
-      // a data-source scope narrows the FILE set too (one column-pruned
-      // content scan, the merge shape) — otherwise a one-source dedup
-      // on an 11-source store rewrites every file of the table
+      // a data-source scope narrows the FILE set too: first from the
+      // manifest's data_source_part string stats (metadata-only —
+      // append-time files carry lo == hi source bounds), then one
+      // column-pruned content scan over the survivors for exactness
+      // (compaction-rewritten files can mix sources; stat-less legacy
+      // files are kept by the prune and resolved by the scan) —
+      // otherwise a one-source dedup on an 11-source store rewrites
+      // every file of the table
       val affected = (dataSource, dayPruned.nonEmpty) match {
         case (Some(ds), true) =>
           import org.apache.spark.sql.functions.input_file_name
           val fs = fsys
-          gaugeTable.readFiles(dayPruned, Some(base))
+          val srcPruned = gaugeTable
+            .prunedFilesEq("data_source_part", ds, Some(base)).toSet
+          val candidates = dayPruned.filter(srcPruned.contains)
+          if (candidates.isEmpty) Nil
+          else gaugeTable.readFiles(candidates, Some(base))
             .filter(col("data_source_part") === ds)
             .select(input_file_name().as("__f")).distinct().collect()
             .map(r => fs.makeQualified(
@@ -131,7 +145,8 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       val replacement = rows.filter(!coalesce(inScope, lit(false)))
         .unionByName(deduped)
       try {
-        gaugeTable.replaceFiles(base, affected, replacement, Seq("obs_day"))
+        gaugeTable.replaceFiles(base, affected, replacement,
+          Seq("obs_day", "data_source_part"))
         return
       } catch {
         case _: SnapshotTable.CommitConflict =>
@@ -374,8 +389,12 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
         val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         if (live.size <= n && zorderCols.isEmpty) Seq.empty
         else {
+          // gauge facts also re-record the data_source_part string
+          // bounds the rewrite would otherwise lose — source-scoped
+          // maintenance keeps pruning from metadata after a compaction
+          val parts = if (table == "gauge_data") Seq("data_source_part") else Nil
           val v = t.compact(n, zorderCols, zorderBits,
-            statCols = (zorderCols :+ dayCol).distinct)
+            statCols = (zorderCols ++ parts :+ dayCol).distinct)
           Seq(s"compacted $table to $n file(s) (snapshot v$v)")
         }
     }

@@ -46,13 +46,19 @@ object ZOrderLayout {
     * broadcast join. Ties/repeated boundaries degrade gracefully
     * (skewed values collapse into fewer distinct buckets). */
   private def requireOrderable(df: DataFrame, colName: String): Unit = {
-    import org.apache.spark.sql.types.{NumericType, TimestampType, DateType}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampType}
     df.schema(colName).dataType match {
-      case _: NumericType | _: TimestampType | _: DateType => ()
+      case _: NumericType | _: TimestampType | _: DateType | _: StringType => ()
       case other => throw new IllegalArgumentException(
-        s"z-order column $colName has type $other; need numeric/timestamp/date")
+        s"z-order column $colName has type $other; " +
+          "need numeric/timestamp/date/string")
     }
   }
+
+  private def isString(df: DataFrame, colName: String): Boolean =
+    df.schema(colName).dataType ==
+      org.apache.spark.sql.types.StringType
 
   /** Bucket-id expression from precomputed boundaries: a sum of
     * boundary comparisons — a flat codegen-friendly expression, no UDF
@@ -63,6 +69,29 @@ object ZOrderLayout {
     bounds.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
     }
+
+  /** String-dimension bucket ids: boundaries from one bounded
+    * `takeSample` (driver gets ~32·2^bits strings, never data-sized),
+    * evenly spaced through the sorted sample — the same reservoir
+    * idea Spark's own RangePartitioner uses. Comparison is Spark's
+    * native string ordering, so buckets are range-contiguous and the
+    * resulting per-file min/max string bounds prune string predicates
+    * (see SnapshotTable.StrStat). */
+  private def stringBucketExpr(df: DataFrame, colName: String,
+      nBuckets: Int): Column = {
+    val sample = df.select(col(colName)).na.drop.rdd
+      .takeSample(withReplacement = false, num = nBuckets * 32, seed = 41L)
+      .map(_.getString(0)).sorted
+    val bounds: Seq[String] =
+      if (sample.isEmpty) Nil
+      else (1 until nBuckets)
+        .map(i => sample((i.toLong * sample.length / nBuckets).toInt
+          .min(sample.length - 1)))
+        .distinct
+    bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(colName) > lit(b), 1L).otherwise(0L)
+    }
+  }
 
   /** Lay `df` out on the Z-curve over `cols`: range-partition into
     * `numFiles` partitions by the interleaved z-value and sort within
@@ -76,16 +105,32 @@ object ZOrderLayout {
   def layout(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int): DataFrame = {
     cols.foreach(requireOrderable(df, _))
+    if (cols.size == 1) {
+      // one dimension: the Morton curve degenerates to a plain range
+      // sort, so do it EXACTLY — repartitionByRange's own sampling
+      // picks the boundaries (works for strings too) and the
+      // in-partition sort is on the raw column, giving per-file
+      // min/max stats as tight as the data allows instead of
+      // bucket-granular ones
+      return df.repartitionByRange(numFiles, col(cols.head))
+        .sortWithinPartitions(cols.head)
+    }
     val nBuckets = 1 << bits
+    val numCols = cols.filterNot(isString(df, _))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val qNames = cols.indices.map(i => s"__q$i")
-    val casted = df.select(cols.zip(qNames).map { case (c, q) =>
+    val qNames = numCols.indices.map(i => s"__q$i")
+    val casted = df.select(numCols.zip(qNames).map { case (c, q) =>
       col(c).cast("double").as(q)
     }: _*)
-    val allBounds = casted.stat.approxQuantile(qNames.toArray, probs, 0.001)
-    val buckets = cols.zip(allBounds).map { case (c, bounds) =>
-      bucketExpr(c, bounds)
-    }
+    val allBounds =
+      if (numCols.isEmpty) Array.empty[Array[Double]]
+      else casted.stat.approxQuantile(qNames.toArray, probs, 0.001)
+    val numBuckets = numCols.zip(allBounds).map { case (c, bounds) =>
+      c -> bucketExpr(c, bounds)
+    }.toMap
+    val buckets = cols.map(c =>
+      if (isString(df, c)) stringBucketExpr(df, c, nBuckets)
+      else numBuckets(c))
     df.withColumn("__z", zValue(buckets, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

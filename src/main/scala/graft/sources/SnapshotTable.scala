@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Manifest-log table format: snapshot isolation + time travel on
   * immutable parquet, the variant [[graft.domain.GaugeStore]]'s
@@ -355,7 +355,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil,
       keyed: Boolean = false,
-      schema: Option[String] = None): String = {
+      schema: Option[String] = None,
+      sstats: Seq[SnapshotTable.StrStat] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
@@ -373,12 +374,24 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val st =
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
+    // string-column bounds ride a parallel "sstats" array: bounds are
+    // base64 raw UTF-8 bytes (base64 never contains '|' or '"'); an
+    // absent upper bound (all-0xFF truncation overflow) encodes as
+    // "*", which is outside the base64 alphabet
+    sstats.foreach(s => require(!s.file.contains("|") && !s.col.contains("|"),
+      s"stat path/col must not contain '|': ${s.file}|${s.col}"))
+    val b64 = java.util.Base64.getEncoder
+    val sst =
+      if (sstats.isEmpty) ""
+      else s""","sstats":${jsonArr(sstats.map(s =>
+        s"${s.file}|${s.col}|${b64.encodeToString(s.lo)}|" +
+          s.hi.map(b64.encodeToString).getOrElse("*")))}"""
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
     // (an append-shaped merge); see `commit`'s isolation scaladoc
     val k = if (keyed) s""","keyed":true""" else ""
-    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$k$sc}"""
+    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$sst$k$sc}"""
   }
 
   private def statsOf(json: String): Seq[SnapshotTable.FileStat] =
@@ -389,6 +402,20 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         case _ => None
       }
     }
+
+  private def sstatsOf(json: String): Seq[SnapshotTable.StrStat] = {
+    val b64 = java.util.Base64.getDecoder
+    // limit -1: an empty-string bound ("" = empty byte lower bound)
+    // must survive the split — the default drops trailing empties
+    arrOf(json, "sstats").flatMap { s =>
+      s.split("\\|", -1) match {
+        case Array(f, c, lo, hi) =>
+          Some(SnapshotTable.StrStat(f, c, b64.decode(lo),
+            if (hi == "*") None else Some(b64.decode(hi))))
+        case _ => None
+      }
+    }
+  }
 
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
@@ -434,10 +461,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }).filter(_ <= v).foldLeft(0)(math.max)
   }
 
-  /** (live files, live-file stats, tags, latest schema) at checkpoint
-    * `v`. */
+  /** (live files, live-file stats, tags, latest schema, live-file
+    * string stats) at checkpoint `v`. */
   private def readCheckpoint(v: Int): (Seq[String],
-      Seq[SnapshotTable.FileStat], Seq[String], Option[String]) = {
+      Seq[SnapshotTable.FileStat], Seq[String], Option[String],
+      Seq[SnapshotTable.StrStat]) = {
     metaReads += 1
     val p = checkpointPath(v)
     val in = fs.open(p)
@@ -446,7 +474,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"), schemaOf(raw))
+    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"), schemaOf(raw),
+      sstatsOf(raw))
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -458,10 +487,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * resolves by last action wins). */
   private def replayState(v: Int): (Seq[String],
       Map[(String, String), (Long, Long)], Set[String]) =
-    replayStateFull(v) match { case (l, st, tg, _) => (l, st, tg) }
+    replayStateFull(v) match { case (l, st, tg, _, _) => (l, st, tg) }
 
   private def replayStateFull(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String], Option[String]) = {
+      Map[(String, String), (Long, Long)], Set[String], Option[String],
+      Map[(String, String), (Array[Byte], Option[Array[Byte]])]) = {
     val floor = retentionFloor
     if (v > 0 && v < floor)
       throw new IllegalArgumentException(
@@ -489,16 +519,20 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   }
 
   private def replayStateFullUnchecked(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String], Option[String]) = {
+      Map[(String, String), (Long, Long)], Set[String], Option[String],
+      Map[(String, String), (Array[Byte], Option[Array[Byte]])]) = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    val sstats = scala.collection.mutable
+      .Map[(String, String), (Array[Byte], Option[Array[Byte]])]()
     val tags = scala.collection.mutable.Set[String]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
-      val (l, st, tg, sc) = readCheckpoint(c)
+      val (l, st, tg, sc, sst) = readCheckpoint(c)
       live ++= l
       st.foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
+      sst.foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
       tags ++= tg
       schema = sc
     }
@@ -508,10 +542,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       live ++= add
       live --= remove
       statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
+      sstatsOf(raw).foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
-    (live.toSeq, stats.toMap, tags.toSet, schema)
+    (live.toSeq, stats.toMap, tags.toSet, schema, sstats.toMap)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -549,7 +584,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def maybeCheckpoint(v: Int): Unit =
     if (checkpointInterval > 0 && v % checkpointInterval == 0) try {
       if (!fs.exists(checkpointPath(v))) {
-        val (live, stats, tags, schema) = replayStateFull(v)
+        val (live, stats, tags, schema, sstats) = replayStateFull(v)
         val liveSet = live.toSet
         // only LIVE files' stats ride forward: a removed file's ranges
         // can never prune anything again, and dropping them keeps the
@@ -559,8 +594,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             SnapshotTable.FileStat(f, c, lo, hi)
         }.toSeq.sortBy(s => (s.file, s.col))
         st.foreach(s => require(!s.file.contains("|") && !s.col.contains("|")))
+        val sst = sstats.collect {
+          case ((f, c), (lo, hi)) if liveSet.contains(f) =>
+            SnapshotTable.StrStat(f, c, lo, hi)
+        }.toSeq.sortBy(s => (s.file, s.col))
+        val b64 = java.util.Base64.getEncoder
+        val sstJson =
+          if (sst.isEmpty) ""
+          else s""","sstats":${jsonArr(sst.map(s =>
+            s"${s.file}|${s.col}|${b64.encodeToString(s.lo)}|" +
+              s.hi.map(b64.encodeToString).getOrElse("*")))}"""
         val body = s"""{"live":${jsonArr(live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
+          sstJson +
           s""","tags":${jsonArr(tags.toSeq.sorted)}""" +
           schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("") + "}"
         val tmp = new Path(s"$root/_staging/ckpt-${java.util.UUID.randomUUID()}.json")
@@ -590,7 +636,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (fl, _, _, sc) = replayStateFull(v)
+    val (fl, _, _, sc, _) = replayStateFull(v)
     val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
     if (fl.nonEmpty)
@@ -610,22 +656,41 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def stageFiles(df: DataFrame): Seq[String] =
     stageFilesWithStats(df, Nil)._1
 
-  /** Stage `df`; additionally compute per-file min/max for the LONG
-    * columns in `statCols` with ONE column-pruned job over the staged
-    * parquet (grouped by `input_file_name()` — never a per-file footer
-    * read), re-keyed to the final data-file names. */
+  /** Stage `df`; additionally compute per-file min/max for the columns
+    * in `statCols` with ONE column-pruned job over the staged parquet
+    * (grouped by `input_file_name()` — never a per-file footer read),
+    * re-keyed to the final data-file names.
+    *
+    * Long-castable columns (ints, dates, timestamps) record a
+    * [[SnapshotTable.FileStat]] long range. STRING columns record a
+    * [[SnapshotTable.StrStat]]: true per-file min/max strings from
+    * the same aggregate, truncated driver-side to
+    * [[SnapshotTable.StatTruncateBytes]] UTF-8 bytes (lower bound = a
+    * prefix, upper bound = incremented prefix — the Iceberg
+    * `truncate(col)` stats transform), so clustered string keys
+    * (url, doc_id) get metadata-only point/prefix/range pruning via
+    * [[readPrunedEq]]/[[readPrunedPrefix]]/[[readPrunedStrRange]]
+    * while a 100k-file checkpoint's stat payload stays a few MB. */
   private def stageFilesWithStats(df: DataFrame, statCols: Seq[String])
-      : (Seq[String], Seq[SnapshotTable.FileStat]) = {
+      : (Seq[String], Seq[SnapshotTable.FileStat], Seq[SnapshotTable.StrStat]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val tmpStats: Seq[(String, String, Long, Long)] =
+    val isStr: String => Boolean = c => df.schema.fields
+      .find(_.name == c).exists(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+    // (file, col, loAny, hiAny): longs for numeric cols, full min/max
+    // strings for string cols (truncated below, after the collect —
+    // the collect is nfiles · statCols values, bounded either way)
+    val tmpStats: Seq[(String, String, Any, Any)] =
       if (statCols.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        def statExpr(c: String): Column =
+          if (isStr(c)) col(c) else col(c).cast("long")
         val aggs = statCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__lo_$c"),
-          max(col(c).cast("long")).as(s"__hi_$c")))
+          min(statExpr(c)).as(s"__lo_$c"),
+          max(statExpr(c)).as(s"__hi_$c")))
         spark.read.parquet(tmp.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -635,7 +700,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               val lo = r.getAs[Any](s"__lo_$c")
               val hi = r.getAs[Any](s"__hi_$c")
               if (lo == null || hi == null) Nil
-              else Seq((name, c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+              else Seq((name, c, lo, hi))
             }
           }
       }
@@ -643,6 +708,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val parts = fs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     var stats = List.empty[SnapshotTable.FileStat]
+    var sstats = List.empty[SnapshotTable.StrStat]
     val moved = parts.map { st =>
       val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
       require(fs.rename(st.getPath, dst), s"stage move failed: $dst")
@@ -651,13 +717,20 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // unqualified manifest path would never match and vacuum would
       // reap live files
       val fin = fs.makeQualified(dst).toString
-      tmpStats.filter(_._1 == st.getPath.getName).foreach { case (_, c, lo, hi) =>
-        stats ::= SnapshotTable.FileStat(fin, c, lo, hi)
+      tmpStats.filter(_._1 == st.getPath.getName).foreach {
+        case (_, c, lo: String, hi: String) =>
+          val n = SnapshotTable.StatTruncateBytes
+          sstats ::= SnapshotTable.StrStat(fin, c,
+            SnapshotTable.truncatedLower(SnapshotTable.utf8(lo), n),
+            SnapshotTable.truncatedUpper(SnapshotTable.utf8(hi), n))
+        case (_, c, lo: java.lang.Long, hi: java.lang.Long) =>
+          stats ::= SnapshotTable.FileStat(fin, c, lo, hi)
+        case _ => () // mixed/unexpected runtime type: no stat recorded
       }
       fin
     }
     fs.delete(tmp, true)
-    (moved.toSeq, stats.reverse)
+    (moved.toSeq, stats.reverse, sstats.reverse)
   }
 
   /** Optimistic commit: write the manifest under `_staging`, then
@@ -687,7 +760,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
       base: Int = -1, keyed: Boolean = false,
-      schema: Option[String] = None): Int = {
+      schema: Option[String] = None,
+      sstats: Seq[SnapshotTable.StrStat] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     val checkRemoves = remove.nonEmpty || keyed
@@ -695,7 +769,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schema)
+      schema = schema, sstats = sstats)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -780,8 +854,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * files, pruning from manifests is a driver-side replay, where even
     * parquet-footer pruning is 100k reads before the first task. */
   def appendWithStats(df: DataFrame, statCols: Seq[String]): Int = {
-    val (staged, stats) = stageFilesWithStats(df, statCols)
-    commit(staged, Nil, None, stats, schema = Some(df.schema.json))
+    val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
+    commit(staged, Nil, None, stats, schema = Some(df.schema.json),
+      sstats = sstats)
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -839,12 +914,98 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (live, stats, _, sc) = replayStateFull(v)
+    val (live, stats, _, sc, _) = replayStateFull(v)
     val fl = live.filter { f =>
       preds.forall { case (c, lo, hi) =>
         stats.get((f, c)).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
       }
     }
+    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    if (fl.nonEmpty) reader.parquet(fl: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => read(Some(v)).limit(0)
+    }
+  }
+
+  // ---- string-stat pruning -------------------------------------------
+  //
+  // The byte-bound query shape shared by the public string pruning
+  // entry points: (col, inclusive lower bytes, inclusive upper bytes
+  // or None = unbounded above). A file survives a predicate when its
+  // recorded [[SnapshotTable.StrStat]] interval overlaps the query
+  // interval under byte-wise unsigned comparison — exactly Spark's
+  // string ordering, so pruning can never disagree with a row filter.
+  // Files with no recorded stat for the column are kept: pruning is
+  // never wrong, only incomplete.
+
+  private def strStatSurvives(
+      sstats: Map[(String, String), (Array[Byte], Option[Array[Byte]])],
+      f: String, preds: Seq[(String, Array[Byte], Option[Array[Byte]])])
+      : Boolean =
+    preds.forall { case (c, loQ, hiQ) =>
+      sstats.get((f, c)).forall { case (flo, fhi) =>
+        fhi.forall(h => SnapshotTable.cmpBytes(h, loQ) >= 0) &&
+          hiQ.forall(q => SnapshotTable.cmpBytes(flo, q) <= 0)
+      }
+    }
+
+  /** Files of snapshot `version` that can contain `colName == value`
+    * for a STRING column whose bounds were recorded by
+    * [[appendWithStats]]/[[compact]]. Point lookups on a key the
+    * table is clustered by (`compact(zorderCols = Seq(col))` or a
+    * range-partitioned write) prune to O(1) files from METADATA
+    * alone — at 100k files that is the difference between one task
+    * and a full scan before the first byte of data is read. */
+  def prunedFilesEq(colName: String, value: String,
+      version: Option[Int] = None): Seq[String] = {
+    val b = SnapshotTable.utf8(value)
+    val (live, _, _, _, sstats) = replayStateFull(
+      version.getOrElse(currentVersion))
+    live.filter(f => strStatSurvives(sstats, f, Seq((colName, b, Some(b)))))
+  }
+
+  /** Read only the files that can contain `colName == value` (string
+    * bound pruning); the caller still applies the row-level predicate
+    * — pruning narrows IO, it never filters rows. */
+  def readPrunedEq(colName: String, value: String,
+      version: Option[Int] = None): DataFrame = {
+    val b = SnapshotTable.utf8(value)
+    readPrunedStr0(Seq((colName, b, Some(b))), version)
+  }
+
+  /** Read only the files that can contain `colName BETWEEN lo AND hi`
+    * (string bounds, both inclusive, Spark's byte-wise ordering). */
+  def readPrunedStrRange(colName: String, lo: String, hi: String,
+      version: Option[Int] = None): DataFrame =
+    readPrunedStr0(Seq((colName,
+      SnapshotTable.utf8(lo), Some(SnapshotTable.utf8(hi)))), version)
+
+  /** Read only the files that can contain a string starting with
+    * `prefix` (`colName LIKE 'prefix%'`): candidate interval
+    * `[prefix, smallest-byte-string-above-all-prefix-matches]` —
+    * unbounded above when the prefix is all 0xFF bytes. */
+  def readPrunedPrefix(colName: String, prefix: String,
+      version: Option[Int] = None): DataFrame = {
+    val p = SnapshotTable.utf8(prefix)
+    readPrunedStr0(Seq((colName, p, SnapshotTable.prefixUpper(p))), version)
+  }
+
+  /** Shared impl: ONE pinned replay supplies files, string stats AND
+    * the schema (same single-resolution discipline as
+    * [[readPrunedMulti]] — a second resolution could land on a
+    * concurrent writer's newer version). */
+  private def readPrunedStr0(
+      preds: Seq[(String, Array[Byte], Option[Array[Byte]])],
+      version: Option[Int]): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val (live, _, _, sc, sstats) = replayStateFull(v)
+    val fl = live.filter(f => strStatSurvives(sstats, f, preds))
     val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
@@ -935,9 +1096,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       statCols: Seq[String]): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
-      val (staged, stats) = stageFilesWithStats(df, statCols)
+      val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
       Some(commit(staged, Nil, Some(tag), stats,
-        schema = Some(df.schema.json)))
+        schema = Some(df.schema.json), sstats = sstats))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -994,9 +1155,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
-        val (rewritten, stats) = stageFilesWithStats(laid, statCols)
+        val (rewritten, stats, sstats) = stageFilesWithStats(laid, statCols)
         commit(rewritten, before, stats = stats, base = base,
-          schema = Some(laid.schema.json))
+          schema = Some(laid.schema.json), sstats = sstats)
       }
     }
 
@@ -1128,9 +1289,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val survivors = readFiles(affected, Some(base))
               .filter(!org.apache.spark.sql.functions.coalesce(
                 cond, org.apache.spark.sql.functions.lit(false)))
-            val (staged, stats) = stageFilesWithStats(survivors, statCols)
+            val (staged, stats, sstats) = stageFilesWithStats(survivors, statCols)
             commit(staged, affected, stats = stats, base = base, keyed = true,
-              schema = Some(survivors.schema.json))
+              schema = Some(survivors.schema.json), sstats = sstats)
           }
         }
       }
@@ -1157,9 +1318,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
-    val (staged, stats) = stageFilesWithStats(replacement, statCols)
+    val (staged, stats, sstats) = stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
-      schema = Some(replacement.schema.json))
+      schema = Some(replacement.schema.json), sstats = sstats)
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame
@@ -1206,6 +1367,39 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       to.exceptAll(from).withColumn("_change", lit("insert"))
         .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
     }
+  }
+
+  /** The commit log as a frame, newest first — the DESCRIBE HISTORY
+    * surface: version, commit wall-clock (the manifest file's
+    * modification time), add/remove counts, the exactly-once tag if
+    * any, and the keyed-isolation marker. Reads the last `limit`
+    * manifests ONLY (version numbering is gap-free, so this is
+    * `limit` GETs straight down from the head — no listing, and never
+    * a cost that grows with table lifetime); versions whose manifests
+    * retention reaped are skipped. */
+  def history(limit: Int = 20): DataFrame = {
+    require(limit > 0, s"history limit must be positive, got $limit")
+    val cur = currentVersion
+    val lo = math.max(math.max(1, replayFloorV + 1), cur - limit + 1)
+    val rows = (cur to lo by -1).flatMap { v =>
+      try {
+        val raw = readManifestRaw(v)
+        val (add, remove) = decode(raw)
+        Some(SnapshotTable.CommitInfo(
+          version = v,
+          committed_at = new java.sql.Timestamp(
+            fs.getFileStatus(manifestPath(v)).getModificationTime),
+          n_add = add.size,
+          n_remove = remove.size,
+          tag = tagOf(raw),
+          keyed = keyedOf(raw)))
+      } catch {
+        // a racing vacuumLog may reap a manifest between the floor
+        // read and the GET — retention, not corruption: skip it
+        case _: java.io.FileNotFoundException => None
+      }
+    }
+    spark.createDataFrame(rows)
   }
 
   /** Delete data files referenced by NO snapshot at or above
@@ -1386,8 +1580,88 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 }
 
 object SnapshotTable {
-  /** Per-file column range recorded in a manifest (long columns). */
+  /** Per-file column range recorded in a manifest (long-castable
+    * columns — ints, longs, dates, timestamps). */
   final case class FileStat(file: String, col: String, lo: Long, hi: Long)
+
+  /** Per-file STRING column bounds recorded in a manifest, as UTF-8
+    * BYTES (Spark's default string ordering is byte-wise unsigned, so
+    * byte comparison is exactly the engine's comparison). `lo` is a
+    * truncated lower bound (a prefix of the true min — truncation
+    * only ever lowers it); `hi` is a truncated-and-incremented upper
+    * bound per [[truncatedUpper]], `None` when no short upper bound
+    * exists (all-0xFF prefix — the file then never prunes on this
+    * column's upper side). Truncation ([[StatTruncateBytes]] bytes,
+    * the Delta/Iceberg `truncate(col)` stats shape) keeps manifests
+    * and checkpoints O(live files · 32B), not O(live files · longest
+    * url). */
+  final case class StrStat(file: String, col: String,
+      lo: Array[Byte], hi: Option[Array[Byte]])
+
+  /** Stat truncation width for string bounds — 32 bytes discriminates
+    * urls past their shared scheme/host prefixes while keeping a
+    * 100k-file checkpoint's stat payload a few MB. */
+  val StatTruncateBytes: Int = 32
+
+  private[sources] def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Byte-wise unsigned comparison — the UTF8String ordering. */
+  private[sources] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Truncated LOWER bound: the first `n` bytes. A prefix compares
+    * `<=` the original under byte ordering, so it stays a valid lower
+    * bound — just a looser one. */
+  private[sources] def truncatedLower(b: Array[Byte], n: Int): Array[Byte] =
+    if (b.length <= n) b else java.util.Arrays.copyOf(b, n)
+
+  /** Truncated UPPER bound: the first `n` bytes, with the last
+    * non-0xFF byte incremented and the tail dropped when truncation
+    * actually cut something — a plain prefix of the max would compare
+    * LESS than the max and stop being an upper bound. `None` when the
+    * prefix is all 0xFF (no short upper bound exists). The Iceberg
+    * `UnicodeUtil.truncateStringMax` shape, on raw bytes. */
+  private[sources] def truncatedUpper(b: Array[Byte], n: Int): Option[Array[Byte]] =
+    if (b.length <= n) Some(b)
+    else {
+      val p = java.util.Arrays.copyOf(b, n)
+      var i = n - 1
+      while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
+
+  /** Smallest byte string GREATER than every string starting with
+    * `prefix` (increment the last non-0xFF byte); `None` when no such
+    * bound exists. The inclusive upper bound [[readPrunedPrefix]]
+    * prunes with. */
+  private[sources] def prefixUpper(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && (prefix(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(prefix, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape). */
+  final case class CommitInfo(version: Int, committed_at: java.sql.Timestamp,
+      n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean)
 
   /** A remove-bearing commit (compact/merge) raced a concurrent commit
     * that removed one of the same files; the operation recomputes from

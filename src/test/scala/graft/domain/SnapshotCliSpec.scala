@@ -39,8 +39,15 @@ class SnapshotCliSpec extends SparkSuite {
       .contains("merged into version 3"))
     assert(run("read").contains("rows=4"))
     assert(run("compact").contains("compacted into version 4"))
+    // newest-first commit log: merge carries the keyed marker, compact
+    // removed the pre-compaction files
     val history = run("history")
-    assert(history.linesIterator.size == 4 && history.contains("v4 files=1"))
+    val lines = history.linesIterator.toSeq
+    assert(lines.size == 4 && lines.head.startsWith("v4 "), history)
+    assert(lines.head.contains("keyed=true"), history) // compact is keyed
+    assert(lines.find(_.startsWith("v3 ")).exists(l =>
+      l.contains("keyed=true") && l.contains("remove=")), history)
+    assert(run("history", "limit" -> "2").linesIterator.size == 2)
     val reaped = run("vacuum", "retainFrom" -> "4", "graceMs" -> "-1000")
     assert("reaped (\\d+) files".r.findFirstMatchIn(reaped)
       .exists(_.group(1).toInt >= 3))

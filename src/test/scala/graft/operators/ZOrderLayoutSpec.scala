@@ -53,4 +53,45 @@ class ZOrderLayoutSpec extends SparkSuite {
     assert(laid.select("a", "b").distinct().count() ==
       df.select("a", "b").distinct().count())
   }
+
+  test("single-dimension layout is an exact range sort (strings supported)") {
+    val urls = (0 until 256).map(i => f"u://h/${(i * 131) % 256}%03d")
+    val laid = ZOrderLayout.layout(urls.toDF("url"), Seq("url"), 6, 4)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    laid.write.mode("overwrite").parquet(dir)
+    // per-file [min, max] string ranges are DISJOINT — the exact-sort
+    // property bucket-granular z-ordering cannot give; that is what
+    // makes SnapshotTable string stats prune a point lookup to 1 file
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("url").as("lo"), max("url").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlap: $hi1 vs $lo2")
+    }
+    assert(laid.count() == 256)
+  }
+
+  test("multi-dimension layout clusters a string dim alongside a numeric one") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (f"k${(i * 2654435761L) % 997L}%04d", (i * 40503L) % 9973L)
+    }.toDF("s", "b").cache()
+    val laid = ZOrderLayout.layout(df, Seq("s", "b"), bits = 3, numFiles = 8)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    laid.write.mode("overwrite").parquet(dir)
+    // both the string dim (compare distinct-values-per-file against
+    // the global distinct count) and the numeric dim stay clustered
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(countDistinct("s").as("ds"), (max("b") - min("b")).as("sb"))
+      .agg(avg("ds"), avg("sb")).collect().head
+    val globalDistinct = df.select("s").distinct().count().toDouble
+    assert(stats.getDouble(0) < 0.6 * globalDistinct,
+      s"string dim unclustered: ${stats.getDouble(0)} of $globalDistinct")
+    assert(stats.getDouble(1) < 0.6 * 9973, s"numeric dim ${stats.getDouble(1)}")
+    assert(laid.count() == n)
+  }
 }

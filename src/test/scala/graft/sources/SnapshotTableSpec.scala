@@ -762,4 +762,94 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t.read()) == (1L to 17L).toSet)
     assert(t.retentionFloor == 17)
   }
+
+  test("string stats: clustered keys prune point/prefix reads from metadata alone") {
+    val t = tmpTable()
+    // short urls (< 32 bytes, no truncation): exact per-file bounds
+    val urls = (0 until 64).map(i => f"u://site$i%02d/p")
+    val df = urls.toDF("url").repartitionByRange(4, col("url"))
+    t.appendWithStats(df, Seq("url"))
+    assert(t.files().size == 4)
+    val hit = "u://site17/p"
+    // range partitioning makes per-file url ranges disjoint: the point
+    // lookup prunes 4 files to exactly 1 — from the manifest, no scan
+    assert(t.prunedFilesEq("url", hit).size == 1)
+    assert(t.readPrunedEq("url", hit)
+      .where(col("url") === hit).count() == 1)
+    // a value outside every range prunes to ZERO files; the empty
+    // frame still carries the recorded schema
+    val miss = t.readPrunedEq("url", "zzz://nowhere")
+    assert(t.prunedFilesEq("url", "zzz://nowhere").isEmpty)
+    assert(miss.count() == 0 && miss.columns.sameElements(Array("url")))
+    // prefix pruning: 'u://site1' matches site10..site19, clustered
+    // into a strict subset of files; row results match a full scan
+    val pref = t.readPrunedPrefix("url", "u://site1")
+    assert(pref.inputFiles.length < 4)
+    assert(pref.where(col("url").startsWith("u://site1")).count() == 10)
+    // inclusive string range agrees with the row-level BETWEEN
+    val r = t.readPrunedStrRange("url", "u://site20/p", "u://site23/p")
+    assert(r.where(col("url") >= "u://site20/p" &&
+      col("url") <= "u://site23/p").count() == 4)
+  }
+
+  test("string stats: 32-byte truncation never prunes a present value; bounds survive checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    // every value shares a 30-byte prefix and discriminates only past
+    // the 32-byte truncation point: per-file bounds collapse to the
+    // truncated prefix (lower) and its incremented form (upper) —
+    // pruning gets weak, but must NEVER drop a file holding the value
+    val shared = "P" * 30
+    val vals = (0 until 96).map(i => f"$shared$i%04d")
+    (0 until 4).foreach { g =>
+      t.appendWithStats(
+        vals.slice(g * 24, (g + 1) * 24).toDF("doc_id"), Seq("doc_id"))
+    }
+    assert(t.currentVersion == 4) // crossed checkpoints at 2 and 4
+    // a COLD instance plans from the checkpoint-carried string stats
+    val cold = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    vals.grouped(24).map(_.head).foreach { v =>
+      assert(cold.readPrunedEq("doc_id", v)
+        .where(col("doc_id") === v).count() == 1, s"lost $v")
+    }
+    // and a value ABOVE every truncated-incremented upper bound prunes
+    // to zero files even through the truncated stats
+    assert(cold.prunedFilesEq("doc_id", "Q").isEmpty)
+    // compact clustered by the key re-establishes tight-enough bounds;
+    // history survives (older snapshot unaffected)
+    t.compact(coalesceTo = 3, zorderCols = Seq("doc_id"),
+      statCols = Seq("doc_id"))
+    assert(t.readPrunedEq("doc_id", vals(50))
+      .where(col("doc_id") === vals(50)).count() == 1)
+  }
+
+  test("history: newest-first bounded commit log with tags and keyed markers") {
+    val t = tmpTable()
+    t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)
+    t.appendIfAbsent(Seq(3L).toDF("id"), tag = "batch-7")  // v2 tagged
+    t.merge(Seq((1L, true)).toDF("id", "flag")
+      .select(col("id")), Seq("id"))                       // v3 keyed
+    val h = t.history()
+    assert(h.columns.sameElements(Array(
+      "version", "committed_at", "n_add", "n_remove", "tag", "keyed")))
+    val rows = h.collect()
+    assert(rows.map(_.getInt(0)).sameElements(Array(3, 2, 1))) // newest first
+    val byV = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byV(2).getString(4) == "batch-7" && !byV(2).getBoolean(5))
+    assert(byV(3).getBoolean(5))                 // merge is a keyed commit
+    assert(byV(3).getInt(3) >= 1)                // it removed rewritten files
+    assert(Option(byV(1).get(4)).isEmpty)        // untagged append
+    // bounded: limit reads only the newest manifests
+    assert(t.history(limit = 2).collect().map(_.getInt(0))
+      .sameElements(Array(3, 2)))
+    // retention-reaped versions are skipped, not an error
+    val t2 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snaptab").toString,
+      checkpointInterval = 3)
+    (1L to 12L).foreach(i => t2.append(Seq(i).toDF("id")))
+    t2.vacuumLog(retainVersions = 4)
+    val hv = t2.history(limit = 12).collect().map(_.getInt(0))
+    assert(hv.head == 12 && hv.forall(_ > t2.currentVersion - 12) &&
+      hv.min >= 7, hv.mkString(","))
+  }
 }

@@ -233,13 +233,13 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
     val fs = fsys
     val commitId = committed.getName
     def publishFact(sub: String, table: SnapshotTable,
-        derive: DataFrame => DataFrame, statCol: String): Unit = {
+        derive: DataFrame => DataFrame, statCols: Seq[String]): Unit = {
       val staged = new org.apache.hadoop.fs.Path(committed, sub)
       if (fs.exists(staged)) {
         val df = derive(spark.read.parquet(staged.toString))
         if (table.committedTags.contains(s"commit-$commitId")) ()
         else {
-          val v = table.appendIfAbsentWithStats(df, s"commit-$commitId", Seq(statCol))
+          val v = table.appendIfAbsentWithStats(df, s"commit-$commitId", statCols)
           require(v.isDefined || table.committedTags.contains(s"commit-$commitId"))
         }
         fs.delete(staged, true)
@@ -247,13 +247,16 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
     }
     // staged partition dirs surface data_source_part/obs_date (and
     // run_date) as partition columns on read; only the pruning day
-    // column is derived here
+    // column is derived here. Gauge facts record data_source_part
+    // string bounds too — this ingest path must match appendGaugeData,
+    // or source-scoped maintenance loses its metadata prune for every
+    // atomically-committed file
     publishFact("gauge_data", gaugeTable,
       df => df.withColumn("obs_day", unix_date(to_date(col("time"))).cast("long")),
-      "obs_day")
+      Seq("obs_day", "data_source_part"))
     publishFact("model_data", modelTable,
       df => df.withColumn("run_day", unix_date(to_date(col("timemark"))).cast("long")),
-      "run_day")
+      Seq("run_day"))
     finalizeCommit(committed)
   }
 

@@ -70,37 +70,54 @@ object ZOrderLayout {
       acc + when(col(colName).cast("double") > b, 1L).otherwise(0L)
     }
 
-  /** String-dimension bucket ids: boundaries from one bounded
-    * `takeSample` (driver gets ~32·2^bits strings, never data-sized),
-    * evenly spaced through the sorted sample — the same reservoir
-    * idea Spark's own RangePartitioner uses. Comparison is Spark's
-    * native string ordering, so buckets are range-contiguous and the
-    * resulting per-file min/max string bounds prune string predicates
-    * (see SnapshotTable.StrStat). */
-  private def stringBucketExpr(df: DataFrame, colName: String,
-      nBuckets: Int): Column = {
-    val sample = df.select(col(colName)).na.drop.rdd
+  /** Per-column boundary strings for every string dimension from ONE
+    * bounded `takeSample` over the tuple of string columns (driver
+    * gets ~32·2^bits rows, never data-sized) — the same reservoir
+    * idea Spark's own RangePartitioner uses, and one scan however
+    * many string dims there are. Samples sort under Spark's OWN
+    * string ordering (UTF8String — byte-wise unsigned), not Java's
+    * UTF-16 `String` order: the bucket expression compares with the
+    * engine, so boundaries chosen in a different collation would
+    * space buckets unevenly for non-BMP data. */
+  private def stringBounds(df: DataFrame, strCols: Seq[String],
+      nBuckets: Int): Map[String, Seq[String]] = {
+    if (strCols.isEmpty) return Map.empty
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = df.select(strCols.map(col): _*).rdd
       .takeSample(withReplacement = false, num = nBuckets * 32, seed = 41L)
-      .map(_.getString(0)).sorted
-    val bounds: Seq[String] =
-      if (sample.isEmpty) Nil
-      else (1 until nBuckets)
-        .map(i => sample((i.toLong * sample.length / nBuckets).toInt
-          .min(sample.length - 1)))
-        .distinct
+    strCols.zipWithIndex.map { case (c, i) =>
+      val sample = rows.flatMap(r => Option(r.getString(i)))
+        .sortWith((a, b) =>
+          UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+      val bounds: Seq[String] =
+        if (sample.isEmpty) Nil
+        else (1 until nBuckets)
+          .map(j => sample((j.toLong * sample.length / nBuckets).toInt
+            .min(sample.length - 1)))
+          .distinct
+      c -> bounds
+    }.toMap
+  }
+
+  /** Bucket ids from precomputed string boundaries; comparison is the
+    * engine's native string ordering, so buckets are range-contiguous
+    * and the per-file min/max string bounds of the laid-out files
+    * prune string predicates (see SnapshotTable.StrStat). */
+  private def stringBucketExpr(colName: String,
+      bounds: Seq[String]): Column =
     bounds.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(col(colName) > lit(b), 1L).otherwise(0L)
     }
-  }
 
   /** Lay `df` out on the Z-curve over `cols`: range-partition into
     * `numFiles` partitions by the interleaved z-value and sort within
     * each, so a subsequent parquet write produces files whose min/max
     * stats are tight on EVERY dimension in `cols`. Write with
     * `.sortWithinPartitions`-preserving `df.write.parquet` directly —
-    * no further repartition. All columns' bucket boundaries come from
-    * ONE multi-column approxQuantile pass (one scan, not one per
-    * dimension — per-leaf that is the difference between 2 and k+1
+    * no further repartition. Bucket boundaries come from ONE pass per
+    * column KIND — a multi-column approxQuantile over the numeric
+    * dims, a bounded takeSample over the string dims — not one per
+    * dimension (per-leaf that is the difference between ~3 and k+1
     * reads under a compaction sweep). */
   def layout(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int): DataFrame = {
@@ -117,19 +134,24 @@ object ZOrderLayout {
     }
     val nBuckets = 1 << bits
     val numCols = cols.filterNot(isString(df, _))
+    val strCols = cols.filter(isString(df, _))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val qNames = numCols.indices.map(i => s"__q$i")
     val casted = df.select(numCols.zip(qNames).map { case (c, q) =>
       col(c).cast("double").as(q)
     }: _*)
+    // boundary discovery is ONE pass per column KIND, not per column:
+    // one multi-column approxQuantile over the numeric dims, one
+    // bounded takeSample over the tuple of string dims
     val allBounds =
       if (numCols.isEmpty) Array.empty[Array[Double]]
       else casted.stat.approxQuantile(qNames.toArray, probs, 0.001)
     val numBuckets = numCols.zip(allBounds).map { case (c, bounds) =>
       c -> bucketExpr(c, bounds)
     }.toMap
+    val strBounds = stringBounds(df, strCols, nBuckets)
     val buckets = cols.map(c =>
-      if (isString(df, c)) stringBucketExpr(df, c, nBuckets)
+      if (isString(df, c)) stringBucketExpr(c, strBounds(c))
       else numBuckets(c))
     df.withColumn("__z", zValue(buckets, bits))
       .repartitionByRange(numFiles, col("__z"))

@@ -374,18 +374,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val st =
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
-    // string-column bounds ride a parallel "sstats" array: bounds are
-    // base64 raw UTF-8 bytes (base64 never contains '|' or '"'); an
-    // absent upper bound (all-0xFF truncation overflow) encodes as
-    // "*", which is outside the base64 alphabet
-    sstats.foreach(s => require(!s.file.contains("|") && !s.col.contains("|"),
-      s"stat path/col must not contain '|': ${s.file}|${s.col}"))
-    val b64 = java.util.Base64.getEncoder
-    val sst =
-      if (sstats.isEmpty) ""
-      else s""","sstats":${jsonArr(sstats.map(s =>
-        s"${s.file}|${s.col}|${b64.encodeToString(s.lo)}|" +
-          s.hi.map(b64.encodeToString).getOrElse("*")))}"""
+    val sst = sstatsJsonField(sstats)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -402,6 +391,24 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         case _ => None
       }
     }
+
+  /** The ONE serializer for the `"sstats"` wire field — manifests and
+    * checkpoints must stay parse-compatible with [[sstatsOf]], so
+    * neither path hand-rolls it. Bounds are base64 raw UTF-8 bytes
+    * (base64 never contains '|' or '"'); an absent upper bound
+    * (all-0xFF truncation overflow) encodes as "*", outside the
+    * base64 alphabet. Empty when there is nothing to record. */
+  private def sstatsJsonField(sstats: Seq[SnapshotTable.StrStat]): String = {
+    sstats.foreach(s => require(!s.file.contains("|") && !s.col.contains("|"),
+      s"stat path/col must not contain '|': ${s.file}|${s.col}"))
+    if (sstats.isEmpty) ""
+    else {
+      val b64 = java.util.Base64.getEncoder
+      s""","sstats":${jsonArr(sstats.map(s =>
+        s"${s.file}|${s.col}|${b64.encodeToString(s.lo)}|" +
+          s.hi.map(b64.encodeToString).getOrElse("*")))}"""
+    }
+  }
 
   private def sstatsOf(json: String): Seq[SnapshotTable.StrStat] = {
     val b64 = java.util.Base64.getDecoder
@@ -594,16 +601,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             SnapshotTable.FileStat(f, c, lo, hi)
         }.toSeq.sortBy(s => (s.file, s.col))
         st.foreach(s => require(!s.file.contains("|") && !s.col.contains("|")))
-        val sst = sstats.collect {
+        val sstJson = sstatsJsonField(sstats.collect {
           case ((f, c), (lo, hi)) if liveSet.contains(f) =>
             SnapshotTable.StrStat(f, c, lo, hi)
-        }.toSeq.sortBy(s => (s.file, s.col))
-        val b64 = java.util.Base64.getEncoder
-        val sstJson =
-          if (sst.isEmpty) ""
-          else s""","sstats":${jsonArr(sst.map(s =>
-            s"${s.file}|${s.col}|${b64.encodeToString(s.lo)}|" +
-              s.hi.map(b64.encodeToString).getOrElse("*")))}"""
+        }.toSeq.sortBy(s => (s.file, s.col)))
         val body = s"""{"live":${jsonArr(live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
           sstJson +
@@ -661,8 +662,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * (grouped by `input_file_name()` — never a per-file footer read),
     * re-keyed to the final data-file names.
     *
-    * Long-castable columns (ints, dates, timestamps) record a
-    * [[SnapshotTable.FileStat]] long range. STRING columns record a
+    * Numeric/timestamp columns record a [[SnapshotTable.FileStat]]
+    * long range (timestamps as epoch seconds); DATE columns record
+    * days since epoch via `unix_date` (ANSI disallows a direct
+    * date→long cast) — prune them with the same encoding. STRING
+    * columns record a
     * [[SnapshotTable.StrStat]]: true per-file min/max strings from
     * the same aggregate, truncated driver-side to
     * [[SnapshotTable.StatTruncateBytes]] UTF-8 bytes (lower bound = a
@@ -676,18 +680,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val isStr: String => Boolean = c => df.schema.fields
-      .find(_.name == c).exists(_.dataType ==
-        org.apache.spark.sql.types.StringType)
+    def dtypeOf(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
+    val isStr: String => Boolean = c =>
+      dtypeOf(c).contains(org.apache.spark.sql.types.StringType)
     // (file, col, loAny, hiAny): longs for numeric cols, full min/max
     // strings for string cols (truncated below, after the collect —
     // the collect is nfiles · statCols values, bounded either way)
     val tmpStats: Seq[(String, String, Any, Any)] =
       if (statCols.isEmpty) Nil
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        def statExpr(c: String): Column =
-          if (isStr(c)) col(c) else col(c).cast("long")
+        import org.apache.spark.sql.functions.{col, input_file_name, max,
+          min, unix_date}
+        def statExpr(c: String): Column = dtypeOf(c) match {
+          case Some(org.apache.spark.sql.types.StringType) => col(c)
+          // ANSI disallows cast(date as long); record DAYS SINCE EPOCH
+          // (prune with the same encoding — the gauge layer's obs_day
+          // columns are already exactly this)
+          case Some(org.apache.spark.sql.types.DateType) =>
+            unix_date(col(c)).cast("long")
+          case _ => col(c).cast("long")
+        }
         val aggs = statCols.flatMap(c => Seq(
           min(statExpr(c)).as(s"__lo_$c"),
           max(statExpr(c)).as(s"__hi_$c")))
@@ -963,8 +975,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def prunedFilesEq(colName: String, value: String,
       version: Option[Int] = None): Seq[String] = {
     val b = SnapshotTable.utf8(value)
-    val (live, _, _, _, sstats) = replayStateFull(
-      version.getOrElse(currentVersion))
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val (live, _, _, _, sstats) = replayStateFull(v)
     live.filter(f => strStatSurvives(sstats, f, Seq((colName, b, Some(b)))))
   }
 
@@ -1632,17 +1646,7 @@ object SnapshotTable {
     * `UnicodeUtil.truncateStringMax` shape, on raw bytes. */
   private[sources] def truncatedUpper(b: Array[Byte], n: Int): Option[Array[Byte]] =
     if (b.length <= n) Some(b)
-    else {
-      val p = java.util.Arrays.copyOf(b, n)
-      var i = n - 1
-      while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
-      if (i < 0) None
-      else {
-        val out = java.util.Arrays.copyOf(p, i + 1)
-        out(i) = (out(i) + 1).toByte
-        Some(out)
-      }
-    }
+    else prefixUpper(java.util.Arrays.copyOf(b, n))
 
   /** Smallest byte string GREATER than every string starting with
     * `prefix` (increment the last non-0xFF byte); `None` when no such

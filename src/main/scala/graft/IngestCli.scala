@@ -162,12 +162,32 @@ object IngestCli {
         req("op") match {
           case "append" =>
             val df = spark.read.parquet(req("from"))
+            // --statCols: per-file min/max in the manifest (numeric
+            // ranges; string columns record truncated string bounds);
+            // --bloomCols: per-file bloom sidecars under _index/ for
+            // point lookups the table is not clustered by
             val v =
-              if (csvOpt("statCols").nonEmpty) t.appendWithStats(df, csvOpt("statCols"))
+              if (csvOpt("statCols").nonEmpty || csvOpt("bloomCols").nonEmpty)
+                t.appendWithStats(df, csvOpt("statCols"), csvOpt("bloomCols"),
+                  opts.getOrElse("bloomFpp", "0.01").toDouble)
               else t.append(df)
             println(s"committed version $v")
           case "read" =>
+            // --version N for version travel; --asOf <epochMillis |
+            // ISO-8601 instant | local datetime (read as UTC)> for
+            // timestamp travel (largest version committed at or
+            // before the instant)
+            def parseTs(s: String): Long =
+              s.toLongOption.getOrElse {
+                try java.time.Instant.parse(s).toEpochMilli
+                catch {
+                  case _: java.time.format.DateTimeParseException =>
+                    java.time.LocalDateTime.parse(s)
+                      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+                }
+              }
             val version = opts.get("version").map(_.toInt)
+              .orElse(opts.get("asOf").map(ts => t.versionAt(parseTs(ts))))
             println(s"rows=${t.read(version).count()} " +
               s"files=${t.files(version).size} " +
               s"version=${version.getOrElse(t.currentVersion)}")
@@ -191,12 +211,15 @@ object IngestCli {
               csvOpt("keys")))
           case "compact" =>
             // optional: --zorder c1,c2 re-clusters the rewrite on a
-            // Morton curve; --statCols c1,c2 records per-file min/max
-            // in the manifest (metadata-only pruning on later reads)
+            // Morton curve (strings supported; one dim = exact range
+            // sort); --statCols c1,c2 records per-file min/max in the
+            // manifest (metadata-only pruning on later reads);
+            // --bloomCols rebuilds bloom sidecars for the rewrite
             println("compacted into version " +
               t.compact(opts.getOrElse("coalesceTo", "1").toInt,
                 csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt,
-                csvOpt("statCols")))
+                csvOpt("statCols"), csvOpt("bloomCols"),
+                opts.getOrElse("bloomFpp", "0.01").toDouble))
           case "delete" =>
             // --where is a SQL boolean over the table's columns; the
             // optional --prune col:lo:hi[,col:lo:hi] narrows candidate

@@ -356,7 +356,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       stats: Seq[SnapshotTable.FileStat] = Nil,
       keyed: Boolean = false,
       schema: Option[String] = None,
-      sstats: Seq[SnapshotTable.StrStat] = Nil): String = {
+      sstats: Seq[SnapshotTable.StrStat] = Nil,
+      blooms: Seq[(String, String)] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
@@ -374,7 +375,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val st =
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
-    val sst = sstatsJsonField(sstats)
+    val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -424,6 +425,27 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** The `"blooms"` wire field: `file|col` markers recording which
+    * (file, column) pairs have a bloom sidecar under `_index/` —
+    * replay learns sidecar existence from metadata, never from
+    * listing or probing the index dir. */
+  private def bloomsJsonField(blooms: Seq[(String, String)]): String = {
+    blooms.foreach { case (f, c) =>
+      require(!f.contains("|") && !c.contains("|"),
+        s"bloom path/col must not contain '|': $f|$c")
+    }
+    if (blooms.isEmpty) ""
+    else s""","blooms":${jsonArr(blooms.map { case (f, c) => s"$f|$c" })}"""
+  }
+
+  private def bloomsOf(json: String): Set[(String, String)] =
+    arrOf(json, "blooms").flatMap { s =>
+      s.split('|') match {
+        case Array(f, c) => Some((f, c))
+        case _ => None
+      }
+    }.toSet
+
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
   private def keyedOf(json: String): Boolean =
@@ -468,11 +490,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }).filter(_ <= v).foldLeft(0)(math.max)
   }
 
-  /** (live files, live-file stats, tags, latest schema, live-file
-    * string stats) at checkpoint `v`. */
-  private def readCheckpoint(v: Int): (Seq[String],
-      Seq[SnapshotTable.FileStat], Seq[String], Option[String],
-      Seq[SnapshotTable.StrStat]) = {
+  /** The fully replayed [[SnapshotTable.TableState]] recorded at
+    * checkpoint `v` (live-file-filtered stats/bounds/bloom markers). */
+  private def readCheckpoint(v: Int): SnapshotTable.TableState = {
     metaReads += 1
     val p = checkpointPath(v)
     val in = fs.open(p)
@@ -481,8 +501,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    (arrOf(raw, "live"), statsOf(raw), arrOf(raw, "tags"), schemaOf(raw),
-      sstatsOf(raw))
+    SnapshotTable.TableState(
+      live = arrOf(raw, "live"),
+      stats = statsOf(raw).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap,
+      sstats = sstatsOf(raw).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap,
+      tags = arrOf(raw, "tags").toSet,
+      schema = schemaOf(raw),
+      blooms = bloomsOf(raw))
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -492,13 +517,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * Replay is in version order — required since [[restore]] may
     * RE-ADD a file some earlier manifest removed (add/remove/add
     * resolves by last action wins). */
-  private def replayState(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String]) =
-    replayStateFull(v) match { case (l, st, tg, _, _) => (l, st, tg) }
-
-  private def replayStateFull(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String], Option[String],
-      Map[(String, String), (Array[Byte], Option[Array[Byte]])]) = {
+  private def replayStateFull(v: Int): SnapshotTable.TableState = {
     val floor = retentionFloor
     if (v > 0 && v < floor)
       throw new IllegalArgumentException(
@@ -525,23 +544,23 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
-  private def replayStateFullUnchecked(v: Int): (Seq[String],
-      Map[(String, String), (Long, Long)], Set[String], Option[String],
-      Map[(String, String), (Array[Byte], Option[Array[Byte]])]) = {
+  private def replayStateFullUnchecked(v: Int): SnapshotTable.TableState = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
     val sstats = scala.collection.mutable
       .Map[(String, String), (Array[Byte], Option[Array[Byte]])]()
+    val blooms = scala.collection.mutable.Set[(String, String)]()
     val tags = scala.collection.mutable.Set[String]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
-      val (l, st, tg, sc, sst) = readCheckpoint(c)
-      live ++= l
-      st.foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
-      sst.foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
-      tags ++= tg
-      schema = sc
+      val ck = readCheckpoint(c)
+      live ++= ck.live
+      stats ++= ck.stats
+      sstats ++= ck.sstats
+      blooms ++= ck.blooms
+      tags ++= ck.tags
+      schema = ck.schema
     }
     (c + 1 to v).foreach { i =>
       val raw = readManifestRaw(i)
@@ -550,10 +569,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       live --= remove
       statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
       sstatsOf(raw).foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
+      blooms ++= bloomsOf(raw)
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
-    (live.toSeq, stats.toMap, tags.toSet, schema, sstats.toMap)
+    SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
+      tags.toSet, schema, blooms.toSet)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -562,7 +583,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    replayStateFull(v)._4.map(s =>
+    replayStateFull(v).schema.map(s =>
       org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
@@ -591,25 +612,27 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def maybeCheckpoint(v: Int): Unit =
     if (checkpointInterval > 0 && v % checkpointInterval == 0) try {
       if (!fs.exists(checkpointPath(v))) {
-        val (live, stats, tags, schema, sstats) = replayStateFull(v)
-        val liveSet = live.toSet
+        val state = replayStateFull(v)
+        val liveSet = state.live.toSet
         // only LIVE files' stats ride forward: a removed file's ranges
         // can never prune anything again, and dropping them keeps the
         // checkpoint O(live files), not O(files ever added)
-        val st = stats.collect {
+        val st = state.stats.collect {
           case ((f, c), (lo, hi)) if liveSet.contains(f) =>
             SnapshotTable.FileStat(f, c, lo, hi)
         }.toSeq.sortBy(s => (s.file, s.col))
         st.foreach(s => require(!s.file.contains("|") && !s.col.contains("|")))
-        val sstJson = sstatsJsonField(sstats.collect {
+        val sstJson = sstatsJsonField(state.sstats.collect {
           case ((f, c), (lo, hi)) if liveSet.contains(f) =>
             SnapshotTable.StrStat(f, c, lo, hi)
-        }.toSeq.sortBy(s => (s.file, s.col)))
-        val body = s"""{"live":${jsonArr(live)}""" +
+        }.toSeq.sortBy(s => (s.file, s.col))) +
+          bloomsJsonField(state.blooms.toSeq
+            .filter(b => liveSet.contains(b._1)).sorted)
+        val body = s"""{"live":${jsonArr(state.live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
           sstJson +
-          s""","tags":${jsonArr(tags.toSeq.sorted)}""" +
-          schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("") + "}"
+          s""","tags":${jsonArr(state.tags.toSeq.sorted)}""" +
+          state.schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("") + "}"
         val tmp = new Path(s"$root/_staging/ckpt-${java.util.UUID.randomUUID()}.json")
         val out = fs.create(tmp, true)
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -626,7 +649,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    replayState(v)._1
+    replayStateFull(v).live
   }
 
   /** Read snapshot `version` (default newest), planned with the
@@ -637,9 +660,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (fl, _, _, sc, _) = replayStateFull(v)
-    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val state = replayStateFull(v)
+    val fl = state.live
+    val schema = state.schema.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     if (fl.nonEmpty)
       schema.map(spark.read.schema).getOrElse(spark.read).parquet(fl: _*)
     else schema match {
@@ -745,6 +770,76 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     (moved.toSeq, stats.reverse, sstats.reverse)
   }
 
+  private def indexDir = new Path(s"$root/_index")
+
+  private def bloomSidecarPath(dataFile: String, colName: String): Path =
+    new Path(indexDir, s"${new Path(dataFile).getName}.bloom-$colName")
+
+  /** Build one bloom-filter sidecar per (staged file, column) under
+    * `_index/` and return the (file, col) markers for the manifest.
+    *
+    * The Delta bloom-index shape for point lookups the table is NOT
+    * clustered by: min/max bounds (numeric or string) prune only when
+    * a file's value range is narrow, but a key scattered across every
+    * file (url dedup probes, doc_id fetches on an append-ordered log)
+    * keeps every file. A per-file bloom answers "can this file contain
+    * this exact value" regardless of layout, at ~1.2 MB per million
+    * rows (fpp 0.01).
+    *
+    * Cost shape: one column-pruned count pass sizes each filter
+    * exactly; one pass per bloom column builds the filters ON THE
+    * EXECUTORS (`mapGroups` streams a file's values into one filter —
+    * memory is one bloom, never a file's distinct set). The serialized
+    * blobs return to the driver for the sidecar writes, so the
+    * driver-side footprint is bounded by THIS COMMIT's staged rows
+    * (~1.2 MB/M rows/column), never by table size. Sidecars are
+    * written before the manifest commit; on a crashed commit they are
+    * unreferenced strays [[vacuum]] sweeps with the data files. */
+  private def buildBlooms(files: Seq[String], bloomCols: Seq[String],
+      fpp: Double): Seq[(String, String)] = {
+    if (bloomCols.isEmpty || files.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val byName = files.map(f => new Path(f).getName -> f).toMap
+    val counts = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+    fs.mkdirs(indexDir)
+    val markers = Seq.newBuilder[(String, String)]
+    bloomCols.foreach { c =>
+      val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+      val pairEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+      val expected = counts // small map: this commit's files only
+      val blobs = spark.read.parquet(files: _*)
+        .select(input_file_name().as("__f"), col(c).cast("string").as("__v"))
+        .na.drop()
+        .as[(String, String)](tupleEnc)
+        .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+        .mapGroups { (f, it) =>
+          val name = new Path(f).getName
+          val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+            math.max(1L, expected.getOrElse(name, 1L)), fpp)
+          it.foreach(t => bloom.putString(t._2))
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          (name, bos.toByteArray)
+        }(pairEnc)
+        .collect()
+      blobs.foreach { case (name, bytes) =>
+        val full = byName(name)
+        val out = fs.create(bloomSidecarPath(full, c), true)
+        try out.write(bytes) finally out.close()
+        markers += ((full, c))
+      }
+    }
+    markers.result()
+  }
+
   /** Optimistic commit: write the manifest under `_staging`, then
     * rename it to the next log slot. If another writer took the slot,
     * retry — data files are uuid-named, so retries never collide.
@@ -773,7 +868,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
       base: Int = -1, keyed: Boolean = false,
       schema: Option[String] = None,
-      sstats: Seq[SnapshotTable.StrStat] = Nil): Int = {
+      sstats: Seq[SnapshotTable.StrStat] = Nil,
+      blooms: Seq[(String, String)] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     val checkRemoves = remove.nonEmpty || keyed
@@ -781,7 +877,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schema, sstats = sstats)
+      schema = schema, sstats = sstats, blooms = blooms)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -865,10 +961,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * that let [[prunedFiles]] skip files from METADATA alone: at 100k
     * files, pruning from manifests is a driver-side replay, where even
     * parquet-footer pruning is 100k reads before the first task. */
-  def appendWithStats(df: DataFrame, statCols: Seq[String]): Int = {
+  def appendWithStats(df: DataFrame, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
     val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
+    val blooms = buildBlooms(staged, bloomCols, bloomFpp)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
-      sstats = sstats)
+      sstats = sstats, blooms = blooms)
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -879,8 +977,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (live, stats, _) = replayState(v)
-    (live, stats)
+    val state = replayStateFull(v)
+    (state.live, state.stats)
   }
 
   /** Live files of snapshot `version` that can contain a `colName`
@@ -926,14 +1024,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (live, stats, _, sc, _) = replayStateFull(v)
-    val fl = live.filter { f =>
+    val state = replayStateFull(v)
+    val fl = state.live.filter { f =>
       preds.forall { case (c, lo, hi) =>
-        stats.get((f, c)).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+        state.stats.get((f, c)).forall { case (flo, fhi) =>
+          fhi >= lo && flo <= hi }
       }
     }
-    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val schema = state.schema.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     if (fl.nonEmpty) reader.parquet(fl: _*)
     else schema match {
@@ -978,8 +1078,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (live, _, _, _, sstats) = replayStateFull(v)
-    live.filter(f => strStatSurvives(sstats, f, Seq((colName, b, Some(b)))))
+    val state = replayStateFull(v)
+    state.live.filter(f =>
+      strStatSurvives(state.sstats, f, Seq((colName, b, Some(b)))))
   }
 
   /** Read only the files that can contain `colName == value` (string
@@ -1018,10 +1119,108 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val v = version.getOrElse(currentVersion)
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
-    val (live, _, _, sc, sstats) = replayStateFull(v)
-    val fl = live.filter(f => strStatSurvives(sstats, f, preds))
-    val schema = sc.map(s => org.apache.spark.sql.types.DataType.fromJson(s)
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val state = replayStateFull(v)
+    val fl = state.live.filter(f => strStatSurvives(state.sstats, f, preds))
+    val schema = state.schema.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    if (fl.nonEmpty) reader.parquet(fl: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => read(Some(v)).limit(0)
+    }
+  }
+
+  // ---- bloom-sidecar pruning -----------------------------------------
+
+  /** Of `state.live`, the files whose bloom sidecar admits `value`
+    * (plus every file with NO bloom for the column — pruning is never
+    * wrong, only incomplete; an unreadable/lost sidecar likewise keeps
+    * its file). ≤ 32 candidates test on the driver (a handful of
+    * small GETs); beyond that the membership tests run as ONE
+    * distributed job over the candidate file list — each task reads
+    * its sidecars directly, the driver never sees a filter's bytes,
+    * so a 100k-file probe is a 100k-small-read job, not a 100 GB
+    * driver download. */
+  private def bloomSurvivors(state: SnapshotTable.TableState,
+      colName: String, value: String): Set[String] = {
+    val (withBloom, without) =
+      state.live.partition(f => state.blooms.contains((f, colName)))
+    if (withBloom.isEmpty) return state.live.toSet
+    val surviving: Seq[String] =
+      if (withBloom.size <= 32)
+        withBloom.filter { f =>
+          try {
+            val in = fs.open(bloomSidecarPath(f, colName))
+            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              .mightContainString(value)
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => true }
+        }
+      else {
+        // capture only plain strings — the task closure must not drag
+        // `this` (and its SparkSession) in
+        val idxRoot = indexDir.toString
+        val cCap = colName
+        val vCap = value
+        spark.sparkContext.parallelize(withBloom,
+          math.max(1, math.min(withBloom.size,
+            spark.sparkContext.defaultParallelism * 2)))
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.filter { f =>
+              val p = new Path(
+                s"$idxRoot/${new Path(f).getName}.bloom-$cCap")
+              try {
+                val in = p.getFileSystem(conf).open(p)
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                  .mightContainString(vCap)
+                finally in.close()
+              } catch { case scala.util.control.NonFatal(_) => true }
+            }
+          }.collect().toSeq
+      }
+    surviving.toSet ++ without
+  }
+
+  /** Files of snapshot `version` that can contain `colName == value`
+    * per their bloom sidecars (built by [[appendWithStats]]/
+    * [[compact]] with `bloomCols`). The point-lookup prune for keys
+    * the table is NOT clustered by: min/max bounds keep every file
+    * when a key is scattered across all of them; a bloom answers per
+    * file regardless of layout (fpp false-positive files remain —
+    * the row filter still applies downstream). */
+  def prunedFilesBloom(colName: String, value: String,
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    val keep = bloomSurvivors(state, colName, value)
+    state.live.filter(keep.contains)
+  }
+
+  /** Read only the files that can contain `colName == value`,
+    * combining BOTH prunes from one pinned replay: string min/max
+    * bounds (clustered layouts) AND bloom sidecars (any layout). The
+    * caller still applies the row-level predicate. */
+  def readPrunedBloom(colName: String, value: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    val b = SnapshotTable.utf8(value)
+    val byBounds = state.live.filter(f =>
+      strStatSurvives(state.sstats, f, Seq((colName, b, Some(b)))))
+    val keep = bloomSurvivors(
+      state.copy(live = byBounds), colName, value)
+    val fl = byBounds.filter(keep.contains)
+    val schema = state.schema.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     if (fl.nonEmpty) reader.parquet(fl: _*)
     else schema match {
@@ -1061,7 +1260,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val now = System.currentTimeMillis()
         add.foreach(f => fs.setTimes(new Path(f), now, -1))
         commit(add, remove, base = base, keyed = true,
-          schema = replayStateFull(version)._4)
+          schema = replayStateFull(version).schema)
       }
     }
 
@@ -1080,7 +1279,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // every tag ≤ its version) so a restarted streaming writer's
       // first idempotence check replays the tail, not the whole log
       val c = checkpointAtOrBelow(cur)
-      if (c > 0) { seen = c; tags ++= readCheckpoint(c)._3 }
+      if (c > 0) { seen = c; tags ++= readCheckpoint(c).tags }
     }
     if (cur > seen)
       tags = tags ++ (seen + 1 to cur).flatMap(v => tagOf(readManifestRaw(v)))
@@ -1107,12 +1306,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * append that also records per-file min/max for `statCols` — the
     * exactly-once ingest commit for a PRUNABLE fact table. */
   def appendIfAbsentWithStats(df: DataFrame, tag: String,
-      statCols: Seq[String]): Option[Int] =
+      statCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
       val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
+      val blooms = buildBlooms(staged, bloomCols, bloomFpp)
       Some(commit(staged, Nil, Some(tag), stats,
-        schema = Some(df.schema.json), sstats = sstats))
+        schema = Some(df.schema.json), sstats = sstats, blooms = blooms))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -1158,7 +1359,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * maintenance that trades one rewrite for metadata-only scan
     * planning on the read path. */
   def compact(coalesceTo: Int = 1, zorderCols: Seq[String] = Nil,
-      zorderBits: Int = 6, statCols: Seq[String] = Nil): Int =
+      zorderBits: Int = 6, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int =
     retryingOnConflict("compact") {
       val base = currentVersion
       val before = files(Some(base))
@@ -1170,8 +1372,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
         val (rewritten, stats, sstats) = stageFilesWithStats(laid, statCols)
+        val blooms = buildBlooms(rewritten, bloomCols, bloomFpp)
         commit(rewritten, before, stats = stats, base = base,
-          schema = Some(laid.schema.json), sstats = sstats)
+          schema = Some(laid.schema.json), sstats = sstats, blooms = blooms)
       }
     }
 
@@ -1383,6 +1586,41 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** The newest version committed at or before `timestampMillis` —
+    * timestamp time travel (Delta's `timestampAsOf`), resolved by
+    * BINARY SEARCH over manifest modification times: O(log n) file
+    * GETs, no listing, no replay. Commit wall-clocks are
+    * nondecreasing in version order up to writer clock skew — same
+    * caveat Delta documents for timestamp travel. Only versions whose
+    * manifests retention kept (and that sit at or above the retention
+    * boundary) are resolvable; asking for a time before the earliest
+    * of those fails with a clear error naming it. */
+  def versionAt(timestampMillis: Long): Int = {
+    val cur = currentVersion
+    require(cur > 0, s"snapshot table $root has no commits")
+    def mtime(v: Int): Long =
+      fs.getFileStatus(manifestPath(v)).getModificationTime
+    // earliest version that is both readable (>= retention boundary)
+    // and timestamped (its manifest survived vacuumLog)
+    val earliest = math.max(1, math.max(retentionFloor, replayFloorV + 1))
+    require(timestampMillis >= mtime(earliest),
+      s"no snapshot of $root at or before $timestampMillis: the " +
+        s"earliest resolvable version is $earliest " +
+        s"(committed ${mtime(earliest)}; older history was vacuumed)")
+    var lo = earliest
+    var hi = cur
+    while (lo < hi) { // invariant: mtime(lo) <= ts; answer in [lo, hi]
+      val mid = lo + (hi - lo + 1) / 2
+      if (mtime(mid) <= timestampMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Read the table as of a wall-clock instant — sugar for
+    * `read(Some(versionAt(ts)))`. */
+  def readAsOf(timestampMillis: Long): DataFrame =
+    read(Some(versionAt(timestampMillis)))
+
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
     * surface: version, commit wall-clock (the manifest file's
     * modification time), add/remove counts, the exactly-once tag if
@@ -1493,7 +1731,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // scaladoc documents.
     val seen = scala.collection.mutable.Set[String]()
     if (c0 > 0) {
-      live ++= readCheckpoint(c0)._1
+      live ++= readCheckpoint(c0).live
       seen ++= live
       if (c0 >= rf) keep ++= live
     }
@@ -1523,6 +1761,25 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       (truncateLog || doomed.exists(seen.contains))
     if (mustRecord && !writeFloor(0, rf)) return 0
     doomed.foreach(f => fs.delete(new Path(f), false))
+    // bloom sidecars follow their data file: after the data sweep,
+    // reap every sidecar (older than the grace window — a concurrent
+    // commit writes its sidecars BEFORE its manifest, so young ones
+    // may belong to an in-flight commit) whose data file no longer
+    // exists — covers both this sweep's doomed files and strays whose
+    // data was reaped by an earlier pass
+    if (fs.exists(indexDir)) {
+      val dataNames: Set[String] =
+        if (!fs.exists(dataDir)) Set.empty
+        else fs.listStatus(dataDir).map(_.getPath.getName).toSet
+      fs.listStatus(indexDir)
+        .filter(_.getModificationTime < cutoff)
+        .foreach { st =>
+          val n = st.getPath.getName
+          val sep = n.lastIndexOf(".bloom-")
+          if (sep > 0 && !dataNames.contains(n.substring(0, sep)))
+            fs.delete(st.getPath, false)
+        }
+    }
     // staging entries younger than the grace window may belong to an
     // IN-FLIGHT commit on another writer — deleting them would strand
     // that commit mid-publish; only provably-stale staging is reaped
@@ -1666,6 +1923,18 @@ object SnapshotTable {
   /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape). */
   final case class CommitInfo(version: Int, committed_at: java.sql.Timestamp,
       n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean)
+
+  /** Fully replayed table state at one version: live files in add
+    * order, per-(file, col) long stats and string bounds, every
+    * committed tag, the newest recorded schema, and the (file, col)
+    * pairs that have a bloom sidecar under `_index/`. */
+  private[sources] final case class TableState(
+      live: Seq[String],
+      stats: Map[(String, String), (Long, Long)],
+      sstats: Map[(String, String), (Array[Byte], Option[Array[Byte]])],
+      tags: Set[String],
+      schema: Option[String],
+      blooms: Set[(String, String)])
 
   /** A remove-bearing commit (compact/merge) raced a concurrent commit
     * that removed one of the same files; the operation recomputes from

@@ -823,6 +823,105 @@ class SnapshotTableSpec extends SparkSuite {
       .where(col("doc_id") === vals(50)).count() == 1)
   }
 
+  test("bloom sidecars: point lookups prune an UNCLUSTERED table; blooms survive checkpoints, compaction and vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    // keys SCATTERED across appends so every file's min/max string
+    // bounds span nearly the whole key space — the layout where
+    // bounds-based pruning keeps everything and only a bloom helps
+    val vals = (0 until 96).map(i => f"doc${(i * 37) % 96}%04d")
+    (0 until 4).foreach { g =>
+      t.appendWithStats(vals.slice(g * 24, (g + 1) * 24).toDF("doc_id"),
+        Seq("doc_id"), bloomCols = Seq("doc_id"))
+    }
+    val nFiles = t.files().size
+    val hit = vals(50)
+    // bounds keep (nearly) everything; the bloom keeps only the
+    // file(s) that can contain the key
+    val byBounds = t.prunedFilesEq("doc_id", hit).size
+    val byBloom = t.prunedFilesBloom("doc_id", hit).size
+    assert(byBounds == nFiles, s"expected unclustered bounds to keep all")
+    assert(byBloom < nFiles, s"bloom kept $byBloom of $nFiles")
+    assert(t.readPrunedBloom("doc_id", hit)
+      .where(col("doc_id") === hit).count() == 1)
+    // an absent key prunes everything (fpp 0.01 on a handful of
+    // files; deterministic for fixed data)
+    assert(t.prunedFilesBloom("doc_id", "doc-nope").isEmpty)
+    val missing = t.readPrunedBloom("doc_id", "doc-nope")
+    assert(missing.count() == 0 &&
+      missing.columns.sameElements(Array("doc_id")))
+    // a COLD instance prunes from checkpoint-carried bloom markers
+    val cold = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    assert(cold.prunedFilesBloom("doc_id", hit).size == byBloom)
+    // compaction rebuilds sidecars for the rewritten files
+    t.compact(coalesceTo = 2, statCols = Seq("doc_id"),
+      bloomCols = Seq("doc_id"))
+    assert(t.prunedFilesBloom("doc_id", hit).size <= 2)
+    assert(t.readPrunedBloom("doc_id", hit)
+      .where(col("doc_id") === hit).count() == 1)
+    // vacuum sweeps the reaped files' sidecars with them: exactly one
+    // sidecar per LIVE file remains
+    t.vacuum(retainFrom = t.currentVersion, stagingGraceMs = -1000L)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val sidecars = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_index")).map(_.getPath.getName)
+    assert(sidecars.length == t.files().size, sidecars.mkString(","))
+    // and the table still answers the lookup afterwards
+    assert(t.readPrunedBloom("doc_id", hit)
+      .where(col("doc_id") === hit).count() == 1)
+  }
+
+  test("bloom pruning at file counts past the driver threshold runs distributed and agrees") {
+    val t = tmpTable()
+    // one append spread over 40 files: the membership tests must take
+    // the distributed (parallelize + executor-side sidecar reads)
+    // path, whose task closure is the serialization-sensitive part
+    val vals = (0 until 400).map(i => f"k${(i * 131) % 400}%05d")
+    t.appendWithStats(vals.toDF("k").repartition(40), Seq.empty,
+      bloomCols = Seq("k"))
+    assert(t.files().size == 40)
+    val hit = vals(123)
+    val kept = t.prunedFilesBloom("k", hit)
+    assert(kept.size < 40 && kept.nonEmpty)
+    assert(t.readPrunedBloom("k", hit).where(col("k") === hit).count() == 1)
+    // every value is found through the prune (no false negatives)
+    Seq(0, 57, 199, 399).map(vals).foreach { v =>
+      assert(t.readPrunedBloom("k", v).where(col("k") === v).count() == 1)
+    }
+    assert(t.prunedFilesBloom("k", "k-none").isEmpty)
+  }
+
+  test("timestamp time travel: versionAt binary-searches manifest times; vacuumed times error cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 8L).foreach { i =>
+      t.append(Seq(i).toDF("id"))
+      Thread.sleep(15) // distinct manifest mtimes
+    }
+    val fsx = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Int) = fsx.getFileStatus(new org.apache.hadoop.fs.Path(
+      f"$dir/_log/$v%08d.json")).getModificationTime
+    // exactly at a commit's instant resolves to it; just before, to
+    // its predecessor; after the head, to the head
+    assert(t.versionAt(mtime(5)) == 5)
+    assert(t.versionAt(mtime(5) - 1) == 4)
+    assert(t.versionAt(mtime(8) + 60000) == 8)
+    assert(ids(t.readAsOf(mtime(3))) == Set(1L, 2L, 3L))
+    // before the first commit: clear error
+    val e = intercept[IllegalArgumentException](t.versionAt(mtime(1) - 1000))
+    assert(e.getMessage.contains("earliest resolvable version"), e.getMessage)
+    // after vacuumLog the earliest resolvable version moves up and the
+    // error names it — never a FileNotFound from a missing manifest
+    // (capture the times BEFORE their manifests are reaped)
+    val (t5, t7, t8) = (mtime(5), mtime(7), mtime(8))
+    t.vacuumLog(retainVersions = 3) // floor 6: manifests 1..6 reaped
+    assert(t.versionAt(t8) == 8 && t.versionAt(t7) == 7)
+    val e2 = intercept[IllegalArgumentException](t.versionAt(t5))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

@@ -652,6 +652,24 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     replayStateFull(v).live
   }
 
+  /** Plan a pruned file list under the state's RECORDED schema — the
+    * one shared tail of every read entry point (full read and all
+    * pruned variants): schema-pinned reader, empty-frame-with-schema
+    * fallback for a fully pruned or empty snapshot. */
+  private def planFiles(state: SnapshotTable.TableState, v: Int,
+      fl: Seq[String]): DataFrame = {
+    val schema = state.schema.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    if (fl.nonEmpty) reader.parquet(fl: _*)
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => read(Some(v)).limit(0)
+    }
+  }
+
   /** Read snapshot `version` (default newest), planned with the
     * RECORDED schema when one exists (see [[readFiles]] — add-a-column
     * appends read correctly over old files, which null-fill). Empty
@@ -700,22 +718,25 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * (url, doc_id) get metadata-only point/prefix/range pruning via
     * [[readPrunedEq]]/[[readPrunedPrefix]]/[[readPrunedStrRange]]
     * while a 100k-file checkpoint's stat payload stays a few MB. */
-  private def stageFilesWithStats(df: DataFrame, statCols: Seq[String])
-      : (Seq[String], Seq[SnapshotTable.FileStat], Seq[SnapshotTable.StrStat]) = {
+  private def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
+      countFiles: Boolean = false)
+      : (Seq[String], Seq[SnapshotTable.FileStat],
+        Seq[SnapshotTable.StrStat], Map[String, Long]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     def dtypeOf(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
-    val isStr: String => Boolean = c =>
-      dtypeOf(c).contains(org.apache.spark.sql.types.StringType)
     // (file, col, loAny, hiAny): longs for numeric cols, full min/max
     // strings for string cols (truncated below, after the collect —
-    // the collect is nfiles · statCols values, bounded either way)
+    // the collect is nfiles · statCols values, bounded either way).
+    // `countFiles` rides per-file row counts on the SAME aggregate
+    // (buildBlooms sizes its filters from them — no second count job)
+    var tmpCounts = Map.empty[String, Long]
     val tmpStats: Seq[(String, String, Any, Any)] =
-      if (statCols.isEmpty) Nil
+      if (statCols.isEmpty && !countFiles) Nil
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max,
-          min, unix_date}
+        import org.apache.spark.sql.functions.{col, count, input_file_name,
+          lit, max, min, unix_date}
         def statExpr(c: String): Column = dtypeOf(c) match {
           case Some(org.apache.spark.sql.types.StringType) => col(c)
           // ANSI disallows cast(date as long); record DAYS SINCE EPOCH
@@ -727,25 +748,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         }
         val aggs = statCols.flatMap(c => Seq(
           min(statExpr(c)).as(s"__lo_$c"),
-          max(statExpr(c)).as(s"__hi_$c")))
-        spark.read.parquet(tmp.toString)
+          max(statExpr(c)).as(s"__hi_$c"))) ++
+          (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil)
+        val rows = spark.read.parquet(tmp.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
-          .collect().toIndexedSeq.flatMap { r =>
-            val name = new Path(r.getString(0)).getName
-            statCols.flatMap { c =>
-              val lo = r.getAs[Any](s"__lo_$c")
-              val hi = r.getAs[Any](s"__hi_$c")
-              if (lo == null || hi == null) Nil
-              else Seq((name, c, lo, hi))
-            }
+          .collect().toIndexedSeq
+        if (countFiles)
+          tmpCounts = rows.map(r =>
+            new Path(r.getString(0)).getName -> r.getAs[Long]("__cnt")).toMap
+        rows.flatMap { r =>
+          val name = new Path(r.getString(0)).getName
+          statCols.flatMap { c =>
+            val lo = r.getAs[Any](s"__lo_$c")
+            val hi = r.getAs[Any](s"__hi_$c")
+            if (lo == null || hi == null) Nil
+            else Seq((name, c, lo, hi))
           }
+        }
       }
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     var stats = List.empty[SnapshotTable.FileStat]
     var sstats = List.empty[SnapshotTable.StrStat]
+    var counts = Map.empty[String, Long]
     val moved = parts.map { st =>
       val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
       require(fs.rename(st.getPath, dst), s"stage move failed: $dst")
@@ -754,6 +781,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // unqualified manifest path would never match and vacuum would
       // reap live files
       val fin = fs.makeQualified(dst).toString
+      tmpCounts.get(st.getPath.getName).foreach(n => counts += fin -> n)
       tmpStats.filter(_._1 == st.getPath.getName).foreach {
         case (_, c, lo: String, hi: String) =>
           val n = SnapshotTable.StatTruncateBytes
@@ -767,7 +795,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       fin
     }
     fs.delete(tmp, true)
-    (moved.toSeq, stats.reverse, sstats.reverse)
+    (moved.toSeq, stats.reverse, sstats.reverse, counts)
   }
 
   private def indexDir = new Path(s"$root/_index")
@@ -786,9 +814,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * this exact value" regardless of layout, at ~1.2 MB per million
     * rows (fpp 0.01).
     *
-    * Cost shape: one column-pruned count pass sizes each filter
-    * exactly; one pass per bloom column builds the filters ON THE
-    * EXECUTORS (`mapGroups` streams a file's values into one filter —
+    * Cost shape: per-file row counts ride the staging stats aggregate
+    * (no dedicated count job) and size each filter exactly; one pass
+    * per bloom column builds the filters ON THE EXECUTORS
+    * (`mapGroups` streams a file's values into one filter —
     * memory is one bloom, never a file's distinct set). The serialized
     * blobs return to the driver for the sidecar writes, so the
     * driver-side footprint is bounded by THIS COMMIT's staged rows
@@ -796,15 +825,20 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * written before the manifest commit; on a crashed commit they are
     * unreferenced strays [[vacuum]] sweeps with the data files. */
   private def buildBlooms(files: Seq[String], bloomCols: Seq[String],
-      fpp: Double): Seq[(String, String)] = {
+      fpp: Double, rowCounts: Map[String, Long]): Seq[(String, String)] = {
     if (bloomCols.isEmpty || files.isEmpty) return Nil
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    // the vacuum sweep parses sidecar names by their ".bloom-" suffix
+    // and sidecars live flat under _index/ — a column name containing
+    // either separator would mis-split the sweep or nest a directory
+    bloomCols.foreach(c => require(
+      !c.contains("|") && !c.contains("/") && !c.contains(".bloom-"),
+      s"bloom column name unsupported: '$c' " +
+        "(must not contain '|', '/', or '.bloom-')"))
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val byName = files.map(f => new Path(f).getName -> f).toMap
-    val counts = spark.read.parquet(files: _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+    // per-file row counts came along on the staging stats aggregate
+    // (stageFilesWithStats countFiles) — no second count job
+    val counts = rowCounts.map { case (f, n) => new Path(f).getName -> n }
     fs.mkdirs(indexDir)
     val markers = Seq.newBuilder[(String, String)]
     bloomCols.foreach { c =>
@@ -963,8 +997,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * parquet-footer pruning is 100k reads before the first task. */
   def appendWithStats(df: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
-    val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
-    val blooms = buildBlooms(staged, bloomCols, bloomFpp)
+    val (staged, stats, sstats, counts) =
+      stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
+    val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
       sstats = sstats, blooms = blooms)
   }
@@ -1031,16 +1066,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           fhi >= lo && flo <= hi }
       }
     }
-    val schema = state.schema.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    if (fl.nonEmpty) reader.parquet(fl: _*)
-    else schema match {
-      case Some(s) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case None => read(Some(v)).limit(0)
-    }
+    planFiles(state, v, fl)
   }
 
   // ---- string-stat pruning -------------------------------------------
@@ -1120,17 +1146,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
     val state = replayStateFull(v)
-    val fl = state.live.filter(f => strStatSurvives(state.sstats, f, preds))
-    val schema = state.schema.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    if (fl.nonEmpty) reader.parquet(fl: _*)
-    else schema match {
-      case Some(s) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case None => read(Some(v)).limit(0)
-    }
+    planFiles(state, v,
+      state.live.filter(f => strStatSurvives(state.sstats, f, preds)))
   }
 
   // ---- bloom-sidecar pruning -----------------------------------------
@@ -1160,16 +1177,32 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           } catch { case scala.util.control.NonFatal(_) => true }
         }
       else {
-        // capture only plain strings — the task closure must not drag
-        // `this` (and its SparkSession) in
+        // capture only plain serializable values — the task closure
+        // must not drag `this` (and its SparkSession) in. The
+        // SESSION's Hadoop conf ships as key/value strings
+        // (Configuration isn't serializable): a bare
+        // `new Configuration()` on the executor would drop
+        // programmatic store config (s3a credentials, endpoints) and
+        // every sidecar open would fail into the keep-everything
+        // path — bloom pruning silently no-oping exactly at scale
         val idxRoot = indexDir.toString
         val cCap = colName
         val vCap = value
+        val confMap: Array[(String, String)] = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val buf = Array.newBuilder[(String, String)]
+          while (it.hasNext) {
+            val e = it.next()
+            buf += ((e.getKey, e.getValue))
+          }
+          buf.result()
+        }
         spark.sparkContext.parallelize(withBloom,
           math.max(1, math.min(withBloom.size,
             spark.sparkContext.defaultParallelism * 2)))
           .mapPartitions { it =>
-            val conf = new org.apache.hadoop.conf.Configuration()
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confMap.foreach { case (k, v2) => conf.set(k, v2) }
             it.filter { f =>
               val p = new Path(
                 s"$idxRoot/${new Path(f).getName}.bloom-$cCap")
@@ -1217,17 +1250,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       strStatSurvives(state.sstats, f, Seq((colName, b, Some(b)))))
     val keep = bloomSurvivors(
       state.copy(live = byBounds), colName, value)
-    val fl = byBounds.filter(keep.contains)
-    val schema = state.schema.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    if (fl.nonEmpty) reader.parquet(fl: _*)
-    else schema match {
-      case Some(s) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case None => read(Some(v)).limit(0)
-    }
+    planFiles(state, v, byBounds.filter(keep.contains))
   }
 
   /** Restore the table to the contents of snapshot `version` as a NEW
@@ -1310,8 +1333,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       bloomFpp: Double = 0.01): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
-      val (staged, stats, sstats) = stageFilesWithStats(df, statCols)
-      val blooms = buildBlooms(staged, bloomCols, bloomFpp)
+      val (staged, stats, sstats, counts) =
+        stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
+      val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
         schema = Some(df.schema.json), sstats = sstats, blooms = blooms))
     }
@@ -1371,8 +1395,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
-        val (rewritten, stats, sstats) = stageFilesWithStats(laid, statCols)
-        val blooms = buildBlooms(rewritten, bloomCols, bloomFpp)
+        val (rewritten, stats, sstats, counts) =
+          stageFilesWithStats(laid, statCols, countFiles = bloomCols.nonEmpty)
+        val blooms = buildBlooms(rewritten, bloomCols, bloomFpp, counts)
         commit(rewritten, before, stats = stats, base = base,
           schema = Some(laid.schema.json), sstats = sstats, blooms = blooms)
       }
@@ -1506,7 +1531,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val survivors = readFiles(affected, Some(base))
               .filter(!org.apache.spark.sql.functions.coalesce(
                 cond, org.apache.spark.sql.functions.lit(false)))
-            val (staged, stats, sstats) = stageFilesWithStats(survivors, statCols)
+            val (staged, stats, sstats, _) = stageFilesWithStats(survivors, statCols)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(survivors.schema.json), sstats = sstats)
           }
@@ -1535,7 +1560,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
-    val (staged, stats, sstats) = stageFilesWithStats(replacement, statCols)
+    val (staged, stats, sstats, _) = stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
       schema = Some(replacement.schema.json), sstats = sstats)
   }
@@ -1595,7 +1620,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * manifests retention kept (and that sit at or above the retention
     * boundary) are resolvable; asking for a time before the earliest
     * of those fails with a clear error naming it. */
-  def versionAt(timestampMillis: Long): Int = {
+  def versionAt(timestampMillis: Long): Int =
+    versionAt0(timestampMillis, retry = true)
+
+  private def versionAt0(timestampMillis: Long, retry: Boolean): Int = try {
     val cur = currentVersion
     require(cur > 0, s"snapshot table $root has no commits")
     def mtime(v: Int): Long =
@@ -1603,6 +1631,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // earliest version that is both readable (>= retention boundary)
     // and timestamped (its manifest survived vacuumLog)
     val earliest = math.max(1, math.max(retentionFloor, replayFloorV + 1))
+    if (earliest > cur) {
+      // retention truncated the log up to a checkpoint sitting exactly
+      // at the head: NO timestamped manifest survives, but the head
+      // itself still reads via that checkpoint. Its file's wall-clock
+      // (written moments after the commit) is the only surviving
+      // surrogate — resolve at-or-after it to the head, error before
+      val ckptTime = fs.getFileStatus(checkpointPath(cur)).getModificationTime
+      require(timestampMillis >= ckptTime,
+        s"no snapshot of $root resolvable at or before $timestampMillis: " +
+          s"every timestamped manifest was vacuumed; only the head " +
+          s"(version $cur, checkpointed $ckptTime) remains")
+      return cur
+    }
     require(timestampMillis >= mtime(earliest),
       s"no snapshot of $root at or before $timestampMillis: the " +
         s"earliest resolvable version is $earliest " +
@@ -1614,6 +1655,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (mtime(mid) <= timestampMillis) lo = mid else hi = mid - 1
     }
     lo
+  } catch {
+    case e: java.io.FileNotFoundException =>
+      // a concurrent vacuumLog reaped a manifest between the floor
+      // read and an mtime probe (history() handles the same race by
+      // skipping) — the floor has moved, so ONE re-resolution against
+      // the new floor either succeeds or raises the clean error
+      // above; a second miss is genuine corruption, rethrown
+      if (retry) versionAt0(timestampMillis, retry = false) else throw e
   }
 
   /** Read the table as of a wall-clock instant — sugar for

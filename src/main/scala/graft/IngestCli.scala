@@ -232,6 +232,21 @@ object IngestCli {
             }
             val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"))
             println(if (v == 0) "nothing matched" else s"deleted into version $v")
+          case "setProperty" =>
+            println(s"property set in version " +
+              t.setProperty(req("key"), req("value")))
+          case "properties" =>
+            t.properties().toSeq.sorted.foreach { case (k, v) =>
+              println(s"$k=$v")
+            }
+          case "addConstraint" =>
+            // CHECK constraint: existing rows must satisfy --expr;
+            // every later write validates its staged rows against it
+            println(s"constraint added in version " +
+              t.addCheckConstraint(req("name"), req("expr")))
+          case "dropConstraint" =>
+            println(s"constraint dropped in version " +
+              t.dropConstraint(req("name")))
           case "restore" =>
             // metadata-only rollback: re-adds snapshot v's files as a
             // new commit, no data rewrite (refuses if vacuumed)

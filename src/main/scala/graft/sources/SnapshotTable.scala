@@ -357,7 +357,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       keyed: Boolean = false,
       schema: Option[String] = None,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
-      blooms: Seq[(String, String)] = Nil): String = {
+      blooms: Seq[(String, String)] = Nil,
+      props: Seq[(String, Option[String])] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
@@ -375,7 +376,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val st =
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
-    val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms)
+    val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms) +
+      propsJsonField(props)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -446,6 +448,34 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }.toSet
 
+  /** The `"props"` wire field: table-property sets/unsets as
+    * `b64(key)|b64(value)` (unset = `b64(key)|*`) — base64 both sides
+    * because keys AND values are user strings that may contain the
+    * separator. Replay applies entries in version order, latest
+    * wins. */
+  private def propsJsonField(props: Seq[(String, Option[String])]): String =
+    if (props.isEmpty) ""
+    else {
+      val b64 = java.util.Base64.getEncoder
+      def enc(s: String) =
+        b64.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s""","props":${jsonArr(props.map { case (k, v) =>
+        s"${enc(k)}|${v.map(enc).getOrElse("*")}" })}"""
+    }
+
+  private def propsOf(json: String): Seq[(String, Option[String])] = {
+    val b64 = java.util.Base64.getDecoder
+    def dec(s: String) = new String(b64.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+    arrOf(json, "props").flatMap { s =>
+      s.split("\\|", -1) match {
+        case Array(k, v) =>
+          Some((dec(k), if (v == "*") None else Some(dec(v))))
+        case _ => None
+      }
+    }
+  }
+
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
   private def keyedOf(json: String): Boolean =
@@ -507,7 +537,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sstats = sstatsOf(raw).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap,
       tags = arrOf(raw, "tags").toSet,
       schema = schemaOf(raw),
-      blooms = bloomsOf(raw))
+      blooms = bloomsOf(raw),
+      props = propsOf(raw).collect { case (k, Some(v)) => k -> v }.toMap)
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -551,6 +582,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       .Map[(String, String), (Array[Byte], Option[Array[Byte]])]()
     val blooms = scala.collection.mutable.Set[(String, String)]()
     val tags = scala.collection.mutable.Set[String]()
+    val props = scala.collection.mutable.Map[String, String]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
@@ -560,6 +592,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sstats ++= ck.sstats
       blooms ++= ck.blooms
       tags ++= ck.tags
+      props ++= ck.props
       schema = ck.schema
     }
     (c + 1 to v).foreach { i =>
@@ -570,11 +603,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
       sstatsOf(raw).foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
       blooms ++= bloomsOf(raw)
+      propsOf(raw).foreach {
+        case (k, Some(vv)) => props(k) = vv
+        case (k, None) => props -= k
+      }
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
     SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
-      tags.toSet, schema, blooms.toSet)
+      tags.toSet, schema, blooms.toSet, props.toMap)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -627,7 +664,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             SnapshotTable.StrStat(f, c, lo, hi)
         }.toSeq.sortBy(s => (s.file, s.col))) +
           bloomsJsonField(state.blooms.toSeq
-            .filter(b => liveSet.contains(b._1)).sorted)
+            .filter(b => liveSet.contains(b._1)).sorted) +
+          propsJsonField(state.props.toSeq.sorted
+            .map { case (k, v) => k -> Some(v) })
         val body = s"""{"live":${jsonArr(state.live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
           sstJson +
@@ -725,6 +764,32 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // CHECK constraints gate EVERY write at this single choke point
+    // (append, merge rewrite, overwrite, tagged streaming batch): one
+    // aggregate over the just-staged parquet tests all constraints at
+    // once; any FALSE row rejects the commit and cleans its staging.
+    // NULL passes — SQL CHECK semantics.
+    val constraints = checkConstraints.toSeq.sortBy(_._1)
+    if (constraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit,
+        max => fmax, not, when}
+      val flags = constraints.map { case (_, e) =>
+        fmax(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
+      }
+      val row = spark.read.parquet(tmp.toString)
+        .agg(flags.head, flags.tail: _*).collect().head
+      val violated = constraints.zipWithIndex.collect {
+        case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
+          s"'$n' ($e)"
+      }
+      if (violated.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new SnapshotTable.ConstraintViolation(
+          s"write to $root rejected: CHECK constraint(s) " +
+            s"${violated.mkString(", ")} violated by incoming rows; " +
+            "nothing was committed")
+      }
+    }
     def dtypeOf(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
     // (file, col, loAny, hiAny): longs for numeric cols, full min/max
     // strings for string cols (truncated below, after the collect —
@@ -903,7 +968,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       base: Int = -1, keyed: Boolean = false,
       schema: Option[String] = None,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
-      blooms: Seq[(String, String)] = Nil): Int = {
+      blooms: Seq[(String, String)] = Nil,
+      props: Seq[(String, Option[String])] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     val checkRemoves = remove.nonEmpty || keyed
@@ -911,7 +977,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schema, sstats = sstats, blooms = blooms)
+      schema = schema, sstats = sstats, blooms = blooms, props = props)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -1670,6 +1736,69 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def readAsOf(timestampMillis: Long): DataFrame =
     read(Some(versionAt(timestampMillis)))
 
+  // ---- table properties + CHECK constraints ---------------------------
+
+  /** Table properties at snapshot `version` (default newest): replayed
+    * key→value metadata, latest write per key wins, unsets delete.
+    * Carried through checkpoints like every other channel. */
+  def properties(version: Option[Int] = None): Map[String, String] = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    replayStateFull(v).props
+  }
+
+  /** Set one table property as a metadata-only commit (no data files
+    * touched); returns the committed version. Property commits
+    * commute with data commits like blind appends. */
+  def setProperty(key: String, value: String): Int = {
+    require(key.nonEmpty, "property key must be non-empty")
+    commit(Nil, Nil, props = Seq(key -> Some(value)))
+  }
+
+  /** Remove one table property (a tombstone commit); no-op-shaped if
+    * the key was never set. */
+  def removeProperty(key: String): Int =
+    commit(Nil, Nil, props = Seq(key -> None))
+
+  /** Add a CHECK constraint: from this commit on, every write —
+    * append, merge, overwrite, tagged streaming batch — validates its
+    * staged rows against `sqlExpr` and REJECTS the commit (cleaning
+    * its staging) if any row evaluates FALSE; NULL passes, as in SQL
+    * CHECK and Delta constraints. The EXISTING table must already
+    * satisfy the constraint (one column-pruned scan here — the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract), so a reader can trust it
+    * for the whole table, not just new rows.
+    *
+    * Caveat (same as the engines this mirrors): a write already
+    * staged when the constraint lands may commit unvalidated —
+    * enforcement reads the properties at ITS staging time. */
+  def addCheckConstraint(name: String, sqlExpr: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.contains("|"),
+      s"bad constraint name '$name'")
+    if (currentVersion > 0) {
+      val bad = read(None)
+        .filter(not(coalesce(expr(sqlExpr), lit(true)))).limit(1).count()
+      if (bad > 0) throw new SnapshotTable.ConstraintViolation(
+        s"cannot add CHECK constraint '$name' ($sqlExpr) on $root: " +
+          "existing rows violate it")
+    }
+    setProperty(SnapshotTable.ConstraintPrefix + name, sqlExpr)
+  }
+
+  /** Drop a CHECK constraint; writes stop validating it. */
+  def dropConstraint(name: String): Int =
+    removeProperty(SnapshotTable.ConstraintPrefix + name)
+
+  /** Active CHECK constraints (name → expression) at the newest
+    * snapshot. */
+  def checkConstraints: Map[String, String] =
+    properties().collect {
+      case (k, v) if k.startsWith(SnapshotTable.ConstraintPrefix) =>
+        k.stripPrefix(SnapshotTable.ConstraintPrefix) -> v
+    }
+
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
     * surface: version, commit wall-clock (the manifest file's
     * modification time), add/remove counts, the exactly-once tag if
@@ -1983,7 +2112,18 @@ object SnapshotTable {
       sstats: Map[(String, String), (Array[Byte], Option[Array[Byte]])],
       tags: Set[String],
       schema: Option[String],
-      blooms: Set[(String, String)])
+      blooms: Set[(String, String)],
+      props: Map[String, String])
+
+  /** Key prefix under which [[SnapshotTable.addCheckConstraint]]
+    * stores its expression in the table properties. */
+  val ConstraintPrefix: String = "constraint."
+
+  /** A write was rejected because a CHECK constraint evaluated FALSE
+    * for at least one incoming row (NULL passes, as in SQL CHECK /
+    * Delta constraints). Nothing was committed. */
+  final class ConstraintViolation(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** A remove-bearing commit (compact/merge) raced a concurrent commit
     * that removed one of the same files; the operation recomputes from

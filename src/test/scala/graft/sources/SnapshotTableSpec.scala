@@ -922,6 +922,51 @@ class SnapshotTableSpec extends SparkSuite {
     assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
   }
 
+  test("table properties and CHECK constraints gate every writer; NULL passes; state survives checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // plain properties round-trip, latest wins, unset deletes
+    t.setProperty("owner", "ingest|team") // value containing the separator
+    t.setProperty("owner", "obs-team")
+    t.setProperty("note", "x")
+    t.removeProperty("note")
+    assert(t.properties() == Map("owner" -> "obs-team"))
+    // a constraint the existing data satisfies installs
+    t.addCheckConstraint("pos_id", "id > 0")
+    assert(t.checkConstraints == Map("pos_id" -> "id > 0"))
+    // a constraint existing data violates is refused
+    intercept[SnapshotTable.ConstraintViolation] {
+      t.addCheckConstraint("big_id", "id > 1")
+    }
+    // violating APPEND rejected, version unchanged, staging cleaned
+    val vBefore = t.currentVersion
+    intercept[SnapshotTable.ConstraintViolation] {
+      t.append(Seq((-5L, "bad")).toDF("id", "name"))
+    }
+    assert(t.currentVersion == vBefore)
+    // violating MERGE rejected too (the same staging choke point)
+    intercept[SnapshotTable.ConstraintViolation] {
+      t.merge(Seq((0L, "zero")).toDF("id", "name"), Seq("id"))
+    }
+    // valid writes proceed; NULL constraint results pass (SQL CHECK)
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    t.addCheckConstraint("short_name", "length(name) < 10")
+    t.append(Seq((4L, null.asInstanceOf[String])).toDF("id", "name"))
+    assert(t.read().count() == 4)
+    // constraints survive checkpoints into a COLD instance
+    (5L to 9L).foreach(i => t.append(Seq((i, s"n$i")).toDF("id", "name")))
+    val cold = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(cold.checkConstraints.keySet == Set("pos_id", "short_name"))
+    intercept[SnapshotTable.ConstraintViolation] {
+      cold.append(Seq((-1L, "x")).toDF("id", "name"))
+    }
+    // drop re-allows
+    t.dropConstraint("pos_id")
+    t.append(Seq((-1L, "ok-now")).toDF("id", "name"))
+    assert(t.read().where(col("id") === -1L).count() == 1)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

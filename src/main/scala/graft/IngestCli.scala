@@ -235,6 +235,9 @@ object IngestCli {
           case "setProperty" =>
             println(s"property set in version " +
               t.setProperty(req("key"), req("value")))
+          case "removeProperty" =>
+            println(s"property removed in version " +
+              t.removeProperty(req("key")))
           case "properties" =>
             t.properties().toSeq.sorted.foreach { case (k, v) =>
               println(s"$k=$v")

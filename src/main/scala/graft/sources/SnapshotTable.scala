@@ -764,33 +764,21 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // CHECK constraints gate EVERY write at this single choke point
-    // (append, merge rewrite, overwrite, tagged streaming batch): one
-    // aggregate over the just-staged parquet tests all constraints at
-    // once; any FALSE row rejects the commit and cleans its staging.
-    // NULL passes — SQL CHECK semantics.
-    val constraints = checkConstraints.toSeq.sortBy(_._1)
-    if (constraints.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit,
-        max => fmax, not, when}
-      val flags = constraints.map { case (_, e) =>
-        fmax(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
-      }
-      val row = spark.read.parquet(tmp.toString)
-        .agg(flags.head, flags.tail: _*).collect().head
-      val violated = constraints.zipWithIndex.collect {
-        case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
-          s"'$n' ($e)"
-      }
-      if (violated.nonEmpty) {
-        fs.delete(tmp, true)
-        throw new SnapshotTable.ConstraintViolation(
-          s"write to $root rejected: CHECK constraint(s) " +
-            s"${violated.mkString(", ")} violated by incoming rows; " +
-            "nothing was committed")
-      }
-    }
     def dtypeOf(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
+    // CHECK constraints gate EVERY write at this single choke point
+    // (append, merge rewrite, overwrite, tagged streaming batch).
+    // A constraint whose referenced columns are absent from THIS frame
+    // passes by construction — readers null-fill the missing column
+    // and NULL passes CHECK — so it is skipped rather than failing
+    // analysis (an old-shape writer stays valid across add-a-column
+    // evolution). Enforcement rides the SAME staging aggregate as
+    // stats/counts: per-file max-violation flags, one pass.
+    val stagedCols = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val activeConstraints = checkConstraints.toSeq.sortBy(_._1)
+      .filter { case (_, e) =>
+        try constraintRefs(e).forall(stagedCols.contains)
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
     // (file, col, loAny, hiAny): longs for numeric cols, full min/max
     // strings for string cols (truncated below, after the collect —
     // the collect is nfiles · statCols values, bounded either way).
@@ -798,10 +786,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // (buildBlooms sizes its filters from them — no second count job)
     var tmpCounts = Map.empty[String, Long]
     val tmpStats: Seq[(String, String, Any, Any)] =
-      if (statCols.isEmpty && !countFiles) Nil
+      if (statCols.isEmpty && !countFiles && activeConstraints.isEmpty) Nil
       else {
-        import org.apache.spark.sql.functions.{col, count, input_file_name,
-          lit, max, min, unix_date}
+        import org.apache.spark.sql.functions.{coalesce, col, count, expr,
+          input_file_name, lit, max, min, not, unix_date, when}
         def statExpr(c: String): Column = dtypeOf(c) match {
           case Some(org.apache.spark.sql.types.StringType) => col(c)
           // ANSI disallows cast(date as long); record DAYS SINCE EPOCH
@@ -814,11 +802,41 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val aggs = statCols.flatMap(c => Seq(
           min(statExpr(c)).as(s"__lo_$c"),
           max(statExpr(c)).as(s"__hi_$c"))) ++
-          (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil)
-        val rows = spark.read.parquet(tmp.toString)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().toIndexedSeq
+          (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil) ++
+          activeConstraints.zipWithIndex.map { case ((_, e), i) =>
+            max(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
+              .as(s"__viol_$i")
+          }
+        val rows =
+          try spark.read.parquet(tmp.toString)
+            .groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().toIndexedSeq
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              // a constraint that parses but will not analyze against
+              // this frame (type mismatch, struct field, …): clean the
+              // staging and surface WHICH config is at fault instead
+              // of a bare AnalysisException with orphaned files
+              fs.delete(tmp, true)
+              throw new IllegalArgumentException(
+                s"staging validation failed to analyze on $root " +
+                  s"(constraints: ${activeConstraints.map(_._1).mkString(",")})" +
+                  s": ${e.getMessage}", e)
+          }
+        val violated = activeConstraints.zipWithIndex.collect {
+          case ((n, e), i) if rows.exists { r =>
+            val idx = r.fieldIndex(s"__viol_$i")
+            !r.isNullAt(idx) && r.getInt(idx) == 1
+          } => s"'$n' ($e)"
+        }
+        if (violated.nonEmpty) {
+          fs.delete(tmp, true)
+          throw new SnapshotTable.ConstraintViolation(
+            s"write to $root rejected: CHECK constraint(s) " +
+              s"${violated.mkString(", ")} violated by incoming rows; " +
+              "nothing was committed")
+        }
         if (countFiles)
           tmpCounts = rows.map(r =>
             new Path(r.getString(0)).getName -> r.getAs[Long]("__cnt")).toMap
@@ -1337,6 +1355,37 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
       val add = (target -- live).toSeq.sorted
       val remove = (live -- target).toSeq.sorted
+      // a restore RE-ADDS files that never pass the staging choke
+      // point, so it must validate them against the ACTIVE constraints
+      // itself — otherwise it silently resurrects rows a constraint
+      // added after their deletion forbids, voiding the whole-table
+      // guarantee addCheckConstraint documents. Only the re-added
+      // files are scanned (column-pruned), not the snapshot.
+      val cs = checkConstraints.toSeq.sortBy(_._1)
+      if (add.nonEmpty && cs.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit,
+          max => fmax, not, when}
+        val restored = readFiles(add, Some(version))
+        val restoredCols = restored.schema.fieldNames.map(_.toLowerCase).toSet
+        val active = cs.filter { case (_, e) =>
+          try constraintRefs(e).forall(restoredCols.contains)
+          catch { case scala.util.control.NonFatal(_) => true }
+        }
+        if (active.nonEmpty) {
+          val flags = active.map { case (_, e) =>
+            fmax(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
+          }
+          val row = restored.agg(flags.head, flags.tail: _*).collect().head
+          val violated = active.zipWithIndex.collect {
+            case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
+              s"'$n' ($e)"
+          }
+          if (violated.nonEmpty)
+            throw new SnapshotTable.ConstraintViolation(
+              s"restore($version) on $root rejected: re-added rows " +
+                s"violate CHECK constraint(s) ${violated.mkString(", ")}")
+        }
+      }
       if (add.isEmpty && remove.isEmpty) base
       else {
         // freshen the re-added files' modification times BEFORE the
@@ -1750,11 +1799,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   /** Set one table property as a metadata-only commit (no data files
     * touched); returns the committed version. Property commits
-    * commute with data commits like blind appends. */
+    * commute with data commits like blind appends. Keys under
+    * `constraint.` are reserved: writing one here would install an
+    * ENFORCED constraint while skipping [[addCheckConstraint]]'s
+    * existing-data validation and syntax check. */
   def setProperty(key: String, value: String): Int = {
+    require(!key.startsWith(SnapshotTable.ConstraintPrefix),
+      s"keys under '${SnapshotTable.ConstraintPrefix}' are reserved — " +
+        "use addCheckConstraint, which validates existing data")
+    setProperty0(key, value)
+  }
+
+  private def setProperty0(key: String, value: String): Int = {
     require(key.nonEmpty, "property key must be non-empty")
     commit(Nil, Nil, props = Seq(key -> Some(value)))
   }
+
+  /** Top-level column names a constraint expression references —
+    * unresolved-plan attribute names, lowercased (Spark resolution is
+    * case-insensitive by default). Used to decide whether a staged
+    * frame can evaluate the constraint at all. */
+  private def constraintRefs(sqlExpr: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }
 
   /** Remove one table property (a tombstone commit); no-op-shaped if
     * the key was never set. */
@@ -1777,14 +1846,40 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.nonEmpty && !name.contains("|"),
       s"bad constraint name '$name'")
-    if (currentVersion > 0) {
-      val bad = read(None)
-        .filter(not(coalesce(expr(sqlExpr), lit(true)))).limit(1).count()
-      if (bad > 0) throw new SnapshotTable.ConstraintViolation(
-        s"cannot add CHECK constraint '$name' ($sqlExpr) on $root: " +
-          "existing rows violate it")
+    // the expression must PARSE now — installing a malformed one
+    // would brick every later write until dropConstraint
+    try spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' does not parse: ${e.getMessage}")
     }
-    setProperty(SnapshotTable.ConstraintPrefix + name, sqlExpr)
+    val st = replayStateFull(currentVersion)
+    try {
+      if (st.live.nonEmpty) {
+        // existing rows must satisfy the constraint (one scan)
+        val bad = read(None)
+          .filter(not(coalesce(expr(sqlExpr), lit(true)))).limit(1).count()
+        if (bad > 0) throw new SnapshotTable.ConstraintViolation(
+          s"cannot add CHECK constraint '$name' ($sqlExpr) on $root: " +
+            "existing rows violate it")
+      } else st.schema.foreach { sc =>
+        // empty table with a recorded schema: ANALYZE the expression
+        // against it (zero-row plan) so an unresolvable column fails
+        // at install time, not on the first write
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(sc)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        empty.filter(expr(sqlExpr)).count()
+      }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' ($sqlExpr) does not analyze against the " +
+            s"table's schema: ${e.getMessage}", e)
+    }
+    setProperty0(SnapshotTable.ConstraintPrefix + name, sqlExpr)
   }
 
   /** Drop a CHECK constraint; writes stop validating it. */

@@ -967,6 +967,45 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read().where(col("id") === -1L).count() == 1)
   }
 
+  test("constraint hardening: evolution-shaped writers pass, bad installs refused, restore validates") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // reserved prefix refused on the plain property surface
+    intercept[IllegalArgumentException] {
+      t.setProperty("constraint.sneaky", "id < 0")
+    }
+    // malformed expression refused at install (would brick writes)
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("broken", "id >< 1")
+    }
+    // unresolvable column refused at install against live data
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("ghost", "no_such_col > 0")
+    }
+    t.addCheckConstraint("short_name", "length(name) < 10")
+    // an old-shape writer missing the constrained column still
+    // commits: the column null-fills on read and NULL passes CHECK
+    t.append(Seq(7L).toDF("id"))
+    assert(t.read().count() == 2)
+    // property commits on a data-less table don't break ADD
+    val t2 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snaptab").toString)
+    t2.setProperty("owner", "x")
+    t2.addCheckConstraint("pos", "id > 0") // no data, no schema: installs
+    intercept[SnapshotTable.ConstraintViolation] {
+      t2.append(Seq(-1L).toDF("id"))
+    }
+    // restore cannot resurrect rows a later constraint forbids
+    val t3 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snaptab").toString)
+    t3.append(Seq(-9L, 1L).toDF("id"))             // v1 has a bad row
+    t3.deleteWhere(col("id") < 0L)                 // v2 clean
+    t3.addCheckConstraint("pos", "id > 0")         // validates v2: ok
+    intercept[SnapshotTable.ConstraintViolation] { t3.restore(1) }
+    assert(ids(t3.read()) == Set(1L))              // nothing resurrected
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

@@ -232,6 +232,13 @@ object IngestCli {
             }
             val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"))
             println(if (v == 0) "nothing matched" else s"deleted into version $v")
+          case "import" =>
+            // adopt an existing parquet dir as the FIRST snapshot by
+            // reference (no copy) — the CONVERT-TO-DELTA migration
+            // shape; refuses Hive-partitioned layouts (values live in
+            // dir names and would be lost)
+            println("imported into version " +
+              t.importFiles(req("from"), csvOpt("statCols")))
           case "setProperty" =>
             println(s"property set in version " +
               t.setProperty(req("key"), req("value")))

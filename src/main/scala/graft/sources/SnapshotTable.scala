@@ -957,6 +957,119 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     markers.result()
   }
 
+  /** Adopt an EXISTING directory of parquet files as this table's
+    * first snapshot WITHOUT copying a byte — the `CONVERT TO DELTA`
+    * migration shape: at 100 TB, rewriting data to gain the table
+    * format (time travel, snapshot isolation, stats pruning,
+    * constraints) is a non-starter; one metadata commit adopts it in
+    * place. The manifest records the source files by absolute path.
+    *
+    * Semantics and limits, explicit:
+    *  - the table must be EMPTY (import is adoption, not append);
+    *  - Hive-partitioned layouts (`col=value` subdirectories) are
+    *    REFUSED: the partition values live in directory names, not in
+    *    the files, so by-reference rows would silently lose those
+    *    columns — materialize them first (one rewrite) or ingest
+    *    through the normal append path;
+    *  - active CHECK constraints validate the imported rows (one
+    *    scan), exactly like any other write;
+    *  - `statCols` records per-file min/max (numeric or string) from
+    *    one column-pruned job, so pruning works from the first read;
+    *  - imported files live OUTSIDE `data/`, so [[vacuum]] never
+    *    deletes them (the caller keeps ownership of the source dir);
+    *    a later [[compact]] rewrites their contents into `data/`,
+    *    after which the originals are simply no longer referenced. */
+  def importFiles(sourceDir: String, statCols: Seq[String] = Nil): Int = {
+    // "empty" = no LIVE DATA, not zero commits: installing properties
+    // or constraints first (the natural configure-then-adopt order)
+    // commits metadata-only versions
+    require(currentVersion == 0 || this.files(None).isEmpty,
+      s"importFiles: $root already holds data — " +
+        "import adopts a directory as the FIRST data snapshot")
+    val src = fs.makeQualified(new Path(sourceDir))
+    require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
+      s"importFiles: $sourceDir is not a directory")
+    require(src != fs.makeQualified(dataDir) &&
+      !src.toString.startsWith(fs.makeQualified(new Path(root)).toString + "/"),
+      s"importFiles: $sourceDir is inside the table root $root")
+    val entries = fs.listStatus(src)
+    require(!entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"importFiles: $sourceDir is Hive-partitioned (col=value dirs); " +
+        "partition values live in directory names and would be LOST by " +
+        "a by-reference import — materialize them into the files first")
+    val files = entries.filter { e =>
+      val n = e.getPath.getName
+      e.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(e => fs.makeQualified(e.getPath).toString).sorted.toSeq
+    require(files.nonEmpty, s"importFiles: no data files under $sourceDir")
+    val df = spark.read.parquet(files: _*)
+    // the staging choke point never sees imported files, so the
+    // constraint gate and the stats job run here on the source files
+    val stagedCols = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val active = checkConstraints.toSeq.sortBy(_._1).filter { case (_, e) =>
+      try constraintRefs(e).forall(stagedCols.contains)
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
+    if (active.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit,
+        max => fmax, not, when}
+      val flags = active.map { case (_, e) =>
+        fmax(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
+      }
+      val row = df.agg(flags.head, flags.tail: _*).collect().head
+      val violated = active.zipWithIndex.collect {
+        case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
+          s"'$n' ($e)"
+      }
+      if (violated.nonEmpty) throw new SnapshotTable.ConstraintViolation(
+        s"importFiles($sourceDir) rejected: rows violate CHECK " +
+          s"constraint(s) ${violated.mkString(", ")}")
+    }
+    val (stats, sstats) =
+      if (statCols.isEmpty) (Nil, Nil)
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max,
+          min, unix_date}
+        def dtypeOf(c: String) =
+          df.schema.fields.find(_.name == c).map(_.dataType)
+        def statExpr(c: String): Column = dtypeOf(c) match {
+          case Some(org.apache.spark.sql.types.StringType) => col(c)
+          case Some(org.apache.spark.sql.types.DateType) =>
+            unix_date(col(c)).cast("long")
+          case _ => col(c).cast("long")
+        }
+        val aggs = statCols.flatMap(c => Seq(
+          min(statExpr(c)).as(s"__lo_$c"),
+          max(statExpr(c)).as(s"__hi_$c")))
+        val byPath = files.map(f => new Path(f).toUri.getPath -> f).toMap
+        val ns = List.newBuilder[SnapshotTable.FileStat]
+        val ss = List.newBuilder[SnapshotTable.StrStat]
+        df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().foreach { r =>
+            // input_file_name's URI form can differ from the qualified
+            // manifest path — re-key through the path component
+            val full = byPath.getOrElse(
+              new Path(r.getString(0)).toUri.getPath, r.getString(0))
+            statCols.foreach { c =>
+              (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
+                case (lo: String, hi: String) =>
+                  val n = SnapshotTable.StatTruncateBytes
+                  ss += SnapshotTable.StrStat(full, c,
+                    SnapshotTable.truncatedLower(SnapshotTable.utf8(lo), n),
+                    SnapshotTable.truncatedUpper(SnapshotTable.utf8(hi), n))
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  ns += SnapshotTable.FileStat(full, c, lo, hi)
+                case _ => ()
+              }
+            }
+          }
+        (ns.result(), ss.result())
+      }
+    commit(files, Nil, stats = stats, sstats = sstats,
+      schema = Some(df.schema.json))
+  }
+
   /** Optimistic commit: write the manifest under `_staging`, then
     * rename it to the next log slot. If another writer took the slot,
     * retry — data files are uuid-named, so retries never collide.

@@ -1006,6 +1006,52 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t3.read()) == Set(1L))              // nothing resurrected
   }
 
+  test("importFiles adopts a parquet dir by reference: no copy, stats, constraints, vacuum safety") {
+    val srcDir = java.nio.file.Files.createTempDirectory("snapimp-src").toString
+    (0 until 64).map(i => (i.toLong, f"u$i%03d")).toDF("id", "u")
+      .repartitionByRange(4, col("id")).write.mode("overwrite").parquet(srcDir)
+    val dir = java.nio.file.Files.createTempDirectory("snapimp").toString
+    val t = new SnapshotTable(spark, dir)
+    // constraints installed on the empty table gate the import
+    t.addCheckConstraint("pos", "id >= 0")
+    val v = t.importFiles(srcDir, statCols = Seq("id", "u"))
+    assert(v > 0 && t.read().count() == 64)
+    // by reference: nothing copied under data/
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/data")) ||
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data")).isEmpty)
+    // imported stats prune from the manifest (range-partitioned ids)
+    assert(t.prunedFiles("id", 5L, 5L).size == 1)
+    assert(t.prunedFilesEq("u", "u050").size == 1)
+    // the table behaves normally after adoption: appends, time travel
+    t.append(Seq((100L, "u100")).toDF("id", "u"))
+    assert(t.read().count() == 65 && t.read(Some(v)).count() == 64)
+    // a violating import is refused on a fresh table with constraints
+    val t2 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snapimp2").toString)
+    t2.addCheckConstraint("pos", "id > 1000")
+    intercept[SnapshotTable.ConstraintViolation] { t2.importFiles(srcDir) }
+    assert(t2.files().isEmpty) // the constraint commit exists; no data landed
+    // a second import into a non-empty table is refused
+    intercept[IllegalArgumentException] { t.importFiles(srcDir) }
+    // Hive-partitioned source refused (partition values live in dirs)
+    val partDir = java.nio.file.Files.createTempDirectory("snapimp-p").toString
+    Seq((1L, "a")).toDF("id", "p").write.partitionBy("p")
+      .mode("overwrite").parquet(partDir)
+    val t3 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snapimp3").toString)
+    val e = intercept[IllegalArgumentException] { t3.importFiles(partDir) }
+    assert(e.getMessage.contains("Hive-partitioned"), e.getMessage)
+    // vacuum never touches the foreign originals: compact rewrites
+    // into data/, vacuum reaps only its own dir, source files remain
+    t.compact(coalesceTo = 1, statCols = Seq("id"))
+    t.vacuum(retainFrom = t.currentVersion, stagingGraceMs = -1000L)
+    assert(fsys.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .exists(_.getPath.getName.startsWith("part-")))
+    assert(t.read().count() == 65)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

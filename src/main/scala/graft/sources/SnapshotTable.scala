@@ -734,6 +734,34 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** The per-column stat expression both write paths (staging and
+    * [[importFiles]]) aggregate: strings stay raw (bounds truncate
+    * driver-side), DATE becomes days-since-epoch via `unix_date`
+    * (ANSI disallows a direct date→long cast), everything else
+    * long-casts. ONE definition so the paths cannot drift. */
+  private def statAggExpr(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.functions.{col, unix_date}
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.StringType) => col(c)
+      case Some(org.apache.spark.sql.types.DateType) =>
+        unix_date(col(c)).cast("long")
+      case _ => col(c).cast("long")
+    }
+  }
+
+  /** Per-constraint violation flags (`__viol_i`, 1 = some row is
+    * FALSE; NULL passes — SQL CHECK) for the shared per-file audit
+    * aggregate; empty when no constraint applies. */
+  private def violationFlagAggs(
+      active: Seq[(String, String)]): Seq[Column] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit,
+      max, not, when}
+    active.zipWithIndex.map { case ((_, e), i) =>
+      max(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
+        .as(s"__viol_$i")
+    }
+  }
+
   /** Stage `df` as new immutable data files, return their paths. Files
     * are invisible until a manifest references them. */
   private def stageFiles(df: DataFrame): Seq[String] =
@@ -764,7 +792,6 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    def dtypeOf(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
     // CHECK constraints gate EVERY write at this single choke point
     // (append, merge rewrite, overwrite, tagged streaming batch).
     // A constraint whose referenced columns are absent from THIS frame
@@ -788,25 +815,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tmpStats: Seq[(String, String, Any, Any)] =
       if (statCols.isEmpty && !countFiles && activeConstraints.isEmpty) Nil
       else {
-        import org.apache.spark.sql.functions.{coalesce, col, count, expr,
-          input_file_name, lit, max, min, not, unix_date, when}
-        def statExpr(c: String): Column = dtypeOf(c) match {
-          case Some(org.apache.spark.sql.types.StringType) => col(c)
-          // ANSI disallows cast(date as long); record DAYS SINCE EPOCH
-          // (prune with the same encoding — the gauge layer's obs_day
-          // columns are already exactly this)
-          case Some(org.apache.spark.sql.types.DateType) =>
-            unix_date(col(c)).cast("long")
-          case _ => col(c).cast("long")
-        }
+        import org.apache.spark.sql.functions.{count, input_file_name,
+          lit, max, min}
         val aggs = statCols.flatMap(c => Seq(
-          min(statExpr(c)).as(s"__lo_$c"),
-          max(statExpr(c)).as(s"__hi_$c"))) ++
+          min(statAggExpr(df, c)).as(s"__lo_$c"),
+          max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
           (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil) ++
-          activeConstraints.zipWithIndex.map { case ((_, e), i) =>
-            max(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
-              .as(s"__viol_$i")
-          }
+          violationFlagAggs(activeConstraints)
         val rows =
           try spark.read.parquet(tmp.toString)
             .groupBy(input_file_name().as("__f"))
@@ -983,91 +998,109 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // "empty" = no LIVE DATA, not zero commits: installing properties
     // or constraints first (the natural configure-then-adopt order)
     // commits metadata-only versions
-    require(currentVersion == 0 || this.files(None).isEmpty,
+    val base = currentVersion
+    require(base == 0 || this.files(Some(base)).isEmpty,
       s"importFiles: $root already holds data — " +
         "import adopts a directory as the FIRST data snapshot")
     val src = fs.makeQualified(new Path(sourceDir))
+    val qRoot = fs.makeQualified(new Path(root)).toString
     require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
       s"importFiles: $sourceDir is not a directory")
-    require(src != fs.makeQualified(dataDir) &&
-      !src.toString.startsWith(fs.makeQualified(new Path(root)).toString + "/"),
-      s"importFiles: $sourceDir is inside the table root $root")
+    require(src.toString != qRoot && !src.toString.startsWith(qRoot + "/"),
+      s"importFiles: $sourceDir is the table root $root or inside it")
     val entries = fs.listStatus(src)
     require(!entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
       s"importFiles: $sourceDir is Hive-partitioned (col=value dirs); " +
         "partition values live in directory names and would be LOST by " +
         "a by-reference import — materialize them into the files first")
+    // ANY other (non-hidden) subdirectory is refused too: listing is
+    // deliberately non-recursive (one listing, flat ownership), and
+    // silently adopting only the top level would be partial data loss
+    val subdirs = entries.filter(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"importFiles: $sourceDir has subdirectories " +
+        s"(${subdirs.map(_.getPath.getName).mkString(", ")}) — import " +
+        "adopts a FLAT directory; flatten or import per leaf dir")
     val files = entries.filter { e =>
       val n = e.getPath.getName
       e.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map(e => fs.makeQualified(e.getPath).toString).sorted.toSeq
     require(files.nonEmpty, s"importFiles: no data files under $sourceDir")
-    val df = spark.read.parquet(files: _*)
+    val byName = files.map(f => new Path(f).getName -> f).toMap
+    require(byName.size == files.size,
+      s"importFiles: duplicate file names under $sourceDir")
+    // mergeSchema: the adopted dir may have evolved across write
+    // batches; a single sampled footer would pin a schema missing the
+    // newer columns and every later read would silently drop them
+    // (the reason Delta's CONVERT reads all footers). One-time cost.
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     // the staging choke point never sees imported files, so the
-    // constraint gate and the stats job run here on the source files
+    // constraint gate and the stats job run here — ONE per-file
+    // aggregate carries both, same as staging
     val stagedCols = df.schema.fieldNames.map(_.toLowerCase).toSet
     val active = checkConstraints.toSeq.sortBy(_._1).filter { case (_, e) =>
       try constraintRefs(e).forall(stagedCols.contains)
       catch { case scala.util.control.NonFatal(_) => true }
     }
-    if (active.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit,
-        max => fmax, not, when}
-      val flags = active.map { case (_, e) =>
-        fmax(when(not(coalesce(expr(e), lit(true))), 1).otherwise(0))
-      }
-      val row = df.agg(flags.head, flags.tail: _*).collect().head
+    val ns = List.newBuilder[SnapshotTable.FileStat]
+    val ss = List.newBuilder[SnapshotTable.StrStat]
+    if (statCols.nonEmpty || active.nonEmpty) {
+      import org.apache.spark.sql.functions.{input_file_name, max, min}
+      val aggs = statCols.flatMap(c => Seq(
+        min(statAggExpr(df, c)).as(s"__lo_$c"),
+        max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
+        violationFlagAggs(active)
+      val rows =
+        try df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect().toIndexedSeq
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"importFiles validation failed to analyze on $root " +
+                s"(constraints: ${active.map(_._1).mkString(",")}): " +
+                e.getMessage, e)
+        }
       val violated = active.zipWithIndex.collect {
-        case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
-          s"'$n' ($e)"
+        case ((n, e), i) if rows.exists { r =>
+          val idx = r.fieldIndex(s"__viol_$i")
+          !r.isNullAt(idx) && r.getInt(idx) == 1
+        } => s"'$n' ($e)"
       }
       if (violated.nonEmpty) throw new SnapshotTable.ConstraintViolation(
         s"importFiles($sourceDir) rejected: rows violate CHECK " +
           s"constraint(s) ${violated.mkString(", ")}")
-    }
-    val (stats, sstats) =
-      if (statCols.isEmpty) (Nil, Nil)
-      else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max,
-          min, unix_date}
-        def dtypeOf(c: String) =
-          df.schema.fields.find(_.name == c).map(_.dataType)
-        def statExpr(c: String): Column = dtypeOf(c) match {
-          case Some(org.apache.spark.sql.types.StringType) => col(c)
-          case Some(org.apache.spark.sql.types.DateType) =>
-            unix_date(col(c)).cast("long")
-          case _ => col(c).cast("long")
-        }
-        val aggs = statCols.flatMap(c => Seq(
-          min(statExpr(c)).as(s"__lo_$c"),
-          max(statExpr(c)).as(s"__hi_$c")))
-        val byPath = files.map(f => new Path(f).toUri.getPath -> f).toMap
-        val ns = List.newBuilder[SnapshotTable.FileStat]
-        val ss = List.newBuilder[SnapshotTable.StrStat]
-        df.groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().foreach { r =>
-            // input_file_name's URI form can differ from the qualified
-            // manifest path — re-key through the path component
-            val full = byPath.getOrElse(
-              new Path(r.getString(0)).toUri.getPath, r.getString(0))
-            statCols.foreach { c =>
-              (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
-                case (lo: String, hi: String) =>
-                  val n = SnapshotTable.StatTruncateBytes
-                  ss += SnapshotTable.StrStat(full, c,
-                    SnapshotTable.truncatedLower(SnapshotTable.utf8(lo), n),
-                    SnapshotTable.truncatedUpper(SnapshotTable.utf8(hi), n))
-                case (lo: java.lang.Long, hi: java.lang.Long) =>
-                  ns += SnapshotTable.FileStat(full, c, lo, hi)
-                case _ => ()
-              }
+      rows.foreach { r =>
+        // re-key by NAME (unique in a flat dir): input_file_name's
+        // URI form percent-encodes, diverging from the qualified path
+        byName.get(new Path(r.getString(0)).getName).foreach { full =>
+          statCols.foreach { c =>
+            (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
+              case (lo: String, hi: String) =>
+                val n = SnapshotTable.StatTruncateBytes
+                ss += SnapshotTable.StrStat(full, c,
+                  SnapshotTable.truncatedLower(SnapshotTable.utf8(lo), n),
+                  SnapshotTable.truncatedUpper(SnapshotTable.utf8(hi), n))
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                ns += SnapshotTable.FileStat(full, c, lo, hi)
+              case _ => ()
             }
           }
-        (ns.result(), ss.result())
+        }
       }
-    commit(files, Nil, stats = stats, sstats = sstats,
-      schema = Some(df.schema.json))
+    }
+    // keyed commit from the emptiness-check base: a concurrent IMPORT
+    // (also keyed) conflicts instead of double-adopting; a concurrent
+    // blind append still commutes (both are add-only valid data —
+    // Delta's default isolation for appends)
+    try commit(files, Nil, stats = ns.result(), sstats = ss.result(),
+      schema = Some(df.schema.json), base = base, keyed = true)
+    catch {
+      case c: SnapshotTable.CommitConflict =>
+        throw new IllegalArgumentException(
+          s"importFiles: $root changed concurrently (${c.getMessage}) — " +
+            "re-check the table is still empty and retry")
+    }
   }
 
   /** Optimistic commit: write the manifest under `_staging`, then

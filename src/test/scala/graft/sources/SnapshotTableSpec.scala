@@ -1052,6 +1052,31 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read().count() == 65)
   }
 
+  test("importFiles: nested dirs refused (no silent partial adoption); evolved schemas merge") {
+    // a NON-Hive subdirectory must refuse too — the listing is flat,
+    // and adopting only the top level would silently lose the rest
+    val nested = java.nio.file.Files.createTempDirectory("snapimp-n").toString
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(s"$nested/batch1")
+    Seq(2L).toDF("id").coalesce(1).write.mode("append").parquet(nested)
+    val tN = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snapimpN").toString)
+    val e = intercept[IllegalArgumentException] { tN.importFiles(nested) }
+    assert(e.getMessage.contains("FLAT"), e.getMessage)
+    // schema-evolved source: a later batch added a column; a sampled
+    // single footer would pin a schema missing it — import must merge
+    val evo = java.nio.file.Files.createTempDirectory("snapimp-e").toString
+    Seq(1L).toDF("id").coalesce(1).write.mode("append").parquet(evo)
+    Seq((2L, "b")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(evo)
+    val tE = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snapimpE").toString)
+    tE.importFiles(evo)
+    val got = tE.read()
+    assert(got.columns.sorted.sameElements(Array("id", "name")))
+    assert(got.count() == 2 &&
+      got.where(col("name").isNull).count() == 1) // old rows null-fill
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

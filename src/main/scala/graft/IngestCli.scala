@@ -268,15 +268,26 @@ object IngestCli {
             // (data files untouched — see vacuum for the data sweep)
             val n = t.vacuumLog(req("retainVersions").toInt)
             println(s"deleted $n log files (retention floor now ${t.retentionFloor})")
+          case "detail" =>
+            // one-row DESCRIBE DETAIL summary
+            val r = t.detail().collect().head
+            println(s"version=${r.getInt(0)} files=${r.getInt(1)} " +
+              s"bytes=${r.getLong(2)} tags=${r.getInt(3)} " +
+              s"props=[${r.getSeq[String](4).mkString(";")}] " +
+              s"constraints=[${r.getSeq[String](5).mkString(";")}] " +
+              s"floor=${r.getInt(6)} checkpoint=${r.getInt(7)}")
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even
             // when unreferenced — they may be a commit mid-publish
             // truncateLog=false: Delta-style split knob — reap data
             // but keep the manifest history (see SnapshotTable.vacuum)
-            println(s"reaped ${t.vacuum(req("retainFrom").toInt,
+            // dryRun=true: report the doomed count, change nothing
+            val dry = opts.getOrElse("dryRun", "false").toBoolean
+            val n = t.vacuum(req("retainFrom").toInt,
               opts.getOrElse("graceMs", "3600000").toLong,
-              opts.getOrElse("truncateLog", "true").toBoolean)} files")
+              opts.getOrElse("truncateLog", "true").toBoolean, dry)
+            println(if (dry) s"would reap $n files" else s"reaped $n files")
           case "aggRefresh" =>
             // CDC-maintained rollup: keep a COUNT/SUM state of this
             // table in a second snapshot table (--state), refreshed

@@ -2040,6 +2040,35 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         k.stripPrefix(SnapshotTable.ConstraintPrefix) -> v
     }
 
+  /** One-row operational summary — the DESCRIBE DETAIL shape:
+    * version, live file count and total bytes (O(live files)
+    * `getFileStatus` calls — an ops surface, not a planning path; a
+    * foreign imported file that vanished counts 0), committed-tag
+    * count, properties and constraints (sorted `k=v`), retention
+    * floor/boundary, and the newest checkpoint version. */
+  def detail(): DataFrame = {
+    val v = currentVersion
+    val state = if (v == 0) SnapshotTable.TableState(
+      Nil, Map.empty, Map.empty, Set.empty, None, Set.empty, Map.empty)
+    else replayStateFull(v)
+    val bytes = state.live.map { f =>
+      try fs.getFileStatus(new Path(f)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val (cs, ps) = state.props.toSeq.sorted.partition(
+      _._1.startsWith(SnapshotTable.ConstraintPrefix))
+    spark.createDataFrame(Seq(SnapshotTable.DetailRow(
+      version = v,
+      num_files = state.live.size,
+      size_bytes = bytes,
+      num_tags = state.tags.size,
+      properties = ps.map { case (k, pv) => s"$k=$pv" },
+      constraints = cs.map { case (k, e) =>
+        s"${k.stripPrefix(SnapshotTable.ConstraintPrefix)}=$e" },
+      retention_floor = retentionFloor,
+      checkpoint = readPointer().map(_._1).getOrElse(0))))
+  }
+
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
     * surface: version, commit wall-clock (the manifest file's
     * modification time), add/remove counts, the exactly-once tag if
@@ -2114,10 +2143,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     *
     * `retainFrom` is clamped to the current version: the head
     * snapshot is always retained (a beyond-head `retainFrom` must not
-    * empty the keep-set and reap live data). Returns the number of
-    * DATA files deleted. */
+    * empty the keep-set and reap live data). `dryRun = true` reports
+    * the doomed-file count and changes NOTHING — no deletes, no
+    * boundary record, no log truncation (the ops pre-flight).
+    * Returns the number of DATA files deleted (or would-be). */
   def vacuum(retainFrom: Int, stagingGraceMs: Long = 3600000L,
-      truncateLog: Boolean = true): Int = {
+      truncateLog: Boolean = true, dryRun: Boolean = false): Int = {
     val cutoff = System.currentTimeMillis() - stagingGraceMs
     // keep-set in ONE log walk: maintain the running live set, union
     // it into keep at every version >= retainFrom. The former
@@ -2167,6 +2198,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         .filter(_.getModificationTime < cutoff)
         .map(s => fs.makeQualified(s.getPath).toString).toSeq
     val doomed = have.filterNot(keep.contains)
+    // dryRun: report what a real pass would reap — nothing deleted,
+    // no boundary recorded, no log truncation (the ops pre-flight)
+    if (dryRun) return doomed.size
     // record the user-facing boundary BEFORE deleting anything: a
     // crash mid-sweep then reads below retainFrom as the clean
     // retention error, never a FileNotFound mid-scan. If the record
@@ -2342,6 +2376,11 @@ object SnapshotTable {
   /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape). */
   final case class CommitInfo(version: Int, committed_at: java.sql.Timestamp,
       n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean)
+
+  /** The [[SnapshotTable.detail]] row (DESCRIBE DETAIL shape). */
+  final case class DetailRow(version: Int, num_files: Int,
+      size_bytes: Long, num_tags: Int, properties: Seq[String],
+      constraints: Seq[String], retention_floor: Int, checkpoint: Int)
 
   /** Fully replayed table state at one version: live files in add
     * order, per-(file, col) long stats and string bounds, every

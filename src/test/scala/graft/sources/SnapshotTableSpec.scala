@@ -1077,6 +1077,36 @@ class SnapshotTableSpec extends SparkSuite {
       got.where(col("name").isNull).count() == 1) // old rows null-fill
   }
 
+  test("vacuum dryRun reports without touching anything; detail summarizes the table") {
+    val t = tmpTable()
+    (1L to 4L).foreach(i => t.append(Seq(i).toDF("id")))
+    t.compact(coalesceTo = 1)
+    val filesBefore = t.files(Some(2)).size // old snapshot intact
+    // dry run: counts what a real sweep would reap, deletes nothing,
+    // records no retention boundary
+    val would = t.vacuum(retainFrom = t.currentVersion,
+      stagingGraceMs = -1000L, dryRun = true)
+    assert(would >= 4, s"dry run saw $would")
+    assert(t.retentionFloor == 0)             // no boundary recorded
+    assert(t.files(Some(2)).size == filesBefore) // nothing deleted
+    assert(ids(t.read(Some(2))) == Set(1L, 2L))  // history still reads
+    // the real pass then reaps exactly what the dry run predicted
+    assert(t.vacuum(retainFrom = t.currentVersion,
+      stagingGraceMs = -1000L) == would)
+    // detail: one-row ops summary
+    t.setProperty("owner", "obs")
+    t.addCheckConstraint("pos", "id > 0")
+    val d = t.detail().collect().head
+    assert(d.getInt(0) == t.currentVersion)
+    assert(d.getInt(1) == 1 && d.getLong(2) > 0L) // one live compacted file
+    assert(d.getSeq[String](4) == Seq("owner=obs"))
+    assert(d.getSeq[String](5) == Seq("pos=id > 0"))
+    assert(d.getInt(6) == t.retentionFloor)
+    // empty table: detail still answers
+    val d0 = tmpTable().detail().collect().head
+    assert(d0.getInt(0) == 0 && d0.getInt(1) == 0 && d0.getLong(2) == 0L)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

@@ -2048,9 +2048,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * floor/boundary, and the newest checkpoint version. */
   def detail(): DataFrame = {
     val v = currentVersion
-    val state = if (v == 0) SnapshotTable.TableState(
-      Nil, Map.empty, Map.empty, Set.empty, None, Set.empty, Map.empty)
-    else replayStateFull(v)
+    val state = replayStateFull(v) // v == 0 replays to the empty state
     val bytes = state.live.map { f =>
       try fs.getFileStatus(new Path(f)).getLen
       catch { case _: java.io.FileNotFoundException => 0L }
@@ -2066,7 +2064,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       constraints = cs.map { case (k, e) =>
         s"${k.stripPrefix(SnapshotTable.ConstraintPrefix)}=$e" },
       retention_floor = retentionFloor,
-      checkpoint = readPointer().map(_._1).getOrElse(0))))
+      // through checkpointAtOrBelow, not the raw pointer: the pointer
+      // is a best-effort accelerator and may be absent/corrupt while
+      // checkpoints exist on disk — same fallback every reader has
+      checkpoint = checkpointAtOrBelow(v))))
   }
 
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY

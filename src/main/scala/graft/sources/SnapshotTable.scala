@@ -358,7 +358,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       schema: Option[String] = None,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
       blooms: Seq[(String, String)] = Nil,
-      props: Seq[(String, Option[String])] = Nil): String = {
+      props: Seq[(String, Option[String])] = Nil,
+      sizes: Seq[(String, Long)] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
@@ -377,7 +378,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
     val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms) +
-      propsJsonField(props)
+      propsJsonField(props) + sizesJsonField(sizes)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -476,6 +477,29 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** The `"sizes"` wire field: `file|bytes` per ADDED file — the
+    * Delta `add.size` idea. Recorded at commit time from the staging
+    * move's own `FileStatus` (zero extra IO), carried through
+    * checkpoints for live files only, so [[detail]] sums total bytes
+    * from replay state instead of statting every live file on the
+    * driver — the op that turns DESCRIBE DETAIL into minutes of HEAD
+    * requests at 10⁵–10⁶ files on an object store. */
+  private def sizesJsonField(sizes: Seq[(String, Long)]): String = {
+    sizes.foreach { case (f, _) =>
+      require(!f.contains("|"), s"size path must not contain '|': $f")
+    }
+    if (sizes.isEmpty) ""
+    else s""","sizes":${jsonArr(sizes.map { case (f, n) => s"$f|$n" })}"""
+  }
+
+  private def sizesOf(json: String): Seq[(String, Long)] =
+    arrOf(json, "sizes").flatMap { s =>
+      s.split('|') match {
+        case Array(f, n) => scala.util.Try(n.toLong).toOption.map(f -> _)
+        case _ => None
+      }
+    }
+
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
   private def keyedOf(json: String): Boolean =
@@ -538,7 +562,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tags = arrOf(raw, "tags").toSet,
       schema = schemaOf(raw),
       blooms = bloomsOf(raw),
-      props = propsOf(raw).collect { case (k, Some(v)) => k -> v }.toMap)
+      props = propsOf(raw).collect { case (k, Some(v)) => k -> v }.toMap,
+      sizes = sizesOf(raw).toMap)
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -583,6 +608,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val blooms = scala.collection.mutable.Set[(String, String)]()
     val tags = scala.collection.mutable.Set[String]()
     val props = scala.collection.mutable.Map[String, String]()
+    val sizes = scala.collection.mutable.Map[String, Long]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
@@ -593,6 +619,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       blooms ++= ck.blooms
       tags ++= ck.tags
       props ++= ck.props
+      sizes ++= ck.sizes
       schema = ck.schema
     }
     (c + 1 to v).foreach { i =>
@@ -607,11 +634,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         case (k, Some(vv)) => props(k) = vv
         case (k, None) => props -= k
       }
+      sizesOf(raw).foreach(kv => sizes(kv._1) = kv._2)
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
     SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
-      tags.toSet, schema, blooms.toSet, props.toMap)
+      tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -666,7 +694,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           bloomsJsonField(state.blooms.toSeq
             .filter(b => liveSet.contains(b._1)).sorted) +
           propsJsonField(state.props.toSeq.sorted
-            .map { case (k, v) => k -> Some(v) })
+            .map { case (k, v) => k -> Some(v) }) +
+          sizesJsonField(state.sizes.toSeq
+            .filter(s => liveSet.contains(s._1)).sortBy(_._1))
         val body = s"""{"live":${jsonArr(state.live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
           sstJson +
@@ -762,10 +792,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
-  /** Stage `df` as new immutable data files, return their paths. Files
-    * are invisible until a manifest references them. */
-  private def stageFiles(df: DataFrame): Seq[String] =
-    stageFilesWithStats(df, Nil)._1
+  /** Stage `df` as new immutable data files, return their paths and
+    * byte sizes (from the staging move's own FileStatus — zero extra
+    * IO). Files are invisible until a manifest references them. */
+  private def stageFiles(df: DataFrame): (Seq[String], Seq[(String, Long)]) = {
+    val r = stageFilesWithStats(df, Nil)
+    (r._1, r._5)
+  }
 
   /** Stage `df`; additionally compute per-file min/max for the columns
     * in `statCols` with ONE column-pruned job over the staged parquet
@@ -788,7 +821,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   private def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
       countFiles: Boolean = false)
       : (Seq[String], Seq[SnapshotTable.FileStat],
-        Seq[SnapshotTable.StrStat], Map[String, Long]) = {
+        Seq[SnapshotTable.StrStat], Map[String, Long],
+        Seq[(String, Long)]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -871,6 +905,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     var stats = List.empty[SnapshotTable.FileStat]
     var sstats = List.empty[SnapshotTable.StrStat]
     var counts = Map.empty[String, Long]
+    var sizes = List.empty[(String, Long)]
     val moved = parts.map { st =>
       val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
       require(fs.rename(st.getPath, dst), s"stage move failed: $dst")
@@ -879,6 +914,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // unqualified manifest path would never match and vacuum would
       // reap live files
       val fin = fs.makeQualified(dst).toString
+      sizes ::= fin -> st.getLen
       tmpCounts.get(st.getPath.getName).foreach(n => counts += fin -> n)
       tmpStats.filter(_._1 == st.getPath.getName).foreach {
         case (_, c, lo: String, hi: String) =>
@@ -893,7 +929,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       fin
     }
     fs.delete(tmp, true)
-    (moved.toSeq, stats.reverse, sstats.reverse, counts)
+    (moved.toSeq, stats.reverse, sstats.reverse, counts, sizes.reverse)
   }
 
   private def indexDir = new Path(s"$root/_index")
@@ -1022,10 +1058,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       s"importFiles: $sourceDir has subdirectories " +
         s"(${subdirs.map(_.getPath.getName).mkString(", ")}) — import " +
         "adopts a FLAT directory; flatten or import per leaf dir")
-    val files = entries.filter { e =>
+    val dataEntries = entries.filter { e =>
       val n = e.getPath.getName
       e.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(e => fs.makeQualified(e.getPath).toString).sorted.toSeq
+    }
+    val files = dataEntries.map(e => fs.makeQualified(e.getPath).toString)
+      .sorted.toSeq
+    // byte sizes ride the same listing that discovered the files —
+    // adoption stays one LIST, zero per-file stats
+    val sizes = dataEntries.map(e =>
+      fs.makeQualified(e.getPath).toString -> e.getLen).sortBy(_._1).toSeq
     require(files.nonEmpty, s"importFiles: no data files under $sourceDir")
     val byName = files.map(f => new Path(f).getName -> f).toMap
     require(byName.size == files.size,
@@ -1094,7 +1136,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // blind append still commutes (both are add-only valid data —
     // Delta's default isolation for appends)
     try commit(files, Nil, stats = ns.result(), sstats = ss.result(),
-      schema = Some(df.schema.json), base = base, keyed = true)
+      schema = Some(df.schema.json), base = base, keyed = true,
+      sizes = sizes)
     catch {
       case c: SnapshotTable.CommitConflict =>
         throw new IllegalArgumentException(
@@ -1133,7 +1176,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       schema: Option[String] = None,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
       blooms: Seq[(String, String)] = Nil,
-      props: Seq[(String, Option[String])] = Nil): Int = {
+      props: Seq[(String, Option[String])] = Nil,
+      sizes: Seq[(String, Long)] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     val checkRemoves = remove.nonEmpty || keyed
@@ -1141,7 +1185,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schema, sstats = sstats, blooms = blooms, props = props)
+      schema = schema, sstats = sstats, blooms = blooms, props = props,
+      sizes = sizes)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -1217,8 +1262,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     } else !fs.exists(target) && fs.rename(tmp, target)
 
   /** Append `df` as a new snapshot; returns the committed version. */
-  def append(df: DataFrame): Int =
-    commit(stageFiles(df), Nil, schema = Some(df.schema.json))
+  def append(df: DataFrame): Int = {
+    val (staged, sizes) = stageFiles(df)
+    commit(staged, Nil, schema = Some(df.schema.json), sizes = sizes)
+  }
 
   /** Append with per-file min/max recorded in the manifest for the
     * (long-valued) `statCols` — the Iceberg-style scan-planning stats
@@ -1227,11 +1274,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * parquet-footer pruning is 100k reads before the first task. */
   def appendWithStats(df: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
-    val (staged, stats, sstats, counts) =
+    val (staged, stats, sstats, counts, sizes) =
       stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
     val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
-      sstats = sstats, blooms = blooms)
+      sstats = sstats, blooms = blooms, sizes = sizes)
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -1583,8 +1630,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * safely through the optimistic version race. */
   def appendIfAbsent(df: DataFrame, tag: String): Option[Int] =
     if (committedTags.contains(tag)) None
-    else Some(commit(stageFiles(df), Nil, Some(tag),
-      schema = Some(df.schema.json)))
+    else {
+      val (staged, sizes) = stageFiles(df)
+      Some(commit(staged, Nil, Some(tag),
+        schema = Some(df.schema.json), sizes = sizes))
+    }
 
   /** [[appendIfAbsent]] + [[appendWithStats]]: idempotent tagged
     * append that also records per-file min/max for `statCols` — the
@@ -1594,11 +1644,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       bloomFpp: Double = 0.01): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
-      val (staged, stats, sstats, counts) =
+      val (staged, stats, sstats, counts, sizes) =
         stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
       val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
-        schema = Some(df.schema.json), sstats = sstats, blooms = blooms))
+        schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
+        sizes = sizes))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -1625,8 +1676,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // commits and the table would hold the UNION of both frames —
       // with the marker the loser conflicts, re-resolves the winner's
       // live set, and removes it, preserving replace-everything
-      commit(stageFiles(df), live, tag, base = base, keyed = true,
-        schema = Some(df.schema.json))
+      val (staged, sizes) = stageFiles(df)
+      commit(staged, live, tag, base = base, keyed = true,
+        schema = Some(df.schema.json), sizes = sizes)
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -1656,11 +1708,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
-        val (rewritten, stats, sstats, counts) =
+        val (rewritten, stats, sstats, counts, sizes) =
           stageFilesWithStats(laid, statCols, countFiles = bloomCols.nonEmpty)
         val blooms = buildBlooms(rewritten, bloomCols, bloomFpp, counts)
         commit(rewritten, before, stats = stats, base = base,
-          schema = Some(laid.schema.json), sstats = sstats, blooms = blooms)
+          schema = Some(laid.schema.json), sstats = sstats, blooms = blooms,
+          sizes = sizes)
       }
     }
 
@@ -1722,10 +1775,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // matching live files) must conflict with an interleaved
       // remove-bearing commit — a restore could have resurrected the
       // very keys this plan decided were absent
-      if (live.isEmpty)
-        commit(stageFiles(source), Nil, base = base, keyed = true,
-          schema = Some(source.schema.json))
-      else {
+      if (live.isEmpty) {
+        val (staged, sizes) = stageFiles(source)
+        commit(staged, Nil, base = base, keyed = true,
+          schema = Some(source.schema.json), sizes = sizes)
+      } else {
         val keys = source.select(keyCols.map(col): _*).distinct()
         // one column-pruned scan finds the files holding matching keys;
         // Path-normalize both sides (input_file_name emits file:///-style
@@ -1739,16 +1793,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
         require(affected.forall(normLive.contains),
           s"merge: matched file outside the live set (path normalization)")
-        if (affected.isEmpty)
-          commit(stageFiles(source), Nil, base = base, keyed = true,
-            schema = Some(source.schema.json))
-        else {
+        if (affected.isEmpty) {
+          val (staged, sizes) = stageFiles(source)
+          commit(staged, Nil, base = base, keyed = true,
+            schema = Some(source.schema.json), sizes = sizes)
+        } else {
           val survivors = readFiles(affected, Some(base))
             .join(keys, keyCols, "left_anti")
-          val rewritten = stageFiles(
+          val (rewritten, sizes) = stageFiles(
             survivors.select(source.columns.map(col): _*).unionAll(source))
           commit(rewritten, affected, base = base,
-            schema = Some(source.schema.json))
+            schema = Some(source.schema.json), sizes = sizes)
         }
       }
     }
@@ -1792,9 +1847,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val survivors = readFiles(affected, Some(base))
               .filter(!org.apache.spark.sql.functions.coalesce(
                 cond, org.apache.spark.sql.functions.lit(false)))
-            val (staged, stats, sstats, _) = stageFilesWithStats(survivors, statCols)
+            val (staged, stats, sstats, _, sizes) =
+              stageFilesWithStats(survivors, statCols)
             commit(staged, affected, stats = stats, base = base, keyed = true,
-              schema = Some(survivors.schema.json), sstats = sstats)
+              schema = Some(survivors.schema.json), sstats = sstats,
+              sizes = sizes)
           }
         }
       }
@@ -1821,9 +1878,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
-    val (staged, stats, sstats, _) = stageFilesWithStats(replacement, statCols)
+    val (staged, stats, sstats, _, sizes) =
+      stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
-      schema = Some(replacement.schema.json), sstats = sstats)
+      schema = Some(replacement.schema.json), sstats = sstats,
+      sizes = sizes)
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame
@@ -2040,18 +2099,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         k.stripPrefix(SnapshotTable.ConstraintPrefix) -> v
     }
 
+  /** Diagnostic counter: per-file `getFileStatus` calls [[detail]] has
+    * issued — the legacy fallback for files committed before size
+    * tracking. A size-tracked table must report total bytes with ZERO
+    * of these (the spec pins it): at 10⁵–10⁶ live files on an object
+    * store, per-file HEADs turn DESCRIBE DETAIL into minutes of
+    * driver IO. */
+  private[graft] var fileStatCalls: Long = 0L
+
   /** One-row operational summary — the DESCRIBE DETAIL shape:
-    * version, live file count and total bytes (O(live files)
-    * `getFileStatus` calls — an ops surface, not a planning path; a
-    * foreign imported file that vanished counts 0), committed-tag
-    * count, properties and constraints (sorted `k=v`), retention
-    * floor/boundary, and the newest checkpoint version. */
+    * version, live file count and total bytes, committed-tag count,
+    * properties and constraints (sorted `k=v`), retention
+    * floor/boundary, and the newest checkpoint version. Total bytes
+    * sum from the manifest-recorded per-file sizes in replay state —
+    * zero data-file IO; only files committed BEFORE size tracking fall
+    * back to a driver `getFileStatus` (a vanished legacy/imported file
+    * counts 0). */
   def detail(): DataFrame = {
     val v = currentVersion
     val state = replayStateFull(v) // v == 0 replays to the empty state
     val bytes = state.live.map { f =>
-      try fs.getFileStatus(new Path(f)).getLen
-      catch { case _: java.io.FileNotFoundException => 0L }
+      state.sizes.getOrElse(f, {
+        fileStatCalls += 1
+        try fs.getFileStatus(new Path(f)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      })
     }.sum
     val (cs, ps) = state.props.toSeq.sorted.partition(
       _._1.startsWith(SnapshotTable.ConstraintPrefix))
@@ -2394,7 +2466,8 @@ object SnapshotTable {
       tags: Set[String],
       schema: Option[String],
       blooms: Set[(String, String)],
-      props: Map[String, String])
+      props: Map[String, String],
+      sizes: Map[String, Long] = Map.empty)
 
   /** Key prefix under which [[SnapshotTable.addCheckConstraint]]
     * stores its expression in the table properties. */

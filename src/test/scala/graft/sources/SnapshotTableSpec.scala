@@ -1107,6 +1107,55 @@ class SnapshotTableSpec extends SparkSuite {
     assert(d0.getInt(0) == 0 && d0.getInt(1) == 0 && d0.getLong(2) == 0L)
   }
 
+  test("detail() sums bytes from manifest-recorded sizes — zero per-file stats") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (1L to 4L).foreach(i => t.append(Seq(i).toDF("id"))) // crosses ckpt@3
+    t.compact(coalesceTo = 1, statCols = Seq("id"))      // rewrite records sizes
+    t.deleteWhere(col("id") === 2L)                      // CoW delete re-records
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val expect = t.files().map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(f)).getLen).sum
+    assert(expect > 0L)
+    // cold reader (checkpoint + tail replay): bytes come from metadata
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t2.fileStatCalls = 0
+    val d = t2.detail().collect().head
+    assert(d.getLong(2) == expect, s"size_bytes ${d.getLong(2)} != $expect")
+    assert(t2.fileStatCalls == 0,
+      s"size-tracked detail() issued ${t2.fileStatCalls} per-file stats")
+    // legacy table (manifests committed before size tracking): strip
+    // the sizes field everywhere; detail() falls back to statting and
+    // still reports the same bytes
+    val logDir = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val stripped = raw.replaceAll(""","sizes":\[[^\]]*\]""", "")
+        val out = fs.create(st.getPath, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    val t3 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t3.fileStatCalls = 0
+    val d3 = t3.detail().collect().head
+    assert(d3.getLong(2) == expect)
+    assert(t3.fileStatCalls == t3.files().size,
+      "legacy table must fall back to per-file stats")
+    // adoption records sizes from the SAME listing that found the files
+    val src = java.nio.file.Files.createTempDirectory("snapimp").toString
+    Seq(10L, 11L).toDF("id").write.mode("overwrite").parquet(src)
+    val dir2 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val ti = new SnapshotTable(spark, dir2)
+    ti.importFiles(src)
+    ti.fileStatCalls = 0
+    val di = ti.detail().collect().head
+    assert(di.getLong(2) > 0L && ti.fileStatCalls == 0,
+      s"imported table statted ${ti.fileStatCalls} files in detail()")
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

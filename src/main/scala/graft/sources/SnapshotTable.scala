@@ -209,7 +209,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * whether the requested values LANDED — confirmed by read-back —
     * so [[vacuumLogBelow]] can refuse to delete manifests whose only
     * retention record failed to persist. */
-  private def writeFloor(floor: Int, boundary: Int): Boolean = try {
+  /** Test seam: route the floor replacement through the FileContext
+    * branch even on `file:` (the spec drives the non-posix code path
+    * without an HDFS cluster). */
+  private[sources] var floorForceFileContext: Boolean = false
+
+  private[sources] def writeFloor(floor: Int, boundary: Int): Boolean = try {
     val (curF, curB) = readFloorFile().getOrElse((0, 0))
     val legacy = readPointer().map(_._2).getOrElse(0)
     val f = math.max(math.max(floor, curF), legacy)
@@ -220,15 +225,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.getUri.getScheme == "file") {
+      if (fs.getUri.getScheme == "file" && !floorForceFileContext) {
         java.nio.file.Files.move(
           java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
           java.nio.file.Paths.get(fs.makeQualified(floorPath).toUri.getPath),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } else {
-        fs.delete(floorPath, false)
-        if (!fs.rename(tmp, floorPath)) fs.delete(tmp, false)
+      } else try {
+        // write-new-then-rename-over, the manifest commit's own shape:
+        // FileContext.rename(OVERWRITE) is the atomic replace HDFS
+        // exposes — no instant in which the floor file is absent, the
+        // window the old delete-then-rename had
+        org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(floorPath).toUri,
+          spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, floorPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        // a store with no AbstractFileSystem binding: last-resort
+        // delete+rename — its brief absence window is bounded by
+        // design (readers fall back to the legacy pointer or the
+        // derived floor, and vacuumLogBelow read-back-confirms
+        // before deleting anything)
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(floorPath, false)
+          if (!fs.rename(tmp, floorPath)) fs.delete(tmp, false)
       }
     }
     readFloorFile().exists { case (gf, gb) => gf >= floor && gb >= boundary }
@@ -1169,6 +1190,64 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * on seeing one. Blind appends racing anything still commute, as in
     * Delta's default isolation — a merge simply does not see rows
     * committed after its snapshot. Returns the committed version. */
+  /** The recorded schema of an APPEND-SHAPED commit, resolved against
+    * the table's current schema — the column-rename contract:
+    *
+    *  - widening (new columns only): record the writer's schema, with
+    *    the PRIOR column order preserved (the existing evolution
+    *    contract — old files null-fill the added columns);
+    *  - narrowing (an old-shape writer missing later-added columns):
+    *    record the UNION, not the writer's frame — last-writer-wins
+    *    would otherwise let a legacy producer silently DROP a column
+    *    from every read of files that still hold it;
+    *  - drop+add in one write (rename-shaped): REFUSED. A rename is
+    *    indistinguishable from drop-one-add-another without column
+    *    ids (the Delta column-mapping problem); recording it would
+    *    silently read the renamed column as a brand-new all-null one.
+    *    Set table property `schema.acceptDropAdd=true` to opt in —
+    *    then the union is recorded (both columns stay readable,
+    *    each null-filling where absent), which IS drop+add semantics,
+    *    declared rather than inferred.
+    *
+    * Shared columns take the NEW field (type/metadata refresh rides).
+    * Whole-table reshapes ([[overwrite]], [[restore]]) skip this gate
+    * — no prior file stays live, so no ambiguity exists. */
+  private def resolveSchema(newJson: String): String = {
+    val state = replayStateFull(currentVersion)
+    state.schema match {
+      case None => newJson
+      case Some(priorJson) if priorJson == newJson => newJson
+      case Some(priorJson) =>
+        import org.apache.spark.sql.types.{DataType, StructType}
+        val prior = DataType.fromJson(priorJson).asInstanceOf[StructType]
+        val nw = DataType.fromJson(newJson).asInstanceOf[StructType]
+        val nwByName = nw.fields.map(f => f.name.toLowerCase -> f).toMap
+        val priorNames = prior.fieldNames.map(_.toLowerCase).toSet
+        val dropped = prior.fieldNames.filterNot(f =>
+          nwByName.contains(f.toLowerCase))
+        val added = nw.fields.filterNot(f =>
+          priorNames.contains(f.name.toLowerCase))
+        if (dropped.nonEmpty && added.nonEmpty &&
+            !state.props.get(SnapshotTable.AcceptDropAddProp).contains("true"))
+          throw new SnapshotTable.SchemaEvolutionViolation(
+            s"write to $root rejected: schema drops column(s) " +
+              s"${dropped.mkString(", ")} while adding " +
+              s"${added.map(_.name).mkString(", ")} — a rename is " +
+              "indistinguishable from drop+add and would silently read " +
+              "as a new all-null column over existing files. If this IS " +
+              "a drop+add, set table property " +
+              s"${SnapshotTable.AcceptDropAddProp}=true (records the " +
+              "union: both columns stay readable, null-filling where " +
+              "absent); nothing was committed")
+        // union: prior order first (shared fields take the writer's
+        // field), then the writer's new columns in its own order
+        val union = StructType(
+          prior.fields.map(f => nwByName.getOrElse(f.name.toLowerCase, f)) ++
+            added)
+        union.json
+    }
+  }
+
   private def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
@@ -1177,15 +1256,24 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
       blooms: Seq[(String, String)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
-      sizes: Seq[(String, Long)] = Nil): Int = {
+      sizes: Seq[(String, Long)] = Nil,
+      schemaGate: Boolean = true): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
+    // schema-evolution contract (gated OFF only for intentional
+    // whole-table reshapes: overwrite, restore): an append-shaped
+    // commit leaves prior files live, so the schema it records decides
+    // how THEIR columns read forever after. See resolveSchema.
+    val schemaRec =
+      if (schemaGate && remove.isEmpty && add.nonEmpty && schema.isDefined)
+        schema.map(resolveSchema)
+      else schema
     val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
     val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schema, sstats = sstats, blooms = blooms, props = props,
+      schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
       sizes = sizes)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1590,8 +1678,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // corrupting the snapshot this commit is about to publish
         val now = System.currentTimeMillis()
         add.foreach(f => fs.setTimes(new Path(f), now, -1))
+        // rollback re-records the TARGET version's schema verbatim —
+        // the rename gate would misread a schema rollback as drop+add
         commit(add, remove, base = base, keyed = true,
-          schema = replayStateFull(version).schema)
+          schema = replayStateFull(version).schema, schemaGate = false)
       }
     }
 
@@ -1677,8 +1767,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // with the marker the loser conflicts, re-resolves the winner's
       // live set, and removes it, preserving replace-everything
       val (staged, sizes) = stageFiles(df)
+      // replace-everything: no prior file stays live, so a reshape is
+      // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
-        schema = Some(df.schema.json), sizes = sizes)
+        schema = Some(df.schema.json), sizes = sizes, schemaGate = false)
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -1821,18 +1913,42 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * version, or 0 when nothing matched (no empty commit).
     *
     * `statCols` re-records pruning stats for the rewritten files (the
-    * originals' stats die with them, exactly like [[compact]]). */
+    * originals' stats die with them, exactly like [[compact]]).
+    *
+    * `bloomPreds` are `(col, value)` EQUALITY keys implied by `cond`:
+    * candidate files whose bloom sidecar for `col` rules `value` out
+    * are skipped BEFORE any scan — the right-to-erasure shape (delete
+    * one id from an UNCLUSTERED table, where min/max ranges can't
+    * prune anything) touches only the bloom-hit file(s), not the
+    * table. Files without a sidecar for the column stay candidates
+    * (pruning is never wrong, only incomplete); an absent key prunes
+    * every candidate and commits nothing. `bloomCols` rebuilds
+    * sidecars for the rewritten files, exactly like [[compact]]. */
   def deleteWhere(cond: org.apache.spark.sql.Column,
       prunePreds: Seq[(String, Long, Long)] = Nil,
-      statCols: Seq[String] = Nil): Int =
+      statCols: Seq[String] = Nil,
+      bloomPreds: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int =
     retryingOnConflict("deleteWhere") {
       import org.apache.spark.sql.functions.{col, input_file_name}
       val base = currentVersion
       if (base == 0) 0
       else {
-        val candidates =
-          if (prunePreds.isEmpty) files(Some(base))
-          else prunedFilesMulti(prunePreds, Some(base))
+        // ONE pinned replay feeds every prune tier (a second
+        // resolution could land on a concurrent writer's version)
+        val state = replayStateFull(base)
+        var candidates = state.live.filter { f =>
+          prunePreds.forall { case (c, lo, hi) =>
+            state.stats.get((f, c)).forall { case (flo, fhi) =>
+              fhi >= lo && flo <= hi }
+          }
+        }
+        bloomPreds.foreach { case (c, v) =>
+          if (candidates.nonEmpty) {
+            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+            candidates = candidates.filter(keep.contains)
+          }
+        }
         if (candidates.isEmpty) 0
         else {
           // one column-pruned scan finds the files with matches (the
@@ -1847,11 +1963,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val survivors = readFiles(affected, Some(base))
               .filter(!org.apache.spark.sql.functions.coalesce(
                 cond, org.apache.spark.sql.functions.lit(false)))
-            val (staged, stats, sstats, _, sizes) =
-              stageFilesWithStats(survivors, statCols)
+            val (staged, stats, sstats, counts, sizes) =
+              stageFilesWithStats(survivors, statCols,
+                countFiles = bloomCols.nonEmpty)
+            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(survivors.schema.json), sstats = sstats,
-              sizes = sizes)
+              blooms = blooms, sizes = sizes)
           }
         }
       }
@@ -2477,6 +2595,16 @@ object SnapshotTable {
     * for at least one incoming row (NULL passes, as in SQL CHECK /
     * Delta constraints). Nothing was committed. */
   final class ConstraintViolation(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Table property opting in to drop+add (rename-shaped) schema
+    * changes on append-shaped writes; see `resolveSchema`. */
+  val AcceptDropAddProp: String = "schema.acceptDropAdd"
+
+  /** An append-shaped write was rejected because its schema drops an
+    * existing column while adding a new one — rename-ambiguous without
+    * column mapping. Nothing was committed. */
+  final class SchemaEvolutionViolation(msg: String)
     extends IllegalArgumentException(msg)
 
   /** A remove-bearing commit (compact/merge) raced a concurrent commit

@@ -515,6 +515,43 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read(Some(3)).columns.toSeq == Seq("id", "v", "extra"))
   }
 
+  test("column-rename contract: drop+add refused, narrow writes keep the wider schema, opt-in records the union") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // rename-shaped append (drop name, add label): refused — over live
+    // files a rename is indistinguishable from drop+add and would read
+    // as a brand-new all-null column
+    val e = intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq((2L, "b")).toDF("id", "label"))
+    }
+    assert(e.getMessage.contains("name") && e.getMessage.contains("label"))
+    assert(t.currentVersion == 1 && t.read().count() == 1) // nothing committed
+    // old-shape writer (missing a column): commits, and the WIDER
+    // schema stays recorded — the legacy producer can no longer
+    // silently drop `name` from every read
+    t.append(Seq(3L).toDF("id"))
+    assert(t.read().columns.toSeq == Seq("id", "name"))
+    assert(t.read().where(col("name").isNull).count() == 1)
+    // widening still records the added column after the prior order
+    t.append(Seq((4L, "d", 9L)).toDF("id", "name", "extra"))
+    assert(t.read().columns.toSeq == Seq("id", "name", "extra"))
+    // explicit opt-in: drop+add records the UNION — both columns stay
+    // readable, null-filling where absent
+    t.setProperty(SnapshotTable.AcceptDropAddProp, "true")
+    t.append(Seq((5L, "e")).toDF("id", "label"))
+    assert(t.read().columns.toSeq == Seq("id", "name", "extra", "label"))
+    assert(t.read().where(col("label") === "e").count() == 1)
+    assert(t.read().where(col("name") === "a").count() == 1)
+    // overwrite stays an intentional whole-table reshape — ungated
+    val t2 = tmpTable()
+    t2.append(Seq((1L, "a")).toDF("id", "name"))
+    t2.overwrite(Seq((9L, "z")).toDF("id", "label"))
+    assert(t2.read().columns.toSeq == Seq("id", "label"))
+    // restore's schema rollback is ungated too
+    t2.restore(1)
+    assert(t2.read().columns.toSeq == Seq("id", "name"))
+  }
+
   test("diff spans a schema widening: both sides align under the to-version schema") {
     val t = tmpTable()
     t.append(Seq((1L, "a")).toDF("id", "v"))
@@ -711,6 +748,43 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t3.read()) == (1L to 17L).toSet)
   }
 
+  test("floor replacement: no reader-visible absence window on posix; FileContext branch replaces in place") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    (1L to 4L).foreach(i => t.append(Seq(i).toDF("id")))
+    assert(t.writeFloor(1, 1))
+    // reader hammers retentionFloor from a SEPARATE instance while the
+    // writer ratchets: an absence window would read as a regression
+    // toward 0 (monotonic contract: the floor never goes backward)
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    @volatile var stop = false
+    @volatile var bad: Option[String] = None
+    val reader = new Thread(() => {
+      var last = 0
+      while (!stop && bad.isEmpty) {
+        val f = t2.retentionFloor
+        if (f < last) bad = Some(s"floor regressed $last -> $f")
+        last = math.max(last, f)
+      }
+    })
+    reader.start()
+    (2 to 150).foreach(i => assert(t.writeFloor(i, i)))
+    stop = true
+    reader.join()
+    assert(bad.isEmpty, bad.getOrElse(""))
+    assert(t.retentionFloor == 150)
+    // the non-posix branch (FileContext write-new-then-rename-over),
+    // driven via the test seam on the local store: replaces content
+    // in place, stays monotonic, read-back confirms
+    t.floorForceFileContext = true
+    (151 to 170).foreach(i => assert(t.writeFloor(i, i)))
+    assert(t.retentionFloor == 170)
+    assert(t2.retentionFloor == 170)
+    // a stale ratchet is a no-op, not a regression
+    assert(t.writeFloor(100, 100))
+    assert(t.retentionFloor == 170)
+  }
+
   test("vacuum truncateLog=false: history intact on append-only; boundary still recorded when data reaped") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
@@ -870,6 +944,48 @@ class SnapshotTableSpec extends SparkSuite {
     // and the table still answers the lookup afterwards
     assert(t.readPrunedBloom("doc_id", hit)
       .where(col("doc_id") === hit).count() == 1)
+  }
+
+  test("bloom-driven deleteWhere rewrites only bloom-hit files; absent key commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    // 20 single-file appends of SCATTERED keys: every file's string
+    // bounds span the key space, so only the bloom can prune — the
+    // right-to-erasure shape (delete one id from an unclustered table)
+    val vals = (0 until 100).map(i => f"doc${(i * 37) % 100}%04d")
+    (0 until 20).foreach { g =>
+      t.appendWithStats(
+        vals.slice(g * 5, (g + 1) * 5).toDF("doc_id").coalesce(1),
+        Seq("doc_id"), bloomCols = Seq("doc_id"))
+    }
+    assert(t.files().size == 20)
+    val victim = vals(50)
+    val hitFiles = t.prunedFilesBloom("doc_id", victim).toSet
+    assert(hitFiles.nonEmpty && hitFiles.size < 20)
+    val before = t.files().toSet
+    val v = t.deleteWhere(col("doc_id") === victim,
+      bloomPreds = Seq(("doc_id", victim)),
+      statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    assert(v > 0)
+    val after = t.files().toSet
+    // exactly the bloom-hit file(s) left the live set; every other
+    // file is byte-identical untouched
+    assert(before -- after == hitFiles,
+      s"rewrote ${(before -- after).size} files, bloom hit ${hitFiles.size}")
+    assert((before intersect after).size == 20 - hitFiles.size)
+    assert(t.read().where(col("doc_id") === victim).count() == 0)
+    assert(t.read().count() == 99)
+    // rewritten survivors got fresh sidecars: later bloom lookups on
+    // the SURVIVING keys in the rewritten file still prune
+    val sibling = vals.slice(50, 55).filter(_ != victim).head
+    assert(t.readPrunedBloom("doc_id", sibling)
+      .where(col("doc_id") === sibling).count() == 1)
+    // absent key: bloom prunes every candidate BEFORE any scan — no
+    // data-file IO, no commit, version unchanged
+    val cur = t.currentVersion
+    assert(t.deleteWhere(col("doc_id") === "doc-nope",
+      bloomPreds = Seq(("doc_id", "doc-nope"))) == 0)
+    assert(t.currentVersion == cur)
   }
 
   test("bloom pruning at file counts past the driver threshold runs distributed and agrees") {

@@ -223,15 +223,46 @@ object IngestCli {
           case "delete" =>
             // --where is a SQL boolean over the table's columns; the
             // optional --prune col:lo:hi[,col:lo:hi] narrows candidate
-            // files from manifest stats BEFORE any scan
+            // files from manifest stats BEFORE any scan, and
+            // --bloom col:value[,col:value] prunes by bloom sidecar —
+            // the delete-one-id-from-an-unclustered-table shape;
+            // --bloomCols rebuilds sidecars for the rewritten files
             val prune = csvOpt("prune").map { s =>
               s.split(':') match {
                 case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
                 case _ => sys.error(s"bad --prune entry $s (want col:lo:hi)")
               }
             }
-            val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"))
+            val bloom = csvOpt("bloom").map { s =>
+              s.split(':') match {
+                case Array(c, v) => (c, v)
+                case _ => sys.error(s"bad --bloom entry $s (want col:value)")
+              }
+            }
+            val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"),
+              bloom, csvOpt("bloomCols"))
             println(if (v == 0) "nothing matched" else s"deleted into version $v")
+          case "feed" =>
+            // change-data-feed drain: every available manifest range
+            // flows once (write-ahead intent under --checkpoint; with
+            // --into, exactly-once into a sink SnapshotTable via
+            // range-tag dedup). --startAt V tails changes after V
+            // (default 0 = initial snapshot as inserts).
+            val feed = new graft.streaming.SnapshotChangeFeed(spark, t,
+              req("checkpoint"), opts.getOrElse("startAt", "0").toInt)
+            val maxV = opts.get("maxVersions").map(_.toInt)
+              .getOrElse(Int.MaxValue)
+            val n = opts.get("into") match {
+              case Some(dst) =>
+                val sink = new graft.sources.SnapshotTable(spark, dst)
+                feed.drainAvailableNow((df, tag) => {
+                  sink.appendIfAbsent(df, tag); ()
+                }, maxV)
+              case None =>
+                feed.drainAvailableNow((df, tag) =>
+                  println(s"$tag: ${df.count()} change row(s)"), maxV)
+            }
+            println(s"fed $n range(s); cursor at v${feed.cursor}")
           case "import" =>
             // adopt an existing parquet dir as the FIRST snapshot by
             // reference (no copy) — the CONVERT-TO-DELTA migration

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed over the manifest log: appends and deletes flow
+  * through as `_change` rows, crash-replay converges byte-identically
+  * via the write-ahead intent + tag-deduping sink, and a feed vacuumed
+  * below the retention floor fails with the clean re-bootstrap error. */
+class StreamingChangeFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def contents(t: SnapshotTable): Set[(Long, String)] =
+    t.read().select("id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("appends and a delete flow through; a fresh feed emits the initial snapshot") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L, 2L).toDF("id"))
+    src.append(Seq(3L).toDF("id"))
+    // fresh feed on an existing table: first range = full snapshot as
+    // inserts (Delta CDF initial-snapshot semantics)
+    val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    assert(feed.drainAvailableNow((df, tag) => {
+      sink.appendIfAbsent(df, tag); ()
+    }) == 1)
+    assert(contents(sink) ==
+      Set((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    // caught up: no batch
+    assert(feed.next().isEmpty)
+    // an append and a copy-on-write delete both ride the next range
+    src.append(Seq(4L).toDF("id"))
+    src.deleteWhere(col("id") === 2L)
+    assert(feed.drainAvailableNow((df, tag) => {
+      sink.appendIfAbsent(df, tag); ()
+    }) == 1)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (3L, "insert"), (4L, "insert"), (2L, "delete")))
+    assert(feed.cursor == src.currentVersion)
+  }
+
+  test("crash replay converges: the intent pins the range, the tag dedups the redelivery") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfckpt")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val feed = new SnapshotChangeFeed(spark, src, ckpt)
+    // consumer writes, then "crashes" before commit
+    val Some((df1, f1, t1)) = feed.next()
+    sink.appendIfAbsent(df1, feed.batchTag(f1, t1))
+    // the head advances while the consumer is down — the replayed
+    // range must NOT stretch to cover it, or its tag would differ and
+    // the sink would double-apply the overlap
+    src.append(Seq(2L).toDF("id"))
+    val feed2 = new SnapshotChangeFeed(spark, src, ckpt)
+    val Some((df2, f2, t2)) = feed2.next()
+    assert((f2, t2) == ((f1, t1)), "intent must pin the crashed range")
+    assert(sink.appendIfAbsent(df2, feed2.batchTag(f2, t2)).isEmpty,
+      "redelivered tag must be skipped")
+    feed2.commit(t2)
+    // the advance then arrives as its own range
+    assert(feed2.drainAvailableNow((df, tag) => {
+      sink.appendIfAbsent(df, tag); ()
+    }) == 1)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert")))
+    // control: an uncrashed run over a twin source yields the same state
+    val src2 = new SnapshotTable(spark, tmp("cdfsrc2"))
+    src2.append(Seq(1L).toDF("id"))
+    src2.append(Seq(2L).toDF("id"))
+    val sink2 = new SnapshotTable(spark, tmp("cdfsink2"))
+    new SnapshotChangeFeed(spark, src2, tmp("cdfckpt2"))
+      .drainAvailableNow((df, tag) => { sink2.appendIfAbsent(df, tag); () })
+    assert(contents(sink) == contents(sink2))
+  }
+
+  test("maxVersions backpressure; startAt tails only new changes") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    (1L to 4L).foreach(i => src.append(Seq(i).toDF("id")))
+    val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))
+    // 4 commits, 2 per batch: exactly 2 ranges
+    var ranges = List.empty[(Int, Int)]
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    assert(feed.drainAvailableNow((df, tag) => {
+      sink.appendIfAbsent(df, tag); ()
+    }, maxVersions = 2) == 2)
+    assert(sink.read().count() == 4)
+    // startAt = head: only changes AFTER it flow
+    val tail = new SnapshotChangeFeed(spark, src, tmp("cdfckpt2"),
+      startAt = src.currentVersion)
+    assert(tail.next().isEmpty)
+    src.append(Seq(9L).toDF("id"))
+    val Some((df, _, _)) = tail.next()
+    assert(df.select("id").as[Long].collect().toSet == Set(9L))
+  }
+
+  test("a feed behind the retention floor errors cleanly, naming re-bootstrap") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"), checkpointInterval = 2)
+    val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))
+    (1L to 6L).foreach(i => src.append(Seq(i).toDF("id")))
+    src.vacuum(retainFrom = 5, stagingGraceMs = -1000L)
+    val e = intercept[IllegalStateException] { feed.next() }
+    assert(e.getMessage.contains("retention floor") &&
+      e.getMessage.contains("Re-bootstrap"))
+  }
+}

@@ -8,10 +8,14 @@ import org.apache.spark.sql.SparkSession
   * reflect steady-state execution.
   *
   * Runs the whole suite N times (arg 1 or SPARK_GRAFT_RUNS, default 3)
-  * and reports per-query MEDIANS plus every run's total — a single
-  * loaded-box sample is then self-diagnosing: wide spread between the
-  * "totals" entries means box noise, not a plan regression (round-2's
-  * official record was inflated ~7x exactly this way).
+  * AFTER one full discarded warm pass (run 0 — per-query codegen/JIT
+  * otherwise dominates run 1 and inflates sub-second medians 2-3×
+  * while bests sit at floor), and reports per-query MEDIANS plus every
+  * counted run's total — a single loaded-box sample is then
+  * self-diagnosing: wide spread between the "totals" entries means box
+  * noise, not a plan regression (round-2's official record was
+  * inflated ~7x exactly this way). The warm pass total rides along as
+  * "warm_total" so the discard stays auditable.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -59,6 +63,53 @@ object Bench {
         val tripping = if (b >= 0 && b > 2 * f && b - f > 0.25) b else med
         (name, tripping, f)
     }
+
+  /** Deterministic regime-calibration probe: the memory-bandwidth-
+    * heavy kernel the pair-quadratic/kNN bench family bottlenecks on
+    * (sort + dependent random walk over a few hundred MB, all cores),
+    * timed best-of-3. Same code + same data across hosts, so the
+    * ratio of two probe readings measures the HOST REGIME delta that
+    * r11's sf1 adjudication showed swinging that family 3-4× with
+    * zero code/data change. A floor file that records the probe of
+    * the environment its floors were set in (`"_probe_sec"`) lets the
+    * gate normalize: floors scale UP by probeNow/probeFloor (capped,
+    * never down — a fast box must still beat the committed floor),
+    * so a slower host regime stops false-flagging and a genuine plan
+    * regression still trips. */
+  private[graft] def regimeProbe(): Double = {
+    val threads = math.min(8, Runtime.getRuntime.availableProcessors())
+    val perThread = 1 << 22 // 4M longs = 32 MB/thread
+    @volatile var sink = 0L // defeats dead-code elimination
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val arr = new Array[Long](perThread)
+          var x = 0x9e3779b97f4a7c15L + t
+          var i = 0
+          while (i < perThread) { // LCG fill (deterministic per thread)
+            x = x * 6364136223846793005L + 1442695040888963407L
+            arr(i) = x; i += 1
+          }
+          java.util.Arrays.sort(arr)
+          var acc = 0L
+          var idx = 0
+          var n = 0
+          while (n < perThread) { // dependent random walk: latency-bound
+            acc ^= arr(idx)
+            idx = ((arr(idx) >>> 12) % perThread).toInt.abs
+            n += 1
+          }
+          sink ^= acc
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = (1 to 3).map(_ => pass()).min
+    if (sink == 42L) System.err.println("") // keep `sink` observable
+    best
+  }
 
   /** One shared local session shape for every bench entry point. */
   private[graft] def session(): SparkSession = {
@@ -131,7 +182,14 @@ object Bench {
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .sortBy(_._1)
-    val perRun: Seq[Map[String, Double]] = (1 to runsN).map { r =>
+    // run 0 is a FULL warm pass, discarded from medians and bests:
+    // the scan+join warmup above does not compile the other 180+
+    // queries' stages, so run 1 used to pay per-query codegen/JIT —
+    // the r11 artifact showed 9 sub-second queries with medians >2×
+    // floor while their bests sat AT floor, purely from that first
+    // pass dominating a 3-run median. Its total still prints
+    // (stderr + "warm_total") so the discard is auditable.
+    val perRunAll: Seq[Map[String, Double]] = (0 to runsN).map { r =>
       val run = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
@@ -148,11 +206,13 @@ object Bench {
       // learnBpeMerges checkpoints); this line makes the next one
       // visible the round it appears: the persisted-RDD count must stay
       // flat across runs (memo frames are counted once, then stable).
-      System.err.println(s"[bench] run $r: " +
+      System.err.println(s"[bench] run $r${if (r == 0) " (warm, discarded)" else ""}: " +
         s"${spark.sparkContext.getPersistentRDDs.size} persisted RDD block sets")
       System.gc() // settle between full passes, outside any timer
       run
     }
+    val perRun = perRunAll.tail
+    val warmTotal = perRunAll.head.values.filter(_ >= 0).sum
     val totals = perRun.map(_.values.filter(_ >= 0).sum)
     // one pass over perRun yields both derived views: median (the
     // reported wall time) and best (the gate discriminator)
@@ -174,7 +234,23 @@ object Bench {
     // floor); median at 3× catches degradation that a single lucky
     // pass would otherwise hide. Medians stay the REPORTED numbers
     // ("queries"); "regressions" values are [tripping-value, floor].
-    val floors = loadFloors(java.nio.file.Paths.get(floorsFile))
+    val floors0 = loadFloors(java.nio.file.Paths.get(floorsFile))
+    // regime normalization: when the floor file records the probe of
+    // its floor-setting environment, scale the GATE (never the
+    // reported numbers) by this host's probe ratio — capped, and only
+    // upward, so a fast box still has to beat the committed floor
+    val probeFloor = floors0.get("_probe_sec").filter(_ > 0)
+    val probeNow = if (probeFloor.isDefined) Some(regimeProbe()) else None
+    val probeRatio = (probeFloor, probeNow) match {
+      case (Some(pf), Some(pn)) => math.min(4.0, math.max(1.0, pn / pf))
+      case _ => 1.0
+    }
+    probeNow.foreach(pn => System.err.println(
+      f"[bench] regime probe: $pn%.3fs vs floor-env ${probeFloor.get}%.3fs " +
+        f"-> gate x$probeRatio%.2f"))
+    val floors = floors0.collect {
+      case (k, v) if !k.startsWith("_") => k -> v * probeRatio
+    }
     val regs = regressions(results, bests.toMap, floors)
     regs.foreach { case (n, b, f) =>
       System.err.println(f"[bench] REGRESSION $n: $b%.2fs vs floor $f%.2fs (best+median gate)") }
@@ -188,7 +264,12 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = if (hidden.isEmpty) "" else s""","omitted_fast":${hidden.size}"""
       val totalsJson = totals.map(f).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(median(totals))},"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regsJson,"runs":$runsN,"totals":$totalsJson$omitted,"sf":"$sfDir"}"""
+      val probeJson = (probeFloor, probeNow) match {
+        case (Some(pf), Some(pn)) =>
+          f""","probe":{"now":$pn%.3f,"floor_env":$pf%.3f,"gate_scale":$probeRatio%.2f}"""
+        case _ => ""
+      }
+      s"""{"metric":"total","value":${f(median(totals))},"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regsJson,"runs":$runsN,"totals":$totalsJson,"warm_total":${f(warmTotal)}$probeJson$omitted,"sf":"$sfDir"}"""
     }
     // The harness captures only the LAST 2000 chars of stdout and
     // json-parses the metric line out of that window; sbt's "[success]

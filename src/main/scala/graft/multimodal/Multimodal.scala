@@ -356,6 +356,82 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** PCM sample statistics — a REAL sample-stream decode (the audio
+    * twin of the image paths' pixel decode): `javax.sound.sampled`
+    * opens the container, the 16-bit signed PCM stream is read in
+    * full, and integer-exact statistics come off the decoded samples —
+    * count, peak, min, sum of absolute values, and the number of
+    * DESCENTS (sample strictly below its predecessor; on a sawtooth
+    * that counts the wraparounds, so the oracle checks genuine
+    * sample-order decoding, not just totals). Containers the JDK
+    * cannot decode to 16-bit PCM (MP3/OGG — genuinely absent codecs)
+    * or with other sample widths report a null-field row with
+    * `decoded = false`. Partition-wise map, no shuffle; one pass per
+    * blob, O(1) state. */
+  def pcmSampleStats(blobs: DataFrame,
+      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val pairs = spread(blobs, idCol).select(col(idCol).cast("long"), col(blobCol))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("peak", LongType),
+      StructField("min_sample", LongType),
+      StructField("sum_abs", LongType),
+      StructField("n_descents", LongType),
+      StructField("decoded", BooleanType)))
+    pairs.map { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Row(r.getLong(0), null, null, null, null, null, false)
+          else {
+            val big = f.isBigEndian
+            var n = 0L; var peak = Long.MinValue; var lo = Long.MaxValue
+            var sumAbs = 0L; var descents = 0L; var prev = 0L
+            val buf = new Array[Byte](8192)
+            var carry = -1 // first byte of a sample split across reads
+            var read = in.read(buf)
+            while (read > 0) {
+              var i = 0
+              if (carry >= 0 && read >= 1) {
+                val v = decodeS16(carry.toByte, buf(0), big)
+                if (n > 0 && v < prev) descents += 1
+                n += 1; peak = math.max(peak, v); lo = math.min(lo, v)
+                sumAbs += math.abs(v); prev = v
+                carry = -1; i = 1
+              }
+              while (i + 1 < read) {
+                val v = decodeS16(buf(i), buf(i + 1), big)
+                if (n > 0 && v < prev) descents += 1
+                n += 1; peak = math.max(peak, v); lo = math.min(lo, v)
+                sumAbs += math.abs(v); prev = v
+                i += 2
+              }
+              if (i < read) carry = buf(i) & 0xff
+              read = in.read(buf)
+            }
+            if (n == 0) Row(r.getLong(0), 0L, null, null, 0L, 0L, true)
+            else Row(r.getLong(0), n, peak, lo, sumAbs, descents, true)
+          }
+        } finally in.close()
+      } catch { case _: Exception =>
+        Row(r.getLong(0), null, null, null, null, null, false)
+      }
+    }(Encoders.row(schema))
+  }
+
+  private def decodeS16(b0: Byte, b1: Byte, bigEndian: Boolean): Long =
+    if (bigEndian) ((b0 << 8) | (b1 & 0xff)).toShort.toLong
+    else ((b1 << 8) | (b0 & 0xff)).toShort.toLong
+
   /** Deterministic solid-color JPEG — fixture/synthesis helper for the
     * video path (frame CONTENT never reaches an oracle; only container
     * metadata does, and that is fixed by [[AviMjpeg.writeAvi]] args). */

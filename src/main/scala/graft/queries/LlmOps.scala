@@ -2771,6 +2771,43 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // --- MM: real PCM sample-stream decode, oracle-checked -----------
+    // Deeper than mm_audio_meta's header parse: javax.sound DECODES
+    // the 16-bit PCM stream and the engine computes integer-exact
+    // stats off the samples themselves, while the oracle restates the
+    // generator's closed form (v_i = (id*131 + i*17) % 32768) in SQL.
+    // n_descents counts samples strictly below their predecessor —
+    // the sawtooth's wraparounds — so sample ORDER is verified, not
+    // just totals: any endianness/offset/stride bug in the decode
+    // breaks the hash. Probe-bounded like its siblings.
+    QueryDef.sql(
+      "mm_audio_pcm",
+      """WITH s AS (
+        |  SELECT d.doc_id, t.i,
+        |    ((d.doc_id * 131 + t.i * 17) % 32768) AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 899) AS t(i)
+        |  WHERE d.doc_id % 10 = 5
+        |    AND t.i < 500 + 100 * (d.doc_id % 5)),
+        |w AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(v) AS BIGINT) AS peak,
+        |  CAST(min(v) AS BIGINT) AS min_sample,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(sum(CASE WHEN v < pv THEN 1 END), 0) AS BIGINT)
+        |    AS n_descents,
+        |  TRUE AS decoded
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.pcmSampleStats(Multimodal.syntheticWavBlobs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"))))
+        .orderBy("doc_id")
+    },
+
     // --- D15: cross-source near-dup overlap matrix -------------------
     // The inter-source duplication profile a mixture planner reads
     // before weighting sources: per unordered source pair, the LSH

@@ -148,6 +148,52 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(2L).length == 4)
   }
 
+  test("pcmSampleStats decodes the REAL sample stream: exact stats, order-sensitive descents, both endiannesses") {
+    val n = 1000
+    val vals = (0 until n).map(i => (i * 257 % 65536 - 32768).toLong)
+    val expPeak = vals.max
+    val expMin = vals.min
+    val expSumAbs = vals.map(math.abs).sum
+    val expDesc = vals.sliding(2).count(p => p(1) < p(0)).toLong
+    // little-endian WAV and big-endian AIFF of the SAME samples: the
+    // stats must agree exactly — any endianness/offset/stride bug in
+    // the stream decode diverges immediately
+    val aiffPcm = new Array[Byte](n * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      aiffPcm(2 * i) = ((v >> 8) & 0xff).toByte
+      aiffPcm(2 * i + 1) = (v & 0xff).toByte
+    }
+    val aiffFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(aiffPcm), aiffFmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val audio = Seq((1L, wavBytes(8000, n)), (2L, bos.toByteArray),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val out = Multimodal.pcmSampleStats(audio).orderBy("doc_id").collect()
+    Seq(0, 1).foreach { i =>
+      val r = out(i)
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("peak") == expPeak)
+      assert(r.getAs[Long]("min_sample") == expMin)
+      assert(r.getAs[Long]("sum_abs") == expSumAbs)
+      assert(r.getAs[Long]("n_descents") == expDesc)
+    }
+    assert(!out(2).getAs[Boolean]("decoded"))
+    // the mm_audio_pcm generator's closed form holds end-to-end
+    val syn = Multimodal.pcmSampleStats(
+      Multimodal.syntheticWavBlobs(Seq(5L).toDF("doc_id")))
+      .collect().head
+    val sv = (0 until 500).map(i => (5L * 131 + i * 17) % 32768)
+    assert(syn.getAs[Long]("n_samples") == 500L)
+    assert(syn.getAs[Long]("peak") == sv.max)
+    assert(syn.getAs[Long]("sum_abs") == sv.sum) // all non-negative
+    assert(syn.getAs[Long]("n_descents") ==
+      sv.sliding(2).count(p => p(1) < p(0)).toLong)
+  }
+
   test("byteFeatures on a zero-length blob yields all-zero features (oracle parity)") {
     // the DuckDB oracle LEFT-JOINs the histogram agg with COALESCE(.., 0)
     // defaults for exactly this row shape — keep both sides in lockstep

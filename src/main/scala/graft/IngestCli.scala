@@ -220,6 +220,18 @@ object IngestCli {
                 csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt,
                 csvOpt("statCols"), csvOpt("bloomCols"),
                 opts.getOrElse("bloomFpp", "0.01").toDouble))
+          case "compactSmall" =>
+            // size-aware OPTIMIZE: rewrites ONLY live files below
+            // --targetBytes (manifest-size selection, metadata-only),
+            // bin-packed to ~targetBytes outputs; files at or above
+            // the target are untouched — the maintenance shape that
+            // survives a 100 TB table
+            val v = t.compactSmall(
+              opts.getOrElse("targetBytes", (128L << 20).toString).toLong,
+              csvOpt("statCols"), csvOpt("bloomCols"),
+              opts.getOrElse("bloomFpp", "0.01").toDouble)
+            println(if (v == 0) "nothing to compact"
+              else s"compacted small files into version $v")
           case "delete" =>
             // --where is a SQL boolean over the table's columns; the
             // optional --prune col:lo:hi[,col:lo:hi] narrows candidate

@@ -385,20 +385,24 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       case None => super.binPackCompact(table, targetBytes, parallelism,
         zorderCols, zorderBits)
       case Some((t, dayCol)) =>
-        val fs = fsys
-        val live = t.files()
-        val bytes = live.map(f => fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(f)).getLen).sum
-        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        if (live.size <= n && zorderCols.isEmpty) Seq.empty
-        else {
-          // gauge facts also re-record the data_source_part string
-          // bounds the rewrite would otherwise lose — source-scoped
-          // maintenance keeps pruning from metadata after a compaction
-          val parts = if (table == "gauge_data") Seq("data_source_part") else Nil
-          val v = t.compact(n, zorderCols, zorderBits,
-            statCols = (zorderCols ++ parts :+ dayCol).distinct)
+        // gauge facts also re-record the data_source_part string
+        // bounds the rewrite would otherwise lose — source-scoped
+        // maintenance keeps pruning from metadata after a compaction
+        val parts = if (table == "gauge_data") Seq("data_source_part") else Nil
+        val statCols = (zorderCols ++ parts :+ dayCol).distinct
+        if (zorderCols.nonEmpty) {
+          // a re-clustering request rewrites the live set (layout
+          // change is whole-table by definition)
+          val bytes = t.liveBytes() // manifest sizes: no per-file stats
+          val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val v = t.compact(n, zorderCols, zorderBits, statCols = statCols)
           Seq(s"compacted $table to $n file(s) (snapshot v$v)")
+        } else {
+          // plain maintenance touches ONLY the small-file tail
+          // (manifest-size selection — metadata-only at any scale)
+          val v = t.compactSmall(targetBytes, statCols = statCols)
+          if (v == 0) Seq.empty
+          else Seq(s"compacted $table small files (snapshot v$v)")
         }
     }
   }

@@ -1809,6 +1809,70 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** Total live bytes of snapshot `version`, summed from the
+    * manifest-recorded per-file sizes in replay state — zero data-file
+    * IO for size-tracked tables; only files committed before size
+    * tracking fall back to a driver `getFileStatus` (counted by
+    * `fileStatCalls`; a vanished legacy/imported file counts 0). */
+  def liveBytes(version: Option[Int] = None): Long = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    state.live.map(f => state.sizes.getOrElse(f, statLen(f))).sum
+  }
+
+  private def statLen(f: String): Long = {
+    fileStatCalls += 1
+    try fs.getFileStatus(new Path(f)).getLen
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  /** Size-aware compaction — the OPTIMIZE shape that survives 100 TB:
+    * rewrites ONLY the live files smaller than `targetBytes`,
+    * bin-packed to ~`targetBytes` outputs, in one keyed commit; files
+    * already at or above the target are untouched (whole-table
+    * [[compact]] would rewrite them all — impossible maintenance at
+    * scale, where OPTIMIZE must touch the small-file tail a streaming
+    * sink accretes, not the petabytes already well-laid). File sizes
+    * come from the manifest (replay state), so SELECTION is
+    * metadata-only — no listing, no per-file stats (legacy pre-size
+    * files fall back to one stat each). Idempotent: fewer than two
+    * small files, or a small set already at its minimum pack count,
+    * commits nothing (returns 0). `statCols`/`bloomCols` re-record
+    * pruning metadata for the rewritten files, like [[compact]]. */
+  def compactSmall(targetBytes: Long, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    retryingOnConflict("compactSmall") {
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val state = replayStateFull(base)
+        val small = state.live
+          .map(f => f -> state.sizes.getOrElse(f, statLen(f)))
+          .filter(_._2 < targetBytes)
+        if (small.size <= 1) 0
+        else {
+          val total = small.map(_._2).sum
+          val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+          if (small.size <= n) 0 // already at the minimum pack count
+          else {
+            val affected = small.map(_._1)
+            val rows = readFiles(affected, Some(base)).coalesce(n)
+            val (staged, stats, sstats, counts, sizes) =
+              stageFilesWithStats(rows, statCols,
+                countFiles = bloomCols.nonEmpty)
+            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+            commit(staged, affected, stats = stats, base = base,
+              keyed = true, schema = Some(rows.schema.json),
+              sstats = sstats, blooms = blooms, sizes = sizes)
+          }
+        }
+      }
+    }
+  }
+
   /** Recompute-and-retry loop for remove-bearing operations whose
     * optimistic commit hit a true remove-set conflict. Each retry
     * re-resolves the live set from the NEW head, so the recomputation
@@ -2236,13 +2300,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def detail(): DataFrame = {
     val v = currentVersion
     val state = replayStateFull(v) // v == 0 replays to the empty state
-    val bytes = state.live.map { f =>
-      state.sizes.getOrElse(f, {
-        fileStatCalls += 1
-        try fs.getFileStatus(new Path(f)).getLen
-        catch { case _: java.io.FileNotFoundException => 0L }
-      })
-    }.sum
+    val bytes = state.live.map(f => state.sizes.getOrElse(f, statLen(f))).sum
     val (cs, ps) = state.props.toSeq.sorted.partition(
       _._1.startsWith(SnapshotTable.ConstraintPrefix))
     spark.createDataFrame(Seq(SnapshotTable.DetailRow(

@@ -1272,6 +1272,43 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("compactSmall rewrites only the small-file tail; large files untouched; idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    // two LARGE files (above target) + six tiny ones
+    t.append(spark.range(0, 40000).selectExpr("id", "repeat('x', 64) AS pad")
+      .coalesce(1))
+    t.append(spark.range(40000, 80000).selectExpr("id", "repeat('x', 64) AS pad")
+      .coalesce(1))
+    (0 until 6).foreach(i => t.append(
+      Seq((1000000L + i, "y")).toDF("id", "pad")))
+    assert(t.files().size == 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val large = t.files().filter(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(f)).getLen >= 65536).toSet
+    assert(large.size == 2, s"expected 2 large files, got ${large.size}")
+    val before = t.files().toSet
+    val v = t.compactSmall(targetBytes = 65536, statCols = Seq("id"))
+    assert(v > 0)
+    val after = t.files().toSet
+    // the large files stayed live — OPTIMIZE touched only the tail
+    assert(large.subsetOf(after), "large files must be untouched")
+    assert((before -- after) == (before -- large),
+      "exactly the small files left the live set")
+    assert(after.size == large.size + 1, s"tail packs to 1: ${after.size}")
+    assert(t.read().count() == 80006)
+    // selection was metadata-only: a cold instance compacts with zero
+    // per-file stats (sizes ride the manifest)
+    val t2 = new SnapshotTable(spark, dir)
+    t2.fileStatCalls = 0
+    assert(t2.compactSmall(targetBytes = 65536) == 0, "second run is a no-op")
+    assert(t2.fileStatCalls == 0,
+      s"size selection statted ${t2.fileStatCalls} files")
+    // history still reads the pre-compaction layout
+    assert(t.read(Some(8)).count() == 80006)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

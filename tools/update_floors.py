@@ -40,7 +40,7 @@ def main():
         floors[name] = val
         raised += 1
     out = "{\n" + ",\n".join(
-        f'  "{k}": {floors[k]}' for k in sorted(floors)) + "\n}\n"
+        f'  "{k}": {json.dumps(floors[k])}' for k in sorted(floors)) + "\n}\n"
     open(floor_path, "w").write(out)
     print(f"{floor_path}: {lowered} lowered, {added} added, "
           f"{raised} raised, {len(floors)} total")

@@ -251,8 +251,16 @@ object IngestCli {
                 case _ => sys.error(s"bad --bloom entry $s (want col:value)")
               }
             }
-            val v = t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"),
-              bloom, csvOpt("bloomCols"))
+            // --mode mor = merge-on-read (deletion vectors: no file
+            // rewrite, reads skip tombstoned rows until a rewrite
+            // materializes); default = copy-on-write rewrite
+            val v = opts.get("mode") match {
+              case Some("mor") =>
+                t.deleteWhereMoR(expr(req("where")), prune, bloom)
+              case _ =>
+                t.deleteWhere(expr(req("where")), prune, csvOpt("statCols"),
+                  bloom, csvOpt("bloomCols"))
+            }
             println(if (v == 0) "nothing matched" else s"deleted into version $v")
           case "feed" =>
             // change-data-feed drain: every available manifest range

@@ -118,15 +118,16 @@ class SnapshotGaugeStore(spark2: SparkSession, root2: String)
       // every file of the table
       val affected = (dataSource, dayPruned.nonEmpty) match {
         case (Some(ds), true) =>
-          import org.apache.spark.sql.functions.input_file_name
           val fs = fsys
           val srcPruned = gaugeTable
             .prunedFilesEq("data_source_part", ds, Some(base)).toSet
           val candidates = dayPruned.filter(srcPruned.contains)
           if (candidates.isEmpty) Nil
-          else gaugeTable.readFiles(candidates, Some(base))
+          // __src_file, not input_file_name(): the latter returns ""
+          // above a deletion-vector anti-join (see readFilesWithSource)
+          else gaugeTable.readFilesWithSource(candidates, Some(base))
             .filter(col("data_source_part") === ds)
-            .select(input_file_name().as("__f")).distinct().collect()
+            .select(col("__src_file").as("__f")).distinct().collect()
             .map(r => fs.makeQualified(
               new org.apache.hadoop.fs.Path(r.getString(0))).toString).toSeq
         case _ => dayPruned

@@ -380,7 +380,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sstats: Seq[SnapshotTable.StrStat] = Nil,
       blooms: Seq[(String, String)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
-      sizes: Seq[(String, Long)] = Nil): String = {
+      sizes: Seq[(String, Long)] = Nil,
+      dvs: Seq[(String, String, Long)] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
@@ -399,7 +400,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
     val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms) +
-      propsJsonField(props) + sizesJsonField(sizes)
+      propsJsonField(props) + sizesJsonField(sizes) + dvsJsonField(dvs)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -521,6 +522,34 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** The `"dvs"` wire field: `dataFilePath|sidecarName|deletedCount`
+    * per file whose DELETION VECTOR this commit (re)points — the
+    * merge-on-read DELETE channel (Delta's deletion vectors): the data
+    * file stays live and untouched; a sidecar under `_index/` lists
+    * the row indexes every read must skip. Sidecars are immutable —
+    * a new delete on the same file writes a NEW sidecar holding the
+    * union and repoints here (replay keeps the latest per file; the
+    * superseded generation becomes vacuum-sweepable). `file|*|0` is
+    * the tombstone (no DV — [[restore]] re-records target-version DV
+    * state with it). */
+  private def dvsJsonField(dvs: Seq[(String, String, Long)]): String = {
+    dvs.foreach { case (f, s, _) =>
+      require(!f.contains("|") && !s.contains("|"),
+        s"dv path must not contain '|': $f|$s")
+    }
+    if (dvs.isEmpty) ""
+    else s""","dvs":${jsonArr(dvs.map { case (f, s, n) => s"$f|$s|$n" })}"""
+  }
+
+  private def dvsOf(json: String): Seq[(String, String, Long)] =
+    arrOf(json, "dvs").flatMap { s =>
+      s.split('|') match {
+        case Array(f, sc, n) =>
+          scala.util.Try(n.toLong).toOption.map(c => (f, sc, c))
+        case _ => None
+      }
+    }
+
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
 
   private def keyedOf(json: String): Boolean =
@@ -584,7 +613,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       schema = schemaOf(raw),
       blooms = bloomsOf(raw),
       props = propsOf(raw).collect { case (k, Some(v)) => k -> v }.toMap,
-      sizes = sizesOf(raw).toMap)
+      sizes = sizesOf(raw).toMap,
+      dvs = dvsOf(raw).collect {
+        case (f, s, n) if s != "*" => f -> (s, n) }.toMap)
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -630,6 +661,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tags = scala.collection.mutable.Set[String]()
     val props = scala.collection.mutable.Map[String, String]()
     val sizes = scala.collection.mutable.Map[String, Long]()
+    val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
     if (c > 0) {
@@ -641,12 +673,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tags ++= ck.tags
       props ++= ck.props
       sizes ++= ck.sizes
+      dvs ++= ck.dvs
       schema = ck.schema
     }
     (c + 1 to v).foreach { i =>
       val raw = readManifestRaw(i)
       val (add, remove) = decode(raw)
       live ++= add
+      // a REMOVED file's deletion vector dies with it (a compaction
+      // rewrite materialized the deletes; a restore re-records the
+      // target's DV state explicitly)
+      remove.foreach(dvs -= _)
       live --= remove
       statsOf(raw).foreach(s => stats((s.file, s.col)) = (s.lo, s.hi))
       sstatsOf(raw).foreach(s => sstats((s.file, s.col)) = (s.lo, s.hi))
@@ -656,11 +693,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         case (k, None) => props -= k
       }
       sizesOf(raw).foreach(kv => sizes(kv._1) = kv._2)
+      dvsOf(raw).foreach {
+        case (f, "*", _) => dvs -= f
+        case (f, s, n) => dvs(f) = (s, n)
+      }
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
     SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
-      tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap)
+      tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap,
+      dvs.toMap)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -682,10 +724,38 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * pre-schema-tracking tables. */
   private[graft] def readFiles(fl: Seq[String],
       version: Option[Int] = None): DataFrame = {
-    val reader = schemaAt(version) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
-    }
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    applyDv(state, rawReadFiles(state, fl), fl)
+  }
+
+  /** [[readFiles]] plus a `__src_file` column carrying each row's
+    * source data file — planted ON the scan (see applyDv), because
+    * `input_file_name()` above the DV anti-join evaluates outside the
+    * file source and returns "". The merge/deleteWhere affected-file
+    * scans read this. */
+  private[graft] def readFilesWithSource(fl: Seq[String],
+      version: Option[Int]): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    applyDv(state, rawReadFiles(state, fl), fl, keepSource = true)
+  }
+
+  /** The schema-pinned scan WITHOUT deletion-vector application — the
+    * seam [[deleteWhereMoR]] needs (it must see row indexes of rows a
+    * prior DV already tombstones to build the union sidecar). Every
+    * other consumer goes through [[readFiles]]/[[planFiles]], which
+    * apply DVs. */
+  private def rawReadFiles(state: SnapshotTable.TableState,
+      fl: Seq[String]): DataFrame = {
+    val reader = state.schema.map(s =>
+      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .getOrElse(spark.read)
     reader.parquet(fl: _*)
   }
 
@@ -717,7 +787,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           propsJsonField(state.props.toSeq.sorted
             .map { case (k, v) => k -> Some(v) }) +
           sizesJsonField(state.sizes.toSeq
-            .filter(s => liveSet.contains(s._1)).sortBy(_._1))
+            .filter(s => liveSet.contains(s._1)).sortBy(_._1)) +
+          dvsJsonField(state.dvs.toSeq
+            .filter(d => liveSet.contains(d._1)).sortBy(_._1)
+            .map { case (f, (s, n)) => (f, s, n) })
         val body = s"""{"live":${jsonArr(state.live)}""" +
           s""","stats":${jsonArr(st.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}""" +
           sstJson +
@@ -746,13 +819,73 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * one shared tail of every read entry point (full read and all
     * pruned variants): schema-pinned reader, empty-frame-with-schema
     * fallback for a fully pruned or empty snapshot. */
+  /** Deletion-vector sidecar frame for `entries` = (dataFilePath,
+    * sidecarName): columns `__dv_name` (DATA file name) and `__dv_ridx`
+    * (deleted row index). Sidecars load DISTRIBUTED (`binaryFile`
+    * source — a delete that tombstoned a billion rows never rides the
+    * driver); the data-file name keys the join (the same name-keyed
+    * convention bloom sidecars use — staging uuid-names and the
+    * import-dir uniqueness guard keep names unique among live files). */
+  private def dvFrame(entries: Seq[(String, String)]): DataFrame = {
+    val paths = entries.map { case (_, sc) => new Path(indexDir, sc).toString }
+    // RDD binaryFiles, NOT the binaryFile SQL source: the DV frame
+    // joins against a parquet scan that references `_metadata`, and
+    // Spark's PreReadCheck rejects file-source metadata expressions in
+    // plans with more than one file source — the RDD read keeps the
+    // join single-sourced while the sidecar decode stays distributed
+    val rdd = spark.sparkContext.binaryFiles(paths.mkString(","))
+      .flatMap { case (p, pds) =>
+        val name = new Path(p).getName
+        val dataName = name.substring(0, name.lastIndexOf(".dv-"))
+        SnapshotTable.decodeDvBytes(pds.toArray()).map(r => (dataName, r))
+      }
+    val pairEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)
+    spark.createDataset(rdd)(pairEnc).toDF("__dv_name", "__dv_ridx")
+  }
+
+  /** Skip every row a deletion vector tombstones: rows of `df` (a scan
+    * of exactly `fl`) whose (file name, `_metadata.row_index`) appear
+    * in a live DV are anti-joined out. Zero cost when no scanned file
+    * has a DV (the common case — the plan is untouched); with DVs the
+    * join's right side is the sidecar frame, which AQE broadcasts when
+    * small (a point-delete DV is a few hundred bytes). This is the
+    * merge-on-read half of DELETE: [[compact]]/rewrites MATERIALIZE
+    * the deletes (they read through this same path) and drop the DV. */
+  private def applyDv(state: SnapshotTable.TableState, df: DataFrame,
+      fl: Seq[String], keepSource: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val withDv = fl.filter(state.dvs.contains)
+    if (withDv.isEmpty) {
+      // `__src_file` must come from the SCAN side: input_file_name()
+      // above the anti-join evaluates outside the file source and
+      // returns "" — the internal rewrite scans (merge/deleteWhere)
+      // read the column this plants instead
+      if (keepSource) df.withColumn("__src_file", col("_metadata.file_path"))
+      else df
+    } else {
+      val dv = dvFrame(withDv.map(f => f -> state.dvs(f)._1))
+      val cols = df.columns
+      val joined = df
+        .withColumn("__src_file", col("_metadata.file_path"))
+        .withColumn("__src_name",
+          element_at(split(col("__src_file"), "/"), -1))
+        .withColumn("__src_ridx", col("_metadata.row_index"))
+        .join(dv, col("__src_name") === col("__dv_name") &&
+          col("__src_ridx") === col("__dv_ridx"), "left_anti")
+        .drop("__src_name", "__src_ridx")
+      if (keepSource) joined else joined.select(cols.map(col): _*)
+    }
+  }
+
   private def planFiles(state: SnapshotTable.TableState, v: Int,
       fl: Seq[String]): DataFrame = {
     val schema = state.schema.map(s =>
       org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    if (fl.nonEmpty) reader.parquet(fl: _*)
+    if (fl.nonEmpty) applyDv(state, reader.parquet(fl: _*), fl)
     else schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -774,7 +907,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     if (fl.nonEmpty)
-      schema.map(spark.read.schema).getOrElse(spark.read).parquet(fl: _*)
+      applyDv(state,
+        schema.map(spark.read.schema).getOrElse(spark.read).parquet(fl: _*),
+        fl)
     else schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -1257,7 +1392,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       blooms: Seq[(String, String)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
       sizes: Seq[(String, Long)] = Nil,
-      schemaGate: Boolean = true): Int = {
+      schemaGate: Boolean = true,
+      dvs: Seq[(String, String, Long)] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -1274,7 +1410,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
       schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
-      sizes = sizes)
+      sizes = sizes, dvs = dvs)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -1628,14 +1764,35 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def restore(version: Int): Int =
     retryingOnConflict("restore") {
       val base = currentVersion
-      val target = files(Some(version)).toSet
-      val live = files(Some(base)).toSet
+      val stTarget = replayStateFull(version)
+      val stHead = replayStateFull(base)
+      val target = stTarget.live.toSet
+      val live = stHead.live.toSet
       target.foreach { f =>
         require(fs.exists(new Path(f)),
           s"restore($version): data file vacuumed away: $f")
       }
       val add = (target -- live).toSeq.sorted
       val remove = (live -- target).toSeq.sorted
+      // deletion-vector state follows the data: replay keeps the
+      // LATEST sidecar per file, so rolling back needs explicit
+      // re-records — the target's sidecar where it had one, a
+      // tombstone where the head grew one the target lacks. The
+      // target's sidecars must still exist (vacuum sweeps superseded
+      // generations — same contract as the data-file check above).
+      val dvRecs = target.toSeq.sorted.flatMap { f =>
+        val want = stTarget.dvs.get(f)
+        val have = if (live.contains(f)) stHead.dvs.get(f) else None
+        if (want == have) None
+        else {
+          want.foreach { case (sc, _) =>
+            require(fs.exists(new Path(indexDir, sc)),
+              s"restore($version): deletion-vector sidecar vacuumed: $sc")
+          }
+          Some(want.map { case (sc, n) => (f, sc, n) }
+            .getOrElse((f, "*", 0L)))
+        }
+      }
       // a restore RE-ADDS files that never pass the staging choke
       // point, so it must validate them against the ACTIVE constraints
       // itself — otherwise it silently resurrects rows a constraint
@@ -1667,7 +1824,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 s"violate CHECK constraint(s) ${violated.mkString(", ")}")
         }
       }
-      if (add.isEmpty && remove.isEmpty) base
+      if (add.isEmpty && remove.isEmpty && dvRecs.isEmpty) base
       else {
         // freshen the re-added files' modification times BEFORE the
         // commit: every other op that makes files live stages FRESH
@@ -1681,7 +1838,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // rollback re-records the TARGET version's schema verbatim —
         // the rename gate would misread a schema rollback as drop+add
         commit(add, remove, base = base, keyed = true,
-          schema = replayStateFull(version).schema, schemaGate = false)
+          schema = stTarget.schema, schemaGate = false, dvs = dvRecs)
       }
     }
 
@@ -1940,8 +2097,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // one column-pruned scan finds the files holding matching keys;
         // Path-normalize both sides (input_file_name emits file:///-style
         // URIs, manifests store file:/-style)
-        val affected = readFiles(live, Some(base))
-          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        val affected = readFilesWithSource(live, Some(base))
+          .select(keyCols.map(col) :+ col("__src_file").as("__f"): _*)
           .join(keys, keyCols, "left_semi")
           .select("__f").distinct().collect()
           .map(r => new Path(r.getString(0)))
@@ -2018,8 +2175,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           // one column-pruned scan finds the files with matches (the
           // merge shape): a point delete on a 10k-file table rewrites
           // one file, not every candidate
-          val affected = readFiles(candidates, Some(base))
-            .filter(cond).select(input_file_name().as("__f"))
+          val affected = readFilesWithSource(candidates, Some(base))
+            .filter(cond).select(col("__src_file").as("__f"))
             .distinct().collect()
             .map(r => fs.makeQualified(new Path(r.getString(0))).toString).toSeq
           if (affected.isEmpty) 0
@@ -2035,6 +2192,125 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               schema = Some(survivors.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes)
           }
+        }
+      }
+    }
+
+  /** Merge-on-read DELETE (deletion vectors — the Delta DV shape):
+    * marks every live row matching `cond` deleted WITHOUT rewriting
+    * any data file. A point delete on a table of 1 GB files costs one
+    * column-pruned scan of the (stat/bloom-pruned) candidates, one
+    * few-hundred-byte sidecar write per affected file, and ONE
+    * metadata commit — where [[deleteWhere]] (copy-on-write) rewrites
+    * every affected file in full. The trade is the standard MoR one:
+    * reads of DV-bearing files pay an anti-join against the sidecar
+    * rows until a rewrite ([[compact]]/[[compactSmall]]/[[merge]]/
+    * a CoW delete) MATERIALIZES the deletes — every read and rewrite
+    * path goes through the same DV-applying scan, so materialization
+    * is automatic and the rewritten files carry no DV.
+    *
+    * Sidecars are immutable under `_index/` (`<file>.dv-<id>`): a
+    * second delete on the same file writes a NEW sidecar holding the
+    * UNION of tombstoned row indexes and repoints the manifest entry;
+    * replay keeps the latest per file, superseded generations are
+    * vacuum-swept. Built and written ON EXECUTORS (a mass delete's
+    * row indexes never ride the driver; driver traffic is one
+    * (file, sidecar, count) summary per affected file). The commit is
+    * keyed: it conflicts with any concurrent rewrite/keyed commit —
+    * two racing MoR deletes union correctly because the loser retries
+    * from the winner's sidecar. Returns the version, or 0 when no NEW
+    * row matched (a re-delete of already-tombstoned rows is a no-op,
+    * not a new commit). Older snapshots still read the rows — DELETE
+    * is just another snapshot, exactly like the CoW path. */
+  def deleteWhereMoR(cond: org.apache.spark.sql.Column,
+      prunePreds: Seq[(String, Long, Long)] = Nil,
+      bloomPreds: Seq[(String, String)] = Nil): Int =
+    retryingOnConflict("deleteWhereMoR") {
+      import org.apache.spark.sql.functions.{col, element_at, split}
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val state = replayStateFull(base)
+        var candidates = state.live.filter { f =>
+          prunePreds.forall { case (c, lo, hi) =>
+            state.stats.get((f, c)).forall { case (flo, fhi) =>
+              fhi >= lo && flo <= hi }
+          }
+        }
+        bloomPreds.foreach { case (c, v) =>
+          if (candidates.nonEmpty) {
+            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+            candidates = candidates.filter(keep.contains)
+          }
+        }
+        if (candidates.isEmpty) 0
+        else {
+          // RAW scan (no DV application): the new sidecar must hold
+          // the UNION of old and new tombstones, and cond may re-match
+          // rows a prior DV already covers — union dedups them
+          val matched = rawReadFiles(state, candidates)
+            .filter(cond)
+            .select(
+              element_at(split(col("_metadata.file_path"), "/"), -1)
+                .as("__name"),
+              col("_metadata.row_index").as("__ridx"))
+          val existing = candidates.filter(state.dvs.contains)
+          val all =
+            if (existing.isEmpty) matched
+            else matched.unionAll(
+              dvFrame(existing.map(f => f -> state.dvs(f)._1))
+                .select(col("__dv_name").as("__name"),
+                  col("__dv_ridx").as("__ridx")))
+          // one immutable sidecar per affected file, written IN the
+          // task (conf ships as strings — the bloomSurvivors pattern)
+          val idxRoot = indexDir.toString
+          val confMap: Array[(String, String)] = {
+            val it = spark.sparkContext.hadoopConfiguration.iterator()
+            val buf = Array.newBuilder[(String, String)]
+            while (it.hasNext) {
+              val e = it.next(); buf += ((e.getKey, e.getValue))
+            }
+            buf.result()
+          }
+          fs.mkdirs(indexDir)
+          val strEnc = org.apache.spark.sql.Encoders.STRING
+          val outEnc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong)
+          val pairEnc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong)
+          val summaries = all.distinct()
+            .as[(String, Long)](pairEnc)
+            .groupByKey(_._1)(strEnc)
+            .mapGroups { (name, it) =>
+              val rows = Array.newBuilder[Long]
+              it.foreach(rows += _._2)
+              val arr = rows.result()
+              val sidecar = s"$name.dv-${java.util.UUID.randomUUID()
+                .toString.take(8)}"
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confMap.foreach { case (k, v2) => conf.set(k, v2) }
+              val p = new Path(s"$idxRoot/$sidecar")
+              val out = p.getFileSystem(conf).create(p, true)
+              try out.write(SnapshotTable.encodeDvBytes(arr))
+              finally out.close()
+              (name, sidecar, arr.length.toLong)
+            }(outEnc)
+            .collect() // bounded: one row per AFFECTED FILE
+          val byName = candidates.map(f => new Path(f).getName -> f).toMap
+          require(byName.size == candidates.size,
+            "deleteWhereMoR needs unique live file names (import guard)")
+          // only files whose tombstone count GREW commit — a re-delete
+          // of covered rows must not burn a version
+          val entries = summaries.toSeq.flatMap { case (name, sc, n) =>
+            byName.get(name).filter(f =>
+              !state.dvs.get(f).map(_._2).contains(n))
+              .map(f => (f, sc, n))
+          }.sortBy(_._1)
+          if (entries.isEmpty) 0
+          else commit(Nil, Nil, base = base, keyed = true, dvs = entries)
         }
       }
     }
@@ -2089,23 +2365,36 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(fromVersion >= retentionFloor,
       s"diff from $fromVersion needs manifests below the log-retention " +
         s"floor $retentionFloor of $root (deleted by vacuumLog)")
-    val manifests = (fromVersion + 1 to toVersion).map(readManifest)
+    val raws = (fromVersion + 1 to toVersion).map(readManifestRaw)
+    val manifests = raws.map(decode)
+    // a deletion-vector commit removes ROWS with an empty remove set,
+    // so the append-only fast path must also rule out dv entries in
+    // the range — otherwise a MoR delete would diff to empty
+    val anyDv = raws.exists(dvsOf(_).nonEmpty)
     // both sides read under toVersion's RECORDED schema: a widened
     // append inside the range otherwise leaves `from` and `to` with
     // different column sets (exceptAll refuses) and lets the fast
     // path's footer sampling drop the new column from the CDC; under
     // one schema, pre-widening rows null-fill and a widened re-insert
     // of the same narrow row correctly diffs as a change
-    if (manifests.forall(_._2.isEmpty)) {
+    if (!anyDv && manifests.forall(_._2.isEmpty)) {
       val added = manifests.flatMap(_._1)
       val rows =
         if (added.nonEmpty) readFiles(added, Some(toVersion))
         else read(Some(toVersion)).limit(0)
       rows.withColumn("_change", lit("insert"))
     } else {
-      val fromFiles = files(Some(fromVersion))
+      // from side: toVersion's SCHEMA (both sides must align for
+      // exceptAll) but fromVersion's DELETION VECTORS — applying
+      // toVersion's DVs to the from side would hide rows a MoR delete
+      // tombstoned inside the range, diffing them to nothing instead
+      // of `delete`
+      val stFrom = replayStateFull(fromVersion)
+      val stTo = replayStateFull(toVersion)
+      val fromFiles = stFrom.live
       val from =
-        if (fromFiles.nonEmpty) readFiles(fromFiles, Some(toVersion))
+        if (fromFiles.nonEmpty)
+          applyDv(stFrom, rawReadFiles(stTo, fromFiles), fromFiles)
         else read(Some(toVersion)).limit(0)
       val to = read(Some(toVersion))
       to.exceptAll(from).withColumn("_change", lit("insert"))
@@ -2429,17 +2718,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // truncateLog=false under-records the boundary, the corner the
     // scaladoc documents.
     val seen = scala.collection.mutable.Set[String]()
+    // deletion-vector keep-set: sidecar names some retained version's
+    // state points at (walked alongside live — the running dv map
+    // tracks the CURRENT sidecar per file, superseded generations
+    // drop out and become sweepable)
+    val dvNow = scala.collection.mutable.Map[String, String]()
+    val keepDv = scala.collection.mutable.Set[String]()
     if (c0 > 0) {
-      live ++= readCheckpoint(c0).live
+      val ck = readCheckpoint(c0)
+      live ++= ck.live
       seen ++= live
-      if (c0 >= rf) keep ++= live
+      dvNow ++= ck.dvs.map { case (f, (sc, _)) => f -> sc }
+      if (c0 >= rf) { keep ++= live; keepDv ++= dvNow.values }
     }
     (c0 + 1 to cur).foreach { v =>
-      val (add, remove) = readManifest(v)
+      val raw = readManifestRaw(v)
+      val (add, remove) = decode(raw)
       live ++= add
       seen ++= add
+      remove.foreach(dvNow -= _)
       live --= remove
-      if (v >= rf) keep ++= live
+      dvsOf(raw).foreach {
+        case (f, "*", _) => dvNow -= f
+        case (f, sc, _) => dvNow(f) = sc
+      }
+      if (v >= rf) { keep ++= live; keepDv ++= dvNow.values }
     }
     val have =
       if (!fs.exists(dataDir)) Seq.empty
@@ -2478,7 +2781,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         .foreach { st =>
           val n = st.getPath.getName
           val sep = n.lastIndexOf(".bloom-")
+          val dvSep = n.lastIndexOf(".dv-")
           if (sep > 0 && !dataNames.contains(n.substring(0, sep)))
+            fs.delete(st.getPath, false)
+          // a dv sidecar dies when its data file is gone OR when no
+          // retained version points at it (superseded generations)
+          else if (dvSep > 0 && (!dataNames.contains(n.substring(0, dvSep))
+              || !keepDv.contains(n)))
             fs.delete(st.getPath, false)
         }
     }
@@ -2643,7 +2952,35 @@ object SnapshotTable {
       schema: Option[String],
       blooms: Set[(String, String)],
       props: Map[String, String],
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      dvs: Map[String, (String, Long)] = Map.empty)
+
+  /** Deletion-vector sidecar codec: `"GDV1"` magic, int32 count, then
+    * count big-endian int64 row indexes (sorted ascending). Dependency-
+    * free like the manifest codec; a corrupt sidecar decodes to empty
+    * (the read then SKIPS NOTHING — fail-open would resurrect deleted
+    * rows, so decode throws instead). */
+  private[sources] def encodeDvBytes(rows: Array[Long]): Array[Byte] = {
+    java.util.Arrays.sort(rows)
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * rows.length)
+    bb.put("GDV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(rows.length)
+    rows.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[sources] def decodeDvBytes(bytes: Array[Byte]): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(new String(magic,
+      java.nio.charset.StandardCharsets.US_ASCII) == "GDV1",
+      "corrupt deletion-vector sidecar (bad magic)")
+    val n = bb.getInt
+    require(n >= 0 && bytes.length == 8 + 8L * n,
+      s"corrupt deletion-vector sidecar (count $n vs ${bytes.length} bytes)")
+    (0 until n).map(_ => bb.getLong)
+  }
 
   /** Key prefix under which [[SnapshotTable.addCheckConstraint]]
     * stores its expression in the table properties. */

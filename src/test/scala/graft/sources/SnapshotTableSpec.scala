@@ -1309,6 +1309,89 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read(Some(8)).count() == 80006)
   }
 
+  test("deletion vectors: MoR delete skips rows without rewriting; rewrites materialize; restore/vacuum follow") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (0 until 4).foreach { g =>
+      t.append((g * 5 until g * 5 + 5).map(_.toLong).toDF("id").coalesce(1))
+    }
+    val filesBefore = t.files()
+    assert(filesBefore.size == 4)
+    // MoR delete: rows vanish from reads, the FILE SET is unchanged
+    val v1 = t.deleteWhereMoR(col("id") === 12L)
+    assert(v1 == 5)
+    assert(t.files() == filesBefore, "MoR delete must not touch files")
+    assert(ids(t.read()) == (0L until 20L).toSet - 12L)
+    // time travel still sees the row
+    assert(ids(t.read(Some(4))).contains(12L))
+    // second delete on the SAME file unions into a new sidecar
+    assert(t.deleteWhereMoR(col("id") === 11L) == 6)
+    assert(ids(t.read()) == (0L until 20L).toSet -- Set(11L, 12L))
+    // re-deleting covered rows is a no-op, not a commit
+    assert(t.deleteWhereMoR(col("id") === 12L) == 0)
+    assert(t.currentVersion == 6)
+    // absent key: no commit
+    assert(t.deleteWhereMoR(col("id") === 999L) == 0)
+    // a COLD reader applies DVs from checkpoint-carried state
+    val cold = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(ids(cold.read()) == (0L until 20L).toSet -- Set(11L, 12L))
+    // diff across the MoR delete emits delete rows (no remove set!)
+    val d = t.diff(4, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((11L, "delete"), (12L, "delete")), d.toString)
+    // CoW paths see through DVs: a copy-on-write delete of a DV'd
+    // file's neighbor row must not resurrect the tombstoned ones
+    assert(t.deleteWhere(col("id") === 13L) > 0)
+    assert(ids(t.read()) == (0L until 20L).toSet -- Set(11L, 12L, 13L))
+    // ...and the rewrite MATERIALIZED the deletes: the rewritten file
+    // carries no DV (delete sidecar died with the removed file)
+    // restore to the pre-CoW version brings the DV state back
+    t.restore(6)
+    assert(ids(t.read()) == (0L until 20L).toSet -- Set(11L, 12L))
+    // restore to the pre-ANY-delete version clears DVs via tombstones
+    t.restore(4)
+    assert(ids(t.read()) == (0L until 20L).toSet)
+    // compact materializes: read back full, then MoR delete + compact
+    t.deleteWhereMoR(col("id") === 3L)
+    t.compact(coalesceTo = 1)
+    assert(ids(t.read()) == (0L until 20L).toSet - 3L)
+    assert(t.files().size == 1)
+    // vacuum sweeps every dv sidecar no retained version references
+    t.vacuum(retainFrom = t.currentVersion, stagingGraceMs = -1000L)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = new org.apache.hadoop.fs.Path(s"$dir/_index")
+    val dvLeft =
+      if (!fsys.exists(idx)) Array.empty[String]
+      else fsys.listStatus(idx).map(_.getPath.getName)
+        .filter(_.contains(".dv-"))
+    assert(dvLeft.isEmpty, s"stale dv sidecars: ${dvLeft.mkString(",")}")
+    assert(ids(t.read()) == (0L until 20L).toSet - 3L)
+  }
+
+  test("deletion vectors: pruned reads and incremental consumers respect tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.appendWithStats((0L until 50L).toDF("id").coalesce(1), Seq("id"),
+      bloomCols = Seq("id"))
+    t.appendWithStats((50L until 100L).toDF("id").coalesce(1), Seq("id"),
+      bloomCols = Seq("id"))
+    val v = t.deleteWhereMoR(col("id") === 7L,
+      prunePreds = Seq(("id", 7L, 7L)), bloomPreds = Seq(("id", "7")))
+    assert(v == 3)
+    // stat-pruned and bloom-pruned reads both skip the tombstone
+    // (pruning narrows FILES; the caller's row predicate still applies)
+    assert(t.readPruned("id", 0L, 10L).where(col("id") === 7L).count() == 0)
+    assert(t.readPruned("id", 0L, 10L)
+      .where(col("id").between(0L, 10L)).count() == 10)
+    assert(t.readPruned("id", 0L, 10L).count() == 49) // file minus tombstone
+    assert(t.readPrunedBloom("id", "7").where(col("id") === 7L).count() == 0)
+    // merge over a DV'd file keeps the tombstone out of the rewrite
+    t.merge(Seq(8L).toDF("id"), Seq("id"))
+    assert(t.read().where(col("id") === 7L).count() == 0)
+    assert(t.read().count() == 99)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

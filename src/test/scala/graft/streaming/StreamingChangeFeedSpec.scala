@@ -98,6 +98,22 @@ class StreamingChangeFeedSpec extends SparkSuite {
     assert(df.select("id").as[Long].collect().toSet == Set(9L))
   }
 
+  test("a merge-on-read delete flows through the feed as delete rows") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L, 2L, 3L).toDF("id"))
+    val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    feed.drainAvailableNow((df, tag) => { sink.appendIfAbsent(df, tag); () })
+    // a deletion-vector commit has NO remove set — the feed must still
+    // surface it (diff's fast path rules out dv-bearing ranges)
+    assert(src.deleteWhereMoR(col("id") === 2L) > 0)
+    assert(feed.drainAvailableNow((df, tag) => {
+      sink.appendIfAbsent(df, tag); ()
+    }) == 1)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (3L, "insert"), (2L, "delete")))
+  }
+
   test("a feed behind the retention floor errors cleanly, naming re-bootstrap") {
     val src = new SnapshotTable(spark, tmp("cdfsrc"), checkpointInterval = 2)
     val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))

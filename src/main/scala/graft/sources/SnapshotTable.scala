@@ -2302,15 +2302,36 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           val byName = candidates.map(f => new Path(f).getName -> f).toMap
           require(byName.size == candidates.size,
             "deleteWhereMoR needs unique live file names (import guard)")
+          // per-file row totals (one name-only aggregate over the
+          // affected files): a DV that covers EVERY row of a file
+          // converts to a plain manifest REMOVE — the file leaves the
+          // live set instead of surviving as a 100% tombstone that
+          // every read must anti-join against forever
+          val affectedNames = summaries.map(_._1).toSet
+          val affectedFiles = affectedNames.toSeq.flatMap(byName.get)
+          val totals: Map[String, Long] =
+            if (affectedFiles.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{count, lit}
+              rawReadFiles(state, affectedFiles)
+                .groupBy(element_at(
+                  split(col("_metadata.file_path"), "/"), -1).as("__n"))
+                .agg(count(lit(1)).as("__c"))
+                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            }
           // only files whose tombstone count GREW commit — a re-delete
           // of covered rows must not burn a version
-          val entries = summaries.toSeq.flatMap { case (name, sc, n) =>
+          val changed = summaries.toSeq.flatMap { case (name, sc, n) =>
             byName.get(name).filter(f =>
               !state.dvs.get(f).map(_._2).contains(n))
               .map(f => (f, sc, n))
           }.sortBy(_._1)
-          if (entries.isEmpty) 0
-          else commit(Nil, Nil, base = base, keyed = true, dvs = entries)
+          val (full, partial) = changed.partition { case (f, _, n) =>
+            totals.get(new Path(f).getName).contains(n)
+          }
+          if (changed.isEmpty) 0
+          else commit(Nil, full.map(_._1), base = base, keyed = true,
+            dvs = partial)
         }
       }
     }
@@ -2604,7 +2625,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // through checkpointAtOrBelow, not the raw pointer: the pointer
       // is a best-effort accelerator and may be absent/corrupt while
       // checkpoints exist on disk — same fallback every reader has
-      checkpoint = checkpointAtOrBelow(v))))
+      checkpoint = checkpointAtOrBelow(v),
+      // merge-on-read debt: files carrying a deletion vector and the
+      // total tombstoned rows — the OPTIMIZE trigger an operator reads
+      num_dv_files = state.live.count(state.dvs.contains),
+      dv_tombstones = state.live.flatMap(state.dvs.get).map(_._2).sum)))
   }
 
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
@@ -2938,7 +2963,8 @@ object SnapshotTable {
   /** The [[SnapshotTable.detail]] row (DESCRIBE DETAIL shape). */
   final case class DetailRow(version: Int, num_files: Int,
       size_bytes: Long, num_tags: Int, properties: Seq[String],
-      constraints: Seq[String], retention_floor: Int, checkpoint: Int)
+      constraints: Seq[String], retention_floor: Int, checkpoint: Int,
+      num_dv_files: Int, dv_tombstones: Long)
 
   /** Fully replayed table state at one version: live files in add
     * order, per-(file, col) long stats and string bounds, every

@@ -82,6 +82,33 @@ class SnapshotCliSpec extends SparkSuite {
     assert(run("read").contains("rows=7"))
   }
 
+  test("delete modes through the CLI: copy-on-write and merge-on-read") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcli").toString
+    val table = s"$dir/tbl"; val in = s"$dir/in"
+    (1L to 10L).toDF("id").coalesce(1).write.parquet(in)
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+    assert(run("append", "from" -> in).contains("committed version 1"))
+    // MoR: row gone, file set unchanged
+    assert(run("delete", "where" -> "id = 3", "mode" -> "mor")
+      .contains("deleted into version 2"))
+    val t = new SnapshotTable(spark, table)
+    assert(t.files().size == 1 && t.read().count() == 9)
+    // re-delete: nothing matched (tombstone already covers it)
+    assert(run("delete", "where" -> "id = 3", "mode" -> "mor")
+      .contains("nothing matched"))
+    // CoW over the DV'd file: rewrite materializes, no resurrection
+    assert(run("delete", "where" -> "id = 5")
+      .contains("deleted into version 3"))
+    assert(t.read().count() == 8 &&
+      t.read().where(org.apache.spark.sql.functions.col("id")
+        .isin(3L, 5L)).count() == 0)
+    // compactSmall verb: a single already-packed file is a no-op
+    assert(run("compactSmall").contains("nothing to compact"))
+  }
+
   test("aggRefresh maintains a CDC rollup state table through the CLI") {
     val dir = java.nio.file.Files.createTempDirectory("snapagg").toString
     val table = s"$dir/tbl"; val state = s"$dir/state"

@@ -1369,6 +1369,28 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(t.read()) == (0L until 20L).toSet - 3L)
   }
 
+  test("deletion vectors: a DV covering a whole file converts to a plain remove") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append((0L until 5L).toDF("id").coalesce(1))
+    t.append((5L until 10L).toDF("id").coalesce(1))
+    val before = t.files()
+    // matches EVERY row of file 1 and one row of file 2: file 1 must
+    // leave the live set (no 100%-tombstoned file surviving forever),
+    // file 2 gets a partial DV
+    val v = t.deleteWhereMoR(col("id") < 6L)
+    assert(v == 3)
+    assert(t.files().size == 1, s"full file should be removed: ${t.files()}")
+    assert(ids(t.read()) == Set(6L, 7L, 8L, 9L))
+    // detail reports the MoR debt
+    val d = t.detail().collect().head
+    assert(d.getAs[Int]("num_dv_files") == 1 &&
+      d.getAs[Long]("dv_tombstones") == 1L)
+    // history: v3 carries the remove
+    assert(t.read(Some(2)).count() == 10) // time travel intact
+    assert(before.toSet -- t.files().toSet == Set(before.head))
+  }
+
   test("deletion vectors: pruned reads and incremental consumers respect tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

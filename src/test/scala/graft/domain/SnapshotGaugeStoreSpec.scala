@@ -142,6 +142,31 @@ class SnapshotGaugeStoreSpec extends SparkSuite {
     assert(store.rollupDaily().isEmpty)
   }
 
+  test("a merge-on-read purge drives the same CDC rollup rebuild as a rewrite") {
+    val store = mkStore()
+    store.appendGaugeData(fact(
+      (1L, "2023-04-23 00:00:00", "2023-04-23 01:00:00", 1.0),
+      (1L, "2023-04-23 00:00:00", "2023-04-24 01:00:00", 2.0)), "tidal_gauge")
+    assert(store.rollupDaily().size == 2)
+    val filesBefore = store.gaugeTable.files()
+    // GDPR purge WITHOUT a rewrite: deletion vector on the fact table
+    val day = java.time.LocalDate.parse("2023-04-23").toEpochDay
+    assert(store.gaugeTable.deleteWhereMoR(col("obs_day") === day,
+      prunePreds = Seq(("obs_day", day, day))) > 0)
+    assert(store.gaugeData.count() == 1)
+    // the CDC-driven refresh sees the MoR delete (diff surfaces DV
+    // tombstones) and clears exactly the purged day's partition
+    val rebuilt = store.rollupDaily()
+    assert(rebuilt.map(_._2) == Seq("2023-04-23"), rebuilt.toString)
+    val left = store.rollupDailyTable.select(col("obs_date").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("2023-04-24"), s"stale rollup rows survived: $left")
+    assert(store.rollupDaily().isEmpty)
+    // note: a full-day purge may convert whole-file DVs to removes;
+    // either way no file was REWRITTEN (no new data files appeared)
+    assert(store.gaugeTable.files().forall(filesBefore.contains))
+  }
+
   test("dataSource-scoped compactGaugeData rewrites only that source's files") {
     val store = mkStore()
     store.appendGaugeData(fact(

@@ -1391,6 +1391,39 @@ class SnapshotTableSpec extends SparkSuite {
     assert(before.toSet -- t.files().toSet == Set(before.head))
   }
 
+  test("deletion vectors: a racing compact conflicts; the MoR retry lands on the new head") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append((0L until 5L).toDF("id").coalesce(1))
+    t.append((5L until 10L).toDF("id").coalesce(1))
+    // a compaction publishes in the exact window between the DV
+    // commit's staging and its publish: the keyed conflict fires, the
+    // retry re-resolves from the compacted head and tombstones the row
+    // in the REWRITTEN file
+    val other = new SnapshotTable(spark, dir)
+    t.raceInjector = () => { other.compact(coalesceTo = 1); () }
+    val v = t.deleteWhereMoR(col("id") === 7L)
+    assert(v == 4, s"expected retry to land at v4, got $v") // 2 appends + compact + dv
+    assert(ids(t.read()) == (0L until 10L).toSet - 7L)
+    assert(t.files().size == 1)
+  }
+
+  test("deletion vectors: survive schema widening and checkpoint-cold reads together") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    assert(t.deleteWhereMoR(col("id") === 2L) == 2)
+    // widening append AFTER the DV: old file null-fills the new
+    // column AND its tombstone still applies under the pinned schema
+    t.append(Seq((3L, "c", 9L)).toDF("id", "v", "extra"))
+    val got = t.read().orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(got.head.isNullAt(2) && got(1).getLong(2) == 9L)
+    // cold instance past a checkpoint boundary sees the same
+    val cold = new SnapshotTable(spark, dir, checkpointInterval = 2)
+    assert(ids(cold.read()) == Set(1L, 3L))
+  }
+
   test("deletion vectors: pruned reads and incremental consumers respect tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

@@ -220,6 +220,15 @@ object IngestCli {
                 csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt,
                 csvOpt("statCols"), csvOpt("bloomCols"),
                 opts.getOrElse("bloomFpp", "0.01").toDouble))
+          case "materializeDeletes" =>
+            // rewrite ONLY the deletion-vector-bearing files (MoR
+            // purge): reads stop paying the anti-join, vacuum reclaims
+            // the sidecars; untouched files stay shared with history
+            val v = t.materializeDeletes(csvOpt("statCols"),
+              csvOpt("bloomCols"),
+              opts.getOrElse("bloomFpp", "0.01").toDouble)
+            println(if (v == 0) "no deletion vectors"
+              else s"materialized deletes into version $v")
           case "compactSmall" =>
             // size-aware OPTIMIZE: rewrites ONLY live files below
             // --targetBytes (manifest-size selection, metadata-only),
@@ -326,7 +335,8 @@ object IngestCli {
               s"bytes=${r.getLong(2)} tags=${r.getInt(3)} " +
               s"props=[${r.getSeq[String](4).mkString(";")}] " +
               s"constraints=[${r.getSeq[String](5).mkString(";")}] " +
-              s"floor=${r.getInt(6)} checkpoint=${r.getInt(7)}")
+              s"floor=${r.getInt(6)} checkpoint=${r.getInt(7)} " +
+              s"dvFiles=${r.getInt(8)} dvTombstones=${r.getLong(9)}")
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even

@@ -2336,6 +2336,37 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** Materialize merge-on-read deletes: rewrite ONLY the live files
+    * carrying a deletion vector (read through the DV-applying scan, so
+    * tombstoned rows drop out) and swap them in one keyed commit — the
+    * PURGE half of the MoR lifecycle. After it, reads pay no anti-join
+    * and vacuum can reclaim the superseded sidecars. Files without a
+    * DV are untouched at any table size; no DVs = no commit (returns
+    * 0). `statCols`/`bloomCols` re-record pruning metadata for the
+    * rewritten files, like every other rewrite. */
+  def materializeDeletes(statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int =
+    retryingOnConflict("materializeDeletes") {
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val state = replayStateFull(base)
+        val affected = state.live.filter(state.dvs.contains)
+        if (affected.isEmpty) 0
+        else {
+          val survivors = applyDv(state, rawReadFiles(state, affected),
+            affected)
+          val (staged, stats, sstats, counts, sizes) =
+            stageFilesWithStats(survivors, statCols,
+              countFiles = bloomCols.nonEmpty)
+          val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+          commit(staged, affected, stats = stats, base = base, keyed = true,
+            schema = Some(survivors.schema.json), sstats = sstats,
+            blooms = blooms, sizes = sizes)
+        }
+      }
+    }
+
   /** Copy-on-write rewrite of a SUBSET of live files in one keyed
     * commit: exactly `affected` leaves the live set, the staged rows
     * of `replacement` enter it, every other live file is untouched —

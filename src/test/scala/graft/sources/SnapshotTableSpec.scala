@@ -1424,6 +1424,33 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ids(cold.read()) == Set(1L, 3L))
   }
 
+  test("materializeDeletes rewrites only DV-bearing files and retires the vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append((0L until 5L).toDF("id").coalesce(1))
+    t.append((5L until 10L).toDF("id").coalesce(1))
+    t.append((10L until 15L).toDF("id").coalesce(1))
+    assert(t.deleteWhereMoR(col("id") === 6L) > 0)
+    val dvFile = t.files()(1) // add-order: the 5..9 file carries the DV
+    val before = t.files().toSet
+    val v = t.materializeDeletes(statCols = Seq("id"))
+    assert(v > 0)
+    val after = t.files().toSet
+    // exactly the DV-bearing file was rewritten; others stay shared
+    assert(!after.contains(dvFile))
+    assert((before - dvFile).subsetOf(after))
+    assert(after.size == 3)
+    assert(ids(t.read()) == (0L until 15L).toSet - 6L)
+    // the MoR debt is gone: no anti-join tax, no vectors in detail
+    val d = t.detail().collect().head
+    assert(d.getAs[Int]("num_dv_files") == 0 &&
+      d.getAs[Long]("dv_tombstones") == 0L)
+    // idempotent
+    assert(t.materializeDeletes() == 0)
+    // rewritten file carries fresh stats: a pruned read still works
+    assert(t.readPruned("id", 7L, 7L).where(col("id") === 7L).count() == 1)
+  }
+
   test("deletion vectors: pruned reads and incremental consumers respect tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

@@ -1408,6 +1408,21 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.files().size == 1)
   }
 
+  test("deletion vectors: two racing MoR deletes on the same file union via the keyed retry") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append((0L until 10L).toDF("id").coalesce(1))
+    // the second delete publishes inside the first's stage-to-publish
+    // window: without the keyed conflict the first would repoint the
+    // DV to a sidecar that lacks the second's tombstone, silently
+    // resurrecting it — the retry re-unions from the winner's sidecar
+    val other = new SnapshotTable(spark, dir)
+    t.raceInjector = () => { other.deleteWhereMoR(col("id") === 4L); () }
+    assert(t.deleteWhereMoR(col("id") === 8L) == 3)
+    assert(ids(t.read()) == (0L until 10L).toSet -- Set(4L, 8L))
+    assert(t.files().size == 1)
+  }
+
   test("deletion vectors: survive schema widening and checkpoint-cold reads together") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir, checkpointInterval = 2)

@@ -2840,10 +2840,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           val dvSep = n.lastIndexOf(".dv-")
           if (sep > 0 && !dataNames.contains(n.substring(0, sep)))
             fs.delete(st.getPath, false)
-          // a dv sidecar dies when its data file is gone OR when no
-          // retained version points at it (superseded generations)
-          else if (dvSep > 0 && (!dataNames.contains(n.substring(0, dvSep))
-              || !keepDv.contains(n)))
+          // a dv sidecar lives exactly as long as some retained
+          // version points at it — membership in keepDv ALONE decides
+          // (a data-dir existence check would wrongly reap the live
+          // sidecar of an importFiles-adopted file, which lives
+          // OUTSIDE data/); superseded generations and sidecars of
+          // reaped files both fall out of keepDv naturally
+          else if (dvSep > 0 && !keepDv.contains(n))
             fs.delete(st.getPath, false)
         }
     }

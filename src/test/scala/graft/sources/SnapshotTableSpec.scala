@@ -1466,6 +1466,23 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.readPruned("id", 7L, 7L).where(col("id") === 7L).count() == 1)
   }
 
+  test("deletion vectors on an importFiles-adopted table survive vacuum") {
+    val src = java.nio.file.Files.createTempDirectory("snapimp-src").toString
+    (0L until 10L).toDF("id").coalesce(1).write.mode("overwrite").parquet(src)
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.importFiles(src)
+    // the adopted file lives OUTSIDE data/ — the dv sweep must key on
+    // retained-version references, not on a data-dir listing
+    assert(t.deleteWhereMoR(col("id") === 4L) == 2)
+    t.append(Seq(100L).toDF("id"))
+    t.vacuum(retainFrom = t.currentVersion, stagingGraceMs = -1000L)
+    assert(ids(t.read()) == (0L until 10L).toSet - 4L + 100L)
+    // the live sidecar survived; a cold reader still applies it
+    val cold = new SnapshotTable(spark, dir)
+    assert(ids(cold.read()) == (0L until 10L).toSet - 4L + 100L)
+  }
+
   test("deletion vectors: pruned reads and incremental consumers respect tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

@@ -28,6 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    redelivery of a tag the sink already holds ⇒ skipped. Crash
   *    before sink-write ⇒ plain replay. Either way the downstream
   *    converges byte-identically.
+  *  - `bootstrap` — a one-time marker written before the first intent.
+  *    All three are replaced window-free
+  *    (`FileContext.rename(OVERWRITE)` off-posix), and the marker
+  *    turns a cursor that VANISHES anyway (external deletion, a store
+  *    with no atomic replace) into a hard error naming the
+  *    re-bootstrap path — never a silent replay from `startAt`, whose
+  *    fresh range tags a tag-deduping sink could not skip.
   *
   * Retention: a feed that fell behind [[SnapshotTable.vacuumLog]]
   * (cursor below the retention floor) fails with a clean error naming
@@ -49,6 +56,7 @@ final class SnapshotChangeFeed(spark: SparkSession, table: SnapshotTable,
     new Path(checkpointDir).toUri, spark.sparkContext.hadoopConfiguration)
   private def cursorPath = new Path(s"$checkpointDir/cursor")
   private def intentPath = new Path(s"$checkpointDir/intent")
+  private def bootstrapPath = new Path(s"$checkpointDir/bootstrap")
 
   private def readInt(p: Path, key: String): Option[Int] = try {
     if (!fs.exists(p)) None
@@ -72,27 +80,63 @@ final class SnapshotChangeFeed(spark: SparkSession, table: SnapshotTable,
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Test seam: route checkpoint writes through the FileContext branch
+    * even on `file:` (the spec drives the non-posix code path without
+    * an HDFS cluster). */
+  private[streaming] var forceFileContext: Boolean = false
+
   private def writeAtomic(p: Path, body: String): Unit = {
     fs.mkdirs(new Path(checkpointDir))
     val tmp = new Path(s"$checkpointDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.getUri.getScheme == "file") {
+    if (fs.getUri.getScheme == "file" && !forceFileContext) {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
         java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    } else try {
+      // write-new-then-rename-over: FileContext.rename(OVERWRITE) is
+      // the atomic replace HDFS exposes — no instant in which the
+      // cursor/intent file is absent (the window the old
+      // delete-then-rename had, through which a crash lost the cursor)
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(p).toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // a store with no AbstractFileSystem binding: last-resort
+      // delete+rename — the bootstrap marker turns a loss in its
+      // brief window into a hard error, never a silent startAt replay
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     }
   }
 
   /** Committed position: every change at or below it has been handed
-    * to a consumer AND committed. */
-  def cursor: Int = readInt(cursorPath, "version").getOrElse(startAt)
+    * to a consumer AND committed. A MISSING cursor on a bootstrapped
+    * checkpoint is a hard error, not a silent fall-back to [[startAt]]
+    * — replaying `(startAt, head]` would carry a tag no prior range
+    * ever had, so a tag-deduping sink would double-apply history. The
+    * one legitimate cursor-less bootstrapped state is a first batch
+    * that crashed before its first commit: the write-ahead intent for
+    * `(startAt, _]` is still on disk and pins the verbatim replay. */
+  def cursor: Int = readInt(cursorPath, "version") match {
+    case Some(v) => v
+    case None if !fs.exists(bootstrapPath) => startAt
+    case None if readInt(intentPath, "from").contains(startAt) => startAt
+    case None => throw new IllegalStateException(
+      s"change-feed checkpoint $checkpointDir is bootstrapped but its " +
+        "cursor file is missing: committed position lost. Replaying " +
+        s"from startAt=$startAt would re-deliver history under fresh " +
+        "range tags that a tag-deduping sink cannot skip. Re-bootstrap: " +
+        "reconcile the sink against the full current snapshot, then " +
+        "restart the feed with startAt = that version under a FRESH " +
+        "checkpointDir")
+  }
 
   /** The deterministic idempotence key of range `(from, to]` — feed it
     * to [[SnapshotTable.appendIfAbsent]] (or any tag-deduping sink) so
@@ -125,6 +169,11 @@ final class SnapshotChangeFeed(spark: SparkSession, table: SnapshotTable,
         // Long arithmetic: from + Int.MaxValue overflows Int
         val to = math.min(head.toLong, from.toLong + maxVersions).toInt
         if (to <= from) return None
+        // one-time bootstrap marker, durable BEFORE the first intent:
+        // from here on, a missing cursor is a detected loss (see
+        // [[cursor]]), never a silent startAt replay
+        if (!fs.exists(bootstrapPath))
+          writeAtomic(bootstrapPath, s"""{"startAt":$startAt}""")
         writeAtomic(intentPath, s"""{"from":$from,"to":$to}""")
         (from, to)
     }

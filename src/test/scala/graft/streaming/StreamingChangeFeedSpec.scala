@@ -114,6 +114,73 @@ class StreamingChangeFeedSpec extends SparkSuite {
       (3L, "insert"), (2L, "delete")))
   }
 
+  test("a lost cursor on a bootstrapped checkpoint is a hard error, not a silent startAt replay") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfckpt")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val feed = new SnapshotChangeFeed(spark, src, ckpt)
+    feed.drainAvailableNow((df, tag) => { sink.appendIfAbsent(df, tag); () })
+    // the cursor vanishes (external deletion / a store that lost it)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(ckpt).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/cursor"), false))
+    src.append(Seq(2L).toDF("id"))
+    val feed2 = new SnapshotChangeFeed(spark, src, ckpt)
+    val e = intercept[IllegalStateException] { feed2.next() }
+    assert(e.getMessage.contains("cursor file is missing") &&
+      e.getMessage.contains("Re-bootstrap"),
+      s"expected the re-bootstrap error, got: ${e.getMessage}")
+  }
+
+  test("a first batch that crashed before its first commit replays verbatim, no false loss error") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfckpt")
+    val feed = new SnapshotChangeFeed(spark, src, ckpt)
+    // intent written (marker too), then crash before ANY commit:
+    // bootstrapped + no cursor, but intent.from == startAt pins it
+    val Some((_, f1, t1)) = feed.next()
+    val feed2 = new SnapshotChangeFeed(spark, src, ckpt)
+    val Some((df2, f2, t2)) = feed2.next()
+    assert((f2, t2) == ((f1, t1)), "crashed first range must replay verbatim")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    sink.appendIfAbsent(df2, feed2.batchTag(f2, t2))
+    feed2.commit(t2)
+    assert(contents(sink) == Set((1L, "insert")))
+  }
+
+  test("non-posix checkpoint writes are window-free: crash replay converges under forceFileContext") {
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfckpt")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val feed = new SnapshotChangeFeed(spark, src, ckpt)
+    feed.forceFileContext = true
+    feed.drainAvailableNow((df, tag) => { sink.appendIfAbsent(df, tag); () })
+    // the second commit REPLACES the cursor through the FileContext
+    // branch — the replace must leave no instant without a cursor, so
+    // a reader mid-replace (simulated: a stray tmp from a crashed
+    // writer sits beside an intact cursor) still reads the old value
+    src.append(Seq(2L).toDF("id"))
+    val Some((df1, f1, t1)) = feed.next()
+    sink.appendIfAbsent(df1, feed.batchTag(f1, t1))
+    // crash after sink write, before commit: tmp debris + intact files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ckpt, ".tmp-crashed"),
+      """{"version":999}""".getBytes)
+    val feed2 = new SnapshotChangeFeed(spark, src, ckpt)
+    feed2.forceFileContext = true
+    assert(feed2.cursor == f1, "debris must not perturb the cursor")
+    val Some((df2, f2, t2)) = feed2.next()
+    assert((f2, t2) == ((f1, t1)))
+    assert(sink.appendIfAbsent(df2, feed2.batchTag(f2, t2)).isEmpty)
+    feed2.commit(t2)
+    assert(feed2.next().isEmpty)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert")))
+  }
+
   test("a feed behind the retention floor errors cleanly, naming re-bootstrap") {
     val src = new SnapshotTable(spark, tmp("cdfsrc"), checkpointInterval = 2)
     val feed = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))

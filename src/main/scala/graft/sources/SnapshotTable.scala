@@ -381,6 +381,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       blooms: Seq[(String, String)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
       sizes: Seq[(String, Long)] = Nil,
+      rows: Seq[(String, Long)] = Nil,
       dvs: Seq[(String, String, Long)] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
@@ -400,7 +401,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (stats.isEmpty) ""
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
     val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms) +
-      propsJsonField(props) + sizesJsonField(sizes) + dvsJsonField(dvs)
+      propsJsonField(props) + sizesJsonField(sizes) +
+      rowsJsonField(rows) + dvsJsonField(dvs)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -522,6 +524,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** The `"rows"` wire field: `file|rowCount` per ADDED file — the
+    * Delta `add.stats.numRecords` idea. Captured at commit time from
+    * the staging aggregate when one already runs (bloom builds,
+    * stat/constraint passes) or from the staged file's own parquet
+    * FOOTER otherwise (a few-KB tail read per staged file, same
+    * O(staged) driver shape as the staging move itself — never
+    * O(table)). Makes [[deleteWhereMoR]]'s full-file-tombstone check
+    * and [[detail]]'s `num_rows` metadata-only; files committed before
+    * row tracking simply have no entry and fall back to a scan. */
+  private def rowsJsonField(rows: Seq[(String, Long)]): String = {
+    rows.foreach { case (f, _) =>
+      require(!f.contains("|"), s"rows path must not contain '|': $f")
+    }
+    if (rows.isEmpty) ""
+    else s""","rows":${jsonArr(rows.map { case (f, n) => s"$f|$n" })}"""
+  }
+
+  private def rowsOf(json: String): Seq[(String, Long)] =
+    arrOf(json, "rows").flatMap { s =>
+      s.split('|') match {
+        case Array(f, n) => scala.util.Try(n.toLong).toOption.map(f -> _)
+        case _ => None
+      }
+    }
+
   /** The `"dvs"` wire field: `dataFilePath|sidecarName|deletedCount`
     * per file whose DELETION VECTOR this commit (re)points — the
     * merge-on-read DELETE channel (Delta's deletion vectors): the data
@@ -615,7 +642,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       props = propsOf(raw).collect { case (k, Some(v)) => k -> v }.toMap,
       sizes = sizesOf(raw).toMap,
       dvs = dvsOf(raw).collect {
-        case (f, s, n) if s != "*" => f -> (s, n) }.toMap)
+        case (f, s, n) if s != "*" => f -> (s, n) }.toMap,
+      rows = rowsOf(raw).toMap)
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -661,6 +689,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val tags = scala.collection.mutable.Set[String]()
     val props = scala.collection.mutable.Map[String, String]()
     val sizes = scala.collection.mutable.Map[String, Long]()
+    val rowCounts = scala.collection.mutable.Map[String, Long]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
@@ -673,6 +702,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tags ++= ck.tags
       props ++= ck.props
       sizes ++= ck.sizes
+      rowCounts ++= ck.rows
       dvs ++= ck.dvs
       schema = ck.schema
     }
@@ -693,6 +723,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         case (k, None) => props -= k
       }
       sizesOf(raw).foreach(kv => sizes(kv._1) = kv._2)
+      rowsOf(raw).foreach(kv => rowCounts(kv._1) = kv._2)
       dvsOf(raw).foreach {
         case (f, "*", _) => dvs -= f
         case (f, s, n) => dvs(f) = (s, n)
@@ -702,7 +733,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
     SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
       tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap,
-      dvs.toMap)
+      dvs.toMap, rowCounts.toMap)
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -787,6 +818,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           propsJsonField(state.props.toSeq.sorted
             .map { case (k, v) => k -> Some(v) }) +
           sizesJsonField(state.sizes.toSeq
+            .filter(s => liveSet.contains(s._1)).sortBy(_._1)) +
+          rowsJsonField(state.rows.toSeq
             .filter(s => liveSet.contains(s._1)).sortBy(_._1)) +
           dvsJsonField(state.dvs.toSeq
             .filter(d => liveSet.contains(d._1)).sortBy(_._1)
@@ -948,12 +981,31 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
-  /** Stage `df` as new immutable data files, return their paths and
-    * byte sizes (from the staging move's own FileStatus — zero extra
-    * IO). Files are invisible until a manifest references them. */
-  private def stageFiles(df: DataFrame): (Seq[String], Seq[(String, Long)]) = {
+  /** Test seam: pretend to be a LEGACY writer that predates per-file
+    * row-count tracking — commits record no `rows` channel, so specs
+    * can pin the scan fallback paths without hand-editing manifests. */
+  private[sources] var recordRowCounts: Boolean = true
+
+  /** Row count from the parquet FOOTER alone (a few-KB tail read per
+    * staged file — the same O(staged-files) driver shape as the
+    * staging rename loop itself, never O(table)). The fallback when no
+    * staging aggregate already carries per-file counts. */
+  private def footerRowCount(p: Path): Option[Long] = try {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      fs.makeQualified(p), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try Some(r.getRecordCount) finally r.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Stage `df` as new immutable data files, return their paths,
+    * per-file row counts and byte sizes (sizes from the staging move's
+    * own FileStatus — zero extra IO; counts from each staged file's
+    * parquet footer). Files are invisible until a manifest references
+    * them. */
+  private def stageFiles(df: DataFrame)
+      : (Seq[String], Map[String, Long], Seq[(String, Long)]) = {
     val r = stageFilesWithStats(df, Nil)
-    (r._1, r._5)
+    (r._1, r._4, r._5)
   }
 
   /** Stage `df`; additionally compute per-file min/max for the columns
@@ -1071,7 +1123,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // reap live files
       val fin = fs.makeQualified(dst).toString
       sizes ::= fin -> st.getLen
-      tmpCounts.get(st.getPath.getName).foreach(n => counts += fin -> n)
+      tmpCounts.get(st.getPath.getName) match {
+        case Some(n) => counts += fin -> n
+        case None => footerRowCount(dst).foreach(n => counts += fin -> n)
+      }
       tmpStats.filter(_._1 == st.getPath.getName).foreach {
         case (_, c, lo: String, hi: String) =>
           val n = SnapshotTable.StatTruncateBytes
@@ -1291,9 +1346,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // (also keyed) conflicts instead of double-adopting; a concurrent
     // blind append still commutes (both are add-only valid data —
     // Delta's default isolation for appends)
+    // row counts from each adopted file's parquet footer: O(adopted)
+    // few-KB tail reads on a ONE-TIME adoption op — the same driver
+    // shape as the mergeSchema footer pass Spark just did above
+    val rowCounts = files.flatMap(f =>
+      footerRowCount(new Path(f)).map(f -> _))
     try commit(files, Nil, stats = ns.result(), sstats = ss.result(),
       schema = Some(df.schema.json), base = base, keyed = true,
-      sizes = sizes)
+      sizes = sizes, rows = rowCounts)
     catch {
       case c: SnapshotTable.CommitConflict =>
         throw new IllegalArgumentException(
@@ -1392,6 +1452,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       blooms: Seq[(String, String)] = Nil,
       props: Seq[(String, Option[String])] = Nil,
       sizes: Seq[(String, Long)] = Nil,
+      rows: Seq[(String, Long)] = Nil,
       schemaGate: Boolean = true,
       dvs: Seq[(String, String, Long)] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
@@ -1410,7 +1471,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val out = fs.create(tmp, true)
     try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
       schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
-      sizes = sizes, dvs = dvs)
+      sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // test seam: runs once at the exact race window (staged, not yet
@@ -1487,8 +1548,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   /** Append `df` as a new snapshot; returns the committed version. */
   def append(df: DataFrame): Int = {
-    val (staged, sizes) = stageFiles(df)
-    commit(staged, Nil, schema = Some(df.schema.json), sizes = sizes)
+    val (staged, counts, sizes) = stageFiles(df)
+    commit(staged, Nil, schema = Some(df.schema.json), sizes = sizes,
+      rows = counts.toSeq.sortBy(_._1))
   }
 
   /** Append with per-file min/max recorded in the manifest for the
@@ -1502,7 +1564,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
     val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
-      sstats = sstats, blooms = blooms, sizes = sizes)
+      sstats = sstats, blooms = blooms, sizes = sizes,
+      rows = counts.toSeq.sortBy(_._1))
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -1878,9 +1941,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   def appendIfAbsent(df: DataFrame, tag: String): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
-      val (staged, sizes) = stageFiles(df)
+      val (staged, counts, sizes) = stageFiles(df)
       Some(commit(staged, Nil, Some(tag),
-        schema = Some(df.schema.json), sizes = sizes))
+        schema = Some(df.schema.json), sizes = sizes,
+        rows = counts.toSeq.sortBy(_._1)))
     }
 
   /** [[appendIfAbsent]] + [[appendWithStats]]: idempotent tagged
@@ -1896,7 +1960,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
         schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
-        sizes = sizes))
+        sizes = sizes, rows = counts.toSeq.sortBy(_._1)))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -1923,11 +1987,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // commits and the table would hold the UNION of both frames —
       // with the marker the loser conflicts, re-resolves the winner's
       // live set, and removes it, preserving replace-everything
-      val (staged, sizes) = stageFiles(df)
+      val (staged, counts, sizes) = stageFiles(df)
       // replace-everything: no prior file stays live, so a reshape is
       // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
-        schema = Some(df.schema.json), sizes = sizes, schemaGate = false)
+        schema = Some(df.schema.json), sizes = sizes, schemaGate = false,
+        rows = counts.toSeq.sortBy(_._1))
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -1962,7 +2027,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val blooms = buildBlooms(rewritten, bloomCols, bloomFpp, counts)
         commit(rewritten, before, stats = stats, base = base,
           schema = Some(laid.schema.json), sstats = sstats, blooms = blooms,
-          sizes = sizes)
+          sizes = sizes, rows = counts.toSeq.sortBy(_._1))
       }
     }
 
@@ -2023,7 +2088,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base,
               keyed = true, schema = Some(rows.schema.json),
-              sstats = sstats, blooms = blooms, sizes = sizes)
+              sstats = sstats, blooms = blooms, sizes = sizes,
+              rows = counts.toSeq.sortBy(_._1))
           }
         }
       }
@@ -2089,9 +2155,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // remove-bearing commit — a restore could have resurrected the
       // very keys this plan decided were absent
       if (live.isEmpty) {
-        val (staged, sizes) = stageFiles(source)
+        val (staged, counts, sizes) = stageFiles(source)
         commit(staged, Nil, base = base, keyed = true,
-          schema = Some(source.schema.json), sizes = sizes)
+          schema = Some(source.schema.json), sizes = sizes,
+          rows = counts.toSeq.sortBy(_._1))
       } else {
         val keys = source.select(keyCols.map(col): _*).distinct()
         // one column-pruned scan finds the files holding matching keys;
@@ -2107,16 +2174,18 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         require(affected.forall(normLive.contains),
           s"merge: matched file outside the live set (path normalization)")
         if (affected.isEmpty) {
-          val (staged, sizes) = stageFiles(source)
+          val (staged, counts, sizes) = stageFiles(source)
           commit(staged, Nil, base = base, keyed = true,
-            schema = Some(source.schema.json), sizes = sizes)
+            schema = Some(source.schema.json), sizes = sizes,
+            rows = counts.toSeq.sortBy(_._1))
         } else {
           val survivors = readFiles(affected, Some(base))
             .join(keys, keyCols, "left_anti")
-          val (rewritten, sizes) = stageFiles(
+          val (rewritten, counts, sizes) = stageFiles(
             survivors.select(source.columns.map(col): _*).unionAll(source))
           commit(rewritten, affected, base = base,
-            schema = Some(source.schema.json), sizes = sizes)
+            schema = Some(source.schema.json), sizes = sizes,
+            rows = counts.toSeq.sortBy(_._1))
         }
       }
     }
@@ -2190,7 +2259,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(survivors.schema.json), sstats = sstats,
-              blooms = blooms, sizes = sizes)
+              blooms = blooms, sizes = sizes,
+              rows = counts.toSeq.sortBy(_._1))
           }
         }
       }
@@ -2302,18 +2372,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           val byName = candidates.map(f => new Path(f).getName -> f).toMap
           require(byName.size == candidates.size,
             "deleteWhereMoR needs unique live file names (import guard)")
-          // per-file row totals (one name-only aggregate over the
-          // affected files): a DV that covers EVERY row of a file
+          // per-file row totals: a DV that covers EVERY row of a file
           // converts to a plain manifest REMOVE — the file leaves the
           // live set instead of surviving as a 100% tombstone that
-          // every read must anti-join against forever
+          // every read must anti-join against forever. Totals come
+          // from the manifest `rows` channel (metadata-only — no
+          // second data scan in the no-rewrite verb); only files
+          // committed before row tracking fall back to a name-only
+          // count over JUST those files
           val affectedNames = summaries.map(_._1).toSet
           val affectedFiles = affectedNames.toSeq.flatMap(byName.get)
+          val tracked: Map[String, Long] = affectedFiles.flatMap(f =>
+            state.rows.get(f).map(new Path(f).getName -> _)).toMap
+          val untracked = affectedFiles.filter(f =>
+            !tracked.contains(new Path(f).getName))
           val totals: Map[String, Long] =
-            if (affectedFiles.isEmpty) Map.empty
+            if (untracked.isEmpty) tracked
             else {
+              morCountScans += 1
               import org.apache.spark.sql.functions.{count, lit}
-              rawReadFiles(state, affectedFiles)
+              tracked ++ rawReadFiles(state, untracked)
                 .groupBy(element_at(
                   split(col("_metadata.file_path"), "/"), -1).as("__n"))
                 .agg(count(lit(1)).as("__c"))
@@ -2362,7 +2440,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
           commit(staged, affected, stats = stats, base = base, keyed = true,
             schema = Some(survivors.schema.json), sstats = sstats,
-            blooms = blooms, sizes = sizes)
+            blooms = blooms, sizes = sizes,
+            rows = counts.toSeq.sortBy(_._1))
         }
       }
     }
@@ -2388,11 +2467,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
-    val (staged, stats, sstats, _, sizes) =
+    val (staged, stats, sstats, counts, sizes) =
       stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
       schema = Some(replacement.schema.json), sstats = sstats,
-      sizes = sizes)
+      sizes = sizes, rows = counts.toSeq.sortBy(_._1))
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame
@@ -2630,6 +2709,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * driver IO. */
   private[graft] var fileStatCalls: Long = 0L
 
+  /** Diagnostic counter: fallback data scans [[deleteWhereMoR]] ran to
+    * total rows of files with no manifest row count (legacy files) —
+    * specs pin it to 0 on a count-tracked table. */
+  private[graft] var morCountScans: Long = 0L
+
   /** One-row operational summary — the DESCRIBE DETAIL shape:
     * version, live file count and total bytes, committed-tag count,
     * properties and constraints (sorted `k=v`), retention
@@ -2660,7 +2744,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // merge-on-read debt: files carrying a deletion vector and the
       // total tombstoned rows — the OPTIMIZE trigger an operator reads
       num_dv_files = state.live.count(state.dvs.contains),
-      dv_tombstones = state.live.flatMap(state.dvs.get).map(_._2).sum)))
+      dv_tombstones = state.live.flatMap(state.dvs.get).map(_._2).sum,
+      // LOGICAL live rows (physical minus tombstoned), metadata-only
+      // from the manifest `rows` channel; None when any live file
+      // predates row tracking — never a data scan in DESCRIBE DETAIL
+      num_rows =
+        if (state.live.forall(state.rows.contains))
+          Some(state.live.map(state.rows).sum -
+            state.live.flatMap(state.dvs.get).map(_._2).sum)
+        else None)))
   }
 
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
@@ -2998,7 +3090,8 @@ object SnapshotTable {
   final case class DetailRow(version: Int, num_files: Int,
       size_bytes: Long, num_tags: Int, properties: Seq[String],
       constraints: Seq[String], retention_floor: Int, checkpoint: Int,
-      num_dv_files: Int, dv_tombstones: Long)
+      num_dv_files: Int, dv_tombstones: Long,
+      num_rows: Option[Long])
 
   /** Fully replayed table state at one version: live files in add
     * order, per-(file, col) long stats and string bounds, every
@@ -3013,7 +3106,8 @@ object SnapshotTable {
       blooms: Set[(String, String)],
       props: Map[String, String],
       sizes: Map[String, Long] = Map.empty,
-      dvs: Map[String, (String, Long)] = Map.empty)
+      dvs: Map[String, (String, Long)] = Map.empty,
+      rows: Map[String, Long] = Map.empty)
 
   /** Deletion-vector sidecar codec: `"GDV1"` magic, int32 count, then
     * count big-endian int64 row indexes (sorted ascending). Dependency-

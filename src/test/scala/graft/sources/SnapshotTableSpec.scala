@@ -1272,6 +1272,56 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("manifest row counts: MoR full-file check and detail().num_rows are metadata-only; legacy falls back") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    (0 until 4).foreach { g =>
+      t.append((g * 5 until g * 5 + 5).map(_.toLong).toDF("id").coalesce(1))
+    }
+    // cold reader (checkpoint + tail): counts ride the manifest
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    val d0 = t2.detail().collect().head
+    assert(!d0.isNullAt(10) && d0.getLong(10) == 20L,
+      s"num_rows must be metadata-exact, got $d0")
+    // MoR delete with NO fallback count scan: totals come from the
+    // manifest rows channel; the full-file tombstone still converts
+    t2.morCountScans = 0
+    assert(t2.deleteWhereMoR(col("id") === 7L) > 0)
+    assert(t2.deleteWhereMoR(col("id") >= 15L) > 0)
+    assert(t2.morCountScans == 0,
+      s"count-tracked MoR delete ran ${t2.morCountScans} fallback scans")
+    assert(t2.files().size == 3, "fully-tombstoned file must leave the live set")
+    assert(ids(t2.read()) == (0L until 15L).toSet - 7L)
+    // num_rows reflects tombstones: 20 physical - 5 removed-file - 1 DV
+    val d1 = t2.detail().collect().head
+    assert(d1.getLong(10) == 14L, s"num_rows with DV debt: $d1")
+    // LEGACY writer (predates row tracking): fallback scan runs, same
+    // answers; a table with untracked live files reports num_rows null
+    val dirL = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val tl = new SnapshotTable(spark, dirL)
+    tl.recordRowCounts = false
+    (0 until 2).foreach { g =>
+      tl.append((g * 5 until g * 5 + 5).map(_.toLong).toDF("id").coalesce(1))
+    }
+    val dl = tl.detail().collect().head
+    assert(dl.isNullAt(10), "untracked table must report num_rows null")
+    tl.morCountScans = 0
+    assert(tl.deleteWhereMoR(col("id") >= 5L) > 0)
+    assert(tl.morCountScans == 1, "legacy table must fall back to the scan")
+    assert(tl.files().size == 1 && ids(tl.read()) == (0L until 5L).toSet)
+    // adopted files are count-tracked too (footer reads at import)
+    val src = java.nio.file.Files.createTempDirectory("snapimp").toString
+    Seq(10L, 11L, 12L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val dirI = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val ti = new SnapshotTable(spark, dirI)
+    ti.importFiles(src)
+    assert(ti.detail().collect().head.getLong(10) == 3L)
+    ti.morCountScans = 0
+    assert(ti.deleteWhereMoR(col("id") >= 10L) > 0)
+    assert(ti.morCountScans == 0 && ti.files().isEmpty)
+  }
+
   test("compactSmall rewrites only the small-file tail; large files untouched; idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

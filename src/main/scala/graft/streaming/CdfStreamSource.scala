@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** [[SnapshotTable]] change-data-feed as a REGISTERED Structured
+  * Streaming source: `spark.readStream.format("snapshot-cdf")
+  * .load(<table root>)` yields the table's rows plus a `_change`
+  * column (`insert` / `delete`), one micro-batch per manifest range.
+  *
+  * Offsets ARE manifest versions (`LongOffset(version)`), so
+  * exactly-once rides Spark's own offset/commit log at the query's
+  * `checkpointLocation` — the engine replays the same `(from, to]`
+  * range after a crash and skips it after a commit, with no
+  * feed-private cursor files ([[SnapshotChangeFeed]] remains the
+  * pull-loop surface for non-streaming consumers; both produce the
+  * identical [[SnapshotTable.diff]] frames). Each batch is planned by
+  * `diff`, so append-only ranges stay file-pruned scans of ONLY the
+  * added files — per batch the driver reads O(range) small manifests;
+  * data IO is the added files, never O(table).
+  *
+  * Options:
+  *  - `path` (or `.load(path)`) — the table root (required);
+  *  - `startAt` — version the feed begins AFTER (default 0: the first
+  *    batch is the full snapshot as inserts, Delta CDF's
+  *    initial-snapshot semantics; pass the current version to tail);
+  *  - `maxVersionsPerTrigger` — cap commits per micro-batch
+  *    (backpressure for a stream starting far behind the head).
+  *
+  * The stream's schema is pinned at start (recorded table schema +
+  * `_change`); batches project to it positionally, so a column ADDED
+  * mid-stream is ignored until the stream restarts (a restart picks up
+  * the widened schema — the Delta CDF contract). A feed that fell
+  * behind [[SnapshotTable.vacuumLog]]'s retention floor fails the
+  * batch with the table's clean re-bootstrap error, not a
+  * FileNotFound mid-replay. */
+final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "snapshot-cdf"
+
+  private def tableOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): SnapshotTable = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot-cdf requires the table root: .load(<dir>) or " +
+          "option(\"path\", <dir>)"))
+    new SnapshotTable(sqlContext.sparkSession, path)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.orElse(tableOf(sqlContext, parameters).schemaAt(None))
+      .getOrElse(throw new IllegalArgumentException(
+        "snapshot-cdf: table has no recorded schema yet (empty table) — " +
+          "pass .schema(...) or start the stream after the first commit"))
+    (shortName(), StructType(
+      base.fields :+ StructField("_change", StringType, nullable = false)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new CdfSource(tableOf(sqlContext, parameters), st,
+      startAt = parameters.get("startAt").map(_.trim.toInt).getOrElse(0),
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.trim.toInt))
+  }
+}
+
+private[streaming] final class CdfSource(table: SnapshotTable,
+    fixedSchema: StructType, startAt: Int,
+    maxVersionsPerTrigger: Option[Int])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit, ReadMaxRows}
+
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"maxVersionsPerTrigger must be positive, got $m"))
+
+  // LongOffset.json is the bare long; recovery hands back a
+  // SerializedOffset wrapping that same text — one decoder for both
+  private def verOf(o: OffsetV2): Int = o.json.trim.toInt
+
+  // Trigger.AvailableNow pins the head ONCE at query start: batches
+  // drain up to it (respecting the per-trigger cap) and the query
+  // terminates, ignoring commits that land mid-drain — the contract
+  // prepareForTriggerAvailableNow encodes (FileStreamSource's shape)
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(table.currentVersion.toLong)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    // version count as the admission unit ("rows" of the manifest log)
+    maxVersionsPerTrigger.map(m => ReadLimit.maxRows(m.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: one call decides the next batch's end version
+    * from the previous end (`null` on the very first batch) and the
+    * read limit. Returning `startOffset` unchanged (or null with no
+    * data) means "no batch". */
+  override def latestOffset(startOffset: OffsetV2,
+      limit: ReadLimit): OffsetV2 = {
+    val base = Option(startOffset).map(verOf(_).toLong)
+      .getOrElse(startAt.toLong)
+    val head = availableNowCap
+      .map(math.min(_, table.currentVersion.toLong))
+      .getOrElse(table.currentVersion.toLong)
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(head, base + r.maxRows)
+      case _ => head
+    }
+    if (capped <= base) startOffset else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(table.currentVersion.toLong)
+
+  override def schema: StructType = fixedSchema
+
+  // MicroBatchExecution never calls getOffset on a
+  // SupportsAdmissionControl source — latestOffset above replaces it
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) replaces getOffset here")
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(verOf).getOrElse(startAt)
+    val to = verOf(end)
+    // positional projection to the pinned schema: a widened column in
+    // a mid-stream append must not shift the relation's output arity
+    val projected = table.diff(from, to)
+      .select(fixedSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graftbridge.StreamBridge.asStreaming(projected)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The change-data-feed as a registered Structured Streaming source:
+  * `readStream.format("snapshot-cdf")` consumes table changes with
+  * Spark's OWN offset-log checkpointing — crash-and-restart converges
+  * with the pull-loop ([[SnapshotChangeFeed]]) control. */
+class CdfStreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def contents(t: SnapshotTable): Set[(Long, String)] =
+    t.read().select("id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def drainOnce(srcDir: String, ckpt: String, sink: SnapshotTable,
+      extraOpts: Map[String, String] = Map.empty): Unit = {
+    val q = spark.readStream.format("snapshot-cdf")
+      .options(extraOpts).load(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.appendIfAbsent(df, s"b$id"); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("readStream consumes appends and both delete flavors; restart resumes from Spark's offset log") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    val ckpt = tmp("cdfq")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    // pull-loop control consuming the SAME source at the same points —
+    // identical ranges, so the two sinks must converge exactly
+    val pull = new SnapshotChangeFeed(spark, src, tmp("cdfckpt"))
+    val sinkP = new SnapshotTable(spark, tmp("cdfsinkp"))
+    def drainBoth(): Unit = {
+      drainOnce(srcDir, ckpt, sink)
+      pull.drainAvailableNow((df, tag) => { sinkP.appendIfAbsent(df, tag); () })
+    }
+    src.append(Seq(1L, 2L).toDF("id"))
+    src.append(Seq(3L).toDF("id"))
+    drainBoth()
+    assert(contents(sink) ==
+      Set((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    // the stream is DOWN while the table moves on; restart with the
+    // same checkpoint resumes from Spark's offset log
+    src.append(Seq(4L).toDF("id"))
+    src.deleteWhere(col("id") === 2L)
+    drainBoth()
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (3L, "insert"), (4L, "insert"), (2L, "delete")))
+    // a merge-on-read delete flows as delete rows
+    src.deleteWhereMoR(col("id") === 4L)
+    drainBoth()
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (3L, "insert"), (4L, "insert"), (2L, "delete"), (4L, "delete")))
+    assert(contents(sink) == contents(sinkP),
+      "stream and pull-loop control must converge")
+  }
+
+  test("a batch that crashes mid-sink redelivers under the SAME batch id; the tag dedups it") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfq")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // first run: the consumer writes, then dies BEFORE Spark commits
+    val q1 = spark.readStream.format("snapshot-cdf").load(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add(id)
+        sink.appendIfAbsent(df, s"b$id")
+        throw new RuntimeException("crash after sink write")
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // restart: the SAME batch id redelivers; appendIfAbsent skips it
+    drainOnce(srcDir, ckpt, sink)
+    assert(seen.size() >= 1)
+    assert(contents(sink) == Set((1L, "insert")),
+      "redelivered batch must dedup, not double-apply")
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch; startAt tails new changes only") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    (1L to 4L).foreach(i => src.append(Seq(i).toDF("id")))
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("snapshot-cdf")
+      .option("maxVersionsPerTrigger", "2").load(srcDir)
+      .writeStream.option("checkpointLocation", tmp("cdfq"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ids.add(id)
+        sink.appendIfAbsent(df, s"b$id"); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(ids.size() == 2, s"4 commits at 2/trigger must be 2 batches, got $ids")
+    assert(sink.read().count() == 4)
+    // startAt = head: nothing until a NEW commit lands
+    val sink2 = new SnapshotTable(spark, tmp("cdfsink2"))
+    val ck2 = tmp("cdfq2")
+    val head = src.currentVersion
+    drainOnce(srcDir, ck2, sink2, Map("startAt" -> head.toString))
+    assert(sink2.currentVersion == 0, "caught-up tail must emit no batch")
+    src.append(Seq(9L).toDF("id"))
+    drainOnce(srcDir, ck2, sink2, Map("startAt" -> head.toString))
+    assert(contents(sink2) == Set((9L, "insert")))
+  }
+
+  test("an empty table refuses to start with a clean error; explicit schema overrides") {
+    val srcDir = tmp("cdfsrc")
+    new SnapshotTable(spark, srcDir) // table root exists, no commits
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("snapshot-cdf").load(srcDir)
+    }
+    assert(e.getMessage.contains("no recorded schema"))
+    // explicit schema: stream starts and the first append flows
+    val df = spark.readStream.format("snapshot-cdf")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .load(srcDir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "_change"))
+  }
+}

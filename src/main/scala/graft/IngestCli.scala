@@ -328,6 +328,12 @@ object IngestCli {
             // (data files untouched — see vacuum for the data sweep)
             val n = t.vacuumLog(req("retainVersions").toInt)
             println(s"deleted $n log files (retention floor now ${t.retentionFloor})")
+          case "rename" =>
+            // metadata-only column rename (column mapping): old files
+            // keep their values; --column old:new
+            val Array(oldN, newN) = req("column").split(":", 2)
+            val v = t.renameColumn(oldN, newN)
+            println(s"renamed $oldN -> $newN at v$v (no data rewritten)")
           case "detail" =>
             // one-row DESCRIBE DETAIL summary
             val r = t.detail().collect().head

@@ -731,7 +731,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tagOf(raw).foreach(tags += _)
       schemaOf(raw).foreach(s => schema = Some(s))
     }
-    SnapshotTable.TableState(live.toSeq, stats.toMap, sstats.toMap,
+    // column mapping: files written BEFORE a rename recorded their
+    // stats under the then-logical (= physical) column name; alias
+    // those keys to the CURRENT logical name so pruning by the new
+    // name keeps working across the rename (a key already present
+    // under the logical name — a post-rename file — wins untouched)
+    val physToLogical: Map[String, String] = schema.map(parseSchema)
+      .filter(hasMapping)
+      .map(_.fields.collect {
+        case f if SnapshotTable.physicalName(f) != f.name =>
+          SnapshotTable.physicalName(f).toLowerCase -> f.name
+      }.toMap).getOrElse(Map.empty)
+    def aliasKeys[V](m: scala.collection.mutable.Map[(String, String), V])
+        : Map[(String, String), V] =
+      if (physToLogical.isEmpty) m.toMap
+      else m.toMap ++ m.collect {
+        case ((f, c), v) if physToLogical.contains(c.toLowerCase) &&
+            !m.contains((f, physToLogical(c.toLowerCase))) =>
+          (f, physToLogical(c.toLowerCase)) -> v
+      }
+    SnapshotTable.TableState(live.toSeq, aliasKeys(stats), aliasKeys(sstats),
       tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap,
       dvs.toMap, rowCounts.toMap)
   }
@@ -776,18 +795,41 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     applyDv(state, rawReadFiles(state, fl), fl, keepSource = true)
   }
 
+  private def parseSchema(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Whether any field's physical (on-disk) name differs from its
+    * logical name — i.e. [[renameColumn]] has run on this schema. */
+  private def hasMapping(st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(f => SnapshotTable.physicalName(f) != f.name)
+
+  /** The parquet-facing shape of a mapped schema: every field under
+    * its physical name (what the files store). */
+  private def physicalSchema(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = SnapshotTable.physicalName(f))))
+
+  /** Alias a physical-named scan back to logical names. A plain
+    * projection: Spark 4 resolves `_metadata` through it, so the DV
+    * anti-join and the rewrite scans above stay intact. */
+  private def aliasToLogical(st: org.apache.spark.sql.types.StructType,
+      df: DataFrame): DataFrame =
+    df.toDF(st.fields.map(_.name): _*)
+
   /** The schema-pinned scan WITHOUT deletion-vector application — the
     * seam [[deleteWhereMoR]] needs (it must see row indexes of rows a
     * prior DV already tombstones to build the union sidecar). Every
     * other consumer goes through [[readFiles]]/[[planFiles]], which
-    * apply DVs. */
+    * apply DVs. Column-mapped tables scan under PHYSICAL names and
+    * alias to logical here, so every consumer sees logical names. */
   private def rawReadFiles(state: SnapshotTable.TableState,
-      fl: Seq[String]): DataFrame = {
-    val reader = state.schema.map(s =>
-      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]))
-      .getOrElse(spark.read)
-    reader.parquet(fl: _*)
+      fl: Seq[String]): DataFrame = state.schema.map(parseSchema) match {
+    case Some(st) if hasMapping(st) =>
+      aliasToLogical(st, spark.read.schema(physicalSchema(st)).parquet(fl: _*))
+    case Some(st) => spark.read.schema(st).parquet(fl: _*)
+    case None => spark.read.parquet(fl: _*)
   }
 
   /** Write the checkpoint for version `v` when it's an interval
@@ -914,12 +956,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   private def planFiles(state: SnapshotTable.TableState, v: Int,
       fl: Seq[String]): DataFrame = {
-    val schema = state.schema.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    if (fl.nonEmpty) applyDv(state, reader.parquet(fl: _*), fl)
-    else schema match {
+    if (fl.nonEmpty) applyDv(state, rawReadFiles(state, fl), fl)
+    else state.schema.map(parseSchema) match {
+      // empty frame in LOGICAL shape (mapping only renames fields)
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => read(Some(v)).limit(0)
@@ -936,14 +975,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       s"snapshot $v does not exist (current ${currentVersion})")
     val state = replayStateFull(v)
     val fl = state.live
-    val schema = state.schema.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(s)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    if (fl.nonEmpty)
-      applyDv(state,
-        schema.map(spark.read.schema).getOrElse(spark.read).parquet(fl: _*),
-        fl)
-    else schema match {
+    if (fl.nonEmpty) applyDv(state, rawReadFiles(state, fl), fl)
+    else state.schema.map(parseSchema) match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None =>
@@ -1002,9 +1035,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * own FileStatus — zero extra IO; counts from each staged file's
     * parquet footer). Files are invisible until a manifest references
     * them. */
-  private def stageFiles(df: DataFrame)
+  private def stageFiles(df: DataFrame, mapToPhysical: Boolean = true)
       : (Seq[String], Map[String, Long], Seq[(String, Long)]) = {
-    val r = stageFilesWithStats(df, Nil)
+    val r = stageFilesWithStats(df, Nil, mapToPhysical = mapToPhysical)
     (r._1, r._4, r._5)
   }
 
@@ -1027,13 +1060,44 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * [[readPrunedEq]]/[[readPrunedPrefix]]/[[readPrunedStrRange]]
     * while a 100k-file checkpoint's stat payload stays a few MB. */
   private def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
-      countFiles: Boolean = false)
+      countFiles: Boolean = false, mapToPhysical: Boolean = true)
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
         Seq[(String, Long)]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // column-mapped table: stage under PHYSICAL names (the Delta
+    // column-mapping writer contract) so ONE physical schema covers
+    // every file ever written — the read path aliases back. Stats,
+    // constraints and counts below run over a logical-aliased view of
+    // the staged files, so the whole stats surface stays logical.
+    val mapped =
+      if (!mapToPhysical) None
+      else replayStateFull(currentVersion).schema.map(parseSchema)
+        .filter(hasMapping)
+    val toWrite = mapped match {
+      case Some(ms) =>
+        val physByLogical = ms.fields
+          .map(f => f.name.toLowerCase -> SnapshotTable.physicalName(f)).toMap
+        val physNames = df.columns.map(c =>
+          physByLogical.getOrElse(c.toLowerCase, c))
+        // a frame column colliding with ANOTHER column's physical name
+        // would stage two same-named parquet columns — refuse with the
+        // schema-contract error before writing anything
+        val dup = physNames.map(_.toLowerCase).groupBy(identity)
+          .collectFirst { case (n, g) if g.length > 1 => n }
+        dup.foreach { n =>
+          fs.delete(tmp, true)
+          throw new SnapshotTable.SchemaEvolutionViolation(
+            s"write to $root rejected: column '$n' is the PHYSICAL " +
+              "name of a renamed column (column mapping keeps the " +
+              "on-disk name reserved); pick another name or " +
+              "materialize the rename by rewriting the table")
+        }
+        df.toDF(physNames: _*)
+      case None => df
+    }
+    toWrite.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // CHECK constraints gate EVERY write at this single choke point
     // (append, merge rewrite, overwrite, tagged streaming batch).
     // A constraint whose referenced columns are absent from THIS frame
@@ -1064,8 +1128,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
           (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil) ++
           violationFlagAggs(activeConstraints)
+        val statScan0 = spark.read.parquet(tmp.toString)
+        val statScan = mapped match {
+          case Some(ms) =>
+            val logicalByPhys = ms.fields.map(f =>
+              SnapshotTable.physicalName(f).toLowerCase -> f.name).toMap
+            statScan0.toDF(statScan0.columns.map(pc =>
+              logicalByPhys.getOrElse(pc.toLowerCase, pc)): _*)
+          case None => statScan0
+        }
         val rows =
-          try spark.read.parquet(tmp.toString)
+          try statScan
             .groupBy(input_file_name().as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect().toIndexedSeq
@@ -1184,6 +1257,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // per-file row counts came along on the staging stats aggregate
     // (stageFilesWithStats countFiles) — no second count job
     val counts = rowCounts.map { case (f, n) => new Path(f).getName -> n }
+    // column-mapped table: the staged files store PHYSICAL names; the
+    // caller's bloomCols are logical — scan physical, mark logical
+    val physByLogical: Map[String, String] =
+      replayStateFull(currentVersion).schema.map(parseSchema)
+        .filter(hasMapping)
+        .map(_.fields.map(f =>
+          f.name.toLowerCase -> SnapshotTable.physicalName(f)).toMap)
+        .getOrElse(Map.empty)
     fs.mkdirs(indexDir)
     val markers = Seq.newBuilder[(String, String)]
     bloomCols.foreach { c =>
@@ -1195,7 +1276,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         org.apache.spark.sql.Encoders.BINARY)
       val expected = counts // small map: this commit's files only
       val blobs = spark.read.parquet(files: _*)
-        .select(input_file_name().as("__f"), col(c).cast("string").as("__v"))
+        .select(input_file_name().as("__f"),
+          col(physByLogical.getOrElse(c.toLowerCase, c))
+            .cast("string").as("__v"))
         .na.drop()
         .as[(String, String)](tupleEnc)
         .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
@@ -1430,18 +1513,129 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               s"${added.map(_.name).mkString(", ")} — a rename is " +
               "indistinguishable from drop+add and would silently read " +
               "as a new all-null column over existing files. If this IS " +
-              "a drop+add, set table property " +
-              s"${SnapshotTable.AcceptDropAddProp}=true (records the " +
-              "union: both columns stay readable, null-filling where " +
-              "absent); nothing was committed")
+              "a rename, use renameColumn (column mapping: old files " +
+              "keep their values); if it IS a drop+add, set table " +
+              s"property ${SnapshotTable.AcceptDropAddProp}=true " +
+              "(records the union: both columns stay readable, " +
+              "null-filling where absent); nothing was committed")
+        // column mapping: an added column may not take a name some
+        // renamed field still stores PHYSICALLY — the staged write
+        // would collide with the old files' on-disk column
+        val physTaken = prior.fields.collect {
+          case f if SnapshotTable.physicalName(f).toLowerCase !=
+              f.name.toLowerCase =>
+            SnapshotTable.physicalName(f).toLowerCase -> f.name
+        }.toMap
+        added.find(f => physTaken.contains(f.name.toLowerCase)).foreach { f =>
+          throw new SnapshotTable.SchemaEvolutionViolation(
+            s"write to $root rejected: new column ${f.name} collides " +
+              s"with the PHYSICAL name of renamed column " +
+              s"${physTaken(f.name.toLowerCase)} (column mapping keeps " +
+              "the on-disk name reserved); pick another name or " +
+              "materialize the rename by rewriting the table")
+        }
         // union: prior order first (shared fields take the writer's
-        // field), then the writer's new columns in its own order
+        // field, INHERITING the prior's physical mapping so a rename
+        // survives later appends), then the writer's new columns
         val union = StructType(
-          prior.fields.map(f => nwByName.getOrElse(f.name.toLowerCase, f)) ++
-            added)
+          prior.fields.map { pf =>
+            nwByName.get(pf.name.toLowerCase) match {
+              case Some(nf) if pf.metadata.contains(SnapshotTable.PhysicalNameKey) =>
+                nf.copy(metadata =
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(nf.metadata)
+                    .putString(SnapshotTable.PhysicalNameKey,
+                      pf.metadata.getString(SnapshotTable.PhysicalNameKey))
+                    .build())
+              case Some(nf) => nf
+              case None => pf
+            }
+          } ++ added)
         union.json
     }
   }
+
+  /** Graft the CURRENT schema's physical-name mapping onto `newJson`
+    * for shared logical fields — identity when the table has no
+    * column mapping or the field already carries one. */
+  private def graftMapping(newJson: String): String =
+    replayStateFull(currentVersion).schema.map(parseSchema)
+      .filter(hasMapping) match {
+      case None => newJson
+      case Some(prior) =>
+        import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+        val physByLogical = prior.fields
+          .filter(_.metadata.contains(SnapshotTable.PhysicalNameKey))
+          .map(f => f.name.toLowerCase ->
+            f.metadata.getString(SnapshotTable.PhysicalNameKey)).toMap
+        val nw = parseSchema(newJson)
+        StructType(nw.fields.map { f =>
+          physByLogical.get(f.name.toLowerCase) match {
+            case Some(phys)
+                if !f.metadata.contains(SnapshotTable.PhysicalNameKey) =>
+              f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(SnapshotTable.PhysicalNameKey, phys).build())
+            case _ => f
+          }
+        }).json
+    }
+
+  /** Rename a column IN PLACE — Delta's column mapping (name mode),
+    * metadata-only: one keyed commit records the schema with the new
+    * LOGICAL name and the old on-disk name under
+    * [[SnapshotTable.PhysicalNameKey]]. No data file is touched; old
+    * files keep their values under the new name (reads scan physical,
+    * alias to logical), later appends stage under the physical name so
+    * one physical schema covers every file forever, and pruning stats
+    * recorded under the old name alias to the new one at replay.
+    * Time travel below this commit still reads the OLD name — the
+    * schema is versioned like everything else. The physical name stays
+    * reserved: adding a new column with it is refused until a rewrite
+    * materializes the rename. Returns the committed version.
+    *
+    * Like every schema-recording commit, the schema channel is
+    * last-writer-wins against a concurrent append's union — run
+    * renames quiesced or retry on a lost race (the keyed marker makes
+    * concurrent keyed/remove-bearing commits conflict loudly). */
+  def renameColumn(oldName: String, newName: String): Int =
+    retryingOnConflict("renameColumn") {
+      import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+      require(newName.nonEmpty && !newName.contains("|") &&
+        !newName.contains("/"),
+        s"bad column name '$newName' (empty, '|' or '/')")
+      val base = currentVersion
+      val state = replayStateFull(base)
+      val st = state.schema.map(parseSchema).getOrElse(
+        throw new IllegalArgumentException(
+          s"renameColumn: $root has no recorded schema yet"))
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"renameColumn: no column '$oldName' in $root " +
+        s"(have ${st.fieldNames.mkString(", ")})")
+      require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"renameColumn: column '$newName' already exists in $root")
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        require(i == idx ||
+          !SnapshotTable.physicalName(f).equalsIgnoreCase(newName),
+          s"renameColumn: '$newName' is the PHYSICAL name of column " +
+            s"'${f.name}' (reserved by a prior rename)")
+      }
+      val f = st.fields(idx)
+      val phys = SnapshotTable.physicalName(f)
+      // renaming BACK to the physical name dissolves the mapping
+      val newField =
+        if (phys.equalsIgnoreCase(newName))
+          f.copy(name = newName, metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(SnapshotTable.PhysicalNameKey).build())
+        else
+          f.copy(name = newName, metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(SnapshotTable.PhysicalNameKey, phys).build())
+      val ns = StructType(st.fields.updated(idx, newField))
+      commit(Nil, Nil, base = base, keyed = true,
+        schema = Some(ns.json), schemaGate = false)
+    }
 
   private def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
@@ -1464,6 +1658,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val schemaRec =
       if (schemaGate && remove.isEmpty && add.nonEmpty && schema.isDefined)
         schema.map(resolveSchema)
+      else if (schemaGate && remove.nonEmpty && schema.isDefined)
+        // partial rewrite (merge/compact/delete/replace): UNAFFECTED
+        // files stay live, so a prior rename's physical mapping must
+        // ride into the recorded schema even when the caller's frame
+        // (a user merge source) carries no field metadata — losing it
+        // would read every pre-rename file's column as all-null
+        schema.map(graftMapping)
       else schema
     val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
@@ -1987,7 +2188,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // commits and the table would hold the UNION of both frames —
       // with the marker the loser conflicts, re-resolves the winner's
       // live set, and removes it, preserving replace-everything
-      val (staged, counts, sizes) = stageFiles(df)
+      // replace-everything stages UNMAPPED: the commit records the
+      // frame's own schema, so a prior rename's physical names must
+      // not leak into files that schema will never alias
+      val (staged, counts, sizes) = stageFiles(df, mapToPhysical = false)
       // replace-everything: no prior file stays live, so a reshape is
       // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
@@ -3149,6 +3353,21 @@ object SnapshotTable {
   /** Table property opting in to drop+add (rename-shaped) schema
     * changes on append-shaped writes; see `resolveSchema`. */
   val AcceptDropAddProp: String = "schema.acceptDropAdd"
+
+  /** StructField metadata key carrying a column's PHYSICAL name — the
+    * name data files actually store — when it differs from the
+    * LOGICAL name readers see (Delta's column mapping, name mode).
+    * `renameColumn` changes only the logical name and records the
+    * physical one here; reads scan under physical names and alias to
+    * logical, so files written before the rename keep their values. */
+  val PhysicalNameKey: String = "graft.physical"
+
+  /** The name `f`'s values are stored under in data files. */
+  private[sources] def physicalName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
 
   /** An append-shaped write was rejected because its schema drops an
     * existing column while adding a new one — rename-ambiguous without

@@ -109,6 +109,25 @@ class SnapshotCliSpec extends SparkSuite {
     assert(run("compactSmall").contains("nothing to compact"))
   }
 
+  test("rename through the CLI is metadata-only and deletes still resolve the new name") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcli").toString
+    val table = s"$dir/tbl"; val in = s"$dir/in"
+    (1L to 10L).toDF("id").coalesce(1).write.parquet(in)
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+    assert(run("append", "from" -> in).contains("committed version 1"))
+    assert(run("rename", "column" -> "id:doc_id")
+      .contains("renamed id -> doc_id"))
+    val t = new SnapshotTable(spark, table)
+    assert(t.read().schema.fieldNames.toSeq == Seq("doc_id"))
+    assert(run("delete", "where" -> "doc_id = 3")
+      .contains("deleted into version"))
+    assert(t.read().count() == 9)
+    assert(run("detail").contains("rows=9"))
+  }
+
   test("aggRefresh maintains a CDC rollup state table through the CLI") {
     val dir = java.nio.file.Files.createTempDirectory("snapagg").toString
     val table = s"$dir/tbl"; val state = s"$dir/state"

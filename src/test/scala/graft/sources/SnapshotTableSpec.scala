@@ -1272,6 +1272,69 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("column mapping: renameColumn keeps old files' values; pruning, deletes, merge and diff follow") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((101L to 200L).toDF("id").coalesce(1), Seq("id"))
+    val preRename = t.currentVersion
+    // metadata-only rename: no data file touched
+    val filesBefore = t.files()
+    val v = t.renameColumn("id", "doc_id")
+    assert(v > 0 && t.files() == filesBefore)
+    // old files read their values under the NEW name
+    assert(t.read().schema.fieldNames.toSeq == Seq("doc_id"))
+    assert(t.read().agg(sum("doc_id")).as[Long].collect().head ==
+      (1L to 200L).sum)
+    // time travel below the rename still reads the OLD name
+    assert(t.read(Some(preRename)).schema.fieldNames.toSeq == Seq("id"))
+    // stat pruning by the new name still prunes pre-rename files
+    assert(t.prunedFiles("doc_id", 150L, 160L).size == 1)
+    // post-rename appends interleave with pre-rename files
+    t.appendWithStats((201L to 300L).toDF("doc_id").coalesce(1), Seq("doc_id"))
+    assert(t.read().agg(sum("doc_id")).as[Long].collect().head ==
+      (1L to 300L).sum)
+    assert(t.prunedFiles("doc_id", 250L, 260L).size == 1)
+    // drop+add is STILL refused; adding a column named like the
+    // reserved physical name is refused too
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq(1L).toDF("doc_id2"))
+    }
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq((5000L, 1L)).toDF("doc_id", "id"))
+    }
+    // both delete flavors under the logical name
+    t.deleteWhere(col("doc_id") === 5L)
+    t.deleteWhereMoR(col("doc_id") === 105L)
+    assert(t.read().count() == 298)
+    // merge with a PLAIN source frame must not lose the mapping
+    t.merge(Seq(105L, 301L).toDF("doc_id"), Seq("doc_id"))
+    assert(t.read().count() == 300)
+    assert(t.read().filter(col("doc_id") === 1L).count() == 1,
+      "pre-rename file lost its values after merge")
+    // cold reader (checkpoint + tail) sees the mapping
+    val t2 = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    assert(t2.read().agg(sum("doc_id")).as[Long].collect().head ==
+      (1L to 300L).sum - 5L + 301L)
+    // CDC across the rename emits logical names
+    val d = t2.diff(preRename, t2.currentVersion)
+    assert(d.schema.fieldNames.contains("doc_id"))
+    // compact materializes under the mapping and keeps values
+    t2.compact(coalesceTo = 1, statCols = Seq("doc_id"))
+    assert(t2.read().filter(col("doc_id") <= 3L).count() == 3)
+    // rename to an existing name refused; unknown column refused
+    intercept[IllegalArgumentException] { t2.renameColumn("nope", "x") }
+    // rename BACK to the physical name dissolves the mapping
+    val t3dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t3 = new SnapshotTable(spark, t3dir)
+    t3.append(Seq(1L).toDF("a"))
+    t3.renameColumn("a", "b")
+    t3.renameColumn("b", "a")
+    assert(t3.schemaAt(None).get.fields.head.metadata
+      .contains(SnapshotTable.PhysicalNameKey) == false)
+    assert(t3.read().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("manifest row counts: MoR full-file check and detail().num_rows are metadata-only; legacy falls back") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir, checkpointInterval = 3)

@@ -76,6 +76,28 @@ object Bench {
     * never down — a fast box must still beat the committed floor),
     * so a slower host regime stops false-flagging and a genuine plan
     * regression still trips. */
+  /** Above this probe-normalization factor the artifact must say so:
+    * the gate can absorb up to 4× on a slow host, and a probe-washed
+    * pass silently reading like a quiet-box pass is exactly the
+    * honesty hole the `_probe_scaled` marker closes. */
+  private[graft] val ProbeScaleWarnAt = 1.5
+
+  /** The `"regressions"` JSON object: per-query `[tripped, floor]`
+    * pairs, plus — whenever the probe normalization exceeded
+    * [[ProbeScaleWarnAt]] — a `_probe_scaled` entry
+    * `[gate_scale, warn_threshold]`, so a judge reading the artifact
+    * can never mistake a probe-normalized pass for a quiet-box pass
+    * even when the per-query set is empty. */
+  private[graft] def regressionsJson(regs: Seq[(String, Double, Double)],
+      probeRatio: Double): String = {
+    val base = regs.map { case (n, b, f) => f""""$n":[$b%.3f,$f%.3f]""" }
+    val marker =
+      if (probeRatio > ProbeScaleWarnAt)
+        Seq(f""""_probe_scaled":[$probeRatio%.2f,$ProbeScaleWarnAt%.1f]""")
+      else Nil
+    (marker ++ base).mkString("{", ",", "}")
+  }
+
   private[graft] def regimeProbe(): Double = {
     val threads = math.min(8, Runtime.getRuntime.availableProcessors())
     val perThread = 1 << 22 // 4M longs = 32 MB/thread
@@ -254,8 +276,14 @@ object Bench {
     val regs = regressions(results, bests.toMap, floors)
     regs.foreach { case (n, b, f) =>
       System.err.println(f"[bench] REGRESSION $n: $b%.2fs vs floor $f%.2fs (best+median gate)") }
-    val regsJson = regs.map { case (n, b, f) =>
-      f""""$n":[$b%.3f,$f%.3f]""" }.mkString("{", ",", "}")
+    val regsJson = regressionsJson(regs, probeRatio)
+    if (probeRatio > ProbeScaleWarnAt)
+      System.err.println(
+        f"[bench] WARNING: regime probe scaled every gate floor by " +
+          f"x$probeRatio%.2f (host ${probeNow.getOrElse(0.0)}%.3fs vs " +
+          f"floor-env ${probeFloor.getOrElse(0.0)}%.3fs). A pass under " +
+          "this scaling is NOT a quiet-box pass — re-run on a quiet " +
+          "host before ratcheting floors or closing a regression.")
     def render(dp: Int, minShow: Double): String = {
       def f(v: Double) =
         BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble.toString

@@ -1648,7 +1648,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sizes: Seq[(String, Long)] = Nil,
       rows: Seq[(String, Long)] = Nil,
       schemaGate: Boolean = true,
-      dvs: Seq[(String, String, Long)] = Nil): Int = {
+      dvs: Seq[(String, String, Long)] = Nil,
+      scope: Option[Seq[String]] = None): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -1686,20 +1687,39 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     while (attempt < maxAttempts) {
       val head = currentVersion
       if (checkRemoves && head > checkedUpTo) {
-        // ANY interleaved remove-bearing OR keyed commit conflicts: a
-        // rewrite (merge/compact/overwrite) or a restore's re-add
-        // changed rows or RESURRECTED keys this commit's plan never
-        // saw, and an append-shaped keyed commit inserted keys it
-        // decided were absent — a plain remove-set intersection misses
-        // both the resurrection and the insert-only-merge case. Blind
-        // append-only interleaves still commute. False conflicts only
-        // cost a recompute round.
+        // Default (scope = None): ANY interleaved remove-bearing OR
+        // keyed commit conflicts — a rewrite (merge/compact/overwrite)
+        // or a restore's re-add changed rows or RESURRECTED keys this
+        // commit's plan never saw, and an append-shaped keyed commit
+        // inserted keys it decided were absent (merge needs both).
+        // Blind append-only interleaves still commute.
+        //
+        // FILE-LOCAL verbs (MoR delete, materialize, compactSmall,
+        // CoW delete) pass their affected-file set as `scope`: only an
+        // interleaved commit that REMOVED or DV-RE-POINTED one of
+        // those files invalidates the plan — the Delta file-level
+        // conflict rule. A concurrent insert-only merge adds rows the
+        // delete's snapshot never covered (write-serializable
+        // semantics), and rewrites of DISJOINT files commute, so
+        // neither serializes against it: N writers deleting in N
+        // partitions proceed conflict-free instead of livelocking on
+        // a coarse keyed-marker check. (A restore re-adding a scoped
+        // file implies an in-range remove of it — caught transitively.)
         val clash = (checkedUpTo + 1 to head).flatMap { v =>
           val raw = readManifestRaw(v)
           val rem = decode(raw)._2
-          if (rem.nonEmpty) Some((v, s"removed ${rem.head}"))
-          else if (keyedOf(raw)) Some((v, "keyed append"))
-          else None
+          val hit = scope match {
+            case Some(sc) =>
+              val scSet = sc.toSet
+              rem.find(scSet.contains).map(f => s"removed $f")
+                .orElse(dvsOf(raw).map(_._1).find(scSet.contains)
+                  .map(f => s"re-pointed DV of $f"))
+            case None =>
+              if (rem.nonEmpty) Some(s"removed ${rem.head}")
+              else if (keyedOf(raw)) Some("keyed append")
+              else None
+          }
+          hit.map(m => (v, m))
         }
         if (clash.nonEmpty) {
           fs.delete(tmp, false)
@@ -1989,7 +2009,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * the table is NOT clustered by: min/max bounds keep every file
     * when a key is scattered across all of them; a bloom answers per
     * file regardless of layout (fpp false-positive files remain —
-    * the row filter still applies downstream). */
+    * the row filter still applies downstream).
+    *
+    * MoR-delete contract (pinned by spec): bloom sidecars are built
+    * from a file's PHYSICAL rows and standard blooms cannot subtract,
+    * so after [[deleteWhereMoR]] a tombstoned key still advertises —
+    * the lookup scans its file and the DV anti-join returns zero rows
+    * (correct, just unpruned: one extra file per deleted key, bounded
+    * by the DV debt `detail()` reports). Any rewrite of the file
+    * ([[materializeDeletes]], [[compact]], CoW delete) rebuilds its
+    * bloom from surviving rows and restores the prune. Probe-time
+    * subtraction was REJECTED: it would read the DV sidecar per
+    * probed file on every lookup, charging the MoR tax to reads that
+    * never touched a deleted key. */
   def prunedFilesBloom(colName: String, value: String,
       version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion)
@@ -2293,7 +2325,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             commit(staged, affected, stats = stats, base = base,
               keyed = true, schema = Some(rows.schema.json),
               sstats = sstats, blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1))
+              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
           }
         }
       }
@@ -2464,7 +2496,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(survivors.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1))
+              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
           }
         }
       }
@@ -2613,7 +2645,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           }
           if (changed.isEmpty) 0
           else commit(Nil, full.map(_._1), base = base, keyed = true,
-            dvs = partial)
+            dvs = partial, scope = Some(changed.map(_._1)))
         }
       }
     }
@@ -2645,7 +2677,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           commit(staged, affected, stats = stats, base = base, keyed = true,
             schema = Some(survivors.schema.json), sstats = sstats,
             blooms = blooms, sizes = sizes,
-            rows = counts.toSeq.sortBy(_._1))
+            rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
         }
       }
     }

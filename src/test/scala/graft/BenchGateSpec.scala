@@ -34,6 +34,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.regressions(medians, bests, floors) == Seq(("a", 2.6, 1.0)))
   }
 
+  test("probe-scaled gate is never silent: _probe_scaled rides the regressions object past 1.5x") {
+    val regs = Seq(("a", 2.6, 1.0))
+    // quiet box: plain per-query pairs, no marker
+    assert(Bench.regressionsJson(regs, 1.0) == """{"a":[2.600,1.000]}""")
+    // scaled gate: marker leads the object even when nothing tripped
+    assert(Bench.regressionsJson(Nil, 2.1) ==
+      """{"_probe_scaled":[2.10,1.5]}""")
+    assert(Bench.regressionsJson(regs, 4.0) ==
+      """{"_probe_scaled":[4.00,1.5],"a":[2.600,1.000]}""")
+    // at/below the threshold: clean empty object
+    assert(Bench.regressionsJson(Nil, 1.5) == "{}")
+  }
+
   test("median backstop: most-passes degradation with one lucky pass still trips") {
     val floors = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1)
     val medians = Seq(

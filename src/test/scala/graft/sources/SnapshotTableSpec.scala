@@ -1619,6 +1619,97 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read().count() == 99)
   }
 
+  test("bloom hygiene after MoR delete: tombstoned keys stay correct-but-unpruned until materialize rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.appendWithStats((0L until 10L).toDF("id").coalesce(1),
+      statCols = Nil, bloomCols = Seq("id"))
+    t.appendWithStats((10L until 20L).toDF("id").coalesce(1),
+      statCols = Nil, bloomCols = Seq("id"))
+    assert(t.prunedFilesBloom("id", "5").size == 1)
+    t.deleteWhereMoR(col("id") === 5L)
+    // the CONTRACT: the stale bloom still advertises the deleted key —
+    // its file is scanned (no prune regression into wrong-pruning) and
+    // the DV anti-join returns zero rows (correctness)
+    assert(t.prunedFilesBloom("id", "5").size == 1,
+      "pre-materialize lookup must still scan the DV-bearing file")
+    assert(t.readPrunedBloom("id", "5")
+      .filter(col("id") === 5L).count() == 0)
+    // an undeleted key in the same file is untouched
+    assert(t.readPrunedBloom("id", "6")
+      .filter(col("id") === 6L).count() == 1)
+    // materializeDeletes rebuilds the bloom from surviving rows: the
+    // deleted key now prunes to ZERO files
+    t.materializeDeletes(bloomCols = Seq("id"))
+    assert(t.prunedFilesBloom("id", "5").isEmpty,
+      "materialize must rebuild blooms without the tombstoned key")
+    assert(t.prunedFilesBloom("id", "6").size == 1)
+    assert(t.read().count() == 19)
+  }
+
+  test("stress: 4 writers mixing MoR deletes, appends, compactSmall and materialize converge with a serial control") {
+    // randomized-interleave stress of the whole MoR lifecycle under
+    // the commit-retry machinery: every writer deletes only ids IT
+    // owns (seed partition + own appends), so the final row set is
+    // interleave-independent and a serial replay of the same ops is
+    // an exact control. -Dstress.rounds=50 deepens it.
+    val rounds = sys.props.getOrElse("stress.rounds", "3").toInt
+    val writers = 4
+    def seedOf(tid: Int): Seq[Long] = (tid * 10L) until (tid * 10L + 10L)
+    def runOps(w: SnapshotTable, tid: Int): Unit =
+      (0 until rounds).foreach { i =>
+        val base = 1000L + tid * 1000L + i * 10L
+        w.append((base until base + 5L).toDF("id").coalesce(1))
+        // one seed id + one own-append id per round, both MoR
+        w.deleteWhereMoR(col("id") === (tid * 10L + (i % 10)))
+        w.deleteWhereMoR(col("id") === (base + 2L))
+        if (i % 3 == tid % 3) w.compactSmall(targetBytes = 1L << 20)
+        if (i % 4 == 2) w.materializeDeletes()
+      }
+    def expected: Set[Long] = {
+      val seed = (0 until writers).flatMap(seedOf).toSet
+      val appended = (for {
+        tid <- 0 until writers; i <- 0 until rounds
+        id <- (1000L + tid * 1000L + i * 10L) until (1000L + tid * 1000L + i * 10L + 5L)
+      } yield id).toSet
+      val deleted = (for {
+        tid <- 0 until writers; i <- 0 until rounds
+        id <- Seq(tid * 10L + (i % 10), 1000L + tid * 1000L + i * 10L + 2L)
+      } yield id).toSet
+      seed ++ appended -- deleted
+    }
+    // parallel run
+    val dir = java.nio.file.Files.createTempDirectory("snapstress").toString
+    val t0 = new SnapshotTable(spark, dir, checkpointInterval = 5)
+    (0 until writers).foreach(tid =>
+      t0.append(seedOf(tid).toDF("id").coalesce(1)))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { tid =>
+      new Thread(() => try {
+        runOps(new SnapshotTable(spark, dir, checkpointInterval = 5), tid)
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty,
+      s"writer died: ${Option(errors.peek()).map(_.toString)}")
+    // serial control: identical ops, writer-major order
+    val dirS = java.nio.file.Files.createTempDirectory("snapstress").toString
+    val ts = new SnapshotTable(spark, dirS, checkpointInterval = 5)
+    (0 until writers).foreach(tid =>
+      ts.append(seedOf(tid).toDF("id").coalesce(1)))
+    (0 until writers).foreach(tid => runOps(ts, tid))
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 5)
+    assert(ids(t.read()) == expected, "parallel run diverged from the model")
+    assert(ids(t.read()) == ids(ts.read()), "parallel diverged from serial")
+    // tombstone debt agrees with the visible rows: logical num_rows
+    // (physical minus DV tombstones) must equal the actual count
+    val d = t.detail().collect().head
+    assert(d.isNullAt(10) || d.getLong(10) == expected.size.toLong,
+      s"detail num_rows ${d.get(10)} != ${expected.size}")
+    // the log replays cleanly at the head after all the churn
+    assert(t.read().count() == expected.size.toLong)
+  }
+
   test("history: newest-first bounded commit log with tags and keyed markers") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))                       // v1: add 1 file? (2 rows may split)

@@ -18,4 +18,14 @@ object StreamBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a v1 `Sink.addBatch`: the incoming micro-batch
+    * frame is backed by an IncrementalExecution that must not be
+    * re-analyzed by a batch writer — re-wrap it as a plain batch frame
+    * over the already-planned RDD (the DeltaSink/KafkaSink shape). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -123,6 +123,66 @@ class CdfStreamSourceSpec extends SparkSuite {
     assert(contents(sink2) == Set((9L, "insert")))
   }
 
+  test("table-to-table replication: snapshot-cdf source into snapshot-table sink, exactly-once across restart") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append(Seq(1L, 2L).toDF("id"))
+    val sinkDir = tmp("cdfsink")
+    val ckpt = tmp("cdfq")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("snapshot-cdf").load(srcDir)
+        .writeStream.format("snapshot-table")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    replicate()
+    val sink = new SnapshotTable(spark, sinkDir)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert")))
+    // source moves on while the pipeline is down; restart resumes and
+    // the batch tags dedup any redelivery
+    src.append(Seq(3L).toDF("id"))
+    src.deleteWhereMoR(col("id") === 1L)
+    replicate()
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (3L, "insert"), (1L, "delete")))
+    // an idle restart commits nothing (no empty-batch churn)
+    val vBefore = sink.currentVersion
+    replicate()
+    assert(sink.currentVersion == vBefore)
+  }
+
+  test("snapshot-table sink refuses partitionBy and non-append modes; stats options build a prunable table") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append((1L to 100L).toDF("id"))
+    val sinkDir = tmp("cdfsink")
+    val q = spark.readStream.format("snapshot-cdf").load(srcDir)
+      .writeStream.format("snapshot-table")
+      .option("path", sinkDir)
+      .option("statCols", "id")
+      .option("checkpointLocation", tmp("cdfq"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = new SnapshotTable(spark, sinkDir)
+    assert(sink.read().count() == 100)
+    // the sink recorded per-file stats: a range prune works on arrival
+    assert(sink.prunedFiles("id", 1L, 1L).size < sink.files().size ||
+      sink.files().size == 1)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("snapshot-cdf").load(srcDir)
+        .writeStream.format("snapshot-table")
+        .option("path", tmp("x"))
+        .partitionBy("id")
+        .option("checkpointLocation", tmp("q"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   test("an empty table refuses to start with a clean error; explicit schema overrides") {
     val srcDir = tmp("cdfsrc")
     new SnapshotTable(spark, srcDir) // table root exists, no commits

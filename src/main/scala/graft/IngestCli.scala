@@ -334,6 +334,11 @@ object IngestCli {
             val Array(oldN, newN) = req("column").split(":", 2)
             val v = t.renameColumn(oldN, newN)
             println(s"renamed $oldN -> $newN at v$v (no data rewritten)")
+          case "drop" =>
+            // metadata-only column drop: the physical name stays
+            // reserved until an overwrite retires the on-disk data
+            val v = t.dropColumn(req("column"))
+            println(s"dropped ${req("column")} at v$v (no data rewritten)")
           case "detail" =>
             // one-row DESCRIBE DETAIL summary
             val r = t.detail().collect().head

@@ -1534,6 +1534,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               "the on-disk name reserved); pick another name or " +
               "materialize the rename by rewriting the table")
         }
+        // a DROPPED column's physical name is retired the same way:
+        // live files still store its old values, which a same-named
+        // add would silently read back
+        val retired = state.props.get(SnapshotTable.RetiredPhysicalProp)
+          .map(_.split(",").toSet).getOrElse(Set.empty)
+        added.find(f => retired.contains(f.name.toLowerCase)).foreach { f =>
+          throw new SnapshotTable.SchemaEvolutionViolation(
+            s"write to $root rejected: new column ${f.name} was " +
+              "DROPPED from this table and old files still store its " +
+              "values on disk — re-adding the name would leak them " +
+              "back. Pick another name, or overwrite() the table to " +
+              "retire the data")
+        }
         // union: prior order first (shared fields take the writer's
         // field, INHERITING the prior's physical mapping so a rename
         // survives later appends), then the writer's new columns
@@ -1620,6 +1633,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"renameColumn: '$newName' is the PHYSICAL name of column " +
             s"'${f.name}' (reserved by a prior rename)")
       }
+      require(!state.props.get(SnapshotTable.RetiredPhysicalProp)
+        .exists(_.split(",").contains(newName.toLowerCase)),
+        s"renameColumn: '$newName' was dropped from $root and old " +
+          "files still store its values — pick another name or " +
+          "overwrite() to retire the data")
       val f = st.fields(idx)
       val phys = SnapshotTable.physicalName(f)
       // renaming BACK to the physical name dissolves the mapping
@@ -1635,6 +1653,39 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val ns = StructType(st.fields.updated(idx, newField))
       commit(Nil, Nil, base = base, keyed = true,
         schema = Some(ns.json), schemaGate = false)
+    }
+
+  /** Drop a column IN PLACE — metadata-only, the other half of column
+    * mapping: one keyed commit records the schema WITHOUT the field.
+    * No data file is touched; live files that still store the column
+    * simply stop projecting it (reads scan only the recorded fields),
+    * and time travel below the drop still reads it. The column's
+    * physical name joins [[SnapshotTable.RetiredPhysicalProp]]: a
+    * later append adding a column under that name is REFUSED — old
+    * files still hold the dropped values on disk and would leak them
+    * back — until a whole-table rewrite ([[overwrite]]) retires the
+    * data. Returns the committed version. */
+  def dropColumn(name: String): Int =
+    retryingOnConflict("dropColumn") {
+      import org.apache.spark.sql.types.StructType
+      val base = currentVersion
+      val state = replayStateFull(base)
+      val st = state.schema.map(parseSchema).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropColumn: $root has no recorded schema yet"))
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"dropColumn: no column '$name' in $root " +
+        s"(have ${st.fieldNames.mkString(", ")})")
+      require(st.fields.length > 1,
+        s"dropColumn: cannot drop the only column of $root")
+      val phys = SnapshotTable.physicalName(st.fields(idx)).toLowerCase
+      val retired = state.props.get(SnapshotTable.RetiredPhysicalProp)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      val ns = StructType(st.fields.patch(idx, Nil, 1))
+      commit(Nil, Nil, base = base, keyed = true, schema = Some(ns.json),
+        schemaGate = false,
+        props = Seq(SnapshotTable.RetiredPhysicalProp ->
+          Some((retired :+ phys).distinct.sorted.mkString(","))))
     }
 
   private def commit(add: Seq[String], remove: Seq[String],
@@ -2228,7 +2279,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
         schema = Some(df.schema.json), sizes = sizes, schemaGate = false,
-        rows = counts.toSeq.sortBy(_._1))
+        rows = counts.toSeq.sortBy(_._1),
+        // replace-everything retires dropped columns' on-disk data,
+        // so their names come off the reservation list
+        props = Seq(SnapshotTable.RetiredPhysicalProp -> None))
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -3385,6 +3439,15 @@ object SnapshotTable {
   /** Table property opting in to drop+add (rename-shaped) schema
     * changes on append-shaped writes; see `resolveSchema`. */
   val AcceptDropAddProp: String = "schema.acceptDropAdd"
+
+  /** Table property holding the comma-joined, lowercase PHYSICAL
+    * names of DROPPED columns (see `dropColumn`): live files may still
+    * store those columns on disk, so re-adding a column under such a
+    * name would silently read the dropped column's old values back —
+    * refused until a rewrite retires the data (Delta's name-mode
+    * column mapping has the same reservation; id mode is what lifts
+    * it). */
+  val RetiredPhysicalProp: String = "schema.retiredPhysical"
 
   /** StructField metadata key carrying a column's PHYSICAL name — the
     * name data files actually store — when it differs from the

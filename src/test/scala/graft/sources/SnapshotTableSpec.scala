@@ -1335,6 +1335,49 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t3.read().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("column mapping: dropColumn is metadata-only, retires the physical name, and overwrite lifts the reservation") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val preDrop = t.currentVersion
+    val filesBefore = t.files()
+    t.dropColumn("v")
+    assert(t.files() == filesBefore, "drop must not touch data files")
+    assert(t.read().schema.fieldNames.toSeq == Seq("id"))
+    assert(t.read().count() == 2)
+    // time travel below the drop still reads the column
+    assert(t.read(Some(preDrop)).schema.fieldNames.toSeq == Seq("id", "v"))
+    // re-adding the dropped name is refused: old files still store it
+    val e = intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq((3L, "NEW")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    // renaming another column ONTO the retired name is refused too
+    intercept[IllegalArgumentException] { t.renameColumn("id", "v") }
+    // appends without the dropped column proceed
+    t.append(Seq(3L).toDF("id"))
+    assert(t.read().count() == 3)
+    // dropping a RENAMED column retires its PHYSICAL name
+    val dir2 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t2 = new SnapshotTable(spark, dir2)
+    t2.append(Seq((1L, "x")).toDF("id", "v").coalesce(1))
+    t2.renameColumn("v", "w")
+    t2.dropColumn("w")
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t2.append(Seq((2L, "y")).toDF("id", "v"))
+    }
+    // overwrite retires the on-disk data and lifts the reservation
+    t2.overwrite(Seq(9L).toDF("id"))
+    t2.append(Seq((10L, "fresh")).toDF("id", "v"))
+    assert(t2.read().schema.fieldNames.toSet == Set("id", "v"))
+    assert(t2.read().filter(col("v") === "fresh").count() == 1)
+    // the only column cannot be dropped
+    val t3 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snaptab").toString)
+    t3.append(Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] { t3.dropColumn("id") }
+  }
+
   test("manifest row counts: MoR full-file check and detail().num_rows are metadata-only; legacy falls back") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir, checkpointInterval = 3)

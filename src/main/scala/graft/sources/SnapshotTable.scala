@@ -736,8 +736,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // those keys to the CURRENT logical name so pruning by the new
     // name keeps working across the rename (a key already present
     // under the logical name — a post-rename file — wins untouched)
-    val physToLogical: Map[String, String] = schema.map(parseSchema)
-      .filter(hasMapping)
+    val physToLogical: Map[String, String] = schema
+      .filter(_.contains(SnapshotTable.PhysicalNameKey)) // cheap guard
+      .map(parseSchema).filter(hasMapping)
       .map(_.fields.collect {
         case f if SnapshotTable.physicalName(f) != f.name =>
           SnapshotTable.physicalName(f).toLowerCase -> f.name
@@ -1030,6 +1031,38 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     try Some(r.getRecordCount) finally r.close()
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Footer row counts for a FILE LIST: up to
+    * [[SnapshotTable.DriverFooterReads]] files read on the driver
+    * (small commits stay job-free), beyond that one distributed pass —
+    * a 100k-file adoption must not serialize 100k object-store GETs
+    * through the driver. Files whose footer fails to read are simply
+    * absent (callers fall back to a scan, never to a wrong count). */
+  private def footerRowCounts(files: Seq[String]): Map[String, Long] =
+    if (files.isEmpty) Map.empty
+    else if (files.size <= SnapshotTable.DriverFooterReads)
+      files.flatMap(f => footerRowCount(new Path(f)).map(f -> _)).toMap
+    else {
+      // conf ships as strings — the bloomSurvivors closure pattern
+      val confMap: Array[(String, String)] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val buf = Array.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+        buf.result()
+      }
+      val slices = math.min(files.size,
+        spark.sparkContext.defaultParallelism * 4)
+      spark.sparkContext.parallelize(files, slices).flatMap { f =>
+        try {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => conf.set(k, v) }
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try Iterator.single(f -> r.getRecordCount) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }.collect().toMap // bounded: one (path, long) per staged file
+    }
+
   /** Stage `df` as new immutable data files, return their paths,
     * per-file row counts and byte sizes (sizes from the staging move's
     * own FileStatus — zero extra IO; counts from each staged file's
@@ -1073,8 +1106,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // the staged files, so the whole stats surface stays logical.
     val mapped =
       if (!mapToPhysical) None
-      else replayStateFull(currentVersion).schema.map(parseSchema)
-        .filter(hasMapping)
+      else replayStateFull(currentVersion).schema
+        .filter(_.contains(SnapshotTable.PhysicalNameKey)) // cheap guard
+        .map(parseSchema).filter(hasMapping)
     val toWrite = mapped match {
       case Some(ms) =>
         val physByLogical = ms.fields
@@ -1186,6 +1220,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     var stats = List.empty[SnapshotTable.FileStat]
     var sstats = List.empty[SnapshotTable.StrStat]
     var counts = Map.empty[String, Long]
+    var needCounts = List.empty[String]
     var sizes = List.empty[(String, Long)]
     val moved = parts.map { st =>
       val dst = new Path(dataDir, s"$commitId-${st.getPath.getName}")
@@ -1198,7 +1233,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sizes ::= fin -> st.getLen
       tmpCounts.get(st.getPath.getName) match {
         case Some(n) => counts += fin -> n
-        case None => footerRowCount(dst).foreach(n => counts += fin -> n)
+        case None => needCounts ::= fin
       }
       tmpStats.filter(_._1 == st.getPath.getName).foreach {
         case (_, c, lo: String, hi: String) =>
@@ -1213,6 +1248,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       fin
     }
     fs.delete(tmp, true)
+    counts ++= footerRowCounts(needCounts.reverse)
     (moved.toSeq, stats.reverse, sstats.reverse, counts, sizes.reverse)
   }
 
@@ -1260,8 +1296,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // column-mapped table: the staged files store PHYSICAL names; the
     // caller's bloomCols are logical — scan physical, mark logical
     val physByLogical: Map[String, String] =
-      replayStateFull(currentVersion).schema.map(parseSchema)
-        .filter(hasMapping)
+      replayStateFull(currentVersion).schema
+        .filter(_.contains(SnapshotTable.PhysicalNameKey)) // cheap guard
+        .map(parseSchema).filter(hasMapping)
         .map(_.fields.map(f =>
           f.name.toLowerCase -> SnapshotTable.physicalName(f)).toMap)
         .getOrElse(Map.empty)
@@ -1429,11 +1466,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // (also keyed) conflicts instead of double-adopting; a concurrent
     // blind append still commutes (both are add-only valid data —
     // Delta's default isolation for appends)
-    // row counts from each adopted file's parquet footer: O(adopted)
-    // few-KB tail reads on a ONE-TIME adoption op — the same driver
-    // shape as the mergeSchema footer pass Spark just did above
-    val rowCounts = files.flatMap(f =>
-      footerRowCount(new Path(f)).map(f -> _))
+    // row counts from each adopted file's parquet footer — driver-side
+    // below the threshold, ONE distributed pass beyond it (a 100k-file
+    // adoption must not serialize 100k GETs through the driver)
+    val rowCounts = footerRowCounts(files).toSeq.sortBy(_._1)
     try commit(files, Nil, stats = ns.result(), sstats = ss.result(),
       schema = Some(df.schema.json), base = base, keyed = true,
       sizes = sizes, rows = rowCounts)
@@ -1572,8 +1608,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * for shared logical fields — identity when the table has no
     * column mapping or the field already carries one. */
   private def graftMapping(newJson: String): String =
-    replayStateFull(currentVersion).schema.map(parseSchema)
-      .filter(hasMapping) match {
+    replayStateFull(currentVersion).schema
+      .filter(_.contains(SnapshotTable.PhysicalNameKey)) // cheap guard
+      .map(parseSchema).filter(hasMapping) match {
       case None => newJson
       case Some(prior) =>
         import org.apache.spark.sql.types.{MetadataBuilder, StructType}
@@ -3456,6 +3493,11 @@ object SnapshotTable {
     * physical one here; reads scan under physical names and alias to
     * logical, so files written before the rename keep their values. */
   val PhysicalNameKey: String = "graft.physical"
+
+  /** Max parquet-footer reads the driver performs itself when
+    * resolving per-file row counts; larger file lists go through one
+    * distributed pass (see `footerRowCounts`). */
+  private[sources] val DriverFooterReads = 64
 
   /** The name `f`'s values are stored under in data files. */
   private[sources] def physicalName(

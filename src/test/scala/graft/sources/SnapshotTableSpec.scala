@@ -608,6 +608,37 @@ class SnapshotTableSpec extends SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("7"))
   }
 
+  test("column-mapped reads keep parquet pushdown: the logical filter reaches the scan as the physical column") {
+    val t = tmpTable()
+    t.append((1L to 100L).toDF("id"))
+    t.renameColumn("id", "doc_id")
+    val df = t.read().filter(col("doc_id") === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst rewrites the filter through the alias projection: the
+    // scan's PushedFilters must carry the PHYSICAL name — a mapped
+    // table that reads everything and filters above the scan would be
+    // the silent 100 TB regression this spec pins against
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("EqualTo(id,7)") || plan.contains("EqualTo(id, 7)"),
+      s"filter not pushed as the physical column:\n${plan.take(800)}")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("distributed footer counts: a past-threshold adoption records num_rows without driver-serial reads") {
+    val src = java.nio.file.Files.createTempDirectory("snapimp").toString
+    spark.range(0, 520).toDF("id")
+      .repartitionByRange(130, col("id"))
+      .write.mode("overwrite").parquet(src)
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.importFiles(src)
+    assert(t.files().size >= SnapshotTable.DriverFooterReads,
+      "fixture must exceed the driver-read threshold")
+    val d = t.detail().collect().head
+    assert(!d.isNullAt(10) && d.getLong(10) == 520L,
+      s"distributed footer pass must count every adopted file: $d")
+  }
+
   // ---- _last_checkpoint pointer + log retention ---------------------
 
   test("_last_checkpoint: cold reads perform ZERO log listings on a >5x-interval log") {

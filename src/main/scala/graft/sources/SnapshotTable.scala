@@ -1526,8 +1526,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * Shared columns take the NEW field (type/metadata refresh rides).
     * Whole-table reshapes ([[overwrite]], [[restore]]) skip this gate
     * — no prior file stays live, so no ambiguity exists. */
-  private def resolveSchema(newJson: String): String = {
-    val state = replayStateFull(currentVersion)
+  /** `graceAdded`: lowercase names of columns that entered the table
+    * schema AFTER this commit first resolved (a concurrent widening
+    * won the race) — the writer's frame cannot contain them, so their
+    * absence is not a DROP by this writer; they union in untouched
+    * and do not trip the drop+add gate. */
+  private def resolveSchema(newJson: String, at: Int,
+      graceAdded: Set[String] = Set.empty): String = {
+    val state = replayStateFull(at)
     state.schema match {
       case None => newJson
       case Some(priorJson) if priorJson == newJson => newJson
@@ -1538,7 +1544,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val nwByName = nw.fields.map(f => f.name.toLowerCase -> f).toMap
         val priorNames = prior.fieldNames.map(_.toLowerCase).toSet
         val dropped = prior.fieldNames.filterNot(f =>
-          nwByName.contains(f.toLowerCase))
+          nwByName.contains(f.toLowerCase) ||
+            graceAdded.contains(f.toLowerCase))
         val added = nw.fields.filterNot(f =>
           priorNames.contains(f.name.toLowerCase))
         if (dropped.nonEmpty && added.nonEmpty &&
@@ -1607,8 +1614,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
   /** Graft the CURRENT schema's physical-name mapping onto `newJson`
     * for shared logical fields — identity when the table has no
     * column mapping or the field already carries one. */
-  private def graftMapping(newJson: String): String =
-    replayStateFull(currentVersion).schema
+  private def graftMapping(newJson: String, at: Int): String =
+    replayStateFull(at).schema
       .filter(_.contains(SnapshotTable.PhysicalNameKey)) // cheap guard
       .map(parseSchema).filter(hasMapping) match {
       case None => newJson
@@ -1655,41 +1662,48 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         !newName.contains("/"),
         s"bad column name '$newName' (empty, '|' or '/')")
       val base = currentVersion
-      val state = replayStateFull(base)
-      val st = state.schema.map(parseSchema).getOrElse(
-        throw new IllegalArgumentException(
-          s"renameColumn: $root has no recorded schema yet"))
-      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
-      require(idx >= 0, s"renameColumn: no column '$oldName' in $root " +
-        s"(have ${st.fieldNames.mkString(", ")})")
-      require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
-        s"renameColumn: column '$newName' already exists in $root")
-      st.fields.zipWithIndex.foreach { case (f, i) =>
-        require(i == idx ||
-          !SnapshotTable.physicalName(f).equalsIgnoreCase(newName),
-          s"renameColumn: '$newName' is the PHYSICAL name of column " +
-            s"'${f.name}' (reserved by a prior rename)")
+      // version-parameterized so the publish loop can re-derive the
+      // renamed schema on top of an interleaved widening append
+      // instead of clobbering its new column (validation re-runs at
+      // the version actually published over)
+      def ns(at: Int): String = {
+        val state = replayStateFull(at)
+        val st = state.schema.map(parseSchema).getOrElse(
+          throw new IllegalArgumentException(
+            s"renameColumn: $root has no recorded schema yet"))
+        val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+        require(idx >= 0, s"renameColumn: no column '$oldName' in $root " +
+          s"(have ${st.fieldNames.mkString(", ")})")
+        require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
+          s"renameColumn: column '$newName' already exists in $root")
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          require(i == idx ||
+            !SnapshotTable.physicalName(f).equalsIgnoreCase(newName),
+            s"renameColumn: '$newName' is the PHYSICAL name of column " +
+              s"'${f.name}' (reserved by a prior rename)")
+        }
+        require(!state.props.get(SnapshotTable.RetiredPhysicalProp)
+          .exists(_.split(",").contains(newName.toLowerCase)),
+          s"renameColumn: '$newName' was dropped from $root and old " +
+            "files still store its values — pick another name or " +
+            "overwrite() to retire the data")
+        val f = st.fields(idx)
+        val phys = SnapshotTable.physicalName(f)
+        // renaming BACK to the physical name dissolves the mapping
+        val newField =
+          if (phys.equalsIgnoreCase(newName))
+            f.copy(name = newName, metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .remove(SnapshotTable.PhysicalNameKey).build())
+          else
+            f.copy(name = newName, metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(SnapshotTable.PhysicalNameKey, phys).build())
+        StructType(st.fields.updated(idx, newField)).json
       }
-      require(!state.props.get(SnapshotTable.RetiredPhysicalProp)
-        .exists(_.split(",").contains(newName.toLowerCase)),
-        s"renameColumn: '$newName' was dropped from $root and old " +
-          "files still store its values — pick another name or " +
-          "overwrite() to retire the data")
-      val f = st.fields(idx)
-      val phys = SnapshotTable.physicalName(f)
-      // renaming BACK to the physical name dissolves the mapping
-      val newField =
-        if (phys.equalsIgnoreCase(newName))
-          f.copy(name = newName, metadata = new MetadataBuilder()
-            .withMetadata(f.metadata)
-            .remove(SnapshotTable.PhysicalNameKey).build())
-        else
-          f.copy(name = newName, metadata = new MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(SnapshotTable.PhysicalNameKey, phys).build())
-      val ns = StructType(st.fields.updated(idx, newField))
+      ns(base) // validate eagerly: argument errors surface pre-commit
       commit(Nil, Nil, base = base, keyed = true,
-        schema = Some(ns.json), schemaGate = false)
+        schemaGate = false, schemaTransform = Some(ns _))
     }
 
   /** Drop a column IN PLACE — metadata-only, the other half of column
@@ -1706,21 +1720,25 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     retryingOnConflict("dropColumn") {
       import org.apache.spark.sql.types.StructType
       val base = currentVersion
-      val state = replayStateFull(base)
-      val st = state.schema.map(parseSchema).getOrElse(
-        throw new IllegalArgumentException(
-          s"dropColumn: $root has no recorded schema yet"))
-      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
-      require(idx >= 0, s"dropColumn: no column '$name' in $root " +
-        s"(have ${st.fieldNames.mkString(", ")})")
-      require(st.fields.length > 1,
-        s"dropColumn: cannot drop the only column of $root")
-      val phys = SnapshotTable.physicalName(st.fields(idx)).toLowerCase
-      val retired = state.props.get(SnapshotTable.RetiredPhysicalProp)
+      def info(at: Int): (String, String) = {
+        val state = replayStateFull(at)
+        val st = state.schema.map(parseSchema).getOrElse(
+          throw new IllegalArgumentException(
+            s"dropColumn: $root has no recorded schema yet"))
+        val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        require(idx >= 0, s"dropColumn: no column '$name' in $root " +
+          s"(have ${st.fieldNames.mkString(", ")})")
+        require(st.fields.length > 1,
+          s"dropColumn: cannot drop the only column of $root")
+        (StructType(st.fields.patch(idx, Nil, 1)).json,
+          SnapshotTable.physicalName(st.fields(idx)).toLowerCase)
+      }
+      val (_, phys) = info(base) // eager validation + retired name
+      val retired = replayStateFull(base).props
+        .get(SnapshotTable.RetiredPhysicalProp)
         .map(_.split(",").toSeq).getOrElse(Nil)
-      val ns = StructType(st.fields.patch(idx, Nil, 1))
-      commit(Nil, Nil, base = base, keyed = true, schema = Some(ns.json),
-        schemaGate = false,
+      commit(Nil, Nil, base = base, keyed = true,
+        schemaGate = false, schemaTransform = Some((at: Int) => info(at)._1),
         props = Seq(SnapshotTable.RetiredPhysicalProp ->
           Some((retired :+ phys).distinct.sorted.mkString(","))))
     }
@@ -1737,33 +1755,54 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       rows: Seq[(String, Long)] = Nil,
       schemaGate: Boolean = true,
       dvs: Seq[(String, String, Long)] = Nil,
-      scope: Option[Seq[String]] = None): Int = {
+      scope: Option[Seq[String]] = None,
+      schemaTransform: Option[Int => String] = None): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
     // whole-table reshapes: overwrite, restore): an append-shaped
     // commit leaves prior files live, so the schema it records decides
     // how THEIR columns read forever after. See resolveSchema.
-    val schemaRec =
-      if (schemaGate && remove.isEmpty && add.nonEmpty && schema.isDefined)
-        schema.map(resolveSchema)
-      else if (schemaGate && remove.nonEmpty && schema.isDefined)
-        // partial rewrite (merge/compact/delete/replace): UNAFFECTED
-        // files stay live, so a prior rename's physical mapping must
-        // ride into the recorded schema even when the caller's frame
-        // (a user merge source) carries no field metadata — losing it
-        // would read every pre-rename file's column as all-null
-        schema.map(graftMapping)
-      else schema
+    // `schemaAt(v)` is the schema this commit records WHEN PUBLISHING
+    // ON TOP OF version v — the publish loop below re-resolves it
+    // whenever an interleaved schema-bearing commit lands, so the
+    // schema channel is never last-writer-wins across the race window
+    // (two concurrent widening appends union BOTH columns; an append
+    // racing renameColumn/dropColumn re-unions over the new shape
+    // instead of silently clobbering it).
+    def schemaAt(v: Int, grace: Set[String] = Set.empty): Option[String] =
+      schemaTransform match {
+      case Some(f) => Some(f(v))
+      case None =>
+        if (schemaGate && remove.isEmpty && add.nonEmpty && schema.isDefined)
+          schema.map(resolveSchema(_, v, grace))
+        else if (schemaGate && remove.nonEmpty && schema.isDefined)
+          // partial rewrite (merge/compact/delete/replace): UNAFFECTED
+          // files stay live, so a prior rename's physical mapping must
+          // ride into the recorded schema even when the caller's frame
+          // (a user merge source) carries no field metadata — losing it
+          // would read every pre-rename file's column as all-null
+          schema.map(graftMapping(_, v))
+        else schema
+    }
+    // raw-schema commits (overwrite/restore/tag-only) never re-resolve
+    val schemaDynamic = schemaTransform.isDefined ||
+      (schemaGate && schema.isDefined)
+    var schemaSeen = currentVersion
+    val schemaFirst = schemaSeen
+    var schemaRec = schemaAt(schemaSeen)
     val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
-    val tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
-      schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
-      sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    var tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
+    def stage(): Unit = {
+      val out = fs.create(tmp, true)
+      try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
+        schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
+        sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    stage()
     // test seam: runs once at the exact race window (staged, not yet
     // published), then self-disarms — lets specs inject a concurrent
     // commit deterministically instead of praying a thread interleaves
@@ -1817,6 +1856,36 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               s"$root (first: ${clash.head._2}) — recompute from v$head")
         }
         checkedUpTo = head
+      }
+      if (schemaDynamic && head > schemaSeen) {
+        // an interleaved commit recorded a schema: OUR recorded schema
+        // was resolved against a stale predecessor — re-resolve on the
+        // new head and re-stage the manifest before claiming a slot
+        // (a recompute that now violates the evolution contract —
+        // e.g. the column we carry was just dropped — throws cleanly)
+        if ((schemaSeen + 1 to head).exists(v =>
+            schemaOf(readManifestRaw(v)).isDefined)) {
+          // columns the interleaved commits ADDED are not drops by
+          // this writer's frame — grace them through the gate
+          val namesAtFirst = replayStateFull(schemaFirst).schema
+            .map(parseSchema(_).fieldNames.map(_.toLowerCase).toSet)
+            .getOrElse(Set.empty)
+          val namesNow = replayStateFull(head).schema
+            .map(parseSchema(_).fieldNames.map(_.toLowerCase).toSet)
+            .getOrElse(Set.empty)
+          val re = try schemaAt(head, namesNow -- namesAtFirst) catch {
+            case scala.util.control.NonFatal(e) =>
+              fs.delete(tmp, false); throw e
+          }
+          if (re != schemaRec) {
+            schemaRec = re
+            fs.delete(tmp, false)
+            tmp = new Path(
+              s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
+            stage()
+          }
+        }
+        schemaSeen = head
       }
       val target = new Path(logDir, f"${head + 1}%08d.json")
       if (publish(tmp, target)) {

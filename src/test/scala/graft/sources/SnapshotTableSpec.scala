@@ -1366,6 +1366,57 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t3.read().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("schema channel survives the commit race: widenings union, renames are never clobbered") {
+    // widen-vs-widen: the loser re-resolves on the winner's union
+    // instead of recording a schema that silently drops the winner's
+    // column from every read
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq(1L).toDF("id"))
+    val other = new SnapshotTable(spark, dir)
+    t.raceInjector = () => { other.append(Seq((2L, "y")).toDF("id", "y")); () }
+    t.append(Seq((3L, 7L)).toDF("id", "x"))
+    assert(t.schemaAt(None).get.fieldNames.toSet == Set("id", "y", "x"),
+      "racing widenings must BOTH survive in the recorded schema")
+    assert(t.read().where(col("y") === "y").count() == 1)
+    assert(t.read().where(col("x") === 7L).count() == 1)
+    // rename racing a widening append: the rename's transform
+    // re-derives on the widened schema — the new column survives
+    val dir2 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t2 = new SnapshotTable(spark, dir2)
+    t2.append(Seq((1L, "a")).toDF("id", "v"))
+    val o2 = new SnapshotTable(spark, dir2)
+    t2.raceInjector = () => { o2.append(Seq((2L, "b", 9L)).toDF("id", "v", "extra")); () }
+    t2.renameColumn("v", "w")
+    assert(t2.schemaAt(None).get.fieldNames.toSet == Set("id", "w", "extra"),
+      "rename must land ON TOP of the racing widening")
+    assert(t2.read().where(col("w") === "a").count() == 1, "mapping intact")
+    assert(t2.read().where(col("extra") === 9L).count() == 1)
+    // narrow append racing a rename: the union keeps the renamed
+    // column AND its physical mapping
+    val dir3 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t3 = new SnapshotTable(spark, dir3)
+    t3.append(Seq((1L, "a")).toDF("id", "v"))
+    val o3 = new SnapshotTable(spark, dir3)
+    t3.raceInjector = () => { o3.renameColumn("v", "w"); () }
+    t3.append(Seq(5L).toDF("id"))
+    assert(t3.schemaAt(None).get.fieldNames.toSet == Set("id", "w"))
+    assert(t3.read().where(col("w") === "a").count() == 1,
+      "pre-rename values must survive the racing narrow append")
+    // an OLD-SHAPE writer (still carrying the pre-rename name) racing
+    // the rename degrades to a LOUD refusal, never a silent clobber
+    val dir4 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t4 = new SnapshotTable(spark, dir4)
+    t4.append(Seq((1L, "a")).toDF("id", "v"))
+    val o4 = new SnapshotTable(spark, dir4)
+    t4.raceInjector = () => { o4.renameColumn("v", "w"); () }
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t4.append(Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(t4.read().where(col("w") === "a").count() == 1,
+      "the refused commit must leave the renamed table intact")
+  }
+
   test("column mapping: dropColumn is metadata-only, retires the physical name, and overwrite lifts the reservation") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

@@ -1756,7 +1756,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       schemaGate: Boolean = true,
       dvs: Seq[(String, String, Long)] = Nil,
       scope: Option[Seq[String]] = None,
-      schemaTransform: Option[Int => String] = None): Int = {
+      schemaTransform: Option[Int => String] = None,
+      sanitizeSchema: Boolean = true): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -1770,24 +1771,29 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // (two concurrent widening appends union BOTH columns; an append
     // racing renameColumn/dropColumn re-unions over the new shape
     // instead of silently clobbering it).
+    // writer frames are LOGICAL: strip any smuggled physical mapping
+    // (restore opts out — its historical schema's mapping is this
+    // table's own and must re-record verbatim)
+    val schemaIn = if (sanitizeSchema)
+      schema.map(SnapshotTable.stripPhysical) else schema
     def schemaAt(v: Int, grace: Set[String] = Set.empty): Option[String] =
       schemaTransform match {
       case Some(f) => Some(f(v))
       case None =>
-        if (schemaGate && remove.isEmpty && add.nonEmpty && schema.isDefined)
-          schema.map(resolveSchema(_, v, grace))
-        else if (schemaGate && remove.nonEmpty && schema.isDefined)
+        if (schemaGate && remove.isEmpty && add.nonEmpty && schemaIn.isDefined)
+          schemaIn.map(resolveSchema(_, v, grace))
+        else if (schemaGate && remove.nonEmpty && schemaIn.isDefined)
           // partial rewrite (merge/compact/delete/replace): UNAFFECTED
           // files stay live, so a prior rename's physical mapping must
           // ride into the recorded schema even when the caller's frame
           // (a user merge source) carries no field metadata — losing it
           // would read every pre-rename file's column as all-null
-          schema.map(graftMapping(_, v))
-        else schema
+          schemaIn.map(graftMapping(_, v))
+        else schemaIn
     }
     // raw-schema commits (overwrite/restore/tag-only) never re-resolve
     val schemaDynamic = schemaTransform.isDefined ||
-      (schemaGate && schema.isDefined)
+      (schemaGate && schemaIn.isDefined)
     var schemaSeen = currentVersion
     val schemaFirst = schemaSeen
     var schemaRec = schemaAt(schemaSeen)
@@ -2291,7 +2297,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // rollback re-records the TARGET version's schema verbatim —
         // the rename gate would misread a schema rollback as drop+add
         commit(add, remove, base = base, keyed = true,
-          schema = stTarget.schema, schemaGate = false, dvs = dvRecs)
+          schema = stTarget.schema, schemaGate = false, dvs = dvRecs,
+          sanitizeSchema = false)
       }
     }
 
@@ -3567,6 +3574,27 @@ object SnapshotTable {
     * resolving per-file row counts; larger file lists go through one
     * distributed pass (see `footerRowCounts`). */
   private[sources] val DriverFooterReads = 64
+
+  /** Strip [[PhysicalNameKey]] from every field: a WRITER's frame is
+    * logical by definition — the key is only ever GRANTED by this
+    * table's own prior schema (resolveSchema/graftMapping re-inherit
+    * it). Without this, a frame read from a DIFFERENT mapped table
+    * (read()/diff()/a CDF stream) would smuggle that table's physical
+    * names into this one's recorded schema, and reads here would
+    * resolve a physical column its own files never stored — all-null.
+    * Cheap contains-guard: unmapped schemas return verbatim. */
+  private[graft] def stripPhysical(json: String): String =
+    if (!json.contains(PhysicalNameKey)) json
+    else {
+      import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructType}
+      val st = DataType.fromJson(json).asInstanceOf[StructType]
+      StructType(st.fields.map { f =>
+        if (f.metadata.contains(PhysicalNameKey))
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .remove(PhysicalNameKey).build())
+        else f
+      }).json
+    }
 
   /** The name `f`'s values are stored under in data files. */
   private[sources] def physicalName(

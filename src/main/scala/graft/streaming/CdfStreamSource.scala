@@ -58,8 +58,15 @@ final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegist
       .getOrElse(throw new IllegalArgumentException(
         "snapshot-cdf: table has no recorded schema yet (empty table) — " +
           "pass .schema(...) or start the stream after the first commit"))
+    // the stream's rows are LOGICAL: the source table's physical-name
+    // mapping is its own implementation detail and must not ride into
+    // downstream schemas (a snapshot-table sink sanitizes anyway;
+    // other sinks shouldn't see it at all)
+    val logical = org.apache.spark.sql.types.DataType
+      .fromJson(graft.sources.SnapshotTable.stripPhysical(base.json))
+      .asInstanceOf[StructType]
     (shortName(), StructType(
-      base.fields :+ StructField("_change", StringType, nullable = false)))
+      logical.fields :+ StructField("_change", StringType, nullable = false)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -1366,6 +1366,29 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t3.read().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("a frame read from a mapped table does not smuggle physical names into another table") {
+    val dirA = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val a = new SnapshotTable(spark, dirA)
+    a.append(Seq(1L, 2L).toDF("id"))
+    a.renameColumn("id", "doc_id")
+    // read() frames carry the mapping metadata on their attributes —
+    // appending one to a FRESH table must not record a physical name
+    // the new table's own files never stored (the all-null leak)
+    val dirB = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val b = new SnapshotTable(spark, dirB)
+    b.append(a.read())
+    assert(!b.schemaAt(None).get.fields.head.metadata
+      .contains(SnapshotTable.PhysicalNameKey),
+      "destination schema must be sanitized of the source's mapping")
+    assert(b.read().agg(sum("doc_id")).as[Long].collect().head == 3L,
+      "leaked mapping would read the destination's own files as null")
+    // the same through diff() and through overwrite()
+    val dirC = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val c = new SnapshotTable(spark, dirC)
+    c.overwrite(a.diff(0, a.currentVersion).drop("_change"))
+    assert(c.read().agg(sum("doc_id")).as[Long].collect().head == 3L)
+  }
+
   test("schema channel survives the commit race: widenings union, renames are never clobbered") {
     // widen-vs-widen: the loser re-resolves on the winner's union
     // instead of recording a schema that silently drops the winner's

@@ -183,6 +183,41 @@ class CdfStreamSourceSpec extends SparkSuite {
     }
   }
 
+  test("a rename mid-stream fails the running query; a plain restart resumes on the new schema") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfq")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    drainOnce(srcDir, ckpt, sink)
+    // the stream is down; the table renames and appends
+    src.renameColumn("id", "doc_id")
+    src.append(Seq(2L).toDF("doc_id"))
+    // a stream still pinned to the OLD schema cannot project the new
+    // frame — it fails LOUDLY (the Delta CDF schema-change contract)…
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .format("snapshot-cdf").load(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.appendIfAbsent(df, s"b$id"); ()
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // …and a plain restart (schema re-read at start, same checkpoint)
+    // resumes from the offset log and heals: pending ranges read under
+    // the CURRENT schema, so the renamed column flows
+    val sink2 = new SnapshotTable(spark, tmp("cdfsink2"))
+    drainOnce(srcDir, ckpt, sink2)
+    assert(sink2.read().select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "insert")))
+  }
+
   test("an empty table refuses to start with a clean error; explicit schema overrides") {
     val srcDir = tmp("cdfsrc")
     new SnapshotTable(spark, srcDir) // table root exists, no commits

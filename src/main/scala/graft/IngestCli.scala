@@ -334,6 +334,31 @@ object IngestCli {
             val Array(oldN, newN) = req("column").split(":", 2)
             val v = t.renameColumn(oldN, newN)
             println(s"renamed $oldN -> $newN at v$v (no data rewritten)")
+          case "update" =>
+            // copy-on-write UPDATE: --where <sql bool>
+            // --set "col=expr[;col2=expr2]" [--prune col:lo:hi]
+            // [--bloom col:value]
+            val cond = org.apache.spark.sql.functions.expr(req("where"))
+            val sets = req("set").split(";").toSeq.map { kv =>
+              val Array(c, e) = kv.split("=", 2)
+              c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+            }
+            val prune = csvOpt("prune").map { s =>
+              s.split(':') match {
+                case Array(c, lo, hi) => (c, lo.toLong, hi.toLong)
+                case _ => sys.error(s"bad --prune entry $s (want col:lo:hi)")
+              }
+            }
+            val bloom = csvOpt("bloom").map { s =>
+              s.split(':') match {
+                case Array(c, v) => (c, v)
+                case _ => sys.error(s"bad --bloom entry $s (want col:value)")
+              }
+            }
+            val v = t.updateWhere(cond, sets, prunePreds = prune,
+              bloomPreds = bloom)
+            if (v == 0) println("nothing matched; no commit")
+            else println(s"updated into version $v")
           case "drop" =>
             // metadata-only column drop: the physical name stays
             // reserved until an overwrite retires the on-disk data

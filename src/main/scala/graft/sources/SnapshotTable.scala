@@ -2669,6 +2669,83 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** Copy-on-write UPDATE: rewrite every live row matching `cond`
+    * with the `set` assignments (`column -> new-value expression`,
+    * evaluated per row; non-matching rows pass through untouched) in
+    * one keyed commit. The DML completion of [[deleteWhere]], same
+    * shape end to end: manifest-stat `prunePreds` and bloom
+    * `bloomPreds` narrow the candidates from METADATA, one
+    * column-pruned scan finds the files that actually contain a match,
+    * and ONLY those are rewritten — a point update on a 10k-file table
+    * rewrites one file. Every assignment casts back to the column's
+    * existing type, so the table schema is invariant under UPDATE
+    * (widen with an append, not an update). A rewritten file that
+    * carried a deletion vector materializes it, like every rewrite.
+    * Returns the committed version, or 0 when nothing matched. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      prunePreds: Seq[(String, Long, Long)] = Nil,
+      statCols: Seq[String] = Nil,
+      bloomPreds: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int =
+    retryingOnConflict("updateWhere") {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+      require(set.nonEmpty, "updateWhere needs at least one assignment")
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val state = replayStateFull(base)
+        var candidates = state.live.filter { f =>
+          prunePreds.forall { case (c, lo, hi) =>
+            state.stats.get((f, c)).forall { case (flo, fhi) =>
+              fhi >= lo && flo <= hi }
+          }
+        }
+        bloomPreds.foreach { case (c, v) =>
+          if (candidates.nonEmpty) {
+            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+            candidates = candidates.filter(keep.contains)
+          }
+        }
+        if (candidates.isEmpty) 0
+        else {
+          val affected = readFilesWithSource(candidates, Some(base))
+            .filter(cond).select(col("__src_file").as("__f"))
+            .distinct().collect()
+            .map(r => fs.makeQualified(new Path(r.getString(0))).toString).toSeq
+          if (affected.isEmpty) 0
+          else {
+            val before = readFiles(affected, Some(base))
+            val byName = set.map { case (c, e) => c.toLowerCase -> e }.toMap
+            require(byName.size == set.size,
+              "updateWhere: duplicate assignment target")
+            val unknown = set.map(_._1).filterNot(c =>
+              before.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+            require(unknown.isEmpty,
+              s"updateWhere: no such column(s) ${unknown.mkString(", ")} " +
+                s"(have ${before.schema.fieldNames.mkString(", ")})")
+            val hit = coalesce(cond, lit(false))
+            val rewritten = before.select(before.schema.fields.map { f =>
+              byName.get(f.name.toLowerCase) match {
+                case Some(e) =>
+                  when(hit, e.cast(f.dataType)).otherwise(col(f.name))
+                    .as(f.name)
+                case None => col(f.name)
+              }
+            }.toSeq: _*)
+            val (staged, stats, sstats, counts, sizes) =
+              stageFilesWithStats(rewritten, statCols,
+                countFiles = bloomCols.nonEmpty)
+            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+            commit(staged, affected, stats = stats, base = base, keyed = true,
+              schema = Some(rewritten.schema.json), sstats = sstats,
+              blooms = blooms, sizes = sizes,
+              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
+          }
+        }
+      }
+    }
+
   /** Merge-on-read DELETE (deletion vectors — the Delta DV shape):
     * marks every live row matching `cond` deleted WITHOUT rewriting
     * any data file. A point delete on a table of 1 GB files costs one

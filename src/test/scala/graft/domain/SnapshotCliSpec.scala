@@ -126,6 +126,13 @@ class SnapshotCliSpec extends SparkSuite {
       .contains("deleted into version"))
     assert(t.read().count() == 9)
     assert(run("detail").contains("rows=9"))
+    // copy-on-write UPDATE through the CLI, addressing the logical name
+    assert(run("update", "where" -> "doc_id = 5",
+      "set" -> "doc_id=doc_id * 100").contains("updated into version"))
+    assert(t.read().where(
+      org.apache.spark.sql.functions.col("doc_id") === 500L).count() == 1)
+    assert(run("update", "where" -> "doc_id = 12345",
+      "set" -> "doc_id=0").contains("nothing matched"))
   }
 
   test("aggRefresh maintains a CDC rollup state table through the CLI") {

@@ -1366,6 +1366,57 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t3.read().as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("updateWhere rewrites only files with matches; history, pruning, DVs and mapping all follow") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.appendWithStats(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1),
+      Seq("id"))
+    t.appendWithStats(Seq((3L, 30L), (4L, 40L)).toDF("id", "v").coalesce(1),
+      Seq("id"))
+    val filesBefore = t.files()
+    val preUpdate = t.currentVersion
+    // point update: stat pruning narrows to one candidate, one rewrite
+    val v = t.updateWhere(col("id") === 3L, Seq("v" -> (col("v") + 500L)),
+      prunePreds = Seq(("id", 3L, 3L)), statCols = Seq("id"))
+    assert(v > 0)
+    assert((filesBefore.toSet -- t.files().toSet).size == 1,
+      "exactly one file may leave the live set")
+    assert(t.read().where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(530L))
+    assert(t.read().where(col("id") =!= 3L).agg(sum("v"))
+      .as[Long].collect().head == 70L, "non-matching rows untouched")
+    // the old snapshot still reads the pre-update value
+    assert(t.read(Some(preUpdate)).where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(30L))
+    // nothing matched = no commit
+    assert(t.updateWhere(col("id") === 99L, Seq("v" -> lit(0L))) == 0)
+    // the assignment casts back to the column type: schema invariant
+    assert(t.updateWhere(col("id") === 1L,
+      Seq("v" -> lit("77"))) > 0) // string literal, long column
+    assert(t.schemaAt(None).get("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read().where(col("id") === 1L).select("v")
+      .as[Long].collect().toSeq == Seq(77L))
+    // unknown target refused
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Seq("nope" -> lit(1L)))
+    }
+    // an update THROUGH a deletion vector materializes it: the
+    // tombstoned row stays gone and the rewritten file drops its DV
+    t.deleteWhereMoR(col("id") === 2L)
+    assert(t.updateWhere(col("id") === 1L, Seq("v" -> lit(111L))) > 0)
+    assert(t.read().where(col("id") === 2L).count() == 0,
+      "materialized delete must not resurrect")
+    assert(t.detail().collect().head.getInt(8) == 0, "DV retired by the rewrite")
+    // column-mapped table: assignments address the LOGICAL name
+    t.renameColumn("v", "score")
+    assert(t.updateWhere(col("id") === 4L, Seq("score" -> lit(4000L))) > 0)
+    assert(t.read().where(col("id") === 4L).select("score")
+      .as[Long].collect().toSeq == Seq(4000L))
+    assert(t.read().where(col("id") === 1L).select("score")
+      .as[Long].collect().toSeq == Seq(111L), "pre-rename values intact")
+  }
+
   test("a frame read from a mapped table does not smuggle physical names into another table") {
     val dirA = java.nio.file.Files.createTempDirectory("snaptab").toString
     val a = new SnapshotTable(spark, dirA)

@@ -355,8 +355,17 @@ object IngestCli {
                 case _ => sys.error(s"bad --bloom entry $s (want col:value)")
               }
             }
-            val v = t.updateWhere(cond, sets, prunePreds = prune,
-              bloomPreds = bloom)
+            // --mode mor = merge-on-read (tombstone old rows via
+            // deletion vectors + append updated copies, one commit,
+            // no file rewrite); default = copy-on-write rewrite
+            val v = opts.get("mode") match {
+              case Some("mor") =>
+                t.updateWhereMoR(cond, sets, prunePreds = prune,
+                  bloomPreds = bloom)
+              case _ =>
+                t.updateWhere(cond, sets, prunePreds = prune,
+                  bloomPreds = bloom)
+            }
             if (v == 0) println("nothing matched; no commit")
             else println(s"updated into version $v")
           case "drop" =>

@@ -1249,7 +1249,19 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
     fs.delete(tmp, true)
     counts ++= footerRowCounts(needCounts.reverse)
-    (moved.toSeq, stats.reverse, sstats.reverse, counts, sizes.reverse)
+    // drop ZERO-ROW parts before they become live files: a rewrite
+    // whose partition matched nothing (a point update's untouched
+    // scan partition, a delete emptying a file) must not accrete
+    // empty files the table then lists, plans and compacts forever.
+    // Only provably-empty parts go (count known and 0) — with counts
+    // disabled (legacy seam) everything stages as before.
+    val emptySet = moved.filter(f => counts.get(f).contains(0L)).toSet
+    emptySet.foreach(f => fs.delete(new Path(f), false))
+    (moved.toSeq.filterNot(emptySet),
+      stats.reverse.filterNot(s => emptySet(s.file)),
+      sstats.reverse.filterNot(s => emptySet(s.file)),
+      counts -- emptySet,
+      sizes.reverse.filterNot(s => emptySet(s._1)))
   }
 
   private def indexDir = new Path(s"$root/_index")
@@ -2795,6 +2807,109 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         }
         if (candidates.isEmpty) 0
         else {
+          val (full, partial, changedFiles) =
+            buildMorTombstones(state, candidates, cond)
+          if (changedFiles.isEmpty) 0
+          else commit(Nil, full, base = base, keyed = true,
+            dvs = partial, scope = Some(changedFiles))
+        }
+      }
+    }
+
+  /** Merge-on-read UPDATE: tombstone every live row matching `cond`
+    * via deletion vectors AND append its updated copy — no data file
+    * rewritten, ONE commit carries both sides, so readers see either
+    * the old rows or the new ones, never both and never neither. A
+    * point update on a table of 1 GB files costs a pruned scan, one
+    * small new file of updated rows, a few-hundred-byte sidecar per
+    * affected file, and one metadata commit — where [[updateWhere]]
+    * (copy-on-write) rewrites every affected file in full. The MoR
+    * trade is [[deleteWhereMoR]]'s: reads of DV-bearing files pay the
+    * anti-join until a rewrite materializes. Updated copies come from
+    * the DV-APPLIED scan (a row an earlier MoR delete tombstoned
+    * cannot resurrect as an "updated" copy); a file whose union
+    * tombstones cover every row converts to a plain remove.
+    * Assignments cast back to the column's type (schema invariant),
+    * and mapped tables address the LOGICAL name. Returns the committed
+    * version, or 0 when no live row matched. */
+  def updateWhereMoR(cond: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      prunePreds: Seq[(String, Long, Long)] = Nil,
+      bloomPreds: Seq[(String, String)] = Nil,
+      statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int =
+    retryingOnConflict("updateWhereMoR") {
+      import org.apache.spark.sql.functions.col
+      require(set.nonEmpty, "updateWhereMoR needs at least one assignment")
+      val base = currentVersion
+      if (base == 0) 0
+      else {
+        val state = replayStateFull(base)
+        var candidates = state.live.filter { f =>
+          prunePreds.forall { case (c, lo, hi) =>
+            state.stats.get((f, c)).forall { case (flo, fhi) =>
+              fhi >= lo && flo <= hi }
+          }
+        }
+        bloomPreds.foreach { case (c, v) =>
+          if (candidates.nonEmpty) {
+            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+            candidates = candidates.filter(keep.contains)
+          }
+        }
+        if (candidates.isEmpty) 0
+        else {
+          // updated copies: DV-APPLIED scan of the candidates — only
+          // live matches, with every assignment cast to the column
+          val matchedLive = applyDv(state,
+            rawReadFiles(state, candidates), candidates).filter(cond)
+          val byName = set.map { case (c, e) => c.toLowerCase -> e }.toMap
+          require(byName.size == set.size,
+            "updateWhereMoR: duplicate assignment target")
+          val unknown = set.map(_._1).filterNot(c =>
+            matchedLive.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(unknown.isEmpty,
+            s"updateWhereMoR: no such column(s) ${unknown.mkString(", ")} " +
+              s"(have ${matchedLive.schema.fieldNames.mkString(", ")})")
+          val updated = matchedLive.select(
+            matchedLive.schema.fields.map { f =>
+              byName.get(f.name.toLowerCase) match {
+                case Some(e) => e.cast(f.dataType).as(f.name)
+                case None => col(f.name)
+              }
+            }.toSeq: _*)
+          val (staged, stats, sstats, counts, sizes) =
+            stageFilesWithStats(updated, statCols,
+              countFiles = bloomCols.nonEmpty)
+          val (full, partial, changedFiles) =
+            buildMorTombstones(state, candidates, cond)
+          if (changedFiles.isEmpty) {
+            // cond matched only already-tombstoned rows (or nothing):
+            // the updated frame was empty too — drop any empty parts
+            staged.foreach(f => fs.delete(new Path(f), false))
+            0
+          } else {
+            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+            commit(staged, full, stats = stats, base = base, keyed = true,
+              schema = Some(updated.schema.json), sstats = sstats,
+              blooms = blooms, sizes = sizes,
+              rows = counts.toSeq.sortBy(_._1), dvs = partial,
+              scope = Some(changedFiles))
+          }
+        }
+      }
+    }
+
+  /** Shared MoR-tombstone builder ([[deleteWhereMoR]] /
+    * [[updateWhereMoR]]): union sidecars for rows of `candidates`
+    * matching `cond` at `state`, written on executors. Returns
+    * `(fullFileRemoves, partialDvRecords, changedFiles)` — empty
+    * `changedFiles` = no live row matched (nothing to commit). */
+  private def buildMorTombstones(state: SnapshotTable.TableState,
+      candidates: Seq[String], cond: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[(String, String, Long)], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    {
           // RAW scan (no DV application): the new sidecar must hold
           // the UNION of old and new tombstones, and cond may re-match
           // rows a prior DV already covers — union dedups them
@@ -2851,7 +2966,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             .collect() // bounded: one row per AFFECTED FILE
           val byName = candidates.map(f => new Path(f).getName -> f).toMap
           require(byName.size == candidates.size,
-            "deleteWhereMoR needs unique live file names (import guard)")
+            "MoR tombstones need unique live file names (import guard)")
           // per-file row totals: a DV that covers EVERY row of a file
           // converts to a plain manifest REMOVE — the file leaves the
           // live set instead of surviving as a 100% tombstone that
@@ -2887,12 +3002,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           val (full, partial) = changed.partition { case (f, _, n) =>
             totals.get(new Path(f).getName).contains(n)
           }
-          if (changed.isEmpty) 0
-          else commit(Nil, full.map(_._1), base = base, keyed = true,
-            dvs = partial, scope = Some(changed.map(_._1)))
-        }
-      }
+          (full.map(_._1), partial, changed.map(_._1))
     }
+  }
 
   /** Materialize merge-on-read deletes: rewrite ONLY the live files
     * carrying a deletion vector (read through the DV-applying scan, so

@@ -107,6 +107,14 @@ class SnapshotCliSpec extends SparkSuite {
         .isin(3L, 5L)).count() == 0)
     // compactSmall verb: a single already-packed file is a no-op
     assert(run("compactSmall").contains("nothing to compact"))
+    // merge-on-read UPDATE through the CLI: value moves, no rewrite of
+    // the existing file (it gains a DV; the copy lands in a new file)
+    val before = t.files().toSet
+    assert(run("update", "where" -> "id = 7", "set" -> "id=700",
+      "mode" -> "mor").contains("updated into version"))
+    assert(before.subsetOf(t.files().toSet))
+    assert(t.read().where(org.apache.spark.sql.functions.col("id") === 700L)
+      .count() == 1)
   }
 
   test("rename through the CLI is metadata-only and deletes still resolve the new name") {

@@ -1417,6 +1417,65 @@ class SnapshotTableSpec extends SparkSuite {
       .as[Long].collect().toSeq == Seq(111L), "pre-rename values intact")
   }
 
+  test("updateWhereMoR: tombstone + updated copy in one commit, no rewrite; full-file conversion; no resurrection") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, 30L), (4L, 40L)).toDF("id", "v").coalesce(1))
+    val filesBefore = t.files().toSet
+    val preUpdate = t.currentVersion
+    // point MoR update: old files stay live (tombstoned), one new file
+    val v = t.updateWhereMoR(col("id") === 3L, Seq("v" -> (col("v") + 500L)))
+    assert(v > 0)
+    assert(filesBefore.subsetOf(t.files().toSet),
+      "MoR update must not rewrite any existing file")
+    assert(t.files().size == 3, "exactly one new file of updated copies")
+    // exactly-once visibility: the new value once, the old value gone
+    assert(t.read().where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(530L))
+    assert(t.read().count() == 4)
+    // time travel still reads the pre-update value
+    assert(t.read(Some(preUpdate)).where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(30L))
+    // a second MoR update of the SAME row hits the updated COPY (new
+    // file), tombstones it there, and appends again — still exactly one
+    assert(t.updateWhereMoR(col("id") === 3L, Seq("v" -> lit(999L))) > 0)
+    assert(t.read().where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(999L))
+    assert(t.read().count() == 4)
+    // a row MoR-DELETED earlier cannot resurrect as an updated copy
+    t.deleteWhereMoR(col("id") === 2L)
+    assert(t.updateWhereMoR(col("id") <= 2L, Seq("v" -> lit(0L))) > 0)
+    assert(t.read().where(col("id") === 2L).count() == 0,
+      "tombstoned row must not resurrect through an update")
+    assert(t.read().where(col("id") === 1L).select("v")
+      .as[Long].collect().toSeq == Seq(0L))
+    // cond matching ONLY tombstoned rows = no commit
+    val vHead = t.currentVersion
+    assert(t.updateWhereMoR(col("id") === 2L, Seq("v" -> lit(7L))) == 0)
+    assert(t.currentVersion == vHead)
+    // updating EVERY row of one file converts it to a plain remove
+    val dir2 = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t2 = new SnapshotTable(spark, dir2)
+    t2.append(Seq((1L, 1L), (2L, 2L)).toDF("id", "v").coalesce(1))
+    t2.append(Seq((9L, 9L)).toDF("id", "v").coalesce(1))
+    assert(t2.updateWhereMoR(col("id") <= 2L, Seq("v" -> lit(0L))) > 0)
+    val d2 = t2.detail().collect().head
+    assert(d2.getInt(8) == 0,
+      s"fully-updated file must convert to a remove, not carry a DV: $d2")
+    assert(t2.read().count() == 3 &&
+      t2.read().agg(sum("v")).as[Long].collect().head == 9L)
+    // materialize retires the DV debt; values stay
+    t.materializeDeletes()
+    assert(t.detail().collect().head.getInt(8) == 0)
+    assert(t.read().where(col("id") === 3L).select("v")
+      .as[Long].collect().toSeq == Seq(999L))
+    assert(t.read().count() == 3)
+    // num_rows metadata agrees through the whole MoR-update churn
+    val d = t.detail().collect().head
+    assert(!d.isNullAt(10) && d.getLong(10) == 3L)
+  }
+
   test("a frame read from a mapped table does not smuggle physical names into another table") {
     val dirA = java.nio.file.Files.createTempDirectory("snaptab").toString
     val a = new SnapshotTable(spark, dirA)

@@ -1699,6 +1699,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"renameColumn: '$newName' was dropped from $root and old " +
             "files still store its values — pick another name or " +
             "overwrite() to retire the data")
+        // a CHECK constraint still written against the old name would
+        // silently stop enforcing (its column vanishes from every
+        // staged frame and evolution-tolerant validation skips it) —
+        // refuse until the constraint is dropped and re-added
+        state.props.toSeq.collect {
+          case (k, e) if k.startsWith(SnapshotTable.ConstraintPrefix) &&
+              (try constraintRefs(e).contains(oldName.toLowerCase)
+               catch { case scala.util.control.NonFatal(_) => false }) =>
+            k.stripPrefix(SnapshotTable.ConstraintPrefix)
+        } match {
+          case Nil => ()
+          case cs => throw new IllegalArgumentException(
+            s"renameColumn: CHECK constraint(s) ${cs.mkString(", ")} " +
+              s"reference '$oldName' and would silently stop enforcing " +
+              "— dropConstraint, rename, then re-add against the new name")
+        }
         val f = st.fields(idx)
         val phys = SnapshotTable.physicalName(f)
         // renaming BACK to the physical name dissolves the mapping
@@ -1742,6 +1758,18 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"(have ${st.fieldNames.mkString(", ")})")
         require(st.fields.length > 1,
           s"dropColumn: cannot drop the only column of $root")
+        state.props.toSeq.collect {
+          case (k, e) if k.startsWith(SnapshotTable.ConstraintPrefix) &&
+              (try constraintRefs(e).contains(name.toLowerCase)
+               catch { case scala.util.control.NonFatal(_) => false }) =>
+            k.stripPrefix(SnapshotTable.ConstraintPrefix)
+        } match {
+          case Nil => ()
+          case cs => throw new IllegalArgumentException(
+            s"dropColumn: CHECK constraint(s) ${cs.mkString(", ")} " +
+              s"reference '$name' and would silently stop enforcing " +
+              "— dropConstraint first")
+        }
         (StructType(st.fields.patch(idx, Nil, 1)).json,
           SnapshotTable.physicalName(st.fields(idx)).toLowerCase)
       }

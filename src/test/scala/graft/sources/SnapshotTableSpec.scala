@@ -1417,6 +1417,32 @@ class SnapshotTableSpec extends SparkSuite {
       .as[Long].collect().toSeq == Seq(111L), "pre-rename values intact")
   }
 
+  test("rename/drop of a CHECK-constrained column is refused until the constraint is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, 5L)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    // the constraint references v by its logical name: renaming or
+    // dropping v would make it silently stop enforcing (its column
+    // vanishes from every staged frame, which evolution-tolerant
+    // validation skips) — both are refused until it's dropped
+    val e1 = intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
+    assert(e1.getMessage.contains("v_pos"))
+    val e2 = intercept[IllegalArgumentException] { t.dropColumn("v") }
+    assert(e2.getMessage.contains("v_pos"))
+    // a constraint on ANOTHER column does not block
+    t.renameColumn("id", "doc_id")
+    assert(t.read().schema.fieldNames.toSet == Set("doc_id", "v"))
+    // drop the constraint, rename, re-add against the new name
+    t.dropConstraint("v_pos")
+    t.renameColumn("v", "w")
+    t.addCheckConstraint("w_pos", "w > 0")
+    intercept[SnapshotTable.ConstraintViolation] {
+      t.append(Seq((2L, -1L)).toDF("doc_id", "w"))
+    }
+    assert(t.append(Seq((2L, 9L)).toDF("doc_id", "w")) > 0)
+  }
+
   test("updateWhereMoR: tombstone + updated copy in one commit, no rewrite; full-file conversion; no resurrection") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)

@@ -331,7 +331,10 @@ object IngestCli {
           case "rename" =>
             // metadata-only column rename (column mapping): old files
             // keep their values; --column old:new
-            val Array(oldN, newN) = req("column").split(":", 2)
+            val (oldN, newN) = req("column").split(":", 2) match {
+              case Array(o, n) => (o, n)
+              case _ => sys.error("bad --column (want old:new)")
+            }
             val v = t.renameColumn(oldN, newN)
             println(s"renamed $oldN -> $newN at v$v (no data rewritten)")
           case "update" =>
@@ -340,8 +343,11 @@ object IngestCli {
             // [--bloom col:value]
             val cond = org.apache.spark.sql.functions.expr(req("where"))
             val sets = req("set").split(";").toSeq.map { kv =>
-              val Array(c, e) = kv.split("=", 2)
-              c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+              kv.split("=", 2) match {
+                case Array(c, e) =>
+                  c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+                case _ => sys.error("bad --set (want col=expr[;col2=expr2])")
+              }
             }
             val prune = csvOpt("prune").map { s =>
               s.split(':') match {

@@ -1097,6 +1097,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
         Seq[(String, Long)]) = {
+    stagingRuns += 1
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
     // column-mapped table: stage under PHYSICAL names (the Delta
@@ -1253,8 +1254,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // whose partition matched nothing (a point update's untouched
     // scan partition, a delete emptying a file) must not accrete
     // empty files the table then lists, plans and compacts forever.
-    // Only provably-empty parts go (count known and 0) — with counts
-    // disabled (legacy seam) everything stages as before.
+    // Only provably-empty parts go (count known and 0). Staging-time
+    // counts always run; the recordRowCounts seam only suppresses the
+    // manifest `rows` channel (simulating a legacy writer's manifests),
+    // so empty parts are dropped with the seam off too.
     val emptySet = moved.filter(f => counts.get(f).contains(0L)).toSet
     emptySet.foreach(f => fs.delete(new Path(f), false))
     (moved.toSeq.filterNot(emptySet),
@@ -1820,7 +1823,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       schemaTransform match {
       case Some(f) => Some(f(v))
       case None =>
-        if (schemaGate && remove.isEmpty && add.nonEmpty && schemaIn.isDefined)
+        // add MAY be empty here (zero-row staging dropped every part):
+        // the writer's frame schema must STILL resolve against the
+        // prior schema — recording it verbatim would strip a rename's
+        // physical mapping and silently narrow the table to the
+        // empty frame's columns
+        if (schemaGate && remove.isEmpty && schemaIn.isDefined)
           schemaIn.map(resolveSchema(_, v, grace))
         else if (schemaGate && remove.nonEmpty && schemaIn.isDefined)
           // partial rewrite (merge/compact/delete/replace): UNAFFECTED
@@ -2401,10 +2409,34 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
-    * batch id. `stream.writeStream.foreachBatch(table.streamingSink _)`
-    * (plus a checkpoint) is a transactional streaming table sink. */
+    * QUERY IDENTITY + batch id.
+    * `stream.writeStream.foreachBatch(table.streamingSink _)` (plus a
+    * checkpoint) is a transactional streaming table sink. Batch ids
+    * are per-checkpoint and start at 0, so the idempotence tag MUST
+    * carry the query identity too — a bare batch tag would make a
+    * second pipeline (or a fresh-checkpoint restart) writing into this
+    * table silently skip its batches 0..N as "duplicates". The
+    * identity is Spark's streaming query id (pinned in the checkpoint
+    * metadata, so same checkpoint → same id across restarts); inside
+    * `foreachBatch` it is always available. To dedup intentionally
+    * across DIFFERENT checkpoints, use [[streamingSinkAs]]. */
   def streamingSink(batch: DataFrame, batchId: Long): Unit = {
-    appendIfAbsent(batch, s"batch-$batchId")
+    appendIfAbsent(batch, SnapshotTable.streamTxnTag(
+      None, batch.sparkSession, batchId,
+      where = "streamingSink (use streamingSinkAs(appId) outside a " +
+        "streaming query)"))
+    ()
+  }
+
+  /** [[streamingSink]] with an EXPLICIT transaction-app identity —
+    * the Delta `txnAppId` shape: batches dedup on `(appId, batchId)`
+    * regardless of checkpoint, for pipelines that intentionally resume
+    * a table position under a fresh checkpoint. Two pipelines must
+    * never share an `appId` unless they replay the SAME batches. */
+  def streamingSinkAs(appId: String)(batch: DataFrame, batchId: Long): Unit = {
+    require(appId.nonEmpty, "empty txnAppId")
+    appendIfAbsent(batch, SnapshotTable.streamTxnTag(
+      Some(appId), batch.sparkSession, batchId, where = "streamingSinkAs"))
     ()
   }
 
@@ -2634,13 +2666,54 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** File-candidate narrowing shared by the DML verbs: the metadata
+    * prune tiers (long stats, string stats, bloom sidecars) applied as
+    * the CONJUNCTION of caller-passed preds and preds
+    * [[SnapshotTable.derivePreds derived]] from `cond`'s own
+    * `col <op> literal` conjuncts — `updateWhere($"id" === k)` with no
+    * manual preds scans only the stat/bloom-surviving files instead of
+    * every live file. Derivation is sound (only implied ranges), so
+    * conjoining can only shrink the candidate set, never lose a match;
+    * conditions derivation can't see through (disjunctions,
+    * non-literal operands) simply fall back to the caller's preds or
+    * the full live set. `lastDmlCandidates` records the result for
+    * the scan-counting specs. */
+  private def dmlCandidates(state: SnapshotTable.TableState,
+      cond: org.apache.spark.sql.Column,
+      prunePreds: Seq[(String, Long, Long)],
+      bloomPreds: Seq[(String, String)]): Seq[String] = {
+    val (autoLong, autoStr, autoBloom) = SnapshotTable.derivePreds(cond)
+    val pp = prunePreds ++ autoLong
+    var candidates = state.live.filter { f =>
+      pp.forall { case (c, lo, hi) =>
+        state.stats.get((f, c)).forall { case (flo, fhi) =>
+          fhi >= lo && flo <= hi }
+      } && strStatSurvives(state.sstats, f, autoStr)
+    }
+    (bloomPreds ++ autoBloom).foreach { case (c, v) =>
+      if (candidates.nonEmpty) {
+        val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+        candidates = candidates.filter(keep.contains)
+      }
+    }
+    lastDmlCandidates = candidates
+    candidates
+  }
+
+  /** Candidate set of the most recent DML verb call — a TEST SEAM for
+    * pinning that derived preds actually pruned (not part of the
+    * concurrency-safe API surface). */
+  private[sources] var lastDmlCandidates: Seq[String] = Nil
+
   /** Copy-on-write DELETE: remove every live row matching `cond` in
     * one keyed commit. Only the files that actually CONTAIN a matching
     * row are rewritten — found with one `input_file_name()` scan over
-    * the stat-pruned candidates (`prunePreds`, the manifest-stat
-    * ranges from [[prunedFilesMulti]], narrow the scan BEFORE any IO;
-    * pass the ranges implied by `cond` when the table records stats on
-    * its columns). Untouched files stay shared with older snapshots,
+    * the stat-pruned candidates: ranges and equality probes implied by
+    * `cond`'s own `col <op> literal` conjuncts are DERIVED
+    * automatically ([[SnapshotTable.derivePreds]]); `prunePreds`
+    * (the manifest-stat ranges from [[prunedFilesMulti]]) conjoin for
+    * bounds the derivation can't see (e.g. ranges implied by a UDF).
+    * Untouched files stay shared with older snapshots,
     * which still read the deleted rows — DELETE is just another
     * snapshot, vacuumable like any rewrite. Returns the committed
     * version, or 0 when nothing matched (no empty commit).
@@ -2670,18 +2743,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // ONE pinned replay feeds every prune tier (a second
         // resolution could land on a concurrent writer's version)
         val state = replayStateFull(base)
-        var candidates = state.live.filter { f =>
-          prunePreds.forall { case (c, lo, hi) =>
-            state.stats.get((f, c)).forall { case (flo, fhi) =>
-              fhi >= lo && flo <= hi }
-          }
-        }
-        bloomPreds.foreach { case (c, v) =>
-          if (candidates.nonEmpty) {
-            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
-            candidates = candidates.filter(keep.contains)
-          }
-        }
+        val candidates = dmlCandidates(state, cond, prunePreds, bloomPreds)
         if (candidates.isEmpty) 0
         else {
           // one column-pruned scan finds the files with matches (the
@@ -2735,18 +2797,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (base == 0) 0
       else {
         val state = replayStateFull(base)
-        var candidates = state.live.filter { f =>
-          prunePreds.forall { case (c, lo, hi) =>
-            state.stats.get((f, c)).forall { case (flo, fhi) =>
-              fhi >= lo && flo <= hi }
-          }
-        }
-        bloomPreds.foreach { case (c, v) =>
-          if (candidates.nonEmpty) {
-            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
-            candidates = candidates.filter(keep.contains)
-          }
-        }
+        val candidates = dmlCandidates(state, cond, prunePreds, bloomPreds)
         if (candidates.isEmpty) 0
         else {
           val affected = readFilesWithSource(candidates, Some(base))
@@ -2821,18 +2872,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (base == 0) 0
       else {
         val state = replayStateFull(base)
-        var candidates = state.live.filter { f =>
-          prunePreds.forall { case (c, lo, hi) =>
-            state.stats.get((f, c)).forall { case (flo, fhi) =>
-              fhi >= lo && flo <= hi }
-          }
-        }
-        bloomPreds.foreach { case (c, v) =>
-          if (candidates.nonEmpty) {
-            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
-            candidates = candidates.filter(keep.contains)
-          }
-        }
+        val candidates = dmlCandidates(state, cond, prunePreds, bloomPreds)
         if (candidates.isEmpty) 0
         else {
           val (full, partial, changedFiles) =
@@ -2873,50 +2913,39 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (base == 0) 0
       else {
         val state = replayStateFull(base)
-        var candidates = state.live.filter { f =>
-          prunePreds.forall { case (c, lo, hi) =>
-            state.stats.get((f, c)).forall { case (flo, fhi) =>
-              fhi >= lo && flo <= hi }
-          }
-        }
-        bloomPreds.foreach { case (c, v) =>
-          if (candidates.nonEmpty) {
-            val keep = bloomSurvivors(state.copy(live = candidates), c, v)
-            candidates = candidates.filter(keep.contains)
-          }
-        }
+        val candidates = dmlCandidates(state, cond, prunePreds, bloomPreds)
         if (candidates.isEmpty) 0
         else {
-          // updated copies: DV-APPLIED scan of the candidates — only
-          // live matches, with every assignment cast to the column
-          val matchedLive = applyDv(state,
-            rawReadFiles(state, candidates), candidates).filter(cond)
-          val byName = set.map { case (c, e) => c.toLowerCase -> e }.toMap
-          require(byName.size == set.size,
-            "updateWhereMoR: duplicate assignment target")
-          val unknown = set.map(_._1).filterNot(c =>
-            matchedLive.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-          require(unknown.isEmpty,
-            s"updateWhereMoR: no such column(s) ${unknown.mkString(", ")} " +
-              s"(have ${matchedLive.schema.fieldNames.mkString(", ")})")
-          val updated = matchedLive.select(
-            matchedLive.schema.fields.map { f =>
-              byName.get(f.name.toLowerCase) match {
-                case Some(e) => e.cast(f.dataType).as(f.name)
-                case None => col(f.name)
-              }
-            }.toSeq: _*)
-          val (staged, stats, sstats, counts, sizes) =
-            stageFilesWithStats(updated, statCols,
-              countFiles = bloomCols.nonEmpty)
+          // tombstones FIRST: a cond matching only already-tombstoned
+          // rows (or nothing) learns so here and runs ZERO write jobs —
+          // staging the updated copies before knowing would spend an
+          // empty-frame Spark job on every no-op update
           val (full, partial, changedFiles) =
             buildMorTombstones(state, candidates, cond)
-          if (changedFiles.isEmpty) {
-            // cond matched only already-tombstoned rows (or nothing):
-            // the updated frame was empty too — drop any empty parts
-            staged.foreach(f => fs.delete(new Path(f), false))
-            0
-          } else {
+          if (changedFiles.isEmpty) 0
+          else {
+            // updated copies: DV-APPLIED scan of the candidates — only
+            // live matches, with every assignment cast to the column
+            val matchedLive = applyDv(state,
+              rawReadFiles(state, candidates), candidates).filter(cond)
+            val byName = set.map { case (c, e) => c.toLowerCase -> e }.toMap
+            require(byName.size == set.size,
+              "updateWhereMoR: duplicate assignment target")
+            val unknown = set.map(_._1).filterNot(c =>
+              matchedLive.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+            require(unknown.isEmpty,
+              s"updateWhereMoR: no such column(s) ${unknown.mkString(", ")} " +
+                s"(have ${matchedLive.schema.fieldNames.mkString(", ")})")
+            val updated = matchedLive.select(
+              matchedLive.schema.fields.map { f =>
+                byName.get(f.name.toLowerCase) match {
+                  case Some(e) => e.cast(f.dataType).as(f.name)
+                  case None => col(f.name)
+                }
+              }.toSeq: _*)
+            val (staged, stats, sstats, counts, sizes) =
+              stageFilesWithStats(updated, statCols,
+                countFiles = bloomCols.nonEmpty)
             val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
             commit(staged, full, stats = stats, base = base, keyed = true,
               schema = Some(updated.schema.json), sstats = sstats,
@@ -3334,6 +3363,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * specs pin it to 0 on a count-tracked table. */
   private[graft] var morCountScans: Long = 0L
 
+  /** Diagnostic counter: staging write jobs run — specs pin that a
+    * no-op [[updateWhereMoR]] (cond matching only tombstoned rows)
+    * runs ZERO write jobs. */
+  private[graft] var stagingRuns: Long = 0L
+
   /** One-row operational summary — the DESCRIBE DETAIL shape:
     * version, live file count and total bytes, committed-tag count,
     * properties and constraints (sorted `k=v`), retention
@@ -3633,6 +3667,185 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 }
 
 object SnapshotTable {
+  /** Prune predicates DERIVED from a DML condition's own top-level
+    * `col <op> literal` conjuncts — `(longRanges, stringRanges,
+    * bloomProbes)`. At 100 TB the difference between "the user
+    * remembered to pass prunePreds" and "the engine derives them from
+    * the condition" is whether `updateWhere($"id" === k)` scans one
+    * bloom-surviving file or every live file — the whole point of the
+    * stats channel. Sound by construction: only conjuncts that MUST
+    * hold for the condition to be true contribute, each mapped to a
+    * range the matching rows' stat values provably fall in (stat
+    * casts are monotone, so integral-literal bounds survive them);
+    * disjunctions, non-literal operands and exotic literal types
+    * derive NOTHING — those conditions simply fall back to the full
+    * candidate set. Derived preds conjoin with caller-passed ones. */
+  private[graft] def derivePreds(cond: org.apache.spark.sql.Column)
+      : (Seq[(String, Long, Long)],
+         Seq[(String, Array[Byte], Option[Array[Byte]])],
+         Seq[(String, String)]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // Column-built predicates arrive UNRESOLVED (the ColumnNode
+    // converter emits UnresolvedFunction('=', …), not EqualTo) —
+    // normalize both shapes to (opName, lhs, rhs)
+    object Cmp {
+      def unapply(e: Expression): Option[(String, Expression, Expression)] =
+        e match {
+          case f: UnresolvedFunction if f.arguments.size == 2 =>
+            Some((f.nameParts.last.toLowerCase, f.arguments(0),
+              f.arguments(1)))
+          case EqualTo(a, b) => Some(("=", a, b))
+          case EqualNullSafe(a, b) => Some(("<=>", a, b))
+          case GreaterThan(a, b) => Some((">", a, b))
+          case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+          case LessThan(a, b) => Some(("<", a, b))
+          case LessThanOrEqual(a, b) => Some(("<=", a, b))
+          case _ => None
+        }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("and") &&
+            f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // exact=TRUE: the literal IS the stat-space value (integral/date),
+    // so strict bounds tighten by 1; exact=FALSE (timestamps: the stat
+    // cast floors micros to seconds) keeps the floored value on both
+    // strict and non-strict sides — wider, still sound
+    def longOf(l: Literal): Option[(Long, Boolean)] =
+      if (l.value == null) None
+      else l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some((l.value.asInstanceOf[Number].longValue, true))
+        case DateType => Some((l.value.asInstanceOf[Int].toLong, true))
+        case TimestampType | TimestampNTZType =>
+          Some((Math.floorDiv(l.value.asInstanceOf[Long], 1000000L), false))
+        case _ => None
+      }
+    // bloom sidecars hash the column CAST TO STRING: only literal
+    // types whose string form provably matches that cast participate
+    def bloomOf(l: Literal): Option[String] =
+      if (l.value == null) None
+      else l.dataType match {
+        case StringType => Some(l.value.toString)
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(l.value.asInstanceOf[Number].longValue.toString)
+        case _ => None
+      }
+    def strOf(l: Literal): Option[Array[Byte]] =
+      if (l.value == null) None
+      else l.dataType match {
+        case StringType => Some(utf8(l.value.toString))
+        case _ => None
+      }
+    val longs = Seq.newBuilder[(String, Long, Long)]
+    val strs = Seq.newBuilder[(String, Array[Byte], Option[Array[Byte]])]
+    val blooms = Seq.newBuilder[(String, String)]
+    def range(n: String, l: Literal, lo: Boolean, strict: Boolean): Unit =
+      longOf(l).foreach { case (v, exact) =>
+        val b = if (strict && exact) {
+          // strict bound on an exact literal: tighten by 1 (overflow
+          // at the extremes would wrap — derive nothing there)
+          if (lo) { if (v == Long.MaxValue) return else v + 1 }
+          else { if (v == Long.MinValue) return else v - 1 }
+        } else v
+        longs += (if (lo) (n, b, Long.MaxValue) else (n, Long.MinValue, b))
+      }
+    def strRange(n: String, l: Literal, lo: Boolean): Unit =
+      // strict vs non-strict collapse in byte-space (a strict string
+      // bound still admits the endpoint's file — sound, just wider)
+      strOf(l).foreach(b =>
+        strs += (if (lo) (n, b, None) else (n, Array.emptyByteArray, Some(b))))
+    def eq(n: String, l: Literal): Unit = {
+      longOf(l).foreach { case (v, _) => longs += ((n, v, v)) }
+      strOf(l).foreach(b => strs += ((n, b, Some(b))))
+      bloomOf(l).foreach(v => blooms += ((n, v)))
+    }
+    // flip: `lit <op> col` reads as `col <flipped-op> lit`
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other // =, <=> are symmetric
+    }
+    def handle(op: String, n: String, l: Literal): Unit = op match {
+      case "=" | "<=>" | "==" => eq(n, l)
+      case ">" =>
+        range(n, l, lo = true, strict = true); strRange(n, l, lo = true)
+      case ">=" =>
+        range(n, l, lo = true, strict = false); strRange(n, l, lo = true)
+      case "<" =>
+        range(n, l, lo = false, strict = true); strRange(n, l, lo = false)
+      case "<=" =>
+        range(n, l, lo = false, strict = false); strRange(n, l, lo = false)
+      case _ => ()
+    }
+    val condExpr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.toExpression(cond)
+    conjuncts(condExpr).foreach {
+      case Cmp(op, a, l: Literal) if nameOf(a).isDefined =>
+        handle(op, nameOf(a).get, l)
+      case Cmp(op, l: Literal, a) if nameOf(a).isDefined =>
+        handle(flip(op), nameOf(a).get, l)
+      case In(a, list) if nameOf(a).isDefined && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        // membership is a DISJUNCTION of points: the range [min, max]
+        // is the tightest single pred implied by all of them (blooms
+        // cannot express OR across probes — none derived)
+        val vs = list.map(_.asInstanceOf[Literal]).flatMap(longOf).map(_._1)
+        if (vs.size == list.size) longs += ((nameOf(a).get, vs.min, vs.max))
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("in") &&
+            f.arguments.nonEmpty && nameOf(f.arguments.head).isDefined &&
+            f.arguments.tail.nonEmpty &&
+            f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
+        val vs = f.arguments.tail.map(_.asInstanceOf[Literal])
+          .flatMap(longOf).map(_._1)
+        if (vs.size == f.arguments.tail.size)
+          longs += ((nameOf(f.arguments.head).get, vs.min, vs.max))
+      case _ => () // not a col-vs-literal conjunct: derives nothing
+    }
+    (longs.result(), strs.result(), blooms.result())
+  }
+
+  /** The SparkContext local property under which StreamExecution pins
+    * the running streaming query's id (stable across restarts of the
+    * SAME checkpoint — it lives in the checkpoint metadata). */
+  private[graft] val QueryIdKey = "sql.streaming.queryId"
+
+  /** Idempotence tag for a streaming micro-batch write:
+    * `txn-<appId>-batch-<batchId>`. The identity half is the explicit
+    * `txnAppId` when given, else the streaming query id from the
+    * session's local properties; with NEITHER available the write is
+    * REFUSED — a bare batch tag dedups across unrelated pipelines
+    * (batch ids all start at 0 per checkpoint) and silently drops
+    * their data. `where` names the caller surface for the error. */
+  private[graft] def streamTxnTag(txnAppId: Option[String],
+      spark: org.apache.spark.sql.SparkSession, batchId: Long,
+      where: String): String = {
+    val appId = txnAppId
+      .orElse(Option(spark.sparkContext.getLocalProperty(QueryIdKey)))
+      .getOrElse(throw new IllegalStateException(
+        s"$where: no txnAppId given and no streaming query id in " +
+          "scope — refusing to write with a bare batch tag, which " +
+          "would collide across pipelines (batch ids restart at 0 " +
+          "per checkpoint) and silently skip their batches as " +
+          "duplicates"))
+    s"txn-$appId-batch-$batchId"
+  }
+
   /** Per-file column range recorded in a manifest (long-castable
     * columns — ints, longs, dates, timestamps). */
   final case class FileStat(file: String, col: String, lo: Long, hi: Long)

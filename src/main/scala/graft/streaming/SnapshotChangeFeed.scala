@@ -169,12 +169,21 @@ final class SnapshotChangeFeed(spark: SparkSession, table: SnapshotTable,
         // Long arithmetic: from + Int.MaxValue overflows Int
         val to = math.min(head.toLong, from.toLong + maxVersions).toInt
         if (to <= from) return None
-        // one-time bootstrap marker, durable BEFORE the first intent:
-        // from here on, a missing cursor is a detected loss (see
-        // [[cursor]]), never a silent startAt replay
+        writeAtomic(intentPath, s"""{"from":$from,"to":$to}""")
+        // one-time bootstrap marker, durable AFTER the first intent —
+        // ordering matters: a crash between the two writes must leave
+        // bootstrap MISSING (cursor falls back to startAt and the
+        // surviving intent pins the verbatim replay — no batch was
+        // ever handed out, so the replay is safe). Marker-first had a
+        // window where bootstrap existed with neither cursor nor
+        // intent, permanently bricking a checkpoint that never
+        // delivered anything. Once the marker exists, an intent or
+        // cursor existed when it was written and the intent is only
+        // retired after the cursor is durable — so marker-present with
+        // NEITHER file really is a detected loss (see [[cursor]]),
+        // never a recoverable crash state
         if (!fs.exists(bootstrapPath))
           writeAtomic(bootstrapPath, s"""{"startAt":$startAt}""")
-        writeAtomic(intentPath, s"""{"from":$from,"to":$to}""")
         (from, to)
     }
     Some((table.diff(f, t), f, t))

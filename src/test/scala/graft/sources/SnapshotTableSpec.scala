@@ -1303,6 +1303,110 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("DML derives prune/bloom preds from cond itself; disjunctions fall back to full candidates") {
+    val t = tmpTable()
+    t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((101L to 200L).toDF("id").coalesce(1), Seq("id"))
+    t.appendWithStats((201L to 300L).toDF("id").coalesce(1), Seq("id"))
+    // point update with NO manual preds: the equality conjunct derives
+    // a (id,150,150) range — one candidate file, one rewrite
+    assert(t.updateWhere(col("id") === 150L, Seq("id" -> lit(150L)),
+      statCols = Seq("id")) > 0)
+    assert(t.lastDmlCandidates.size == 1,
+      s"derived equality must prune to 1 file, got ${t.lastDmlCandidates.size}")
+    // range conjuncts derive too (between = >= AND <=)
+    assert(t.deleteWhereMoR(col("id").between(250L, 260L)) > 0)
+    assert(t.lastDmlCandidates.size == 1)
+    // strict bounds: id > 290 keeps only the last file
+    assert(t.deleteWhere(col("id") > 290L, statCols = Seq("id")) > 0)
+    assert(t.lastDmlCandidates.size == 1)
+    // IN derives the [min,max] envelope
+    assert(t.updateWhereMoR(col("id").isin(10L, 20L),
+      Seq("id" -> lit(0L)), statCols = Seq("id")) > 0)
+    assert(t.lastDmlCandidates.size == 1)
+    // manual preds still conjoin as overrides
+    assert(t.deleteWhere(col("id") === 30L,
+      prunePreds = Seq(("id", 30L, 30L)), statCols = Seq("id")) > 0)
+    assert(t.lastDmlCandidates.size == 1)
+    // a DISJUNCTION derives nothing: all live files stay candidates
+    val liveNow = t.files().size
+    assert(t.deleteWhere(col("id") === 5L || col("id") === 205L,
+      statCols = Seq("id")) > 0)
+    assert(t.lastDmlCandidates.size == liveNow,
+      "disjunction must fall back to the full candidate set")
+    // STRING columns: derived equality prunes via sstats AND blooms
+    val t2 = tmpTable()
+    val vals = (0 until 100).map(i => f"doc${(i * 37) % 100}%04d")
+    (0 until 10).foreach { g =>
+      t2.appendWithStats(
+        vals.slice(g * 10, (g + 1) * 10).sorted.toDF("doc_id").coalesce(1),
+        Seq("doc_id"), bloomCols = Seq("doc_id"))
+    }
+    val victim = vals(55)
+    val hits = t2.prunedFilesBloom("doc_id", victim).toSet
+    assert(t2.deleteWhere(col("doc_id") === victim,
+      statCols = Seq("doc_id"), bloomCols = Seq("doc_id")) > 0)
+    assert(t2.lastDmlCandidates.toSet.subsetOf(hits),
+      "derived string equality must bloom-prune with no manual preds")
+    assert(t2.read().where(col("doc_id") === victim).count() == 0)
+    // an absent key prunes every candidate: zero IO, zero commit
+    val cur = t2.currentVersion
+    assert(t2.deleteWhere(col("doc_id") === "doc-nope") == 0)
+    assert(t2.lastDmlCandidates.size <= 1 && t2.currentVersion == cur)
+  }
+
+  test("no-op MoR update (cond matches only tombstoned rows) runs ZERO write jobs") {
+    val t = tmpTable()
+    t.append((1L to 10L).toDF("id").coalesce(1))
+    assert(t.deleteWhereMoR(col("id") === 5L) > 0)
+    val v = t.currentVersion
+    t.stagingRuns = 0
+    // cond matches only the tombstoned row: no live match → no commit,
+    // and the updated-copies staging job never runs
+    assert(t.updateWhereMoR(col("id") === 5L, Seq("id" -> lit(99L))) == 0)
+    assert(t.stagingRuns == 0,
+      s"no-op MoR update ran ${t.stagingRuns} staging job(s)")
+    assert(t.currentVersion == v)
+    // a REAL match still stages exactly once
+    assert(t.updateWhereMoR(col("id") === 6L, Seq("id" -> lit(60L))) > 0)
+    assert(t.stagingRuns == 1)
+    assert(t.read().where(col("id") === 60L).count() == 1)
+  }
+
+  test("EMPTY append (all parts zero-row) keeps the column mapping and never narrows the schema") {
+    // zero-row staging drops every part, so the commit is add=Nil —
+    // its recorded schema must STILL resolve against the prior one:
+    // recording the writer's frame verbatim would strip a rename's
+    // physical mapping (every old file then reads the column all-null)
+    // and silently narrow the table to the empty frame's columns
+    val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val t = new SnapshotTable(spark, dir)
+    t.append((1L to 10L).toDF("id").coalesce(1))
+    t.renameColumn("id", "doc_id")
+    t.append(spark.range(0).toDF("doc_id")) // empty frame → add=Nil
+    assert(t.schemaAt(None).get.fields.head.metadata
+      .contains(SnapshotTable.PhysicalNameKey),
+      "empty append erased the physical-name mapping")
+    assert(t.read().agg(sum("doc_id")).as[Long].collect().head == 55L,
+      "pre-rename file lost its values after an empty append")
+    // a NARROWER empty frame keeps the union, not the narrow shape
+    val t2 = new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("snaptab").toString)
+    t2.append(Seq((1L, "a")).toDF("id", "v"))
+    t2.append(spark.range(0).toDF("id"))
+    assert(t2.schemaAt(None).get.fieldNames.toSeq == Seq("id", "v"),
+      "empty append narrowed the recorded schema")
+    assert(t2.read().columns.toSeq == Seq("id", "v"))
+    // empty WIDENING frame still widens (union + evolution gate both
+    // run exactly as for a non-empty frame — drop+add still refused)
+    t2.append(spark.range(0)
+      .selectExpr("id", "CAST(null AS string) AS v", "id AS w"))
+    assert(t2.schemaAt(None).get.fieldNames.toSeq == Seq("id", "v", "w"))
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t2.append(spark.range(0).selectExpr("id", "id AS z"))
+    }
+  }
+
   test("column mapping: renameColumn keeps old files' values; pruning, deletes, merge and diff follow") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir, checkpointInterval = 3)

@@ -233,4 +233,69 @@ class CdfStreamSourceSpec extends SparkSuite {
       .load(srcDir)
     assert(df.schema.fieldNames.toSeq == Seq("id", "_change"))
   }
+
+  test("TWO pipelines into ONE target land every batch; a fresh checkpoint is a new identity, not a dup") {
+    // the exact case the bare batch-$id tag silently lost: both
+    // pipelines' batches start at 0, so without query identity in the
+    // tag the second pipeline's batches 0..N would read as
+    // already-committed and be skipped with no error
+    val srcA = new SnapshotTable(spark, tmp("cdfsrcA"))
+    val srcB = new SnapshotTable(spark, tmp("cdfsrcB"))
+    srcA.append(Seq(1L, 2L).toDF("id"))
+    srcB.append(Seq(10L, 20L).toDF("id"))
+    val sinkDir = tmp("cdfsink")
+    def pipe(srcDir: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("snapshot-cdf").load(srcDir)
+        .writeStream.format("snapshot-table")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckA = tmp("cdfqA")
+    pipe(srcA.root, ckA)
+    pipe(srcB.root, tmp("cdfqB")) // second query, batch ids restart at 0
+    val sink = new SnapshotTable(spark, sinkDir)
+    assert(contents(sink) == Set((1L, "insert"), (2L, "insert"),
+      (10L, "insert"), (20L, "insert")),
+      "second pipeline's batch 0 must land, not dedup against the first's")
+    // same-checkpoint restart of pipeline A still dedups redelivery
+    srcA.append(Seq(3L).toDF("id"))
+    pipe(srcA.root, ckA)
+    pipe(srcA.root, ckA) // idle restart: nothing double-applies
+    assert(sink.read().count() == 5)
+    // a FRESH checkpoint is a new query identity: its batch 0 (a full
+    // replay of srcA) lands instead of being silently skipped
+    pipe(srcA.root, tmp("cdfqA2"))
+    assert(sink.read().count() == 8,
+      "fresh-checkpoint replay must append, not vanish as a duplicate")
+    // an explicit txnAppId dedups across DIFFERENT checkpoints
+    val sink2dir = tmp("cdfsink2")
+    def pipeAs(ckpt: String): Unit = {
+      val q = spark.readStream.format("snapshot-cdf").load(srcA.root)
+        .writeStream.format("snapshot-table")
+        .option("path", sink2dir)
+        .option("txnAppId", "replicate-A")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipeAs(tmp("cdfqC"))
+    pipeAs(tmp("cdfqD")) // fresh checkpoint, SAME app id → batch 0 dedups
+    assert(new SnapshotTable(spark, sink2dir).read().count() == 3)
+  }
+
+  test("streamingSink outside a streaming query refuses loudly; streamingSinkAs works anywhere") {
+    val t = new SnapshotTable(spark, tmp("snaptab"))
+    val df = Seq(1L).toDF("id")
+    val e = intercept[IllegalStateException] { t.streamingSink(df, 0L) }
+    assert(e.getMessage.contains("txnAppId"))
+    // explicit identity path: dedups on (appId, batchId)
+    t.streamingSinkAs("job-x")(df, 0L)
+    t.streamingSinkAs("job-x")(df, 0L) // redelivery dedups
+    t.streamingSinkAs("job-y")(df, 0L) // other app's batch 0 lands
+    assert(t.read().count() == 2)
+  }
 }

@@ -151,6 +151,33 @@ class StreamingChangeFeedSpec extends SparkSuite {
     assert(contents(sink) == Set((1L, "insert")))
   }
 
+  test("a crash between intent and bootstrap-marker writes recovers (marker is written AFTER intent)") {
+    // the state a crash in the intent→marker window leaves behind:
+    // intent on disk, NO marker, NO cursor. Because the marker is
+    // written after the intent, this reads as un-bootstrapped — the
+    // cursor falls back to startAt and the surviving intent pins the
+    // verbatim replay. (Marker-first would have bricked this
+    // checkpoint with the committed-position-lost error despite no
+    // batch ever having been delivered.)
+    val src = new SnapshotTable(spark, tmp("cdfsrc"))
+    src.append(Seq(1L).toDF("id"))
+    val ckpt = tmp("cdfckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(ckpt).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$ckpt/intent"), true)
+    try out.write("""{"from":0,"to":1}""".getBytes("UTF-8"))
+    finally out.close()
+    val feed = new SnapshotChangeFeed(spark, src, ckpt)
+    val Some((df, f, t)) = feed.next()
+    assert((f, t) == ((0, 1)), "surviving intent must replay verbatim")
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    sink.appendIfAbsent(df, feed.batchTag(f, t))
+    feed.commit(t)
+    assert(contents(sink) == Set((1L, "insert")))
+    assert(feed.next().isEmpty)
+  }
+
   test("non-posix checkpoint writes are window-free: crash replay converges under forceFileContext") {
     val src = new SnapshotTable(spark, tmp("cdfsrc"))
     src.append(Seq(1L).toDF("id"))

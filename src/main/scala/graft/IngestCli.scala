@@ -206,7 +206,11 @@ object IngestCli {
             println(s"changes=${t.diff(req("fromVersion").toInt,
               req("toVersion").toInt).count()}")
           case "merge" =>
-            println("merged into version " + t.merge(
+            // --mode mor upserts via deletion vectors (no file rewrite)
+            val doMerge: (org.apache.spark.sql.DataFrame, Seq[String]) => Int =
+              if (opts.get("mode").contains("mor")) t.mergeMoR(_, _)
+              else t.merge(_, _)
+            println("merged into version " + doMerge(
               spark.read.parquet(req("from")),
               csvOpt("keys")))
           case "compact" =>

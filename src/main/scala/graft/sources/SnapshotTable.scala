@@ -1702,22 +1702,6 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"renameColumn: '$newName' was dropped from $root and old " +
             "files still store its values — pick another name or " +
             "overwrite() to retire the data")
-        // a CHECK constraint still written against the old name would
-        // silently stop enforcing (its column vanishes from every
-        // staged frame and evolution-tolerant validation skips it) —
-        // refuse until the constraint is dropped and re-added
-        state.props.toSeq.collect {
-          case (k, e) if k.startsWith(SnapshotTable.ConstraintPrefix) &&
-              (try constraintRefs(e).contains(oldName.toLowerCase)
-               catch { case scala.util.control.NonFatal(_) => false }) =>
-            k.stripPrefix(SnapshotTable.ConstraintPrefix)
-        } match {
-          case Nil => ()
-          case cs => throw new IllegalArgumentException(
-            s"renameColumn: CHECK constraint(s) ${cs.mkString(", ")} " +
-              s"reference '$oldName' and would silently stop enforcing " +
-              "— dropConstraint, rename, then re-add against the new name")
-        }
         val f = st.fields(idx)
         val phys = SnapshotTable.physicalName(f)
         // renaming BACK to the physical name dissolves the mapping
@@ -1733,9 +1717,55 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         StructType(st.fields.updated(idx, newField)).json
       }
       ns(base) // validate eagerly: argument errors surface pre-commit
+      // a CHECK constraint written against the old name would silently
+      // stop enforcing (its column vanishes from every staged frame
+      // and evolution-tolerant validation skips it). Rewrite each
+      // referencing constraint MECHANICALLY (identifier substitution,
+      // round-trip-proven) in the SAME keyed commit, so there is no
+      // version at which the constraint names a column that no longer
+      // exists; an expression the rewriter cannot prove still refuses.
+      val conRewrites: Seq[(String, Option[String])] =
+        replayStateFull(base).props.toSeq.collect {
+          case (k, e) if k.startsWith(SnapshotTable.ConstraintPrefix) &&
+              (try constraintRefs(e).contains(oldName.toLowerCase)
+               catch { case scala.util.control.NonFatal(_) => false }) =>
+            rewriteConstraintExpr(e, oldName, newName) match {
+              case Some(re) => k -> Some(re)
+              case None => throw new IllegalArgumentException(
+                s"renameColumn: CHECK constraint " +
+                  s"${k.stripPrefix(SnapshotTable.ConstraintPrefix)} " +
+                  s"($e) references '$oldName' and cannot be rewritten " +
+                  "mechanically — dropConstraint, rename, then re-add " +
+                  "against the new name")
+            }
+        }
       commit(Nil, Nil, base = base, keyed = true,
-        schemaGate = false, schemaTransform = Some(ns _))
+        schemaGate = false, schemaTransform = Some(ns _),
+        props = conRewrites)
     }
+
+  /** Substitute `oldName` identifiers with `newName` in a CHECK
+    * expression and return the regenerated SQL text — `None` when the
+    * rewrite cannot be PROVEN faithful (the regenerated text must
+    * parse back to exactly the substituted tree; anything `.sql`
+    * cannot round-trip refuses rather than silently altering what the
+    * constraint enforces). Only the head name part substitutes —
+    * `old.field` struct access follows the column, a qualified
+    * `other.old` does not exist in single-table CHECKs. */
+  private def rewriteConstraintExpr(sqlExpr: String, oldName: String,
+      newName: String): Option[String] =
+    try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val parsed = spark.sessionState.sqlParser.parseExpression(sqlExpr)
+      val rewritten = parsed.transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.head.equalsIgnoreCase(oldName) =>
+          UnresolvedAttribute(newName +: a.nameParts.tail)
+      }
+      val text = rewritten.sql
+      val back = spark.sessionState.sqlParser.parseExpression(text)
+      if (back == rewritten) Some(text) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Drop a column IN PLACE — metadata-only, the other half of column
     * mapping: one keyed commit records the schema WITHOUT the field.
@@ -2666,6 +2696,62 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Merge-on-read MERGE (upsert without rewriting a data file): live
+    * rows whose key matches a `source` row are tombstoned via deletion
+    * vectors and the ENTIRE source appends as new files — ONE commit
+    * carries both sides, so readers see the old row versions or the
+    * new, never both and never neither. Byte-identical table contents
+    * to [[merge]] on the same inputs; the difference is cost shape: a
+    * trickle upsert into a table of 1 GB files writes one small file
+    * plus a few-hundred-byte sidecar per affected file where the CoW
+    * path rewrites every affected file in full. The MoR trade is
+    * [[deleteWhereMoR]]'s: reads of DV-bearing files pay the sidecar
+    * anti-join until a rewrite ([[compact]]/[[materializeDeletes]]/a
+    * CoW verb) materializes — a file whose union tombstones cover
+    * every row converts to a plain remove. Like [[merge]] the commit
+    * is keyed and UNSCOPED (it decided keys were absent, so any
+    * interleaved remove-bearing or keyed commit must conflict), and
+    * `source` must be key-unique. `statCols`/`bloomCols` record
+    * pruning metadata for the appended source files. Returns the
+    * committed version. */
+  def mergeMoR(source: DataFrame, keyCols: Seq[String],
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0, "merge source has duplicate keys")
+    // writer frames are logical: strip any smuggled mapping before the
+    // schema channel re-inherits THIS table's own (commit() does this
+    // for the `schema` param; the schemaTransform path must match)
+    val srcJson = SnapshotTable.stripPhysical(source.schema.json)
+    retryingOnConflict("mergeMoR") {
+      val base = currentVersion
+      val state = replayStateFull(base)
+      val keys = source.select(keyCols.map(col): _*).distinct()
+      val (full, partial, _) =
+        if (state.live.isEmpty)
+          (Seq.empty[String], Seq.empty[(String, String, Long)], Nil)
+        else
+          // key membership is a SEMI-JOIN, not a literal predicate —
+          // the generalized matcher carries it into the tombstone scan
+          buildMorTombstonesBy(state, state.live,
+            _.join(keys, keyCols, "left_semi"))
+      val (staged, stats, sstats, counts, sizes) =
+        stageFilesWithStats(source, statCols, countFiles = bloomCols.nonEmpty)
+      val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+      // append-shaped schema semantics even when fully-covered files
+      // convert to removes: old files stay live in full, so the
+      // recorded schema must UNION with the prior one (the plain
+      // remove-bearing branch would record the source frame verbatim)
+      commit(staged, full, stats = stats, base = base, keyed = true,
+        schemaTransform = Some(v => resolveSchema(srcJson, v)),
+        sstats = sstats, blooms = blooms, sizes = sizes,
+        rows = counts.toSeq.sortBy(_._1), dvs = partial)
+    }
+  }
+
   /** File-candidate narrowing shared by the DML verbs: the metadata
     * prune tiers (long stats, string stats, bloom sidecars) applied as
     * the CONJUNCTION of caller-passed preds and preds
@@ -2964,18 +3050,29 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * `changedFiles` = no live row matched (nothing to commit). */
   private def buildMorTombstones(state: SnapshotTable.TableState,
       candidates: Seq[String], cond: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[(String, String, Long)], Seq[String]) =
+    buildMorTombstonesBy(state, candidates, _.filter(cond))
+
+  /** [[buildMorTombstones]] generalized to an arbitrary row `matcher`
+    * (e.g. [[mergeMoR]]'s semi-join against the source keys — key
+    * membership is not a literal predicate). The matcher receives the
+    * RAW candidate scan with `__name`/`__ridx` already materialized
+    * from the file metadata (hidden `_metadata` columns do not survive
+    * a join) and must only FILTER rows, never alter those columns. */
+  private def buildMorTombstonesBy(state: SnapshotTable.TableState,
+      candidates: Seq[String], matcher: DataFrame => DataFrame)
       : (Seq[String], Seq[(String, String, Long)], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     {
           // RAW scan (no DV application): the new sidecar must hold
-          // the UNION of old and new tombstones, and cond may re-match
-          // rows a prior DV already covers — union dedups them
-          val matched = rawReadFiles(state, candidates)
-            .filter(cond)
-            .select(
+          // the UNION of old and new tombstones, and the matcher may
+          // re-match rows a prior DV already covers — union dedups them
+          val matched = matcher(rawReadFiles(state, candidates)
+            .select(col("*"),
               element_at(split(col("_metadata.file_path"), "/"), -1)
                 .as("__name"),
-              col("_metadata.row_index").as("__ridx"))
+              col("_metadata.row_index").as("__ridx")))
+            .select(col("__name"), col("__ridx"))
           val existing = candidates.filter(state.dvs.contains)
           val all =
             if (existing.isEmpty) matched

@@ -115,6 +115,22 @@ class SnapshotCliSpec extends SparkSuite {
     assert(before.subsetOf(t.files().toSet))
     assert(t.read().where(org.apache.spark.sql.functions.col("id") === 700L)
       .count() == 1)
+    // merge-on-read MERGE through the CLI: upsert, no file rewritten
+    val upd = s"$dir/upd"
+    Seq(8L, 99L).toDF("id").coalesce(1).write.parquet(upd)
+    val before2 = t.files().toSet
+    assert(run("merge", "from" -> upd, "keys" -> "id", "mode" -> "mor")
+      .contains("merged into version"))
+    assert(before2.subsetOf(t.files().toSet),
+      "MoR merge must not rewrite any file")
+    assert(t.read().count() == 9) // 8 live + new key 99 (8 upserted)
+    // bad --set and --column give usage errors, not MatchError
+    val e = intercept[RuntimeException] { run("update",
+      "where" -> "id = 1", "set" -> "no-equals-here") }
+    assert(e.getMessage.contains("bad --set"))
+    val e2 = intercept[RuntimeException] { run("rename",
+      "column" -> "nocolon") }
+    assert(e2.getMessage.contains("bad --column"))
   }
 
   test("rename through the CLI is metadata-only and deletes still resolve the new name") {

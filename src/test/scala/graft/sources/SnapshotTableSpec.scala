@@ -213,6 +213,61 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       t.merge(Seq((2L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
     }
+    intercept[IllegalArgumentException] {
+      t.mergeMoR(Seq((2L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("mergeMoR reads byte-identical to CoW merge and rewrites NO data file") {
+    def asMap(t: SnapshotTable) = t.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def seed(): SnapshotTable = {
+      val t = tmpTable()
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1))
+      t.append(Seq((5L, "e")).toDF("id", "v").coalesce(1))
+      t
+    }
+    val src = Seq((3L, "C!"), (9L, "i")).toDF("id", "v")
+    val cow = seed(); cow.merge(src, Seq("id"))
+    val mor = seed()
+    val before = mor.files().toSet
+    assert(mor.mergeMoR(src, Seq("id")) == 4)
+    // identical contents on identical inputs
+    assert(asMap(mor) == asMap(cow))
+    assert(asMap(mor) ==
+      Map(1L -> "a", 2L -> "b", 3L -> "C!", 4L -> "d", 5L -> "e", 9L -> "i"))
+    // NO pre-merge data file was rewritten: all still live, matched
+    // rows masked by a DV sidecar, source landed as new file(s)
+    assert(before.subsetOf(mor.files().toSet),
+      "MoR merge must not rewrite or remove any pre-merge file")
+    assert((mor.files().toSet -- before).nonEmpty)
+    // pre-merge snapshot still reads the old value
+    val old = mor.read(Some(3)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(3L) == "c" && !old.contains(9L))
+    // a second upsert of the SAME key unions tombstones (no dup rows)
+    assert(mor.mergeMoR(Seq((3L, "C2")).toDF("id", "v"), Seq("id")) == 5)
+    assert(asMap(mor)(3L) == "C2" && mor.read().count() == 6)
+    // a merge that tombstones EVERY row of a file converts it to a
+    // plain remove (the file leaves the live set)
+    val t2 = tmpTable()
+    t2.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    t2.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val f2 = t2.files().toSet
+    t2.mergeMoR(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    assert((f2 -- t2.files().toSet).size == 1,
+      "fully-covered file must convert to a plain remove")
+    assert(t2.read().count() == 3)
+    // materialization purges the DVs; contents unchanged
+    val t3 = seed()
+    t3.mergeMoR(src, Seq("id"))
+    t3.materializeDeletes()
+    assert(asMap(t3) == asMap(cow))
+    // first merge into an EMPTY table is a plain keyed append
+    val t4 = tmpTable()
+    assert(t4.mergeMoR(Seq((1L, "a")).toDF("id", "v"), Seq("id")) == 1)
+    assert(t4.read().count() == 1)
   }
 
   test("manifest-stat pruning skips disjoint files and keeps stat-less ones") {
@@ -1521,30 +1576,42 @@ class SnapshotTableSpec extends SparkSuite {
       .as[Long].collect().toSeq == Seq(111L), "pre-rename values intact")
   }
 
-  test("rename/drop of a CHECK-constrained column is refused until the constraint is dropped") {
+  test("renaming a CHECK-constrained column rewrites the constraint in the same commit; drop still refuses") {
     val dir = java.nio.file.Files.createTempDirectory("snaptab").toString
     val t = new SnapshotTable(spark, dir)
     t.append(Seq((1L, 5L)).toDF("id", "v"))
     t.addCheckConstraint("v_pos", "v > 0")
-    // the constraint references v by its logical name: renaming or
-    // dropping v would make it silently stop enforcing (its column
-    // vanishes from every staged frame, which evolution-tolerant
-    // validation skips) — both are refused until it's dropped
-    val e1 = intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
-    assert(e1.getMessage.contains("v_pos"))
+    // DROP of a constrained column still refuses (no rewrite can keep
+    // a constraint on a column that no longer exists)
     val e2 = intercept[IllegalArgumentException] { t.dropColumn("v") }
     assert(e2.getMessage.contains("v_pos"))
-    // a constraint on ANOTHER column does not block
-    t.renameColumn("id", "doc_id")
-    assert(t.read().schema.fieldNames.toSet == Set("doc_id", "v"))
-    // drop the constraint, rename, re-add against the new name
-    t.dropConstraint("v_pos")
+    // RENAME rewrites the constraint mechanically in the SAME keyed
+    // commit: no version exists at which v_pos names a ghost column
     t.renameColumn("v", "w")
-    t.addCheckConstraint("w_pos", "w > 0")
+    assert(t.checkConstraints("v_pos").toLowerCase.contains("w"),
+      s"constraint must reference the new name, got ${t.checkConstraints}")
+    // …and it still ENFORCES under the new name
     intercept[SnapshotTable.ConstraintViolation] {
-      t.append(Seq((2L, -1L)).toDF("doc_id", "w"))
+      t.append(Seq((2L, -1L)).toDF("id", "w"))
     }
-    assert(t.append(Seq((2L, 9L)).toDF("doc_id", "w")) > 0)
+    assert(t.append(Seq((2L, 9L)).toDF("id", "w")) > 0)
+    // a multi-column expression rewrites only the renamed identifier
+    t.addCheckConstraint("order_ok", "id < 100 AND w > id - 100")
+    t.renameColumn("id", "doc_id")
+    val rewritten = t.checkConstraints("order_ok").toLowerCase
+    assert(rewritten.contains("doc_id") && !rewritten.matches(".*\\bid\\b.*"),
+      s"got $rewritten")
+    intercept[SnapshotTable.ConstraintViolation] {
+      t.append(Seq((500L, 9L)).toDF("doc_id", "w"))
+    }
+    assert(t.append(Seq((3L, 9L)).toDF("doc_id", "w")) > 0)
+    // a constraint on ANOTHER column does not block or change
+    assert(t.checkConstraints("v_pos").toLowerCase.contains("w"))
+    // cold reader sees the rewritten constraints
+    val cold = new SnapshotTable(spark, dir)
+    intercept[SnapshotTable.ConstraintViolation] {
+      cold.append(Seq((4L, -2L)).toDF("doc_id", "w"))
+    }
   }
 
   test("updateWhereMoR: tombstone + updated copy in one commit, no rewrite; full-file conversion; no resurrection") {

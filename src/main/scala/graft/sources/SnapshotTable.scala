@@ -992,6 +992,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * driver-side), DATE becomes days-since-epoch via `unix_date`
     * (ANSI disallows a direct date→long cast), everything else
     * long-casts. ONE definition so the paths cannot drift. */
+  /** Effective stat/bloom columns for a write: the caller's explicit
+    * list, else the table-property default ([[SnapshotTable
+    * .StatColsProp]] / [[SnapshotTable.BloomColsProp]]) filtered to
+    * the columns the frame actually carries (a defaulted column absent
+    * from an old-shape writer's frame records nothing rather than
+    * failing analysis — same tolerance as constraint enforcement). */
+  private def effCols(given: Seq[String], prop: String,
+      frame: DataFrame): Seq[String] =
+    if (given.nonEmpty) given
+    else properties().get(prop)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .filter(c => frame.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+
+  private def effStatCols(given: Seq[String], frame: DataFrame): Seq[String] =
+    effCols(given, SnapshotTable.StatColsProp, frame)
+
+  private def effBloomCols(given: Seq[String], frame: DataFrame): Seq[String] =
+    effCols(given, SnapshotTable.BloomColsProp, frame)
+
   private def statAggExpr(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.functions.{col, unix_date}
     df.schema.fields.find(_.name == c).map(_.dataType) match {
@@ -2009,22 +2029,26 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     } else !fs.exists(target) && fs.rename(tmp, target)
 
   /** Append `df` as a new snapshot; returns the committed version. */
-  def append(df: DataFrame): Int = {
-    val (staged, counts, sizes) = stageFiles(df)
-    commit(staged, Nil, schema = Some(df.schema.json), sizes = sizes,
-      rows = counts.toSeq.sortBy(_._1))
-  }
+  def append(df: DataFrame): Int =
+    // table-property stat/bloom defaults apply (appendWithStats with
+    // empty cols and no defaults set is byte-identical to the bare
+    // staging path)
+    appendWithStats(df, Nil)
 
   /** Append with per-file min/max recorded in the manifest for the
     * (long-valued) `statCols` — the Iceberg-style scan-planning stats
     * that let [[prunedFiles]] skip files from METADATA alone: at 100k
     * files, pruning from manifests is a driver-side replay, where even
-    * parquet-footer pruning is 100k reads before the first task. */
+    * parquet-footer pruning is 100k reads before the first task.
+    * Empty `statCols`/`bloomCols` fall back to the table-property
+    * defaults ([[SnapshotTable.StatColsProp]]). */
   def appendWithStats(df: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
+    val sc = effStatCols(statCols, df)
+    val bc = effBloomCols(bloomCols, df)
     val (staged, stats, sstats, counts, sizes) =
-      stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
-    val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+      stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
+    val blooms = buildBlooms(staged, bc, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
       sstats = sstats, blooms = blooms, sizes = sizes,
       rows = counts.toSeq.sortBy(_._1))
@@ -2188,7 +2212,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * so a 100k-file probe is a 100k-small-read job, not a 100 GB
     * driver download. */
   private def bloomSurvivors(state: SnapshotTable.TableState,
-      colName: String, value: String): Set[String] = {
+      colName: String, value: String): Set[String] =
+    bloomSurvivorsAny(state, colName, Seq(value))
+
+  /** Multi-value [[bloomSurvivors]]: files whose sidecar admits ANY of
+    * `values` — the IN-list probe (membership is a disjunction, so one
+    * sidecar read tests every value; a per-value intersection would be
+    * wrong and k separate passes would read each sidecar k times). */
+  private def bloomSurvivorsAny(state: SnapshotTable.TableState,
+      colName: String, values: Seq[String]): Set[String] = {
     val (withBloom, without) =
       state.live.partition(f => state.blooms.contains((f, colName)))
     if (withBloom.isEmpty) return state.live.toSet
@@ -2197,9 +2229,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         withBloom.filter { f =>
           try {
             val in = fs.open(bloomSidecarPath(f, colName))
-            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-              .mightContainString(value)
-            finally in.close()
+            try {
+              val bloom =
+                org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              values.exists(bloom.mightContainString)
+            } finally in.close()
           } catch { case scala.util.control.NonFatal(_) => true }
         }
       else {
@@ -2213,7 +2247,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // path — bloom pruning silently no-oping exactly at scale
         val idxRoot = indexDir.toString
         val cCap = colName
-        val vCap = value
+        val vCap = values.toArray
         val confMap: Array[(String, String)] = {
           val it = spark.sparkContext.hadoopConfiguration.iterator()
           val buf = Array.newBuilder[(String, String)]
@@ -2234,9 +2268,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 s"$idxRoot/${new Path(f).getName}.bloom-$cCap")
               try {
                 val in = p.getFileSystem(conf).open(p)
-                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                  .mightContainString(vCap)
-                finally in.close()
+                try {
+                  val bloom =
+                    org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                  vCap.exists(bloom.mightContainString)
+                } finally in.close()
               } catch { case scala.util.control.NonFatal(_) => true }
             }
           }.collect().toSeq
@@ -2414,25 +2450,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * guarantee); concurrent DIFFERENT-tag writers still interleave
     * safely through the optimistic version race. */
   def appendIfAbsent(df: DataFrame, tag: String): Option[Int] =
-    if (committedTags.contains(tag)) None
-    else {
-      val (staged, counts, sizes) = stageFiles(df)
-      Some(commit(staged, Nil, Some(tag),
-        schema = Some(df.schema.json), sizes = sizes,
-        rows = counts.toSeq.sortBy(_._1)))
-    }
+    appendIfAbsentWithStats(df, tag, Nil)
 
   /** [[appendIfAbsent]] + [[appendWithStats]]: idempotent tagged
     * append that also records per-file min/max for `statCols` — the
-    * exactly-once ingest commit for a PRUNABLE fact table. */
+    * exactly-once ingest commit for a PRUNABLE fact table. Empty
+    * cols fall back to the table-property defaults. */
   def appendIfAbsentWithStats(df: DataFrame, tag: String,
       statCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01): Option[Int] =
     if (committedTags.contains(tag)) None
     else {
+      val sc = effStatCols(statCols, df)
+      val bc = effBloomCols(bloomCols, df)
       val (staged, stats, sstats, counts, sizes) =
-        stageFilesWithStats(df, statCols, countFiles = bloomCols.nonEmpty)
-      val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+        stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
         schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
         sizes = sizes, rows = counts.toSeq.sortBy(_._1)))
@@ -2527,9 +2560,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           if (zorderCols.isEmpty) rows.coalesce(coalesceTo)
           else graft.operators.ZOrderLayout.layout(
             rows, zorderCols, zorderBits, coalesceTo)
+        val sc = effStatCols(statCols, laid)
+        val bc = effBloomCols(bloomCols, laid)
         val (rewritten, stats, sstats, counts, sizes) =
-          stageFilesWithStats(laid, statCols, countFiles = bloomCols.nonEmpty)
-        val blooms = buildBlooms(rewritten, bloomCols, bloomFpp, counts)
+          stageFilesWithStats(laid, sc, countFiles = bc.nonEmpty)
+        val blooms = buildBlooms(rewritten, bc, bloomFpp, counts)
         commit(rewritten, before, stats = stats, base = base,
           schema = Some(laid.schema.json), sstats = sstats, blooms = blooms,
           sizes = sizes, rows = counts.toSeq.sortBy(_._1))
@@ -2587,10 +2622,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           else {
             val affected = small.map(_._1)
             val rows = readFiles(affected, Some(base)).coalesce(n)
+            val sc = effStatCols(statCols, rows)
+            val bc = effBloomCols(bloomCols, rows)
             val (staged, stats, sstats, counts, sizes) =
-              stageFilesWithStats(rows, statCols,
-                countFiles = bloomCols.nonEmpty)
-            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+              stageFilesWithStats(rows, sc,
+                countFiles = bc.nonEmpty)
+            val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base,
               keyed = true, schema = Some(rows.schema.json),
               sstats = sstats, blooms = blooms, sizes = sizes,
@@ -2645,13 +2682,28 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * another snapshot.
     *
     * `source` must be key-unique (enforced — a dup-keyed source makes
-    * "replace" ill-defined). Returns the committed version. */
-  def merge(source: DataFrame, keyCols: Seq[String]): Int = {
+    * "replace" ill-defined). Empty `statCols`/`bloomCols` fall back to
+    * the table-property defaults, so a merge on a stats-defaulted
+    * table keeps the rewritten files prunable. Returns the version. */
+  def merge(source: DataFrame, keyCols: Seq[String],
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Int = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val dupKeys = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dupKeys == 0, "merge source has duplicate keys")
+    val sc = effStatCols(statCols, source)
+    val bc = effBloomCols(bloomCols, source)
+    def stagedCommit(frame: DataFrame, remove: Seq[String],
+        base: Int): Int = {
+      val (staged, stats, sstats, counts, sizes) =
+        stageFilesWithStats(frame, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
+      commit(staged, remove, stats = stats, base = base, keyed = true,
+        schema = Some(frame.schema.json), sstats = sstats, blooms = blooms,
+        sizes = sizes, rows = counts.toSeq.sortBy(_._1))
+    }
     retryingOnConflict("merge") {
       val base = currentVersion
       val live = files(Some(base))
@@ -2659,12 +2711,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // matching live files) must conflict with an interleaved
       // remove-bearing commit — a restore could have resurrected the
       // very keys this plan decided were absent
-      if (live.isEmpty) {
-        val (staged, counts, sizes) = stageFiles(source)
-        commit(staged, Nil, base = base, keyed = true,
-          schema = Some(source.schema.json), sizes = sizes,
-          rows = counts.toSeq.sortBy(_._1))
-      } else {
+      if (live.isEmpty) stagedCommit(source, Nil, base)
+      else {
         val keys = source.select(keyCols.map(col): _*).distinct()
         // one column-pruned scan finds the files holding matching keys;
         // Path-normalize both sides (input_file_name emits file:///-style
@@ -2678,19 +2726,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
         require(affected.forall(normLive.contains),
           s"merge: matched file outside the live set (path normalization)")
-        if (affected.isEmpty) {
-          val (staged, counts, sizes) = stageFiles(source)
-          commit(staged, Nil, base = base, keyed = true,
-            schema = Some(source.schema.json), sizes = sizes,
-            rows = counts.toSeq.sortBy(_._1))
-        } else {
+        if (affected.isEmpty) stagedCommit(source, Nil, base)
+        else {
           val survivors = readFiles(affected, Some(base))
             .join(keys, keyCols, "left_anti")
-          val (rewritten, counts, sizes) = stageFiles(
-            survivors.select(source.columns.map(col): _*).unionAll(source))
-          commit(rewritten, affected, base = base,
-            schema = Some(source.schema.json), sizes = sizes,
-            rows = counts.toSeq.sortBy(_._1))
+          stagedCommit(
+            survivors.select(source.columns.map(col): _*).unionAll(source),
+            affected, base)
         }
       }
     }
@@ -2738,9 +2780,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           // the generalized matcher carries it into the tombstone scan
           buildMorTombstonesBy(state, state.live,
             _.join(keys, keyCols, "left_semi"))
+      val sc = effStatCols(statCols, source)
+      val bc = effBloomCols(bloomCols, source)
       val (staged, stats, sstats, counts, sizes) =
-        stageFilesWithStats(source, statCols, countFiles = bloomCols.nonEmpty)
-      val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+        stageFilesWithStats(source, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       // append-shaped schema semantics even when fully-covered files
       // convert to removes: old files stay live in full, so the
       // recorded schema must UNION with the prior one (the plain
@@ -2768,7 +2812,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       cond: org.apache.spark.sql.Column,
       prunePreds: Seq[(String, Long, Long)],
       bloomPreds: Seq[(String, String)]): Seq[String] = {
-    val (autoLong, autoStr, autoBloom) = SnapshotTable.derivePreds(cond)
+    val (autoLong, autoStr, autoBloom, autoBloomAny) =
+      SnapshotTable.derivePreds(cond)
     val pp = prunePreds ++ autoLong
     var candidates = state.live.filter { f =>
       pp.forall { case (c, lo, hi) =>
@@ -2779,6 +2824,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     (bloomPreds ++ autoBloom).foreach { case (c, v) =>
       if (candidates.nonEmpty) {
         val keep = bloomSurvivors(state.copy(live = candidates), c, v)
+        candidates = candidates.filter(keep.contains)
+      }
+    }
+    // IN-list: a file survives if its sidecar admits ANY listed value
+    autoBloomAny.foreach { case (c, vs) =>
+      if (candidates.nonEmpty) {
+        val keep = bloomSurvivorsAny(state.copy(live = candidates), c, vs)
         candidates = candidates.filter(keep.contains)
       }
     }
@@ -2844,10 +2896,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val survivors = readFiles(affected, Some(base))
               .filter(!org.apache.spark.sql.functions.coalesce(
                 cond, org.apache.spark.sql.functions.lit(false)))
+            val sc = effStatCols(statCols, survivors)
+            val bc = effBloomCols(bloomCols, survivors)
             val (staged, stats, sstats, counts, sizes) =
-              stageFilesWithStats(survivors, statCols,
-                countFiles = bloomCols.nonEmpty)
-            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+              stageFilesWithStats(survivors, sc,
+                countFiles = bc.nonEmpty)
+            val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(survivors.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
@@ -2910,10 +2964,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 case None => col(f.name)
               }
             }.toSeq: _*)
+            val sc = effStatCols(statCols, rewritten)
+            val bc = effBloomCols(bloomCols, rewritten)
             val (staged, stats, sstats, counts, sizes) =
-              stageFilesWithStats(rewritten, statCols,
-                countFiles = bloomCols.nonEmpty)
-            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+              stageFilesWithStats(rewritten, sc,
+                countFiles = bc.nonEmpty)
+            val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               schema = Some(rewritten.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
@@ -3029,10 +3085,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                   case None => col(f.name)
                 }
               }.toSeq: _*)
+            val sc = effStatCols(statCols, updated)
+            val bc = effBloomCols(bloomCols, updated)
             val (staged, stats, sstats, counts, sizes) =
-              stageFilesWithStats(updated, statCols,
-                countFiles = bloomCols.nonEmpty)
-            val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+              stageFilesWithStats(updated, sc,
+                countFiles = bc.nonEmpty)
+            val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, full, stats = stats, base = base, keyed = true,
               schema = Some(updated.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
@@ -3180,10 +3238,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         else {
           val survivors = applyDv(state, rawReadFiles(state, affected),
             affected)
+          val sc = effStatCols(statCols, survivors)
+          val bc = effBloomCols(bloomCols, survivors)
           val (staged, stats, sstats, counts, sizes) =
-            stageFilesWithStats(survivors, statCols,
-              countFiles = bloomCols.nonEmpty)
-          val blooms = buildBlooms(staged, bloomCols, bloomFpp, counts)
+            stageFilesWithStats(survivors, sc,
+              countFiles = bc.nonEmpty)
+          val blooms = buildBlooms(staged, bc, bloomFpp, counts)
           commit(staged, affected, stats = stats, base = base, keyed = true,
             schema = Some(survivors.schema.json), sstats = sstats,
             blooms = blooms, sizes = sizes,
@@ -3780,7 +3840,8 @@ object SnapshotTable {
   private[graft] def derivePreds(cond: org.apache.spark.sql.Column)
       : (Seq[(String, Long, Long)],
          Seq[(String, Array[Byte], Option[Array[Byte]])],
-         Seq[(String, String)]) = {
+         Seq[(String, String)],
+         Seq[(String, Seq[String])]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions._
@@ -3849,6 +3910,19 @@ object SnapshotTable {
     val longs = Seq.newBuilder[(String, Long, Long)]
     val strs = Seq.newBuilder[(String, Array[Byte], Option[Array[Byte]])]
     val blooms = Seq.newBuilder[(String, String)]
+    val bloomAny = Seq.newBuilder[(String, Seq[String])]
+    // an IN list implies (a) the [min,max] envelope on the stats
+    // channel and (b) an ANY-of-values bloom probe (one sidecar read
+    // tests every value) — bounded so a pathological 1M-key IN does
+    // not balloon the probe array shipped to every task
+    val InBloomMax = 256
+    def inList(n: String, lits: Seq[Literal]): Unit = {
+      val vs = lits.flatMap(longOf).map(_._1)
+      if (vs.size == lits.size) longs += ((n, vs.min, vs.max))
+      val bs = lits.flatMap(bloomOf)
+      if (bs.size == lits.size && bs.size <= InBloomMax)
+        bloomAny += ((n, bs))
+    }
     def range(n: String, l: Literal, lo: Boolean, strict: Boolean): Unit =
       longOf(l).foreach { case (v, exact) =>
         val b = if (strict && exact) {
@@ -3898,24 +3972,31 @@ object SnapshotTable {
         handle(flip(op), nameOf(a).get, l)
       case In(a, list) if nameOf(a).isDefined && list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
-        // membership is a DISJUNCTION of points: the range [min, max]
-        // is the tightest single pred implied by all of them (blooms
-        // cannot express OR across probes — none derived)
-        val vs = list.map(_.asInstanceOf[Literal]).flatMap(longOf).map(_._1)
-        if (vs.size == list.size) longs += ((nameOf(a).get, vs.min, vs.max))
+        inList(nameOf(a).get, list.map(_.asInstanceOf[Literal]))
       case f: UnresolvedFunction
           if f.nameParts.last.equalsIgnoreCase("in") &&
             f.arguments.nonEmpty && nameOf(f.arguments.head).isDefined &&
             f.arguments.tail.nonEmpty &&
             f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
-        val vs = f.arguments.tail.map(_.asInstanceOf[Literal])
-          .flatMap(longOf).map(_._1)
-        if (vs.size == f.arguments.tail.size)
-          longs += ((nameOf(f.arguments.head).get, vs.min, vs.max))
+        inList(nameOf(f.arguments.head).get,
+          f.arguments.tail.map(_.asInstanceOf[Literal]))
       case _ => () // not a col-vs-literal conjunct: derives nothing
     }
-    (longs.result(), strs.result(), blooms.result())
+    (longs.result(), strs.result(), blooms.result(), bloomAny.result())
   }
+
+  /** Table property: comma-separated columns every write records
+    * per-file min/max stats for when the caller passes none — the
+    * table-level pruning contract. Without it, every rewrite (merge,
+    * compact, DML) whose caller forgot `statCols` silently DROPS the
+    * rewritten files' stats and the table decays to unprunable — at
+    * 100k files that is the difference between metadata-only scan
+    * planning and reading everything. Explicit per-call args override. */
+  val StatColsProp = "graft.statCols"
+
+  /** Table property: comma-separated columns every write builds bloom
+    * sidecars for when the caller passes none (see [[StatColsProp]]). */
+  val BloomColsProp = "graft.bloomCols"
 
   /** The SparkContext local property under which StreamExecution pins
     * the running streaming query's id (stable across restarts of the

@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    batch is the full snapshot as inserts, Delta CDF's
   *    initial-snapshot semantics; pass the current version to tail);
   *  - `maxVersionsPerTrigger` — cap commits per micro-batch
-  *    (backpressure for a stream starting far behind the head).
+  *    (backpressure for a stream starting far behind the head);
+  *  - `columns` — comma-separated subset of table columns to stream
+  *    (plus `_change`, always appended): narrows the pinned schema so
+  *    each batch's plan is column-pruned at the parquet scan — the
+  *    narrow-consumer path (a key-only feed reads keys, not the
+  *    table's full width).
   *
   * The stream's schema is pinned at start (recorded table schema +
   * `_change`); batches project to it positionally, so a column ADDED
@@ -65,8 +70,24 @@ final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegist
     val logical = org.apache.spark.sql.types.DataType
       .fromJson(graft.sources.SnapshotTable.stripPhysical(base.json))
       .asInstanceOf[StructType]
+    // `columns` narrows the STREAM schema itself, so every batch's
+    // diff plan is column-pruned before lowering — a narrow consumer
+    // (e.g. a key-only audit feed) reads only those columns from the
+    // changed files instead of the table's full width. The pinned
+    // projection then never widens mid-stream, like the base schema.
+    val picked = parameters.get("columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case None => logical
+      case Some(cols) =>
+        val byName = logical.fields.map(f => f.name.toLowerCase -> f).toMap
+        val missing = cols.filterNot(c => byName.contains(c.toLowerCase))
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"snapshot-cdf: columns option names ${missing.mkString(", ")} " +
+            s"not in the table schema (${logical.fieldNames.mkString(", ")})")
+        StructType(cols.map(c => byName(c.toLowerCase)))
+    }
     (shortName(), StructType(
-      logical.fields :+ StructField("_change", StringType, nullable = false)))
+      picked.fields :+ StructField("_change", StringType, nullable = false)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

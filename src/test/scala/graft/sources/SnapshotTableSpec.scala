@@ -1358,6 +1358,53 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("table-property stat/bloom defaults keep every write path prunable without per-call args") {
+    val t = tmpTable()
+    t.setProperty(SnapshotTable.StatColsProp, "id")
+    t.setProperty(SnapshotTable.BloomColsProp, "id")
+    // PLAIN append records stats + blooms from the defaults
+    t.append((1L to 100L).toDF("id").coalesce(1))
+    t.append((101L to 200L).toDF("id").coalesce(1))
+    assert(t.prunedFiles("id", 150L, 160L).size == 1,
+      "defaulted statCols must make plain appends prunable")
+    assert(t.prunedFilesBloom("id", "150").size == 1)
+    // MERGE rewrite keeps the rewritten files prunable (this used to
+    // silently drop stats: merge had no statCols at all) — a probe
+    // disjoint from the rewritten 101-200 range excludes them all
+    t.merge(Seq(150L).toDF("id"), Seq("id"))
+    assert(t.prunedFiles("id", 1L, 50L).size == 1,
+      "merge rewrite must re-record stats from the defaults")
+    // CoW delete rewrite keeps them too, with NO per-call args
+    t.deleteWhere(col("id") === 120L)
+    assert(t.prunedFiles("id", 1L, 50L).size == 1)
+    assert(t.read().count() == 199)
+    // derived preds + defaulted blooms compose: a point delete with no
+    // manual args prunes to the bloom-hit file(s)
+    t.deleteWhere(col("id") === 10L)
+    assert(t.lastDmlCandidates.size == 1,
+      s"got ${t.lastDmlCandidates.size} candidates")
+    // compactSmall re-records from defaults
+    t.compactSmall(targetBytes = 1L << 20)
+    assert(t.prunedFiles("id", 150L, 160L).size == 1)
+    // a defaulted column ABSENT from a widened writer's frame is
+    // skipped, not an analysis failure
+    t.setProperty(SnapshotTable.StatColsProp, "id,missing_col")
+    t.append(Seq(500L).toDF("id").coalesce(1))
+    assert(t.prunedFiles("id", 500L, 500L).size == 1)
+    // explicit per-call args still override the defaults entirely
+    val t2 = tmpTable()
+    t2.setProperty(SnapshotTable.StatColsProp, "id")
+    t2.appendWithStats(Seq((1L, 5L)).toDF("id", "v").coalesce(1), Seq("v"))
+    assert(t2.prunedFilesMulti(Seq(("v", 5L, 5L))).size == 1)
+    // exactly-once tagged appends inherit defaults (the streaming sink)
+    val t3 = tmpTable()
+    t3.setProperty(SnapshotTable.StatColsProp, "id")
+    t3.appendIfAbsent((1L to 50L).toDF("id").coalesce(1), "b0")
+    assert(t3.prunedFiles("id", 500L, 600L).isEmpty
+      || t3.prunedFiles("id", 500L, 600L).size < t3.files().size)
+    assert(t3.prunedFiles("id", 10L, 10L).size == 1)
+  }
+
   test("DML derives prune/bloom preds from cond itself; disjunctions fall back to full candidates") {
     val t = tmpTable()
     t.appendWithStats((1L to 100L).toDF("id").coalesce(1), Seq("id"))
@@ -1408,6 +1455,16 @@ class SnapshotTableSpec extends SparkSuite {
     val cur = t2.currentVersion
     assert(t2.deleteWhere(col("doc_id") === "doc-nope") == 0)
     assert(t2.lastDmlCandidates.size <= 1 && t2.currentVersion == cur)
+    // IN-list: the batch right-to-erasure shape — files surviving ANY
+    // listed value's bloom stay candidates, the rest prune before IO
+    val vics = Seq(vals(11), vals(77))
+    val inHits = vics.flatMap(v => t2.prunedFilesBloom("doc_id", v)).toSet
+    assert(t2.deleteWhere(col("doc_id").isin(vics: _*),
+      statCols = Seq("doc_id"), bloomCols = Seq("doc_id")) > 0)
+    assert(t2.lastDmlCandidates.toSet.subsetOf(inHits),
+      s"IN-list bloom probe kept ${t2.lastDmlCandidates.size} files, " +
+        s"union of per-value hits is ${inHits.size}")
+    assert(t2.read().where(col("doc_id").isin(vics: _*)).count() == 0)
   }
 
   test("no-op MoR update (cond matches only tombstoned rows) runs ZERO write jobs") {

@@ -234,6 +234,31 @@ class CdfStreamSourceSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq == Seq("id", "_change"))
   }
 
+  test("columns option narrows the stream schema; unknown columns refused") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "v"))
+    val df = spark.readStream.format("snapshot-cdf")
+      .option("columns", "id,v").load(srcDir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "_change"))
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val q = df.writeStream.option("checkpointLocation", tmp("cdfq"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, i: Long) =>
+        sink.appendIfAbsent(b, s"b$i"); ()
+      }.start()
+    q.awaitTermination()
+    assert(sink.read().columns.toSeq == Seq("id", "v", "_change"))
+    assert(sink.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("snapshot-cdf")
+        .option("columns", "id,nope").load(srcDir)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("TWO pipelines into ONE target land every batch; a fresh checkpoint is a new identity, not a dup") {
     // the exact case the bare batch-$id tag silently lost: both
     // pipelines' batches start at 0, so without query identity in the

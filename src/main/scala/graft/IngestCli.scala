@@ -188,7 +188,14 @@ object IngestCli {
               }
             val version = opts.get("version").map(_.toInt)
               .orElse(opts.get("asOf").map(ts => t.versionAt(parseTs(ts))))
-            println(s"rows=${t.read(version).count()} " +
+            // --where <sql bool>: metadata-pruned filtered read (preds
+            // derived from the condition; see SnapshotTable.readWhere)
+            val frame = opts.get("where") match {
+              case Some(w) =>
+                t.readWhere(org.apache.spark.sql.functions.expr(w), version)
+              case None => t.read(version)
+            }
+            println(s"rows=${frame.count()} " +
               s"files=${t.files(version).size} " +
               s"version=${version.getOrElse(t.currentVersion)}")
           case "history" =>

@@ -2119,6 +2119,29 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     planFiles(state, v, fl)
   }
 
+  /** Read with AUTOMATIC metadata pruning + the row filter applied:
+    * every prune tier the table carries (long stats, string stats,
+    * bloom sidecars — single values and IN lists) is driven by preds
+    * [[SnapshotTable.derivePreds derived]] from `cond`'s own
+    * `col <op> literal` conjuncts, then `cond` itself filters the
+    * surviving rows. The one-call read-path counterpart of the DML
+    * verbs' derivation: `readWhere($"id" === k)` on a stats+bloom
+    * table plans the matching file(s), not the table — no manual
+    * `readPruned*` choreography. Conditions derivation can't see
+    * through (disjunctions, UDFs) fall back to a full (still
+    * correct) scan; derived pruning is sound, so results are always
+    * identical to `read().filter(cond)`. `lastDmlCandidates` records
+    * the planned file set for the scan-counting specs. */
+  def readWhere(cond: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    // ONE pinned replay supplies files, stats AND schema
+    val state = replayStateFull(v)
+    planFiles(state, v, dmlCandidates(state, cond, Nil, Nil)).filter(cond)
+  }
+
   // ---- string-stat pruning -------------------------------------------
   //
   // The byte-bound query shape shared by the public string pruning

@@ -33,6 +33,8 @@ class SnapshotCliSpec extends SparkSuite {
     assert(run("append", "from" -> in2).contains("committed version 2"))
     assert(run("read").contains("rows=3"))
     assert(run("read", "version" -> "1").contains("rows=2"))
+    // filtered read: preds derive from the condition (readWhere)
+    assert(run("read", "where" -> "id = 2").contains("rows=1"))
     assert(run("diff", "fromVersion" -> "1", "toVersion" -> "2")
       .contains("changes=1"))
     assert(run("merge", "from" -> upd, "keys" -> "id")

@@ -1358,6 +1358,37 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("readWhere prunes from derived preds and matches read().filter exactly") {
+    val t = tmpTable()
+    t.setProperty(SnapshotTable.StatColsProp, "id")
+    t.setProperty(SnapshotTable.BloomColsProp, "id")
+    (0 until 5).foreach(g => t.append(
+      ((g * 100 + 1).toLong to (g * 100 + 100).toLong).toDF("id").coalesce(1)))
+    // point lookup: plans ONLY the stat/bloom-hit file
+    val got = t.readWhere(col("id") === 250L).as[Long].collect().toSeq
+    assert(got == Seq(250L))
+    assert(t.lastDmlCandidates.size == 1,
+      s"point readWhere planned ${t.lastDmlCandidates.size} files")
+    // range: plans only overlapping files; equals the unpruned filter
+    val r1 = t.readWhere(col("id").between(150L, 260L))
+      .as[Long].collect().toSeq.sorted
+    val r2 = t.read().filter(col("id").between(150L, 260L))
+      .as[Long].collect().toSeq.sorted
+    assert(r1 == r2 && t.lastDmlCandidates.size == 2)
+    // IN list: any-of blooms
+    assert(t.readWhere(col("id").isin(7L, 307L)).count() == 2)
+    assert(t.lastDmlCandidates.size <= 2)
+    // underivable condition: full (correct) scan
+    assert(t.readWhere(col("id") % 100L === 0L).count() == 5)
+    assert(t.lastDmlCandidates.size == 5)
+    // DV-aware: MoR-deleted rows stay deleted through readWhere
+    t.deleteWhereMoR(col("id") === 250L)
+    assert(t.readWhere(col("id") === 250L).isEmpty)
+    // version travel reads the pre-delete row
+    assert(t.readWhere(col("id") === 250L,
+      Some(t.currentVersion - 1)).count() == 1)
+  }
+
   test("table-property stat/bloom defaults keep every write path prunable without per-call args") {
     val t = tmpTable()
     t.setProperty(SnapshotTable.StatColsProp, "id")

@@ -1627,18 +1627,41 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         }
         // union: prior order first (shared fields take the writer's
         // field, INHERITING the prior's physical mapping so a rename
-        // survives later appends), then the writer's new columns
+        // survives later appends), then the writer's new columns.
+        // A shared field whose TYPE differs records the WIDER of the
+        // two when the pair is in the parquet-supported widening
+        // lattice (byte→short→int→long, float→double, integrals→
+        // double, date→timestampNTZ — the Spark 4 / Delta type-
+        // widening set, empirically scan-verified): old and new files
+        // both read correctly under the wider type. Anything else is
+        // REFUSED — recording the writer's narrower/incompatible type
+        // verbatim would make every later read of the old files fail
+        // with PARQUET_COLUMN_DATA_TYPE_MISMATCH: a committed write
+        // that poisons the table. Nullability unions (a non-null
+        // writer claim must not override files that hold nulls).
         val union = StructType(
           prior.fields.map { pf =>
             nwByName.get(pf.name.toLowerCase) match {
-              case Some(nf) if pf.metadata.contains(SnapshotTable.PhysicalNameKey) =>
-                nf.copy(metadata =
-                  new org.apache.spark.sql.types.MetadataBuilder()
-                    .withMetadata(nf.metadata)
-                    .putString(SnapshotTable.PhysicalNameKey,
-                      pf.metadata.getString(SnapshotTable.PhysicalNameKey))
-                    .build())
-              case Some(nf) => nf
+              case Some(nf) =>
+                val merged = SnapshotTable.widenType(pf.dataType, nf.dataType)
+                  .getOrElse(throw new SnapshotTable.SchemaEvolutionViolation(
+                    s"write to $root rejected: column ${pf.name} would " +
+                      s"change type ${pf.dataType.simpleString} -> " +
+                      s"${nf.dataType.simpleString}, which the parquet " +
+                      "scan cannot reconcile across existing files. " +
+                      "Cast the frame to the table's type, or " +
+                      "overwrite() for an intentional whole-table " +
+                      "reshape; nothing was committed"))
+                val base = nf.copy(dataType = merged,
+                  nullable = pf.nullable || nf.nullable)
+                if (pf.metadata.contains(SnapshotTable.PhysicalNameKey))
+                  base.copy(metadata =
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .withMetadata(base.metadata)
+                      .putString(SnapshotTable.PhysicalNameKey,
+                        pf.metadata.getString(SnapshotTable.PhysicalNameKey))
+                      .build())
+                else base
               case None => pf
             }
           } ++ added)
@@ -4006,6 +4029,43 @@ object SnapshotTable {
       case _ => () // not a col-vs-literal conjunct: derives nothing
     }
     (longs.result(), strs.result(), blooms.result(), bloomAny.result())
+  }
+
+  /** The merged type for a shared column whose writer/table types
+    * differ — `Some(wider)` when BOTH types' files read correctly
+    * under the wider one via the parquet scan's supported upcasts
+    * (the Spark 4 / Delta type-widening lattice), `None` when the
+    * change is unreconcilable (narrowing, long→double precision loss,
+    * string/complex changes) and the write must refuse. */
+  private[sources] def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType => 2
+      case LongType => 3
+      case _ => -1
+    }
+    if (a == b) Some(a)
+    else if (rank(a) >= 0 && rank(b) >= 0)
+      Some(if (rank(a) >= rank(b)) a else b)
+    else (a, b) match {
+      // fp + (fp | byte/short/int) widen to double; long does NOT
+      // (a 64-bit integer loses precision in a double's 53-bit
+      // mantissa — that is a value change, not a representation one)
+      case (x, y)
+          if Seq(x, y).forall(t =>
+            t == FloatType || t == DoubleType ||
+              (rank(t) >= 0 && rank(t) <= 2)) &&
+            Seq(x, y).exists(t => t == FloatType || t == DoubleType) =>
+        Some(DoubleType)
+      case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
+        Some(TimestampNTZType)
+      case _ => None
+    }
   }
 
   /** Table property: comma-separated columns every write records

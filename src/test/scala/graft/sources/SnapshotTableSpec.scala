@@ -1358,6 +1358,48 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("type evolution: safe widenings record the wider type; anything else refuses (no poisoned table)") {
+    val t = tmpTable()
+    t.append(Seq(1, 2).toDF("id")) // int files
+    // a LONG writer widens the recorded type; old int32 files upcast
+    t.append(Seq(3L).toDF("id"))
+    assert(t.schemaAt(None).get.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read().agg(sum("id")).as[Long].collect().head == 6L)
+    // a NARROWER writer after the widening must NOT narrow the record:
+    // recording int over long files would fail every later read with
+    // PARQUET_COLUMN_DATA_TYPE_MISMATCH (the poisoned-table shape)
+    t.append(Seq(4).toDF("id"))
+    assert(t.schemaAt(None).get.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType,
+      "narrower writer silently narrowed the recorded type")
+    assert(t.read().agg(sum("id")).as[Long].collect().head == 10L)
+    // unreconcilable changes refuse BEFORE committing
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq("x").toDF("id"))
+    }
+    intercept[SnapshotTable.SchemaEvolutionViolation] {
+      t.append(Seq(1.5).toDF("id")) // long -> double loses precision
+    }
+    assert(t.read().count() == 4, "refused writes must leave no rows")
+    // fp widening: int table + double writer reads everything double
+    val t2 = tmpTable()
+    t2.append(Seq(1, 2).toDF("v"))
+    t2.append(Seq(0.5).toDF("v"))
+    assert(t2.schemaAt(None).get.fields.head.dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(t2.read().agg(sum("v")).as[Double].collect().head == 3.5)
+    // nullability unions: a non-null writer claim cannot override
+    // prior files that may hold nulls
+    val t3 = tmpTable()
+    t3.append(Seq[(java.lang.Long, String)]((1L, null), (2L, "b"))
+      .toDF("id", "s"))
+    t3.append(Seq((3L, "c")).toDF("id", "s")) // writer says s non-null
+    assert(t3.schemaAt(None).get.fields.find(_.name == "s").get.nullable,
+      "nullability must union, not take the writer's non-null claim")
+    assert(t3.read().where(col("s").isNull).count() == 1)
+  }
+
   test("readWhere prunes from derived preds and matches read().filter exactly") {
     val t = tmpTable()
     t.setProperty(SnapshotTable.StatColsProp, "id")

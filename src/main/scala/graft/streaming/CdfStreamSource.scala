@@ -34,7 +34,15 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    (plus `_change`, always appended): narrows the pinned schema so
   *    each batch's plan is column-pruned at the parquet scan — the
   *    narrow-consumer path (a key-only feed reads keys, not the
-  *    table's full width).
+  *    table's full width);
+  *  - `where` — SQL boolean over the table's columns applied to every
+  *    batch BEFORE lowering, so Catalyst pushes it into the batch's
+  *    parquet scans (row-group pruning on the changed files) — the
+  *    subset-replication shape. It filters by ROW VALUES on both
+  *    sides of the feed: an insert flows if the new row matches, a
+  *    delete flows if the deleted row's (old) values match. Applied
+  *    against the FULL row, so it may reference columns `columns`
+  *    drops from the output.
   *
   * The stream's schema is pinned at start (recorded table schema +
   * `_change`); batches project to it positionally, so a column ADDED
@@ -56,9 +64,25 @@ final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegist
     new SnapshotTable(sqlContext.sparkSession, path)
   }
 
+  /** The `where` predicate must PARSE at stream construction — failing
+    * on the first micro-batch would wedge a checkpointed query on a
+    * typo. Runs in sourceSchema (the `.load()`-time hook) so the error
+    * surfaces interactively, not at `.start()`. */
+  private def validateWhere(sqlContext: SQLContext,
+      parameters: Map[String, String]): Unit =
+    parameters.get("where").foreach { w =>
+      try sqlContext.sparkSession.sessionState.sqlParser.parseExpression(w)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"snapshot-cdf: where option does not parse: ${e.getMessage}")
+      }
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    validateWhere(sqlContext, parameters)
     val base = schema.orElse(tableOf(sqlContext, parameters).schemaAt(None))
       .getOrElse(throw new IllegalArgumentException(
         "snapshot-cdf: table has no recorded schema yet (empty table) — " +
@@ -97,13 +121,15 @@ final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegist
     new CdfSource(tableOf(sqlContext, parameters), st,
       startAt = parameters.get("startAt").map(_.trim.toInt).getOrElse(0),
       maxVersionsPerTrigger =
-        parameters.get("maxVersionsPerTrigger").map(_.trim.toInt))
+        parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
+      where = parameters.get("where"))
   }
 }
 
 private[streaming] final class CdfSource(table: SnapshotTable,
     fixedSchema: StructType, startAt: Int,
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    where: Option[String] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -164,9 +190,14 @@ private[streaming] final class CdfSource(table: SnapshotTable,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(verOf).getOrElse(startAt)
     val to = verOf(end)
-    // positional projection to the pinned schema: a widened column in
-    // a mid-stream append must not shift the relation's output arity
-    val projected = table.diff(from, to)
+    // `where` filters BEFORE the projection (it may reference columns
+    // the `columns` option drops) and before lowering, so Catalyst
+    // pushes it into the batch's parquet scans; then positional
+    // projection to the pinned schema — a widened column in a
+    // mid-stream append must not shift the relation's output arity
+    val changes = where.foldLeft(table.diff(from, to))((df, w) =>
+      df.filter(org.apache.spark.sql.functions.expr(w)))
+    val projected = changes
       .select(fixedSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     org.apache.spark.sql.graftbridge.StreamBridge.asStreaming(projected)
   }

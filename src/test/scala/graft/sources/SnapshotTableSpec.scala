@@ -663,6 +663,21 @@ class SnapshotTableSpec extends SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("7"))
   }
 
+  test("readWhere keeps parquet pushdown on top of its file pruning") {
+    val t = tmpTable()
+    t.setProperty(SnapshotTable.StatColsProp, "id")
+    t.append((1L to 100L).toDF("id").coalesce(1))
+    t.append((101L to 200L).toDF("id").coalesce(1))
+    val df = t.readWhere(col("id") === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    // file-level: only the stat-hit file planned; row-group level: the
+    // cond still reaches the scan as PushedFilters
+    assert(t.lastDmlCandidates.size == 1)
+    assert(plan.contains("PushedFilters") && plan.contains("7"),
+      s"cond not pushed:\n${plan.take(500)}")
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("column-mapped reads keep parquet pushdown: the logical filter reaches the scan as the physical column") {
     val t = tmpTable()
     t.append((1L to 100L).toDF("id"))

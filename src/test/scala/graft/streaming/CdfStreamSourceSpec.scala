@@ -259,6 +259,42 @@ class CdfStreamSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("where option subsets the feed by row values on both change sides; bad SQL refused at start") {
+    val srcDir = tmp("cdfsrc")
+    val src = new SnapshotTable(spark, srcDir)
+    src.append(Seq((1L, "keep"), (2L, "drop")).toDF("id", "kind"))
+    val sink = new SnapshotTable(spark, tmp("cdfsink"))
+    val ckpt = tmp("cdfq")
+    def drain(): Unit = {
+      val q = spark.readStream.format("snapshot-cdf")
+        .option("where", "kind = 'keep'")
+        .option("columns", "id") // where may reference dropped columns
+        .load(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, i: Long) =>
+          sink.appendIfAbsent(b, s"b$i"); ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    def got = sink.read().select("id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "insert")), s"got $got")
+    // a delete of a matching OLD row flows; non-matching one doesn't
+    src.append(Seq((3L, "keep")).toDF("id", "kind"))
+    src.deleteWhere(col("id") === 1L)
+    src.deleteWhere(col("id") === 2L) // kind=drop: filtered out
+    drain()
+    assert(got == Set((1L, "insert"), (3L, "insert"), (1L, "delete")))
+    // a predicate that does not parse fails at stream CONSTRUCTION
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("snapshot-cdf")
+        .option("where", "kind ><= 'x'").load(srcDir)
+    }
+    assert(e.getMessage.contains("does not parse"))
+  }
+
   test("TWO pipelines into ONE target land every batch; a fresh checkpoint is a new identity, not a dup") {
     // the exact case the bare batch-$id tag silently lost: both
     // pipelines' batches start at 0, so without query identity in the

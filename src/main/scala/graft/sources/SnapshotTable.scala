@@ -2760,13 +2760,21 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       if (live.isEmpty) stagedCommit(source, Nil, base)
       else {
         val keys = source.select(keyCols.map(col): _*).distinct()
+        // metadata-prune the match scan by the source's own key set (a
+        // point upsert probes the bloom/stat-hit files, not the table)
+        val candidates =
+          keyPruneCandidates(replayStateFull(base), keyCols.head, source)
         // one column-pruned scan finds the files holding matching keys;
         // Path-normalize both sides (input_file_name emits file:///-style
         // URIs, manifests store file:/-style)
-        val affected = readFilesWithSource(live, Some(base))
+        val affected =
+          (if (candidates.isEmpty)
+            spark.emptyDataset(org.apache.spark.sql.Encoders.STRING).toDF("__f")
+          else readFilesWithSource(candidates, Some(base))
           .select(keyCols.map(col) :+ col("__src_file").as("__f"): _*)
           .join(keys, keyCols, "left_semi")
-          .select("__f").distinct().collect()
+          .select("__f"))
+          .distinct().collect()
           .map(r => new Path(r.getString(0)))
           .map(p => fs.makeQualified(p).toString).toSeq
         val normLive = live.map(p => fs.makeQualified(new Path(p)).toString)
@@ -2818,13 +2826,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val base = currentVersion
       val state = replayStateFull(base)
       val keys = source.select(keyCols.map(col): _*).distinct()
+      // metadata-prune the tombstone scan by the source's key set
+      val candidates =
+        if (state.live.isEmpty) Nil
+        else keyPruneCandidates(state, keyCols.head, source)
       val (full, partial, _) =
-        if (state.live.isEmpty)
+        if (candidates.isEmpty)
           (Seq.empty[String], Seq.empty[(String, String, Long)], Nil)
         else
           // key membership is a SEMI-JOIN, not a literal predicate —
           // the generalized matcher carries it into the tombstone scan
-          buildMorTombstonesBy(state, state.live,
+          buildMorTombstonesBy(state, candidates,
             _.join(keys, keyCols, "left_semi"))
       val sc = effStatCols(statCols, source)
       val bc = effBloomCols(bloomCols, source)
@@ -2888,6 +2900,64 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * pinning that derived preds actually pruned (not part of the
     * concurrency-safe API surface). */
   private[sources] var lastDmlCandidates: Seq[String] = Nil
+
+  /** Merge-candidate narrowing by the SOURCE's own key values: collect
+    * up to [[SnapshotTable.MergePruneKeys]] distinct values of the
+    * FIRST key column (bounded — `limit` short-circuits a bulk source
+    * before it can flood the driver) and prune the live set through
+    * the stats envelope and ANY-of-values blooms. Sound for composite
+    * keys too: a file containing a matched composite key necessarily
+    * contains its first component's value. A source past the bound (or
+    * with non-integral/string keys) skips the collect and scans the
+    * live set as before — the trickle-upsert case this exists for is
+    * exactly the small-key-set one. */
+  private def keyPruneCandidates(state: SnapshotTable.TableState,
+      keyCol: String, source: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val supported = source.schema.fields
+      .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+    if (!supported) return state.live
+    val vals = source.select(col(keyCol)).na.drop().distinct()
+      .limit(SnapshotTable.MergePruneKeys + 1).collect().map(_.get(0))
+    if (vals.isEmpty || vals.length > SnapshotTable.MergePruneKeys)
+      return state.live
+    var cand = state.live
+    val longs = vals.collect { case n: java.lang.Number => n.longValue }
+    if (longs.length == vals.length) {
+      val (lo, hi) = (longs.min, longs.max)
+      cand = cand.filter(f => state.stats.get((f, keyCol))
+        .forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+    }
+    val strs = vals.collect { case s: String => s }
+    if (strs.length == vals.length) {
+      val bs = strs.map(SnapshotTable.utf8)
+      val lo = bs.min(SnapshotTable.byteOrdering)
+      val hi = bs.max(SnapshotTable.byteOrdering)
+      cand = cand.filter(f =>
+        strStatSurvives(state.sstats, f, Seq((keyCol, lo, Some(hi)))))
+    }
+    // bloom values hash the column cast to string — integral and
+    // string keys render identically under that cast
+    val probes = vals.map {
+      case s: String => s
+      case n: java.lang.Number => n.longValue.toString
+      case other => other.toString
+    }
+    if (cand.nonEmpty) {
+      val keep =
+        bloomSurvivorsAny(state.copy(live = cand), keyCol, probes.toSeq)
+      cand = cand.filter(keep.contains)
+    }
+    lastDmlCandidates = cand
+    cand
+  }
 
   /** Copy-on-write DELETE: remove every live row matching `cond` in
     * one keyed commit. Only the files that actually CONTAIN a matching
@@ -4132,6 +4202,15 @@ object SnapshotTable {
 
   private[sources] def utf8(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Source-key collection bound for merge-candidate pruning: a
+    * trickle upsert's keys prune the match scan from metadata; a
+    * source past this many distinct keys scans the live set (its
+    * matches plausibly touch every file anyway). */
+  val MergePruneKeys: Int = 1024
+
+  private[sources] val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => cmpBytes(a, b)
 
   /** Byte-wise unsigned comparison — the UTF8String ordering. */
   private[sources] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {

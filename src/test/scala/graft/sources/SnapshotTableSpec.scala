@@ -1373,6 +1373,45 @@ class SnapshotTableSpec extends SparkSuite {
       s"imported table statted ${ti.fileStatCalls} files in detail()")
   }
 
+  test("merge prunes its match scan by the source's own key set (both flavors)") {
+    val t = tmpTable()
+    t.setProperty(SnapshotTable.StatColsProp, "id")
+    t.setProperty(SnapshotTable.BloomColsProp, "id")
+    (0 until 5).foreach(g => t.append(
+      ((g * 100 + 1).toLong to (g * 100 + 100).toLong).toDF("id").coalesce(1)))
+    // CoW point upsert: the key's stat/bloom-hit file is the only
+    // match-scan candidate (4 files never read)
+    t.lastDmlCandidates = Nil
+    t.merge(Seq(250L).toDF("id"), Seq("id"))
+    assert(t.lastDmlCandidates.size == 1,
+      s"merge scanned ${t.lastDmlCandidates.size} candidate files")
+    assert(t.read().count() == 500)
+    // MoR point upsert prunes the tombstone scan the same way
+    t.lastDmlCandidates = Nil
+    t.mergeMoR(Seq(350L).toDF("id"), Seq("id"))
+    assert(t.lastDmlCandidates.size == 1,
+      s"mergeMoR scanned ${t.lastDmlCandidates.size} candidate files")
+    assert(t.read().count() == 500)
+    // insert-only upsert: zero candidates, still lands as an append
+    t.lastDmlCandidates = Nil
+    t.mergeMoR(Seq(9999L).toDF("id"), Seq("id"))
+    assert(t.lastDmlCandidates.isEmpty ||
+      t.lastDmlCandidates.size <= 1) // fpp may admit a file
+    assert(t.read().count() == 501)
+    // string keys prune through sstats + blooms
+    val t2 = tmpTable()
+    t2.setProperty(SnapshotTable.StatColsProp, "doc_id")
+    t2.setProperty(SnapshotTable.BloomColsProp, "doc_id")
+    val vals = (0 until 100).map(i => f"doc${(i * 37) % 100}%04d")
+    (0 until 10).foreach(g => t2.append(
+      vals.slice(g * 10, (g + 1) * 10).sorted.toDF("doc_id").coalesce(1)))
+    val hits = t2.prunedFilesBloom("doc_id", vals(42)).toSet
+    t2.lastDmlCandidates = Nil
+    t2.merge(Seq(vals(42)).toDF("doc_id"), Seq("doc_id"))
+    assert(t2.lastDmlCandidates.toSet.subsetOf(hits))
+    assert(t2.read().count() == 100)
+  }
+
   test("type evolution: safe widenings record the wider type; anything else refuses (no poisoned table)") {
     val t = tmpTable()
     t.append(Seq(1, 2).toDF("id")) // int files

@@ -624,6 +624,38 @@ class SnapshotTableSpec extends SparkSuite {
       Set((2L, "insert")), s"got ${span.mkString(",")}")
   }
 
+  test("stress: concurrent MoR mergers converge key-unique through DV tombstones") {
+    // the mergeMoR twin of the CoW merge stress: three writers upsert
+    // overlapping keys via deletion vectors; its unscoped keyed commit
+    // must serialize them (losers retry) so reads stay key-unique and
+    // every key ends at SOME writer's last write — with no data file
+    // ever rewritten, the DV-applied read is what enforces uniqueness
+    val dir = java.nio.file.Files.createTempDirectory("snapstress").toString
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { tid =>
+      new Thread(() => try {
+        val w = new SnapshotTable(spark, dir, checkpointInterval = 3)
+        (0 until 6).foreach { i =>
+          val key = (tid + i) % 4L
+          w.mergeMoR(Seq((key, s"w$tid-$i")).toDF("id", "v"), Seq("id"))
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek()).map(_.getMessage)}")
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows.map(_._1).sorted == rows.map(_._1).distinct.sorted,
+      s"mergeMoR contract violated — duplicate keys: $rows")
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(t.currentVersion == 18, "every mergeMoR must commit exactly once")
+    // materialization collapses the accumulated DV debt; same rows
+    t.materializeDeletes()
+    val after = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(after.toSet == rows.toSet)
+    (1 to t.currentVersion).foreach(v => t.read(Some(v)).count())
+  }
+
   test("stress: concurrent mergers upserting overlapping keys converge key-unique") {
     // three writer instances (checkpoints every 3 commits) hammer the
     // same table with upserts over a small key space — every interleave

@@ -1453,9 +1453,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
     val ns = List.newBuilder[SnapshotTable.FileStat]
     val ss = List.newBuilder[SnapshotTable.StrStat]
-    if (statCols.nonEmpty || active.nonEmpty) {
+    // configure-then-adopt: properties installed before the import
+    // (graft.statCols) make the adopted table prunable with no args
+    val sc = effStatCols(statCols, df)
+    if (sc.nonEmpty || active.nonEmpty) {
       import org.apache.spark.sql.functions.{input_file_name, max, min}
-      val aggs = statCols.flatMap(c => Seq(
+      val aggs = sc.flatMap(c => Seq(
         min(statAggExpr(df, c)).as(s"__lo_$c"),
         max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
         violationFlagAggs(active)
@@ -1482,7 +1485,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // re-key by NAME (unique in a flat dir): input_file_name's
         // URI form percent-encodes, diverging from the qualified path
         byName.get(new Path(r.getString(0)).getName).foreach { full =>
-          statCols.foreach { c =>
+          sc.foreach { c =>
             (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
               case (lo: String, hi: String) =>
                 val n = SnapshotTable.StatTruncateBytes

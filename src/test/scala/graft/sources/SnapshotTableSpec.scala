@@ -1562,6 +1562,15 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t3.prunedFiles("id", 500L, 600L).isEmpty
       || t3.prunedFiles("id", 500L, 600L).size < t3.files().size)
     assert(t3.prunedFiles("id", 10L, 10L).size == 1)
+    // configure-then-adopt: importFiles inherits the defaults too
+    val src = java.nio.file.Files.createTempDirectory("snapimp").toString
+    (1L to 100L).toDF("id").repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(src)
+    val t4 = tmpTable()
+    t4.setProperty(SnapshotTable.StatColsProp, "id")
+    t4.importFiles(src)
+    assert(t4.prunedFiles("id", 10L, 12L).size == 1,
+      "adopted table must be prunable from the property defaults")
   }
 
   test("DML derives prune/bloom preds from cond itself; disjunctions fall back to full candidates") {

@@ -26,6 +26,22 @@ object Coverage {
     d.toString
   }
 
+  /** see s5_snapshot_sql — one snapshot-table copy of `nation` per
+    * (JVM, sf dir), built through the registered `snapshot` format's
+    * WRITE path (SaveMode.Overwrite is idempotent across repeated
+    * invocations: re-runs add a version, live rows stay identical). */
+  private val snapNationDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def snapNationDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    snapNationDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_cov").toString
+      Tables.nation(s, dir).write.format("snapshot").mode("overwrite")
+        .option("statCols", "n_nationkey").save(d)
+      d
+    })
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -62,5 +78,25 @@ object Coverage {
         col("n_regionkey").isNull.as("region_isnull"),
         coalesce(lit(null).cast("string"), col("n_name"), lit("fallback")).as("first_nonnull"))
         .orderBy("n_nationkey")
+    },
+
+    QueryDef.sql(
+      "s5_snapshot_sql",
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation WHERE n_nationkey >= 5
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      // S5 bulk-load sink through the REGISTERED batch format: nation
+      // bulk-loaded into a stat-tracked snapshot table via
+      // write.format("snapshot"), then read back through
+      // read.format("snapshot") — the pushed n_nationkey filter prunes
+      // from manifest stats before the parquet scan (the reference
+      // serves the same shape from its DB views). Oracle runs on the
+      // original parquet: the round trip must be row-identical.
+      val tmp = Coverage.snapNationDir(s, dir)
+      s.read.format("snapshot").load(tmp)
+        .where(col("n_nationkey") >= 5)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
     })
 }

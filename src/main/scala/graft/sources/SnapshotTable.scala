@@ -660,8 +660,23 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         s"snapshot $v of $root was vacuumed below the log-retention " +
           s"floor $floor (vacuumLog deleted its manifests); time travel " +
           s"only works at versions >= $floor")
-    try replayStateFullUnchecked(v)
-    catch {
+    try {
+      val state = replayStateFullUnchecked(v)
+      // protocol reader gate — refuse BEFORE any caller interprets the
+      // state. The check is per-version: a snapshot below a protocol
+      // upgrade replays the props AS OF that snapshot, so time travel
+      // into pre-upgrade history keeps working for old libraries.
+      val needR = SnapshotTable.protoOf(state.props,
+        SnapshotTable.MinReaderProp)
+      if (needR > SnapshotTable.ReaderVersion)
+        throw new SnapshotTable.ProtocolViolation(
+          s"snapshot $v of $root requires reader protocol version " +
+            s"$needR but this library supports " +
+            s"${SnapshotTable.ReaderVersion} — upgrade the graft " +
+            "library (or read a version committed before the " +
+            "protocol upgrade)")
+      state
+    } catch {
       case e: java.io.FileNotFoundException =>
         // the recorded floor was lost/clobbered and v is really below
         // the true floor: re-derive it from the surviving log, re-record
@@ -1569,9 +1584,36 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * won the race) — the writer's frame cannot contain them, so their
     * absence is not a DROP by this writer; they union in untouched
     * and do not trip the drop+add gate. */
+  /** Protocol writer gate (see the companion's version ledger):
+    * refuses a commit to a table whose recorded `minWriter` exceeds
+    * what this library implements — writing anyway could break an
+    * invariant the newer feature depends on. */
+  private def gateWriter(props: Map[String, String]): Unit = {
+    val needW = SnapshotTable.protoOf(props, SnapshotTable.MinWriterProp)
+    if (needW > SnapshotTable.WriterVersion)
+      throw new SnapshotTable.ProtocolViolation(
+        s"table $root requires writer protocol version $needW but " +
+          s"this library supports ${SnapshotTable.WriterVersion} — " +
+          "upgrade the graft library to write to this table")
+  }
+
+  /** Property deltas raising the table's protocol to at least
+    * (`reader`, `writer`) — empty when already there. The
+    * feature-bearing verbs (MoR DVs → 2, column mapping → 3) fold
+    * these into their OWN commit, so a table starts demanding a
+    * capability in the same atomic step that first uses it; never
+    * lowered. */
+  private def protocolBump(props: Map[String, String], reader: Int,
+      writer: Int): Seq[(String, Option[String])] =
+    (if (SnapshotTable.protoOf(props, SnapshotTable.MinReaderProp) < reader)
+      Seq(SnapshotTable.MinReaderProp -> Some(reader.toString)) else Nil) ++
+      (if (SnapshotTable.protoOf(props, SnapshotTable.MinWriterProp) < writer)
+        Seq(SnapshotTable.MinWriterProp -> Some(writer.toString)) else Nil)
+
   private def resolveSchema(newJson: String, at: Int,
       graceAdded: Set[String] = Set.empty): String = {
     val state = replayStateFull(at)
+    gateWriter(state.props)
     state.schema match {
       case None => newJson
       case Some(priorJson) if priorJson == newJson => newJson
@@ -1770,8 +1812,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // round-trip-proven) in the SAME keyed commit, so there is no
       // version at which the constraint names a column that no longer
       // exists; an expression the rewriter cannot prove still refuses.
+      val renameProps = replayStateFull(base).props
       val conRewrites: Seq[(String, Option[String])] =
-        replayStateFull(base).props.toSeq.collect {
+        renameProps.toSeq.collect {
           case (k, e) if k.startsWith(SnapshotTable.ConstraintPrefix) &&
               (try constraintRefs(e).contains(oldName.toLowerCase)
                catch { case scala.util.control.NonFatal(_) => false }) =>
@@ -1787,7 +1830,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         }
       commit(Nil, Nil, base = base, keyed = true,
         schemaGate = false, schemaTransform = Some(ns _),
-        props = conRewrites)
+        props = conRewrites ++ protocolBump(renameProps, 3, 3))
     }
 
   /** Substitute `oldName` identifiers with `newName` in a CHECK
@@ -1853,13 +1896,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           SnapshotTable.physicalName(st.fields(idx)).toLowerCase)
       }
       val (_, phys) = info(base) // eager validation + retired name
-      val retired = replayStateFull(base).props
+      val dropProps = replayStateFull(base).props
+      val retired = dropProps
         .get(SnapshotTable.RetiredPhysicalProp)
         .map(_.split(",").toSeq).getOrElse(Nil)
       commit(Nil, Nil, base = base, keyed = true,
         schemaGate = false, schemaTransform = Some((at: Int) => info(at)._1),
         props = Seq(SnapshotTable.RetiredPhysicalProp ->
-          Some((retired :+ phys).distinct.sorted.mkString(","))))
+          Some((retired :+ phys).distinct.sorted.mkString(","))) ++
+          protocolBump(dropProps, 3, 3))
     }
 
   private def commit(add: Seq[String], remove: Seq[String],
@@ -1921,6 +1966,15 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     var schemaSeen = currentVersion
     val schemaFirst = schemaSeen
     var schemaRec = schemaAt(schemaSeen)
+    // protocol writer gate: append-shaped schema-resolving commits
+    // just gated inside resolveSchema's existing replay (zero extra IO
+    // on the hot append path); every other shape (remove-bearing
+    // rewrites take the graftMapping branch, props/tag/dv-only,
+    // schemaTransform, ungated overwrite/restore) pays one explicit
+    // replay here.
+    if (!(schemaTransform.isEmpty && schemaGate && remove.isEmpty &&
+        schemaIn.isDefined))
+      gateWriter(replayStateFull(schemaFirst).props)
     val checkRemoves = remove.nonEmpty || keyed
     fs.mkdirs(logDir)
     var tmp = new Path(s"$root/_staging/manifest-${java.util.UUID.randomUUID()}.json")
@@ -2853,7 +2907,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       commit(staged, full, stats = stats, base = base, keyed = true,
         schemaTransform = Some(v => resolveSchema(srcJson, v)),
         sstats = sstats, blooms = blooms, sizes = sizes,
-        rows = counts.toSeq.sortBy(_._1), dvs = partial)
+        rows = counts.toSeq.sortBy(_._1), dvs = partial,
+        props = if (partial.nonEmpty)
+          protocolBump(state.props, 2, 2) else Nil)
     }
   }
 
@@ -3140,7 +3196,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             buildMorTombstones(state, candidates, cond)
           if (changedFiles.isEmpty) 0
           else commit(Nil, full, base = base, keyed = true,
-            dvs = partial, scope = Some(changedFiles))
+            dvs = partial, scope = Some(changedFiles),
+            props = if (partial.nonEmpty)
+              protocolBump(state.props, 2, 2) else Nil)
         }
       }
     }
@@ -3214,7 +3272,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               schema = Some(updated.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
               rows = counts.toSeq.sortBy(_._1), dvs = partial,
-              scope = Some(changedFiles))
+              scope = Some(changedFiles),
+              props = if (partial.nonEmpty)
+                protocolBump(state.props, 2, 2) else Nil)
           }
         }
       }
@@ -3539,6 +3599,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     require(!key.startsWith(SnapshotTable.ConstraintPrefix),
       s"keys under '${SnapshotTable.ConstraintPrefix}' are reserved — " +
         "use addCheckConstraint, which validates existing data")
+    require(!key.startsWith(SnapshotTable.ProtocolPrefix),
+      s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
+        "use upgradeProtocol, which only raises and serializes races")
     setProperty0(key, value)
   }
 
@@ -3559,8 +3622,47 @@ final class SnapshotTable(spark: SparkSession, val root: String,
 
   /** Remove one table property (a tombstone commit); no-op-shaped if
     * the key was never set. */
-  def removeProperty(key: String): Int =
+  def removeProperty(key: String): Int = {
+    require(!key.startsWith(SnapshotTable.ProtocolPrefix),
+      s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
+        "a protocol requirement is never lowered (history may hold the " +
+        "feature that raised it)")
     commit(Nil, Nil, props = Seq(key -> None))
+  }
+
+  /** The table's protocol requirement `(minReader, minWriter)` at
+    * `version` (head when omitted); `(1, 1)` when never raised. */
+  def protocol(version: Option[Int] = None): (Int, Int) = {
+    val p = properties(version)
+    (SnapshotTable.protoOf(p, SnapshotTable.MinReaderProp),
+      SnapshotTable.protoOf(p, SnapshotTable.MinWriterProp))
+  }
+
+  /** Raise the table's protocol requirement explicitly (the
+    * feature-bearing verbs raise it implicitly — see the companion's
+    * version ledger). Only upward: a downgrade cannot prove the
+    * history holds no commit that needed the higher version. Values
+    * ABOVE this library's own [[SnapshotTable.ReaderVersion]]/
+    * [[SnapshotTable.WriterVersion]] are accepted — reserving a table
+    * for a newer library is the gate's purpose — but make the table
+    * unreadable/unwritable by THIS library from the committed version
+    * on (older snapshots stay readable: the gate is per-version). A
+    * keyed commit, so two racing upgrades serialize instead of
+    * last-writer-wins lowering one of them. Returns the committed
+    * version (the current one when already at or above). */
+  def upgradeProtocol(minReader: Int, minWriter: Int): Int =
+    retryingOnConflict("upgradeProtocol") {
+      require(minReader >= 1 && minWriter >= 1,
+        s"protocol versions start at 1, asked ($minReader, $minWriter)")
+      val base = currentVersion
+      val (r, w) = protocol(Some(base))
+      require(minReader >= r && minWriter >= w,
+        s"protocol can only be raised: table at ($r, $w), asked " +
+          s"($minReader, $minWriter)")
+      if (minReader == r && minWriter == w) base
+      else commit(Nil, Nil, base = base, keyed = true,
+        props = protocolBump(properties(Some(base)), minReader, minWriter))
+    }
 
   /** Add a CHECK constraint: from this commit on, every write —
     * append, merge, overwrite, tagged streaming batch — validates its
@@ -4153,6 +4255,42 @@ object SnapshotTable {
   /** Table property: comma-separated columns every write builds bloom
     * sidecars for when the caller passes none (see [[StatColsProp]]). */
   val BloomColsProp = "graft.bloomCols"
+
+  // ---- protocol versioning ------------------------------------------
+  //
+  // The forward-compatibility contract every multi-writer table format
+  // needs (the Delta/Iceberg protocol-version shape): a table records
+  // the MINIMUM reader/writer capability its current features require,
+  // and a library that is too old REFUSES — loudly, naming the gap —
+  // instead of silently misreading. Without the gate, a pre-column-
+  // mapping reader of a renamed table would return the renamed column
+  // as all-null from every old file, and a pre-DV reader would
+  // RESURRECT MoR-deleted rows: both silent wrong answers. The
+  // protocol rides the replayed property channel (reserved
+  // `graft.protocol.*` keys), so it time-travels with the table —
+  // snapshots BELOW a protocol upgrade stay readable by old libraries,
+  // exactly the versions whose features they predate.
+  //
+  // Version ledger (this library reads/writes everything ≤ these):
+  //   1 = base manifest log (appends, stats, blooms, tags, props)
+  //   2 = deletion vectors (merge-on-read delete/update/merge)
+  //   3 = column mapping (renameColumn/dropColumn physical names)
+  val ProtocolPrefix = "graft.protocol."
+  val MinReaderProp = "graft.protocol.minReader"
+  val MinWriterProp = "graft.protocol.minWriter"
+  val ReaderVersion = 3
+  val WriterVersion = 3
+
+  private[sources] def protoOf(props: Map[String, String],
+      key: String): Int =
+    props.get(key).flatMap(s =>
+      scala.util.Try(s.trim.toInt).toOption).getOrElse(1)
+
+  /** The table's protocol requirement exceeds what this library
+    * implements; reading (or writing) could silently corrupt or
+    * misread, so the operation refused. Nothing was committed. */
+  final class ProtocolViolation(msg: String)
+    extends IllegalStateException(msg)
 
   /** The SparkContext local property under which StreamExecution pins
     * the running streaming query's id (stable across restarts of the

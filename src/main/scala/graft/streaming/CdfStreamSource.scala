@@ -1,10 +1,11 @@
 package graft.streaming
 
 import graft.sources.SnapshotTable
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  PrunedScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** [[SnapshotTable]] change-data-feed as a REGISTERED Structured
@@ -51,9 +52,36 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * behind [[SnapshotTable.vacuumLog]]'s retention floor fails the
   * batch with the table's clean re-bootstrap error, not a
   * FileNotFound mid-replay. */
-final class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class CdfSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "snapshot-cdf"
+
+  /** BATCH change read under the same format name (the Delta
+    * `table_changes` shape): `spark.read.format("snapshot-cdf")
+    * .option("fromVersion", v).load(root)` returns ONE bounded frame
+    * of the changes in `(fromVersion, toVersion]` — version semantics
+    * identical to [[SnapshotTable.diff]] and to the stream's `startAt`
+    * (exclusive base; 0 = since table creation, so the frame starts
+    * with the full current snapshot as inserts). `toVersion` defaults
+    * to the table head, freezing the range AT PLANNING so the frame is
+    * stable under concurrent commits. `columns`/`where` behave as in
+    * the stream. The one-shot audit/backfill surface — "what changed
+    * between Monday and now" without standing up a checkpoint. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    validateWhere(sqlContext, parameters)
+    val table = tableOf(sqlContext, parameters)
+    val (_, st) = sourceSchema(sqlContext, None, shortName(), parameters)
+    val from = parameters.get("fromVersion").map(_.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot-cdf batch read requires fromVersion — the base " +
+          "version changes are read AFTER (0 = since table creation)"))
+    val to = parameters.get("toVersion").map(_.trim.toInt)
+      .getOrElse(table.currentVersion)
+    new CdfRelation(sqlContext, table, st, from, to,
+      parameters.get("where"))
+  }
 
   private def tableOf(sqlContext: SQLContext,
       parameters: Map[String, String]): SnapshotTable = {
@@ -205,4 +233,35 @@ private[streaming] final class CdfSource(table: SnapshotTable,
   override def commit(end: V1Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** The batch half of the CDF surface (see [[CdfSourceProvider
+  * .createRelation]]): one bounded diff frame over a frozen version
+  * range. Column pruning reaches the underlying parquet scans — the
+  * frame is planned per `buildScan` with only the requested columns,
+  * so a key-only audit reads keys. Row filters stay with Spark (the
+  * plan is already file-pruned by the version range; the `where`
+  * OPTION exists for scan-level pushdown when wanted). */
+private[streaming] final class CdfRelation(
+    override val sqlContext: SQLContext, table: SnapshotTable,
+    st: StructType, from: Int, to: Int, where: Option[String])
+    extends BaseRelation with PrunedScan {
+
+  override def schema: StructType = st
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String])
+      : org.apache.spark.rdd.RDD[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val changes = where.foldLeft(table.diff(from, to))((df, w) =>
+      df.filter(expr(w)))
+    // empty requiredColumns (count star) legitimately projects to zero
+    // columns; names are table columns or `_change` — never dotted, so
+    // backtick quoting is safe
+    val projected = changes.select(
+      requiredColumns.toIndexedSeq.map(n => col(s"`$n`")): _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  }
 }

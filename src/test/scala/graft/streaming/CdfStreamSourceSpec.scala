@@ -359,4 +359,46 @@ class CdfStreamSourceSpec extends SparkSuite {
     t.streamingSinkAs("job-y")(df, 0L) // other app's batch 0 lands
     assert(t.read().count() == 2)
   }
+
+  test("batch read.format(snapshot-cdf): bounded diff with columns/where/SQL; fromVersion required") {
+    val dir = tmp("cdfbatch")
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val v1 = t.currentVersion
+    t.append(Seq((3L, "c")).toDF("id", "tag"))
+    t.deleteWhereMoR(col("id") === 1L)
+    val v3 = t.currentVersion
+    t.append(Seq((4L, "d")).toDF("id", "tag"))
+    def chg(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("id", "_change").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // strictly-after-v1 through v3: one insert, one delete
+    assert(chg(spark.read.format("snapshot-cdf")
+      .option("fromVersion", v1).option("toVersion", v3).load(dir)) ==
+      Set((3L, "insert"), (1L, "delete")))
+    // toVersion defaults to head
+    assert(chg(spark.read.format("snapshot-cdf")
+      .option("fromVersion", v3).load(dir)) == Set((4L, "insert")))
+    // fromVersion 0 = NET diff against the empty table: the current
+    // snapshot as inserts (2,3,4 — the deleted id 1 never appears)
+    assert(chg(spark.read.format("snapshot-cdf")
+      .option("fromVersion", 0).load(dir)) ==
+      Set((2L, "insert"), (3L, "insert"), (4L, "insert")))
+    // columns narrows; where subsets by row values; SQL view works
+    val narrow = spark.read.format("snapshot-cdf")
+      .option("fromVersion", v1).option("toVersion", v3)
+      .option("columns", "id").option("where", "tag <> 'c'").load(dir)
+    assert(narrow.schema.fieldNames.toSeq == Seq("id", "_change"))
+    assert(narrow.select("id").as[Long].collect().toSeq == Seq(1L))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdf_v USING `snapshot-cdf` " +
+      s"OPTIONS (path '$dir', fromVersion '0')")
+    assert(spark.sql(
+      "SELECT count(*) FROM cdf_v WHERE _change = 'insert'")
+      .as[Long].head() == 3L)
+    spark.sql("DROP VIEW cdf_v")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot-cdf").load(dir)
+    }
+    assert(e.getMessage.contains("fromVersion"))
+  }
 }

@@ -320,6 +320,15 @@ object IngestCli {
             t.properties().toSeq.sorted.foreach { case (k, v) =>
               println(s"$k=$v")
             }
+          case "protocol" =>
+            val (r, w) = t.protocol()
+            println(s"minReader=$r minWriter=$w " +
+              s"(library reader=${graft.sources.SnapshotTable.ReaderVersion} " +
+              s"writer=${graft.sources.SnapshotTable.WriterVersion})")
+          case "upgradeProtocol" =>
+            println(s"protocol raised in version " +
+              t.upgradeProtocol(req("minReader").toInt,
+                req("minWriter").toInt))
           case "addConstraint" =>
             // CHECK constraint: existing rows must satisfy --expr;
             // every later write validates its staged rows against it

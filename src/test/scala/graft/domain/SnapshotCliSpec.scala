@@ -62,6 +62,26 @@ class SnapshotCliSpec extends SparkSuite {
     intercept[IllegalArgumentException] { run("restore", "version" -> "3") }
   }
 
+  test("protocol inspect/upgrade through the CLI") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcliproto").toString
+    val table = s"$dir/tbl"; val in = s"$dir/in"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(in)
+    def run(op: String, extra: (String, String)*) = captured {
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> op) ++ extra)
+    }
+    run("append", "from" -> in)
+    assert(run("protocol").contains("minReader=1 minWriter=1"))
+    // a MoR delete raises implicitly; the CLI reports the new demand
+    run("delete", "where" -> "id = 99", "mode" -> "mor") // no match: no DV
+    assert(run("protocol").contains("minReader=1 minWriter=1"))
+    run("rename", "column" -> "v:val")
+    assert(run("protocol").contains("minReader=3 minWriter=3"))
+    assert(run("upgradeProtocol", "minReader" -> "3", "minWriter" -> "4")
+      .contains("protocol raised in version"))
+    assert(run("protocol").contains("minReader=3 minWriter=4"))
+  }
+
   test("vacuumLog truncates history through the CLI and reports the floor") {
     val dir = java.nio.file.Files.createTempDirectory("snapcli-vl").toString
     val table = s"$dir/tbl"

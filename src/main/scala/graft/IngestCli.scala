@@ -320,6 +320,11 @@ object IngestCli {
             t.properties().toSeq.sorted.foreach { case (k, v) =>
               println(s"$k=$v")
             }
+          case "clone" =>
+            // --target <dir> [--version N]: zero-copy shallow clone
+            println(s"cloned into " + req("target") + " version " +
+              t.shallowCloneTo(req("target"),
+                opts.get("version").map(_.toInt)))
           case "protocol" =>
             val (r, w) = t.protocol()
             println(s"minReader=$r minWriter=$w " +

@@ -2437,6 +2437,91 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * size. History is preserved (the bad versions stay readable);
     * fails if `version`'s files were already vacuumed below the
     * retention floor (the read would fail the same way). */
+  /** Zero-copy SHALLOW CLONE (the Delta `CLONE ... SHALLOW` shape):
+    * creates `targetRoot` as a NEW independent table whose first
+    * commit REFERENCES this table's live data files at `version`
+    * (default head) — no data moves, so cloning a 100 TB table costs
+    * one metadata commit plus a copy of the (KB-sized) bloom/DV
+    * sidecars into the clone's own `_index/` (sidecar paths derive
+    * from the table root, so they cannot be referenced across roots).
+    * The clone carries the source's schema VERBATIM (column mapping
+    * included), its per-file stats/string-stats/bloom markers/sizes/
+    * row counts (pruning works immediately), its deletion vectors,
+    * and ALL table properties — constraints, stat/bloom defaults, and
+    * the protocol requirement travel with the data they protect.
+    *
+    * From the first commit on, the two tables diverge freely: the
+    * clone's writes stage into its own `data/`, its vacuum only ever
+    * lists its own directories (foreign referenced files are never
+    * sweep candidates), and rewrites (compact/merge/DML) progressively
+    * replace references with clone-owned files. The ONE shared-fate
+    * caveat — identical to Delta's — is the source's `vacuum`: it
+    * cannot see the clone's references, so reaping source history the
+    * clone still points at breaks the clone. Clone from versions the
+    * source retains, or compact the clone (making it self-contained)
+    * before vacuuming the source aggressively.
+    *
+    * The use case at scale: a dev/test sandbox or a migration dry-run
+    * against production data with zero copy cost and zero risk to the
+    * source (the clone cannot touch source files — every destructive
+    * verb operates on its own manifest, and physical deletion only
+    * happens under the clone's own root). */
+  def shallowCloneTo(targetRoot: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(currentVersion)
+    require(v > 0, s"shallowCloneTo: source $root has no commits")
+    require(v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val srcQ = fs.makeQualified(new Path(root)).toString
+    val tgtQ = fs.makeQualified(new Path(targetRoot)).toString
+    require(srcQ != tgtQ, "shallowCloneTo: target is the source itself")
+    val tgt = new SnapshotTable(spark, targetRoot, checkpointInterval)
+    require(tgt.currentVersion == 0,
+      s"shallowCloneTo: target $targetRoot already has commits " +
+        s"(version ${tgt.currentVersion})")
+    val state = replayStateFull(v)
+    val liveSet = state.live.toSet
+    // sidecars: blooms named <dataFileName>.bloom-<col>, DVs by their
+    // recorded name — both resolve relative to a table's OWN _index/,
+    // so the clone gets physical copies (bytes are small and immutable)
+    val bloomNames = state.blooms.toSeq.collect {
+      case (f, c) if liveSet(f) => s"${new Path(f).getName}.bloom-$c"
+    }
+    val dvNames = state.dvs.collect {
+      case (f, (sc, _)) if liveSet(f) => sc
+    }.toSeq
+    if (bloomNames.nonEmpty || dvNames.nonEmpty) fs.mkdirs(tgt.indexDir)
+    (bloomNames ++ dvNames).distinct.foreach { n =>
+      val from = new Path(indexDir, n)
+      val to = new Path(tgt.indexDir, n)
+      if (!fs.exists(to))
+        org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    tgt.commit(
+      add = state.live,
+      remove = Nil,
+      stats = state.stats.toSeq.collect {
+        case ((f, c), (lo, hi)) if liveSet(f) =>
+          SnapshotTable.FileStat(f, c, lo, hi)
+      },
+      base = 0, keyed = true, // racing clones into one target serialize
+      schema = state.schema,
+      sstats = state.sstats.toSeq.collect {
+        case ((f, c), (lo, hi)) if liveSet(f) =>
+          SnapshotTable.StrStat(f, c, lo, hi)
+      },
+      blooms = state.blooms.toSeq.filter(b => liveSet(b._1)),
+      props = state.props.toSeq.sorted.map { case (k, pv) => k -> Some(pv) },
+      sizes = state.sizes.toSeq.filter(kv => liveSet(kv._1)),
+      rows = state.rows.toSeq.filter(kv => liveSet(kv._1)),
+      // verbatim like restore: the schema (with any physical mapping)
+      // and the channel values are this table's own truths re-recorded
+      schemaGate = false, sanitizeSchema = false,
+      dvs = state.dvs.toSeq.collect {
+        case (f, (sc, n)) if liveSet(f) => (f, sc, n)
+      })
+  }
+
   def restore(version: Int): Int =
     retryingOnConflict("restore") {
       val base = currentVersion
@@ -3956,13 +4041,20 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val dataNames: Set[String] =
         if (!fs.exists(dataDir)) Set.empty
         else fs.listStatus(dataDir).map(_.getPath.getName).toSet
+      // a retained file may live OUTSIDE data/ (importFiles adoption,
+      // shallowCloneTo references into the source table) — its bloom
+      // sidecar must survive exactly like a DV sidecar does, so the
+      // sweep also honors the keep-walk (names suffice: staged names
+      // are UUID-unique, and the sidecar path is derived from the name)
+      val keepNames: Set[String] = keep.map(p => new Path(p).getName).toSet
       fs.listStatus(indexDir)
         .filter(_.getModificationTime < cutoff)
         .foreach { st =>
           val n = st.getPath.getName
           val sep = n.lastIndexOf(".bloom-")
           val dvSep = n.lastIndexOf(".dv-")
-          if (sep > 0 && !dataNames.contains(n.substring(0, sep)))
+          if (sep > 0 && !dataNames.contains(n.substring(0, sep)) &&
+              !keepNames.contains(n.substring(0, sep)))
             fs.delete(st.getPath, false)
           // a dv sidecar lives exactly as long as some retained
           // version points at it — membership in keepDv ALONE decides

@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.text.Domains.domainOf(
             org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(args.head)))
       }))
+    // table-valued functions over snapshot tables (FROM-clause surface:
+    // snapshot_at / table_changes / snapshot_history — one shared
+    // builder set with the live-session registration path, see
+    // SnapshotTvfs)
+    graft.sources.SnapshotTvfs.descriptions.foreach(ext.injectTableFunction)
     // HOF-cosine → fused native kernel rewrite (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineSimilarity)
   }

@@ -461,7 +461,16 @@ object IngestCli {
           "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos, " +
             "rolling_hash('abc') AS rh, " +
             "canonical_url('HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=1') AS cu").head()
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}"}""")
+        // and the table-valued functions (injectTableFunction path):
+        // build a throwaway table, query it through the FROM clause
+        val tvfDir = java.nio.file.Files
+          .createTempDirectory("sqlcheck_tvf").toString
+        import spark.implicits._
+        new graft.sources.SnapshotTable(spark, tvfDir)
+          .append(Seq(1L, 2L, 3L).toDF("id"))
+        val tvfN = spark.sql(
+          s"SELECT count(*) FROM snapshot_at('$tvfDir')").head().getLong(0)
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType, StringType}
+
+/** Table-valued SQL functions over [[SnapshotTable]] — the FROM-clause
+  * surface a SQL-only consumer needs (the Delta `table_changes` shape):
+  *
+  * {{{
+  *   SELECT * FROM snapshot_at('/tables/events')            -- head
+  *   SELECT * FROM snapshot_at('/tables/events', 7)         -- travel
+  *   SELECT * FROM table_changes('/tables/events', 3)       -- (3, head]
+  *   SELECT * FROM table_changes('/tables/events', 3, 9)    -- (3, 9]
+  *   SELECT * FROM snapshot_history('/tables/events')       -- commits
+  * }}}
+  *
+  * Each builder returns the ANALYZED logical plan of the equivalent
+  * table-API frame, so the TVF output composes with everything SQL can
+  * do (joins, aggregation, further filters) and column pruning /
+  * predicate pushdown flow into the underlying pruned parquet scans
+  * exactly as they do for the DataFrame path — there is ONE read
+  * implementation, not a SQL re-implementation. Arguments must be
+  * literals: the plan is resolved once at analysis, which is also why
+  * `table_changes` with no upper bound pins the head AT ANALYSIS
+  * (stable under concurrent commits for the query's lifetime).
+  *
+  * Installed by [[graft.GraftExtensions]] at session build
+  * (`spark.sql.extensions=graft.GraftExtensions`) or on a live session
+  * via [[SnapshotTvfs.registerOn]]. */
+object SnapshotTvfs {
+
+  /** (name, info, builder) triples in the exact shape BOTH
+    * registration paths consume — `SparkSessionExtensions
+    * .injectTableFunction` and the live session's
+    * `tableFunctionRegistry` — so the two surfaces cannot drift. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("snapshot_at"),
+      new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_at"),
+      (args: Seq[Expression]) => snapshotAt(args)),
+    (FunctionIdentifier("table_changes"),
+      new ExpressionInfo(SnapshotTvfs.getClass.getName, "table_changes"),
+      (args: Seq[Expression]) => tableChanges(args)),
+    (FunctionIdentifier("snapshot_history"),
+      new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_history"),
+      (args: Seq[Expression]) => snapshotHistory(args)))
+
+  /** Register on an already-built session (tests, notebooks attached to
+    * a session whose extensions are fixed). */
+  def registerOn(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, info, builder)
+    }
+
+  private def str(fn: String, what: String, e: Expression): String =
+    e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got ${e.sql}")
+    }
+
+  private def int(fn: String, what: String, e: Expression): Int = e match {
+    case Literal(v: Byte, ByteType) => v.toInt
+    case Literal(v: Short, ShortType) => v.toInt
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got ${e.sql}")
+  }
+
+  private def table(path: String): SnapshotTable =
+    new SnapshotTable(SparkSession.active, path)
+
+  /** `snapshot_at(path[, version])` — the table's rows at a version
+    * (head when omitted); DV-applied, column-mapped, prunable. */
+  def snapshotAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"snapshot_at(path[, version]) takes 1 or 2 arguments, got ${args.size}")
+    val t = table(str("snapshot_at", "path", args.head))
+    t.read(args.lift(1).map(int("snapshot_at", "version", _)))
+      .queryExecution.analyzed
+  }
+
+  /** `table_changes(path, fromVersion[, toVersion])` — the bounded
+    * change frame of `(fromVersion, toVersion]` with `_change`
+    * (insert/delete); same semantics as [[SnapshotTable.diff]] and the
+    * `snapshot-cdf` batch format. */
+  def tableChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"table_changes(path, fromVersion[, toVersion]) takes 2 or 3 " +
+        s"arguments, got ${args.size}")
+    val t = table(str("table_changes", "path", args.head))
+    val from = int("table_changes", "fromVersion", args(1))
+    val to = args.lift(2).map(int("table_changes", "toVersion", _))
+      .getOrElse(t.currentVersion)
+    t.diff(from, to).queryExecution.analyzed
+  }
+
+  /** `snapshot_history(path[, limit])` — newest-first commit log
+    * (version, committed_at, n_add, n_remove, tag, keyed); reads the
+    * last `limit` (default 20) manifests only. */
+  def snapshotHistory(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"snapshot_history(path[, limit]) takes 1 or 2 arguments, " +
+        s"got ${args.size}")
+    val t = table(str("snapshot_history", "path", args.head))
+    t.history(args.lift(1).map(int("snapshot_history", "limit", _))
+      .getOrElse(20)).queryExecution.analyzed
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** FROM-clause SQL surface: snapshot_at / table_changes /
+  * snapshot_history as table-valued functions, registered from the
+  * same builder set GraftExtensions injects at session build. */
+class SnapshotTvfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    SnapshotTvfs.registerOn(spark)
+    val d = java.nio.file.Files.createTempDirectory("tvf").toString
+    val t = new SnapshotTable(spark, d)
+    t.appendWithStats(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"),
+      statCols = Seq("id"))
+    t.append(Seq((3L, "c")).toDF("id", "tag"))
+    t.deleteWhereMoR(col("id") === 1L)
+    d
+  }
+
+  test("snapshot_at serves head and version travel, composable in SQL") {
+    assert(spark.sql(s"SELECT id FROM snapshot_at('$dir') ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$dir', 1)")
+      .as[Long].head() == 2L)
+    // composes: self-join through the TVF
+    assert(spark.sql(
+      s"""SELECT a.id FROM snapshot_at('$dir') a
+         |JOIN snapshot_at('$dir', 1) b ON a.id = b.id""".stripMargin)
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("table_changes yields the bounded diff; upper bound defaults to head") {
+    val got = spark.sql(
+      s"SELECT id, _change FROM table_changes('$dir', 1, 3)")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "insert"), (1L, "delete")))
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$dir', 0)")
+      .as[Long].head() == 2L) // net vs empty: ids 2, 3 as inserts
+  }
+
+  test("snapshot_history lists commits newest-first with the keyed marker") {
+    val rows = spark.sql(
+      s"SELECT version, n_add, n_remove, keyed FROM snapshot_history('$dir')")
+      .as[(Int, Int, Int, Boolean)].collect().toSeq
+    assert(rows.map(_._1) == Seq(3, 2, 1))
+    assert(rows.head._4) // the MoR delete is keyed
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_history('$dir', 2)")
+      .as[Long].head() == 2L)
+  }
+
+  test("non-literal and malformed arguments refuse with named errors") {
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_at(concat('$dir', ''))").collect()
+    }
+    assert(e1.getMessage.contains("string literal"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$dir')").collect()
+    }
+    assert(e2.getMessage.contains("2 or 3"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_at('$dir', 'x')").collect()
+    }
+    assert(e3.getMessage.contains("integer literal"))
+  }
+}

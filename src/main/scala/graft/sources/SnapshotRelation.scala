@@ -49,9 +49,52 @@ import org.apache.spark.sql.types.StructType
   * for the lakehouse tables.
   */
 final class SnapshotSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "snapshot"
+
+  // ---- streaming read: the append-only table stream ------------------
+  //
+  // `spark.readStream.format("snapshot").load(root)` streams the
+  // table's NEW ROWS with the table's own schema — the fourth quadrant
+  // (batch read/write and the `snapshot-table` stream sink being the
+  // others), and the Delta-source UX: a consumer that wants plain rows
+  // should not have to know about `_change` columns. Offsets,
+  // admission control (`maxVersionsPerTrigger`), `startAt`, `columns`
+  // and `where` are the CDF source's (same machinery, append-only
+  // mode); commits that DELETE rows fail the batch loudly unless
+  // `ignoreDeletes=true` — for delete-aware consumption use
+  // `snapshot-cdf`. The deletes gate is metadata-first: append-only
+  // ranges pay zero extra jobs, and a compaction-only commit (removes
+  // without row deletes) streams through untripped.
+
+  private def cdfDelegate = new graft.streaming.CdfSourceProvider
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : (String, StructType) = {
+    val (_, withChange) =
+      cdfDelegate.sourceSchema(sqlContext, schema, providerName, parameters)
+    (shortName(), StructType(withChange.fields.filterNot(_.name == "_change")))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new graft.streaming.CdfSource(
+      tableFor(sqlContext.sparkSession, parameters), st,
+      startAt = parameters.get("startAt").map(_.trim.toInt).getOrElse(0),
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
+      where = parameters.get("where"),
+      appendOnly = true,
+      ignoreDeletes =
+        parameters.get("ignoreDeletes").exists(_.trim.toBoolean))
+  }
 
   private def tableFor(spark: SparkSession,
       parameters: Map[String, String]): SnapshotTable = {

@@ -3603,6 +3603,16 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Whether any commit in `(fromVersion, toVersion]` removed files or
+    * touched deletion vectors — the necessary condition for the
+    * range's [[diff]] to contain `delete` rows (the same predicate the
+    * diff fast path keys on). Metadata-only: O(range) manifest reads,
+    * no data IO — the append-only stream source's cheap gate. */
+  private[graft] def rangeHasRemovals(fromVersion: Int,
+      toVersion: Int): Boolean =
+    (fromVersion + 1 to toVersion).map(readManifestRaw)
+      .exists(r => decode(r)._2.nonEmpty || dvsOf(r).nonEmpty)
+
   /** The newest version committed at or before `timestampMillis` —
     * timestamp time travel (Delta's `timestampAsOf`), resolved by
     * BINARY SEARCH over manifest modification times: O(log n) file

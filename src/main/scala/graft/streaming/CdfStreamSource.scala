@@ -154,10 +154,22 @@ final class CdfSourceProvider extends StreamSourceProvider
   }
 }
 
-private[streaming] final class CdfSource(table: SnapshotTable,
+/** `appendOnly = true` is the plain `snapshot` STREAM source (see
+  * [[graft.sources.SnapshotSourceProvider]]): the table's own schema
+  * (no `_change`), insert rows only. A range whose commits deleted
+  * rows FAILS the batch unless `ignoreDeletes` — silently dropping
+  * deletes would let a downstream copy diverge without an error trail
+  * (the Delta source's contract). The gate is metadata-first
+  * ([[SnapshotTable.rangeHasRemovals]]): append-only ranges — the
+  * steady state — pay zero extra jobs; only a range with removes/DV
+  * commits runs the one exactness check that lets pure compaction
+  * (removes, no row deletes) stream through untripped. */
+private[graft] final class CdfSource(table: SnapshotTable,
     fixedSchema: StructType, startAt: Int,
     maxVersionsPerTrigger: Option[Int],
-    where: Option[String] = None)
+    where: Option[String] = None,
+    appendOnly: Boolean = false,
+    ignoreDeletes: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -223,8 +235,21 @@ private[streaming] final class CdfSource(table: SnapshotTable,
     // pushes it into the batch's parquet scans; then positional
     // projection to the pinned schema — a widened column in a
     // mid-stream append must not shift the relation's output arity
-    val changes = where.foldLeft(table.diff(from, to))((df, w) =>
+    val changes0 = where.foldLeft(table.diff(from, to))((df, w) =>
       df.filter(org.apache.spark.sql.functions.expr(w)))
+    val changes =
+      if (!appendOnly) changes0
+      else {
+        import org.apache.spark.sql.functions.col
+        if (!ignoreDeletes && table.rangeHasRemovals(from, to) &&
+            !changes0.filter(col("_change") === "delete").isEmpty)
+          throw new IllegalStateException(
+            s"snapshot stream source: commits ($from, $to] of " +
+              s"${table.root} DELETE rows — stream format " +
+              "\"snapshot-cdf\" to consume deletes, or set " +
+              ".option(\"ignoreDeletes\", true) to knowingly skip them")
+        changes0.filter(col("_change") === "insert")
+      }
     val projected = changes
       .select(fixedSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     org.apache.spark.sql.graftbridge.StreamBridge.asStreaming(projected)

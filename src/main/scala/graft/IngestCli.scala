@@ -207,7 +207,9 @@ object IngestCli {
               .collect().foreach { r =>
                 println(s"v${r.getInt(0)} at=${r.getTimestamp(1)} " +
                   s"add=${r.getInt(2)} remove=${r.getInt(3)} " +
-                  s"tag=${Option(r.get(4)).getOrElse("-")} keyed=${r.getBoolean(5)}")
+                  s"tag=${Option(r.get(4)).getOrElse("-")} " +
+                  s"keyed=${r.getBoolean(5)} " +
+                  s"op=${Option(r.get(6)).getOrElse("-")}")
               }
           case "diff" =>
             println(s"changes=${t.diff(req("fromVersion").toInt,

@@ -85,9 +85,10 @@ final class SnapshotSourceProvider extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new graft.streaming.CdfSource(
-      tableFor(sqlContext.sparkSession, parameters), st,
-      startAt = parameters.get("startAt").map(_.trim.toInt).getOrElse(0),
+    val table = tableFor(sqlContext.sparkSession, parameters)
+    new graft.streaming.CdfSource(table, st,
+      startAt =
+        graft.streaming.CdfSourceProvider.resolveStartAt(table, parameters),
       maxVersionsPerTrigger =
         parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
       where = parameters.get("where"),
@@ -111,13 +112,10 @@ final class SnapshotSourceProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val table = tableFor(sqlContext.sparkSession, parameters)
     val asOfV = parameters.get("versionAsOf").map(_.trim.toInt)
-    val asOfT = parameters.get("timestampAsOf").map { s =>
-      val t = s.trim
-      // epoch millis or an ISO instant/timestamp; same surface as
-      // readAsOf's callers.
-      if (t.forall(c => c.isDigit || c == '-') && t.nonEmpty) t.toLong
-      else java.sql.Timestamp.valueOf(t.replace("T", " ")).getTime
-    }
+    // epoch millis, ISO instant, or local datetime read as UTC —
+    // the one shared parser (SnapshotTable.parseTsMillis)
+    val asOfT = parameters.get("timestampAsOf")
+      .map(SnapshotTable.parseTsMillis)
     require(asOfV.isEmpty || asOfT.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = asOfV.orElse(asOfT.map(table.versionAt))

@@ -382,8 +382,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       props: Seq[(String, Option[String])] = Nil,
       sizes: Seq[(String, Long)] = Nil,
       rows: Seq[(String, Long)] = Nil,
-      dvs: Seq[(String, String, Long)] = Nil): String = {
+      dvs: Seq[(String, String, Long)] = Nil,
+      op: Option[String] = None): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
+    // the VERB that produced this commit (DESCRIBE HISTORY's operation
+    // column) — observability only, replay ignores it
+    val o = op.map(v => s""","op":"${esc(v)}"""").getOrElse("")
     // latest-writer schema (Spark StructType JSON): lets readers plan
     // with ONE recorded schema instead of footer-merging 100k files,
     // and makes add-a-column appends readable across old files
@@ -408,7 +412,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // keyed writer can detect it even when this commit removed nothing
     // (an append-shaped merge); see `commit`'s isolation scaladoc
     val k = if (keyed) s""","keyed":true""" else ""
-    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$st$sst$k$sc}"""
+    s"""{"add":${jsonArr(add)},"remove":${jsonArr(remove)}$t$o$st$sst$k$sc}"""
   }
 
   private def statsOf(json: String): Seq[SnapshotTable.FileStat] =
@@ -578,6 +582,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
 
   private def tagOf(json: String): Option[String] = strOf(json, "tag")
+
+  private def opOf(json: String): Option[String] = strOf(json, "op")
 
   private def keyedOf(json: String): Boolean =
     json.contains(""""keyed":true""")
@@ -1523,7 +1529,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // below the threshold, ONE distributed pass beyond it (a 100k-file
     // adoption must not serialize 100k GETs through the driver)
     val rowCounts = footerRowCounts(files).toSeq.sortBy(_._1)
-    try commit(files, Nil, stats = ns.result(), sstats = ss.result(),
+    try commit(files, Nil, op = "importFiles",
+      stats = ns.result(), sstats = ss.result(),
       schema = Some(df.schema.json), base = base, keyed = true,
       sizes = sizes, rows = rowCounts)
     catch {
@@ -1828,7 +1835,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                   "against the new name")
             }
         }
-      commit(Nil, Nil, base = base, keyed = true,
+      commit(Nil, Nil, base = base, keyed = true, op = "renameColumn",
         schemaGate = false, schemaTransform = Some(ns _),
         props = conRewrites ++ protocolBump(renameProps, 3, 3))
     }
@@ -1901,6 +1908,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         .get(SnapshotTable.RetiredPhysicalProp)
         .map(_.split(",").toSeq).getOrElse(Nil)
       commit(Nil, Nil, base = base, keyed = true,
+        op = "dropColumn",
         schemaGate = false, schemaTransform = Some((at: Int) => info(at)._1),
         props = Seq(SnapshotTable.RetiredPhysicalProp ->
           Some((retired :+ phys).distinct.sorted.mkString(","))) ++
@@ -1921,7 +1929,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       dvs: Seq[(String, String, Long)] = Nil,
       scope: Option[Seq[String]] = None,
       schemaTransform: Option[Int => String] = None,
-      sanitizeSchema: Boolean = true): Int = {
+      sanitizeSchema: Boolean = true,
+      op: String = ""): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -1982,7 +1991,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val out = fs.create(tmp, true)
       try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
         schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
-        sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs)
+        sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs,
+        op = Some(op).filter(_.nonEmpty))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -2131,7 +2141,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val blooms = buildBlooms(staged, bc, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
       sstats = sstats, blooms = blooms, sizes = sizes,
-      rows = counts.toSeq.sortBy(_._1))
+      rows = counts.toSeq.sortBy(_._1), op = "append")
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -2498,6 +2508,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           spark.sparkContext.hadoopConfiguration)
     }
     tgt.commit(
+      op = "clone",
       add = state.live,
       remove = Nil,
       stats = state.stats.toSeq.collect {
@@ -2598,7 +2609,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         add.foreach(f => fs.setTimes(new Path(f), now, -1))
         // rollback re-records the TARGET version's schema verbatim —
         // the rename gate would misread a schema rollback as drop+add
-        commit(add, remove, base = base, keyed = true,
+        commit(add, remove, base = base, keyed = true, op = "restore",
           schema = stTarget.schema, schemaGate = false, dvs = dvRecs,
           sanitizeSchema = false)
       }
@@ -2656,7 +2667,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
         schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
-        sizes = sizes, rows = counts.toSeq.sortBy(_._1)))
+        sizes = sizes, rows = counts.toSeq.sortBy(_._1),
+        op = "appendIfAbsent"))
     }
 
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
@@ -2714,6 +2726,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // replace-everything: no prior file stays live, so a reshape is
       // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
+        op = "overwrite",
         schema = Some(df.schema.json), sizes = sizes, schemaGate = false,
         rows = counts.toSeq.sortBy(_._1),
         // replace-everything retires dropped columns' on-disk data,
@@ -2753,7 +2766,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         val (rewritten, stats, sstats, counts, sizes) =
           stageFilesWithStats(laid, sc, countFiles = bc.nonEmpty)
         val blooms = buildBlooms(rewritten, bc, bloomFpp, counts)
-        commit(rewritten, before, stats = stats, base = base,
+        commit(rewritten, before, stats = stats, base = base, op = "compact",
           schema = Some(laid.schema.json), sstats = sstats, blooms = blooms,
           sizes = sizes, rows = counts.toSeq.sortBy(_._1))
       }
@@ -2817,7 +2830,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base,
-              keyed = true, schema = Some(rows.schema.json),
+              keyed = true, op = "compactSmall",
+              schema = Some(rows.schema.json),
               sstats = sstats, blooms = blooms, sizes = sizes,
               rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
           }
@@ -2889,7 +2903,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         stageFilesWithStats(frame, sc, countFiles = bc.nonEmpty)
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       commit(staged, remove, stats = stats, base = base, keyed = true,
-        schema = Some(frame.schema.json), sstats = sstats, blooms = blooms,
+        op = "merge", schema = Some(frame.schema.json), sstats = sstats, blooms = blooms,
         sizes = sizes, rows = counts.toSeq.sortBy(_._1))
     }
     retryingOnConflict("merge") {
@@ -2990,6 +3004,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // recorded schema must UNION with the prior one (the plain
       // remove-bearing branch would record the source frame verbatim)
       commit(staged, full, stats = stats, base = base, keyed = true,
+        op = "mergeMoR",
         schemaTransform = Some(v => resolveSchema(srcJson, v)),
         sstats = sstats, blooms = blooms, sizes = sizes,
         rows = counts.toSeq.sortBy(_._1), dvs = partial,
@@ -3163,7 +3178,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
-              schema = Some(survivors.schema.json), sstats = sstats,
+              op = "deleteWhere", schema = Some(survivors.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
               rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
           }
@@ -3231,7 +3246,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
-              schema = Some(rewritten.schema.json), sstats = sstats,
+              op = "updateWhere", schema = Some(rewritten.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
               rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
           }
@@ -3281,6 +3296,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             buildMorTombstones(state, candidates, cond)
           if (changedFiles.isEmpty) 0
           else commit(Nil, full, base = base, keyed = true,
+            op = "deleteWhereMoR",
             dvs = partial, scope = Some(changedFiles),
             props = if (partial.nonEmpty)
               protocolBump(state.props, 2, 2) else Nil)
@@ -3354,7 +3370,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, full, stats = stats, base = base, keyed = true,
-              schema = Some(updated.schema.json), sstats = sstats,
+              op = "updateWhereMoR", schema = Some(updated.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
               rows = counts.toSeq.sortBy(_._1), dvs = partial,
               scope = Some(changedFiles),
@@ -3509,6 +3525,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               countFiles = bc.nonEmpty)
           val blooms = buildBlooms(staged, bc, bloomFpp, counts)
           commit(staged, affected, stats = stats, base = base, keyed = true,
+            op = "materializeDeletes",
             schema = Some(survivors.schema.json), sstats = sstats,
             blooms = blooms, sizes = sizes,
             rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
@@ -3540,7 +3557,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val (staged, stats, sstats, counts, sizes) =
       stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
-      schema = Some(replacement.schema.json), sstats = sstats,
+      op = "replaceFiles", schema = Some(replacement.schema.json), sstats = sstats,
       sizes = sizes, rows = counts.toSeq.sortBy(_._1))
   }
 
@@ -3600,6 +3617,27 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       val to = read(Some(toVersion))
       to.exceptAll(from).withColumn("_change", lit("insert"))
         .unionAll(from.exceptAll(to).withColumn("_change", lit("delete")))
+    }
+  }
+
+  /** [[versionAt]], except a timestamp BEFORE the earliest resolvable
+    * version resolves to 0 ("since table creation") instead of
+    * erroring — change-feed starting-timestamp semantics: changes
+    * since an instant that predates the table means everything. When
+    * history below the earliest version was vacuumed, the error stays
+    * (0 would not be replayable), raised by versionAt with the
+    * retention context. */
+  def versionAtOrStart(timestampMillis: Long): Int = {
+    val cur = currentVersion
+    if (cur == 0) 0
+    else {
+      val earliest =
+        math.max(1, math.max(retentionFloor, replayFloorV + 1))
+      val predates =
+        try earliest <= cur && fs.getFileStatus(
+          manifestPath(earliest)).getModificationTime > timestampMillis
+        catch { case _: java.io.FileNotFoundException => false }
+      if (predates && earliest == 1) 0 else versionAt(timestampMillis)
     }
   }
 
@@ -3700,9 +3738,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     setProperty0(key, value)
   }
 
-  private def setProperty0(key: String, value: String): Int = {
+  private def setProperty0(key: String, value: String,
+      op: String = "setProperty"): Int = {
     require(key.nonEmpty, "property key must be non-empty")
-    commit(Nil, Nil, props = Seq(key -> Some(value)))
+    commit(Nil, Nil, props = Seq(key -> Some(value)), op = op)
   }
 
   /** Top-level column names a constraint expression references —
@@ -3722,8 +3761,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
         "a protocol requirement is never lowered (history may hold the " +
         "feature that raised it)")
-    commit(Nil, Nil, props = Seq(key -> None))
+    removeProperty0(key, "removeProperty")
   }
+
+  private def removeProperty0(key: String, op: String): Int =
+    commit(Nil, Nil, props = Seq(key -> None), op = op)
 
   /** The table's protocol requirement `(minReader, minWriter)` at
     * `version` (head when omitted); `(1, 1)` when never raised. */
@@ -3756,6 +3798,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"($minReader, $minWriter)")
       if (minReader == r && minWriter == w) base
       else commit(Nil, Nil, base = base, keyed = true,
+        op = "upgradeProtocol",
         props = protocolBump(properties(Some(base)), minReader, minWriter))
     }
 
@@ -3808,12 +3851,13 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           s"constraint '$name' ($sqlExpr) does not analyze against the " +
             s"table's schema: ${e.getMessage}", e)
     }
-    setProperty0(SnapshotTable.ConstraintPrefix + name, sqlExpr)
+    setProperty0(SnapshotTable.ConstraintPrefix + name, sqlExpr,
+      op = "addConstraint")
   }
 
   /** Drop a CHECK constraint; writes stop validating it. */
   def dropConstraint(name: String): Int =
-    removeProperty(SnapshotTable.ConstraintPrefix + name)
+    removeProperty0(SnapshotTable.ConstraintPrefix + name, "dropConstraint")
 
   /** Active CHECK constraints (name → expression) at the newest
     * snapshot. */
@@ -3905,7 +3949,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           n_add = add.size,
           n_remove = remove.size,
           tag = tagOf(raw),
-          keyed = keyedOf(raw)))
+          keyed = keyedOf(raw),
+          op = opOf(raw)))
       } catch {
         // a racing vacuumLog may reap a manifest between the floor
         // read and the GET — retention, not corruption: skip it
@@ -4383,6 +4428,26 @@ object SnapshotTable {
   val ReaderVersion = 3
   val WriterVersion = 3
 
+  /** One timestamp-argument parser for every option surface: epoch
+    * millis, ISO-8601 instant, ISO local datetime (read as UTC), or
+    * `yyyy-MM-dd HH:mm:ss` (space form, read as UTC). */
+  private[graft] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(t)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(t.replace(" ", "T"))
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
+      }
+    }
+  }
+
   private[sources] def protoOf(props: Map[String, String],
       key: String): Int =
     props.get(key).flatMap(s =>
@@ -4500,7 +4565,8 @@ object SnapshotTable {
 
   /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape). */
   final case class CommitInfo(version: Int, committed_at: java.sql.Timestamp,
-      n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean)
+      n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean,
+      op: Option[String])
 
   /** The [[SnapshotTable.detail]] row (DESCRIBE DETAIL shape). */
   final case class DetailRow(version: Int, num_files: Int,

@@ -73,11 +73,24 @@ final class CdfSourceProvider extends StreamSourceProvider
     validateWhere(sqlContext, parameters)
     val table = tableOf(sqlContext, parameters)
     val (_, st) = sourceSchema(sqlContext, None, shortName(), parameters)
-    val from = parameters.get("fromVersion").map(_.trim.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        "snapshot-cdf batch read requires fromVersion — the base " +
-          "version changes are read AFTER (0 = since table creation)"))
+    require(!(parameters.contains("fromVersion") &&
+      parameters.contains("fromTimestamp")),
+      "snapshot-cdf: fromVersion and fromTimestamp are mutually exclusive")
+    require(!(parameters.contains("toVersion") &&
+      parameters.contains("toTimestamp")),
+      "snapshot-cdf: toVersion and toTimestamp are mutually exclusive")
+    val from = parameters.get("fromVersion").map(_.trim.toInt)
+      .orElse(parameters.get("fromTimestamp").map(s =>
+        // changes AFTER the instant: base = newest version at/before
+        // it; an instant predating the table means everything
+        table.versionAtOrStart(SnapshotTable.parseTsMillis(s))))
+      .getOrElse(throw new IllegalArgumentException(
+        "snapshot-cdf batch read requires fromVersion (the base " +
+          "version changes are read AFTER; 0 = since table creation) " +
+          "or fromTimestamp"))
     val to = parameters.get("toVersion").map(_.trim.toInt)
+      .orElse(parameters.get("toTimestamp").map(s =>
+        table.versionAt(SnapshotTable.parseTsMillis(s))))
       .getOrElse(table.currentVersion)
     new CdfRelation(sqlContext, table, st, from, to,
       parameters.get("where"))
@@ -146,11 +159,29 @@ final class CdfSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new CdfSource(tableOf(sqlContext, parameters), st,
-      startAt = parameters.get("startAt").map(_.trim.toInt).getOrElse(0),
+    val table = tableOf(sqlContext, parameters)
+    new CdfSource(table, st,
+      startAt = CdfSourceProvider.resolveStartAt(table, parameters),
       maxVersionsPerTrigger =
         parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
       where = parameters.get("where"))
+  }
+}
+
+object CdfSourceProvider {
+  /** The stream's base version: `startAt` (a version), or
+    * `startAtTimestamp` (changes after the instant — an instant
+    * predating the table means everything), default 0. Shared by the
+    * `snapshot-cdf` and append-only `snapshot` stream sources. */
+  private[graft] def resolveStartAt(table: SnapshotTable,
+      parameters: Map[String, String]): Int = {
+    require(!(parameters.contains("startAt") &&
+      parameters.contains("startAtTimestamp")),
+      "startAt and startAtTimestamp are mutually exclusive")
+    parameters.get("startAt").map(_.trim.toInt)
+      .orElse(parameters.get("startAtTimestamp").map(s =>
+        table.versionAtOrStart(SnapshotTable.parseTsMillis(s))))
+      .getOrElse(0)
   }
 }
 

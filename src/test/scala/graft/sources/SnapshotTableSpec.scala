@@ -2398,8 +2398,11 @@ class SnapshotTableSpec extends SparkSuite {
       .select(col("id")), Seq("id"))                       // v3 keyed
     val h = t.history()
     assert(h.columns.sameElements(Array(
-      "version", "committed_at", "n_add", "n_remove", "tag", "keyed")))
+      "version", "committed_at", "n_add", "n_remove", "tag", "keyed", "op")))
     val rows = h.collect()
+    // the op column names each verb
+    assert(rows.map(r => r.getInt(0) -> r.getString(6)).toMap ==
+      Map(3 -> "merge", 2 -> "appendIfAbsent", 1 -> "append"))
     assert(rows.map(_.getInt(0)).sameElements(Array(3, 2, 1))) // newest first
     val byV = rows.map(r => r.getInt(0) -> r).toMap
     assert(byV(2).getString(4) == "batch-7" && !byV(2).getBoolean(5))

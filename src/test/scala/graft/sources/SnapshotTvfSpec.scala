@@ -47,6 +47,11 @@ class SnapshotTvfSpec extends SparkSuite {
       .as[(Int, Int, Int, Boolean)].collect().toSeq
     assert(rows.map(_._1) == Seq(3, 2, 1))
     assert(rows.head._4) // the MoR delete is keyed
+    // the operation column names each commit's verb
+    assert(spark.sql(
+      s"SELECT op FROM snapshot_history('$dir') ORDER BY version")
+      .as[String].collect().toSeq ==
+      Seq("append", "append", "deleteWhereMoR"))
     assert(spark.sql(
       s"SELECT count(*) FROM snapshot_history('$dir', 2)")
       .as[Long].head() == 2L)

@@ -401,4 +401,34 @@ class CdfStreamSourceSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("fromVersion"))
   }
+
+  test("timestamp options: fromTimestamp batch CDF, startAtTimestamp stream") {
+    val dir = tmp("cdfts")
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "tag"))
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    t.append(Seq((2L, "b")).toDF("id", "tag"))
+    // batch: changes strictly after `mid` = the second append only
+    assert(spark.read.format("snapshot-cdf")
+      .option("fromTimestamp", mid.toString).load(dir)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // an instant predating the table = everything (versionAtOrStart)
+    assert(spark.read.format("snapshot-cdf")
+      .option("fromTimestamp", "0").load(dir).count() == 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot-cdf").option("fromVersion", 1)
+        .option("fromTimestamp", "0").load(dir)
+    }
+    // stream: startAtTimestamp tails only what follows the instant
+    val q = spark.readStream.format("snapshot")
+      .option("startAtTimestamp", mid.toString).load(dir)
+      .writeStream.format("memory").queryName("cdf_ts_tail")
+      .option("checkpointLocation", tmp("cdftsck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM cdf_ts_tail").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
 }

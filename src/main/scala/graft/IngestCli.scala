@@ -415,7 +415,8 @@ object IngestCli {
               s"constraints=[${r.getSeq[String](5).mkString(";")}] " +
               s"floor=${r.getInt(6)} checkpoint=${r.getInt(7)} " +
               s"dvFiles=${r.getInt(8)} dvTombstones=${r.getLong(9)} " +
-              s"rows=${if (r.isNullAt(10)) "unknown" else r.getLong(10)}")
+              s"rows=${if (r.isNullAt(10)) "unknown" else r.getLong(10)} " +
+              s"protocol=(${r.getInt(11)},${r.getInt(12)})")
           case "vacuum" =>
             // graceMs: in-flight-commit protection window (default 1h);
             // files under data/ younger than this are never reaped even

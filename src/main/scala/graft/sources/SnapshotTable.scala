@@ -383,7 +383,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sizes: Seq[(String, Long)] = Nil,
       rows: Seq[(String, Long)] = Nil,
       dvs: Seq[(String, String, Long)] = Nil,
-      op: Option[String] = None): String = {
+      op: Option[String] = None,
+      nulls: Seq[(String, String, Long)] = Nil): String = {
     val t = tag.map(v => s""","tag":"${esc(v)}"""").getOrElse("")
     // the VERB that produced this commit (DESCRIBE HISTORY's operation
     // column) — observability only, replay ignores it
@@ -406,7 +407,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       else s""","stats":${jsonArr(stats.map(s => s"${s.file}|${s.col}|${s.lo}|${s.hi}"))}"""
     val sst = sstatsJsonField(sstats) + bloomsJsonField(blooms) +
       propsJsonField(props) + sizesJsonField(sizes) +
-      rowsJsonField(rows) + dvsJsonField(dvs)
+      rowsJsonField(rows) + nullsJsonField(nulls) + dvsJsonField(dvs)
     // keyed marker: this commit's PLAN depended on the live row/key
     // set (merge/overwrite/restore/compact) — recorded so a concurrent
     // keyed writer can detect it even when this commit removed nothing
@@ -553,6 +554,33 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** The `"nulls"` wire field: `file|col|nullCount` per staged
+    * (file, stat column) — recorded by the SAME staging aggregate as
+    * min/max, so every write path that records stats records null
+    * counts (rewrites never decay it). Lets `IS NULL` skip files with
+    * zero nulls and `IS NOT NULL` skip all-null files from METADATA
+    * alone — at 100k files the difference between a pruned scan and a
+    * full one for the ubiquitous `WHERE deleted_at IS NULL` shape.
+    * Unlike min/max (which ignore nulls), recorded for a stat column
+    * even when every row is null. */
+  private def nullsJsonField(ns: Seq[(String, String, Long)]): String = {
+    ns.foreach { case (f, c, _) =>
+      require(!f.contains("|") && !c.contains("|"),
+        s"nulls path/col must not contain '|': $f|$c")
+    }
+    if (ns.isEmpty) ""
+    else s""","nulls":${jsonArr(ns.map { case (f, c, n) => s"$f|$c|$n" })}"""
+  }
+
+  private def nullsOf(json: String): Seq[(String, String, Long)] =
+    arrOf(json, "nulls").flatMap { s =>
+      s.split('|') match {
+        case Array(f, c, n) =>
+          scala.util.Try(n.toLong).toOption.map((f, c, _))
+        case _ => None
+      }
+    }
+
   /** The `"dvs"` wire field: `dataFilePath|sidecarName|deletedCount`
     * per file whose DELETION VECTOR this commit (re)points — the
     * merge-on-read DELETE channel (Delta's deletion vectors): the data
@@ -649,7 +677,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sizes = sizesOf(raw).toMap,
       dvs = dvsOf(raw).collect {
         case (f, s, n) if s != "*" => f -> (s, n) }.toMap,
-      rows = rowsOf(raw).toMap)
+      rows = rowsOf(raw).toMap,
+      nulls = nullsOf(raw).map(e => (e._1, e._2) -> e._3).toMap)
   }
 
   /** Fully replayed table state at version `v`: live files in add
@@ -711,6 +740,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val props = scala.collection.mutable.Map[String, String]()
     val sizes = scala.collection.mutable.Map[String, Long]()
     val rowCounts = scala.collection.mutable.Map[String, Long]()
+    val nulls = scala.collection.mutable.Map[(String, String), Long]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     var schema: Option[String] = None
     val c = checkpointAtOrBelow(v)
@@ -724,6 +754,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       props ++= ck.props
       sizes ++= ck.sizes
       rowCounts ++= ck.rows
+      nulls ++= ck.nulls
       dvs ++= ck.dvs
       schema = ck.schema
     }
@@ -745,6 +776,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
       sizesOf(raw).foreach(kv => sizes(kv._1) = kv._2)
       rowsOf(raw).foreach(kv => rowCounts(kv._1) = kv._2)
+      nullsOf(raw).foreach(e => nulls((e._1, e._2)) = e._3)
       dvsOf(raw).foreach {
         case (f, "*", _) => dvs -= f
         case (f, s, n) => dvs(f) = (s, n)
@@ -774,7 +806,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       }
     SnapshotTable.TableState(live.toSeq, aliasKeys(stats), aliasKeys(sstats),
       tags.toSet, schema, blooms.toSet, props.toMap, sizes.toMap,
-      dvs.toMap, rowCounts.toMap)
+      dvs.toMap, rowCounts.toMap, aliasKeys(nulls))
   }
 
   /** The recorded schema of snapshot `version` (newest writer's frame
@@ -885,6 +917,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             .filter(s => liveSet.contains(s._1)).sortBy(_._1)) +
           rowsJsonField(state.rows.toSeq
             .filter(s => liveSet.contains(s._1)).sortBy(_._1)) +
+          nullsJsonField(state.nulls.toSeq
+            .collect { case ((f, c), n) if liveSet.contains(f) =>
+              (f, c, n) }.sortBy(e => (e._1, e._2))) +
           dvsJsonField(state.dvs.toSeq
             .filter(d => liveSet.contains(d._1)).sortBy(_._1)
             .map { case (f, (s, n)) => (f, s, n) })
@@ -1137,7 +1172,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       countFiles: Boolean = false, mapToPhysical: Boolean = true)
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
-        Seq[(String, Long)]) = {
+        Seq[(String, Long)], Seq[(String, String, Long)]) = {
     stagingRuns += 1
     val commitId = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$root/_staging/$commitId")
@@ -1194,14 +1229,18 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // `countFiles` rides per-file row counts on the SAME aggregate
     // (buildBlooms sizes its filters from them — no second count job)
     var tmpCounts = Map.empty[String, Long]
+    var tmpNulls: Seq[(String, String, Long)] = Nil
     val tmpStats: Seq[(String, String, Any, Any)] =
       if (statCols.isEmpty && !countFiles && activeConstraints.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.{count, input_file_name,
           lit, max, min}
+        import org.apache.spark.sql.functions.{sum, when, col => fcol}
         val aggs = statCols.flatMap(c => Seq(
           min(statAggExpr(df, c)).as(s"__lo_$c"),
-          max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
+          max(statAggExpr(df, c)).as(s"__hi_$c"),
+          // null counts ride the SAME one-pass aggregate as min/max
+          sum(when(fcol(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"))) ++
           (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil) ++
           violationFlagAggs(activeConstraints)
         val statScan0 = spark.read.parquet(tmp.toString)
@@ -1246,6 +1285,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         if (countFiles)
           tmpCounts = rows.map(r =>
             new Path(r.getString(0)).getName -> r.getAs[Long]("__cnt")).toMap
+        tmpNulls = rows.flatMap { r =>
+          val name = new Path(r.getString(0)).getName
+          statCols.map(c => (name, c, r.getAs[Long](s"__nl_$c")))
+        }
         rows.flatMap { r =>
           val name = new Path(r.getString(0)).getName
           statCols.flatMap { c =>
@@ -1261,6 +1304,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     var stats = List.empty[SnapshotTable.FileStat]
     var sstats = List.empty[SnapshotTable.StrStat]
+    var nullsRec = List.empty[(String, String, Long)]
     var counts = Map.empty[String, Long]
     var needCounts = List.empty[String]
     var sizes = List.empty[(String, Long)]
@@ -1276,6 +1320,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       tmpCounts.get(st.getPath.getName) match {
         case Some(n) => counts += fin -> n
         case None => needCounts ::= fin
+      }
+      tmpNulls.filter(_._1 == st.getPath.getName).foreach {
+        case (_, c, n) => nullsRec ::= (fin, c, n)
       }
       tmpStats.filter(_._1 == st.getPath.getName).foreach {
         case (_, c, lo: String, hi: String) =>
@@ -1305,7 +1352,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       stats.reverse.filterNot(s => emptySet(s.file)),
       sstats.reverse.filterNot(s => emptySet(s.file)),
       counts -- emptySet,
-      sizes.reverse.filterNot(s => emptySet(s._1)))
+      sizes.reverse.filterNot(s => emptySet(s._1)),
+      nullsRec.reverse.filterNot(e => emptySet(e._1)))
   }
 
   private def indexDir = new Path(s"$root/_index")
@@ -1474,14 +1522,17 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
     val ns = List.newBuilder[SnapshotTable.FileStat]
     val ss = List.newBuilder[SnapshotTable.StrStat]
+    val nls = List.newBuilder[(String, String, Long)]
     // configure-then-adopt: properties installed before the import
     // (graft.statCols) make the adopted table prunable with no args
     val sc = effStatCols(statCols, df)
     if (sc.nonEmpty || active.nonEmpty) {
-      import org.apache.spark.sql.functions.{input_file_name, max, min}
+      import org.apache.spark.sql.functions.{col => fcol, input_file_name,
+        max, min, sum, when}
       val aggs = sc.flatMap(c => Seq(
         min(statAggExpr(df, c)).as(s"__lo_$c"),
-        max(statAggExpr(df, c)).as(s"__hi_$c"))) ++
+        max(statAggExpr(df, c)).as(s"__hi_$c"),
+        sum(when(fcol(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"))) ++
         violationFlagAggs(active)
       val rows =
         try df.groupBy(input_file_name().as("__f"))
@@ -1507,6 +1558,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         // URI form percent-encodes, diverging from the qualified path
         byName.get(new Path(r.getString(0)).getName).foreach { full =>
           sc.foreach { c =>
+            nls += ((full, c, r.getAs[Long](s"__nl_$c")))
             (r.getAs[Any](s"__lo_$c"), r.getAs[Any](s"__hi_$c")) match {
               case (lo: String, hi: String) =>
                 val n = SnapshotTable.StatTruncateBytes
@@ -1530,7 +1582,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     // adoption must not serialize 100k GETs through the driver)
     val rowCounts = footerRowCounts(files).toSeq.sortBy(_._1)
     try commit(files, Nil, op = "importFiles",
-      stats = ns.result(), sstats = ss.result(),
+      stats = ns.result(), sstats = ss.result(), nulls = nls.result(),
       schema = Some(df.schema.json), base = base, keyed = true,
       sizes = sizes, rows = rowCounts)
     catch {
@@ -1930,7 +1982,8 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       scope: Option[Seq[String]] = None,
       schemaTransform: Option[Int => String] = None,
       sanitizeSchema: Boolean = true,
-      op: String = ""): Int = {
+      op: String = "",
+      nulls: Seq[(String, String, Long)] = Nil): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -1992,7 +2045,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       try out.write(encode(add, remove, tag, stats, keyed = checkRemoves,
         schema = schemaRec, sstats = sstats, blooms = blooms, props = props,
         sizes = sizes, rows = if (recordRowCounts) rows else Nil, dvs = dvs,
-        op = Some(op).filter(_.nonEmpty))
+        op = Some(op).filter(_.nonEmpty), nulls = nulls)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -2136,12 +2189,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
     val sc = effStatCols(statCols, df)
     val bc = effBloomCols(bloomCols, df)
-    val (staged, stats, sstats, counts, sizes) =
+    val (staged, stats, sstats, counts, sizes, nullsCh) =
       stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
     val blooms = buildBlooms(staged, bc, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
       sstats = sstats, blooms = blooms, sizes = sizes,
-      rows = counts.toSeq.sortBy(_._1), op = "append")
+      rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append")
   }
 
   /** ONE checkpoint-seeded replay producing both the live file list
@@ -2525,6 +2578,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       props = state.props.toSeq.sorted.map { case (k, pv) => k -> Some(pv) },
       sizes = state.sizes.toSeq.filter(kv => liveSet(kv._1)),
       rows = state.rows.toSeq.filter(kv => liveSet(kv._1)),
+      nulls = state.nulls.toSeq.collect {
+        case ((f, c), n) if liveSet(f) => (f, c, n)
+      },
       // verbatim like restore: the schema (with any physical mapping)
       // and the channel values are this table's own truths re-recorded
       schemaGate = false, sanitizeSchema = false,
@@ -2662,12 +2718,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     else {
       val sc = effStatCols(statCols, df)
       val bc = effBloomCols(bloomCols, df)
-      val (staged, stats, sstats, counts, sizes) =
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
         stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       Some(commit(staged, Nil, Some(tag), stats,
         schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
-        sizes = sizes, rows = counts.toSeq.sortBy(_._1),
+        sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
         op = "appendIfAbsent"))
     }
 
@@ -2763,12 +2819,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             rows, zorderCols, zorderBits, coalesceTo)
         val sc = effStatCols(statCols, laid)
         val bc = effBloomCols(bloomCols, laid)
-        val (rewritten, stats, sstats, counts, sizes) =
+        val (rewritten, stats, sstats, counts, sizes, nullsCh) =
           stageFilesWithStats(laid, sc, countFiles = bc.nonEmpty)
         val blooms = buildBlooms(rewritten, bc, bloomFpp, counts)
         commit(rewritten, before, stats = stats, base = base, op = "compact",
           schema = Some(laid.schema.json), sstats = sstats, blooms = blooms,
-          sizes = sizes, rows = counts.toSeq.sortBy(_._1))
+          sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
       }
     }
 
@@ -2825,7 +2881,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             val rows = readFiles(affected, Some(base)).coalesce(n)
             val sc = effStatCols(statCols, rows)
             val bc = effBloomCols(bloomCols, rows)
-            val (staged, stats, sstats, counts, sizes) =
+            val (staged, stats, sstats, counts, sizes, nullsCh) =
               stageFilesWithStats(rows, sc,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
@@ -2833,7 +2889,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               keyed = true, op = "compactSmall",
               schema = Some(rows.schema.json),
               sstats = sstats, blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
+              rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, scope = Some(affected))
           }
         }
       }
@@ -2899,12 +2955,12 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val bc = effBloomCols(bloomCols, source)
     def stagedCommit(frame: DataFrame, remove: Seq[String],
         base: Int): Int = {
-      val (staged, stats, sstats, counts, sizes) =
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
         stageFilesWithStats(frame, sc, countFiles = bc.nonEmpty)
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       commit(staged, remove, stats = stats, base = base, keyed = true,
         op = "merge", schema = Some(frame.schema.json), sstats = sstats, blooms = blooms,
-        sizes = sizes, rows = counts.toSeq.sortBy(_._1))
+        sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
     }
     retryingOnConflict("merge") {
       val base = currentVersion
@@ -2996,7 +3052,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             _.join(keys, keyCols, "left_semi"))
       val sc = effStatCols(statCols, source)
       val bc = effBloomCols(bloomCols, source)
-      val (staged, stats, sstats, counts, sizes) =
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
         stageFilesWithStats(source, sc, countFiles = bc.nonEmpty)
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       // append-shaped schema semantics even when fully-covered files
@@ -3007,7 +3063,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         op = "mergeMoR",
         schemaTransform = Some(v => resolveSchema(srcJson, v)),
         sstats = sstats, blooms = blooms, sizes = sizes,
-        rows = counts.toSeq.sortBy(_._1), dvs = partial,
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, dvs = partial,
         props = if (partial.nonEmpty)
           protocolBump(state.props, 2, 2) else Nil)
     }
@@ -3029,14 +3085,23 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       cond: org.apache.spark.sql.Column,
       prunePreds: Seq[(String, Long, Long)],
       bloomPreds: Seq[(String, String)]): Seq[String] = {
-    val (autoLong, autoStr, autoBloom, autoBloomAny) =
+    val (autoLong, autoStr, autoBloom, autoBloomAny, autoNulls) =
       SnapshotTable.derivePreds(cond)
     val pp = prunePreds ++ autoLong
     var candidates = state.live.filter { f =>
       pp.forall { case (c, lo, hi) =>
         state.stats.get((f, c)).forall { case (flo, fhi) =>
           fhi >= lo && flo <= hi }
-      } && strStatSurvives(state.sstats, f, autoStr)
+      } && strStatSurvives(state.sstats, f, autoStr) &&
+        autoNulls.forall {
+          // IS NULL: a file with a RECORDED zero null count cannot match
+          case (c, true) => state.nulls.get((f, c)).forall(_ > 0L)
+          // IS NOT NULL: an all-null file (nulls == its row count,
+          // both recorded) cannot match; unknown counts keep the file
+          case (c, false) =>
+            !state.nulls.get((f, c)).zip(state.rows.get(f))
+              .exists { case (n, r) => n == r }
+        }
     }
     (bloomPreds ++ autoBloom).foreach { case (c, v) =>
       if (candidates.nonEmpty) {
@@ -3173,14 +3238,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
                 cond, org.apache.spark.sql.functions.lit(false)))
             val sc = effStatCols(statCols, survivors)
             val bc = effBloomCols(bloomCols, survivors)
-            val (staged, stats, sstats, counts, sizes) =
+            val (staged, stats, sstats, counts, sizes, nullsCh) =
               stageFilesWithStats(survivors, sc,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               op = "deleteWhere", schema = Some(survivors.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
+              rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, scope = Some(affected))
           }
         }
       }
@@ -3241,14 +3306,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             }.toSeq: _*)
             val sc = effStatCols(statCols, rewritten)
             val bc = effBloomCols(bloomCols, rewritten)
-            val (staged, stats, sstats, counts, sizes) =
+            val (staged, stats, sstats, counts, sizes, nullsCh) =
               stageFilesWithStats(rewritten, sc,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, affected, stats = stats, base = base, keyed = true,
               op = "updateWhere", schema = Some(rewritten.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
+              rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, scope = Some(affected))
           }
         }
       }
@@ -3365,14 +3430,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
               }.toSeq: _*)
             val sc = effStatCols(statCols, updated)
             val bc = effBloomCols(bloomCols, updated)
-            val (staged, stats, sstats, counts, sizes) =
+            val (staged, stats, sstats, counts, sizes, nullsCh) =
               stageFilesWithStats(updated, sc,
                 countFiles = bc.nonEmpty)
             val blooms = buildBlooms(staged, bc, bloomFpp, counts)
             commit(staged, full, stats = stats, base = base, keyed = true,
               op = "updateWhereMoR", schema = Some(updated.schema.json), sstats = sstats,
               blooms = blooms, sizes = sizes,
-              rows = counts.toSeq.sortBy(_._1), dvs = partial,
+              rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, dvs = partial,
               scope = Some(changedFiles),
               props = if (partial.nonEmpty)
                 protocolBump(state.props, 2, 2) else Nil)
@@ -3520,7 +3585,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             affected)
           val sc = effStatCols(statCols, survivors)
           val bc = effBloomCols(bloomCols, survivors)
-          val (staged, stats, sstats, counts, sizes) =
+          val (staged, stats, sstats, counts, sizes, nullsCh) =
             stageFilesWithStats(survivors, sc,
               countFiles = bc.nonEmpty)
           val blooms = buildBlooms(staged, bc, bloomFpp, counts)
@@ -3528,7 +3593,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
             op = "materializeDeletes",
             schema = Some(survivors.schema.json), sstats = sstats,
             blooms = blooms, sizes = sizes,
-            rows = counts.toSeq.sortBy(_._1), scope = Some(affected))
+            rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, scope = Some(affected))
         }
       }
     }
@@ -3554,11 +3619,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     val norm = affected.map(p => fs.makeQualified(new Path(p)).toString)
     require(norm.forall(liveNow.contains),
       s"replaceFiles: affected file not live at v$base")
-    val (staged, stats, sstats, counts, sizes) =
+    val (staged, stats, sstats, counts, sizes, nullsCh) =
       stageFilesWithStats(replacement, statCols)
     commit(staged, norm, stats = stats, base = base, keyed = true,
       op = "replaceFiles", schema = Some(replacement.schema.json), sstats = sstats,
-      sizes = sizes, rows = counts.toSeq.sortBy(_._1))
+      sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
   }
 
   /** Row-level change-data-capture between two snapshots, as a frame
@@ -3923,7 +3988,11 @@ final class SnapshotTable(spark: SparkSession, val root: String,
         if (state.live.forall(state.rows.contains))
           Some(state.live.map(state.rows).sum -
             state.live.flatMap(state.dvs.get).map(_._2).sum)
-        else None)))
+        else None,
+      min_reader = SnapshotTable.protoOf(state.props,
+        SnapshotTable.MinReaderProp),
+      min_writer = SnapshotTable.protoOf(state.props,
+        SnapshotTable.MinWriterProp))))
   }
 
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
@@ -4209,7 +4278,8 @@ object SnapshotTable {
       : (Seq[(String, Long, Long)],
          Seq[(String, Array[Byte], Option[Array[Byte]])],
          Seq[(String, String)],
-         Seq[(String, Seq[String])]) = {
+         Seq[(String, Seq[String])],
+         Seq[(String, Boolean)]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions._
@@ -4279,6 +4349,9 @@ object SnapshotTable {
     val strs = Seq.newBuilder[(String, Array[Byte], Option[Array[Byte]])]
     val blooms = Seq.newBuilder[(String, String)]
     val bloomAny = Seq.newBuilder[(String, Seq[String])]
+    // (col, wantNull): IS NULL / IS NOT NULL conjuncts — pruned against
+    // the per-file null-count channel (see nullsJsonField)
+    val nullPs = Seq.newBuilder[(String, Boolean)]
     // an IN list implies (a) the [min,max] envelope on the stats
     // channel and (b) an ANY-of-values bloom probe (one sidecar read
     // tests every value) — bounded so a pathological 1M-key IN does
@@ -4348,9 +4421,22 @@ object SnapshotTable {
             f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
         inList(nameOf(f.arguments.head).get,
           f.arguments.tail.map(_.asInstanceOf[Literal]))
+      case IsNull(a) if nameOf(a).isDefined =>
+        nullPs += ((nameOf(a).get, true))
+      case IsNotNull(a) if nameOf(a).isDefined =>
+        nullPs += ((nameOf(a).get, false))
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("isnull") &&
+            f.arguments.size == 1 && nameOf(f.arguments.head).isDefined =>
+        nullPs += ((nameOf(f.arguments.head).get, true))
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("isnotnull") &&
+            f.arguments.size == 1 && nameOf(f.arguments.head).isDefined =>
+        nullPs += ((nameOf(f.arguments.head).get, false))
       case _ => () // not a col-vs-literal conjunct: derives nothing
     }
-    (longs.result(), strs.result(), blooms.result(), bloomAny.result())
+    (longs.result(), strs.result(), blooms.result(), bloomAny.result(),
+      nullPs.result())
   }
 
   /** The merged type for a shared column whose writer/table types
@@ -4573,7 +4659,7 @@ object SnapshotTable {
       size_bytes: Long, num_tags: Int, properties: Seq[String],
       constraints: Seq[String], retention_floor: Int, checkpoint: Int,
       num_dv_files: Int, dv_tombstones: Long,
-      num_rows: Option[Long])
+      num_rows: Option[Long], min_reader: Int, min_writer: Int)
 
   /** Fully replayed table state at one version: live files in add
     * order, per-(file, col) long stats and string bounds, every
@@ -4589,7 +4675,8 @@ object SnapshotTable {
       props: Map[String, String],
       sizes: Map[String, Long] = Map.empty,
       dvs: Map[String, (String, Long)] = Map.empty,
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      nulls: Map[(String, String), Long] = Map.empty)
 
   /** Deletion-vector sidecar codec: `"GDV1"` magic, int32 count, then
     * count big-endian int64 row indexes (sorted ascending). Dependency-

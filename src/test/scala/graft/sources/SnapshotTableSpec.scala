@@ -1273,6 +1273,10 @@ class SnapshotTableSpec extends SparkSuite {
     // imported stats prune from the manifest (range-partitioned ids)
     assert(t.prunedFiles("id", 5L, 5L).size == 1)
     assert(t.prunedFilesEq("u", "u050").size == 1)
+    // adoption records null counts: zero-null columns prune IS NULL
+    assert(t.readWhere(col("u").isNull).isEmpty)
+    assert(t.lastDmlCandidates.isEmpty,
+      s"imported IS NULL planned ${t.lastDmlCandidates.size} files")
     // the table behaves normally after adoption: appends, time travel
     t.append(Seq((100L, "u100")).toDF("id", "u"))
     assert(t.read().count() == 65 && t.read(Some(v)).count() == 64)
@@ -1351,6 +1355,7 @@ class SnapshotTableSpec extends SparkSuite {
     assert(d.getSeq[String](4) == Seq("owner=obs"))
     assert(d.getSeq[String](5) == Seq("pos=id > 0"))
     assert(d.getInt(6) == t.retentionFloor)
+    assert(d.getInt(11) == 1 && d.getInt(12) == 1) // protocol columns
     // empty table: detail still answers
     val d0 = tmpTable().detail().collect().head
     assert(d0.getInt(0) == 0 && d0.getInt(1) == 0 && d0.getLong(2) == 0L)

@@ -133,13 +133,11 @@ final class SnapshotSourceProvider extends RelationProvider
       case SaveMode.Append =>
         table.appendWithStats(data, cols("statCols"), cols("bloomCols"))
       case SaveMode.Overwrite =>
-        table.overwrite(data)
-        // overwrite() records no stats; honor explicit stat options by
-        // re-laying the single overwritten generation with them.
-        if (cols("statCols").nonEmpty || cols("bloomCols").nonEmpty)
-          table.compact(
-            coalesceTo = math.max(1, data.rdd.getNumPartitions),
-            statCols = cols("statCols"), bloomCols = cols("bloomCols"))
+        // one staging pass records stats/blooms alongside the write —
+        // never a second whole-table rewrite, never a stat-less
+        // version visible in between
+        table.overwrite(data, statCols = cols("statCols"),
+          bloomCols = cols("bloomCols"))
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"snapshot table ${table.root} already exists " +
@@ -165,8 +163,12 @@ final class SnapshotRelation(override val sqlContext: SQLContext,
     table: SnapshotTable, version: Option[Int])
     extends BaseRelation with PrunedFilteredScan {
 
-  override def schema: StructType =
+  // lazy: Spark asks for the schema several times during resolution,
+  // and each call would otherwise be another manifest-tail replay
+  private lazy val resolvedSchema: StructType =
     table.schemaAt(version).getOrElse(table.read(version).schema)
+
+  override def schema: StructType = resolvedSchema
 
   override def needConversion: Boolean = false
 

@@ -2057,9 +2057,29 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     raceInjector = () => ()
     inject()
     var checkedUpTo = base
+    // protocol re-gate across the publish race: the entry gate above
+    // validated against the THEN-head, but a concurrent
+    // upgradeProtocol landing before this commit publishes would
+    // otherwise let a too-old writer slip a post-upgrade commit in
+    // (blind appends never conflict-check, so nothing else would
+    // notice). Cheap: scan only the INTERLEAVED manifests for a
+    // protocol-prop marker — no replay unless one actually raised it.
+    var gateCheckedUpTo = schemaFirst
+    def regateThrough(head: Int): Unit = if (head > gateCheckedUpTo) {
+      // props ride the wire base64-encoded, so probe for the FIELD,
+      // not the key: any props-bearing interleave (rare — metadata
+      // verbs only) pays the one replay that reads the actual keys
+      val raised =
+        try (gateCheckedUpTo + 1 to head).exists(v =>
+          readManifestRaw(v).contains("\"props\":"))
+        catch { case _: java.io.FileNotFoundException => true }
+      if (raised) gateWriter(replayStateFull(head).props)
+      gateCheckedUpTo = head
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = currentVersion
+      regateThrough(head)
       if (checkRemoves && head > checkedUpTo) {
         // Default (scope = None): ANY interleaved remove-bearing OR
         // keyed commit conflicts — a rewrite (merge/compact/overwrite)
@@ -2556,9 +2576,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     (bloomNames ++ dvNames).distinct.foreach { n =>
       val from = new Path(indexDir, n)
       val to = new Path(tgt.indexDir, n)
-      if (!fs.exists(to))
-        org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false,
-          spark.sparkContext.hadoopConfiguration)
+      // overwrite unconditionally: a clone retry after a crash mid-copy
+      // must not adopt the truncated partial a skip-on-exists would keep
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, true,
+        spark.sparkContext.hadoopConfiguration)
     }
     tgt.commit(
       op = "clone",
@@ -2766,7 +2787,9 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * rides the manifest like any other (e.g. to record the base
     * version a derived state reflects). A remove-bearing commit, so
     * it participates in the same conflict detection as merge/compact. */
-  def overwrite(df: DataFrame, tag: Option[String] = None): Int =
+  def overwrite(df: DataFrame, tag: Option[String] = None,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Int =
     retryingOnConflict("overwrite") {
       val base = currentVersion
       val live = files(Some(base))
@@ -2778,13 +2801,22 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       // replace-everything stages UNMAPPED: the commit records the
       // frame's own schema, so a prior rename's physical names must
       // not leak into files that schema will never alias
-      val (staged, counts, sizes) = stageFiles(df, mapToPhysical = false)
+      val sc = effStatCols(statCols, df)
+      val bc = effBloomCols(bloomCols, df)
+      // ONE staging pass computes stats/nulls/counts alongside the
+      // write — a stat-recording overwrite must never cost a second
+      // whole-table rewrite (the old format-writer path re-laid via
+      // compact: 2x IO and a stat-less version visible in between)
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(df, sc, countFiles = bc.nonEmpty,
+          mapToPhysical = false)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       // replace-everything: no prior file stays live, so a reshape is
       // unambiguous — the rename gate does not apply
       commit(staged, live, tag, base = base, keyed = true,
-        op = "overwrite",
+        op = "overwrite", stats = stats, sstats = sstats, blooms = blooms,
         schema = Some(df.schema.json), sizes = sizes, schemaGate = false,
-        rows = counts.toSeq.sortBy(_._1),
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
         // replace-everything retires dropped columns' on-disk data,
         // so their names come off the reservation list
         props = Seq(SnapshotTable.RetiredPhysicalProp -> None))
@@ -3713,8 +3745,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * no data IO — the append-only stream source's cheap gate. */
   private[graft] def rangeHasRemovals(fromVersion: Int,
       toVersion: Int): Boolean =
-    (fromVersion + 1 to toVersion).map(readManifestRaw)
-      .exists(r => decode(r)._2.nonEmpty || dvsOf(r).nonEmpty)
+    (fromVersion + 1 to toVersion).exists { v =>
+      val r = readManifestRaw(v) // inline: short-circuits on first hit
+      decode(r)._2.nonEmpty || dvsOf(r).nonEmpty
+    }
 
   /** The newest version committed at or before `timestampMillis` —
     * timestamp time travel (Delta's `timestampAsOf`), resolved by

@@ -72,7 +72,6 @@ final class CdfSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     validateWhere(sqlContext, parameters)
     val table = tableOf(sqlContext, parameters)
-    val (_, st) = sourceSchema(sqlContext, None, shortName(), parameters)
     require(!(parameters.contains("fromVersion") &&
       parameters.contains("fromTimestamp")),
       "snapshot-cdf: fromVersion and fromTimestamp are mutually exclusive")
@@ -92,6 +91,20 @@ final class CdfSourceProvider extends StreamSourceProvider
       .orElse(parameters.get("toTimestamp").map(s =>
         table.versionAt(SnapshotTable.parseTsMillis(s))))
       .getOrElse(table.currentVersion)
+    // schema pinned at toVersion, NOT head: the diff frame buildScan
+    // serves is planned at toVersion, and a column added (or widened)
+    // after it must not leak into a bounded read's declared shape —
+    // under needConversion=false a slot-type mismatch would produce
+    // garbage values, not an error
+    val base = table.schemaAt(Some(to)).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot-cdf: no recorded schema at version $to of " +
+          s"${table.root}"))
+    val logical = org.apache.spark.sql.types.DataType
+      .fromJson(SnapshotTable.stripPhysical(base.json))
+      .asInstanceOf[StructType]
+    val st = StructType(pickColumns(logical, parameters).fields :+
+      StructField("_change", StringType, nullable = false))
     new CdfRelation(sqlContext, table, st, from, to,
       parameters.get("where"))
   }
@@ -135,12 +148,18 @@ final class CdfSourceProvider extends StreamSourceProvider
     val logical = org.apache.spark.sql.types.DataType
       .fromJson(graft.sources.SnapshotTable.stripPhysical(base.json))
       .asInstanceOf[StructType]
-    // `columns` narrows the STREAM schema itself, so every batch's
-    // diff plan is column-pruned before lowering — a narrow consumer
-    // (e.g. a key-only audit feed) reads only those columns from the
-    // changed files instead of the table's full width. The pinned
-    // projection then never widens mid-stream, like the base schema.
-    val picked = parameters.get("columns")
+    (shortName(), StructType(
+      pickColumns(logical, parameters).fields :+
+        StructField("_change", StringType, nullable = false)))
+  }
+
+  /** `columns` narrows the pinned schema itself, so every batch/bounded
+    * diff plan is column-pruned before lowering — a narrow consumer
+    * (e.g. a key-only audit feed) reads only those columns from the
+    * changed files instead of the table's full width. */
+  private def pickColumns(logical: StructType,
+      parameters: Map[String, String]): StructType =
+    parameters.get("columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
       case None => logical
       case Some(cols) =>
@@ -151,9 +170,6 @@ final class CdfSourceProvider extends StreamSourceProvider
             s"not in the table schema (${logical.fieldNames.mkString(", ")})")
         StructType(cols.map(c => byName(c.toLowerCase)))
     }
-    (shortName(), StructType(
-      picked.fields :+ StructField("_change", StringType, nullable = false)))
-  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,

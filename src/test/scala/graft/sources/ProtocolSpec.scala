@@ -82,6 +82,21 @@ class ProtocolSpec extends SparkSuite {
     intercept[SnapshotTable.ProtocolViolation] { t.compact() }
   }
 
+  test("an upgrade racing a blind append re-gates at publish, not just entry") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id"))
+    val other = new SnapshotTable(spark, t.root)
+    // fires at the exact race window: this append already passed the
+    // ENTRY gate and staged, but has not published
+    t.raceInjector = () => {
+      other.upgradeProtocol(1, SnapshotTable.WriterVersion + 1); ()
+    }
+    intercept[SnapshotTable.ProtocolViolation] {
+      t.append(Seq(2L).toDF("id"))
+    }
+    assert(other.read().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("protocol only rises; direct property writes are refused") {
     val t = tmpTable()
     t.append(Seq(1L).toDF("id"))

@@ -400,6 +400,15 @@ class CdfStreamSourceSpec extends SparkSuite {
       spark.read.format("snapshot-cdf").load(dir)
     }
     assert(e.getMessage.contains("fromVersion"))
+    // schema pins at toVersion, not head: a rename AFTER the bounded
+    // range must not leak into the bounded read's shape
+    t.renameColumn("tag", "label")
+    assert(spark.read.format("snapshot-cdf")
+      .option("fromVersion", v1).option("toVersion", v3).load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "tag", "_change"))
+    assert(spark.read.format("snapshot-cdf")
+      .option("fromVersion", v3).load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "label", "_change"))
   }
 
   test("timestamp options: fromTimestamp batch CDF, startAtTimestamp stream") {

@@ -48,7 +48,10 @@ object SnapshotTvfs {
       (args: Seq[Expression]) => tableChanges(args)),
     (FunctionIdentifier("snapshot_history"),
       new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_history"),
-      (args: Seq[Expression]) => snapshotHistory(args)))
+      (args: Seq[Expression]) => snapshotHistory(args)),
+    (FunctionIdentifier("snapshot_detail"),
+      new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_detail"),
+      (args: Seq[Expression]) => snapshotDetail(args)))
 
   /** Register on an already-built session (tests, notebooks attached to
     * a session whose extensions are fixed). */
@@ -74,16 +77,37 @@ object SnapshotTvfs {
       s"$fn: $what must be an integer literal, got ${e.sql}")
   }
 
+  /** A version argument: an integer literal IS the version; a string
+    * literal is a timestamp (epoch millis / ISO / local-as-UTC)
+    * resolved through the table — `asBase = true` resolves with
+    * change-feed semantics (an instant predating the table = 0),
+    * `false` with read semantics (versionAt's clean too-early error). */
+  private def versionArg(fn: String, what: String, e: Expression,
+      t: SnapshotTable, asBase: Boolean): Int = e match {
+    case Literal(v, StringType) if v != null =>
+      val ts = try SnapshotTable.parseTsMillis(v.toString)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          throw new IllegalArgumentException(
+            s"$fn: $what string must be a timestamp (epoch millis, " +
+              s"ISO instant, or local datetime as UTC), got '$v'")
+      }
+      if (asBase) t.versionAtOrStart(ts) else t.versionAt(ts)
+    case _ => int(fn, what, e)
+  }
+
   private def table(path: String): SnapshotTable =
     new SnapshotTable(SparkSession.active, path)
 
-  /** `snapshot_at(path[, version])` — the table's rows at a version
-    * (head when omitted); DV-applied, column-mapped, prunable. */
+  /** `snapshot_at(path[, version | 'timestamp'])` — the table's rows
+    * at a version (head when omitted; a string argument time-travels
+    * by timestamp); DV-applied, column-mapped, prunable. */
   def snapshotAt(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1 || args.size == 2,
       s"snapshot_at(path[, version]) takes 1 or 2 arguments, got ${args.size}")
     val t = table(str("snapshot_at", "path", args.head))
-    t.read(args.lift(1).map(int("snapshot_at", "version", _)))
+    t.read(args.lift(1).map(
+      versionArg("snapshot_at", "version", _, t, asBase = false)))
       .queryExecution.analyzed
   }
 
@@ -96,8 +120,12 @@ object SnapshotTvfs {
       s"table_changes(path, fromVersion[, toVersion]) takes 2 or 3 " +
         s"arguments, got ${args.size}")
     val t = table(str("table_changes", "path", args.head))
-    val from = int("table_changes", "fromVersion", args(1))
-    val to = args.lift(2).map(int("table_changes", "toVersion", _))
+    // string arguments are timestamps (the Delta table_changes shape):
+    // the base resolves with since-semantics, the bound with read's
+    val from = versionArg("table_changes", "fromVersion", args(1), t,
+      asBase = true)
+    val to = args.lift(2).map(
+      versionArg("table_changes", "toVersion", _, t, asBase = false))
       .getOrElse(t.currentVersion)
     t.diff(from, to).queryExecution.analyzed
   }
@@ -112,5 +140,14 @@ object SnapshotTvfs {
     val t = table(str("snapshot_history", "path", args.head))
     t.history(args.lift(1).map(int("snapshot_history", "limit", _))
       .getOrElse(20)).queryExecution.analyzed
+  }
+
+  /** `snapshot_detail(path)` — the one-row DESCRIBE DETAIL summary
+    * (files/bytes/rows/DV debt/protocol/properties). */
+  def snapshotDetail(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"snapshot_detail(path) takes 1 argument, got ${args.size}")
+    table(str("snapshot_detail", "path", args.head))
+      .detail().queryExecution.analyzed
   }
 }

@@ -13,7 +13,10 @@ class SnapshotTvfSpec extends SparkSuite {
     SnapshotTvfs.registerOn(spark)
     val d = java.nio.file.Files.createTempDirectory("tvf").toString
     val t = new SnapshotTable(spark, d)
-    t.appendWithStats(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"),
+    // one file, so the MoR delete below forms a real DV (a singleton
+    // file would convert to a plain remove — no protocol bump)
+    t.appendWithStats(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag").repartition(1),
       statCols = Seq("id"))
     t.append(Seq((3L, "c")).toDF("id", "tag"))
     t.deleteWhereMoR(col("id") === 1L)
@@ -57,6 +60,22 @@ class SnapshotTvfSpec extends SparkSuite {
       .as[Long].head() == 2L)
   }
 
+  test("snapshot_detail summarizes; string arguments time-travel by timestamp") {
+    val row = spark.sql(
+      s"SELECT version, num_files, min_reader FROM snapshot_detail('$dir')")
+      .collect().head
+    assert(row.getInt(0) == 3 && row.getInt(1) >= 1 && row.getInt(2) == 2)
+    // a timestamp far in the future resolves to head; before-creation
+    // base = everything for table_changes
+    val future = (System.currentTimeMillis() + 60000L).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapshot_at('$dir', '$future')")
+      .as[Long].head() == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', '0')")
+      .as[Long].head() == 2L)
+  }
+
   test("non-literal and malformed arguments refuse with named errors") {
     val e1 = intercept[Exception] {
       spark.sql(s"SELECT * FROM snapshot_at(concat('$dir', ''))").collect()
@@ -69,6 +88,10 @@ class SnapshotTvfSpec extends SparkSuite {
     val e3 = intercept[Exception] {
       spark.sql(s"SELECT * FROM snapshot_at('$dir', 'x')").collect()
     }
-    assert(e3.getMessage.contains("integer literal"))
+    assert(e3.getMessage.contains("must be a timestamp"))
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_at('$dir', array(1))").collect()
+    }
+    assert(e4.getMessage.contains("integer literal"))
   }
 }

@@ -44,9 +44,10 @@ import org.apache.spark.sql.types.StructType
   * would NARROW the result.
   *
   * Reference contract: the reference serves its tables to ad-hoc SQL
-  * consumers via database views (`/root/reference/scripts/
-  * createObsView.sql`); `USING snapshot` temp views are that surface
-  * for the lakehouse tables.
+  * consumers via database functions over its views
+  * (`/root/reference/scripts/get_obs_timeseries_station_data.sql`,
+  * `get_forecast_timeseries_station_data.sql`); `USING snapshot` temp
+  * views are that surface for the lakehouse tables.
   */
 final class SnapshotSourceProvider extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
@@ -128,7 +129,6 @@ final class SnapshotSourceProvider extends RelationProvider
     val table = tableFor(sqlContext.sparkSession, parameters)
     def cols(k: String): Seq[String] = parameters.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val exists = table.currentVersion > 0
     mode match {
       case SaveMode.Append =>
         table.appendWithStats(data, cols("statCols"), cols("bloomCols"))
@@ -138,15 +138,15 @@ final class SnapshotSourceProvider extends RelationProvider
         // version visible in between
         table.overwrite(data, statCols = cols("statCols"),
           bloomCols = cols("bloomCols"))
+      // ErrorIfExists/Ignore go through the KEYED exclusive-create
+      // verb: two racing creators serialize through the commit
+      // conflict check instead of both passing a non-atomic
+      // exists-then-append probe (ADVICE r14)
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalStateException(
-          s"snapshot table ${table.root} already exists " +
-            s"(version ${table.currentVersion}); use mode(\"append\") or " +
-            "mode(\"overwrite\")")
-        table.appendWithStats(data, cols("statCols"), cols("bloomCols"))
+        table.createExclusive(data, cols("statCols"), cols("bloomCols"))
       case SaveMode.Ignore =>
-        if (!exists)
-          table.appendWithStats(data, cols("statCols"), cols("bloomCols"))
+        table.createExclusive(data, cols("statCols"), cols("bloomCols"),
+          ignoreIfExists = true)
     }
     new SnapshotRelation(sqlContext, table, None)
   }
@@ -186,10 +186,41 @@ final class SnapshotRelation(override val sqlContext: SQLContext,
       case Some(c) => table.readWhere(c, version)
       case None => table.read(version)
     }
+    // Type-drift guard (ADVICE r14): the relation's schema resolved
+    // ONCE, but a head read plans at scan time — a type-widening
+    // append (int->long) landing between resolution and scan would
+    // otherwise hand Spark InternalRows whose slot types disagree
+    // with the declared schema, silent garbage under
+    // `needConversion = false`. Columns whose head type drifted are
+    // cast back to the DECLARED type: under ANSI mode (the Spark 4
+    // default) an out-of-range value fails loudly at read; with ANSI
+    // off the scan REFUSES instead of risking a silent wrap — either
+    // way the fix is re-resolving the relation (re-create the view).
+    val headTypes = base.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    lazy val ansi = sqlContext.sparkSession.conf
+      .get("spark.sql.ansi.enabled", "true").toBoolean
     val projected =
       if (requiredColumns.isEmpty) base.select()
-      else base.select(requiredColumns.toIndexedSeq.map(n =>
-        col(SnapshotRelation.quote(n))): _*)
+      else base.select(requiredColumns.toIndexedSeq.map { n =>
+        val c = col(SnapshotRelation.quote(n))
+        val declared = resolvedSchema.fields
+          .find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+        (declared, headTypes.get(n.toLowerCase)) match {
+          // catalogString comparison = type equality modulo
+          // nullability (DataType.sameType is private[sql])
+          case (Some(d), Some(h)) if d.catalogString != h.catalogString =>
+            if (!ansi) throw new IllegalStateException(
+              s"snapshot relation for ${table.root}: column '$n' is " +
+                s"${h.simpleString} at the table head but was " +
+                s"${d.simpleString} when this relation resolved (a " +
+                "type-widening append landed since). Re-create the " +
+                "relation/view to read the widened type; refusing a " +
+                "non-ANSI narrowing cast that could silently wrap.")
+            c.cast(d).as(n)
+          case _ => c
+        }
+      }: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

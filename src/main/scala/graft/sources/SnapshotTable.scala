@@ -51,10 +51,10 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * vectorized read all apply: the snapshot only decides WHICH files
   * the scan gets).
   */
-final class SnapshotTable(spark: SparkSession, val root: String,
-    val checkpointInterval: Int = 20) {
+final class SnapshotTable(private[sources] val spark: SparkSession,
+    val root: String, val checkpointInterval: Int = 20) {
 
-  private def fs: FileSystem =
+  private[sources] def fs: FileSystem =
     FileSystem.get(new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
 
   /** see the test-seam comment in `commit` */
@@ -688,7 +688,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * Replay is in version order — required since [[restore]] may
     * RE-ADD a file some earlier manifest removed (add/remove/add
     * resolves by last action wins). */
-  private def replayStateFull(v: Int): SnapshotTable.TableState = {
+  private[sources] def replayStateFull(v: Int): SnapshotTable.TableState = {
     val floor = retentionFloor
     if (v > 0 && v < floor)
       throw new IllegalArgumentException(
@@ -878,7 +878,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * other consumer goes through [[readFiles]]/[[planFiles]], which
     * apply DVs. Column-mapped tables scan under PHYSICAL names and
     * alias to logical here, so every consumer sees logical names. */
-  private def rawReadFiles(state: SnapshotTable.TableState,
+  private[sources] def rawReadFiles(state: SnapshotTable.TableState,
       fl: Seq[String]): DataFrame = state.schema.map(parseSchema) match {
     case Some(st) if hasMapping(st) =>
       aliasToLogical(st, spark.read.schema(physicalSchema(st)).parquet(fl: _*))
@@ -985,7 +985,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * small (a point-delete DV is a few hundred bytes). This is the
     * merge-on-read half of DELETE: [[compact]]/rewrites MATERIALIZE
     * the deletes (they read through this same path) and drop the DV. */
-  private def applyDv(state: SnapshotTable.TableState, df: DataFrame,
+  private[sources] def applyDv(state: SnapshotTable.TableState, df: DataFrame,
       fl: Seq[String], keepSource: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val withDv = fl.filter(state.dvs.contains)
@@ -1062,10 +1062,10 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       .getOrElse(Nil)
       .filter(c => frame.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
 
-  private def effStatCols(given: Seq[String], frame: DataFrame): Seq[String] =
+  private[sources] def effStatCols(given: Seq[String], frame: DataFrame): Seq[String] =
     effCols(given, SnapshotTable.StatColsProp, frame)
 
-  private def effBloomCols(given: Seq[String], frame: DataFrame): Seq[String] =
+  private[sources] def effBloomCols(given: Seq[String], frame: DataFrame): Seq[String] =
     effCols(given, SnapshotTable.BloomColsProp, frame)
 
   private def statAggExpr(df: DataFrame, c: String): Column = {
@@ -1168,7 +1168,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * (url, doc_id) get metadata-only point/prefix/range pruning via
     * [[readPrunedEq]]/[[readPrunedPrefix]]/[[readPrunedStrRange]]
     * while a 100k-file checkpoint's stat payload stays a few MB. */
-  private def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
+  private[sources] def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
       countFiles: Boolean = false, mapToPhysical: Boolean = true)
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
@@ -1382,7 +1382,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * (~1.2 MB/M rows/column), never by table size. Sidecars are
     * written before the manifest commit; on a crashed commit they are
     * unreferenced strays [[vacuum]] sweeps with the data files. */
-  private def buildBlooms(files: Seq[String], bloomCols: Seq[String],
+  private[sources] def buildBlooms(files: Seq[String], bloomCols: Seq[String],
       fpp: Double, rowCounts: Map[String, Long]): Seq[(String, String)] = {
     if (bloomCols.isEmpty || files.isEmpty) return Nil
     // the vacuum sweep parses sidecar names by their ".bloom-" suffix
@@ -1662,14 +1662,14 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * these into their OWN commit, so a table starts demanding a
     * capability in the same atomic step that first uses it; never
     * lowered. */
-  private def protocolBump(props: Map[String, String], reader: Int,
+  private[sources] def protocolBump(props: Map[String, String], reader: Int,
       writer: Int): Seq[(String, Option[String])] =
     (if (SnapshotTable.protoOf(props, SnapshotTable.MinReaderProp) < reader)
       Seq(SnapshotTable.MinReaderProp -> Some(reader.toString)) else Nil) ++
       (if (SnapshotTable.protoOf(props, SnapshotTable.MinWriterProp) < writer)
         Seq(SnapshotTable.MinWriterProp -> Some(writer.toString)) else Nil)
 
-  private def resolveSchema(newJson: String, at: Int,
+  private[sources] def resolveSchema(newJson: String, at: Int,
       graceAdded: Set[String] = Set.empty): String = {
     val state = replayStateFull(at)
     gateWriter(state.props)
@@ -1967,7 +1967,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
           protocolBump(dropProps, 3, 3))
     }
 
-  private def commit(add: Seq[String], remove: Seq[String],
+  private[sources] def commit(add: Seq[String], remove: Seq[String],
       tag: Option[String] = None,
       stats: Seq[SnapshotTable.FileStat] = Nil, maxAttempts: Int = 20,
       base: Int = -1, keyed: Boolean = false,
@@ -2216,6 +2216,39 @@ final class SnapshotTable(spark: SparkSession, val root: String,
       sstats = sstats, blooms = blooms, sizes = sizes,
       rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append")
   }
+
+  /** Append `df` as the table's FIRST version, refusing (or, with
+    * `ignoreIfExists`, no-opping) when the table already has one — the
+    * `SaveMode.ErrorIfExists`/`Ignore` contract made RACE-SAFE
+    * (ADVICE r14): the commit is KEYED with base 0, so two racing
+    * creators serialize through the optimistic-commit conflict check —
+    * the loser's keyed commit conflicts with the winner's, retries,
+    * re-reads the head, and takes the exists branch instead of both
+    * landing an initial version. The exists check runs BEFORE staging,
+    * so the refusing path costs zero write jobs. Returns the committed
+    * version, or 0 when `ignoreIfExists` swallowed an existing table. */
+  def createExclusive(df: DataFrame, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+      ignoreIfExists: Boolean = false): Int =
+    retryingOnConflict("createExclusive") {
+      val base = currentVersion
+      if (base > 0) {
+        if (ignoreIfExists) 0
+        else throw new IllegalStateException(
+          s"snapshot table $root already exists (version $base); use " +
+            "mode(\"append\") or mode(\"overwrite\")")
+      } else {
+        val sc = effStatCols(statCols, df)
+        val bc = effBloomCols(bloomCols, df)
+        val (staged, stats, sstats, counts, sizes, nullsCh) =
+          stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
+        val blooms = buildBlooms(staged, bc, bloomFpp, counts)
+        commit(staged, Nil, None, stats, base = base, keyed = true,
+          schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
+          sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
+          op = "create")
+      }
+    }
 
   /** ONE checkpoint-seeded replay producing both the live file list
     * and the per-(file, col) stat map — the pruning entry points share
@@ -2943,7 +2976,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * no-backoff budget with just three writers. Desynchronizing the
     * losers makes each round's winner-take-one progress stick (same
     * shape as Delta's commit retry loop). */
-  private def retryingOnConflict[A](op: String, maxAttempts: Int = 20)(body: => A): A = {
+  private[sources] def retryingOnConflict[A](op: String, maxAttempts: Int = 20)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
@@ -3101,6 +3134,45 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** General conditional MERGE (copy-on-write): the full `WHEN MATCHED
+    * [AND cond] THEN UPDATE SET …/DELETE | WHEN NOT MATCHED [AND cond]
+    * THEN INSERT … | WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE/DELETE` clause set — the surface SQL `MERGE INTO` routes
+    * to. Clause conditions and values reference `<targetAlias>.<col>`
+    * and `<sourceAlias>.<col>` (defaults `target`/`source`). Semantics,
+    * pruning, and the cost shape are documented on [[SnapshotMerge]];
+    * the keyed full-row upsert ([[merge]]) remains the fast path when
+    * the clause set is exactly "update all matched, insert the rest".
+    * Returns the committed version, or 0 when no clause changed
+    * anything (no empty commit). */
+  def mergeInto(source: DataFrame, condition: Column,
+      matched: Seq[SnapshotMerge.Clause] = Nil,
+      notMatched: Seq[SnapshotMerge.Clause] = Nil,
+      notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
+      targetAlias: String = "target", sourceAlias: String = "source",
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Int =
+    SnapshotMerge.run(this, source, condition, matched, notMatched,
+      notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
+      bloomFpp, mor = false)
+
+  /** [[mergeInto]] on the merge-on-read commit path: applicable
+    * matched / not-matched-by-source rows are DV-tombstoned and their
+    * updated copies (plus inserts) append — ONE commit, no data file
+    * rewritten (the [[mergeMoR]] cost shape generalized to clauses).
+    * Byte-identical table contents to [[mergeInto]] on the same
+    * inputs. */
+  def mergeIntoMoR(source: DataFrame, condition: Column,
+      matched: Seq[SnapshotMerge.Clause] = Nil,
+      notMatched: Seq[SnapshotMerge.Clause] = Nil,
+      notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
+      targetAlias: String = "target", sourceAlias: String = "source",
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Int =
+    SnapshotMerge.run(this, source, condition, matched, notMatched,
+      notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
+      bloomFpp, mor = true)
+
   /** File-candidate narrowing shared by the DML verbs: the metadata
     * prune tiers (long stats, string stats, bloom sidecars) applied as
     * the CONJUNCTION of caller-passed preds and preds
@@ -3113,7 +3185,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * non-literal operands) simply fall back to the caller's preds or
     * the full live set. `lastDmlCandidates` records the result for
     * the scan-counting specs. */
-  private def dmlCandidates(state: SnapshotTable.TableState,
+  private[sources] def dmlCandidates(state: SnapshotTable.TableState,
       cond: org.apache.spark.sql.Column,
       prunePreds: Seq[(String, Long, Long)],
       bloomPreds: Seq[(String, String)]): Seq[String] = {
@@ -3167,7 +3239,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * with non-integral/string keys) skips the collect and scans the
     * live set as before — the trickle-upsert case this exists for is
     * exactly the small-key-set one. */
-  private def keyPruneCandidates(state: SnapshotTable.TableState,
+  private[sources] def keyPruneCandidates(state: SnapshotTable.TableState,
       keyCol: String, source: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val supported = source.schema.fields
@@ -3494,7 +3566,7 @@ final class SnapshotTable(spark: SparkSession, val root: String,
     * RAW candidate scan with `__name`/`__ridx` already materialized
     * from the file metadata (hidden `_metadata` columns do not survive
     * a join) and must only FILTER rows, never alter those columns. */
-  private def buildMorTombstonesBy(state: SnapshotTable.TableState,
+  private[sources] def buildMorTombstonesBy(state: SnapshotTable.TableState,
       candidates: Seq[String], matcher: DataFrame => DataFrame)
       : (Seq[String], Seq[(String, String, Long)], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, element_at, split}
@@ -4551,20 +4623,44 @@ object SnapshotTable {
   /** One timestamp-argument parser for every option surface: epoch
     * millis, ISO-8601 instant, ISO local datetime (read as UTC), or
     * `yyyy-MM-dd HH:mm:ss` (space form, read as UTC). */
+  /** Epoch-millis floor for all-digit timestamp strings: 2000-01-01
+    * UTC. An epoch-SECONDS value (the classic user slip) for any date
+    * this library could have written lands far below it, and on
+    * since-semantics surfaces (`fromTimestamp`, `table_changes` from,
+    * `startAtTimestamp`) a ~1970 instant silently means "everything
+    * since table creation" — refusing with a hint beats that
+    * (ADVICE r14). A genuine pre-2000 instant is still expressible as
+    * an ISO string. */
+  private val MinPlausibleEpochMillis = 946684800000L
+
   private[graft] def parseTsMillis(s: String): Long = {
     val t = s.trim
-    t.toLongOption.getOrElse {
-      try java.time.Instant.parse(t).toEpochMilli
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(t)
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDateTime.parse(t.replace(" ", "T"))
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          }
-      }
+    t.toLongOption match {
+      case Some(n) =>
+        if (n < MinPlausibleEpochMillis) throw new IllegalArgumentException(
+          s"timestamp '$t' parses as epoch MILLIS before 2000-01-01 " +
+            s"($n ms = ${java.time.Instant.ofEpochMilli(n)}); if this " +
+            "is epoch seconds, multiply by 1000 — or pass an ISO " +
+            "instant / 'yyyy-MM-dd' / local datetime string")
+        n
+      case None =>
+        try java.time.Instant.parse(t).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(t)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                // date-only reads as that day's UTC midnight
+                try java.time.LocalDate.parse(t).atStartOfDay()
+                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+                catch {
+                  case _: java.time.format.DateTimeParseException =>
+                    java.time.LocalDateTime.parse(t.replace(" ", "T"))
+                      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+                }
+            }
+        }
     }
   }
 

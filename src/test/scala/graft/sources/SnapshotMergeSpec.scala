@@ -1,0 +1,240 @@
+package graft.sources
+
+import graft.SparkSuite
+import graft.sources.SnapshotMerge.{Delete, Insert, Update}
+import org.apache.spark.sql.functions._
+
+/** The general conditional MERGE engine ([[SnapshotMerge]]): clause
+  * semantics (first-wins, conditions, star expansion, NOT MATCHED BY
+  * SOURCE), cardinality refusal, CoW/MoR byte parity, the no-rewrite
+  * guarantee of the MoR path, and metadata pruning of the match scan. */
+class SnapshotMergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpTable(): SnapshotTable = {
+    val dir = java.nio.file.Files.createTempDirectory("snapmerge").toString
+    new SnapshotTable(spark, dir)
+  }
+
+  private def asMap(t: SnapshotTable): Map[Long, (String, Long)] =
+    t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  /** target: id, v, qty — three single-file appends. */
+  private def seed(): SnapshotTable = {
+    val t = tmpTable()
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "qty").coalesce(1))
+    t.append(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "qty").coalesce(1))
+    t.append(Seq((5L, "e", 50L)).toDF("id", "v", "qty").coalesce(1))
+    t
+  }
+
+  private val srcDf = Seq((2L, "B!", 200L), (3L, "C!", 5L), (9L, "i", 90L))
+    .toDF("id", "v", "qty")
+  private val onKeys = expr("target.id = source.id")
+
+  test("conditional matched clauses: first-wins update/delete, others kept") {
+    val t = seed()
+    // qty >= 100 -> delete; else update v only (qty keeps target value)
+    val v = t.mergeInto(srcDf, onKeys,
+      matched = Seq(
+        Delete(Some(expr("source.qty >= 100"))),
+        Update(Some(expr("source.qty < 10")),
+          Seq("v" -> expr("source.v")))))
+    assert(v == 4)
+    assert(asMap(t) == Map(
+      1L -> ("a", 10L),            // untouched file
+      // 2 deleted (source qty 200)
+      3L -> ("C!", 30L),           // updated v, target qty kept
+      4L -> ("d", 40L), 5L -> ("e", 50L)))
+    // no insert clause: source key 9 did NOT land
+  }
+
+  test("update SET * and explicit insert values; unassigned insert cols null") {
+    val t = seed()
+    val src = Seq((3L, "C*", 333L), (9L, "i", 90L)).toDF("id", "v", "qty")
+    val v = t.mergeInto(src, onKeys,
+      matched = Seq(Update()),              // SET *
+      notMatched = Seq(Insert(None,
+        Seq("id" -> expr("source.id"), "v" -> expr("upper(source.v)")))))
+    assert(v == 4)
+    val got = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(got(3L) == (("C*", Some(333L))))
+    assert(got(9L) == (("I", None)), "unassigned insert column must be NULL")
+    assert(got(1L) == (("a", Some(10L))))
+  }
+
+  test("conditional inserts route through the first passing clause; no clause = skipped") {
+    val t = seed()
+    val src = Seq((10L, "x", 5L), (11L, "y", 500L), (12L, "z", 5000L))
+      .toDF("id", "v", "qty")
+    t.mergeInto(src, onKeys,
+      notMatched = Seq(
+        Insert(Some(expr("source.qty >= 1000")),
+          Seq("id" -> expr("source.id"), "v" -> lit("big"),
+            "qty" -> expr("source.qty"))),
+        Insert(Some(expr("source.qty >= 100"))))) // INSERT * fallback
+    val got = asMap(t)
+    assert(got(12L) == (("big", 5000L)), "first clause wins")
+    assert(got(11L) == (("y", 500L)), "second clause catches the middle")
+    assert(!got.contains(10L), "no passing clause: row skipped")
+    assert(got(1L) == (("a", 10L)))
+  }
+
+  test("NOT MATCHED BY SOURCE: conditional update and delete") {
+    val t = seed()
+    // source holds only ids 2,3,9 -> 1,4,5 are unmatched-by-source
+    val v = t.mergeInto(srcDf, onKeys,
+      matched = Seq(Update(None, Seq("v" -> expr("source.v")))),
+      notMatchedBySource = Seq(
+        Delete(Some(expr("target.qty >= 50"))),       // kills 5
+        Update(None, Seq("v" -> concat(col("target.v"), lit("_stale"))))))
+    assert(v == 4)
+    assert(asMap(t) == Map(
+      1L -> ("a_stale", 10L), 2L -> ("B!", 20L), 3L -> ("C!", 30L),
+      4L -> ("d_stale", 40L))) // 5 deleted
+  }
+
+  test("cardinality violation: a doubly-matched target row is refused") {
+    val t = seed()
+    val dup = Seq((3L, "x", 1L), (3L, "y", 2L)).toDF("id", "v", "qty")
+    val e = intercept[IllegalStateException] {
+      t.mergeInto(dup, onKeys, matched = Seq(Update()))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    // insert-only merges never hit the check (matched rows untouched)
+    val v = t.mergeInto(dup, onKeys,
+      notMatched = Seq(Insert()))
+    assert(v == 0 || t.read().count() == 5,
+      "doubly-matched rows with no matched clause change nothing")
+  }
+
+  test("CoW rewrites only applicable files; MoR rewrites none; byte parity") {
+    val cow = seed()
+    val mor = seed()
+    val clauses = (
+      Seq(Delete(Some(expr("source.qty >= 100"))),
+        Update(None, Seq("v" -> expr("source.v")))),
+      Seq(Insert()),
+      Seq(Update(Some(expr("target.id = 5")),
+        Seq("qty" -> expr("target.qty + 1")))))
+    val beforeCow = cow.files().toSet
+    cow.mergeInto(srcDf, onKeys, clauses._1, clauses._2, clauses._3)
+    // file 1 (ids 1,2): id 2 matched-delete -> rewritten. file 2 (3,4):
+    // id 3 matched-update -> rewritten. file 3 (id 5): nmbs update.
+    assert((beforeCow -- cow.files().toSet).size == 3)
+
+    val beforeMor = mor.files().toSet
+    mor.mergeIntoMoR(srcDf, onKeys, clauses._1, clauses._2, clauses._3)
+    // no pre-merge file is REWRITTEN: the only one leaving the live
+    // set is the single-row file whose union tombstones cover every
+    // row (id 5, nmbs-updated) — the standard fully-covered-to-remove
+    // conversion, not a rewrite; the partially-touched files survive
+    // with DV sidecars
+    assert((beforeMor -- mor.files().toSet).size == 1,
+      "only the fully-tombstoned file may leave the live set")
+    assert(mor.detail().head().getAs[Int]("num_dv_files") == 2,
+      "partially-touched files must carry DVs, not rewrites")
+    def full(t: SnapshotTable) = t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(full(mor) == full(cow))
+    assert(full(cow) == Set((1L, "a", 10L), (3L, "C!", 30L), (4L, "d", 40L),
+      (5L, "e", 51L), (9L, "i", 90L)))
+    // older snapshots untouched on both paths
+    assert(cow.read(Some(3)).count() == 5)
+    assert(mor.read(Some(3)).count() == 5)
+  }
+
+  test("point merge prunes the match scan to the stat/bloom-hit file") {
+    val t = tmpTable()
+    // property DEFAULTS, so the merge's own rewrites re-record
+    // stats/blooms and the second merge prunes just as tightly
+    (0 until 5).foreach { b =>
+      val lo = b * 100L
+      t.appendWithStats(
+        (lo until lo + 100L).map(i => (i, s"v$i")).toDF("id", "v")
+          .repartition(1),
+        statCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    t.setProperty(SnapshotTable.StatColsProp, "id")
+    t.setProperty(SnapshotTable.BloomColsProp, "id")
+    t.mergeInto(Seq((250L, "hit")).toDF("id", "v"), onKeys,
+      matched = Seq(Update(None, Seq("v" -> expr("source.v")))))
+    assert(t.lastDmlCandidates.size == 1,
+      s"point merge scanned ${t.lastDmlCandidates.size} files")
+    assert(t.read().where(col("id") === 250L).select("v").as[String]
+      .head() == "hit")
+    // target-only literal conjunct also prunes (no source-key pair)
+    t.mergeInto(Seq(("zz")).toDF("v2"), expr("target.id = 42 and source.v2 = 'zz'"),
+      matched = Seq(Update(None, Seq("v" -> expr("source.v2")))))
+    assert(t.lastDmlCandidates.size == 1,
+      s"literal-conjunct merge scanned ${t.lastDmlCandidates.size} files")
+    assert(t.read().where(col("id") === 42L).select("v").as[String]
+      .head() == "zz")
+  }
+
+  test("no-op merges commit nothing; MoR no-op runs zero staging jobs") {
+    val t = seed()
+    val v0 = t.currentVersion
+    // matches nothing, no insert clause
+    assert(t.mergeInto(Seq((99L, "x", 1L)).toDF("id", "v", "qty"), onKeys,
+      matched = Seq(Update())) == 0)
+    assert(t.currentVersion == v0)
+    t.stagingRuns = 0
+    assert(t.mergeIntoMoR(Seq((99L, "x", 1L)).toDF("id", "v", "qty"), onKeys,
+      matched = Seq(Update()),
+      notMatchedBySource = Seq(Delete(Some(expr("target.qty > 1000"))))) == 0)
+    assert(t.currentVersion == v0)
+    assert(t.stagingRuns == 0,
+      "a no-op MoR merge must not stage anything")
+  }
+
+  test("clause validation: wrong kinds, bad targets, dup assignments refused") {
+    val t = seed()
+    intercept[IllegalArgumentException] {
+      t.mergeInto(srcDf, onKeys, matched = Seq(Insert()))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeInto(srcDf, onKeys, notMatched = Seq(Update()))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeInto(srcDf, onKeys,
+        matched = Seq(Update(None, Seq("nope" -> lit(1)))))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeInto(srcDf, onKeys, matched = Seq(
+        Update(None, Seq("v" -> lit("x"), "V" -> lit("y")))))
+    }
+    intercept[IllegalArgumentException] { // SET * in NOT MATCHED BY SOURCE
+      t.mergeInto(srcDf, onKeys, notMatchedBySource = Seq(Update()))
+    }
+    intercept[IllegalArgumentException] { // no clauses at all
+      t.mergeInto(srcDf, onKeys)
+    }
+  }
+
+  test("custom aliases and assignment casting to the target type") {
+    val t = seed()
+    t.mergeInto(Seq((3L, "7")).toDF("id", "n"), expr("t.id = s.id"),
+      matched = Seq(Update(None, Seq("qty" -> expr("s.n")))),
+      targetAlias = "t", sourceAlias = "s")
+    assert(asMap(t)(3L) == (("c", 7L)), "string assignment cast to long")
+  }
+
+  test("merge-on-read parity under pre-existing deletion vectors") {
+    val cow = seed(); val mor = seed()
+    // pre-tombstone id 4 on both, then merge source touching 3..5
+    Seq(cow, mor).foreach(_.deleteWhereMoR(col("id") === 4L))
+    val src = Seq((3L, "C2", 3L), (4L, "D2", 4L)).toDF("id", "v", "qty")
+    cow.mergeInto(src, onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()))
+    mor.mergeIntoMoR(src, onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()))
+    assert(asMap(cow) == asMap(mor))
+    // the tombstoned row 4 is NOT matched (it is deleted), so the
+    // source row for 4 INSERTS fresh on both paths
+    assert(asMap(cow)(4L) == (("D2", 4L)))
+    assert(asMap(cow)(3L) == (("C2", 3L)))
+  }
+}

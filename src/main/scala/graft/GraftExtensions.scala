@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // builder set with the live-session registration path, see
     // SnapshotTvfs)
     graft.sources.SnapshotTvfs.descriptions.foreach(ext.injectTableFunction)
+    // SQL DML over snapshot tables (DELETE FROM / UPDATE / MERGE INTO,
+    // plus path addressing `snapshot.`/path/``) — resolution-rule
+    // interception routing to the table verbs, see SnapshotDml
+    ext.injectHintResolutionRule(graft.sources.SnapshotDml.pathRule)
+    ext.injectResolutionRule(graft.sources.SnapshotDml.rule)
     // HOF-cosine → fused native kernel rewrite (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineSimilarity)
   }

@@ -473,7 +473,12 @@ object IngestCli {
           .append(Seq(1L, 2L, 3L).toDF("id"))
         val tvfN = spark.sql(
           s"SELECT count(*) FROM snapshot_at('$tvfDir')").head().getLong(0)
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN}""")
+        // and SQL DML (injectResolutionRule path): DELETE through the
+        // path-addressed statement, read back through the same surface
+        spark.sql(s"DELETE FROM snapshot.`$tvfDir` WHERE id = 2")
+        val dmlN = spark.sql(
+          s"SELECT count(*) FROM snapshot.`$tvfDir`").head().getLong(0)
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

@@ -1,0 +1,327 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL DML statements over snapshot tables — the write half of the
+  * SQL-native surface (the TVFs and `USING snapshot` views are the
+  * read half):
+  *
+  * {{{
+  *   DELETE FROM snapshot.`/tables/events` WHERE id = 7
+  *   UPDATE t SET v = upper(v), qty = qty + 1 WHERE id = 7
+  *   MERGE INTO t USING src s ON t.id = s.id
+  *     WHEN MATCHED AND s.del THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET v = s.v
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   INSERT INTO snapshot.`/tables/events` SELECT ...
+  * }}}
+  *
+  * How it lands (all analysis-time, injected by
+  * [[graft.GraftExtensions]] via `injectResolutionRule`):
+  *  - ``snapshot.`/path/``  — an [[UnresolvedRelation]] whose first
+  *    identifier part is the format name and whose second contains a
+  *    `/` (so a genuine catalog database named `snapshot` can never
+  *    collide: catalog table names cannot contain slashes) resolves
+  *    to the registered format's relation at the HEAD version. This
+  *    also gives plain `SELECT ... FROM snapshot.`/path/`` for free,
+  *    the Delta path-addressing shape.
+  *  - Spark's parser already produces [[DeleteFromTable]]/
+  *    [[UpdateTable]]/[[MergeIntoTable]]; for DSv1 relations the
+  *    analyzer resolves their expressions and then CheckAnalysis
+  *    would refuse ("only supported with v2 tables"). This rule
+  *    intercepts the RESOLVED statement whose target unwraps to a
+  *    [[SnapshotRelation]] and replaces it with a runnable command
+  *    over the table verbs — `deleteWhere`/`updateWhere`/
+  *    [[SnapshotMerge]] — so the derived metadata pruning
+  *    (stats/blooms/null counts, source-key probes) is EXACTLY the
+  *    table-API path's: a SQL point DELETE plans one candidate file.
+  *
+  *    Resolved attribute references are rewritten back to unresolved
+  *    names (qualified by the statement's own target/source aliases
+  *    for MERGE) because the verbs re-plan their scans from the fresh
+  *    head — a captured exprId would not survive into the new plan.
+  *  - CoW vs MoR: the table property `graft.dml.mode = mor` routes
+  *    DELETE/UPDATE to the deletion-vector verbs and MERGE to the MoR
+  *    clause engine; default is copy-on-write. One knob on the TABLE,
+  *    not the statement, because the choice is a layout/ops decision
+  *    (file size vs read amplification), not a per-query one.
+  *
+  * Time-travel targets (`versionAsOf` relations) refuse DML — the
+  * past is immutable. Subqueries in conditions are refused loudly
+  * (the verbs' single-table scan cannot host them).
+  *
+  * Reference contract: the reference's ingest dedup IS a SQL DELETE
+  * (`/root/reference/run/ingestObsTasks.py:45-56` builds `DELETE FROM
+  * drf WHERE instance_id = ...`); this rule gives its SQL-only
+  * consumers the same verb against the lakehouse tables. */
+object SnapshotDml {
+
+  /** Table property selecting the DML commit path: `cow` (default) or
+    * `mor` (deletion vectors + appended copies). */
+  val DmlModeProp = "graft.dml.mode"
+
+  def rule(spark: SparkSession): Rule[LogicalPlan] = new SnapshotDmlRule(spark)
+
+  /** The path-addressing half, injected via `injectHintResolutionRule`
+    * so it runs in the analyzer's HINTS batch — BEFORE the resolution
+    * batch where Spark's own `ResolveSQLOnFile` would claim
+    * ``snapshot.`…``` (the format IS a registered source name) and
+    * refuse it as an unsupported direct-file query. */
+  def pathRule(spark: SparkSession): Rule[LogicalPlan] =
+    new SnapshotPathRule(spark)
+
+  /** Fold foldable subtrees of a RESOLVED expression down to bare
+    * literals: analysis-time type coercion leaves literals wrapped in
+    * casts (`id = cast(250 as bigint)`) that the derivePreds metadata
+    * pruning would not see — folding restores the point-lookup prune
+    * for SQL DML conditions. No-op on unresolved expressions
+    * (`foldable` throws on unresolved nodes). */
+  private[sources] def foldConsts(e: Expression): Expression =
+    if (!e.resolved) e
+    else e.transformUp {
+      case x if x.foldable && x.deterministic &&
+          !x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(x.eval(), x.dataType)
+    }
+
+  private[sources] def morOf(t: SnapshotTable): Boolean =
+    t.properties().get(DmlModeProp).map(_.trim.toLowerCase) match {
+      case Some("mor") => true
+      case Some("cow") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$DmlModeProp must be 'cow' or 'mor', got '$other'")
+    }
+}
+
+/** Path addressing: ``snapshot.`/path/to/table``` — an unresolved
+  * two-part identifier whose first part is the format name and whose
+  * second contains a `/` (a genuine catalog database named `snapshot`
+  * can never collide: catalog table names cannot contain slashes)
+  * resolves to the registered format's head relation. Runs in the
+  * HINTS batch (see [[SnapshotDml.pathRule]]). */
+final class SnapshotPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def isSnapshotPath(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("snapshot") &&
+      u.multipartIdentifier(1).contains("/")
+
+  private def resolvePath(u: UnresolvedRelation): LogicalPlan = {
+    val path = u.multipartIdentifier(1)
+    SubqueryAlias(path,
+      spark.read.format("snapshot").load(path).queryExecution.analyzed)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      // INSERT's target is a FIELD, not a child (UnaryNode over the
+      // query only) — tree transforms never visit it, so match the
+      // statement itself
+      case i: InsertIntoStatement =>
+        i.table match {
+          case u: UnresolvedRelation if isSnapshotPath(u) =>
+            i.copy(table = resolvePath(u))
+          case _ => i
+        }
+      case u: UnresolvedRelation if isSnapshotPath(u) => resolvePath(u)
+    }
+}
+
+final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        snapshotOf(target) match {
+          case Some(rel) =>
+            val t = dmlTable(rel, "DELETE")
+            SnapshotDeleteCommand(t,
+              toCondColumn(condition, target.outputSet, "DELETE"))
+          case None => d
+        }
+
+      case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+        snapshotOf(target) match {
+          case Some(rel) =>
+            val t = dmlTable(rel, "UPDATE")
+            val set = assignments.map { a =>
+              targetColName(a.key, "UPDATE") ->
+                toCondColumn(a.value, target.outputSet, "UPDATE")
+            }
+            SnapshotUpdateCommand(t,
+              condition.map(toCondColumn(_, target.outputSet, "UPDATE"))
+                .getOrElse(lit(true)), set)
+          case None => u
+        }
+
+      case m: MergeIntoTable if m.resolved =>
+        snapshotOf(m.targetTable) match {
+          case Some(rel) =>
+            val t = dmlTable(rel, "MERGE")
+            require(!m.withSchemaEvolution,
+              "MERGE WITH SCHEMA EVOLUTION is not supported on snapshot " +
+                "tables (widen with an append first)")
+            val tAlias = aliasOf(m.targetTable).getOrElse("__merge_target")
+            val sAlias = aliasOf(m.sourceTable).getOrElse("__merge_source")
+            require(tAlias != sAlias, "MERGE INTO: target and source " +
+              s"resolve to the same alias '$tAlias' — alias one of them")
+            val tOut = m.targetTable.outputSet
+            val sOut = m.sourceTable.outputSet
+            def conv(e: Expression, what: String): Column =
+              toMergeColumn(e, tOut, tAlias, sOut, sAlias, what)
+            def clauses(as: Seq[MergeAction],
+                what: String): Seq[SnapshotMerge.Clause] = as.map {
+              case ua: UpdateAction => SnapshotMerge.Update(
+                ua.condition.map(conv(_, what)),
+                ua.assignments.map(a => targetColName(a.key, what) ->
+                  conv(a.value, what)))
+              case us: UpdateStarAction =>
+                SnapshotMerge.Update(us.condition.map(conv(_, what)), Nil)
+              case da: DeleteAction =>
+                SnapshotMerge.Delete(da.condition.map(conv(_, what)))
+              case ia: InsertAction => SnapshotMerge.Insert(
+                ia.condition.map(conv(_, what)),
+                ia.assignments.map(a => targetColName(a.key, what) ->
+                  conv(a.value, what)))
+              case is: InsertStarAction =>
+                SnapshotMerge.Insert(is.condition.map(conv(_, what)), Nil)
+              case other => throw new IllegalArgumentException(
+                s"MERGE INTO: unsupported $what action ${other.getClass.getSimpleName}")
+            }
+            SnapshotMergeCommand(t,
+              PlanBridge.ofRows(spark, m.sourceTable),
+              conv(m.mergeCondition, "ON"),
+              clauses(m.matchedActions, "WHEN MATCHED"),
+              clauses(m.notMatchedActions, "WHEN NOT MATCHED"),
+              clauses(m.notMatchedBySourceActions,
+                "WHEN NOT MATCHED BY SOURCE"),
+              tAlias, sAlias)
+          case None => m
+        }
+    }
+
+  /** The [[SnapshotRelation]] behind a DML target, unwrapping the
+    * alias/view layers the analyzer adds. */
+  private def snapshotOf(p: LogicalPlan): Option[SnapshotRelation] =
+    p match {
+      case SubqueryAlias(_, child) => snapshotOf(child)
+      case v: View => snapshotOf(v.child)
+      case l: LogicalRelation => l.relation match {
+        case r: SnapshotRelation => Some(r)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def dmlTable(rel: SnapshotRelation, verb: String): SnapshotTable = {
+    require(rel.pinnedVersion.isEmpty,
+      s"$verb on a time-travel snapshot relation is not allowed " +
+        s"(${rel.tableHandle.root} pinned at version " +
+        s"${rel.pinnedVersion.get}); address the table head instead")
+    rel.tableHandle
+  }
+
+  /** Outermost alias the statement gave the plan, if any — the name
+    * its (unqualified-by-us) column references expect. */
+  private def aliasOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case _ => None
+  }
+
+  /** A resolved single-table condition/value, rewritten to resolve
+    * against the verb's FRESH scan: attribute references become plain
+    * unresolved names (exprIds cannot cross plans). */
+  private def toCondColumn(e: Expression, targetOut: AttributeSet,
+      what: String): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$what on snapshot tables does not support subqueries in " +
+        "conditions or assignments")
+    ColumnBridge.toColumn(SnapshotDml.foldConsts(e).transformUp {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  /** The MERGE variant: target/source references re-qualify under the
+    * clause engine's aliases, so same-named columns on the two sides
+    * stay distinguishable in the rebuilt join. */
+  private def toMergeColumn(e: Expression, tOut: AttributeSet,
+      tAlias: String, sOut: AttributeSet, sAlias: String,
+      what: String): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"MERGE INTO ($what) on snapshot tables does not support subqueries")
+    ColumnBridge.toColumn(SnapshotDml.foldConsts(e).transformUp {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq(tAlias, a.name))
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq(sAlias, a.name))
+    })
+  }
+
+  /** Assignment KEY: must be a plain (resolved or not) target column —
+    * nested-field assignment is not supported. */
+  private def targetColName(k: Expression, what: String): String = k match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"$what: assignment target must be a plain column, got ${other.sql}")
+  }
+}
+
+/** `DELETE FROM <snapshot table> WHERE ...` — runs
+  * [[SnapshotTable.deleteWhere]] (or the MoR variant per the
+  * `graft.dml.mode` property) and returns the committed version
+  * (0 = nothing matched, no commit). */
+final case class SnapshotDeleteCommand(table: SnapshotTable, cond: Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = if (SnapshotDml.morOf(table)) table.deleteWhereMoR(cond)
+    else table.deleteWhere(cond)
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE <snapshot table> SET ... [WHERE ...]` — runs
+  * [[SnapshotTable.updateWhere]] (or the MoR variant). */
+final case class SnapshotUpdateCommand(table: SnapshotTable, cond: Column,
+    set: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = if (SnapshotDml.morOf(table)) table.updateWhereMoR(cond, set)
+    else table.updateWhere(cond, set)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO <snapshot table> USING ... ON ... WHEN ...` — runs the
+  * [[SnapshotMerge]] clause engine (CoW, or MoR per the property). */
+final case class SnapshotMergeCommand(table: SnapshotTable,
+    source: org.apache.spark.sql.DataFrame, cond: Column,
+    matched: Seq[SnapshotMerge.Clause],
+    notMatched: Seq[SnapshotMerge.Clause],
+    notMatchedBySource: Seq[SnapshotMerge.Clause],
+    targetAlias: String, sourceAlias: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val run = if (SnapshotDml.morOf(table)) table.mergeIntoMoR _
+    else table.mergeInto _
+    Seq(Row(run(source, cond, matched, notMatched, notMatchedBySource,
+      targetAlias, sourceAlias, Nil, Nil, 0.01)))
+  }
+}

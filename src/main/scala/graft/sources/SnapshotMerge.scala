@@ -176,15 +176,9 @@ object SnapshotMerge {
       // but not optimized, so type coercion leaves literals wrapped in
       // casts (`id = cast(42 as bigint)`) the derivation would not
       // see — fold foldable subtrees down to bare literals first.
-      def foldConsts(e: Expression): Expression = e.transformUp {
-        case x if x.foldable && x.deterministic &&
-            !x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(x.eval(), x.dataType)
-      }
       val tOnly = conj.filter(c =>
         c.references.nonEmpty && c.references.subsetOf(lOut))
-        .map(foldConsts)
+        .map(SnapshotDml.foldConsts)
       val cand0 =
         if (tOnly.isEmpty) { t.lastDmlCandidates = state.live; state.live }
         else t.dmlCandidates(state,

@@ -161,7 +161,25 @@ final class SnapshotSourceProvider extends RelationProvider
   * produced. */
 final class SnapshotRelation(override val sqlContext: SQLContext,
     table: SnapshotTable, version: Option[Int])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** The table handle and pinned read version, for the SQL DML rules
+    * ([[SnapshotDml]]) — a resolved `DELETE FROM`/`UPDATE`/`MERGE
+    * INTO` target recovers the verbs through these. */
+  private[sources] def tableHandle: SnapshotTable = table
+  private[sources] def pinnedVersion: Option[Int] = version
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` over the relation (catalog
+    * tables, `USING snapshot` temp views, ``snapshot.`/path/``): a
+    * plain append/overwrite commit under the table-property
+    * stat/bloom defaults. Time-travel relations refuse — the past is
+    * immutable. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      s"cannot INSERT into a time-travel snapshot relation of ${table.root}")
+    if (overwrite) table.overwrite(data)
+    else table.appendWithStats(data, Nil)
+  }
 
   // lazy: Spark asks for the schema several times during resolution,
   // and each call would otherwise be another manifest-tail replay

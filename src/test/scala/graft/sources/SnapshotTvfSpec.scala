@@ -71,9 +71,15 @@ class SnapshotTvfSpec extends SparkSuite {
     assert(spark.sql(
       s"SELECT count(*) FROM snapshot_at('$dir', '$future')")
       .as[Long].head() == 2L)
+    // a plausible instant predating the table = everything; a bare
+    // '0' (epoch-seconds slip territory) refuses with the hint
     assert(spark.sql(
-      s"SELECT count(*) FROM table_changes('$dir', '0')")
+      s"SELECT count(*) FROM table_changes('$dir', '2000-01-02')")
       .as[Long].head() == 2L)
+    val eSec = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM table_changes('$dir', '0')").collect()
+    }
+    assert(eSec.getMessage.contains("epoch"))
   }
 
   test("non-literal and malformed arguments refuse with named errors") {

@@ -423,12 +423,18 @@ class CdfStreamSourceSpec extends SparkSuite {
     assert(spark.read.format("snapshot-cdf")
       .option("fromTimestamp", mid.toString).load(dir)
       .select("id").as[Long].collect().toSeq == Seq(2L))
-    // an instant predating the table = everything (versionAtOrStart)
+    // a plausible instant predating the table = everything
+    // (versionAtOrStart); a bare '0' (epoch-seconds slip territory)
+    // refuses with the seconds-vs-millis hint
     assert(spark.read.format("snapshot-cdf")
-      .option("fromTimestamp", "0").load(dir).count() == 2)
+      .option("fromTimestamp", "2000-01-02").load(dir).count() == 2)
+    assert(intercept[IllegalArgumentException] {
+      spark.read.format("snapshot-cdf")
+        .option("fromTimestamp", "0").load(dir)
+    }.getMessage.contains("epoch"))
     intercept[IllegalArgumentException] {
       spark.read.format("snapshot-cdf").option("fromVersion", 1)
-        .option("fromTimestamp", "0").load(dir)
+        .option("fromTimestamp", "2000-01-02").load(dir)
     }
     // stream: startAtTimestamp tails only what follows the instant
     val q = spark.readStream.format("snapshot")

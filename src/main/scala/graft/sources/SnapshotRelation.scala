@@ -50,6 +50,7 @@ import org.apache.spark.sql.types.StructType
   * views are that surface for the lakehouse tables.
   */
 final class SnapshotSourceProvider extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
     with DataSourceRegister {
 
@@ -110,7 +111,27 @@ final class SnapshotSourceProvider extends RelationProvider
   }
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      parameters: Map[String, String]): BaseRelation =
+    createRelation(sqlContext, parameters, declared = None)
+
+  /** The `SchemaRelationProvider` half — what the session catalog
+    * calls for a table CREATEd with an explicit column list
+    * (`CREATE TABLE t (id BIGINT, ...) USING snapshot OPTIONS (path
+    * ...)`): the declared schema lets a NOT-YET-WRITTEN table resolve
+    * and read as an EMPTY relation, so catalog-registered empty
+    * tables work end to end — `INSERT INTO` lands version 1, reads
+    * before that return zero rows of the declared shape. Once the
+    * table exists on disk its RECORDED schema wins (it may have
+    * evolved past the catalog's stored copy — recorded-schema reads
+    * are what keep widened appends visible to name-based readers). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters, declared = Some(schema))
+
+  private def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      declared: Option[StructType]): BaseRelation = {
     val table = tableFor(sqlContext.sparkSession, parameters)
     val asOfV = parameters.get("versionAsOf").map(_.trim.toInt)
     // epoch millis, ISO instant, or local datetime read as UTC —
@@ -121,7 +142,7 @@ final class SnapshotSourceProvider extends RelationProvider
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = asOfV.orElse(asOfT.map(table.versionAt))
     SnapshotSourceProvider.lastTable = table
-    new SnapshotRelation(sqlContext, table, version)
+    new SnapshotRelation(sqlContext, table, version, declared)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -160,7 +181,8 @@ final class SnapshotSourceProvider extends RelationProvider
   * the rows Spark receives are the very InternalRows the parquet scan
   * produced. */
 final class SnapshotRelation(override val sqlContext: SQLContext,
-    table: SnapshotTable, version: Option[Int])
+    table: SnapshotTable, version: Option[Int],
+    declared: Option[StructType] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** The table handle and pinned read version, for the SQL DML rules
@@ -184,7 +206,12 @@ final class SnapshotRelation(override val sqlContext: SQLContext,
   // lazy: Spark asks for the schema several times during resolution,
   // and each call would otherwise be another manifest-tail replay
   private lazy val resolvedSchema: StructType =
-    table.schemaAt(version).getOrElse(table.read(version).schema)
+    table.schemaAt(version).getOrElse {
+      // a catalog-declared schema carries a table that has no commit
+      // yet (CREATE TABLE before the first INSERT) — it reads empty
+      if (table.currentVersion == 0 && declared.isDefined) declared.get
+      else table.read(version).schema
+    }
 
   override def schema: StructType = resolvedSchema
 
@@ -200,10 +227,16 @@ final class SnapshotRelation(override val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val cond = filters.toSeq.flatMap(SnapshotRelation.toColumn)
       .reduceOption(_ && _)
-    val base = cond match {
-      case Some(c) => table.readWhere(c, version)
-      case None => table.read(version)
-    }
+    val base =
+      if (table.currentVersion == 0 && declared.isDefined)
+        // declared-schema table with no commit yet: empty frame
+        sqlContext.sparkSession.createDataFrame(
+          sqlContext.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], resolvedSchema)
+      else cond match {
+        case Some(c) => table.readWhere(c, version)
+        case None => table.read(version)
+      }
     // Type-drift guard (ADVICE r14): the relation's schema resolved
     // ONCE, but a head read plans at scan time — a type-widening
     // append (int->long) landing between resolution and scan would

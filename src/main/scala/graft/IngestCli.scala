@@ -248,10 +248,13 @@ object IngestCli {
             // bin-packed to ~targetBytes outputs; files at or above
             // the target are untouched — the maintenance shape that
             // survives a 100 TB table
+            // optional --zorder c1,c2 re-clusters the rewritten tail
+            // (fresh stats/blooms make the packed files prunable too)
             val v = t.compactSmall(
               opts.getOrElse("targetBytes", (128L << 20).toString).toLong,
               csvOpt("statCols"), csvOpt("bloomCols"),
-              opts.getOrElse("bloomFpp", "0.01").toDouble)
+              opts.getOrElse("bloomFpp", "0.01").toDouble,
+              csvOpt("zorder"), opts.getOrElse("zorderBits", "6").toInt)
             println(if (v == 0) "nothing to compact"
               else s"compacted small files into version $v")
           case "delete" =>

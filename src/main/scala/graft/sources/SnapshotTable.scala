@@ -2924,9 +2924,15 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * files fall back to one stat each). Idempotent: fewer than two
     * small files, or a small set already at its minimum pack count,
     * commits nothing (returns 0). `statCols`/`bloomCols` re-record
-    * pruning metadata for the rewritten files, like [[compact]]. */
+    * pruning metadata for the rewritten files, like [[compact]].
+    * `zorderCols` re-clusters the rewritten tail on a Morton curve
+    * ([[graft.operators.ZOrderLayout]]) so the freshly-recorded
+    * min/max stats stay tight on every clustered dimension — the
+    * OPTIMIZE ... ZORDER BY composition: a streaming sink's
+    * interleaved small files come out both packed AND prunable. */
   def compactSmall(targetBytes: Long, statCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+      zorderCols: Seq[String] = Nil, zorderBits: Int = 6): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     retryingOnConflict("compactSmall") {
       val base = currentVersion
@@ -2943,7 +2949,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           if (small.size <= n) 0 // already at the minimum pack count
           else {
             val affected = small.map(_._1)
-            val rows = readFiles(affected, Some(base)).coalesce(n)
+            val before = readFiles(affected, Some(base))
+            val rows =
+              if (zorderCols.isEmpty) before.coalesce(n)
+              else graft.operators.ZOrderLayout.layout(
+                before, zorderCols, zorderBits, n)
             val sc = effStatCols(statCols, rows)
             val bc = effBloomCols(bloomCols, rows)
             val (staged, stats, sstats, counts, sizes, nullsCh) =
@@ -4104,20 +4114,51 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
     * surface: version, commit wall-clock (the manifest file's
     * modification time), add/remove counts, the exactly-once tag if
-    * any, and the keyed-isolation marker. Reads the last `limit`
-    * manifests ONLY (version numbering is gap-free, so this is
-    * `limit` GETs straight down from the head — no listing, and never
-    * a cost that grows with table lifetime); versions whose manifests
-    * retention reaped are skipped. */
+    * any, the keyed-isolation marker, and per-commit OPERATION
+    * METRICS (`num_rows_added/removed`, `bytes_added/removed` — the
+    * DESCRIBE HISTORY operationMetrics shape), all from manifest
+    * channels: added-side rows/bytes come straight off each commit's
+    * own `rows`/`sizes` channels; REMOVED-side metrics need the
+    * prior state's per-file maps, so the window is computed with ONE
+    * checkpoint-seeded replay below it plus a forward walk applying
+    * each manifest — `O(checkpointInterval + limit)` manifest GETs,
+    * still never a cost that grows with table lifetime. A removed
+    * file counts its live rows (recorded minus already-tombstoned);
+    * a DV re-point counts the tombstone GROWTH. Metrics are None when
+    * a file predates row/size tracking (never a data scan here).
+    * Versions whose manifests retention reaped are skipped (metrics
+    * after a mid-window reap degrade to None rather than lying). */
   def history(limit: Int = 20): DataFrame = {
     require(limit > 0, s"history limit must be positive, got $limit")
     val cur = currentVersion
     val lo = math.max(math.max(1, replayFloorV + 1), cur - limit + 1)
-    val rows = (cur to lo by -1).flatMap { v =>
+    // seed maps at lo-1 (v0 replays to the empty state)
+    val seed = replayStateFull(lo - 1)
+    var rowsM: Map[String, Long] = seed.rows
+    var sizesM: Map[String, Long] = seed.sizes
+    var dvM: Map[String, (String, Long)] = seed.dvs
+    var reliable = true // a reaped mid-window manifest breaks the walk
+    def sumOver(files: Seq[String], m: Map[String, Long]): Option[Long] =
+      if (files.forall(m.contains)) Some(files.map(m).sum) else None
+    val rows = (lo to cur).flatMap { v =>
       try {
         val raw = readManifestRaw(v)
         val (add, remove) = decode(raw)
-        Some(SnapshotTable.CommitInfo(
+        val addRows = rowsOf(raw).toMap
+        val addSizes = sizesOf(raw).toMap
+        val dvNew = dvsOf(raw)
+        // removed-side: live rows of each removed file at the PRIOR
+        // state, plus tombstone growth from re-pointed DVs
+        val removedRows =
+          if (!reliable) None
+          else sumOver(remove, rowsM).map { full =>
+            full - remove.flatMap(dvM.get).map(_._2).sum +
+              dvNew.collect { case (f, _, n) if !remove.contains(f) =>
+                n - dvM.get(f).map(_._2).getOrElse(0L)
+              }.sum
+          }
+        val removedBytes = if (reliable) sumOver(remove, sizesM) else None
+        val info = SnapshotTable.CommitInfo(
           version = v,
           committed_at = new java.sql.Timestamp(
             fs.getFileStatus(manifestPath(v)).getModificationTime),
@@ -4125,14 +4166,25 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           n_remove = remove.size,
           tag = tagOf(raw),
           keyed = keyedOf(raw),
-          op = opOf(raw)))
+          op = opOf(raw),
+          num_rows_added = sumOver(add, addRows),
+          num_rows_removed = removedRows,
+          bytes_added = sumOver(add, addSizes),
+          bytes_removed = removedBytes)
+        // advance the walk
+        rowsM = (rowsM -- remove) ++ addRows
+        sizesM = (sizesM -- remove) ++ addSizes
+        dvM = (dvM -- remove) ++
+          dvNew.map { case (f, sc, n) => f -> (sc, n) }
+        Some(info)
       } catch {
         // a racing vacuumLog may reap a manifest between the floor
-        // read and the GET — retention, not corruption: skip it
-        case _: java.io.FileNotFoundException => None
+        // read and the GET — retention, not corruption: skip it, and
+        // stop claiming removed-side metrics for later versions
+        case _: java.io.FileNotFoundException => reliable = false; None
       }
     }
-    spark.createDataFrame(rows)
+    spark.createDataFrame(rows.reverse)
   }
 
   /** Delete data files referenced by NO snapshot at or above
@@ -4779,10 +4831,14 @@ object SnapshotTable {
     }
   }
 
-  /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape). */
+  /** One [[SnapshotTable.history]] row (DESCRIBE HISTORY shape, incl.
+    * operationMetrics; None = a file in the commit predates
+    * row/size tracking, or the walk crossed a reaped manifest). */
   final case class CommitInfo(version: Int, committed_at: java.sql.Timestamp,
       n_add: Int, n_remove: Int, tag: Option[String], keyed: Boolean,
-      op: Option[String])
+      op: Option[String],
+      num_rows_added: Option[Long], num_rows_removed: Option[Long],
+      bytes_added: Option[Long], bytes_removed: Option[Long])
 
   /** The [[SnapshotTable.detail]] row (DESCRIBE DETAIL shape). */
   final case class DetailRow(version: Int, num_files: Int,

@@ -377,6 +377,40 @@ class SnapshotTableSpec extends SparkSuite {
     assert(t.read(Some(1)).count() == 100)
   }
 
+  test("compactSmall --zorder: packed tail comes out prunable; readWhere scans fewer files") {
+    val t = tmpTable()
+    // a streaming-sink-shaped tail: 6 interleaved small files, every
+    // one spanning the id range — a point-range readWhere must scan
+    // ALL of them even with stats recorded
+    (0 until 6).foreach(r =>
+      t.appendWithStats((r.toLong to 600L by 6).toDF("id").coalesce(1),
+        Seq("id")))
+    t.readWhere(col("id").between(10L, 20L)).count()
+    val preFiles = t.lastDmlCandidates.size
+    assert(preFiles == 6, s"interleaved tail must defeat pruning, scanned $preFiles")
+    // pack + re-cluster in one maintenance pass (targetBytes above the
+    // tail's size, so every file qualifies as small)
+    val v = t.compactSmall(targetBytes = 1L << 20, statCols = Seq("id"),
+      zorderCols = Seq("id"))
+    assert(v > 0)
+    val got = t.readWhere(col("id").between(10L, 20L))
+    assert(got.count() == 11)
+    val postFiles = t.lastDmlCandidates.size
+    assert(postFiles < preFiles,
+      s"post-zorder point-range readWhere must scan strictly fewer files " +
+        s"($postFiles vs $preFiles)")
+    // the whole-table compact path composes the same way
+    val t2 = tmpTable()
+    (0 until 6).foreach(r =>
+      t2.appendWithStats((r.toLong to 600L by 6).toDF("id").coalesce(1),
+        Seq("id")))
+    t2.compact(coalesceTo = 3, zorderCols = Seq("id"), statCols = Seq("id"))
+    t2.readWhere(col("id").between(10L, 20L)).count()
+    assert(t2.lastDmlCandidates.size < 3,
+      s"zorder compact must leave a point range on <3 of 3 files, " +
+        s"scanned ${t2.lastDmlCandidates.size}")
+  }
+
   test("multi-column pruning intersects per-dimension stats") {
     val t = tmpTable()
     // two files, clustered so (a, b) stats are disjoint per file
@@ -2403,7 +2437,8 @@ class SnapshotTableSpec extends SparkSuite {
       .select(col("id")), Seq("id"))                       // v3 keyed
     val h = t.history()
     assert(h.columns.sameElements(Array(
-      "version", "committed_at", "n_add", "n_remove", "tag", "keyed", "op")))
+      "version", "committed_at", "n_add", "n_remove", "tag", "keyed", "op",
+      "num_rows_added", "num_rows_removed", "bytes_added", "bytes_removed")))
     val rows = h.collect()
     // the op column names each verb
     assert(rows.map(r => r.getInt(0) -> r.getString(6)).toMap ==

@@ -47,6 +47,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.regressionsJson(Nil, 1.5) == "{}")
   }
 
+  test("mid-suite spike defense: flags discount under run-local probe evidence; real regressions survive") {
+    val floors0 = Map("_probe_sec" -> 0.6, "spiked" -> 0.1, "broken" -> 0.1)
+    val medians = Seq("spiked" -> 0.5, "broken" -> 5.0)
+    val bests = Map("spiked" -> 0.5, "broken" -> 5.0)
+    // both trip the quiet-box gate (5x and 50x over floor)
+    val regs = Bench.regressions(medians, bests,
+      floors0.filterNot(_._1.startsWith("_")))
+    assert(regs.map(_._1).toSet == Set("broken", "spiked"))
+    // run-local probe ratio 3x (a mid-suite load spike the entry probe
+    // missed): the 5x flag passes the spike-rescaled gate and moves to
+    // discounted WITH the evidence; the 50x flag survives even the
+    // rescaled gate — a genuine plan regression cannot probe-wash
+    val (kept, disc) = Bench.discountFlags(regs, medians, bests, floors0, 3.0)
+    assert(kept.map(_._1) == Seq("broken"), s"kept $kept")
+    assert(disc.map(_._1) == Seq("spiked"), s"discounted $disc")
+    // below the warn threshold: no discounting at all
+    assert(Bench.discountFlags(regs, medians, bests, floors0, 1.2) ==
+      ((regs, Nil)))
+    // no flags: nothing to do regardless of ratio
+    assert(Bench.discountFlags(Nil, medians, bests, floors0, 4.0) ==
+      ((Nil, Nil)))
+  }
+
   test("median backstop: most-passes degradation with one lucky pass still trips") {
     val floors = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1)
     val medians = Seq(

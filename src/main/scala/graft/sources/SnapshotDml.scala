@@ -118,10 +118,14 @@ final class SnapshotPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
       u.multipartIdentifier.head.equalsIgnoreCase("snapshot") &&
       u.multipartIdentifier(1).contains("/")
 
-  private def resolvePath(u: UnresolvedRelation): LogicalPlan = {
+  private def resolvePath(u: UnresolvedRelation,
+      versionAsOf: Option[String] = None,
+      timestampAsOf: Option[String] = None): LogicalPlan = {
     val path = u.multipartIdentifier(1)
-    SubqueryAlias(path,
-      spark.read.format("snapshot").load(path).queryExecution.analyzed)
+    var reader = spark.read.format("snapshot")
+    versionAsOf.foreach(v => reader = reader.option("versionAsOf", v))
+    timestampAsOf.foreach(t => reader = reader.option("timestampAsOf", t))
+    SubqueryAlias(path, reader.load(path).queryExecution.analyzed)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -135,6 +139,31 @@ final class SnapshotPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
             i.copy(table = resolvePath(u))
           case _ => i
         }
+      // SQL time travel: SELECT ... FROM snapshot.`/p` VERSION AS OF 3
+      // / TIMESTAMP AS OF '...' — maps onto the format's own options
+      // (one shared timestamp parser, one resolution path)
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, v) if isSnapshotPath(u) =>
+        // the timestamp argument may be any evaluable expression
+        // (`now() - INTERVAL 1 DAY`), still UNRESOLVED here (hints
+        // batch) — evaluate it through a one-row plan (driver-local,
+        // no job for literal shapes) and normalize to epoch millis
+        val tsStr = ts.map { e =>
+          require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+            "snapshot TIMESTAMP AS OF does not support subqueries")
+          val row = PlanBridge.ofRows(spark, Project(Seq(
+            org.apache.spark.sql.catalyst.expressions.Alias(e, "__ts")()),
+            org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+            .head()
+          row.get(0) match {
+            case null => throw new IllegalArgumentException(
+              "snapshot TIMESTAMP AS OF evaluated to NULL: " + e.sql)
+            case t: java.sql.Timestamp => t.getTime.toString
+            case i: java.time.Instant => i.toEpochMilli.toString
+            case other => other.toString // string/number forms reparse
+          }
+        }
+        resolvePath(u, versionAsOf = v, timestampAsOf = tsStr)
       case u: UnresolvedRelation if isSnapshotPath(u) => resolvePath(u)
     }
 }

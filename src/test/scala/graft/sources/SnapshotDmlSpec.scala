@@ -156,6 +156,25 @@ class SnapshotDmlSpec extends SparkSuite {
     assert(t.detail().head().getAs[Int]("num_dv_files") == 2)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path addressing") {
+    val t = seed() // v1: ids 1,2 ; v2: ids 3,4
+    assert(ext.sql(s"SELECT count(*) FROM snapshot.`${t.root}` VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(ext.sql(s"SELECT count(*) FROM snapshot.`${t.root}` VERSION AS OF 2")
+      .head().getLong(0) == 4)
+    // timestamp form: a far-future literal resolves to the head; the
+    // TIMESTAMP keyword also accepts a typed literal (epoch-micros
+    // under the hood — the rule converts to the shared millis parser)
+    val future = (System.currentTimeMillis() + 60000L).toString
+    assert(ext.sql(s"SELECT count(*) FROM snapshot.`${t.root}` " +
+      s"TIMESTAMP AS OF '$future'").head().getLong(0) == 4)
+    assert(ext.sql(s"SELECT count(*) FROM snapshot.`${t.root}` " +
+      "TIMESTAMP AS OF (now() + INTERVAL 1 MINUTE)").head().getLong(0) == 4)
+    // a time-travel read composes with filters and refuses DML
+    assert(ext.sql(s"SELECT id FROM snapshot.`${t.root}` VERSION AS OF 1 " +
+      "WHERE id = 2").head().getLong(0) == 2)
+  }
+
   test("refusals: time-travel DML, subqueries, bad mode value") {
     val t = seed()
     ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW dml_old

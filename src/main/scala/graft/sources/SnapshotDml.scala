@@ -199,9 +199,6 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         snapshotOf(m.targetTable) match {
           case Some(rel) =>
             val t = dmlTable(rel, "MERGE")
-            require(!m.withSchemaEvolution,
-              "MERGE WITH SCHEMA EVOLUTION is not supported on snapshot " +
-                "tables (widen with an append first)")
             val tAlias = aliasOf(m.targetTable).getOrElse("__merge_target")
             val sAlias = aliasOf(m.sourceTable).getOrElse("__merge_source")
             require(tAlias != sAlias, "MERGE INTO: target and source " +
@@ -210,8 +207,28 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val sOut = m.sourceTable.outputSet
             def conv(e: Expression, what: String): Column =
               toMergeColumn(e, tOut, tAlias, sOut, sAlias, what)
+            // the analyzer expands SET */INSERT * over the TARGET's
+            // pre-merge columns before this rule runs; under WITH
+            // SCHEMA EVOLUTION the clause engine must re-expand over
+            // the EVOLVED column set, so an expanded-star shape (every
+            // target column assigned from its same-named source
+            // attribute) converts back to a star clause
+            val tNames = m.targetTable.output.map(_.name.toLowerCase).toSet
+            def expandedStar(as: Seq[Assignment]): Boolean =
+              m.withSchemaEvolution && as.nonEmpty &&
+                as.map(a => targetColName(a.key, "MERGE").toLowerCase)
+                  .toSet == tNames &&
+                as.forall { a =>
+                  a.value match {
+                    case ar: AttributeReference => sOut.contains(ar) &&
+                      ar.name.equalsIgnoreCase(targetColName(a.key, "MERGE"))
+                    case _ => false
+                  }
+                }
             def clauses(as: Seq[MergeAction],
                 what: String): Seq[SnapshotMerge.Clause] = as.map {
+              case ua: UpdateAction if expandedStar(ua.assignments) =>
+                SnapshotMerge.Update(ua.condition.map(conv(_, what)), Nil)
               case ua: UpdateAction => SnapshotMerge.Update(
                 ua.condition.map(conv(_, what)),
                 ua.assignments.map(a => targetColName(a.key, what) ->
@@ -220,6 +237,8 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 SnapshotMerge.Update(us.condition.map(conv(_, what)), Nil)
               case da: DeleteAction =>
                 SnapshotMerge.Delete(da.condition.map(conv(_, what)))
+              case ia: InsertAction if expandedStar(ia.assignments) =>
+                SnapshotMerge.Insert(ia.condition.map(conv(_, what)), Nil)
               case ia: InsertAction => SnapshotMerge.Insert(
                 ia.condition.map(conv(_, what)),
                 ia.assignments.map(a => targetColName(a.key, what) ->
@@ -236,7 +255,7 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               clauses(m.notMatchedActions, "WHEN NOT MATCHED"),
               clauses(m.notMatchedBySourceActions,
                 "WHEN NOT MATCHED BY SOURCE"),
-              tAlias, sAlias)
+              tAlias, sAlias, m.withSchemaEvolution)
           case None => m
         }
     }
@@ -344,13 +363,14 @@ final case class SnapshotMergeCommand(table: SnapshotTable,
     matched: Seq[SnapshotMerge.Clause],
     notMatched: Seq[SnapshotMerge.Clause],
     notMatchedBySource: Seq[SnapshotMerge.Clause],
-    targetAlias: String, sourceAlias: String) extends LeafRunnableCommand {
+    targetAlias: String, sourceAlias: String,
+    schemaEvolution: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val run = if (SnapshotDml.morOf(table)) table.mergeIntoMoR _
     else table.mergeInto _
     Seq(Row(run(source, cond, matched, notMatched, notMatchedBySource,
-      targetAlias, sourceAlias, Nil, Nil, 0.01)))
+      targetAlias, sourceAlias, Nil, Nil, 0.01, schemaEvolution)))
   }
 }

@@ -125,7 +125,7 @@ object SnapshotMerge {
       condition: Column, matched: Seq[Clause], notMatched: Seq[Clause],
       nmbs: Seq[Clause], tAlias: String, sAlias: String,
       statCols: Seq[String], bloomCols: Seq[String], bloomFpp: Double,
-      mor: Boolean): Int = {
+      mor: Boolean, schemaEvolution: Boolean = false): Int = {
     require(matched.nonEmpty || notMatched.nonEmpty || nmbs.nonEmpty,
       "mergeInto needs at least one WHEN clause")
     require(matched.forall(!_.isInstanceOf[Insert]),
@@ -145,8 +145,20 @@ object SnapshotMerge {
       require(base > 0, s"$opName: target snapshot table ${t.root} has " +
         "no committed version to merge into")
       val state = t.replayStateFull(base)
-      val tCols: Seq[StructField] =
+      val tCols0: Seq[StructField] =
         t.schemaAt(Some(base)).getOrElse(t.read(Some(base)).schema).fields.toSeq
+      // WITH SCHEMA EVOLUTION: source columns absent from the target
+      // join the result schema (nullable — pre-merge rows read null,
+      // the commit's schema-union contract records the widened shape).
+      // Same-named columns keep the TARGET type (assignments cast) —
+      // evolution here ADDS columns, never retypes them.
+      val newCols: Seq[StructField] =
+        if (!schemaEvolution) Nil
+        else source0.schema.fields.toSeq
+          .filterNot(f => tCols0.exists(_.name.equalsIgnoreCase(f.name)))
+          .map(_.copy(nullable = true))
+      val tCols: Seq[StructField] = tCols0 ++ newCols
+      val isNewCol: Set[String] = newCols.map(_.name.toLowerCase).toSet
       val srcCols = source0.columns.toSeq
       val sMarked = source0.withColumn(Marker, lit(true)).alias(sAlias)
 
@@ -266,7 +278,12 @@ object SnapshotMerge {
       }.toMap
       def valueCols(updIdxs: Seq[(Update, Int)]): Seq[Column] =
         tCols.map { f =>
-          updIdxs.foldRight(qcol(tAlias, f.name)) { case ((_, i), acc) =>
+          // an evolution-added column has no target side to read: its
+          // pre-assignment value is NULL of the declared type
+          val base0: Column =
+            if (isNewCol(f.name.toLowerCase)) lit(null).cast(f.dataType)
+            else qcol(tAlias, f.name)
+          updIdxs.foldRight(base0) { case ((_, i), acc) =>
             assignsOf(i).get(f.name.toLowerCase) match {
               case Some(v) => when(col("__chosen") === i,
                 v.cast(f.dataType)).otherwise(acc)

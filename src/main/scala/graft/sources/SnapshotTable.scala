@@ -3161,10 +3161,10 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
       targetAlias: String = "target", sourceAlias: String = "source",
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Int =
+      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false): Int =
     SnapshotMerge.run(this, source, condition, matched, notMatched,
       notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
-      bloomFpp, mor = false)
+      bloomFpp, mor = false, schemaEvolution = schemaEvolution)
 
   /** [[mergeInto]] on the merge-on-read commit path: applicable
     * matched / not-matched-by-source rows are DV-tombstoned and their
@@ -3178,10 +3178,10 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
       targetAlias: String = "target", sourceAlias: String = "source",
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Int =
+      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false): Int =
     SnapshotMerge.run(this, source, condition, matched, notMatched,
       notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
-      bloomFpp, mor = true)
+      bloomFpp, mor = true, schemaEvolution = schemaEvolution)
 
   /** File-candidate narrowing shared by the DML verbs: the metadata
     * prune tiers (long stats, string stats, bloom sidecars) applied as

@@ -156,6 +156,23 @@ class SnapshotDmlSpec extends SparkSuite {
     assert(t.detail().head().getAs[Int]("num_dv_files") == 2)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns through SQL") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    ext.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO snapshot.`${t.root}` t
+         |USING (SELECT 2L AS id, 'B' AS v, 20L AS score
+         |       UNION ALL SELECT 9L, 'i', 90L) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = ext.sql(s"SELECT id, v, score FROM snapshot.`${t.root}` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "B", Some(20L)),
+      (9L, "i", Some(90L))))
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path addressing") {
     val t = seed() // v1: ids 1,2 ; v2: ids 3,4
     assert(ext.sql(s"SELECT count(*) FROM snapshot.`${t.root}` VERSION AS OF 1")

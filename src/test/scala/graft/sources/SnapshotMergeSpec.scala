@@ -222,6 +222,72 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(asMap(t)(3L) == (("c", 7L)), "string assignment cast to long")
   }
 
+  test("schema evolution: source-only columns join the table; parity CoW vs MoR") {
+    def seed2(): SnapshotTable = {
+      val t = tmpTable()
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      t
+    }
+    val src = Seq((2L, "B", 20L), (9L, "i", 90L)).toDF("id", "v", "score")
+    val cow = seed2(); val mor = seed2()
+    cow.mergeInto(src, onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()),
+      schemaEvolution = true)
+    mor.mergeIntoMoR(src, onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()),
+      schemaEvolution = true)
+    def got(t: SnapshotTable) = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(r.fieldIndex("score"))))).toMap
+    Seq(cow, mor).foreach { t =>
+      assert(t.read().schema.fieldNames.toSeq == Seq("id", "v", "score"),
+        "evolved column must join the recorded schema")
+      assert(got(t) == Map(
+        1L -> ("a", None),        // pre-merge row: null for the new col
+        2L -> ("B", Some(20L)),   // matched SET * carries it
+        9L -> ("i", Some(90L))))  // INSERT * carries it
+    }
+    // WITHOUT the flag, star expansion stays bounded to the target's
+    // own columns — extra source columns are ignored, never smuggled
+    val plain = seed2()
+    plain.mergeInto(src, onKeys, matched = Seq(Update()),
+      notMatched = Seq(Insert()))
+    assert(plain.read().schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("stress: concurrent clause merges converge key-unique (CoW and MoR writers mixed)") {
+    // the clause-engine twin of the merge/mergeMoR stress specs: three
+    // writers (one of them MoR) upsert overlapping keys through
+    // UPDATE-or-INSERT clause merges; the unscoped keyed commit must
+    // serialize them (losers recompute from the winner's head) so the
+    // final read is key-unique and every key holds SOME writer's value
+    val dir = java.nio.file.Files.createTempDirectory("snapmstress").toString
+    new SnapshotTable(spark, dir).append(
+      Seq((0L, "seed")).toDF("id", "v").coalesce(1))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { tid =>
+      new Thread(() => try {
+        val w = new SnapshotTable(spark, dir, checkpointInterval = 3)
+        (0 until 5).foreach { i =>
+          val key = (tid + i) % 4L
+          val src = Seq((key, s"w$tid-$i")).toDF("id", "v")
+          val cl = (Seq(Update()), Seq(Insert()))
+          if (tid == 2)
+            w.mergeIntoMoR(src, onKeys, matched = cl._1, notMatched = cl._2)
+          else w.mergeInto(src, onKeys, matched = cl._1, notMatched = cl._2)
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer died: ${Option(errors.peek()).map(_.getMessage)}")
+    val t = new SnapshotTable(spark, dir, checkpointInterval = 3)
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows.map(_._1).sorted == rows.map(_._1).distinct.sorted,
+      s"clause-merge contract violated — duplicate keys: $rows")
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    assert(t.currentVersion == 16, "every clause merge must commit exactly once")
+  }
+
   test("merge-on-read parity under pre-existing deletion vectors") {
     val cow = seed(); val mor = seed()
     // pre-tombstone id 4 on both, then merge source touching 3..5

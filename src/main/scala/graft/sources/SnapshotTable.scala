@@ -4111,6 +4111,38 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         SnapshotTable.MinWriterProp))))
   }
 
+  /** Per-file metadata of snapshot `version` (default head) — the
+    * Iceberg `files`-metadata-table shape, METADATA-ONLY: everything
+    * comes from replay state (manifest channels), zero data-file IO.
+    * One row per LIVE file: path, recorded size and row count (null
+    * for files predating tracking), deletion-vector tombstone count,
+    * recorded long-stat ranges (`col=[lo,hi]` strings, sorted),
+    * bloom-sidecar'd columns, and per-column null counts — the ops
+    * surface for answering "why didn't this prune" / "which files
+    * carry MoR debt" without scanning anything. */
+  def snapshotFiles(version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    require(v >= 0 && v <= currentVersion,
+      s"snapshot $v does not exist (current ${currentVersion})")
+    val state = replayStateFull(v)
+    val rows = state.live.map { f =>
+      SnapshotTable.FileInfo(
+        path = f,
+        size_bytes = state.sizes.get(f),
+        row_count = state.rows.get(f),
+        dv_tombstones = state.dvs.get(f).map(_._2).getOrElse(0L),
+        stats = state.stats.collect {
+          case ((`f`, c), (lo, hi)) => s"$c=[$lo,$hi]" }.toSeq.sorted,
+        string_stats = state.sstats.collect {
+          case ((`f`, c), _) => c }.toSeq.sorted,
+        bloom_cols = state.blooms.collect {
+          case (`f`, c) => c }.toSeq.sorted,
+        null_counts = state.nulls.collect {
+          case ((`f`, c), n) => s"$c=$n" }.toSeq.sorted)
+    }
+    spark.createDataFrame(rows)
+  }
+
   /** The commit log as a frame, newest first — the DESCRIBE HISTORY
     * surface: version, commit wall-clock (the manifest file's
     * modification time), add/remove counts, the exactly-once tag if
@@ -4839,6 +4871,13 @@ object SnapshotTable {
       op: Option[String],
       num_rows_added: Option[Long], num_rows_removed: Option[Long],
       bytes_added: Option[Long], bytes_removed: Option[Long])
+
+  /** One [[SnapshotTable.snapshotFiles]] row (the Iceberg
+    * files-metadata-table shape, metadata-only). */
+  final case class FileInfo(path: String, size_bytes: Option[Long],
+      row_count: Option[Long], dv_tombstones: Long, stats: Seq[String],
+      string_stats: Seq[String], bloom_cols: Seq[String],
+      null_counts: Seq[String])
 
   /** The [[SnapshotTable.detail]] row (DESCRIBE DETAIL shape). */
   final case class DetailRow(version: Int, num_files: Int,

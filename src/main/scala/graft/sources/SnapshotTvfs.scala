@@ -51,7 +51,10 @@ object SnapshotTvfs {
       (args: Seq[Expression]) => snapshotHistory(args)),
     (FunctionIdentifier("snapshot_detail"),
       new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_detail"),
-      (args: Seq[Expression]) => snapshotDetail(args)))
+      (args: Seq[Expression]) => snapshotDetail(args)),
+    (FunctionIdentifier("snapshot_files"),
+      new ExpressionInfo(SnapshotTvfs.getClass.getName, "snapshot_files"),
+      (args: Seq[Expression]) => snapshotFiles(args)))
 
   /** Register on an already-built session (tests, notebooks attached to
     * a session whose extensions are fixed). */
@@ -149,5 +152,19 @@ object SnapshotTvfs {
       s"snapshot_detail(path) takes 1 argument, got ${args.size}")
     table(str("snapshot_detail", "path", args.head))
       .detail().queryExecution.analyzed
+  }
+
+  /** `snapshot_files(path[, version | 'timestamp'])` — one row per
+    * LIVE data file with its manifest-recorded size/rows/DV
+    * debt/stat ranges/bloom columns/null counts (the Iceberg `files`
+    * metadata table; metadata-only, zero data IO). */
+  def snapshotFiles(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"snapshot_files(path[, version]) takes 1 or 2 arguments, " +
+        s"got ${args.size}")
+    val t = table(str("snapshot_files", "path", args.head))
+    t.snapshotFiles(args.lift(1).map(
+      versionArg("snapshot_files", "version", _, t, asBase = false)))
+      .queryExecution.analyzed
   }
 }

@@ -23,6 +23,30 @@ class SnapshotTvfSpec extends SparkSuite {
     d
   }
 
+  test("snapshot_files lists live-file metadata from manifests only") {
+    val rows = spark.sql(
+      s"SELECT * FROM snapshot_files('$dir') ORDER BY path").collect()
+    assert(rows.length == 2, s"expected 2 live files, got ${rows.length}")
+    // the stat-tracked first file carries its recorded range + DV debt
+    val withDv = rows.find(_.getAs[Long]("dv_tombstones") == 1L).get
+    assert(withDv.getSeq[String](withDv.fieldIndex("stats")) == Seq("id=[1,2]"))
+    assert(withDv.getAs[Long]("row_count") == 2L)
+    assert(withDv.getAs[Long]("size_bytes") > 0L)
+    // the second (stat-less) append records rows/size but no ranges
+    val plain = rows.find(_.getAs[Long]("dv_tombstones") == 0L).get
+    assert(plain.getSeq[String](plain.fieldIndex("stats")).isEmpty)
+    assert(plain.getAs[Long]("row_count") == 1L)
+    // version argument: before the MoR delete there is no DV debt
+    assert(spark.sql(s"SELECT sum(dv_tombstones) FROM snapshot_files('$dir', 2)")
+      .head().getLong(0) == 0L)
+    // composes with SQL aggregation (total bytes = DESCRIBE DETAIL's)
+    val viaFiles = spark.sql(
+      s"SELECT sum(size_bytes) FROM snapshot_files('$dir')").head().getLong(0)
+    val viaDetail = spark.sql(
+      s"SELECT size_bytes FROM snapshot_detail('$dir')").head().getLong(0)
+    assert(viaFiles == viaDetail)
+  }
+
   test("snapshot_at serves head and version travel, composable in SQL") {
     assert(spark.sql(s"SELECT id FROM snapshot_at('$dir') ORDER BY id")
       .as[Long].collect().toSeq == Seq(2L, 3L))

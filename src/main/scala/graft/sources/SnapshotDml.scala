@@ -195,6 +195,32 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => u
         }
 
+      // ALTER TABLE on a snapshot CATALOG table: the v1 commands only
+      // touch the metastore, so properties/columns set there would
+      // silently never reach the table LOG (the read path's source of
+      // truth). Route them to the table verbs as well — log first
+      // (it validates and is authoritative), catalog copy second.
+      case a @ org.apache.spark.sql.execution.command
+          .AlterTableSetPropertiesCommand(id, props, false) =>
+        catalogSnapshotRoot(id) match {
+          case Some(root) =>
+            SnapshotAlterCommand(a, root, set = props.toSeq, unset = Nil)
+          case None => a
+        }
+      case a @ org.apache.spark.sql.execution.command
+          .AlterTableUnsetPropertiesCommand(id, keys, _, false) =>
+        catalogSnapshotRoot(id) match {
+          case Some(root) =>
+            SnapshotAlterCommand(a, root, set = Nil, unset = keys)
+          case None => a
+        }
+      case a @ org.apache.spark.sql.execution.command
+          .AlterTableAddColumnsCommand(id, cols) =>
+        catalogSnapshotRoot(id) match {
+          case Some(root) => SnapshotAddColumnsCommand(id, root, cols)
+          case None => a
+        }
+
       case m: MergeIntoTable if m.resolved =>
         snapshotOf(m.targetTable) match {
           case Some(rel) =>
@@ -259,6 +285,20 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => m
         }
     }
+
+  /** The table root when `id` names a session-catalog table whose
+    * provider is the snapshot format — the gate for ALTER routing.
+    * Missing tables/providers return None (the original command then
+    * errors or runs exactly as Spark would). */
+  private def catalogSnapshotRoot(
+      id: org.apache.spark.sql.catalyst.TableIdentifier): Option[String] =
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(id)
+      if (!meta.provider.exists(_.equalsIgnoreCase("snapshot"))) None
+      else meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The [[SnapshotRelation]] behind a DML target, unwrapping the
     * alias/view layers the analyzer adds. */
@@ -325,6 +365,56 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: UnresolvedAttribute => u.nameParts.last
     case other => throw new IllegalArgumentException(
       s"$what: assignment target must be a plain column, got ${other.sql}")
+  }
+}
+
+/** `ALTER TABLE <snapshot catalog table> SET/UNSET TBLPROPERTIES` —
+  * the properties land in the table LOG (the read path's source of
+  * truth: stat/bloom defaults, `graft.dml.mode`, retention knobs live
+  * there) and then the original command keeps the metastore copy in
+  * sync. CHECK-constraint keys refuse: they need the validating
+  * [[SnapshotTable.addCheckConstraint]] path, not a raw property
+  * write. */
+final case class SnapshotAlterCommand(
+    delegate: org.apache.spark.sql.execution.command.RunnableCommand,
+    root: String, set: Seq[(String, String)], unset: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val bad = (set.map(_._1) ++ unset).filter(
+      _.startsWith(SnapshotTable.ConstraintPrefix))
+    require(bad.isEmpty,
+      s"ALTER TABLE cannot write constraint properties directly " +
+        s"(${bad.mkString(", ")}); use addCheckConstraint/dropConstraint " +
+        "so the expression is validated against the live rows")
+    val t = new SnapshotTable(session, root)
+    set.foreach { case (k, v) => t.setProperty(k, v) }
+    unset.foreach(t.removeProperty)
+    delegate.run(session)
+  }
+}
+
+/** `ALTER TABLE <snapshot catalog table> ADD COLUMNS` — the widened
+  * schema lands in the table log as a metadata-only commit
+  * ([[SnapshotTable.addColumns]]: old files null-fill, the type gate
+  * and duplicate checks apply) and the metastore copy follows via a
+  * direct catalog schema update (Spark's own v1 command whitelists
+  * only its file sources, so it cannot be delegated to). */
+final case class SnapshotAddColumnsCommand(
+    id: org.apache.spark.sql.catalyst.TableIdentifier,
+    root: String,
+    cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    new SnapshotTable(session, root).addColumns(cols)
+    val catalog = session.sessionState.catalog
+    val meta = catalog.getTableMetadata(id)
+    catalog.alterTableDataSchema(id,
+      org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields ++ cols.map(_.copy(nullable = true))))
+    catalog.refreshTable(id)
+    Nil
   }
 }
 

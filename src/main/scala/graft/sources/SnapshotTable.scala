@@ -3909,6 +3909,32 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * `constraint.` are reserved: writing one here would install an
     * ENFORCED constraint while skipping [[addCheckConstraint]]'s
     * existing-data validation and syntax check. */
+  /** ALTER TABLE ADD COLUMNS: record a WIDENED schema in one
+    * metadata-only commit (no data files touched — the add-only
+    * schema-resolution branch unions the new fields with the prior
+    * schema, exactly like a widening append, and old files null-fill
+    * on read). New columns are forced nullable (pre-existing rows
+    * have no value to give them); duplicate names refuse. Returns the
+    * committed version. */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    val cur = schemaAt(None).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot table $root has no recorded schema to widen " +
+          "(write to it first)"))
+    val dup = fields.map(_.name)
+      .filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty,
+      s"addColumns: column(s) already exist: ${dup.mkString(", ")}")
+    // the FULL prior schema rides along: a new-fields-only frame would
+    // read to the rename gate as "drops everything while adding" (the
+    // drop+add refusal); commit sanitization strips the prior fields'
+    // physical mapping and resolveSchema re-derives it
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields ++ fields.map(_.copy(nullable = true)))
+    commit(Nil, Nil, schema = Some(widened.json), op = "addColumns")
+  }
+
   def setProperty(key: String, value: String): Int = {
     require(!key.startsWith(SnapshotTable.ConstraintPrefix),
       s"keys under '${SnapshotTable.ConstraintPrefix}' are reserved — " +

@@ -97,6 +97,57 @@ class SnapshotCatalogSpec extends SparkSuite {
     assert(ext.sql("SELECT count(*) FROM snap_cat_xs").head().getLong(0) == 3)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES reaches the table log, not just the metastore") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_props (id BIGINT)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("INSERT INTO snap_cat_props VALUES (1)")
+    ext.sql("ALTER TABLE snap_cat_props SET TBLPROPERTIES " +
+      "('graft.statCols' = 'id', 'graft.dml.mode' = 'mor')")
+    val t = new SnapshotTable(ext, dir)
+    assert(t.properties().get("graft.statCols").contains("id"),
+      "the property must land in the table LOG")
+    assert(t.properties().get(SnapshotDml.DmlModeProp).contains("mor"))
+    // ...and actually take effect: DML now routes MoR
+    val before = t.files().toSet
+    ext.sql("INSERT INTO snap_cat_props VALUES (2), (3)")
+    ext.sql("DELETE FROM snap_cat_props WHERE id = 2")
+    assert(before.subsetOf(t.files().toSet))
+    ext.sql("ALTER TABLE snap_cat_props UNSET TBLPROPERTIES ('graft.dml.mode')")
+    assert(!new SnapshotTable(ext, dir).properties()
+      .contains(SnapshotDml.DmlModeProp))
+    // constraint keys refuse with a pointer to the validating verb
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE snap_cat_props SET TBLPROPERTIES " +
+        "('constraint.c1' = 'id > 0')")
+    }
+    assert(e.getMessage.contains("addCheckConstraint"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS widens the log schema; old rows null-fill") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_addcol (id BIGINT)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("INSERT INTO snap_cat_addcol VALUES (1)")
+    ext.sql("ALTER TABLE snap_cat_addcol ADD COLUMNS (note STRING, score BIGINT)")
+    val t = new SnapshotTable(ext, dir)
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "note", "score"),
+      "the widened schema must be RECORDED in the log (metadata-only commit)")
+    assert(t.history().head().getAs[String]("op") == "addColumns")
+    ext.sql("REFRESH TABLE snap_cat_addcol")
+    ext.sql("INSERT INTO snap_cat_addcol VALUES (2, 'n', 9)")
+    val got = ext.sql(
+      "SELECT id, note, score FROM snap_cat_addcol ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSeq == Seq((1L, None, None), (2L, Some("n"), Some(9L))))
+    // duplicate column refuses BEFORE touching anything
+    val v0 = t.currentVersion
+    intercept[Exception] {
+      ext.sql("ALTER TABLE snap_cat_addcol ADD COLUMNS (note STRING)")
+    }
+    assert(t.currentVersion == v0)
+  }
+
   test("widened appends stay visible to name-based readers (recorded schema wins)") {
     val dir = tmpDir()
     ext.sql(s"""CREATE TABLE snap_cat_widen (id BIGINT)

@@ -357,14 +357,19 @@ object SnapshotMerge {
           val (staged, stats, sstats, counts, sizes, nullsCh) =
             t.stageFilesWithStats(result, sc, countFiles = bc.nonEmpty)
           val blooms = t.buildBlooms(staged, bc, bloomFpp, counts)
-          // keyed and UNSCOPED, like merge: this plan decided rows/keys
-          // were absent, so any interleaved remove-bearing or keyed
-          // commit must conflict and force a recompute
-          t.commit(staged, affected, stats = stats, base = base,
-            keyed = true, op = opName,
-            schema = Some(result.schema.json), sstats = sstats,
-            blooms = blooms, sizes = sizes,
-            rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
+          // an insert-only merge whose clauses admitted zero source
+          // rows changed nothing — no empty commit, return 0 (the
+          // deleteWhere contract)
+          if (staged.isEmpty && affected.isEmpty) 0
+          else
+            // keyed and UNSCOPED, like merge: this plan decided
+            // rows/keys were absent, so any interleaved remove-bearing
+            // or keyed commit must conflict and force a recompute
+            t.commit(staged, affected, stats = stats, base = base,
+              keyed = true, op = opName,
+              schema = Some(result.schema.json), sstats = sstats,
+              blooms = blooms, sizes = sizes,
+              rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
         }
       }
     }
@@ -450,7 +455,9 @@ object SnapshotMerge {
       val (staged, stats, sstats, counts, sizes, nullsCh) =
         t.stageFilesWithStats(result, sc, countFiles = bc.nonEmpty)
       val blooms = t.buildBlooms(staged, bc, bloomFpp, counts)
-      t.commit(staged, full, stats = stats, base = base, keyed = true,
+      // zero tombstones AND zero staged rows = nothing changed
+      if (staged.isEmpty && changedFiles.isEmpty) 0
+      else t.commit(staged, full, stats = stats, base = base, keyed = true,
         op = opName,
         schemaTransform = Some(v => t.resolveSchema(srcJson, v)),
         sstats = sstats, blooms = blooms, sizes = sizes,

@@ -2781,6 +2781,45 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         op = "appendIfAbsent"))
     }
 
+  /** Idempotent TAGGED keyed upsert — [[appendIfAbsent]] for MERGE:
+    * a replayed call whose tag is already committed is skipped
+    * entirely (no scan, no staging). The exactly-once building block
+    * for [[streamingMergeSink]]; same one-live-writer-per-tag-stream
+    * contract as [[appendIfAbsent]]. `mor = true` upserts through
+    * deletion vectors ([[mergeMoR]]) instead of rewriting files. */
+  def mergeIfAbsent(source: DataFrame, keyCols: Seq[String], tag: String,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01, mor: Boolean = false): Option[Int] =
+    if (committedTags.contains(tag)) None
+    else Some(
+      if (mor) mergeMoR(source, keyCols, statCols, bloomCols, bloomFpp,
+        tag = Some(tag))
+      else merge(source, keyCols, statCols, bloomCols, bloomFpp,
+        tag = Some(tag)))
+
+  /** `foreachBatch` adapter: exactly-once micro-batch UPSERTS — the
+    * CDC-consumption shape (`stream.writeStream.foreachBatch(
+    * table.streamingMergeSink(Seq("id")) _)`): each micro-batch MERGEs
+    * by key (matched live rows replaced, new keys appended), dedup'd
+    * by the same `txn-<appId>-batch-<id>` identity tags as
+    * [[streamingSink]] — a crash between "sink merged" and "checkpoint
+    * advanced" replays the batch into a tag skip, never a double
+    * upsert. The batch must be KEY-UNIQUE (collapse multi-event
+    * batches first, e.g. [[graft.operators.KeepLatestDedup]] —
+    * [[merge]] refuses a dup-keyed source). `txnAppId` as in
+    * [[streamingSinkAs]]; `mor = true` routes through deletion
+    * vectors for trickle upserts into large files. */
+  def streamingMergeSink(keyCols: Seq[String],
+      txnAppId: Option[String] = None, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, mor: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
+    mergeIfAbsent(batch, keyCols, SnapshotTable.streamTxnTag(
+      txnAppId, batch.sparkSession, batchId,
+      where = "streamingMergeSink (pass txnAppId outside a streaming " +
+        "query)"), statCols, bloomCols, mor = mor)
+    ()
+  }
+
   /** `foreachBatch` adapter: exactly-once micro-batch appends keyed by
     * QUERY IDENTITY + batch id.
     * `stream.writeStream.foreachBatch(table.streamingSink _)` (plus a
@@ -3020,7 +3059,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * table keeps the rewritten files prunable. Returns the version. */
   def merge(source: DataFrame, keyCols: Seq[String],
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Int = {
+      bloomFpp: Double = 0.01, tag: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val dupKeys = source.groupBy(keyCols.map(col): _*)
@@ -3033,7 +3072,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       val (staged, stats, sstats, counts, sizes, nullsCh) =
         stageFilesWithStats(frame, sc, countFiles = bc.nonEmpty)
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
-      commit(staged, remove, stats = stats, base = base, keyed = true,
+      commit(staged, remove, tag, stats = stats, base = base, keyed = true,
         op = "merge", schema = Some(frame.schema.json), sstats = sstats, blooms = blooms,
         sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh)
     }
@@ -3099,7 +3138,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * committed version. */
   def mergeMoR(source: DataFrame, keyCols: Seq[String],
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Int = {
+      bloomFpp: Double = 0.01, tag: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.{col, count, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val dupKeys = source.groupBy(keyCols.map(col): _*)
@@ -3134,7 +3173,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       // convert to removes: old files stay live in full, so the
       // recorded schema must UNION with the prior one (the plain
       // remove-bearing branch would record the source frame verbatim)
-      commit(staged, full, stats = stats, base = base, keyed = true,
+      commit(staged, full, tag, stats = stats, base = base, keyed = true,
         op = "mergeMoR",
         schemaTransform = Some(v => resolveSchema(srcJson, v)),
         sstats = sstats, blooms = blooms, sizes = sizes,

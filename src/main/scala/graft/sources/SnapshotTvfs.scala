@@ -99,8 +99,30 @@ object SnapshotTvfs {
     case _ => int(fn, what, e)
   }
 
-  private def table(path: String): SnapshotTable =
-    new SnapshotTable(SparkSession.active, path)
+  /** A TVF's first argument is a table ROOT PATH, or — when it
+    * contains no `/` — a session-catalog TABLE NAME whose provider is
+    * the snapshot format (resolved to its root), so catalog-registered
+    * tables get the maintenance TVFs without their users knowing the
+    * storage path: `snapshot_history('my_table')`. */
+  private def table(pathOrName: String): SnapshotTable = {
+    val spark = SparkSession.active
+    val root =
+      if (pathOrName.contains("/")) pathOrName
+      else {
+        val id = spark.sessionState.sqlParser
+          .parseTableIdentifier(pathOrName)
+        val meta = spark.sessionState.catalog.getTableMetadata(id)
+        require(meta.provider.exists(_.equalsIgnoreCase("snapshot")),
+          s"table '$pathOrName' is not a snapshot table " +
+            s"(provider ${meta.provider.getOrElse("none")})")
+        meta.storage.properties.getOrElse("path",
+          meta.storage.locationUri.map(u =>
+            new org.apache.hadoop.fs.Path(u).toString).getOrElse(
+            throw new IllegalArgumentException(
+              s"table '$pathOrName' has no recorded path/location")))
+      }
+    new SnapshotTable(spark, root)
+  }
 
   /** `snapshot_at(path[, version | 'timestamp'])` — the table's rows
     * at a version (head when omitted; a string argument time-travels

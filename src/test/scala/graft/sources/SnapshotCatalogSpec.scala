@@ -148,6 +148,29 @@ class SnapshotCatalogSpec extends SparkSuite {
     assert(t.currentVersion == v0)
   }
 
+  test("TVFs accept catalog table NAMES: history/detail/files without the path") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_tvf (id BIGINT)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("INSERT INTO snap_cat_tvf VALUES (1), (2)")
+    assert(ext.sql("SELECT count(*) FROM snapshot_at('snap_cat_tvf')")
+      .head().getLong(0) == 2)
+    assert(ext.sql(
+      "SELECT op FROM snapshot_history('snap_cat_tvf') ORDER BY version DESC")
+      .head().getString(0) == "append")
+    assert(ext.sql("SELECT num_files FROM snapshot_detail('snap_cat_tvf')")
+      .head().getInt(0) >= 1)
+    assert(ext.sql("SELECT count(*) FROM snapshot_files('snap_cat_tvf')")
+      .head().getLong(0) >= 1)
+    // a non-snapshot name refuses with a provider-naming error
+    ext.sql("CREATE OR REPLACE TEMPORARY VIEW plain_v AS SELECT 1 AS x")
+    val e = intercept[Exception] {
+      ext.sql("SELECT * FROM snapshot_detail('not_a_snap_table')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not") ||
+      e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("widened appends stay visible to name-based readers (recorded schema wins)") {
     val dir = tmpDir()
     ext.sql(s"""CREATE TABLE snap_cat_widen (id BIGINT)

@@ -181,6 +181,11 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(t.mergeInto(Seq((99L, "x", 1L)).toDF("id", "v", "qty"), onKeys,
       matched = Seq(Update())) == 0)
     assert(t.currentVersion == v0)
+    // insert clauses that admit ZERO source rows also commit nothing
+    assert(t.mergeInto(Seq((1L, "x", 1L)).toDF("id", "v", "qty"), onKeys,
+      notMatched = Seq(SnapshotMerge.Insert(
+        Some(expr("source.qty > 1000"))))) == 0)
+    assert(t.currentVersion == v0)
     t.stagingRuns = 0
     assert(t.mergeIntoMoR(Seq((99L, "x", 1L)).toDF("id", "v", "qty"), onKeys,
       matched = Seq(Update()),
@@ -286,6 +291,36 @@ class SnapshotMergeSpec extends SparkSuite {
       s"clause-merge contract violated — duplicate keys: $rows")
     assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
     assert(t.currentVersion == 16, "every clause merge must commit exactly once")
+  }
+
+  test("streamingMergeSink: exactly-once micro-batch upserts, replay skipped") {
+    val t = tmpTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val sink = t.streamingMergeSink(Seq("id"), txnAppId = Some("cdc-pipe")) _
+    sink(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), 0L)
+    sink(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"), 1L)
+    val vAfter = t.currentVersion
+    // crash-replay of batch 1: the committed tag skips it entirely
+    sink(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"), 1L)
+    assert(t.currentVersion == vAfter, "replayed batch must not commit")
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
+    // MoR flavor: same semantics, no pre-merge file rewritten
+    val m = tmpTable()
+    m.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val before = m.files().toSet
+    val msink = m.streamingMergeSink(Seq("id"), txnAppId = Some("cdc-mor"),
+      mor = true) _
+    msink(Seq((2L, "B")).toDF("id", "v"), 0L)
+    msink(Seq((2L, "B")).toDF("id", "v"), 0L) // replay
+    assert(before.subsetOf(m.files().toSet))
+    assert(m.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // a bare sink with NO identity refuses (the r13 exactly-once hole)
+    val e = intercept[IllegalStateException] {
+      t.streamingMergeSink(Seq("id"))(Seq((9L, "z")).toDF("id", "v"), 0L)
+    }
+    assert(e.getMessage.contains("txnAppId"))
   }
 
   test("merge-on-read parity under pre-existing deletion vectors") {

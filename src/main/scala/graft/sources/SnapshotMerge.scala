@@ -138,6 +138,9 @@ object SnapshotMerge {
       s"target and source aliases must differ (both '$tAlias')")
     require(!source0.columns.contains(Marker),
       s"source must not carry a column named $Marker")
+    require(!source0.columns.exists(c => c == "__file" || c == "__ridx"),
+      "source must not carry columns named __file/__ridx (reserved for " +
+        "the merge engine's row identity)")
     val opName = if (mor) "mergeIntoMoR" else "mergeInto"
 
     t.retryingOnConflict(opName) {
@@ -392,10 +395,18 @@ object SnapshotMerge {
       bloomFpp: Double): Int = {
     // tombstones FIRST (the updateWhereMoR ordering): a merge whose
     // clauses match nothing learns so here and — with no insert
-    // clauses — runs zero staging jobs
+    // clauses — runs zero staging jobs. Without NOT MATCHED BY SOURCE
+    // clauses the scan narrows to the files the cardinality pass
+    // proved hold an APPLICABLE matched row — tighter than the full
+    // candidate set
+    val matchedSet = matchedFiles.toSet
     val tombScope =
       if (nmbs.nonEmpty) state.live
-      else if (matchedFiles.nonEmpty) candidates else Nil
+      else if (matchedFiles.nonEmpty)
+        candidates.filter(f =>
+          matchedSet.contains(t.fs.makeQualified(
+            new org.apache.hadoop.fs.Path(f)).toString))
+      else Nil
     val (full, partial, changedFiles) =
       if (tombScope.isEmpty) (Seq.empty[String],
         Seq.empty[(String, String, Long)], Seq.empty[String])

@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interception routing to the table verbs, see SnapshotDml
     ext.injectHintResolutionRule(graft.sources.SnapshotDml.pathRule)
     ext.injectResolutionRule(graft.sources.SnapshotDml.rule)
+    // SQL maintenance statements (OPTIMIZE / VACUUM / RESTORE) via a
+    // delegating parser — see GraftSqlParser
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
     // HOF-cosine → fused native kernel rewrite (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineSimilarity)
   }

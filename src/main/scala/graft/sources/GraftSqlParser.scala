@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** SQL MAINTENANCE statements for snapshot tables — the last surface a
+  * SQL-only operator needs (reads: TVFs/`USING snapshot`; writes: the
+  * DML rules; this: the OPTIMIZE/VACUUM/RESTORE lifecycle), parsed by
+  * a DELEGATING parser (the Delta-parser shape, injected via
+  * `injectParser`):
+  *
+  * {{{
+  *   OPTIMIZE snapshot.`/tables/events`                        -- bin-pack
+  *   OPTIMIZE events ZORDER BY (station_id, ts)                -- + cluster
+  *   OPTIMIZE events TARGET SIZE 268435456                     -- bytes knob
+  *   VACUUM events RETAIN 50 VERSIONS                          -- reclaim
+  *   VACUUM snapshot.`/p` RETAIN 50 VERSIONS DRY RUN           -- preflight
+  *   RESTORE events TO VERSION AS OF 7
+  *   RESTORE events TO TIMESTAMP AS OF '2026-08-01T00:00:00'
+  * }}}
+  *
+  * The target is ``snapshot.`/path/``, a bare `` `/path/` ``, or a
+  * session-catalog table name (resolved at RUN time through the same
+  * [[SnapshotTvfs.resolveRoot]] the TVFs use). Every statement routes
+  * to the table verbs, so semantics/pruning/conflict behavior are
+  * exactly the API's: OPTIMIZE is [[SnapshotTable.compactSmall]]
+  * (rewrites ONLY the small-file tail — the maintenance shape that
+  * survives 100 TB; z-order re-clusters the rewritten tail), VACUUM is
+  * [[SnapshotTable.vacuum]] keyed by a version floor (`RETAIN n
+  * VERSIONS` keeps the newest n; default 20 — never less than the
+  * head), RESTORE is [[SnapshotTable.restore]] (a new metadata-only
+  * commit; history is preserved, not rewritten).
+  *
+  * Parsing is intercept-or-delegate: anything not starting with one of
+  * the three keywords goes to Spark's parser untouched (one cheap
+  * prefix probe per statement), and a keyword statement that does NOT
+  * match the grammar falls through to Spark so its native error
+  * surfaces. All non-plan parser entry points delegate verbatim. */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** Default `VACUUM` retention when `RETAIN n VERSIONS` is omitted:
+    * keep the newest 20 versions (one checkpoint interval) — aligned
+    * with the Delta practice of a non-zero default retention so a
+    * bare VACUUM can never strip time travel entirely. */
+  val DefaultRetainVersions = 20
+
+  // target: snapshot.`/p` | `/p` | name (possibly db.name)
+  private val Target = """(?:snapshot\.`([^`]+)`|`([^`]+)`|([\w.]+))"""
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\))?""" +
+      """(?:\s+TARGET\s+SIZE\s+(\d+))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?""" +
+      """(?:\s+GRACE\s+(\d+)\s+SECONDS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
+  private val Keyword = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+
+  private def tgt(g1: String, g2: String, g3: String): String =
+    Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
+
+  private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
+    sql match {
+      case _ if !Keyword.matches(sql) => None // cheap reject: hot path
+      case OptimizeRe(p1, p2, p3, zorder, target) =>
+        Some(SnapshotOptimizeCommand(tgt(p1, p2, p3),
+          Option(zorder).map(_.split(",").toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)).getOrElse(Nil),
+          Option(target).map(_.toLong)))
+      case VacuumRe(p1, p2, p3, retain, grace, dry) =>
+        Some(SnapshotVacuumCommand(tgt(p1, p2, p3),
+          Option(retain).map(_.toInt).getOrElse(DefaultRetainVersions),
+          graceMs = Option(grace).map(_.toLong * 1000L),
+          dryRun = dry != null))
+      case RestoreRe(p1, p2, p3, v, ts) =>
+        Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
+          Option(v).map(_.toInt), Option(ts)))
+      // a keyword statement that misses the grammar DELEGATES, so
+      // Spark's own parse error (with its position info) surfaces
+      case _ => None
+    }
+}
+
+/** `OPTIMIZE` — size-aware bin-pack of the small-file tail, optional
+  * Morton-curve re-cluster. Returns the committed version (0 =
+  * already packed, nothing to do). */
+final case class SnapshotOptimizeCommand(target: String,
+    zorderCols: Seq[String], targetBytes: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, target))
+    Seq(Row(t.compactSmall(targetBytes.getOrElse(128L << 20),
+      zorderCols = zorderCols)))
+  }
+}
+
+/** `VACUUM` — reclaim data files referenced by no snapshot at or above
+  * the retention floor (newest `retainVersions` kept; clamped so the
+  * head always survives). `GRACE n SECONDS` overrides the in-flight
+  * staging grace window (default 1 h — a just-unreferenced file may
+  * belong to a commit about to publish; see [[SnapshotTable.vacuum]]).
+  * Returns the number of data files deleted (or that WOULD be, under
+  * `DRY RUN`). */
+final case class SnapshotVacuumCommand(target: String,
+    retainVersions: Int, graceMs: Option[Long],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("files_deleted", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1,
+      s"VACUUM must retain at least 1 version, got $retainVersions")
+    val t = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, target))
+    val floor = math.max(1, t.currentVersion - retainVersions + 1)
+    Seq(Row(t.vacuum(floor,
+      stagingGraceMs = graceMs.getOrElse(3600000L),
+      dryRun = dryRun).toLong))
+  }
+}
+
+/** `RESTORE ... TO VERSION/TIMESTAMP AS OF` — roll the head back as a
+  * NEW metadata-only commit. Returns the committed version. */
+final case class SnapshotRestoreCommand(target: String,
+    version: Option[Int], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, target))
+    val v = version.getOrElse(
+      t.versionAt(SnapshotTable.parseTsMillis(timestamp.get)))
+    Seq(Row(t.restore(v)))
+  }
+}

@@ -106,23 +106,28 @@ object SnapshotTvfs {
     * storage path: `snapshot_history('my_table')`. */
   private def table(pathOrName: String): SnapshotTable = {
     val spark = SparkSession.active
-    val root =
-      if (pathOrName.contains("/")) pathOrName
-      else {
-        val id = spark.sessionState.sqlParser
-          .parseTableIdentifier(pathOrName)
-        val meta = spark.sessionState.catalog.getTableMetadata(id)
-        require(meta.provider.exists(_.equalsIgnoreCase("snapshot")),
-          s"table '$pathOrName' is not a snapshot table " +
-            s"(provider ${meta.provider.getOrElse("none")})")
-        meta.storage.properties.getOrElse("path",
-          meta.storage.locationUri.map(u =>
-            new org.apache.hadoop.fs.Path(u).toString).getOrElse(
-            throw new IllegalArgumentException(
-              s"table '$pathOrName' has no recorded path/location")))
-      }
-    new SnapshotTable(spark, root)
+    new SnapshotTable(spark, SnapshotTvfs.resolveRoot(spark, pathOrName))
   }
+
+  /** Shared path-or-catalog-name resolution (TVFs, the maintenance
+    * statements): a string with a `/` IS the root; anything else must
+    * name a session-catalog table of the snapshot provider. */
+  private[sources] def resolveRoot(spark: SparkSession,
+      pathOrName: String): String =
+    if (pathOrName.contains("/")) pathOrName
+    else {
+      val id = spark.sessionState.sqlParser
+        .parseTableIdentifier(pathOrName)
+      val meta = spark.sessionState.catalog.getTableMetadata(id)
+      require(meta.provider.exists(_.equalsIgnoreCase("snapshot")),
+        s"table '$pathOrName' is not a snapshot table " +
+          s"(provider ${meta.provider.getOrElse("none")})")
+      meta.storage.properties.getOrElse("path",
+        meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"table '$pathOrName' has no recorded path/location")))
+    }
 
   /** `snapshot_at(path[, version | 'timestamp'])` — the table's rows
     * at a version (head when omitted; a string argument time-travels

@@ -481,7 +481,11 @@ object IngestCli {
         spark.sql(s"DELETE FROM snapshot.`$tvfDir` WHERE id = 2")
         val dmlN = spark.sql(
           s"SELECT count(*) FROM snapshot.`$tvfDir`").head().getLong(0)
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN}""")
+        // and SQL maintenance (injectParser path): OPTIMIZE commits
+        spark.sql(s"OPTIMIZE snapshot.`$tvfDir`")
+        val optN = spark.sql(
+          s"SELECT count(*) FROM snapshot_files('$tvfDir')").head().getLong(0)
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

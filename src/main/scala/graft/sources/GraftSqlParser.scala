@@ -88,7 +88,17 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
-  private val Keyword = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+  // ONLY the constraint forms of ALTER TABLE — everything else ALTER
+  // stays Spark's (the resolution rules route SET TBLPROPERTIES / ADD
+  // COLUMNS for catalog tables)
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
+  private val Keyword =
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
@@ -110,6 +120,11 @@ object GraftSqlParser {
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))
+      case AddConstraintRe(p1, p2, p3, name, check) =>
+        Some(SnapshotConstraintCommand(tgt(p1, p2, p3), name,
+          Some(check.trim)))
+      case DropConstraintRe(p1, p2, p3, name) =>
+        Some(SnapshotConstraintCommand(tgt(p1, p2, p3), name, None))
       // a keyword statement that misses the grammar DELEGATES, so
       // Spark's own parse error (with its position info) surfaces
       case _ => None
@@ -153,6 +168,25 @@ final case class SnapshotVacuumCommand(target: String,
     Seq(Row(t.vacuum(floor,
       stagingGraceMs = graceMs.getOrElse(3600000L),
       dryRun = dryRun).toLong))
+  }
+}
+
+/** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT name` — routes to the VALIDATING constraint verbs
+  * ([[SnapshotTable.addCheckConstraint]] scans the live rows before
+  * recording; a violated constraint refuses and commits nothing).
+  * `checkExpr = None` drops. Returns the committed version. */
+final case class SnapshotConstraintCommand(target: String, name: String,
+    checkExpr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, target))
+    Seq(Row(checkExpr match {
+      case Some(e) => t.addCheckConstraint(name, e)
+      case None => t.dropConstraint(name)
+    }))
   }
 }
 

@@ -88,6 +88,31 @@ class SnapshotSqlMaintenanceSpec extends SparkSuite {
       "default retention keeps everything this young")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT route to the validating verbs") {
+    val t = tmpTable()
+    t.append(Seq(1L, 2L).toDF("id"))
+    assert(ext.sql(s"ALTER TABLE snapshot.`${t.root}` " +
+      "ADD CONSTRAINT pos CHECK (id > 0)").head().getInt(0) == 2)
+    assert(t.checkConstraints == Map("pos" -> "id > 0"))
+    // the constraint GATES writers (the whole point of the verb route)
+    intercept[Exception] { t.append(Seq(-5L).toDF("id")) }
+    // a violated install refuses and commits nothing
+    val v0 = t.currentVersion
+    intercept[Exception] {
+      ext.sql(s"ALTER TABLE snapshot.`${t.root}` " +
+        "ADD CONSTRAINT big CHECK (id > 100)")
+    }
+    assert(t.currentVersion == v0)
+    assert(ext.sql(s"ALTER TABLE snapshot.`${t.root}` DROP CONSTRAINT pos")
+      .head().getInt(0) == v0 + 1)
+    assert(t.checkConstraints.isEmpty)
+    // other ALTER TABLE forms still reach Spark/the resolution rules
+    val e = intercept[Exception] {
+      ext.sql(s"ALTER TABLE snapshot.`${t.root}` RENAME TO whatever")
+    }
+    assert(!e.getMessage.contains("CONSTRAINT"))
+  }
+
   test("non-matching statements delegate to Spark untouched") {
     // ordinary SQL still parses through the delegating parser
     assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)

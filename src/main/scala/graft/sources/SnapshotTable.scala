@@ -4190,20 +4190,25 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     require(v >= 0 && v <= currentVersion,
       s"snapshot $v does not exist (current ${currentVersion})")
     val state = replayStateFull(v)
+    // ONE pass per channel grouping by file — a per-file filter over
+    // the whole stat map would be O(files x stats), quadratic at the
+    // 100k-file scale this view exists for
+    val statsBy = state.stats.toSeq.groupBy(_._1._1)
+    val sstatsBy = state.sstats.toSeq.groupBy(_._1._1)
+    val bloomsBy = state.blooms.toSeq.groupBy(_._1)
+    val nullsBy = state.nulls.toSeq.groupBy(_._1._1)
     val rows = state.live.map { f =>
       SnapshotTable.FileInfo(
         path = f,
         size_bytes = state.sizes.get(f),
         row_count = state.rows.get(f),
         dv_tombstones = state.dvs.get(f).map(_._2).getOrElse(0L),
-        stats = state.stats.collect {
-          case ((`f`, c), (lo, hi)) => s"$c=[$lo,$hi]" }.toSeq.sorted,
-        string_stats = state.sstats.collect {
-          case ((`f`, c), _) => c }.toSeq.sorted,
-        bloom_cols = state.blooms.collect {
-          case (`f`, c) => c }.toSeq.sorted,
-        null_counts = state.nulls.collect {
-          case ((`f`, c), n) => s"$c=$n" }.toSeq.sorted)
+        stats = statsBy.getOrElse(f, Nil).map {
+          case ((_, c), (lo, hi)) => s"$c=[$lo,$hi]" }.sorted,
+        string_stats = sstatsBy.getOrElse(f, Nil).map(_._1._2).sorted,
+        bloom_cols = bloomsBy.getOrElse(f, Nil).map(_._2).sorted,
+        null_counts = nullsBy.getOrElse(f, Nil).map {
+          case ((_, c), n) => s"$c=$n" }.sorted)
     }
     spark.createDataFrame(rows)
   }

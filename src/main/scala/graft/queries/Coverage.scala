@@ -26,18 +26,30 @@ object Coverage {
     d.toString
   }
 
-  /** Recursive delete of a scratch table dir at JVM exit — the temp
-    * snapshot copies below would otherwise leak one dir per (JVM, sf)
-    * onto a long-lived host (`File.deleteOnExit` cannot remove
-    * non-empty directories). */
-  private def cleanupOnExit(dir: String): Unit =
+  /** Recursive delete of the registered scratch dirs at JVM exit —
+    * the temp snapshot copies below would otherwise leak one dir per
+    * (JVM, sf) onto a long-lived host (`File.deleteOnExit` cannot
+    * remove non-empty directories). ONE shared hook draining a queue
+    * (not a hook per dir), and the walk stream is closed. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
-          .asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+      scratchDirs.forEach { dir =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val stream = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(dir))
+          try stream.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally stream.close()
+        } catch { case _: Throwable => () }
+      }))
+  private def cleanupOnExit(dir: String): Unit = {
+    cleanupHook
+    scratchDirs.add(dir)
+    ()
+  }
 
   /** see s5_snapshot_sql — one snapshot-table copy of `nation` per
     * (JVM, sf dir), built through the registered `snapshot` format's

@@ -88,14 +88,20 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
-  // ONLY the constraint forms of ALTER TABLE — everything else ALTER
-  // stays Spark's (the resolution rules route SET TBLPROPERTIES / ADD
-  // COLUMNS for catalog tables)
+  // ONLY the constraint forms of ALTER TABLE, and ONLY for
+  // PATH-ADDRESSED targets: Spark 4.1 has its own ANSI constraint DDL,
+  // so a catalog NAME must flow to Spark untouched (hijacking it would
+  // shadow native constraints on non-snapshot tables — parse time has
+  // no catalog to ask). Snapshot catalog tables take the path form or
+  // the addCheckConstraint API/CLI. Everything else ALTER stays
+  // Spark's (the resolution rules route SET TBLPROPERTIES /
+  // ADD COLUMNS for snapshot catalog tables).
+  private val PathTarget = """(?:snapshot\.`([^`]+)`|`(/[^`]*)`)"""
   private val AddConstraintRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathTarget +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
   private val DropConstraintRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathTarget +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
   private val Keyword =
     """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER)\b.*""".r
@@ -104,6 +110,15 @@ object GraftSqlParser {
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
+    try parseMaintenance0(sql)
+    catch {
+      // an out-of-range number in an otherwise-matching statement
+      // falls through like any grammar miss, so Spark's own error
+      // surfaces instead of a bare NumberFormatException
+      case _: NumberFormatException => None
+    }
+
+  private def parseMaintenance0(sql: String): Option[LogicalPlan] =
     sql match {
       case _ if !Keyword.matches(sql) => None // cheap reject: hot path
       case OptimizeRe(p1, p2, p3, zorder, target) =>
@@ -120,11 +135,11 @@ object GraftSqlParser {
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))
-      case AddConstraintRe(p1, p2, p3, name, check) =>
-        Some(SnapshotConstraintCommand(tgt(p1, p2, p3), name,
+      case AddConstraintRe(p1, p2, name, check) =>
+        Some(SnapshotConstraintCommand(Option(p1).getOrElse(p2), name,
           Some(check.trim)))
-      case DropConstraintRe(p1, p2, p3, name) =>
-        Some(SnapshotConstraintCommand(tgt(p1, p2, p3), name, None))
+      case DropConstraintRe(p1, p2, name) =>
+        Some(SnapshotConstraintCommand(Option(p1).getOrElse(p2), name, None))
       // a keyword statement that misses the grammar DELEGATES, so
       // Spark's own parse error (with its position info) surfaces
       case _ => None

@@ -208,10 +208,11 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => a
         }
       case a @ org.apache.spark.sql.execution.command
-          .AlterTableUnsetPropertiesCommand(id, keys, _, false) =>
+          .AlterTableUnsetPropertiesCommand(id, keys, ifExists, false) =>
         catalogSnapshotRoot(id) match {
           case Some(root) =>
-            SnapshotAlterCommand(a, root, set = Nil, unset = keys)
+            SnapshotAlterCommand(a, root, set = Nil, unset = keys,
+              unsetIfExists = ifExists.asInstanceOf[Boolean])
           case None => a
         }
       case a @ org.apache.spark.sql.execution.command
@@ -238,7 +239,13 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // SCHEMA EVOLUTION the clause engine must re-expand over
             // the EVOLVED column set, so an expanded-star shape (every
             // target column assigned from its same-named source
-            // attribute) converts back to a star clause
+            // attribute) converts back to a star clause. RECORDED
+            // LIMITATION: post-expansion, a hand-written exhaustive
+            // same-name assignment list is indistinguishable from a
+            // star — under the (explicitly opted-in) evolution keyword
+            // it therefore also populates the evolved columns from the
+            // source; assign any column a non-identity expression to
+            // keep the evolved columns NULL
             val tNames = m.targetTable.output.map(_.name.toLowerCase).toSet
             def expandedStar(as: Seq[Assignment]): Boolean =
               m.withSchemaEvolution && as.nonEmpty &&
@@ -377,7 +384,8 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * write. */
 final case class SnapshotAlterCommand(
     delegate: org.apache.spark.sql.execution.command.RunnableCommand,
-    root: String, set: Seq[(String, String)], unset: Seq[String])
+    root: String, set: Seq[(String, String)], unset: Seq[String],
+    unsetIfExists: Boolean = true)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
@@ -388,6 +396,16 @@ final case class SnapshotAlterCommand(
         s"(${bad.mkString(", ")}); use addCheckConstraint/dropConstraint " +
         "so the expression is validated against the live rows")
     val t = new SnapshotTable(session, root)
+    // every refusal that CAN fire (missing unset keys without IF
+    // EXISTS — the delegate's contract) fires BEFORE the first log
+    // commit, so a refused statement leaves no phantom version behind
+    if (unset.nonEmpty && !unsetIfExists) {
+      val have = t.properties()
+      val missing = unset.filterNot(have.contains)
+      require(missing.isEmpty,
+        s"UNSET TBLPROPERTIES: key(s) not found: ${missing.mkString(", ")} " +
+          "(use IF EXISTS to ignore)")
+    }
     set.foreach { case (k, v) => t.setProperty(k, v) }
     unset.foreach(t.removeProperty)
     delegate.run(session)

@@ -338,20 +338,42 @@ object SnapshotMerge {
         val affected = (matchedFiles ++ nmbsFiles).distinct.sorted
         if (affected.isEmpty && notMatched.isEmpty) 0
         else {
+          val keepFlag =
+            if (deleteIdxs.isEmpty) lit(true)
+            else !col("__chosen").isin(deleteIdxs: _*)
           val rewritten: Option[DataFrame] =
             if (affected.isEmpty) None
-            else {
+            else if (matched.isEmpty) {
+              // NOT-MATCHED-BY-SOURCE-only rewrite: never join-fan the
+              // target. A target row matched by MULTIPLE source rows is
+              // LEGAL here (no matched clause can touch it, so SQL
+              // imposes no cardinality constraint and the check above
+              // was rightly skipped) — but a left-outer join would
+              // duplicate it. Semi/anti split instead: matched rows
+              // keep verbatim, unmatched rows run the NMBS chain.
+              val before = scanPlain(affected).alias(tAlias)
+              val keepMatched = before
+                .join(sMarked, condition, "left_semi")
+                .select(valueCols(Nil): _*)
+              val nmbsRows = before
+                .join(sMarked, condition, "left_anti")
+                .withColumn("__chosen", chosenChain(
+                  nIdx.map { case (c, i) => (clauseCond(c), i) }))
+                .filter(keepFlag)
+                .select(valueCols(updates): _*)
+              Some(keepMatched.unionAll(nmbsRows))
+            } else {
+              // matched clauses exist: the cardinality check above
+              // guaranteed <=1 source match per target row, so the
+              // left-outer join cannot fan out
               val joined = scanPlain(affected).alias(tAlias)
                 .join(sMarked, condition, "left_outer")
               val isM = col(Marker).isNotNull
               val chain = chosenChain(
                 mIdx.map { case (c, i) => (isM && clauseCond(c), i) } ++
                   nIdx.map { case (c, i) => (!isM && clauseCond(c), i) })
-              val keep =
-                if (deleteIdxs.isEmpty) lit(true)
-                else !col("__chosen").isin(deleteIdxs: _*)
               Some(joined.withColumn("__chosen", chain)
-                .filter(keep).select(valueCols(updates): _*))
+                .filter(keepFlag).select(valueCols(updates): _*))
             }
           val parts = rewritten.toSeq ++ inserts.toSeq
           val result = parts.reduce(_ unionAll _)

@@ -4234,8 +4234,18 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     require(limit > 0, s"history limit must be positive, got $limit")
     val cur = currentVersion
     val lo = math.max(math.max(1, replayFloorV + 1), cur - limit + 1)
-    // seed maps at lo-1 (v0 replays to the empty state)
-    val seed = replayStateFull(lo - 1)
+    // seed maps at lo-1 (v0 replays to the empty state). After a data
+    // vacuum the retention floor may sit ABOVE the window's lower edge
+    // while the manifests still exist (truncateLog=false, or the gap
+    // between data and log floors): replay below the floor REFUSES, so
+    // seed at the floor instead — window rows at or below it still
+    // list (their own manifests carry the added-side metrics), they
+    // just report removed-side metrics as null.
+    val walkStart = lo - 1
+    val seedV =
+      if (walkStart > 0 && walkStart < retentionFloor) retentionFloor
+      else walkStart
+    val seed = replayStateFull(seedV)
     var rowsM: Map[String, Long] = seed.rows
     var sizesM: Map[String, Long] = seed.sizes
     var dvM: Map[String, (String, Long)] = seed.dvs
@@ -4250,16 +4260,21 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         val addSizes = sizesOf(raw).toMap
         val dvNew = dvsOf(raw)
         // removed-side: live rows of each removed file at the PRIOR
-        // state, plus tombstone growth from re-pointed DVs
+        // state, plus tombstone growth from re-pointed DVs. Versions at
+        // or below the seed have no prior-state maps — removed-side
+        // metrics are null there (added-side stays exact: it reads the
+        // version's own manifest channels)
+        val inWalk = v > seedV
         val removedRows =
-          if (!reliable) None
+          if (!reliable || !inWalk) None
           else sumOver(remove, rowsM).map { full =>
             full - remove.flatMap(dvM.get).map(_._2).sum +
               dvNew.collect { case (f, _, n) if !remove.contains(f) =>
                 n - dvM.get(f).map(_._2).getOrElse(0L)
               }.sum
           }
-        val removedBytes = if (reliable) sumOver(remove, sizesM) else None
+        val removedBytes =
+          if (reliable && inWalk) sumOver(remove, sizesM) else None
         val info = SnapshotTable.CommitInfo(
           version = v,
           committed_at = new java.sql.Timestamp(
@@ -4273,11 +4288,14 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           num_rows_removed = removedRows,
           bytes_added = sumOver(add, addSizes),
           bytes_removed = removedBytes)
-        // advance the walk
-        rowsM = (rowsM -- remove) ++ addRows
-        sizesM = (sizesM -- remove) ++ addSizes
-        dvM = (dvM -- remove) ++
-          dvNew.map { case (f, sc, n) => f -> (sc, n) }
+        // advance the walk (only above the seed — a below-floor
+        // manifest must not perturb the floor-state maps)
+        if (inWalk) {
+          rowsM = (rowsM -- remove) ++ addRows
+          sizesM = (sizesM -- remove) ++ addSizes
+          dvM = (dvM -- remove) ++
+            dvNew.map { case (f, sc, n) => f -> (sc, n) }
+        }
         Some(info)
       } catch {
         // a racing vacuumLog may reap a manifest between the floor

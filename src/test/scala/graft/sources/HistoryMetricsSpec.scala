@@ -62,6 +62,32 @@ class HistoryMetricsSpec extends SparkSuite {
     assert(a6.contains(live) && r6.contains(live))
   }
 
+  test("history survives a data vacuum whose retention floor cuts into the window") {
+    val t = tmpTable()
+    (1 to 6).foreach(i => t.append(Seq(i.toLong).toDF("id").coalesce(1)))
+    t.deleteWhere(col("id") === 2L) // v7: remove-bearing, reaps on vacuum
+    // data vacuum with the log KEPT: retention floor rises above the
+    // window's lower edge while every manifest still exists — the
+    // post-vacuum state DESCRIBE HISTORY must keep serving
+    // retain only the head: the deleteWhere victim file is reaped, so
+    // the retention BOUNDARY records at 7 while the log stays intact
+    t.vacuum(retainFrom = 7, stagingGraceMs = 0L, truncateLog = false)
+    // the crash shape: the window's lower edge (lo-1 = 4) falls
+    // strictly inside (0, floor 7) — replay there is REFUSED, so the
+    // walk must seed AT the floor instead of throwing
+    val rows = t.history(limit = 3).collect() // window [5, 7]
+    assert(rows.map(_.getAs[Int]("version")).sorted.toSeq == Seq(5, 6, 7))
+    // every window row sits at/below the seed: added-side metrics stay
+    // exact (each version's own manifest channels), removed-side is
+    // null — no prior state to diff against, null beats a lie
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("num_rows_removed"))))
+    val appends = rows.filter(_.getAs[Any]("op") == "append")
+    assert(appends.nonEmpty)
+    assert(appends.forall(r => r.getAs[Long]("num_rows_added") == 1L))
+    assert(rows.find(_.getAs[Any]("op") == "deleteWhere").get
+      .getAs[Long]("num_rows_added") == 0L)
+  }
+
   test("metrics survive the checkpoint seed and degrade to null, not lies") {
     val t = tmpTable()
     // enough commits that history's window seeds from a mid-log replay

@@ -260,6 +260,25 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(plain.read().schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("NMBS-only merge: a doubly-matched target row is kept ONCE (no join fan-out, no spurious cardinality error)") {
+    val t = tmpTable()
+    // one file holding an applicable-unmatched row (id 1) AND a row
+    // matched by TWO source rows (id 2) — the left-outer rewrite shape
+    // would duplicate id 2; with no matched clauses SQL imposes no
+    // cardinality constraint, so refusing would also be wrong
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "qty")
+      .coalesce(1))
+    val dupSrc = Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("id", "v", "qty")
+    val v = t.mergeInto(dupSrc, onKeys,
+      notMatchedBySource = Seq(
+        Update(None, Seq("v" -> concat(col("target.v"), lit("_u"))))))
+    assert(v > 0)
+    val rows = t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "a_u"), (2L, "b")),
+      s"doubly-matched row must survive exactly once, got $rows")
+  }
+
   test("stress: concurrent clause merges converge key-unique (CoW and MoR writers mixed)") {
     // the clause-engine twin of the merge/mergeMoR stress specs: three
     // writers (one of them MoR) upsert overlapping keys through

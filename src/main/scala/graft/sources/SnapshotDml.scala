@@ -288,7 +288,12 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               clauses(m.notMatchedActions, "WHEN NOT MATCHED"),
               clauses(m.notMatchedBySourceActions,
                 "WHEN NOT MATCHED BY SOURCE"),
-              tAlias, sAlias, m.withSchemaEvolution)
+              tAlias, sAlias, m.withSchemaEvolution,
+              // the relation's resolved shape (recorded schema, or the
+              // catalog-declared one for a not-yet-written table) —
+              // what lets an initial-load MERGE into an empty CREATEd
+              // table know the target columns
+              declaredSchema = Some(rel.schema))
           case None => m
         }
     }
@@ -406,8 +411,10 @@ final case class SnapshotAlterCommand(
         s"UNSET TBLPROPERTIES: key(s) not found: ${missing.mkString(", ")} " +
           "(use IF EXISTS to ignore)")
     }
-    set.foreach { case (k, v) => t.setProperty(k, v) }
-    unset.foreach(t.removeProperty)
+    // ONE log commit for the whole statement (alterProperties): a
+    // mid-list failure can never leave the statement half-applied,
+    // and one ALTER = one version in the history
+    t.alterProperties(set, unset)
     delegate.run(session)
   }
 }
@@ -472,13 +479,16 @@ final case class SnapshotMergeCommand(table: SnapshotTable,
     notMatched: Seq[SnapshotMerge.Clause],
     notMatchedBySource: Seq[SnapshotMerge.Clause],
     targetAlias: String, sourceAlias: String,
-    schemaEvolution: Boolean) extends LeafRunnableCommand {
+    schemaEvolution: Boolean,
+    declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val run = if (SnapshotDml.morOf(table)) table.mergeIntoMoR _
     else table.mergeInto _
     Seq(Row(run(source, cond, matched, notMatched, notMatchedBySource,
-      targetAlias, sourceAlias, Nil, Nil, 0.01, schemaEvolution)))
+      targetAlias, sourceAlias, Nil, Nil, 0.01, schemaEvolution,
+      declaredSchema)))
   }
 }

@@ -24,9 +24,21 @@ import org.apache.spark.sql.types.StructField
   *    condition always applies; a row no clause applies to is kept
   *    (matched / not-matched-by-source) or skipped (insert).
   *  - a target row matched by MORE THAN ONE source row is a
-  *    cardinality violation whenever matched clauses exist — refused
-  *    loudly (the Delta "multiple source rows matched" error), since
-  *    "first match wins" would be nondeterministic under shuffle.
+  *    cardinality violation ONLY when a matched clause actually
+  *    APPLIES to it (the Delta "multiple source rows matched" error
+  *    — "first match wins" would be nondeterministic under shuffle);
+  *    a multiply-matched row every matched-clause condition excludes
+  *    is legal and kept verbatim, and the one DETERMINISTIC
+  *    multi-match modification — a single unconditional DELETE
+  *    clause — is permitted too (the row deletes once however many
+  *    source rows matched), both Delta-parity.
+  *  - MERGE into a table with NO committed version (a just-created
+  *    catalog table) runs the initial-load shape: every source row is
+  *    unmatched, NOT MATCHED INSERT clauses populate version 1
+  *    (refused when no insert clause exists — there is nothing to
+  *    match). The target shape comes from the recorded schema when
+  *    one exists, else the catalog-declared schema the SQL path
+  *    passes down.
   *  - assignments cast to the target column's type (schema invariant
   *    under MERGE, exactly like [[SnapshotTable.updateWhere]]);
   *    columns an UPDATE leaves unassigned keep the target value,
@@ -125,7 +137,9 @@ object SnapshotMerge {
       condition: Column, matched: Seq[Clause], notMatched: Seq[Clause],
       nmbs: Seq[Clause], tAlias: String, sAlias: String,
       statCols: Seq[String], bloomCols: Seq[String], bloomFpp: Double,
-      mor: Boolean, schemaEvolution: Boolean = false): Int = {
+      mor: Boolean, schemaEvolution: Boolean = false,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     require(matched.nonEmpty || notMatched.nonEmpty || nmbs.nonEmpty,
       "mergeInto needs at least one WHEN clause")
     require(matched.forall(!_.isInstanceOf[Insert]),
@@ -138,18 +152,25 @@ object SnapshotMerge {
       s"target and source aliases must differ (both '$tAlias')")
     require(!source0.columns.contains(Marker),
       s"source must not carry a column named $Marker")
-    require(!source0.columns.exists(c => c == "__file" || c == "__ridx"),
-      "source must not carry columns named __file/__ridx (reserved for " +
-        "the merge engine's row identity)")
+    require(!source0.columns.exists(c =>
+      c == "__file" || c == "__ridx" || c == "__name"),
+      "source must not carry columns named __file/__ridx/__name " +
+        "(reserved for the merge engine's row identity)")
     val opName = if (mor) "mergeIntoMoR" else "mergeInto"
 
     t.retryingOnConflict(opName) {
       val base = t.currentVersion
-      require(base > 0, s"$opName: target snapshot table ${t.root} has " +
-        "no committed version to merge into")
+      // no committed version: the initial-load shape — every source
+      // row is unmatched, so only NOT MATCHED INSERT clauses can do
+      // anything (Delta populates an empty table the same way)
+      require(base > 0 || notMatched.nonEmpty,
+        s"$opName: target snapshot table ${t.root} has no committed " +
+          "version to merge into (an initial-load MERGE needs WHEN NOT " +
+          "MATCHED INSERT clauses)")
       val state = t.replayStateFull(base)
       val tCols0: Seq[StructField] =
-        t.schemaAt(Some(base)).getOrElse(t.read(Some(base)).schema).fields.toSeq
+        t.schemaAt(Some(base)).orElse(declaredSchema).getOrElse(
+          t.read(Some(base)).schema).fields.toSeq
       // WITH SCHEMA EVOLUTION: source columns absent from the target
       // join the result schema (nullable — pre-merge rows read null,
       // the commit's schema-union contract records the widened shape).
@@ -167,8 +188,15 @@ object SnapshotMerge {
 
       // resolve the ON condition once against a (target, source) probe
       // join: yields the resolved conjuncts split by side — the inputs
-      // to metadata pruning. Analysis only; no job runs.
-      val probePlan = t.read(Some(base)).alias(tAlias)
+      // to metadata pruning. Analysis only; no job runs. A no-version
+      // target resolves against an empty frame of the declared shape
+      // (read() has nothing to plan yet).
+      val targetShape: DataFrame =
+        if (base == 0) t.spark.createDataFrame(
+          t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(tCols0))
+        else t.read(Some(base))
+      val probePlan = targetShape.alias(tAlias)
         .join(source0.alias(sAlias), condition, "inner")
         .queryExecution.analyzed
       val jn = probePlan.collectFirst { case j: Join => j }.getOrElse(
@@ -233,10 +261,22 @@ object SnapshotMerge {
       val nmbsAny: Option[Column] =
         if (nmbs.isEmpty) None else Some(nmbs.map(clauseCond).reduce(_ || _))
 
+      // Delta's documented multi-match exception: a single
+      // unconditional DELETE is deterministic however many source rows
+      // match (the row deletes once), so the cardinality gate stands
+      // down for exactly that clause set.
+      val deleteOnlyUncond = matched match {
+        case Seq(Delete(None)) => true
+        case _ => false
+      }
+
       // cardinality check + applicable-file detection in ONE pass over
       // the pruned candidates (the Delta findTouchedFiles shape): per
       // target row, how many source rows matched and whether any
-      // matched clause applies; per file, the max of each.
+      // matched clause applies; per file, whether any row VIOLATES
+      // (multiply matched AND a matched clause applies — only such a
+      // row's outcome would be nondeterministic) and whether any row
+      // is applicable at all.
       val matchedFiles: Seq[String] =
         if (matched.isEmpty || candidates.isEmpty) Nil
         else {
@@ -247,14 +287,21 @@ object SnapshotMerge {
             .agg(count(lit(1)).as("__n"),
               max(when(matchedAny.get, lit(1)).otherwise(lit(0))).as("__app"))
             .groupBy(col("__file"))
-            .agg(max(col("__n")).as("__maxn"), max(col("__app")).as("__anyapp"))
+            .agg(
+              max(when(col("__n") > 1 && col("__app") === 1, lit(1))
+                .otherwise(lit(0))).as("__viol"),
+              max(col("__app")).as("__anyapp"))
             .collect() // bounded: one row per CANDIDATE FILE
-          val multi = perFile.filter(_.getAs[Long]("__maxn") > 1L)
-          if (multi.nonEmpty) throw new IllegalStateException(
-            s"$opName: a target row was matched by multiple source rows " +
-              s"(e.g. in ${multi.head.getString(0)}) — MERGE with MATCHED " +
-              "clauses requires each target row to match at most one " +
-              "source row (deduplicate the source on the join keys)")
+          val viol = perFile.filter(_.getAs[Int]("__viol") == 1)
+          if (viol.nonEmpty && !deleteOnlyUncond)
+            throw new IllegalStateException(
+              s"$opName: a matched clause applies to a target row that " +
+                s"multiple source rows matched (e.g. in " +
+                s"${viol.head.getString(0)}) — its outcome would be " +
+                "nondeterministic. Deduplicate the source on the join " +
+                "keys. (Multiply-matched rows no matched clause applies " +
+                "to, and a single unconditional WHEN MATCHED THEN " +
+                "DELETE, are permitted.)")
           perFile.filter(_.getAs[Int]("__anyapp") == 1)
             .map(r => norm(r.getString(0))).toSeq
         }
@@ -341,6 +388,7 @@ object SnapshotMerge {
           val keepFlag =
             if (deleteIdxs.isEmpty) lit(true)
             else !col("__chosen").isin(deleteIdxs: _*)
+          val anyCondMatched = matched.exists(_.condition.nonEmpty)
           val rewritten: Option[DataFrame] =
             if (affected.isEmpty) None
             else if (matched.isEmpty) {
@@ -362,10 +410,55 @@ object SnapshotMerge {
                 .filter(keepFlag)
                 .select(valueCols(updates): _*)
               Some(keepMatched.unionAll(nmbsRows))
+            } else if (deleteOnlyUncond) {
+              // single unconditional DELETE: every matched row goes
+              // (multi-match legal — the row deletes once by NOT
+              // surviving the anti-join), unmatched rows run the NMBS
+              // chain. Never join-fans the target. Only the NMBS
+              // updates feed valueCols: an anti-join result has no
+              // source side for matched assignments to reference.
+              val nmbsRows = scanPlain(affected).alias(tAlias)
+                .join(sMarked, condition, "left_anti")
+                .withColumn("__chosen", chosenChain(
+                  nIdx.map { case (c, i) => (clauseCond(c), i) }))
+                .filter(keepFlag)
+                .select(valueCols(updates.filter(_._2 >= NmbsBase)): _*)
+              Some(nmbsRows)
+            } else if (anyCondMatched) {
+              // conditional matched clauses: a row matched by several
+              // source rows is legal when NO clause applies to it (the
+              // cardinality gate refused the applicable ones), but a
+              // left-outer join would duplicate it. Three-way split,
+              // none of whose branches can fan out:
+              //  - rows a matched clause APPLIES to — exactly one
+              //    matching pair each (gate-guaranteed), inner join
+              //  - rows matched but NON-applying — kept verbatim ONCE
+              //    (anti on condition∧applies, semi on condition)
+              //  - unmatched rows — the NMBS chain
+              val before = scanPlain(affected).alias(tAlias)
+              val applied = before
+                .join(sMarked, condition, "inner")
+                .filter(matchedAny.get)
+                .withColumn("__chosen", chosenChain(
+                  mIdx.map { case (c, i) => (clauseCond(c), i) }))
+                .filter(keepFlag)
+                .select(valueCols(updates.filter(_._2 < NmbsBase)): _*)
+              val nonApplying = before
+                .join(sMarked, condition && matchedAny.get, "left_anti")
+              val keptMatched = nonApplying
+                .join(sMarked, condition, "left_semi")
+                .select(valueCols(Nil): _*)
+              val nmbsRows = nonApplying
+                .join(sMarked, condition, "left_anti")
+                .withColumn("__chosen", chosenChain(
+                  nIdx.map { case (c, i) => (clauseCond(c), i) }))
+                .filter(keepFlag)
+                .select(valueCols(updates.filter(_._2 >= NmbsBase)): _*)
+              Some(applied.unionAll(keptMatched).unionAll(nmbsRows))
             } else {
-              // matched clauses exist: the cardinality check above
-              // guaranteed <=1 source match per target row, so the
-              // left-outer join cannot fan out
+              // every matched clause is unconditional (and not the
+              // single-DELETE shape): any multi-match was refused by
+              // the gate, so the left-outer join cannot fan out
               val joined = scanPlain(affected).alias(tAlias)
                 .join(sMarked, condition, "left_outer")
               val isM = col(Marker).isNotNull

@@ -3200,10 +3200,13 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
       targetAlias: String = "target", sourceAlias: String = "source",
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false): Int =
+      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int =
     SnapshotMerge.run(this, source, condition, matched, notMatched,
       notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
-      bloomFpp, mor = false, schemaEvolution = schemaEvolution)
+      bloomFpp, mor = false, schemaEvolution = schemaEvolution,
+      declaredSchema = declaredSchema)
 
   /** [[mergeInto]] on the merge-on-read commit path: applicable
     * matched / not-matched-by-source rows are DV-tombstoned and their
@@ -3217,10 +3220,13 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       notMatchedBySource: Seq[SnapshotMerge.Clause] = Nil,
       targetAlias: String = "target", sourceAlias: String = "source",
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false): Int =
+      bloomFpp: Double = 0.01, schemaEvolution: Boolean = false,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int =
     SnapshotMerge.run(this, source, condition, matched, notMatched,
       notMatchedBySource, targetAlias, sourceAlias, statCols, bloomCols,
-      bloomFpp, mor = true, schemaEvolution = schemaEvolution)
+      bloomFpp, mor = true, schemaEvolution = schemaEvolution,
+      declaredSchema = declaredSchema)
 
   /** File-candidate narrowing shared by the DML verbs: the metadata
     * prune tiers (long stats, string stats, bloom sidecars) applied as
@@ -3988,6 +3994,34 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       op: String = "setProperty"): Int = {
     require(key.nonEmpty, "property key must be non-empty")
     commit(Nil, Nil, props = Seq(key -> Some(value)), op = op)
+  }
+
+  /** Set and/or unset SEVERAL properties as ONE log commit — the
+    * multi-key `ALTER TABLE ... SET/UNSET TBLPROPERTIES` shape. One
+    * statement = one version: a mid-list failure can never leave the
+    * statement half-applied (per-key [[setProperty]] loops could).
+    * Every key passes the same reserved-prefix gates as the single-key
+    * verbs, validated BEFORE the commit. Returns the committed version
+    * (the current one when both lists are empty). */
+  def alterProperties(set: Seq[(String, String)],
+      unset: Seq[String] = Nil): Int = {
+    (set.map(_._1) ++ unset).foreach { key =>
+      require(key.nonEmpty, "property key must be non-empty")
+      require(!key.startsWith(SnapshotTable.ConstraintPrefix),
+        s"keys under '${SnapshotTable.ConstraintPrefix}' are reserved — " +
+          "use addCheckConstraint/dropConstraint, which validate")
+      require(!key.startsWith(SnapshotTable.ProtocolPrefix),
+        s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
+          "use upgradeProtocol, which only raises and serializes races")
+    }
+    val dup = set.map(_._1).intersect(unset)
+    require(dup.isEmpty,
+      s"alterProperties: key(s) both set and unset: ${dup.mkString(", ")}")
+    if (set.isEmpty && unset.isEmpty) currentVersion
+    else commit(Nil, Nil,
+      props = set.map { case (k, v) => k -> Some(v) } ++
+        unset.map(_ -> (None: Option[String])),
+      op = "alterProperties")
   }
 
   /** Top-level column names a constraint expression references —

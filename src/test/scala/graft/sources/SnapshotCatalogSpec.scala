@@ -97,6 +97,43 @@ class SnapshotCatalogSpec extends SparkSuite {
     assert(ext.sql("SELECT count(*) FROM snap_cat_xs").head().getLong(0) == 3)
   }
 
+  test("MERGE INTO a just-created EMPTY catalog table runs the initial load") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_mergeload (id BIGINT, v STRING)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    // no committed version yet: NOT MATCHED inserts populate v1 (the
+    // Delta initial-load shape; r15 refused this)
+    ext.sql(
+      """MERGE INTO snap_cat_mergeload t
+        |USING (SELECT 1L AS id, 'a' AS v UNION ALL SELECT 2L, 'b') s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(new SnapshotTable(ext, dir).currentVersion == 1)
+    assert(ext.sql("SELECT id, v FROM snap_cat_mergeload ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("multi-key ALTER TBLPROPERTIES is ONE log commit") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_batchprops (id BIGINT)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("INSERT INTO snap_cat_batchprops VALUES (1)")
+    val t = new SnapshotTable(ext, dir)
+    val v0 = t.currentVersion
+    ext.sql("ALTER TABLE snap_cat_batchprops SET TBLPROPERTIES " +
+      "('graft.statCols' = 'id', 'k.two' = 'b', 'k.three' = 'c')")
+    assert(t.currentVersion == v0 + 1,
+      "one ALTER statement must be one log version")
+    assert(t.properties().get("k.three").contains("c"))
+    ext.sql("ALTER TABLE snap_cat_batchprops UNSET TBLPROPERTIES " +
+      "('k.two', 'k.three')")
+    assert(t.currentVersion == v0 + 2)
+    assert(!t.properties().contains("k.two") &&
+      !t.properties().contains("k.three"))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES reaches the table log, not just the metastore") {
     val dir = tmpDir()
     ext.sql(s"""CREATE TABLE snap_cat_props (id BIGINT)

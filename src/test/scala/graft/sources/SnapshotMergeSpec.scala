@@ -357,4 +357,92 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(asMap(cow)(4L) == (("D2", 4L)))
     assert(asMap(cow)(3L) == (("C2", 3L)))
   }
+
+  test("Delta parity: multi-matched row with NON-applying matched clause merges cleanly, kept once") {
+    // id 3 matched by TWO source rows, but the matched clause's
+    // condition (qty >= 100) excludes both pairs -> legal, row kept
+    // verbatim exactly once; id 2's single pair applies -> updated;
+    // id 9 unmatched -> inserted. CoW and MoR byte parity.
+    val src = Seq((3L, "x", 1L), (3L, "y", 2L), (2L, "B!", 200L),
+      (9L, "i", 90L)).toDF("id", "v", "qty")
+    val clause = Seq(Update(Some(expr("source.qty >= 100")),
+      Seq("v" -> expr("source.v"))))
+    val cow = seed(); val mor = seed()
+    cow.mergeInto(src, onKeys, matched = clause,
+      notMatched = Seq(Insert()))
+    mor.mergeIntoMoR(src, onKeys, matched = clause,
+      notMatched = Seq(Insert()))
+    val want = Map( // the clause assigns v only: qty keeps target's 20
+      1L -> ("a", 10L), 2L -> ("B!", 20L), 3L -> ("c", 30L),
+      4L -> ("d", 40L), 5L -> ("e", 50L), 9L -> ("i", 90L))
+    assert(cow.read().count() == 6, "the multi-matched row must be kept ONCE")
+    assert(asMap(cow) == want)
+    assert(asMap(mor) == want)
+  }
+
+  test("Delta parity: single unconditional DELETE multi-match deletes once") {
+    val src = Seq((3L, "x", 1L), (3L, "y", 2L)).toDF("id", "v", "qty")
+    val cow = seed(); val mor = seed()
+    val vc = cow.mergeInto(src, onKeys, matched = Seq(Delete()))
+    val vm = mor.mergeIntoMoR(src, onKeys, matched = Seq(Delete()))
+    assert(vc == 4 && vm == 4)
+    val want = Map(1L -> ("a", 10L), 2L -> ("b", 20L),
+      4L -> ("d", 40L), 5L -> ("e", 50L))
+    assert(asMap(cow) == want)
+    assert(asMap(mor) == want)
+  }
+
+  test("cardinality still refused when a clause APPLIES to a multi-matched row") {
+    val src = Seq((3L, "x", 1L), (3L, "y", 2L)).toDF("id", "v", "qty")
+    // conditional clause that APPLIES to one of the pairs
+    val e1 = intercept[IllegalStateException] {
+      seed().mergeInto(src, onKeys, matched = Seq(
+        Update(Some(expr("source.qty >= 2")), Seq("v" -> expr("source.v")))))
+    }
+    assert(e1.getMessage.contains("multiple source rows"))
+    // DELETE-with-condition is NOT the unconditional-delete exception
+    val e2 = intercept[IllegalStateException] {
+      seed().mergeInto(src, onKeys,
+        matched = Seq(Delete(Some(expr("source.qty >= 0")))))
+    }
+    assert(e2.getMessage.contains("multiple source rows"))
+    // unconditional DELETE alongside another clause: not exempt either
+    val e3 = intercept[IllegalStateException] {
+      seed().mergeIntoMoR(src, onKeys, matched = Seq(Delete(),
+        Update(None, Seq("v" -> expr("source.v")))))
+    }
+    assert(e3.getMessage.contains("multiple source rows"))
+  }
+
+  test("reserved source columns refuse: __file/__ridx/__name") {
+    val t = seed()
+    Seq("__file", "__ridx", "__name").foreach { bad =>
+      val src = Seq((2L, "B", 1L)).toDF("id", "v", bad)
+      val e = intercept[IllegalArgumentException] {
+        t.mergeInto(src, onKeys, matched = Seq(Delete()))
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad must refuse")
+    }
+  }
+
+  test("initial-load MERGE into a table with no committed version inserts (API path)") {
+    val t = tmpTable()
+    val src = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "qty")
+    // without insert clauses there is nothing an empty-table merge
+    // could do -> refused with the initial-load pointer
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(src, onKeys, matched = Seq(Update()),
+        declaredSchema = Some(src.schema))
+    }
+    assert(e.getMessage.contains("initial-load"))
+    val v = t.mergeInto(src, onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()),
+      declaredSchema = Some(src.schema))
+    assert(v == 1, "initial load must land version 1")
+    assert(asMap(t) == Map(1L -> ("a", 10L), 2L -> ("b", 20L)))
+    // and the now-populated table merges normally
+    t.mergeInto(Seq((2L, "B", 2L)).toDF("id", "v", "qty"), onKeys,
+      matched = Seq(Update()), notMatched = Seq(Insert()))
+    assert(asMap(t)(2L) == (("B", 2L)))
+  }
 }

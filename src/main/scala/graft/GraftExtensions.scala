@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interception routing to the table verbs, see SnapshotDml
     ext.injectHintResolutionRule(graft.sources.SnapshotDml.pathRule)
     ext.injectResolutionRule(graft.sources.SnapshotDml.rule)
+    // CREATE TABLE ... PARTITIONED BY on the snapshot format: the
+    // partitioning lands in the table log as the recorded range-
+    // clustering layout (post-hoc — the v1 create commands only exist
+    // after Spark's own DataSourceAnalysis)
+    ext.injectPostHocResolutionRule(graft.sources.SnapshotDml.createLayoutRule)
     // SQL maintenance statements (OPTIMIZE / VACUUM / RESTORE) via a
     // delegating parser — see GraftSqlParser
     ext.injectParser((_, delegate) =>

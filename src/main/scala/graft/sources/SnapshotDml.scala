@@ -81,6 +81,15 @@ object SnapshotDml {
   def pathRule(spark: SparkSession): Rule[LogicalPlan] =
     new SnapshotPathRule(spark)
 
+  /** `CREATE TABLE ... USING snapshot PARTITIONED BY (...)` — injected
+    * POST-HOC (the v1 create commands only exist after Spark's own
+    * `DataSourceAnalysis` has run; custom post-hoc rules are appended
+    * after the built-ins in the Once batch). Without this rule the
+    * partitioning would be catalog-only metadata the table log never
+    * learns — silently dropped layout intent. */
+  def createLayoutRule(spark: SparkSession): Rule[LogicalPlan] =
+    new SnapshotCreateLayoutRule(spark)
+
   /** Fold foldable subtrees of a RESOLVED expression down to bare
     * literals: analysis-time type coercion leaves literals wrapped in
     * casts (`id = cast(250 as bigint)`) that the derivePreds metadata
@@ -166,6 +175,88 @@ final class SnapshotPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
         resolvePath(u, versionAsOf = v, timestampAsOf = tsStr)
       case u: UnresolvedRelation if isSnapshotPath(u) => resolvePath(u)
     }
+}
+
+/** Routes the PARTITIONED BY half of snapshot CREATE TABLE / CTAS into
+  * the table log as the recorded range-clustering layout (see
+  * [[SnapshotTable.PartitionColsProp]]); the original command still
+  * runs for the catalog registration (and the CTAS data write, which
+  * then clusters — the property lands FIRST). */
+final class SnapshotCreateLayoutRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def isSnapshot(
+      t: org.apache.spark.sql.catalyst.catalog.CatalogTable): Boolean =
+    t.provider.exists(_.equalsIgnoreCase("snapshot"))
+
+  private def rootOf(
+      t: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[String] =
+    t.storage.properties.get("path").orElse(
+      t.storage.locationUri.map(u =>
+        new org.apache.hadoop.fs.Path(u).toString))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case c: org.apache.spark.sql.execution.command
+          .CreateDataSourceTableCommand
+          if isSnapshot(c.table) && c.table.partitionColumnNames.nonEmpty &&
+            rootOf(c.table).isDefined =>
+        SnapshotCreateLayoutCommand(c, c.table.identifier,
+          rootOf(c.table).get, c.table.partitionColumnNames,
+          Some(c.table.schema))
+      case c: org.apache.spark.sql.execution.command
+          .CreateDataSourceTableAsSelectCommand
+          if isSnapshot(c.table) && c.table.partitionColumnNames.nonEmpty &&
+            !c.table.storage.properties.contains(
+              org.apache.spark.sql.graftbridge
+                .WriteBridge.PartitioningColumnsKey) =>
+        // CTAS: a log pre-commit would trip Spark's non-empty-location
+        // check, so route the partitioning the way DataFrameWriter
+        // does — the encoded option — through the storage properties
+        // the delegate hands the provider. The provider then clusters
+        // the initial write AND records the layout property in the
+        // SAME data commit (atomic; contradictions refuse there too).
+        c.copy(table = c.table.copy(storage = c.table.storage.copy(
+          properties = c.table.storage.properties +
+            (org.apache.spark.sql.graftbridge
+              .WriteBridge.PartitioningColumnsKey ->
+              org.apache.spark.sql.graftbridge.WriteBridge
+                .encodePartitioningColumns(c.table.partitionColumnNames)))))
+    }
+}
+
+/** Wrapper command: land the PARTITIONED BY columns in the table log
+  * (one metadata commit — with the declared schema when the table has
+  * never been written, so it reads empty at the declared shape), then
+  * run the original create. A declaration contradicting an existing
+  * recorded layout refuses BEFORE either side commits. */
+final case class SnapshotCreateLayoutCommand(
+    delegate: org.apache.spark.sql.execution.command.RunnableCommand,
+    id: org.apache.spark.sql.catalyst.TableIdentifier,
+    root: String, partitionCols: Seq[String],
+    declaredSchema: Option[org.apache.spark.sql.types.StructType])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = delegate.output
+  override def run(session: SparkSession): Seq[Row] = {
+    // a name that already exists must fail/ignore exactly as Spark
+    // would, with NO log side effects — delegate decides
+    if (!session.sessionState.catalog.tableExists(id)) {
+      val t = new SnapshotTable(session, root)
+      val recorded = SnapshotTable.layoutColsOf(t.properties())
+      require(recorded.isEmpty ||
+        recorded.map(_.toLowerCase) == partitionCols.map(_.toLowerCase),
+        s"snapshot table $root records partition layout " +
+          s"(${recorded.mkString(", ")}) but CREATE TABLE declares " +
+          s"(${partitionCols.mkString(", ")}) — change the layout via " +
+          s"ALTER TABLE ... SET TBLPROPERTIES " +
+          s"('${SnapshotTable.PartitionColsProp}' = '...') or drop " +
+          "PARTITIONED BY to adopt the recorded one")
+      if (recorded.isEmpty)
+        t.recordLayout(partitionCols,
+          declaredSchema.filter(_ => t.currentVersion == 0))
+    }
+    delegate.run(session)
+  }
 }
 
 final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -150,24 +150,39 @@ final class SnapshotSourceProvider extends RelationProvider
     val table = tableFor(sqlContext.sparkSession, parameters)
     def cols(k: String): Seq[String] = parameters.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // `df.write.partitionBy(...)` arrives as the writer's encoded
+    // option (V1 has no typed channel). HONORED, not hive-layered: the
+    // columns become the table's recorded RANGE-CLUSTERING layout
+    // (graft.layout.partitionCols) — every write clusters on them and
+    // records their stats, so partition predicates prune from the
+    // manifest. A declaration contradicting the recorded layout
+    // refuses inside applyLayout.
+    val pby: Seq[String] =
+      parameters.get(org.apache.spark.sql.graftbridge
+        .WriteBridge.PartitioningColumnsKey)
+        .map(org.apache.spark.sql.graftbridge
+          .WriteBridge.decodePartitioningColumns)
+        .getOrElse(Nil)
     mode match {
       case SaveMode.Append =>
-        table.appendWithStats(data, cols("statCols"), cols("bloomCols"))
+        table.appendWithStats(data, cols("statCols"), cols("bloomCols"),
+          partitionBy = pby)
       case SaveMode.Overwrite =>
         // one staging pass records stats/blooms alongside the write —
         // never a second whole-table rewrite, never a stat-less
         // version visible in between
         table.overwrite(data, statCols = cols("statCols"),
-          bloomCols = cols("bloomCols"))
+          bloomCols = cols("bloomCols"), partitionBy = pby)
       // ErrorIfExists/Ignore go through the KEYED exclusive-create
       // verb: two racing creators serialize through the commit
       // conflict check instead of both passing a non-atomic
       // exists-then-append probe (ADVICE r14)
       case SaveMode.ErrorIfExists =>
-        table.createExclusive(data, cols("statCols"), cols("bloomCols"))
+        table.createExclusive(data, cols("statCols"), cols("bloomCols"),
+          partitionBy = pby)
       case SaveMode.Ignore =>
         table.createExclusive(data, cols("statCols"), cols("bloomCols"),
-          ignoreIfExists = true)
+          ignoreIfExists = true, partitionBy = pby)
     }
     new SnapshotRelation(sqlContext, table, None)
   }

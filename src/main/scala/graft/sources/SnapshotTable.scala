@@ -1068,6 +1068,64 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   private[sources] def effBloomCols(given: Seq[String], frame: DataFrame): Seq[String] =
     effCols(given, SnapshotTable.BloomColsProp, frame)
 
+  /** Apply the table's PARTITION LAYOUT to a write (see
+    * [[SnapshotTable.PartitionColsProp]]): range-cluster the frame on
+    * the layout columns so each staged file covers a narrow slab of
+    * the partition-column space — manifest min/max stats then prune a
+    * partition-predicate read to the matching files. `declared` is
+    * the writer's own `partitionBy(...)` (recorded as the table
+    * layout when none exists; refused when it CONTRADICTS the
+    * recorded one — layout is a table-level decision); empty
+    * `declared` follows the recorded property, so every later plain
+    * append maintains the layout. Recorded columns a frame doesn't
+    * carry are skipped (old-shape writer tolerance, like [[effCols]]);
+    * DECLARED columns must exist.
+    *
+    * The partition count is left to the planner ON PURPOSE: AQE
+    * coalesces ADJACENT range partitions, so small writes come out as
+    * few right-sized files whose ranges stay contiguous — clustering
+    * gets coarser, never broken (an explicit count would pin tiny
+    * writes to shuffle-partition-many tiny files).
+    *
+    * Returns (clustered frame, effective layout columns — unioned
+    * into the write's stat columns by callers, and the property write
+    * to ride the commit when the declaration is new). */
+  private[sources] def applyLayout(df: DataFrame,
+      declared: Seq[String] = Nil)
+      : (DataFrame, Seq[String], Seq[(String, Option[String])]) = {
+    val recorded = SnapshotTable.layoutColsOf(properties())
+    if (declared.nonEmpty) {
+      val missing = declared.filterNot(c =>
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"partitionBy column(s) not in the written frame: " +
+          s"${missing.mkString(", ")} (frame has " +
+          s"${df.schema.fieldNames.mkString(", ")})")
+      require(recorded.isEmpty ||
+        recorded.map(_.toLowerCase) == declared.map(_.toLowerCase),
+        s"snapshot table $root records partition layout " +
+          s"(${recorded.mkString(", ")}) but this write declares " +
+          s"(${declared.mkString(", ")}) — the layout is a table-level " +
+          "decision; drop partitionBy to follow the recorded layout, " +
+          s"or change it via ALTER TABLE ... SET TBLPROPERTIES " +
+          s"('${SnapshotTable.PartitionColsProp}' = '...')")
+    }
+    val want = if (declared.nonEmpty) declared else recorded
+    val present = want.filter(c =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (present.isEmpty) (df, Nil, Nil)
+    else {
+      val cs = present.map(c => org.apache.spark.sql.functions.col(s"`$c`"))
+      val prop: Seq[(String, Option[String])] =
+        if (declared.nonEmpty && recorded.isEmpty)
+          Seq(SnapshotTable.PartitionColsProp ->
+            Some(declared.mkString(",")))
+        else Nil
+      (df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*),
+        present, prop)
+    }
+  }
+
   private def statAggExpr(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.functions.{col, unix_date}
     df.schema.fields.find(_.name == c).map(_.dataType) match {
@@ -2205,16 +2263,19 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * parquet-footer pruning is 100k reads before the first task.
     * Empty `statCols`/`bloomCols` fall back to the table-property
     * defaults ([[SnapshotTable.StatColsProp]]). */
-  def appendWithStats(df: DataFrame, statCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Int = {
-    val sc = effStatCols(statCols, df)
+  def appendWithStats(df0: DataFrame, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+      partitionBy: Seq[String] = Nil): Int = {
+    val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
+    val sc = (effStatCols(statCols, df) ++ layout).distinct
     val bc = effBloomCols(bloomCols, df)
     val (staged, stats, sstats, counts, sizes, nullsCh) =
       stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
     val blooms = buildBlooms(staged, bc, bloomFpp, counts)
     commit(staged, Nil, None, stats, schema = Some(df.schema.json),
       sstats = sstats, blooms = blooms, sizes = sizes,
-      rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append")
+      rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append",
+      props = layoutProp)
   }
 
   /** Append `df` as the table's FIRST version, refusing (or, with
@@ -2227,9 +2288,10 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * landing an initial version. The exists check runs BEFORE staging,
     * so the refusing path costs zero write jobs. Returns the committed
     * version, or 0 when `ignoreIfExists` swallowed an existing table. */
-  def createExclusive(df: DataFrame, statCols: Seq[String] = Nil,
+  def createExclusive(df0: DataFrame, statCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-      ignoreIfExists: Boolean = false): Int =
+      ignoreIfExists: Boolean = false,
+      partitionBy: Seq[String] = Nil): Int =
     retryingOnConflict("createExclusive") {
       val base = currentVersion
       if (base > 0) {
@@ -2238,7 +2300,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           s"snapshot table $root already exists (version $base); use " +
             "mode(\"append\") or mode(\"overwrite\")")
       } else {
-        val sc = effStatCols(statCols, df)
+        val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
+        val sc = (effStatCols(statCols, df) ++ layout).distinct
         val bc = effBloomCols(bloomCols, df)
         val (staged, stats, sstats, counts, sizes, nullsCh) =
           stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
@@ -2246,7 +2309,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         commit(staged, Nil, None, stats, base = base, keyed = true,
           schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
           sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
-          op = "create")
+          op = "create", props = layoutProp)
       }
     }
 
@@ -2859,12 +2922,13 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * rides the manifest like any other (e.g. to record the base
     * version a derived state reflects). A remove-bearing commit, so
     * it participates in the same conflict detection as merge/compact. */
-  def overwrite(df: DataFrame, tag: Option[String] = None,
+  def overwrite(df0: DataFrame, tag: Option[String] = None,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Int =
+      bloomFpp: Double = 0.01, partitionBy: Seq[String] = Nil): Int =
     retryingOnConflict("overwrite") {
       val base = currentVersion
       val live = files(Some(base))
+      val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
       // keyed even when the table is empty: two concurrent FIRST
       // overwrites would otherwise both land as unchecked add-only
       // commits and the table would hold the UNION of both frames —
@@ -2873,7 +2937,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       // replace-everything stages UNMAPPED: the commit records the
       // frame's own schema, so a prior rename's physical names must
       // not leak into files that schema will never alias
-      val sc = effStatCols(statCols, df)
+      val sc = (effStatCols(statCols, df) ++ layout).distinct
       val bc = effBloomCols(bloomCols, df)
       // ONE staging pass computes stats/nulls/counts alongside the
       // write — a stat-recording overwrite must never cost a second
@@ -2891,7 +2955,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
         // replace-everything retires dropped columns' on-disk data,
         // so their names come off the reservation list
-        props = Seq(SnapshotTable.RetiredPhysicalProp -> None))
+        props = layoutProp ++ Seq(SnapshotTable.RetiredPhysicalProp -> None))
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one
@@ -2989,11 +3053,18 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           else {
             val affected = small.map(_._1)
             val before = readFiles(affected, Some(base))
+            // a layout table's OPTIMIZE re-clusters the packed tail on
+            // the recorded partition columns by default (explicit
+            // ZORDER BY wins), so maintenance never decays the layout
+            val zc =
+              if (zorderCols.nonEmpty) zorderCols
+              else SnapshotTable.layoutColsOf(state.props).filter(c =>
+                before.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
             val rows =
-              if (zorderCols.isEmpty) before.coalesce(n)
+              if (zc.isEmpty) before.coalesce(n)
               else graft.operators.ZOrderLayout.layout(
-                before, zorderCols, zorderBits, n)
-            val sc = effStatCols(statCols, rows)
+                before, zc, zorderBits, n)
+            val sc = (effStatCols(statCols, rows) ++ zc).distinct
             val bc = effBloomCols(bloomCols, rows)
             val (staged, stats, sstats, counts, sizes, nullsCh) =
               stageFilesWithStats(rows, sc,
@@ -3996,6 +4067,28 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     commit(Nil, Nil, props = Seq(key -> Some(value)), op = op)
   }
 
+  /** Record the table's partition LAYOUT (and, for a not-yet-written
+    * table, its declared schema) as one metadata-only commit — the
+    * `CREATE TABLE ... USING snapshot PARTITIONED BY (...)` landing:
+    * the log (the read path's source of truth) learns the layout
+    * before any writer runs, so the very first INSERT/CTAS write
+    * range-clusters (see [[SnapshotTable.PartitionColsProp]]). */
+  def recordLayout(partitionCols: Seq[String],
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
+    require(partitionCols.nonEmpty, "recordLayout needs partition columns")
+    declaredSchema.foreach { s =>
+      val missing = partitionCols.filterNot(c =>
+        s.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty, "PARTITIONED BY column(s) not in the " +
+        s"declared schema: ${missing.mkString(", ")}")
+    }
+    commit(Nil, Nil, schema = declaredSchema.map(_.json),
+      props = Seq(SnapshotTable.PartitionColsProp ->
+        Some(partitionCols.mkString(","))),
+      op = "create")
+  }
+
   /** Set and/or unset SEVERAL properties as ONE log commit — the
     * multi-key `ALTER TABLE ... SET/UNSET TBLPROPERTIES` shape. One
     * statement = one version: a mid-list failure can never leave the
@@ -4800,6 +4893,27 @@ object SnapshotTable {
   /** Table property: comma-separated columns every write builds bloom
     * sidecars for when the caller passes none (see [[StatColsProp]]). */
   val BloomColsProp = "graft.bloomCols"
+
+  /** Table property: the recorded PARTITION LAYOUT — how this format
+    * honors `df.write.partitionBy(...)` / `CREATE TABLE ... PARTITIONED
+    * BY`. Not a hive directory layout: every write RANGE-CLUSTERS its
+    * rows on these columns (each data file covers a narrow slab of the
+    * partition-column space) and records their per-file min/max stats,
+    * so the manifest prunes a partition-predicate scan to the matching
+    * files from metadata alone — the same file-skipping a directory
+    * layout buys, without millions of tiny per-partition files at
+    * 100 TB (the reference's time-partitioned query pattern,
+    * `/root/reference/scripts/get_obs_timeseries_station_data.sql:24`,
+    * is exactly a range predicate on such a column). Writers that
+    * declare a DIFFERENT partitioning than the recorded one refuse
+    * loudly; change the layout via ALTER TABLE SET TBLPROPERTIES. */
+  val PartitionColsProp = "graft.layout.partitionCols"
+
+  /** Parse [[PartitionColsProp]] out of a property map. */
+  private[sources] def layoutColsOf(props: Map[String, String]): Seq[String] =
+    props.get(PartitionColsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   // ---- protocol versioning ------------------------------------------
   //

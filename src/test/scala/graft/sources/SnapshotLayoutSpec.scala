@@ -1,0 +1,168 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Partition LAYOUT on the snapshot format (r15 VERDICT #1: the
+  * silently-dropped `partitionBy`): `df.write.partitionBy(...)` and
+  * `CREATE TABLE ... PARTITIONED BY` are HONORED as the table's
+  * recorded range-clustering layout ([[SnapshotTable
+  * .PartitionColsProp]]) — every write range-clusters on the layout
+  * columns and records their per-file stats, so a partition predicate
+  * prunes to the matching files from the manifest (the file-skipping a
+  * hive directory layout buys, without tiny-file explosion at scale).
+  * Contradicting declarations refuse loudly.
+  *
+  * Tests run with AQE partition coalescing OFF around the writes:
+  * at test row counts AQE legitimately merges the adjacent range
+  * partitions into one file (coarser clustering, still contiguous),
+  * which would hide the per-range file split the assertions pin. */
+class SnapshotLayoutSpec extends SparkSuite {
+  import spark.implicits._
+  private val ext = SparkSuite.extSession
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("snaplayout").toString
+
+  private def kv(n: Int, kOf: Int => Long, offset: Int = 0) =
+    (0 until n).map(i => ((i + offset).toLong, kOf(i))).toDF("id", "k")
+
+  private def withTightRanges[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  test("writer partitionBy records the layout, clusters files, prunes point reads") {
+    val dir = tmpDir()
+    // 4 distinct k ranges over 400 rows; shuffle.partitions=4 in tests
+    withTightRanges(spark) {
+      kv(400, _ / 100).write.format("snapshot").mode("append")
+        .partitionBy("k").save(dir)
+    }
+    val t = new SnapshotTable(spark, dir)
+    assert(t.properties().get(SnapshotTable.PartitionColsProp)
+      .contains("k"), "the layout must be RECORDED in the table log")
+    val total = t.files().size
+    assert(total >= 2, s"range clustering should spread files, got $total")
+    val got = t.readWhere(col("k") === 2L)
+    assert(got.count() == 100)
+    assert(t.lastDmlCandidates.size < total,
+      s"partition-predicate read must prune: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+    assert(t.lastDmlCandidates.size <= 2) // one range slab (+1 boundary)
+  }
+
+  test("plain appends MAINTAIN the recorded layout (clustering + stats)") {
+    val dir = tmpDir()
+    val t = new SnapshotTable(spark, dir)
+    withTightRanges(spark) {
+      kv(400, _ / 100).write.format("snapshot").mode("append")
+        .partitionBy("k").save(dir)
+      // second write through the TABLE API, no partitionBy anywhere:
+      // the recorded property drives the clustering
+      t.append(kv(400, _ / 100, offset = 400))
+    }
+    val total = t.files().size
+    val got = t.readWhere(col("k") === 0L)
+    assert(got.count() == 200)
+    assert(t.lastDmlCandidates.size <= 4 &&
+      t.lastDmlCandidates.size < total,
+      s"layout must survive plain appends: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+  }
+
+  test("a contradicting partitionBy declaration refuses loudly") {
+    val dir = tmpDir()
+    kv(100, _ % 4).write.format("snapshot").mode("append")
+      .partitionBy("k").save(dir)
+    val e = intercept[Exception] {
+      kv(100, _ % 4).write.format("snapshot").mode("append")
+        .partitionBy("id").save(dir)
+    }
+    assert(e.getMessage.contains("partition layout") &&
+      e.getMessage.contains(SnapshotTable.PartitionColsProp))
+    // missing column refuses too
+    val e2 = intercept[Exception] {
+      Seq((1L, 2L)).toDF("a", "b").write.format("snapshot")
+        .mode("overwrite").partitionBy("nope")
+        .save(tmpDir())
+    }
+    assert(e2.getMessage.contains("nope"))
+    // SAME declaration is fine (idempotent, no second property commit)
+    val t = new SnapshotTable(spark, dir)
+    val v0 = t.currentVersion
+    kv(100, _ % 4).write.format("snapshot").mode("append")
+      .partitionBy("k").save(dir)
+    assert(t.currentVersion == v0 + 1, "matching re-declaration must be " +
+      "one plain append commit (no extra property version)")
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY lands the layout in the log; INSERT clusters") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_layout_sql (id BIGINT, k BIGINT)
+      |USING snapshot PARTITIONED BY (k) OPTIONS (path '$dir')""".stripMargin)
+    val t = new SnapshotTable(ext, dir)
+    assert(t.properties().get(SnapshotTable.PartitionColsProp).contains("k"),
+      "CREATE TABLE PARTITIONED BY must reach the table LOG")
+    // declared schema recorded: reads empty at the declared shape
+    assert(ext.sql("SELECT * FROM snap_layout_sql").schema.fieldNames.toSeq
+      == Seq("id", "k"))
+    assert(ext.sql("SELECT count(*) FROM snap_layout_sql").head().getLong(0) == 0)
+    withTightRanges(ext) {
+      ext.sql("INSERT INTO snap_layout_sql " +
+        "SELECT id, CAST(id / 100 AS BIGINT) AS k FROM range(400)")
+    }
+    val total = t.files().size
+    t.readWhere(col("k") === 1L)
+    assert(t.lastDmlCandidates.size < total,
+      s"INSERT INTO a PARTITIONED BY table must cluster: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+    assert(ext.sql("SELECT count(*) FROM snap_layout_sql WHERE k = 1")
+      .head().getLong(0) == 100)
+  }
+
+  test("CTAS ... PARTITIONED BY clusters the initial data write") {
+    val dir = tmpDir()
+    withTightRanges(ext) {
+      ext.sql(s"""CREATE TABLE snap_layout_ctas USING snapshot
+        |PARTITIONED BY (k) OPTIONS (path '$dir')
+        |AS SELECT id, CAST(id / 100 AS BIGINT) AS k FROM range(400)""".stripMargin)
+    }
+    val t = new SnapshotTable(ext, dir)
+    assert(t.properties().get(SnapshotTable.PartitionColsProp).contains("k"),
+      "CTAS must record the layout property WITH the data commit")
+    val total = t.files().size
+    assert(total >= 2, s"CTAS write should range-spread, got $total file(s)")
+    t.readWhere(col("k") === 3L)
+    assert(t.lastDmlCandidates.size < total,
+      s"CTAS data must come out clustered: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+    assert(ext.sql("SELECT count(*) FROM snap_layout_ctas").head()
+      .getLong(0) == 400)
+  }
+
+  test("OPTIMIZE re-clusters the packed tail on the layout columns by default") {
+    val dir = tmpDir()
+    val t = new SnapshotTable(spark, dir)
+    // interleaved small appends DECAY the clustering (each covers the
+    // full k range)...
+    kv(100, _ / 25).write.format("snapshot").mode("append")
+      .partitionBy("k").save(dir)
+    (1 to 3).foreach(b => t.append(kv(100, _ / 25, offset = b * 100)
+      .coalesce(1)))
+    // ...and OPTIMIZE restores it without an explicit ZORDER BY
+    assert(t.compactSmall(64L << 20) > 0)
+    val total = t.files().size
+    t.readWhere(col("k") === 2L)
+    assert(t.lastDmlCandidates.size < math.max(total, 2),
+      s"post-OPTIMIZE point read must prune: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+  }
+}

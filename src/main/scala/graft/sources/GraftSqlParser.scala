@@ -83,8 +83,18 @@ object GraftSqlParser {
       """(?:\s+TARGET\s+SIZE\s+(\d+))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?""" +
       """(?:\s+GRACE\s+(\d+)\s+SECONDS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  // DESCRIBE HISTORY / DESCRIBE DETAIL (the Delta spellings) — sugar
+  // for the snapshot_history / snapshot_detail TVFs: the statement
+  // parses INTO the TVF call, so output schema and semantics cannot
+  // drift from the FROM-clause surface. Plain DESCRIBE <table> misses
+  // this grammar and flows to Spark untouched.
+  private val DescHistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+  private val DescDetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
@@ -104,7 +114,7 @@ object GraftSqlParser {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathTarget +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
   private val Keyword =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER)\b.*""".r
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
@@ -127,11 +137,28 @@ object GraftSqlParser {
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)).getOrElse(Nil),
           Option(target).map(_.toLong)))
-      case VacuumRe(p1, p2, p3, retain, grace, dry) =>
+      case VacuumRe(p1, p2, p3, retain, unit, grace, dry) =>
+        val hours = Option(unit).exists(_.toUpperCase.startsWith("HOUR"))
         Some(SnapshotVacuumCommand(tgt(p1, p2, p3),
-          Option(retain).map(_.toInt).getOrElse(DefaultRetainVersions),
+          retainVersions =
+            if (hours) DefaultRetainVersions
+            else Option(retain).map(_.toInt).getOrElse(DefaultRetainVersions),
+          retainHours =
+            if (hours) Some(retain.toLong) else None,
           graceMs = Option(grace).map(_.toLong * 1000L),
           dryRun = dry != null))
+      case DescHistoryRe(p1, p2, p3, limit) =>
+        Some(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction("snapshot_history",
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+              tgt(p1, p2, p3)),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                Option(limit).map(_.toInt).getOrElse(Int.MaxValue)))))
+      case DescDetailRe(p1, p2, p3) =>
+        Some(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction("snapshot_detail",
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+              tgt(p1, p2, p3)))))
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))
@@ -164,14 +191,22 @@ final case class SnapshotOptimizeCommand(target: String,
 
 /** `VACUUM` — reclaim data files referenced by no snapshot at or above
   * the retention floor (newest `retainVersions` kept; clamped so the
-  * head always survives). `GRACE n SECONDS` overrides the in-flight
+  * head always survives). `RETAIN n HOURS` (the Delta idiom users
+  * carry) resolves the wall-clock horizon to a version floor through
+  * the same manifest-mtime binary search timestamp time travel uses
+  * ([[SnapshotTable.versionAtOrStart]]): every version committed
+  * within the window survives, PLUS the one current AT the horizon
+  * (time travel to exactly `now - n hours` keeps working) — a horizon
+  * predating the earliest resolvable version keeps everything.
+  * `GRACE n SECONDS` overrides the in-flight
   * staging grace window (default 1 h — a just-unreferenced file may
   * belong to a commit about to publish; see [[SnapshotTable.vacuum]]).
   * Returns the number of data files deleted (or that WOULD be, under
   * `DRY RUN`). */
 final case class SnapshotVacuumCommand(target: String,
     retainVersions: Int, graceMs: Option[Long],
-    dryRun: Boolean) extends LeafRunnableCommand {
+    dryRun: Boolean, retainHours: Option[Long] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("files_deleted", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
@@ -179,7 +214,15 @@ final case class SnapshotVacuumCommand(target: String,
       s"VACUUM must retain at least 1 version, got $retainVersions")
     val t = new SnapshotTable(session,
       SnapshotTvfs.resolveRoot(session, target))
-    val floor = math.max(1, t.currentVersion - retainVersions + 1)
+    val floor = retainHours match {
+      case Some(h) =>
+        val horizon = System.currentTimeMillis() - h * 3600000L
+        // horizon older than the earliest resolvable version (or an
+        // empty table): nothing is out of retention — keep everything
+        try math.max(1, t.versionAtOrStart(horizon))
+        catch { case _: IllegalArgumentException => 1 }
+      case None => math.max(1, t.currentVersion - retainVersions + 1)
+    }
     Seq(Row(t.vacuum(floor,
       stagingGraceMs = graceMs.getOrElse(3600000L),
       dryRun = dryRun).toLong))

@@ -56,6 +56,63 @@ class SnapshotSqlMaintenanceSpec extends SparkSuite {
     intercept[Exception] { t.read(Some(2)).count() }
   }
 
+  test("VACUUM RETAIN n HOURS resolves the horizon to a version floor") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id").coalesce(1))  // v1
+    t.overwrite(Seq(2L).toDF("id").coalesce(1)) // v2: v1's file unreferenced
+    t.overwrite(Seq(3L).toDF("id").coalesce(1)) // v3: v2's file unreferenced
+    // age v1/v2 three hours into the past (manifest mtimes are what
+    // timestamp resolution binary-searches)
+    val old = System.currentTimeMillis() - 3L * 3600000L
+    (1 to 2).foreach { v =>
+      val f = new java.io.File(s"${t.root}/_log/" + f"$v%08d" + ".json")
+      assert(f.exists, s"expected manifest ${f.getPath}")
+      assert(f.setLastModified(old))
+    }
+    // horizon predating every version: nothing out of retention
+    assert(ext.sql(s"VACUUM snapshot.`${t.root}` RETAIN 100000 HOURS " +
+      "GRACE 0 SECONDS DRY RUN").head().getLong(0) == 0L)
+    // horizon 1 h ago -> floor = v2 (current AT the horizon, kept for
+    // time travel) -> only v1's file is referenced by no kept snapshot
+    val dry = ext.sql(s"VACUUM snapshot.`${t.root}` RETAIN 1 HOURS " +
+      "GRACE 0 SECONDS DRY RUN").head().getLong(0)
+    assert(dry == 1L, s"RETAIN 1 HOURS must doom exactly v1's file, got $dry")
+    assert(t.read(Some(2)).count() == 1, "DRY RUN must not delete")
+    assert(ext.sql(s"VACUUM snapshot.`${t.root}` RETAIN 1 HOURS " +
+      "GRACE 0 SECONDS").head().getLong(0) == 1L)
+    assert(t.read(Some(2)).count() == 1, "the horizon version must survive")
+    intercept[Exception] { t.read(Some(1)).count() }
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL are the TVFs by construction") {
+    val t = tmpTable()
+    t.append(Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    val hist = ext.sql(s"DESCRIBE HISTORY snapshot.`${t.root}`")
+    val tvf = ext.sql(s"SELECT * FROM snapshot_history('${t.root}')")
+    assert(hist.schema == tvf.schema,
+      "DESCRIBE HISTORY must carry the TVF's exact schema")
+    assert(hist.count() == 2)
+    assert(ext.sql(s"DESC HISTORY snapshot.`${t.root}` LIMIT 1").count() == 1)
+    val det = ext.sql(s"DESCRIBE DETAIL snapshot.`${t.root}`")
+    assert(det.schema ==
+      ext.sql(s"SELECT * FROM snapshot_detail('${t.root}')").schema)
+    assert(det.head().getAs[Int]("num_files") == t.files().size)
+    // catalog NAMES resolve too (the TVF resolution path)
+    ext.sql(s"CREATE TABLE snap_desc_name USING snapshot " +
+      s"OPTIONS (path '${t.root}')")
+    assert(ext.sql("DESCRIBE HISTORY snap_desc_name").count() == 2)
+    // plain DESCRIBE still belongs to Spark
+    assert(ext.sql("DESCRIBE snap_desc_name").collect()
+      .map(_.getString(0)).contains("id"))
+    // a non-snapshot DESCRIBE DETAIL target fails with the TVF's
+    // own provider-naming error, not a parse error
+    ext.sql("CREATE OR REPLACE TEMPORARY VIEW desc_plain AS SELECT 1 AS x")
+    intercept[Exception] {
+      ext.sql("DESCRIBE DETAIL desc_plain").collect()
+    }
+  }
+
   test("RESTORE TO VERSION AS OF / TO TIMESTAMP AS OF roll back as new commits") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

@@ -104,11 +104,16 @@ object Bench {
     * worst per-run probe ratio exceeds [[ProbeScaleWarnAt]], the gate
     * re-evaluates that flag against floors scaled by the run-local
     * ratio (capped like the entry normalization): flags that pass the
-    * rescaled gate move to `regressions_discounted` — annotated with
-    * the probe evidence — instead of demanding a judge-side
-    * re-measure; a genuine plan regression trips even the rescaled
-    * gate and stays a flag. Floors passed here are the UNSCALED
-    * committed ones. Returns (kept, discounted). */
+    * rescaled gate get the probe EVIDENCE attached
+    * (`regressions_discounted`) — but they STAY in `regressions`
+    * (r15 ADVICE: the probe runs on the same box right after the
+    * counted run, so a genuine regression coinciding with — or
+    * causing — load could otherwise self-discount; the repo's own
+    * adjudication protocol requires the isolated SPARK_GRAFT_ONLY
+    * re-measure, and the annotation is the pointer to run it, not a
+    * pass). A flag that trips even the rescaled gate carries no
+    * annotation at all. Floors passed here are the UNSCALED committed
+    * ones. Returns (kept-without-evidence, spike-annotated). */
   private[graft] def discountFlags(
       regs: Seq[(String, Double, Double)],
       medians: Seq[(String, Double)], bests: Map[String, Double],
@@ -330,10 +335,15 @@ object Bench {
     regs.foreach { case (n, b, f) =>
       System.err.println(f"[bench] REGRESSION $n: $b%.2fs vs floor $f%.2fs (best+median gate)") }
     discounted.foreach { case (n, b, f) =>
-      System.err.println(f"[bench] flag on $n ($b%.2fs vs floor $f%.2fs) " +
-        f"DISCOUNTED: run-local probe ratio x$localRatio%.2f marks a " +
-        "mid-suite load spike and the flag passes the spike-rescaled gate") }
-    val regsJson = regressionsJson(regs, probeRatio)
+      System.err.println(f"[bench] flag on $n ($b%.2fs vs floor $f%.2fs): " +
+        f"run-local probe ratio x$localRatio%.2f marks a mid-suite load " +
+        "spike and the flag passes the spike-rescaled gate — KEPT in " +
+        "regressions with the evidence attached; adjudicate with the " +
+        "isolated SPARK_GRAFT_ONLY re-measure before trusting either way") }
+    // spike-annotated flags STAY in the gate output (see discountFlags
+    // doc — the annotation demands the isolated re-measure, it is not
+    // a pass); regressions_discounted carries the evidence
+    val regsJson = regressionsJson(regs ++ discounted, probeRatio)
     val discJson =
       if (discounted.isEmpty) ""
       else discounted.map { case (n, b, f) =>

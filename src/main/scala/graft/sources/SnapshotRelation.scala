@@ -141,7 +141,6 @@ final class SnapshotSourceProvider extends RelationProvider
     require(asOfV.isEmpty || asOfT.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = asOfV.orElse(asOfT.map(table.versionAt))
-    SnapshotSourceProvider.lastTable = table
     new SnapshotRelation(sqlContext, table, version, declared)
   }
 
@@ -289,14 +288,6 @@ final class SnapshotRelation(override val sqlContext: SQLContext,
       }: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
-}
-
-object SnapshotSourceProvider {
-  /** Test seam: the table handle behind the most recently created READ
-    * relation, so specs can assert on its pruning diagnostics
-    * (`lastDmlCandidates`) — the provider constructs its own handle
-    * per relation, invisible to the caller otherwise. */
-  @volatile private[graft] var lastTable: SnapshotTable = _
 }
 
 object SnapshotRelation {

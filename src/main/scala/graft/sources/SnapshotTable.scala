@@ -3350,10 +3350,18 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     candidates
   }
 
-  /** Candidate set of the most recent DML verb call — a TEST SEAM for
-    * pinning that derived preds actually pruned (not part of the
-    * concurrency-safe API surface). */
-  private[sources] var lastDmlCandidates: Seq[String] = Nil
+  /** Candidate set of the most recent prune on THIS handle — scan-
+    * planning observability (what did the last readWhere/DML verb
+    * plan?), also mirrored into the companion's per-root registry
+    * ([[SnapshotTable.lastPlannedCandidates]]) so callers that never
+    * see the handle (SQL statements build their own) can still read
+    * the diagnostic. Not part of the concurrency-safe API surface. */
+  private[sources] def lastDmlCandidates: Seq[String] = lastDmlCandidates0
+  private[sources] def lastDmlCandidates_=(v: Seq[String]): Unit = {
+    lastDmlCandidates0 = v
+    SnapshotTable.recordPrune(root, v)
+  }
+  private var lastDmlCandidates0: Seq[String] = Nil
 
   /** Merge-candidate narrowing by the SOURCE's own key values: collect
     * up to [[SnapshotTable.MergePruneKeys]] distinct values of the
@@ -4914,6 +4922,37 @@ object SnapshotTable {
     props.get(PartitionColsProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+
+  // ---- scan-planning diagnostics --------------------------------------
+  //
+  // The most recent metadata-prune outcome PER TABLE ROOT, recorded by
+  // every prune entry point across ALL handles (each SQL statement and
+  // relation builds its own). Observability for "what did that scan
+  // plan?", and the specs' pinning hook — replacing the r14/r15
+  // last-relation global on the provider (one mutable global pointing
+  // at a whole table handle; this is a bounded registry of file lists
+  // keyed by root). LRU-bounded so a long-lived session touching many
+  // roots cannot grow it without bound.
+
+  private val pruneDiag: java.util.Map[String, Seq[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[String]](16, 0.75f, true) {
+        override protected def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > 256
+      })
+
+  private def diagKey(root: String): String =
+    new org.apache.hadoop.fs.Path(root).toUri.getPath
+
+  private[sources] def recordPrune(root: String, files: Seq[String]): Unit =
+    pruneDiag.put(diagKey(root), files)
+
+  /** The candidate files the most recent metadata prune planned for
+    * the table at `root`, across every handle in this JVM (None when
+    * no prune ran since start / eviction). */
+  def lastPlannedCandidates(root: String): Option[Seq[String]] =
+    Option(pruneDiag.get(diagKey(root)))
 
   // ---- protocol versioning ------------------------------------------
   //

@@ -62,6 +62,12 @@ class BenchGateSpec extends AnyFunSuite {
     val (kept, disc) = Bench.discountFlags(regs, medians, bests, floors0, 3.0)
     assert(kept.map(_._1) == Seq("broken"), s"kept $kept")
     assert(disc.map(_._1) == Seq("spiked"), s"discounted $disc")
+    // the rendered artifact keeps BOTH in `regressions` (the r15
+    // ADVICE fix: probe evidence annotates, it never passes the gate —
+    // the isolated re-measure adjudicates)
+    val rendered = Bench.regressionsJson(kept ++ disc, 1.0)
+    assert(rendered.contains("\"broken\"") && rendered.contains("\"spiked\""),
+      s"spike-annotated flags must stay in regressions: $rendered")
     // below the warn threshold: no discounting at all
     assert(Bench.discountFlags(regs, medians, bests, floors0, 1.2) ==
       ((regs, Nil)))

@@ -38,8 +38,9 @@ class SnapshotDmlSpec extends SparkSuite {
     val got = ext.sql(
       s"SELECT id FROM snapshot.`${t.root}` WHERE id = 250").collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(250L))
-    // pushed filter reached the format's metadata pruning
-    assert(SnapshotSourceProvider.lastTable.lastDmlCandidates.size == 1)
+    // pushed filter reached the format's metadata pruning (the
+    // statement's own handle recorded it in the per-root registry)
+    assert(SnapshotTable.lastPlannedCandidates(t.root).get.size == 1)
     // composes with SQL (join back onto itself)
     assert(ext.sql(
       s"""SELECT count(*) FROM snapshot.`${t.root}` a
@@ -62,10 +63,10 @@ class SnapshotDmlSpec extends SparkSuite {
         statCols = Seq("id"), bloomCols = Seq("id"))
     }
     ext.sql(s"DELETE FROM snapshot.`${t.root}` WHERE id = 250")
-    // the statement's own handle (provider-built) records the prune
-    val handle = SnapshotSourceProvider.lastTable
-    assert(handle.lastDmlCandidates.size == 1,
-      s"SQL point delete planned ${handle.lastDmlCandidates.size} candidate files")
+    // the statement's own handle records the prune in the registry
+    val planned = SnapshotTable.lastPlannedCandidates(t.root).get
+    assert(planned.size == 1,
+      s"SQL point delete planned ${planned.size} candidate files")
     assert(t.read().count() == 499)
     // nothing matched -> version 0, no commit
     val v0 = t.currentVersion

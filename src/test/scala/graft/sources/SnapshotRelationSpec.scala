@@ -40,15 +40,14 @@ class SnapshotRelationSpec extends SparkSuite {
         statCols = Seq("id"), bloomCols = Seq("id"))
     }
     val df = spark.read.format("snapshot").load(dir)
-    val tab = SnapshotSourceProvider.lastTable
+    def planned = SnapshotTable.lastPlannedCandidates(dir).get
     assert(df.where($"id" === 250L).as[Long].collect().toSeq == Seq(250L))
-    assert(tab.lastDmlCandidates.size == 1,
-      s"point lookup planned ${tab.lastDmlCandidates.size} files")
+    assert(planned.size == 1, s"point lookup planned ${planned.size} files")
     assert(df.where($"id" >= 150L && $"id" < 260L).count() == 110L)
-    assert(tab.lastDmlCandidates.size == 2)
+    assert(planned.size == 2)
     // IN-list bloom probes
     assert(df.where($"id".isin(7L, 307L)).count() == 2L)
-    assert(tab.lastDmlCandidates.size == 2)
+    assert(planned.size == 2)
     // an untranslatable residual (modulo) widens pruning, never rows
     assert(df.where($"id" % 100L === 0L && $"id" < 100L).count() == 1L)
   }

@@ -102,7 +102,45 @@ object Coverage {
       d
     })
 
+  /** see s7_partitioned_layout — one PARTITIONED snapshot copy of
+    * `customer` per (JVM, sf dir): written through the provider with
+    * `partitionBy(c_nationkey)`, which the format honors as its
+    * recorded range-clustering layout (every write clusters + records
+    * stats on the column, reads prune partition predicates from the
+    * manifest). */
+  private val layoutDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def layoutDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    layoutDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_layout").toString
+      cleanupOnExit(d)
+      Tables.customer(s, dir).write.format("snapshot").mode("overwrite")
+        .partitionBy("c_nationkey").save(d)
+      d
+    })
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "s7_partitioned_layout",
+      """SELECT c_mktsegment, count(*) AS n_cust, min(c_name) AS first_name
+        |FROM customer WHERE c_nationkey BETWEEN 5 AND 9
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      // partitionBy-honoring write path end to end: customer lands in
+      // a snapshot table PARTITIONED BY (c_nationkey) — recorded as
+      // the range-clustering layout — and the partition predicate
+      // prunes from manifest stats before the parquet scan. Oracle
+      // runs the same filter over the original parquet: the layout
+      // must be row-invisible.
+      val tmp = Coverage.layoutDir(s, dir)
+      s.read.format("snapshot").load(tmp)
+        .where(col("c_nationkey").between(5, 9))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), min("c_name").as("first_name"))
+        .orderBy("c_mktsegment")
+    },
 
     QueryDef.sql(
       "s1_csv_roundtrip",

@@ -167,11 +167,27 @@ final class SnapshotSourceProvider extends RelationProvider
         table.appendWithStats(data, cols("statCols"), cols("bloomCols"),
           partitionBy = pby)
       case SaveMode.Overwrite =>
-        // one staging pass records stats/blooms alongside the write —
-        // never a second whole-table rewrite, never a stat-less
-        // version visible in between
-        table.overwrite(data, statCols = cols("statCols"),
-          bloomCols = cols("bloomCols"), partitionBy = pby)
+        parameters.get("replaceWhere") match {
+          // targeted overwrite (the Delta writer idiom):
+          //   df.write.format("snapshot").mode("overwrite")
+          //     .option("replaceWhere", "k = 3").save(root)
+          // deletes the matching rows and inserts the frame in ONE
+          // commit; inserted rows must satisfy the condition unless
+          // .option("replaceWhereValidate", "false")
+          case Some(c) =>
+            table.replaceWhere(data,
+              org.apache.spark.sql.functions.expr(c),
+              statCols = cols("statCols"), bloomCols = cols("bloomCols"),
+              validate = parameters.get("replaceWhereValidate")
+                .forall(_.trim.toBoolean),
+              partitionBy = pby)
+          case None =>
+            // one staging pass records stats/blooms alongside the
+            // write — never a second whole-table rewrite, never a
+            // stat-less version visible in between
+            table.overwrite(data, statCols = cols("statCols"),
+              bloomCols = cols("bloomCols"), partitionBy = pby)
+        }
       // ErrorIfExists/Ignore go through the KEYED exclusive-create
       // verb: two racing creators serialize through the commit
       // conflict check instead of both passing a non-atomic

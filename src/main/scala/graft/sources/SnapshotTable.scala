@@ -1054,19 +1054,19 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * the columns the frame actually carries (a defaulted column absent
     * from an old-shape writer's frame records nothing rather than
     * failing analysis — same tolerance as constraint enforcement). */
-  private def effCols(given: Seq[String], prop: String,
-      frame: DataFrame): Seq[String] =
+  private def effCols(props: Map[String, String], given: Seq[String],
+      prop: String, frame: DataFrame): Seq[String] =
     if (given.nonEmpty) given
-    else properties().get(prop)
+    else props.get(prop)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
       .filter(c => frame.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
 
   private[sources] def effStatCols(given: Seq[String], frame: DataFrame): Seq[String] =
-    effCols(given, SnapshotTable.StatColsProp, frame)
+    effCols(properties(), given, SnapshotTable.StatColsProp, frame)
 
   private[sources] def effBloomCols(given: Seq[String], frame: DataFrame): Seq[String] =
-    effCols(given, SnapshotTable.BloomColsProp, frame)
+    effCols(properties(), given, SnapshotTable.BloomColsProp, frame)
 
   /** Apply the table's PARTITION LAYOUT to a write (see
     * [[SnapshotTable.PartitionColsProp]]): range-cluster the frame on
@@ -1091,9 +1091,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * into the write's stat columns by callers, and the property write
     * to ride the commit when the declaration is new). */
   private[sources] def applyLayout(df: DataFrame,
-      declared: Seq[String] = Nil)
+      declared: Seq[String] = Nil,
+      props: Map[String, String] = null)
       : (DataFrame, Seq[String], Seq[(String, Option[String])]) = {
-    val recorded = SnapshotTable.layoutColsOf(properties())
+    val recorded = SnapshotTable.layoutColsOf(
+      Option(props).getOrElse(properties()))
     if (declared.nonEmpty) {
       val missing = declared.filterNot(c =>
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -1945,9 +1947,27 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
                   "against the new name")
             }
         }
+      // the column-LIST properties (stat/bloom defaults, partition
+      // layout) reference logical names too: without the rewrite a
+      // renamed column silently drops out of every later write's
+      // stats/clustering (the effCols/applyLayout present-filter
+      // tolerance is for absent columns, not renamed ones). Same
+      // commit, same reasoning as the constraint rewrite above.
+      val listRewrites: Seq[(String, Option[String])] =
+        Seq(SnapshotTable.StatColsProp, SnapshotTable.BloomColsProp,
+          SnapshotTable.PartitionColsProp).flatMap { p =>
+          renameProps.get(p).flatMap { v =>
+            val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (!cols.exists(_.equalsIgnoreCase(oldName))) None
+            else Some(p -> Some(cols.map(c =>
+              if (c.equalsIgnoreCase(oldName)) newName else c)
+              .mkString(",")))
+          }
+        }
       commit(Nil, Nil, base = base, keyed = true, op = "renameColumn",
         schemaGate = false, schemaTransform = Some(ns _),
-        props = conRewrites ++ protocolBump(renameProps, 3, 3))
+        props = conRewrites ++ listRewrites ++
+          protocolBump(renameProps, 3, 3))
     }
 
   /** Substitute `oldName` identifiers with `newName` in a CHECK
@@ -2266,9 +2286,13 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   def appendWithStats(df0: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
       partitionBy: Seq[String] = Nil): Int = {
-    val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
-    val sc = (effStatCols(statCols, df) ++ layout).distinct
-    val bc = effBloomCols(bloomCols, df)
+    // ONE metadata replay feeds layout + stat/bloom defaults (appends
+    // are the hot write path — streaming batches land here per-batch)
+    val props = properties()
+    val (df, layout, layoutProp) = applyLayout(df0, partitionBy, props)
+    val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, df)
+      ++ layout).distinct
+    val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df)
     val (staged, stats, sstats, counts, sizes, nullsCh) =
       stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
     val blooms = buildBlooms(staged, bc, bloomFpp, counts)
@@ -2300,9 +2324,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           s"snapshot table $root already exists (version $base); use " +
             "mode(\"append\") or mode(\"overwrite\")")
       } else {
-        val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
-        val sc = (effStatCols(statCols, df) ++ layout).distinct
-        val bc = effBloomCols(bloomCols, df)
+        val props = properties(Some(base))
+        val (df, layout, layoutProp) = applyLayout(df0, partitionBy, props)
+        val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, df)
+          ++ layout).distinct
+        val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df)
         val (staged, stats, sstats, counts, sizes, nullsCh) =
           stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
         val blooms = buildBlooms(staged, bc, bloomFpp, counts)
@@ -2928,7 +2954,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     retryingOnConflict("overwrite") {
       val base = currentVersion
       val live = files(Some(base))
-      val (df, layout, layoutProp) = applyLayout(df0, partitionBy)
+      val props0 = properties(Some(base))
+      val (df, layout, layoutProp) = applyLayout(df0, partitionBy, props0)
       // keyed even when the table is empty: two concurrent FIRST
       // overwrites would otherwise both land as unchecked add-only
       // commits and the table would hold the UNION of both frames —
@@ -2937,8 +2964,9 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       // replace-everything stages UNMAPPED: the commit records the
       // frame's own schema, so a prior rename's physical names must
       // not leak into files that schema will never alias
-      val sc = (effStatCols(statCols, df) ++ layout).distinct
-      val bc = effBloomCols(bloomCols, df)
+      val sc = (effCols(props0, statCols, SnapshotTable.StatColsProp, df)
+        ++ layout).distinct
+      val bc = effCols(props0, bloomCols, SnapshotTable.BloomColsProp, df)
       // ONE staging pass computes stats/nulls/counts alongside the
       // write — a stat-recording overwrite must never cost a second
       // whole-table rewrite (the old format-writer path re-laid via
@@ -3487,6 +3515,79 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           }
         }
       }
+    }
+
+  /** Targeted atomic overwrite — the Delta `replaceWhere` contract:
+    * delete every live row matching `cond` AND insert `df0`, in ONE
+    * keyed commit (readers see either the old state or the fully
+    * replaced one, never the gap). The write-side idiom for
+    * "recompute partition k" pipelines; with the recorded layout
+    * ([[SnapshotTable.PartitionColsProp]]) the result is exactly a
+    * partition-overwrite, without a directory layout.
+    *
+    * By default every inserted row must itself satisfy `cond` —
+    * refused BEFORE anything commits (the guard that keeps "replace
+    * k = 3" from smuggling rows into other slabs; Delta's
+    * replaceWhere constraint check). `validate = false` opts out.
+    *
+    * Scale shape: `cond` prunes candidates from manifest metadata
+    * (stats/blooms/nulls, the [[deleteWhere]] tiers), one
+    * column-pruned scan finds the files that actually CONTAIN a match,
+    * and only those rewrite — replacing one slab of a 10k-file table
+    * rewrites that slab. The commit is keyed and UNSCOPED: an
+    * interleaved writer adding rows that match `cond` must conflict
+    * (this plan decided such rows lived only in the affected files)
+    * and force a recompute. A no-match replace still inserts (one
+    * commit); empty `df0` with matches is a delete; neither = 0, no
+    * commit. Returns the committed version. */
+  def replaceWhere(df0: DataFrame, cond: Column,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01, validate: Boolean = true,
+      partitionBy: Seq[String] = Nil): Int =
+    retryingOnConflict("replaceWhere") {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      if (validate) {
+        val bad = df0.filter(!coalesce(cond, lit(false))).limit(1).count()
+        require(bad == 0L,
+          s"replaceWhere on $root: the incoming frame contains row(s) " +
+            "that do NOT satisfy the replace condition — they would " +
+            "silently land outside the replaced slab. Fix the frame or " +
+            "pass validate = false to opt out (the Delta constraint " +
+            "check contract)")
+      }
+      val base = currentVersion
+      val state = replayStateFull(base)
+      val candidates =
+        if (state.live.isEmpty) Nil
+        else dmlCandidates(state, cond, Nil, Nil)
+      val affected: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else readFilesWithSource(candidates, Some(base))
+          .filter(cond).select(col("__src_file").as("__f"))
+          .distinct().collect()
+          .map(r => fs.makeQualified(new Path(r.getString(0))).toString).toSeq
+      val survivors: Option[DataFrame] =
+        if (affected.isEmpty) None
+        else Some(readFiles(affected, Some(base))
+          .filter(!coalesce(cond, lit(false))))
+      // survivors carry the table shape; unionByName refuses a
+      // mismatched incoming frame with Spark's own clear error
+      val merged = survivors.map(_.unionByName(df0)).getOrElse(df0)
+      val props = state.props
+      val (result, layout, layoutProp) = applyLayout(merged, partitionBy, props)
+      val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, result)
+        ++ layout).distinct
+      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, result)
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(result, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
+      if (staged.isEmpty && affected.isEmpty) 0
+      else commit(staged, affected, stats = stats, base = base,
+        keyed = true, op = "replaceWhere",
+        schema = Some(result.schema.json), sstats = sstats,
+        blooms = blooms, sizes = sizes,
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
+        props = layoutProp)
     }
 
   /** Copy-on-write UPDATE: rewrite every live row matching `cond`

@@ -148,6 +148,33 @@ class SnapshotLayoutSpec extends SparkSuite {
       .getLong(0) == 400)
   }
 
+  test("renameColumn rewrites the column-list properties (layout/stat/bloom follow the rename)") {
+    val dir = tmpDir()
+    withTightRanges(spark) {
+      kv(400, _ / 100).write.format("snapshot").mode("append")
+        .partitionBy("k").save(dir)
+    }
+    val t = new SnapshotTable(spark, dir)
+    t.setProperty(SnapshotTable.BloomColsProp, "id,k")
+    t.renameColumn("k", "bucket")
+    val p = t.properties()
+    assert(p.get(SnapshotTable.PartitionColsProp).contains("bucket"),
+      "the layout property must follow the rename")
+    assert(p.get(SnapshotTable.BloomColsProp).contains("id,bucket"),
+      "bloom defaults must follow the rename")
+    assert(p.get(SnapshotTable.StatColsProp).forall(!_.contains("k,")),
+      s"stat defaults must not keep the old name: ${p.get(SnapshotTable.StatColsProp)}")
+    // and the layout still DRIVES writes + pruning under the new name
+    withTightRanges(spark) {
+      t.append(kv(400, _ / 100, offset = 400).toDF("id", "bucket"))
+    }
+    val total = t.files().size
+    t.readWhere(col("bucket") === 2L)
+    assert(t.lastDmlCandidates.size < total,
+      s"renamed layout column must keep pruning: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+  }
+
   test("OPTIMIZE re-clusters the packed tail on the layout columns by default") {
     val dir = tmpDir()
     val t = new SnapshotTable(spark, dir)

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[SnapshotTable.replaceWhere]] — the Delta targeted-overwrite
+  * contract: delete-matching + insert in ONE keyed commit, inserted
+  * rows validated against the condition, only matching files
+  * rewritten. */
+class SnapshotReplaceWhereSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpTable(): SnapshotTable = {
+    val dir = java.nio.file.Files.createTempDirectory("snaprw").toString
+    new SnapshotTable(spark, dir)
+  }
+
+  /** 3 single-file appends, k in {1, 2, 3}, stats on k. */
+  private def seed(): SnapshotTable = {
+    val t = tmpTable()
+    (1 to 3).foreach(k => t.appendWithStats(
+      (0 until 10).map(i => (k * 100L + i, k.toLong)).toDF("id", "k")
+        .coalesce(1), Seq("k")))
+    t
+  }
+
+  test("replaceWhere swaps exactly the matching slab; one commit; untouched files stay") {
+    val t = seed()
+    val before = t.files().toSet
+    val v0 = t.currentVersion
+    val v = t.replaceWhere(
+      Seq((9001L, 2L), (9002L, 2L)).toDF("id", "k"), col("k") === 2L)
+    assert(v == v0 + 1, "replace must be ONE commit")
+    assert((before -- t.files().toSet).size == 1,
+      "only the k=2 file may be rewritten")
+    val got = t.read().collect().map(r => r.getLong(0)).toSet
+    assert(got.count(_ >= 9000L) == 2)
+    assert(!got.exists(id => id >= 200L && id < 300L),
+      "old k=2 rows must be gone")
+    assert(got.count(id => id >= 100L && id < 200L) == 10,
+      "k=1 rows untouched")
+    // older snapshot intact
+    assert(t.read(Some(v0)).count() == 30)
+  }
+
+  test("validation refuses smuggled rows pre-commit; validate=false opts out") {
+    val t = seed()
+    val v0 = t.currentVersion
+    val e = intercept[IllegalArgumentException] {
+      t.replaceWhere(Seq((9001L, 2L), (9002L, 5L)).toDF("id", "k"),
+        col("k") === 2L)
+    }
+    assert(e.getMessage.contains("replace condition"))
+    assert(t.currentVersion == v0, "refusal must commit NOTHING")
+    t.replaceWhere(Seq((9002L, 5L)).toDF("id", "k"), col("k") === 2L,
+      validate = false)
+    assert(t.read().filter(col("k") === 5L).count() == 1)
+  }
+
+  test("no-match replace inserts; empty frame deletes; neither commits nothing") {
+    val t = seed()
+    val v1 = t.replaceWhere(Seq((9900L, 9L)).toDF("id", "k"),
+      col("k") === 9L)
+    assert(v1 > 0 && t.read().filter(col("k") === 9L).count() == 1)
+    // empty incoming frame = delete the slab
+    val v2 = t.replaceWhere(
+      Seq.empty[(Long, Long)].toDF("id", "k"), col("k") === 9L)
+    assert(v2 == v1 + 1 && t.read().filter(col("k") === 9L).count() == 0)
+    // nothing to delete, nothing to insert: no commit
+    assert(t.replaceWhere(Seq.empty[(Long, Long)].toDF("id", "k"),
+      col("k") === 9L) == 0)
+  }
+
+  test("writer option replaceWhere routes mode(overwrite) to the verb") {
+    val t = seed()
+    val root = t.root
+    Seq((9001L, 3L)).toDF("id", "k").write.format("snapshot")
+      .mode("overwrite").option("replaceWhere", "k = 3").save(root)
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._2 == 3L) == 1, "k=3 slab replaced by one row")
+    assert(got.count(_._2 == 1L) == 10 && got.count(_._2 == 2L) == 10,
+      "other slabs untouched (a bare overwrite would have dropped them)")
+    // option validation flows too
+    intercept[Exception] {
+      Seq((1L, 7L)).toDF("id", "k").write.format("snapshot")
+        .mode("overwrite").option("replaceWhere", "k = 3").save(root)
+    }
+    Seq((1L, 7L)).toDF("id", "k").write.format("snapshot")
+      .mode("overwrite").option("replaceWhere", "k = 3")
+      .option("replaceWhereValidate", "false").save(root)
+    assert(t.read().filter(col("k") === 7L).count() == 1)
+  }
+
+  test("metadata pruning narrows the match scan (stats on k)") {
+    val t = seed()
+    t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)
+    assert(t.lastDmlCandidates.size == 1,
+      s"stat-pruned replace planned ${t.lastDmlCandidates.size} files")
+  }
+}

@@ -251,9 +251,23 @@ final case class SnapshotCreateLayoutCommand(
           s"ALTER TABLE ... SET TBLPROPERTIES " +
           s"('${SnapshotTable.PartitionColsProp}' = '...') or drop " +
           "PARTITIONED BY to adopt the recorded one")
-      if (recorded.isEmpty)
+      if (recorded.isEmpty) {
+        // adopting an EXISTING root: the columns must exist in the
+        // recorded schema (the declared-schema case validates inside
+        // recordLayout) — otherwise the layout would silently never
+        // apply (applyLayout's present-filter is for old-shape
+        // writers, not typos)
+        t.schemaAt(None).filter(_ => t.currentVersion > 0).foreach { sch =>
+          val missing = partitionCols.filterNot(c =>
+            sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty,
+            s"PARTITIONED BY column(s) not in the table's recorded " +
+              s"schema: ${missing.mkString(", ")} (table has " +
+              s"${sch.fieldNames.mkString(", ")})")
+        }
         t.recordLayout(partitionCols,
           declaredSchema.filter(_ => t.currentVersion == 0))
+      }
     }
     delegate.run(session)
   }

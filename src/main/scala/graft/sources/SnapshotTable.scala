@@ -1087,6 +1087,13 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * gets coarser, never broken (an explicit count would pin tiny
     * writes to shuffle-partition-many tiny files).
     *
+    * The TAGGED streaming appends ([[appendIfAbsentWithStats]]) skip
+    * this deliberately: a per-micro-batch range shuffle buys little
+    * (each batch is one slab of arrival time, not of the layout key)
+    * and costs latency every trigger — [[compactSmall]] re-clusters
+    * the accumulated tail on the recorded layout by default, which is
+    * the stream-then-OPTIMIZE maintenance story.
+    *
     * Returns (clustered frame, effective layout columns — unioned
     * into the write's stat columns by callers, and the property write
     * to ride the commit when the declaration is new). */
@@ -3571,8 +3578,19 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         else Some(readFiles(affected, Some(base))
           .filter(!coalesce(cond, lit(false))))
       // survivors carry the table shape; unionByName refuses a
-      // mismatched incoming frame with Spark's own clear error
-      val merged = survivors.map(_.unionByName(df0)).getOrElse(df0)
+      // mismatched incoming frame with Spark's own clear error. A
+      // NO-MATCH replace has no survivors to align against — reorder
+      // the frame to the recorded schema by name so a column-order
+      // difference cannot masquerade as a schema change in the commit
+      val merged = survivors.map(_.unionByName(df0)).getOrElse {
+        state.schema.map(parseSchema) match {
+          case Some(ts) if ts.fieldNames.map(_.toLowerCase).sorted
+              .sameElements(df0.schema.fieldNames.map(_.toLowerCase).sorted) =>
+            df0.select(ts.fieldNames.map(n =>
+              org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+          case _ => df0
+        }
+      }
       val props = state.props
       val (result, layout, layoutProp) = applyLayout(merged, partitionBy, props)
       val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, result)

@@ -326,6 +326,21 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(root) => SnapshotAddColumnsCommand(id, root, cols)
           case None => a
         }
+      // SHOW TBLPROPERTIES must read the table LOG: properties set
+      // through the table API (setProperty/alterProperties on the
+      // path, or by another session) never pass through this
+      // session's metastore copy. Spark 4 keeps the V2 plan shape for
+      // session-catalog tables (a ResolvedTable child), so match that.
+      case s @ ShowTableProperties(
+          r: org.apache.spark.sql.catalyst.analysis.ResolvedTable,
+          key, out) =>
+        val id = org.apache.spark.sql.catalyst.TableIdentifier(
+          r.identifier.name, r.identifier.namespace.lastOption)
+        catalogSnapshotRoot(id) match {
+          case Some(root) =>
+            SnapshotShowPropertiesCommand(root, key, out)
+          case None => s
+        }
 
       case m: MergeIntoTable if m.resolved =>
         snapshotOf(m.targetTable) match {
@@ -545,6 +560,28 @@ final case class SnapshotAddColumnsCommand(
         meta.dataSchema.fields ++ cols.map(_.copy(nullable = true))))
     catalog.refreshTable(id)
     Nil
+  }
+}
+
+/** `SHOW TBLPROPERTIES <snapshot catalog table> [('key')]` — serves
+  * the LOG's replayed properties (the source of truth every verb
+  * reads) instead of the metastore copy, which only sees properties
+  * that flowed through THIS session's ALTER statements. Output shape
+  * is Spark's own (key+value rows, or value-only under a key probe —
+  * the original command's resolved output attributes decide). */
+final case class SnapshotShowPropertiesCommand(root: String,
+    propertyKey: Option[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = new SnapshotTable(session, root).properties()
+    propertyKey match {
+      case Some(k) =>
+        val v = props.getOrElse(k,
+          s"Table $root does not have property: $k")
+        if (output.size == 1) Seq(Row(v)) else Seq(Row(k, v))
+      case None =>
+        props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

@@ -175,12 +175,18 @@ final class SnapshotSourceProvider extends RelationProvider
           // commit; inserted rows must satisfy the condition unless
           // .option("replaceWhereValidate", "false")
           case Some(c) =>
-            table.replaceWhere(data,
-              org.apache.spark.sql.functions.expr(c),
+            val condC = org.apache.spark.sql.functions.expr(c)
+            val check = parameters.get("replaceWhereValidate")
+              .forall(_.trim.toBoolean)
+            // graft.dml.mode=mor routes to deletion vectors like the
+            // other DML verbs (one table-level knob)
+            if (SnapshotDml.morOf(table))
+              table.replaceWhereMoR(data, condC,
+                statCols = cols("statCols"),
+                bloomCols = cols("bloomCols"), validate = check)
+            else table.replaceWhere(data, condC,
               statCols = cols("statCols"), bloomCols = cols("bloomCols"),
-              validate = parameters.get("replaceWhereValidate")
-                .forall(_.trim.toBoolean),
-              partitionBy = pby)
+              validate = check, partitionBy = pby)
           case None =>
             // one staging pass records stats/blooms alongside the
             // write — never a second whole-table rewrite, never a

@@ -3726,6 +3726,55 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       }
     }
 
+  /** Merge-on-read [[replaceWhere]]: tombstone every live row matching
+    * `cond` via deletion vectors AND append `df0` — the targeted
+    * overwrite with NO data file rewritten, ONE commit carrying both
+    * sides. Same validation contract as [[replaceWhere]] (incoming
+    * rows must satisfy `cond` unless `validate = false`); same MoR
+    * trade as [[deleteWhereMoR]] (reads pay the DV anti-join until a
+    * rewrite materializes). Returns the committed version, or 0 when
+    * there was nothing to tombstone and nothing to insert. */
+  def replaceWhereMoR(df0: DataFrame, cond: Column,
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01, validate: Boolean = true): Int =
+    retryingOnConflict("replaceWhereMoR") {
+      import org.apache.spark.sql.functions.{coalesce, lit}
+      if (validate) {
+        val bad = df0.filter(!coalesce(cond, lit(false))).limit(1).count()
+        require(bad == 0L,
+          s"replaceWhereMoR on $root: the incoming frame contains " +
+            "row(s) that do NOT satisfy the replace condition — they " +
+            "would silently land outside the replaced slab. Fix the " +
+            "frame or pass validate = false to opt out")
+      }
+      val base = currentVersion
+      val state = replayStateFull(base)
+      val candidates =
+        if (state.live.isEmpty) Nil
+        else dmlCandidates(state, cond, Nil, Nil)
+      val (full, partial, changedFiles) =
+        if (candidates.isEmpty)
+          (Seq.empty[String], Seq.empty[(String, String, Long)],
+            Seq.empty[String])
+        else buildMorTombstones(state, candidates, cond)
+      val props = state.props
+      val sc = effCols(props, statCols, SnapshotTable.StatColsProp, df0)
+      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df0)
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(df0, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
+      if (staged.isEmpty && changedFiles.isEmpty) 0
+      else commit(staged, full, stats = stats, base = base, keyed = true,
+        op = "replaceWhereMoR",
+        schemaTransform =
+          Some(v => resolveSchema(SnapshotTable.stripPhysical(
+            df0.schema.json), v)),
+        sstats = sstats, blooms = blooms, sizes = sizes,
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, dvs = partial,
+        props = if (partial.nonEmpty)
+          protocolBump(props, 2, 2) else Nil)
+    }
+
   /** Merge-on-read UPDATE: tombstone every live row matching `cond`
     * via deletion vectors AND append its updated copy — no data file
     * rewritten, ONE commit carries both sides, so readers see either

@@ -161,6 +161,30 @@ class SnapshotCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("addCheckConstraint"))
   }
 
+  test("SHOW TBLPROPERTIES reads the table LOG, not the stale metastore copy") {
+    val dir = tmpDir()
+    ext.sql(s"""CREATE TABLE snap_cat_showprops (id BIGINT)
+      |USING snapshot OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("INSERT INTO snap_cat_showprops VALUES (1)")
+    // set through the TABLE API — the metastore never hears of it
+    new SnapshotTable(ext, dir).setProperty("graft.statCols", "id")
+    val rows = ext.sql("SHOW TBLPROPERTIES snap_cat_showprops").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.get("graft.statCols").contains("id"),
+      s"SHOW TBLPROPERTIES must serve the log's properties, got $rows")
+    // key probe form
+    assert(ext.sql(
+      "SHOW TBLPROPERTIES snap_cat_showprops ('graft.statCols')")
+      .collect().map(_.mkString(",")).mkString.contains("id"))
+    // missing key mirrors Spark's message-in-value behavior
+    assert(ext.sql("SHOW TBLPROPERTIES snap_cat_showprops ('nope')")
+      .collect().mkString.contains("does not have property"))
+    // non-snapshot tables keep Spark's own path
+    ext.sql("CREATE TABLE plain_props_t (x INT) USING parquet " +
+      s"LOCATION '${tmpDir()}'")
+    ext.sql("SHOW TBLPROPERTIES plain_props_t").collect() // no throw
+  }
+
   test("ALTER TABLE ADD COLUMNS widens the log schema; old rows null-fill") {
     val dir = tmpDir()
     ext.sql(s"""CREATE TABLE snap_cat_addcol (id BIGINT)

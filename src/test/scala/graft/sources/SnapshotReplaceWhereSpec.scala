@@ -91,6 +91,33 @@ class SnapshotReplaceWhereSpec extends SparkSuite {
     assert(t.read().filter(col("k") === 7L).count() == 1)
   }
 
+  test("replaceWhereMoR: byte parity with CoW, zero files rewritten") {
+    val cow = seed(); val mor = seed()
+    val beforeMor = mor.files().toSet
+    val repl = Seq((9001L, 2L), (9002L, 2L)).toDF("id", "k")
+    cow.replaceWhere(repl, col("k") === 2L)
+    mor.replaceWhereMoR(repl, col("k") === 2L)
+    def full(t: SnapshotTable) = t.read().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full(cow) == full(mor))
+    // the k=2 file is FULLY tombstoned -> converts to a plain remove;
+    // no pre-existing file is rewritten, the new rows append
+    assert(beforeMor.intersect(mor.files().toSet).size == 2,
+      "untouched files must survive as-is on the MoR path")
+    // validation contract shared
+    intercept[IllegalArgumentException] {
+      mor.replaceWhereMoR(Seq((1L, 7L)).toDF("id", "k"), col("k") === 2L)
+    }
+    // dml.mode=mor routes the writer option to the MoR verb
+    val routed = seed()
+    routed.setProperty(SnapshotDml.DmlModeProp, "mor")
+    val beforeRouted = routed.files().toSet
+    Seq((9100L, 1L)).toDF("id", "k").write.format("snapshot")
+      .mode("overwrite").option("replaceWhere", "k = 1").save(routed.root)
+    assert(beforeRouted.intersect(routed.files().toSet).size == 2)
+    assert(routed.read().filter(col("k") === 1L).count() == 1)
+  }
+
   test("metadata pruning narrows the match scan (stats on k)") {
     val t = seed()
     t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)

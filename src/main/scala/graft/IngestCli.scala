@@ -485,7 +485,13 @@ object IngestCli {
         spark.sql(s"OPTIMIZE snapshot.`$tvfDir`")
         val optN = spark.sql(
           s"SELECT count(*) FROM snapshot_files('$tvfDir')").head().getLong(0)
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN}""")
+        // and the r16 statements: DESCRIBE HISTORY (parser->TVF sugar)
+        // and VACUUM RETAIN HOURS (horizon resolution) parse + run
+        val histN = spark.sql(s"DESCRIBE HISTORY snapshot.`$tvfDir`")
+          .count()
+        spark.sql(
+          s"VACUUM snapshot.`$tvfDir` RETAIN 1000000 HOURS DRY RUN")
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN,"describe_history_rows":$histN}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

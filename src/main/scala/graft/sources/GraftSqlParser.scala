@@ -113,8 +113,15 @@ object GraftSqlParser {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathTarget +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
+  // INSERT INTO <target> REPLACE WHERE <cond> <query> — the Delta SQL
+  // spelling of the targeted overwrite; the query tail re-parses
+  // through the DELEGATE (full Spark grammar), the condition re-parses
+  // as an expression at RUN time against the verb's own scan
+  private val InsertReplaceRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+""" + Target +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$""").r
   private val Keyword =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE)\b.*""".r
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
@@ -159,6 +166,8 @@ object GraftSqlParser {
           .UnresolvedTableValuedFunction("snapshot_detail",
             Seq(org.apache.spark.sql.catalyst.expressions.Literal(
               tgt(p1, p2, p3)))))
+      case InsertReplaceRe(p1, p2, p3, cond, query) =>
+        Some(SnapshotInsertReplaceCommand(tgt(p1, p2, p3), cond, query))
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))
@@ -245,6 +254,28 @@ final case class SnapshotConstraintCommand(target: String, name: String,
       case Some(e) => t.addCheckConstraint(name, e)
       case None => t.dropConstraint(name)
     }))
+  }
+}
+
+/** `INSERT INTO <snapshot table> REPLACE WHERE <cond> <query>` — the
+  * Delta SQL spelling of the targeted overwrite, routed to
+  * [[SnapshotTable.replaceWhere]] (or the MoR flavor per
+  * `graft.dml.mode`): delete-matching + insert the query's rows, ONE
+  * commit, inserted rows validated against the condition. The query
+  * tail runs through the session's full SQL surface at execution
+  * (subqueries, joins, TVFs all fine — it is an ordinary query). */
+final case class SnapshotInsertReplaceCommand(target: String,
+    condSql: String, querySql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, target))
+    val df = session.sql(querySql)
+    val cond = org.apache.spark.sql.functions.expr(condSql)
+    Seq(Row(
+      if (SnapshotDml.morOf(t)) t.replaceWhereMoR(df, cond)
+      else t.replaceWhere(df, cond)))
   }
 }
 

@@ -113,6 +113,34 @@ class SnapshotSqlMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("INSERT INTO ... REPLACE WHERE routes to the targeted overwrite") {
+    val t = tmpTable()
+    (1 to 3).foreach(k => t.appendWithStats(
+      (0 until 5).map(i => (k * 100L + i, k.toLong)).toDF("id", "k")
+        .coalesce(1), Seq("k")))
+    val before = t.files().toSet
+    val v = ext.sql(
+      s"""INSERT INTO snapshot.`${t.root}` REPLACE WHERE k = 2
+         |SELECT id + 9000 AS id, CAST(2 AS BIGINT) AS k
+         |FROM range(2) AS r(id)""".stripMargin).head().getInt(0)
+    assert(v == 4, "REPLACE WHERE must be one commit")
+    assert((before -- t.files().toSet).size == 1,
+      "only the k=2 slab may be rewritten")
+    val ks = t.read().collect().map(r => r.getLong(1))
+    assert(ks.count(_ == 2L) == 2 && ks.count(_ == 1L) == 5)
+    // validation: rows outside the slab refuse, nothing committed
+    val v0 = t.currentVersion
+    intercept[Exception] {
+      ext.sql(s"""INSERT INTO snapshot.`${t.root}` REPLACE WHERE k = 2
+        |SELECT 1L AS id, CAST(7 AS BIGINT) AS k""".stripMargin)
+    }
+    assert(t.currentVersion == v0)
+    // a PLAIN insert still flows to Spark's own path untouched
+    ext.sql(s"INSERT INTO snapshot.`${t.root}` " +
+      "SELECT 1L AS id, CAST(9 AS BIGINT) AS k")
+    assert(t.read().filter(col("k") === 9L).count() == 1)
+  }
+
   test("RESTORE TO VERSION AS OF / TO TIMESTAMP AS OF roll back as new commits") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

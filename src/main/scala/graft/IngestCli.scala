@@ -222,6 +222,19 @@ object IngestCli {
             println("merged into version " + doMerge(
               spark.read.parquet(req("from")),
               csvOpt("keys")))
+          case "replace" =>
+            // targeted overwrite: delete rows matching --where, insert
+            // --from, ONE commit (replaceWhere); --mode mor tombstones
+            // via deletion vectors instead of rewriting;
+            // --validate false opts out of the inserted-rows check
+            val df = spark.read.parquet(req("from"))
+            val cond = org.apache.spark.sql.functions.expr(req("where"))
+            val check = opts.get("validate").forall(_.trim.toBoolean)
+            val v =
+              if (opts.get("mode").contains("mor"))
+                t.replaceWhereMoR(df, cond, validate = check)
+              else t.replaceWhere(df, cond, validate = check)
+            println("replaced into version " + v)
           case "compact" =>
             // optional: --zorder c1,c2 re-clusters the rewrite on a
             // Morton curve (strings supported; one dim = exact range

@@ -62,6 +62,47 @@ class SnapshotCliSpec extends SparkSuite {
     intercept[IllegalArgumentException] { run("restore", "version" -> "3") }
   }
 
+  test("replace (targeted overwrite) through the CLI: CoW and MoR") {
+    val dir = java.nio.file.Files.createTempDirectory("snapclirw").toString
+    def mk(name: String): (String, String) = {
+      val table = s"$dir/$name"
+      val in = s"$dir/in_$name"; val repl = s"$dir/repl_$name"
+      // ONE shared file: the MoR replace must tombstone within it
+      // (a k-split layout would legitimately full-cover-remove)
+      (1L to 2L).flatMap(k => (0 until 3).map(i => (k * 100 + i, k)))
+        .toDF("id", "k").coalesce(1).write.parquet(in)
+      Seq((9001L, 2L)).toDF("id", "k").write.parquet(repl)
+      IngestCli.runTask(spark, "Snapshot",
+        Map("table" -> table, "op" -> "append", "from" -> in,
+          "statCols" -> "k"))
+      (table, repl)
+    }
+    val (t1, r1) = mk("cow")
+    val out = captured {
+      IngestCli.runTask(spark, "Snapshot", Map("table" -> t1,
+        "op" -> "replace", "from" -> r1, "where" -> "k = 2"))
+    }
+    assert(out.contains("replaced into version 2"), out)
+    val got = new SnapshotTable(spark, t1).read().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._2 == 2L) == 1 && got.count(_._2 == 1L) == 3)
+    // MoR flavor leaves the original file live (DV tombstones)
+    val (t2, r2) = mk("mor")
+    val before = new SnapshotTable(spark, t2).files().toSet
+    IngestCli.runTask(spark, "Snapshot", Map("table" -> t2,
+      "op" -> "replace", "from" -> r2, "where" -> "k = 2",
+      "mode" -> "mor"))
+    val t2t = new SnapshotTable(spark, t2)
+    assert(before.subsetOf(t2t.files().toSet),
+      "MoR replace must rewrite no pre-existing file")
+    assert(t2t.read().filter($"k" === 2L).count() == 1)
+    // validation refuses smuggled rows
+    intercept[IllegalArgumentException] {
+      IngestCli.runTask(spark, "Snapshot", Map("table" -> t1,
+        "op" -> "replace", "from" -> r1, "where" -> "k = 5"))
+    }
+  }
+
   test("protocol inspect/upgrade through the CLI") {
     val dir = java.nio.file.Files.createTempDirectory("snapcliproto").toString
     val table = s"$dir/tbl"; val in = s"$dir/in"

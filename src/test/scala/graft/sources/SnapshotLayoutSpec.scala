@@ -148,6 +148,23 @@ class SnapshotLayoutSpec extends SparkSuite {
       .getLong(0) == 400)
   }
 
+  test("null layout keys cluster and read back correctly") {
+    val dir = tmpDir()
+    val df = (0 until 60).map { i =>
+      (i.toLong, if (i % 5 == 0) None else Some((i / 20).toLong))
+    }.toDF("id", "k")
+    withTightRanges(spark) {
+      df.write.format("snapshot").mode("append").partitionBy("k").save(dir)
+    }
+    val t = new SnapshotTable(spark, dir)
+    assert(t.read().count() == 60)
+    assert(t.read().filter(col("k").isNull).count() == 12)
+    assert(t.readWhere(col("k") === 2L).count() == 16) // 20 in slab - 4 null
+    // null-count channel still prunes IS NULL to the null-carrying files
+    t.readWhere(col("k").isNull)
+    assert(t.lastDmlCandidates.size <= t.files().size)
+  }
+
   test("renameColumn rewrites the column-list properties (layout/stat/bloom follow the rename)") {
     val dir = tmpDir()
     withTightRanges(spark) {

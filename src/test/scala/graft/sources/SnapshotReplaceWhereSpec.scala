@@ -118,6 +118,31 @@ class SnapshotReplaceWhereSpec extends SparkSuite {
     assert(routed.read().filter(col("k") === 1L).count() == 1)
   }
 
+  test("stress: concurrent replaceWhere writers on disjoint slabs all land") {
+    val t = seed()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      val fs = (1 to 3).map { k =>
+        Future {
+          t.replaceWhere(
+            Seq((9000L + k, k.toLong)).toDF("id", "k"),
+            col("k") === k.toLong)
+        }
+      }
+      val vs = Await.result(Future.sequence(fs), 120.seconds)
+      assert(vs.forall(_ > 0) && vs.distinct.size == 3,
+        s"keyed commits must serialize to distinct versions: $vs")
+      val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 3 && got.map(_._1).toSet ==
+        Set(9001L, 9002L, 9003L),
+        s"every slab must be replaced exactly once, got ${got.toSeq}")
+    } finally pool.shutdown()
+  }
+
   test("metadata pruning narrows the match scan (stats on k)") {
     val t = seed()
     t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)

@@ -188,6 +188,81 @@ class SnapshotMergeFuzzSpec extends SparkSuite {
     }
   }
 
+  // ---- the same scenario through the SQL MERGE statement --------------
+  //
+  // pins the SnapshotDmlRule translation (alias requalification,
+  // star expansion, condition rewrite) against the API result for
+  // every random clause shape, not just the hand-written parity specs
+
+  private def condSql(c: Cond): String = {
+    val col0 = if (c.side == 'S') "s.qty" else "t.qty"
+    if (c.gte) s"$col0 >= ${c.c}" else s"$col0 < ${c.c}"
+  }
+
+  private def mergeSql(sc: Scenario, root: String, srcView: String): String = {
+    def and(c: Option[Cond]) = c.map(x => s" AND ${condSql(x)}").getOrElse("")
+    val m = sc.matched.map {
+      case MUpdate(c, true) => s"WHEN MATCHED${and(c)} THEN UPDATE SET *"
+      case MUpdate(c, false) => s"WHEN MATCHED${and(c)} THEN UPDATE SET " +
+        "v = concat(s.v, 'U'), qty = s.qty + 1"
+      case MDelete(c) => s"WHEN MATCHED${and(c)} THEN DELETE"
+      case other => sys.error(s"bad matched $other")
+    }
+    val i = sc.notMatched.map {
+      case MInsert(c) => s"WHEN NOT MATCHED${and(c)} THEN INSERT *"
+      case other => sys.error(s"bad insert $other")
+    }
+    val n = sc.nmbs.map {
+      case NUpdate(c) => s"WHEN NOT MATCHED BY SOURCE${and(c)} THEN " +
+        "UPDATE SET v = 'X', qty = t.qty + 10"
+      case NDelete(c) => s"WHEN NOT MATCHED BY SOURCE${and(c)} THEN DELETE"
+      case other => sys.error(s"bad nmbs $other")
+    }
+    s"""MERGE INTO snapshot.`$root` t USING $srcView s ON t.id = s.id
+       |${(m ++ i ++ n).mkString("\n")}""".stripMargin
+  }
+
+  /** Spark's MERGE grammar requires the unconditional clause to be
+    * LAST within each group; under first-wins everything after an
+    * unconditional clause is dead anyway, so truncating there is
+    * semantics-preserving — the SQL seeds run the truncated scenario
+    * through the model too. */
+  private def sqlSafe(sc: Scenario): Scenario = {
+    def condOf(c: MClause): Option[Cond] = c match {
+      case MUpdate(x, _) => x
+      case MDelete(x) => x
+      case MInsert(x) => x
+      case NUpdate(x) => x
+      case NDelete(x) => x
+    }
+    def cut(cs: Seq[MClause]): Seq[MClause] = {
+      val i = cs.indexWhere(condOf(_).isEmpty)
+      if (i < 0) cs else cs.take(i + 1)
+    }
+    sc.copy(matched = cut(sc.matched), notMatched = cut(sc.notMatched),
+      nmbs = cut(sc.nmbs))
+  }
+
+  private def runSql(sc: Scenario)
+      : Either[Unit, Seq[(Long, Option[String], Option[Long])]] = {
+    val ext = SparkSuite.extSession
+    val dir = java.nio.file.Files.createTempDirectory("mergefuzzsql").toString
+    val t = new SnapshotTable(ext, dir)
+    import ext.implicits._
+    t.append(sc.target.toDF("id", "v", "qty").coalesce(1))
+    val view = s"merge_fuzz_src_${math.abs(dir.hashCode)}"
+    sc.source.toDF("id", "v", "qty").createOrReplaceTempView(view)
+    try {
+      ext.sql(mergeSql(sc, dir, view))
+      Right(t.read().collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.get(2)).map(_ => r.getLong(2))))
+        .toSeq)
+    } catch {
+      case e: IllegalStateException
+          if e.getMessage.contains("multiple source rows") => Left(())
+    } finally ext.catalog.dropTempView(view)
+  }
+
   private def canon(rs: Seq[(Long, Option[String], Option[Long])]) =
     rs.sortBy(r => (r._1, r._2.getOrElse(""), r._3.getOrElse(-1L)))
 
@@ -207,6 +282,19 @@ class SnapshotMergeFuzzSpec extends SparkSuite {
         case other =>
           fail(s"refusal disagreement (model, cow, mor) = ${other
             .productIterator.map(_.getClass.getSimpleName).mkString(",")} for $sc")
+      }
+    }
+  }
+
+  (101 to 106).foreach { seed =>
+    test(s"differential merge fuzz, seed $seed: the SQL statement matches the model") {
+      val sc = sqlSafe(gen(seed))
+      (model(sc), runSql(sc)) match {
+        case (Left(()), Left(())) => ()
+        case (Right(w), Right(s)) =>
+          assert(canon(s) == canon(w),
+            s"SQL MERGE diverged from the model for $sc")
+        case other => fail(s"refusal disagreement (model, sql) for $sc")
       }
     }
   }

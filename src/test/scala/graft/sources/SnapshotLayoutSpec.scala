@@ -148,6 +148,31 @@ class SnapshotLayoutSpec extends SparkSuite {
       .getLong(0) == 400)
   }
 
+  test("TIMESTAMP layout column: time-range reads prune (the reference's obs query shape)") {
+    // the reference serves station timeseries by time range
+    // (get_obs_timeseries_station_data.sql:24) — layout on the event
+    // time makes that range prune from the manifest
+    val dir = tmpDir()
+    val df = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2023, 4, 1, 0, 0).plusMinutes(i * 15L)))
+    }.toDF("id", "ts")
+    withTightRanges(spark) {
+      df.write.format("snapshot").mode("append").partitionBy("ts").save(dir)
+    }
+    val t = new SnapshotTable(spark, dir)
+    assert(t.properties().get(SnapshotTable.PartitionColsProp).contains("ts"))
+    val total = t.files().size
+    assert(total >= 2)
+    val lo = java.sql.Timestamp.valueOf("2023-04-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2023-04-02 06:00:00")
+    val got = t.readWhere(col("ts") >= lo && col("ts") < hi)
+    assert(got.count() == 24) // 6 h at 15-min cadence
+    assert(t.lastDmlCandidates.size < total,
+      s"time-range read must prune: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+  }
+
   test("null layout keys cluster and read back correctly") {
     val dir = tmpDir()
     val df = (0 until 60).map { i =>

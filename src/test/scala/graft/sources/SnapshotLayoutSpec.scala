@@ -217,6 +217,28 @@ class SnapshotLayoutSpec extends SparkSuite {
         s"${t.lastDmlCandidates.size} of $total files")
   }
 
+  test("saveAsTable with partitionBy records the layout (the CTAS command path)") {
+    val dir = tmpDir()
+    import org.apache.spark.sql.functions.{col => ecol}
+    val edf = SparkSuite.extSession.range(400)
+      .select(ecol("id"), (ecol("id") / 100).cast("long").as("k"))
+    withTightRanges(SparkSuite.extSession) {
+      edf.write.format("snapshot").option("path", dir)
+        .partitionBy("k").saveAsTable("snap_layout_sat")
+    }
+    val t = new SnapshotTable(SparkSuite.extSession, dir)
+    assert(t.properties().get(SnapshotTable.PartitionColsProp).contains("k"),
+      "saveAsTable partitionBy must record the layout")
+    val total = t.files().size
+    t.readWhere(col("k") === 1L)
+    assert(total >= 2 && t.lastDmlCandidates.size < total,
+      s"saveAsTable data must come out clustered: planned " +
+        s"${t.lastDmlCandidates.size} of $total files")
+    assert(SparkSuite.extSession.sql(
+      "SELECT count(*) FROM snap_layout_sat WHERE k = 1").head()
+      .getLong(0) == 100)
+  }
+
   test("OPTIMIZE re-clusters the packed tail on the layout columns by default") {
     val dir = tmpDir()
     val t = new SnapshotTable(spark, dir)

@@ -46,7 +46,7 @@ final class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseMaintenance(sqlText)
+    GraftSqlParser.parseMaintenance(sqlText, delegate)
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -114,20 +114,52 @@ object GraftSqlParser {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathTarget +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
   // INSERT INTO <target> REPLACE WHERE <cond> <query> — the Delta SQL
-  // spelling of the targeted overwrite; the query tail re-parses
-  // through the DELEGATE (full Spark grammar), the condition re-parses
-  // as an expression at RUN time against the verb's own scan
+  // spelling of the targeted overwrite; the condition/query split is
+  // found AT PARSE TIME by probing keyword boundaries through the
+  // delegate (see splitInsertReplace), so subquery conditions work
+  // and a malformed statement fails here with a grammar error
   private val InsertReplaceRe =
     ("""(?is)^\s*INSERT\s+INTO\s+""" + Target +
-      """\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$""").r
+      """\s+REPLACE\s+WHERE\s+(.+)$""").r
   private val Keyword =
     """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
 
-  private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
-    try parseMaintenance0(sql)
+  /** Split REPLACE WHERE's `<cond> <query>` tail at the FIRST query-
+    * keyword boundary where the prefix parses as an expression AND the
+    * remainder parses as a plan — both via the DELEGATE, at parse
+    * time, so a malformed statement fails here with the grammar's own
+    * error instead of a confusing mid-expression failure at run time.
+    * Scanning boundaries left to right makes subquery conditions work:
+    * in `REPLACE WHERE k IN (SELECT ...) SELECT ...` the subquery's
+    * own SELECT/FROM fail the expression probe and the splitter moves
+    * on to the real query head. Probe count is bounded by the
+    * statement's keyword occurrences (a DDL-rare statement). */
+  private def splitInsertReplace(target: String, tail: String,
+      delegate: ParserInterface): SnapshotInsertReplaceCommand = {
+    val kw = """(?i)\b(?:SELECT|VALUES|WITH|TABLE|FROM)\b""".r
+    val hit = kw.findAllMatchIn(tail).map(_.start).flatMap { at =>
+      val c = tail.substring(0, at).trim
+      val q = tail.substring(at).trim
+      if (c.isEmpty) None
+      else try {
+        delegate.parseExpression(c)
+        delegate.parsePlan(q)
+        Some(SnapshotInsertReplaceCommand(target, c, q))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"INSERT INTO ... REPLACE WHERE on $target: could not split the " +
+        "replace condition from the source query — the condition must " +
+        "parse as an expression and be followed by a " +
+        "SELECT/VALUES/WITH/TABLE/FROM query"))
+  }
+
+  private[sources] def parseMaintenance(sql: String,
+      delegate: ParserInterface): Option[LogicalPlan] =
+    try parseMaintenance0(sql, delegate)
     catch {
       // an out-of-range number in an otherwise-matching statement
       // falls through like any grammar miss, so Spark's own error
@@ -135,7 +167,8 @@ object GraftSqlParser {
       case _: NumberFormatException => None
     }
 
-  private def parseMaintenance0(sql: String): Option[LogicalPlan] =
+  private def parseMaintenance0(sql: String,
+      delegate: ParserInterface): Option[LogicalPlan] =
     sql match {
       case _ if !Keyword.matches(sql) => None // cheap reject: hot path
       case OptimizeRe(p1, p2, p3, zorder, target) =>
@@ -166,8 +199,8 @@ object GraftSqlParser {
           .UnresolvedTableValuedFunction("snapshot_detail",
             Seq(org.apache.spark.sql.catalyst.expressions.Literal(
               tgt(p1, p2, p3)))))
-      case InsertReplaceRe(p1, p2, p3, cond, query) =>
-        Some(SnapshotInsertReplaceCommand(tgt(p1, p2, p3), cond, query))
+      case InsertReplaceRe(p1, p2, p3, tail) =>
+        Some(splitInsertReplace(tgt(p1, p2, p3), tail, delegate))
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))

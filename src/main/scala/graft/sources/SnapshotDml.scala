@@ -191,9 +191,18 @@ final class SnapshotCreateLayoutRule(spark: SparkSession)
 
   private def rootOf(
       t: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[String] =
-    t.storage.properties.get("path").orElse(
-      t.storage.locationUri.map(u =>
+    t.storage.properties.get("path")
+      .orElse(t.storage.locationUri.map(u =>
         new org.apache.hadoop.fs.Path(u).toString))
+      // a MANAGED table (no LOCATION, no path option) carries neither
+      // at rule time — its root is the catalog's default table path,
+      // exactly what the create command will assign at run time.
+      // Without this fallback PARTITIONED BY would be silently dropped
+      // for `CREATE TABLE t (...) USING snapshot PARTITIONED BY (k)`,
+      // the one shape this rule exists to prevent
+      .orElse(Some(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(t.identifier))
+        .toString))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -201,9 +210,29 @@ final class SnapshotCreateLayoutRule(spark: SparkSession)
           .CreateDataSourceTableCommand
           if isSnapshot(c.table) && c.table.partitionColumnNames.nonEmpty &&
             rootOf(c.table).isDefined =>
-        SnapshotCreateLayoutCommand(c, c.table.identifier,
-          rootOf(c.table).get, c.table.partitionColumnNames,
-          Some(c.table.schema))
+        val explicit = c.table.storage.properties.contains("path") ||
+          c.table.storage.locationUri.isDefined
+        if (explicit)
+          SnapshotCreateLayoutCommand(c, c.table.identifier,
+            rootOf(c.table).get, c.table.partitionColumnNames,
+            Some(c.table.schema))
+        else {
+          // MANAGED table: Spark validates the default location is
+          // EMPTY before a managed create, so the layout cannot
+          // pre-commit — the wrapper records it right AFTER the
+          // delegate registers the table (the root is empty then by
+          // construction, so no contradiction is possible). The
+          // default path rides in as the provider's path option so
+          // the create's relation-resolution probe can resolve (the
+          // empty-relation declared-schema path).
+          val root = rootOf(c.table).get
+          val withPath = c.copy(table = c.table.copy(storage =
+            c.table.storage.copy(properties =
+              c.table.storage.properties + ("path" -> root))))
+          SnapshotCreateLayoutCommand(withPath, c.table.identifier, root,
+            c.table.partitionColumnNames, Some(c.table.schema),
+            postCreate = true)
+        }
       case c: org.apache.spark.sql.execution.command
           .CreateDataSourceTableAsSelectCommand
           if isSnapshot(c.table) && c.table.partitionColumnNames.nonEmpty &&
@@ -234,10 +263,21 @@ final case class SnapshotCreateLayoutCommand(
     delegate: org.apache.spark.sql.execution.command.RunnableCommand,
     id: org.apache.spark.sql.catalyst.TableIdentifier,
     root: String, partitionCols: Seq[String],
-    declaredSchema: Option[org.apache.spark.sql.types.StructType])
+    declaredSchema: Option[org.apache.spark.sql.types.StructType],
+    postCreate: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = delegate.output
   override def run(session: SparkSession): Seq[Row] = {
+    // MANAGED create (postCreate): delegate FIRST — it enforces the
+    // empty-default-location contract and registers the table — then
+    // record the layout on the fresh root (empty by construction:
+    // recordLayout with the declared schema, nothing to contradict)
+    if (postCreate) {
+      val out = delegate.run(session)
+      new SnapshotTable(session, root)
+        .recordLayout(partitionCols, declaredSchema)
+      return out
+    }
     // a name that already exists must fail/ignore exactly as Spark
     // would, with NO log side effects — delegate decides
     if (!session.sessionState.catalog.tableExists(id)) {
@@ -440,6 +480,14 @@ final class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case v: View => snapshotOf(v.child)
       case l: LogicalRelation => l.relation match {
         case r: SnapshotRelation => Some(r)
+        case _ => None
+      }
+      // DML on a [[SnapshotCatalog]] table (DELETE/UPDATE/MERGE over a
+      // v2 relation): recover the SAME verbs through the v1-equivalent
+      // relation — one DML engine for both addressing surfaces
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.table match {
+        case t: SnapshotV2Table => Some(t.v1Relation)
         case _ => None
       }
       case _ => None

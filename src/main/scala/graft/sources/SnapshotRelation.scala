@@ -183,7 +183,8 @@ final class SnapshotSourceProvider extends RelationProvider
             if (SnapshotDml.morOf(table))
               table.replaceWhereMoR(data, condC,
                 statCols = cols("statCols"),
-                bloomCols = cols("bloomCols"), validate = check)
+                bloomCols = cols("bloomCols"), validate = check,
+                partitionBy = pby)
             else table.replaceWhere(data, condC,
               statCols = cols("statCols"), bloomCols = cols("bloomCols"),
               validate = check, partitionBy = pby)

@@ -1236,7 +1236,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * [[readPrunedEq]]/[[readPrunedPrefix]]/[[readPrunedStrRange]]
     * while a 100k-file checkpoint's stat payload stays a few MB. */
   private[sources] def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
-      countFiles: Boolean = false, mapToPhysical: Boolean = true)
+      countFiles: Boolean = false, mapToPhysical: Boolean = true,
+      requireCond: Option[(Column, String)] = None)
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
         Seq[(String, Long)], Seq[(String, String, Long)]) = {
@@ -1298,18 +1299,27 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     var tmpCounts = Map.empty[String, Long]
     var tmpNulls: Seq[(String, String, Long)] = Nil
     val tmpStats: Seq[(String, String, Any, Any)] =
-      if (statCols.isEmpty && !countFiles && activeConstraints.isEmpty) Nil
+      if (statCols.isEmpty && !countFiles && activeConstraints.isEmpty &&
+          requireCond.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.{count, input_file_name,
           lit, max, min}
-        import org.apache.spark.sql.functions.{sum, when, col => fcol}
+        import org.apache.spark.sql.functions.{coalesce, not, sum, when,
+          col => fcol}
         val aggs = statCols.flatMap(c => Seq(
           min(statAggExpr(df, c)).as(s"__lo_$c"),
           max(statAggExpr(df, c)).as(s"__hi_$c"),
           // null counts ride the SAME one-pass aggregate as min/max
           sum(when(fcol(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"))) ++
           (if (countFiles) Seq(count(lit(1)).as("__cnt")) else Nil) ++
-          violationFlagAggs(activeConstraints)
+          violationFlagAggs(activeConstraints) ++
+          // replaceWhere's incoming-frame validation rides the SAME
+          // one-pass aggregate (no separate pre-pass over the frame):
+          // 1 = some staged row does NOT satisfy the replace condition
+          requireCond.map { case (c, _) =>
+            max(when(not(coalesce(c, lit(false))), 1).otherwise(0))
+              .as("__replv")
+          }.toSeq
         val statScan0 = spark.read.parquet(tmp.toString)
         val statScan = mapped match {
           case Some(ms) =>
@@ -1348,6 +1358,18 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
             s"write to $root rejected: CHECK constraint(s) " +
               s"${violated.mkString(", ")} violated by incoming rows; " +
               "nothing was committed")
+        }
+        requireCond.foreach { case (_, msg) =>
+          val bad = rows.exists { r =>
+            val idx = r.fieldIndex("__replv")
+            !r.isNullAt(idx) && r.getInt(idx) == 1
+          }
+          if (bad) {
+            // refusal is pre-commit and pre-move: the staged tmp dir is
+            // the only artifact, and it goes with the refusal
+            fs.delete(tmp, true)
+            throw new IllegalArgumentException(msg)
+          }
         }
         if (countFiles)
           tmpCounts = rows.map(r =>
@@ -2068,7 +2090,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       schemaTransform: Option[Int => String] = None,
       sanitizeSchema: Boolean = true,
       op: String = "",
-      nulls: Seq[(String, String, Long)] = Nil): Int = {
+      nulls: Seq[(String, String, Long)] = Nil,
+      addGuard: Option[Column] = None): Int = {
     require((remove.isEmpty && !keyed) || base >= 0,
       "remove-bearing/keyed commits must pass the base version for conflict checks")
     // schema-evolution contract (gated OFF only for intentional
@@ -2184,9 +2207,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         // partitions proceed conflict-free instead of livelocking on
         // a coarse keyed-marker check. (A restore re-adding a scoped
         // file implies an in-range remove of it — caught transitively.)
+        val guardAdds = Seq.newBuilder[String]
         val clash = (checkedUpTo + 1 to head).flatMap { v =>
           val raw = readManifestRaw(v)
-          val rem = decode(raw)._2
+          val dec = decode(raw)
+          val rem = dec._2
           val hit = scope match {
             case Some(sc) =>
               val scSet = sc.toSet
@@ -2198,6 +2223,7 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
               else if (keyedOf(raw)) Some("keyed append")
               else None
           }
+          if (hit.isEmpty && addGuard.isDefined) guardAdds ++= dec._1
           hit.map(m => (v, m))
         }
         if (clash.nonEmpty) {
@@ -2206,6 +2232,29 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
             s"concurrent keyed/remove-bearing commit(s) " +
               s"${clash.map(_._1).mkString("v", ",v", "")} landed on " +
               s"$root (first: ${clash.head._2}) — recompute from v$head")
+        }
+        // Predicate-scoped append guard (Delta's ConcurrentAppend rule
+        // for replaceWhere: the plan decided rows matching `cond` live
+        // ONLY in the files it rewrites/tombstones, so an interleaved
+        // blind append whose files MAY contain a matching row
+        // invalidates it). Judged from the appended files' own
+        // manifest stat/bloom/null channels via the same pruning the
+        // verbs plan with — sound, so a stat-less append always
+        // conflicts, and a provably-disjoint append (stats excluding
+        // the condition) still commutes.
+        val fresh = guardAdds.result()
+        addGuard.filter(_ => fresh.nonEmpty).foreach { g =>
+          val stateHead = replayStateFull(head)
+          val liveSet = stateHead.live.toSet
+          val surv = dmlCandidates(
+            stateHead.copy(live = fresh.filter(liveSet)), g, Nil, Nil)
+          if (surv.nonEmpty) {
+            fs.delete(tmp, false)
+            throw new SnapshotTable.CommitConflict(
+              s"concurrent append on $root added file(s) that may " +
+                s"contain rows matching the replace condition " +
+                s"(first: ${surv.head}) — recompute from v$head")
+          }
         }
         checkedUpTo = head
       }
@@ -2293,20 +2342,40 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   def appendWithStats(df0: DataFrame, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
       partitionBy: Seq[String] = Nil): Int = {
-    // ONE metadata replay feeds layout + stat/bloom defaults (appends
-    // are the hot write path — streaming batches land here per-batch)
-    val props = properties()
-    val (df, layout, layoutProp) = applyLayout(df0, partitionBy, props)
-    val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, df)
-      ++ layout).distinct
-    val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df)
-    val (staged, stats, sstats, counts, sizes, nullsCh) =
-      stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
-    val blooms = buildBlooms(staged, bc, bloomFpp, counts)
-    commit(staged, Nil, None, stats, schema = Some(df.schema.json),
-      sstats = sstats, blooms = blooms, sizes = sizes,
-      rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append",
-      props = layoutProp)
+    def body(): Int = {
+      // ONE metadata replay feeds layout + stat/bloom defaults (appends
+      // are the hot write path — streaming batches land here per-batch)
+      val base0 = currentVersion
+      val props = properties(Some(base0))
+      val (df, layout, layoutProp) = applyLayout(df0, partitionBy, props)
+      val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, df)
+        ++ layout).distinct
+      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df)
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(df, sc, countFiles = bc.nonEmpty)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
+      if (layoutProp.isEmpty)
+        commit(staged, Nil, None, stats, schema = Some(df.schema.json),
+          sstats = sstats, blooms = blooms, sizes = sizes,
+          rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append")
+      else
+        // a FIRST-TIME layout declaration rides this commit as a table
+        // property — two concurrent declarers must serialize (a blind
+        // race would last-replay-wins the property while the loser's
+        // files sit clustered on a different column), so the declaring
+        // append commits KEYED on the observed base: the loser
+        // conflicts, retries through the wrapper below, re-reads the
+        // winner's recorded layout and either follows it or refuses
+        // the contradiction inside applyLayout. Plain appends stay
+        // blind (the hot path — they commute with everything).
+        commit(staged, Nil, None, stats, base = base0, keyed = true,
+          schema = Some(df.schema.json),
+          sstats = sstats, blooms = blooms, sizes = sizes,
+          rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, op = "append",
+          props = layoutProp)
+    }
+    if (partitionBy.isEmpty) body()
+    else retryingOnConflict("appendWithStats")(body())
   }
 
   /** Append `df` as the table's FIRST version, refusing (or, with
@@ -3541,27 +3610,23 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * (stats/blooms/nulls, the [[deleteWhere]] tiers), one
     * column-pruned scan finds the files that actually CONTAIN a match,
     * and only those rewrite — replacing one slab of a 10k-file table
-    * rewrites that slab. The commit is keyed and UNSCOPED: an
-    * interleaved writer adding rows that match `cond` must conflict
-    * (this plan decided such rows lived only in the affected files)
-    * and force a recompute. A no-match replace still inserts (one
-    * commit); empty `df0` with matches is a delete; neither = 0, no
-    * commit. Returns the committed version. */
+    * rewrites that slab. The commit is keyed and UNSCOPED, plus
+    * predicate-guarded against blind appends: any interleaved writer
+    * whose commit may add rows matching `cond` conflicts (this plan
+    * decided such rows lived only in the affected files) — keyed and
+    * remove-bearing interleaves always, add-only interleaves unless
+    * their recorded file stats PROVE disjointness from `cond` (the
+    * Delta ConcurrentAppendException rule for replaceWhere; a
+    * provably-disjoint slab append still commutes). A no-match
+    * replace still inserts (one commit); empty `df0` with matches is
+    * a delete; neither = 0, no commit. Returns the committed
+    * version. */
   def replaceWhere(df0: DataFrame, cond: Column,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01, validate: Boolean = true,
       partitionBy: Seq[String] = Nil): Int =
     retryingOnConflict("replaceWhere") {
       import org.apache.spark.sql.functions.{coalesce, col, lit}
-      if (validate) {
-        val bad = df0.filter(!coalesce(cond, lit(false))).limit(1).count()
-        require(bad == 0L,
-          s"replaceWhere on $root: the incoming frame contains row(s) " +
-            "that do NOT satisfy the replace condition — they would " +
-            "silently land outside the replaced slab. Fix the frame or " +
-            "pass validate = false to opt out (the Delta constraint " +
-            "check contract)")
-      }
       val base = currentVersion
       val state = replayStateFull(base)
       val candidates =
@@ -3577,12 +3642,14 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         if (affected.isEmpty) None
         else Some(readFiles(affected, Some(base))
           .filter(!coalesce(cond, lit(false))))
-      // survivors carry the table shape; unionByName refuses a
-      // mismatched incoming frame with Spark's own clear error. A
-      // NO-MATCH replace has no survivors to align against — reorder
-      // the frame to the recorded schema by name so a column-order
-      // difference cannot masquerade as a schema change in the commit
-      val merged = survivors.map(_.unionByName(df0)).getOrElse {
+      // survivors carry the table shape; unionByName (against their
+      // EMPTY prefix — optimized away) refuses a mismatched incoming
+      // frame with Spark's own clear analysis error and aligns the
+      // incoming columns to the table order. A NO-MATCH replace has no
+      // survivors to align against — reorder the frame to the recorded
+      // schema by name so a column-order difference cannot masquerade
+      // as a schema change in the commit
+      val incoming0 = survivors.map(_.limit(0).unionByName(df0)).getOrElse {
         state.schema.map(parseSchema) match {
           case Some(ts) if ts.fieldNames.map(_.toLowerCase).sorted
               .sameElements(df0.schema.fieldNames.map(_.toLowerCase).sorted) =>
@@ -3592,20 +3659,46 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         }
       }
       val props = state.props
-      val (result, layout, layoutProp) = applyLayout(merged, partitionBy, props)
-      val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, result)
+      val (incoming, layout, layoutProp) =
+        applyLayout(incoming0, partitionBy, props)
+      val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, incoming)
         ++ layout).distinct
-      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, result)
-      val (staged, stats, sstats, counts, sizes, nullsCh) =
-        stageFilesWithStats(result, sc, countFiles = bc.nonEmpty)
+      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, incoming)
+      // incoming and survivors stage as SEPARATE slabs so the
+      // incoming-frame validation rides the incoming staging's OWN
+      // stats aggregate (per-file violation flags, the CHECK-constraint
+      // shape) — no separate pre-pass over the frame, and a refusal
+      // happens before anything else is written, with the staging
+      // cleaned. Each slab is layout-clustered independently; stat
+      // pruning is per-file either way.
+      val vmsg = s"replaceWhere on $root: the incoming frame contains " +
+        "row(s) that do NOT satisfy the replace condition — they would " +
+        "silently land outside the replaced slab. Fix the frame or " +
+        "pass validate = false to opt out (the Delta constraint " +
+        "check contract)"
+      val (stagedI, statsI, sstatsI, countsI, sizesI, nullsI) =
+        stageFilesWithStats(incoming, sc, countFiles = bc.nonEmpty,
+          requireCond = if (validate) Some((cond, vmsg)) else None)
+      val (stagedS, statsS, sstatsS, countsS, sizesS, nullsS) =
+        survivors match {
+          case Some(s) =>
+            stageFilesWithStats(applyLayout(s, partitionBy, props)._1, sc,
+              countFiles = bc.nonEmpty)
+          case None =>
+            (Seq.empty[String], Seq.empty[SnapshotTable.FileStat],
+              Seq.empty[SnapshotTable.StrStat], Map.empty[String, Long],
+              Seq.empty[(String, Long)], Seq.empty[(String, String, Long)])
+        }
+      val staged = stagedI ++ stagedS
+      val counts = countsI ++ countsS
       val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       if (staged.isEmpty && affected.isEmpty) 0
-      else commit(staged, affected, stats = stats, base = base,
+      else commit(staged, affected, stats = statsI ++ statsS, base = base,
         keyed = true, op = "replaceWhere",
-        schema = Some(result.schema.json), sstats = sstats,
-        blooms = blooms, sizes = sizes,
-        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
-        props = layoutProp)
+        schema = Some(incoming.schema.json), sstats = sstatsI ++ sstatsS,
+        blooms = blooms, sizes = sizesI ++ sizesS,
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsI ++ nullsS,
+        props = layoutProp, addGuard = Some(cond))
     }
 
   /** Copy-on-write UPDATE: rewrite every live row matching `cond`
@@ -3730,25 +3823,40 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * `cond` via deletion vectors AND append `df0` — the targeted
     * overwrite with NO data file rewritten, ONE commit carrying both
     * sides. Same validation contract as [[replaceWhere]] (incoming
-    * rows must satisfy `cond` unless `validate = false`); same MoR
-    * trade as [[deleteWhereMoR]] (reads pay the DV anti-join until a
-    * rewrite materializes). Returns the committed version, or 0 when
-    * there was nothing to tombstone and nothing to insert. */
+    * rows must satisfy `cond` unless `validate = false` — enforced on
+    * the staging stats aggregate, one pass, refusal pre-commit with
+    * the staging cleaned); same recorded-layout contract (the inserted
+    * slab range-clusters on the table's partition columns and records
+    * their stats, symmetric with the CoW path); same concurrency
+    * contract (keyed + predicate-guarded: an interleaved add-only
+    * commit whose stats cannot prove disjointness from `cond`
+    * conflicts); same MoR trade as [[deleteWhereMoR]] (reads pay the
+    * DV anti-join until a rewrite materializes). Returns the committed
+    * version, or 0 when there was nothing to tombstone and nothing to
+    * insert. */
   def replaceWhereMoR(df0: DataFrame, cond: Column,
       statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, validate: Boolean = true): Int =
+      bloomFpp: Double = 0.01, validate: Boolean = true,
+      partitionBy: Seq[String] = Nil): Int =
     retryingOnConflict("replaceWhereMoR") {
-      import org.apache.spark.sql.functions.{coalesce, lit}
-      if (validate) {
-        val bad = df0.filter(!coalesce(cond, lit(false))).limit(1).count()
-        require(bad == 0L,
-          s"replaceWhereMoR on $root: the incoming frame contains " +
-            "row(s) that do NOT satisfy the replace condition — they " +
-            "would silently land outside the replaced slab. Fix the " +
-            "frame or pass validate = false to opt out")
-      }
       val base = currentVersion
       val state = replayStateFull(base)
+      val props = state.props
+      val (result, layout, layoutProp) = applyLayout(df0, partitionBy, props)
+      val sc = (effCols(props, statCols, SnapshotTable.StatColsProp, result)
+        ++ layout).distinct
+      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, result)
+      // stage FIRST (validation rides the staging aggregate): a
+      // refusal then leaves nothing behind — tombstone sidecars are
+      // only built for a frame that already passed
+      val vmsg = s"replaceWhereMoR on $root: the incoming frame " +
+        "contains row(s) that do NOT satisfy the replace condition — " +
+        "they would silently land outside the replaced slab. Fix the " +
+        "frame or pass validate = false to opt out"
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(result, sc, countFiles = bc.nonEmpty,
+          requireCond = if (validate) Some((cond, vmsg)) else None)
+      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       val candidates =
         if (state.live.isEmpty) Nil
         else dmlCandidates(state, cond, Nil, Nil)
@@ -3757,12 +3865,6 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
           (Seq.empty[String], Seq.empty[(String, String, Long)],
             Seq.empty[String])
         else buildMorTombstones(state, candidates, cond)
-      val props = state.props
-      val sc = effCols(props, statCols, SnapshotTable.StatColsProp, df0)
-      val bc = effCols(props, bloomCols, SnapshotTable.BloomColsProp, df0)
-      val (staged, stats, sstats, counts, sizes, nullsCh) =
-        stageFilesWithStats(df0, sc, countFiles = bc.nonEmpty)
-      val blooms = buildBlooms(staged, bc, bloomFpp, counts)
       if (staged.isEmpty && changedFiles.isEmpty) 0
       else commit(staged, full, stats = stats, base = base, keyed = true,
         op = "replaceWhereMoR",
@@ -3771,8 +3873,9 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
             df0.schema.json), v)),
         sstats = sstats, blooms = blooms, sizes = sizes,
         rows = counts.toSeq.sortBy(_._1), nulls = nullsCh, dvs = partial,
-        props = if (partial.nonEmpty)
-          protocolBump(props, 2, 2) else Nil)
+        addGuard = Some(cond),
+        props = layoutProp ++ (if (partial.nonEmpty)
+          protocolBump(props, 2, 2) else Nil))
     }
 
   /** Merge-on-read UPDATE: tombstone every live row matching `cond`
@@ -4249,6 +4352,45 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * the log (the read path's source of truth) learns the layout
     * before any writer runs, so the very first INSERT/CTAS write
     * range-clusters (see [[SnapshotTable.PartitionColsProp]]). */
+  /** Declare a table's schema — and optionally its partition layout
+    * and user properties — as its FIRST, data-less commit: the V2
+    * catalog's `CREATE TABLE` landing ([[SnapshotCatalog]]). KEYED on
+    * base 0 like [[createExclusive]], so two racing creators
+    * serialize through the commit conflict check — the loser retries,
+    * sees the winner's version and surfaces already-exists instead of
+    * silently double-creating. Reads before the first INSERT return
+    * zero rows of the declared shape (the recorded-schema path). */
+  def createEmpty(schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Nil,
+      props: Seq[(String, String)] = Nil): Int =
+    retryingOnConflict("createEmpty") {
+      val base = currentVersion
+      require(base == 0,
+        s"snapshot table $root already exists (version $base)")
+      partitionCols.foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"PARTITIONED BY column '$c' not in the declared schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+      }
+      props.foreach { case (k, _) =>
+        require(k.nonEmpty, "property key must be non-empty")
+        require(!k.startsWith(SnapshotTable.ConstraintPrefix),
+          s"keys under '${SnapshotTable.ConstraintPrefix}' are " +
+            "reserved — use addCheckConstraint, which validates")
+        require(!k.startsWith(SnapshotTable.ProtocolPrefix),
+          s"keys under '${SnapshotTable.ProtocolPrefix}' are " +
+            "reserved — use upgradeProtocol")
+      }
+      val layoutProp =
+        if (partitionCols.isEmpty) Nil
+        else Seq(SnapshotTable.PartitionColsProp ->
+          Some(partitionCols.mkString(",")))
+      commit(Nil, Nil, base = base, keyed = true,
+        schema = Some(schema.json),
+        props = layoutProp ++ props.map { case (k, v) => k -> Some(v) },
+        op = "create")
+    }
+
   def recordLayout(partitionCols: Seq[String],
       declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Int = {

@@ -239,6 +239,110 @@ class SnapshotLayoutSpec extends SparkSuite {
       .getLong(0) == 100)
   }
 
+  test("replaceWhereMoR honors the recorded layout: inserted slab clusters and records layout stats") {
+    val dir = tmpDir()
+    withTightRanges(spark) {
+      kv(400, _ / 100).write.format("snapshot").mode("append")
+        .partitionBy("k").save(dir)
+    }
+    val t = new SnapshotTable(spark, dir)
+    val before = t.files().toSet
+    val repl = (0 until 50).map(i => (9000L + i, 2L)).toDF("id", "k")
+    t.replaceWhereMoR(repl, col("k") === 2L)
+    val inserted = t.files().toSet -- before
+    assert(inserted.nonEmpty)
+    // the inserted slab must carry k stats (the CoW/append symmetry):
+    // a DIFFERENT partition's point read prunes every inserted file
+    val survivors = t.prunedFiles("k", 0L, 0L).toSet
+    assert(inserted.intersect(survivors).isEmpty,
+      s"MoR-inserted files must be stat-prunable on the layout column; " +
+        s"a k=0 read still plans ${inserted.intersect(survivors).size} " +
+        "of them")
+    // and the writer's MoR route refuses a CONTRADICTING partitionBy
+    // instead of silently dropping it
+    t.setProperty(SnapshotDml.DmlModeProp, "mor")
+    val e = intercept[Exception] {
+      repl.write.format("snapshot").mode("overwrite")
+        .option("replaceWhere", "k = 2")
+        .partitionBy("id")
+        .save(dir)
+    }
+    assert(e.getMessage.contains("records partition layout"),
+      s"the MoR writer route must thread partitionBy into the " +
+        s"contradiction check, got: ${e.getMessage}")
+  }
+
+  test("racing FIRST-TIME layout declarations serialize: the loser refuses the contradiction") {
+    val dir = tmpDir()
+    val t = new SnapshotTable(spark, dir)
+    val other = new SnapshotTable(spark, dir)
+    // lands between t's staging and its publish: the OTHER writer
+    // declares a DIFFERENT layout first
+    t.raceInjector = () => {
+      other.appendWithStats(kv(10, _ => 1L).coalesce(1), Nil,
+        partitionBy = Seq("id")); ()
+    }
+    val e = intercept[IllegalArgumentException] {
+      t.appendWithStats(kv(10, _ => 1L).coalesce(1), Nil,
+        partitionBy = Seq("k"))
+    }
+    assert(e.getMessage.contains("records partition layout"),
+      s"the losing declarer must refuse the contradiction, got: " +
+        s"${e.getMessage}")
+    assert(t.properties().get(SnapshotTable.PartitionColsProp)
+      .contains("id"), "the winner's declaration stands")
+    // same declaration racing: the loser retries, adopts the recorded
+    // layout, and lands (no refusal, no double property)
+    val d2 = tmpDir()
+    val a = new SnapshotTable(spark, d2)
+    val b = new SnapshotTable(spark, d2)
+    a.raceInjector = () => {
+      b.appendWithStats(kv(10, _ => 1L).coalesce(1), Nil,
+        partitionBy = Seq("k")); ()
+    }
+    a.appendWithStats(kv(10, _ => 2L).coalesce(1), Nil,
+      partitionBy = Seq("k"))
+    assert(a.properties().get(SnapshotTable.PartitionColsProp)
+      .contains("k"))
+    assert(a.read().count() == 20)
+  }
+
+  test("managed CREATE TABLE ... PARTITIONED BY (no LOCATION) records the layout at the default table path") {
+    ext.sql("DROP TABLE IF EXISTS snap_layout_managed")
+    // a managed create requires its default location EMPTY — clear any
+    // orphan from an earlier aborted run
+    val defaultLoc = new org.apache.hadoop.fs.Path(
+      ext.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("snap_layout_managed")))
+    defaultLoc.getFileSystem(ext.sparkContext.hadoopConfiguration)
+      .delete(defaultLoc, true)
+    ext.sql("CREATE TABLE snap_layout_managed (id BIGINT, k BIGINT) " +
+      "USING snapshot PARTITIONED BY (k)")
+    try {
+      val meta = ext.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("snap_layout_managed"))
+      val root = new org.apache.hadoop.fs.Path(meta.location).toString
+      val t = new SnapshotTable(ext, root)
+      assert(t.properties().get(SnapshotTable.PartitionColsProp)
+        .contains("k"),
+        "PARTITIONED BY on a managed table must land in the log, " +
+          "not silently drop")
+      // and inserts cluster + prune through it
+      withTightRanges(ext) {
+        ext.sql("INSERT INTO snap_layout_managed " +
+          "SELECT id, CAST(id / 100 AS BIGINT) AS k FROM range(400)")
+      }
+      val total = t.files().size
+      assert(ext.sql(
+        "SELECT count(*) FROM snap_layout_managed WHERE k = 2").head()
+        .getLong(0) == 100)
+      t.readWhere(col("k") === 2L).count()
+      assert(t.lastDmlCandidates.size < math.max(total, 2),
+        s"managed-table layout read must prune: planned " +
+          s"${t.lastDmlCandidates.size} of $total")
+    } finally ext.sql("DROP TABLE IF EXISTS snap_layout_managed")
+  }
+
   test("OPTIMIZE re-clusters the packed tail on the layout columns by default") {
     val dir = tmpDir()
     val t = new SnapshotTable(spark, dir)

@@ -149,4 +149,124 @@ class SnapshotReplaceWhereSpec extends SparkSuite {
     assert(t.lastDmlCandidates.size == 1,
       s"stat-pruned replace planned ${t.lastDmlCandidates.size} files")
   }
+
+  test("interleaved blind append that MAY match the condition conflicts; the retry replaces its rows (Delta ConcurrentAppend rule)") {
+    val t = seed()
+    val other = new SnapshotTable(spark, t.root)
+    // lands BETWEEN the replace's base read and its commit publish:
+    // a blind (non-keyed) append whose file stats say k=2 — exactly
+    // the interleave that used to commute and leave matching rows
+    // alive after the "replace"
+    t.raceInjector = () => {
+      other.appendWithStats(
+        Seq((7777L, 2L)).toDF("id", "k").coalesce(1), Seq("k")); ()
+    }
+    t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)
+    val k2 = t.read().filter(col("k") === 2L).collect().map(_.getLong(0))
+    assert(k2.toSet == Set(9001L),
+      s"the concurrently appended k=2 row must be replaced by the " +
+        s"retry, not survive alongside the replacement; got ${k2.toSeq}")
+  }
+
+  test("interleaved blind append provably DISJOINT from the condition commutes (no retry)") {
+    val t = seed()
+    val other = new SnapshotTable(spark, t.root)
+    t.raceInjector = () => {
+      other.appendWithStats(
+        Seq((7777L, 9L)).toDF("id", "k").coalesce(1), Seq("k")); ()
+    }
+    t.stagingRuns = 0
+    t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)
+    // one incoming staging + one survivors staging; a conflict retry
+    // would double that
+    assert(t.stagingRuns == 2,
+      s"a stats-disjoint append must commute, ran ${t.stagingRuns} stagings")
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._2 == 9L) == 1 && got.count(_._2 == 2L) == 1)
+  }
+
+  test("interleaved STAT-LESS append conflicts (the guard is sound, never optimistic)") {
+    val t = seed()
+    val other = new SnapshotTable(spark, t.root)
+    t.raceInjector = () => {
+      // bare append: no stats recorded on k, so the guard cannot prove
+      // the file disjoint — it must conflict even though the rows
+      // happen not to match
+      other.append(Seq((7777L, 9L)).toDF("id", "k").coalesce(1)); ()
+    }
+    t.stagingRuns = 0
+    t.replaceWhere(Seq((9001L, 2L)).toDF("id", "k"), col("k") === 2L)
+    assert(t.stagingRuns >= 4,
+      s"a stat-less append must force a recompute, ran ${t.stagingRuns}")
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._2 == 9L) == 1, "the appended row stays (it does not match)")
+    assert(got.filter(_._2 == 2L).map(_._1).toSet == Set(9001L))
+  }
+
+  test("validation rides the staging aggregate: identical job count with validation on and off") {
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def jobs(body: => Unit): Long = {
+      // the listener bus is async: drain before zeroing and after the
+      // (synchronous) actions inside body complete
+      Thread.sleep(500); counter.set(0)
+      body
+      Thread.sleep(500); counter.get
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // stat columns configured (the recommended table shape): the
+    // staging stats aggregate runs regardless, and the validation flag
+    // rides it — zero extra jobs. (On a stat-less table the flag IS
+    // the one aggregate pass over the batch — still never a separate
+    // pre-pass over the frame, and never a table scan.)
+    def statSeed() = { val t = seed()
+      t.setProperty(SnapshotTable.StatColsProp, "k"); t }
+    try {
+      val a = statSeed(); val b = statSeed()
+      val repl = Seq((9001L, 2L), (9002L, 2L)).toDF("id", "k")
+      val on = jobs(a.replaceWhere(repl, col("k") === 2L, validate = true))
+      val off = jobs(b.replaceWhere(repl, col("k") === 2L, validate = false))
+      assert(on == off,
+        s"validation must not run extra jobs: $on with vs $off without")
+      // MoR path too
+      val c = statSeed(); val d = statSeed()
+      val onM = jobs(c.replaceWhereMoR(repl, col("k") === 2L, validate = true))
+      val offM = jobs(d.replaceWhereMoR(repl, col("k") === 2L, validate = false))
+      assert(onM == offM,
+        s"MoR validation must not run extra jobs: $onM with vs $offM without")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("refusal leaves NOTHING behind: no commit, no staged files, no sidecars") {
+    val t = seed()
+    val v0 = t.currentVersion
+    val dataBefore = t.files().toSet
+    val bad = Seq((9001L, 2L), (9002L, 5L)).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      t.replaceWhere(bad, col("k") === 2L)
+    }
+    intercept[IllegalArgumentException] {
+      t.replaceWhereMoR(bad, col("k") === 2L)
+    }
+    assert(t.currentVersion == v0 && t.files().toSet == dataBefore)
+    val root = new org.apache.hadoop.fs.Path(t.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(t.root, "_staging")
+    val leftovers =
+      if (!fs.exists(staging)) Array.empty[String]
+      else fs.listStatus(staging).map(_.getPath.getName)
+        .filterNot(_.startsWith("manifest-")) // none expected either
+    assert(leftovers.isEmpty,
+      s"refusal must clean its staging, found ${leftovers.toSeq}")
+    val index = new org.apache.hadoop.fs.Path(t.root, "_index")
+    val dvs = if (!fs.exists(index)) Array.empty[String]
+      else fs.listStatus(index).map(_.getPath.getName)
+        .filter(_.contains(".dv-"))
+    assert(dvs.isEmpty,
+      s"MoR refusal must precede tombstone builds, found ${dvs.toSeq}")
+  }
 }

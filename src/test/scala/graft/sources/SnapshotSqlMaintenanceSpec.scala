@@ -141,6 +141,34 @@ class SnapshotSqlMaintenanceSpec extends SparkSuite {
     assert(t.read().filter(col("k") === 9L).count() == 1)
   }
 
+  test("REPLACE WHERE: subquery conditions split correctly; malformed statements fail at parse time") {
+    val t = tmpTable()
+    (1 to 3).foreach(k => t.appendWithStats(
+      (0 until 5).map(i => (k * 100L + i, k.toLong)).toDF("id", "k")
+        .coalesce(1), Seq("k")))
+    // the condition itself contains SELECT/FROM keywords — the parse-
+    // time splitter must probe past them to the real query head
+    ext.sql(s"""INSERT INTO snapshot.`${t.root}`
+      |REPLACE WHERE k IN (SELECT max(kk) FROM (SELECT 2L AS kk))
+      |SELECT id + 9000 AS id, CAST(2 AS BIGINT) AS k
+      |FROM range(3) AS r(id)""".stripMargin)
+    val ks = t.read().collect().map(r => r.getLong(1))
+    assert(ks.count(_ == 2L) == 3 && ks.count(_ == 1L) == 5,
+      s"subquery REPLACE WHERE must replace exactly the k=2 slab")
+    // a FROM-bearing scalar function in the condition splits too
+    ext.sql(s"""INSERT INTO snapshot.`${t.root}`
+      |REPLACE WHERE k = (SELECT 3L) SELECT 9100L AS id,
+      |CAST(3 AS BIGINT) AS k""".stripMargin)
+    assert(t.read().filter(col("k") === 3L).count() == 1)
+    // malformed: no query tail — refuses AT PARSE TIME with the
+    // splitter's own error, not a runtime mid-expression failure
+    val e = intercept[Exception] {
+      ext.sql(s"INSERT INTO snapshot.`${t.root}` REPLACE WHERE k = 2")
+    }
+    assert(e.getMessage.contains("could not split"),
+      s"expected the parse-time splitter error, got: ${e.getMessage}")
+  }
+
   test("RESTORE TO VERSION AS OF / TO TIMESTAMP AS OF roll back as new commits") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

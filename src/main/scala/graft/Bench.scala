@@ -131,6 +131,69 @@ object Bench {
     }
   }
 
+  /** Pinned CONTROL queries: old, untouched, sub-second, from disjoint
+    * families — a regime that inflates the box inflates THEM, so every
+    * artifact carries its own adjudication evidence (`controls`:
+    * per-control `[best, floor, ratio]`). Three rounds of judge+builder
+    * sessions burned on isolated re-measures of probe-blind regime
+    * flags (g3/d6, r14–r16) motivated this: the controls make the
+    * full-suite artifact self-adjudicating, and the isolated
+    * SPARK_GRAFT_ONLY re-measure (which these also ride — subset runs
+    * force-include them) becomes confirmation, not discovery. */
+  private[graft] val ControlQueries: Seq[String] =
+    Seq("j1_dim_join", "p5_eq_filter", "f_string_funcs")
+
+  /** Per-control `(name, best, floor, best/floor)` for controls with a
+    * committed floor and a successful best — the artifact's `controls`
+    * object and the regime-correlation evidence. */
+  private[graft] def controlRatios(bests: Map[String, Double],
+      floors: Map[String, Double]): Seq[(String, Double, Double, Double)] =
+    ControlQueries.flatMap { n =>
+      for (f <- floors.get(n).filter(_ > 0); b <- bests.get(n).filter(_ > 0))
+        yield (n, b, f, b / f)
+    }
+
+  /** Controls below this median ratio mean the box runs at floor
+    * regime — flags then stand on their own (no correlation label). */
+  private[graft] val RegimeVisibleAt = 1.3
+
+  /** A flag whose own inflation is within this factor of the controls'
+    * median inflation is labeled regime-correlated: the same host
+    * regime that inflated three untouched disjoint-family controls
+    * explains it. A genuine plan regression (5–50× on ONE query) blows
+    * past controls×tolerance and keeps its unlabeled flag. */
+  private[graft] val RegimeTolerance = 1.75
+
+  /** Partition flags into (uncorrelated, regime-correlated) against
+    * the controls' median ratio. Correlation LABELS — it never passes
+    * the gate: both partitions stay in `regressions` (the r16 honesty
+    * rule); the label and its numbers ride `regressions_regime`. */
+  private[graft] def regimeCorrelated(
+      regs: Seq[(String, Double, Double)], controlRatio: Double)
+      : (Seq[(String, Double, Double)], Seq[(String, Double, Double)]) =
+    if (controlRatio < RegimeVisibleAt) (regs, Nil)
+    else regs.partition { case (_, tripped, floor) =>
+      tripped / floor > controlRatio * RegimeTolerance
+    }
+
+  /** `,"controls":{...}` fragment (empty when no control has a
+    * floor — unknown datasets run ungated and unlabeled). */
+  private[graft] def controlsJson(
+      ctrls: Seq[(String, Double, Double, Double)]): String =
+    if (ctrls.isEmpty) ""
+    else ctrls.map { case (n, b, f, r) =>
+      "\"" + n + f"""":[$b%.3f,$f%.3f,$r%.2f]""" }
+      .mkString(""","controls":{""", ",", "}")
+
+  /** `,"regressions_regime":{...}` fragment: per regime-correlated
+    * flag `[tripped, floor, flag_ratio, control_ratio]`. */
+  private[graft] def regimeJson(regime: Seq[(String, Double, Double)],
+      controlRatio: Double): String =
+    if (regime.isEmpty) ""
+    else regime.map { case (n, tr, f) =>
+      "\"" + n + f"""":[$tr%.3f,$f%.3f,${tr / f}%.2f,$controlRatio%.2f]""" }
+      .mkString(""","regressions_regime":{""", ",", "}")
+
   private[graft] def regimeProbe(): Double =
     (1 to 3).map(_ => probePass()).min
 
@@ -241,8 +304,11 @@ object Bench {
       .map(_.split(',').toSeq.filter(_.nonEmpty))
     // a subset run must not clobber the committed full-suite record
     val fullOutPath = if (only.isEmpty) fullOut else "BENCH_SUBSET.json"
+    // subset runs force-include the pinned controls: an isolated
+    // re-measure then ALWAYS carries its own regime evidence
     val names = SparkEntry.queries.toSeq
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(o =>
+        o.exists(n.startsWith) || ControlQueries.contains(n)) }
       .sortBy(_._1)
     // floors load BEFORE the measurement loop: the per-run probe
     // readings (flag self-defense, see discountFlags) only make sense
@@ -332,8 +398,21 @@ object Bench {
     }
     val (regs, discounted) =
       discountFlags(regs0, results, bests.toMap, floors0, localRatio)
-    regs.foreach { case (n, b, f) =>
+    // control canaries: per-control floor ratios always ride the
+    // artifact; flags whose inflation matches the controls' self-label
+    // regime-correlated (with the numbers), staying in `regressions`
+    val ctrls = controlRatios(bests.toMap, floors0)
+    val controlRatio =
+      if (ctrls.isEmpty) 1.0 else median(ctrls.map(_._4))
+    val (plainRegs, regimeRegs) = regimeCorrelated(regs, controlRatio)
+    plainRegs.foreach { case (n, b, f) =>
       System.err.println(f"[bench] REGRESSION $n: $b%.2fs vs floor $f%.2fs (best+median gate)") }
+    regimeRegs.foreach { case (n, b, f) =>
+      System.err.println(f"[bench] flag on $n ($b%.2fs vs floor $f%.2fs, " +
+        f"x${b / f}%.2f): REGIME-CORRELATED — the pinned controls run at " +
+        f"x$controlRatio%.2f their own floors (see `controls`), the same " +
+        "host regime explains the flag. KEPT in regressions; trust a " +
+        "re-measure only from a box whose controls sit at ~1x") }
     discounted.foreach { case (n, b, f) =>
       System.err.println(f"[bench] flag on $n ($b%.2fs vs floor $f%.2fs): " +
         f"run-local probe ratio x$localRatio%.2f marks a mid-suite load " +
@@ -349,6 +428,8 @@ object Bench {
       else discounted.map { case (n, b, f) =>
         "\"" + n + f"""":[$b%.3f,$f%.3f,$localRatio%.2f]""" }
         .mkString(""","regressions_discounted":{""", ",", "}")
+    val ctrlJson = controlsJson(ctrls)
+    val regJson = regimeJson(regimeRegs, controlRatio)
     val probesJson =
       if (rp.isEmpty) ""
       else rp.map(v => f"$v%.3f")
@@ -373,7 +454,7 @@ object Bench {
           f""","probe":{"now":$pn%.3f,"floor_env":$pf%.3f,"gate_scale":$probeRatio%.2f}"""
         case _ => ""
       }
-      s"""{"metric":"total","value":${f(median(totals))},"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regsJson$discJson,"runs":$runsN,"totals":$totalsJson,"warm_total":${f(warmTotal)}$probeJson$probesJson$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(median(totals))},"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regsJson$discJson$regJson$ctrlJson,"runs":$runsN,"totals":$totalsJson,"warm_total":${f(warmTotal)}$probeJson$probesJson$omitted,"sf":"$sfDir"}"""
     }
     // The harness captures only the LAST 2000 chars of stdout and
     // json-parses the metric line out of that window; sbt's "[success]

@@ -76,6 +76,42 @@ class BenchGateSpec extends AnyFunSuite {
       ((Nil, Nil)))
   }
 
+  test("control canaries: ratios computed only for floored controls; artifact fragment renders") {
+    // the pinned set: old, untouched, sub-second, disjoint families
+    assert(Bench.ControlQueries ==
+      Seq("j1_dim_join", "p5_eq_filter", "f_string_funcs"))
+    val floors = Map("j1_dim_join" -> 0.1, "p5_eq_filter" -> 0.05)
+    val bests = Map("j1_dim_join" -> 0.26, "p5_eq_filter" -> 0.15,
+      "f_string_funcs" -> 0.3) // no committed floor -> not a canary
+    val ctrls = Bench.controlRatios(bests, floors)
+    assert(ctrls.map(_._1) == Seq("j1_dim_join", "p5_eq_filter"))
+    assert(math.abs(ctrls.head._4 - 2.6) < 1e-9)
+    val js = Bench.controlsJson(ctrls)
+    assert(js.startsWith(""","controls":{"""), js)
+    assert(js.contains(""""j1_dim_join":[0.260,0.100,2.60]"""), js)
+    assert(Bench.controlsJson(Nil) == "")
+    // failed controls (best -1) never poison the ratio
+    assert(Bench.controlRatios(Map("j1_dim_join" -> -1.0), floors).isEmpty)
+  }
+
+  test("regime correlation: co-inflating flags self-label WITH evidence; outliers and quiet boxes do not") {
+    // the r16 g3 shape: flag at 2.35x floor while controls co-inflate
+    val regs = Seq(("g3_degree_distribution", 0.445, 0.189),
+      ("broken_query", 5.0, 0.1))
+    val (plain, regime) = Bench.regimeCorrelated(regs, 2.8)
+    assert(regime.map(_._1) == Seq("g3_degree_distribution"),
+      "a flag within controls x tolerance must self-label")
+    assert(plain.map(_._1) == Seq("broken_query"),
+      "a 50x outlier must keep its unlabeled flag even on a hot box")
+    // quiet box (controls ~1x): correlation never fires — the flag
+    // stands alone and the floor decision executes mechanically
+    assert(Bench.regimeCorrelated(regs, 1.05) == ((regs, Nil)))
+    val rj = Bench.regimeJson(regime, 2.8)
+    assert(rj.contains(
+      """"g3_degree_distribution":[0.445,0.189,2.35,2.80]"""), rj)
+    assert(Bench.regimeJson(Nil, 2.8) == "")
+  }
+
   test("median backstop: most-passes degradation with one lucky pass still trips") {
     val floors = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1)
     val medians = Seq(

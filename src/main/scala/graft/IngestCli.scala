@@ -504,7 +504,25 @@ object IngestCli {
           .count()
         spark.sql(
           s"VACUUM snapshot.`$tvfDir` RETAIN 1000000 HOURS DRY RUN")
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN,"describe_history_rows":$histN}""")
+        // and the V2 TableCatalog (spark.sql.catalog.* path): atomic
+        // CREATE OR REPLACE ... AS SELECT + TRUNCATE, in this
+        // deployment mode
+        val v2Wh = java.nio.file.Files
+          .createTempDirectory("sqlcheck_v2").toString
+        spark.conf.set("spark.sql.catalog.sqlcheck_v2",
+          "graft.sources.SnapshotCatalog")
+        spark.conf.set("spark.sql.catalog.sqlcheck_v2.warehouse", v2Wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS sqlcheck_v2.ns")
+        spark.sql("CREATE OR REPLACE TABLE sqlcheck_v2.ns.t AS " +
+          "SELECT id FROM range(5)")
+        spark.sql("CREATE OR REPLACE TABLE sqlcheck_v2.ns.t AS " +
+          "SELECT id FROM range(4)")
+        val v2N = spark.sql("SELECT count(*) FROM sqlcheck_v2.ns.t")
+          .head().getLong(0)
+        spark.sql("TRUNCATE TABLE sqlcheck_v2.ns.t")
+        val v2T = spark.sql("SELECT count(*) FROM sqlcheck_v2.ns.t")
+          .head().getLong(0)
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN,"describe_history_rows":$histN,"v2_replace_rows":$v2N,"v2_truncate_rows":$v2T}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

@@ -121,7 +121,48 @@ object Coverage {
       d
     })
 
+  /** see s8_v2_catalog — one V2-catalog warehouse per (JVM, sf dir):
+    * `supplier` lands through [[graft.sources.SnapshotCatalog]] via
+    * the ATOMIC `CREATE OR REPLACE TABLE ... AS SELECT` staging path
+    * and reads back through the catalog's V1Scan bridge, so the whole
+    * v2 addressing surface (catalog resolution, staged commit, scan
+    * pushdown) sits under the DuckDB hash gate. Catalog name is
+    * per-dir: Spark caches catalog instances by name, so a second sf
+    * dir in the same JVM needs its own. */
+  private val v2Tables =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def v2Table(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    v2Tables.getOrElseUpdate(dir, {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_snap_v2wh").toString
+      cleanupOnExit(wh)
+      val cat = s"graftv2_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_v2_src")
+      s.sql(s"CREATE OR REPLACE TABLE $cat.main.supplier AS " +
+        "SELECT * FROM graft_v2_src")
+      s"$cat.main.supplier"
+    })
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "s8_v2_catalog",
+      """SELECT s_nationkey, count(*) AS n_supp, min(s_name) AS first_name
+        |FROM supplier WHERE s_acctbal > 1000
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      // the oracle runs the same filter over the original parquet: the
+      // v2 catalog round trip must be row-invisible
+      val tbl = Coverage.v2Table(s, dir)
+      s.sql(s"""SELECT s_nationkey, count(*) AS n_supp,
+        |min(s_name) AS first_name
+        |FROM $tbl WHERE s_acctbal > 1000
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
 
     QueryDef.sql(
       "s7_partitioned_layout",

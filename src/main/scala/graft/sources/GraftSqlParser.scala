@@ -121,8 +121,18 @@ object GraftSqlParser {
   private val InsertReplaceRe =
     ("""(?is)^\s*INSERT\s+INTO\s+""" + Target +
       """\s+REPLACE\s+WHERE\s+(.+)$""").r
+  // CREATE TABLE <path-target> SHALLOW CLONE <source> [VERSION AS OF n
+  // | TIMESTAMP AS OF '...'] — the Delta zero-copy fork spelling over
+  // [[SnapshotTable.shallowCloneTo]]; the clone is path-addressed (a
+  // fresh snapshot root), the source is any statement target (path or
+  // catalog name). Plain CREATE TABLE misses this grammar and flows to
+  // Spark untouched.
+  private val ShallowCloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + PathTarget +
+      """\s+SHALLOW\s+CLONE\s+""" + Target +
+      """(?:\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)'))?\s*;?\s*$""").r
   private val Keyword =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT)\b.*""".r
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT|CREATE)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
@@ -201,6 +211,9 @@ object GraftSqlParser {
               tgt(p1, p2, p3)))))
       case InsertReplaceRe(p1, p2, p3, tail) =>
         Some(splitInsertReplace(tgt(p1, p2, p3), tail, delegate))
+      case ShallowCloneRe(t1, t2, s1, s2, s3, v, ts) =>
+        Some(SnapshotShallowCloneCommand(Option(t1).getOrElse(t2),
+          tgt(s1, s2, s3), Option(v).map(_.toInt), Option(ts)))
       case RestoreRe(p1, p2, p3, v, ts) =>
         Some(SnapshotRestoreCommand(tgt(p1, p2, p3),
           Option(v).map(_.toInt), Option(ts)))
@@ -325,5 +338,26 @@ final case class SnapshotRestoreCommand(target: String,
     val v = version.getOrElse(
       t.versionAt(SnapshotTable.parseTsMillis(timestamp.get)))
     Seq(Row(t.restore(v)))
+  }
+}
+
+/** `CREATE TABLE <path> SHALLOW CLONE <source> [VERSION|TIMESTAMP AS
+  * OF ...]` — zero-copy table fork at the cloned version (head by
+  * default): ONE metadata commit referencing the source's live files,
+  * schema/stats/properties carried, full divergence after (see
+  * [[SnapshotTable.shallowCloneTo]]). Returns the clone's committed
+  * version. */
+final case class SnapshotShallowCloneCommand(targetPath: String,
+    source: String, version: Option[Int], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = new SnapshotTable(session,
+      SnapshotTvfs.resolveRoot(session, source))
+    val v = timestamp
+      .map(ts => src.versionAt(SnapshotTable.parseTsMillis(ts)))
+      .orElse(version)
+    Seq(Row(src.shallowCloneTo(targetPath, v)))
   }
 }

@@ -115,7 +115,7 @@ object SnapshotTvfs {
   private[sources] def resolveRoot(spark: SparkSession,
       pathOrName: String): String =
     if (pathOrName.contains("/")) pathOrName
-    else {
+    else v2Root(spark, pathOrName).getOrElse {
       val id = spark.sessionState.sqlParser
         .parseTableIdentifier(pathOrName)
       val meta = spark.sessionState.catalog.getTableMetadata(id)
@@ -128,6 +128,25 @@ object SnapshotTvfs {
           throw new IllegalArgumentException(
             s"table '$pathOrName' has no recorded path/location")))
     }
+
+  /** A multipart name whose head names a registered [[SnapshotCatalog]]
+    * resolves through IT — `OPTIMIZE snap.ns.t`, `DESCRIBE HISTORY
+    * snap.ns.t`, `snapshot_history('snap.ns.t')` work on v2-catalog
+    * tables exactly as on session-catalog names. Any other name falls
+    * back to the session catalog unchanged. */
+  private def v2Root(spark: SparkSession, name: String): Option[String] = {
+    val parts = name.split('.')
+    if (parts.length < 2) None
+    else try {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case c: SnapshotCatalog =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier
+            .of(parts.tail.init, parts.last)
+          Some(c.rootFor(ident).toString)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** `snapshot_at(path[, version | 'timestamp'])` — the table's rows
     * at a version (head when omitted; a string argument time-travels

@@ -169,6 +169,34 @@ class SnapshotSqlMaintenanceSpec extends SparkSuite {
       s"expected the parse-time splitter error, got: ${e.getMessage}")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE forks zero-copy, optionally at a version") {
+    val t = tmpTable()
+    t.appendWithStats((0 until 10).map(i => (i.toLong, i.toLong % 3))
+      .toDF("id", "k").coalesce(1), Seq("k"))
+    t.append((10 until 15).map(i => (i.toLong, 9L)).toDF("id", "k"))
+    val cloneDir = java.nio.file.Files
+      .createTempDirectory("snapclone_sql").toString + "/c1"
+    ext.sql(s"CREATE TABLE `$cloneDir` SHALLOW CLONE snapshot.`${t.root}`")
+    val c = new SnapshotTable(ext, cloneDir)
+    assert(c.read().count() == 15)
+    assert(c.files().toSet == t.files().toSet,
+      "a shallow clone must reference the source's files, not copy them")
+    // divergence: writes to the clone never touch the source
+    c.append(Seq((99L, 99L)).toDF("id", "k"))
+    assert(t.read().count() == 15 && c.read().count() == 16)
+    // versioned clone
+    val cloneV1 = java.nio.file.Files
+      .createTempDirectory("snapclone_sql").toString + "/c2"
+    ext.sql(s"CREATE TABLE `$cloneV1` SHALLOW CLONE " +
+      s"snapshot.`${t.root}` VERSION AS OF 1")
+    assert(new SnapshotTable(ext, cloneV1).read().count() == 10)
+    // plain CREATE TABLE still flows to Spark untouched
+    ext.sql("CREATE OR REPLACE TEMPORARY VIEW clone_plain AS SELECT 1 AS x")
+    ext.sql("DROP TABLE IF EXISTS not_a_clone")
+    ext.sql(s"CREATE TABLE not_a_clone (x INT) USING parquet")
+    ext.sql("DROP TABLE not_a_clone")
+  }
+
   test("RESTORE TO VERSION AS OF / TO TIMESTAMP AS OF roll back as new commits") {
     val t = tmpTable()
     t.append(Seq(1L, 2L).toDF("id"))

@@ -162,6 +162,42 @@ class SnapshotV2CatalogSpec extends SparkSuite {
     assert(t.currentVersion == 3 && t.read().count() == 4)
   }
 
+  test("aborted staged writes leave nothing: failed CTAS creates no table, failed REPLACE keeps the old one") {
+    // CTAS whose query fails mid-write: abortStagedChanges drops the
+    // captured frame, no table may appear
+    intercept[Exception] {
+      ext.sql("CREATE TABLE snap.ns.aborted AS " +
+        "SELECT assert_true(id < 2, 'boom') AS a, id FROM range(10)")
+    }
+    assert(!ext.sql("SHOW TABLES IN snap.ns").collect()
+      .map(_.getString(1)).contains("aborted"),
+      "a failed atomic CTAS must not register a table")
+    intercept[Exception] { ext.sql("SELECT * FROM snap.ns.aborted") }
+    // REPLACE whose query fails: the previous generation stays intact
+    ext.sql("CREATE TABLE snap.ns.keepme AS SELECT id FROM range(7)")
+    intercept[Exception] {
+      ext.sql("REPLACE TABLE snap.ns.keepme AS " +
+        "SELECT assert_true(false, 'boom') AS a FROM range(3)")
+    }
+    assert(ext.sql("SELECT count(*) FROM snap.ns.keepme")
+      .head().getLong(0) == 7,
+      "a failed REPLACE must leave the old table untouched")
+    assert(ext.sql("SELECT * FROM snap.ns.keepme").columns.toSeq ==
+      Seq("id"), "schema untouched too")
+  }
+
+  test("maintenance statements and TVFs accept v2 catalog names") {
+    ext.sql("CREATE TABLE snap.ns.t9 AS SELECT id FROM range(5)")
+    ext.sql("INSERT INTO snap.ns.t9 SELECT id FROM range(5, 8)")
+    assert(ext.sql("DESCRIBE HISTORY snap.ns.t9").count() == 2)
+    assert(ext.sql("SELECT count(*) FROM snapshot_history('snap.ns.t9')")
+      .head().getLong(0) == 2)
+    ext.sql("OPTIMIZE snap.ns.t9")
+    assert(ext.sql("SELECT count(*) FROM snap.ns.t9").head().getLong(0) == 8)
+    assert(ext.sql("DESCRIBE DETAIL snap.ns.t9")
+      .head().getAs[Int]("num_files") == 1, "OPTIMIZE must bin-pack")
+  }
+
   test("DROP TABLE removes the root; SHOW NAMESPACES lists directories") {
     ext.sql("CREATE TABLE snap.ns.t8 AS SELECT 1L AS one")
     assert(ext.sql("SHOW TABLES IN snap.ns").collect()

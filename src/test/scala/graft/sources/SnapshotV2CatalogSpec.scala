@@ -186,6 +186,29 @@ class SnapshotV2CatalogSpec extends SparkSuite {
       Seq("id"), "schema untouched too")
   }
 
+  test("v2 reads prune from manifest stats — the V1Scan bridge keeps the metadata tiers") {
+    ext.sql("CREATE TABLE snap.ns.tp (id BIGINT, k BIGINT) " +
+      "PARTITIONED BY (k)")
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = ext.conf.getOption(key)
+    ext.conf.set(key, "false") // keep the per-range file split visible
+    try ext.sql("INSERT INTO snap.ns.tp " +
+      "SELECT id, CAST(id / 100 AS BIGINT) AS k FROM range(400)")
+    finally old match {
+      case Some(v) => ext.conf.set(key, v); case None => ext.conf.unset(key)
+    }
+    val root = s"$warehouse/ns/tp"
+    val total = new SnapshotTable(ext, root).files().size
+    assert(total >= 2, s"layout write should spread files, got $total")
+    assert(ext.sql("SELECT count(*) FROM snap.ns.tp WHERE k = 2")
+      .head().getLong(0) == 100)
+    val planned = SnapshotTable.lastPlannedCandidates(root)
+      .getOrElse(Nil).size
+    assert(planned > 0 && planned < total,
+      s"the v2 scan must prune partition predicates from the manifest: " +
+        s"planned $planned of $total files")
+  }
+
   test("maintenance statements and TVFs accept v2 catalog names") {
     ext.sql("CREATE TABLE snap.ns.t9 AS SELECT id FROM range(5)")
     ext.sql("INSERT INTO snap.ns.t9 SELECT id FROM range(5, 8)")

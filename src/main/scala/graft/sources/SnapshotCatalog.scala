@@ -129,8 +129,13 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val root = rootFor(ident)
     if (!isTableDir(root))
       throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val v = version.trim.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF on ${fullName(ident)}: '$version' is not a " +
+          "version number (snapshot versions are integers; use " +
+          "TIMESTAMP AS OF for time-based travel)"))
     new SnapshotV2Table(spark, root.toString, fullName(ident),
-      pinned = Some(version.trim.toInt))
+      pinned = Some(v))
   }
 
   /** Time travel: `TIMESTAMP AS OF <ts>` (microseconds since epoch). */
@@ -234,18 +239,21 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     else fs(root).delete(root, true)
   }
 
+  /** Refused BY DESIGN: snapshot manifests record fully-qualified
+    * file paths (the vacuum identity contract), so moving a root
+    * strands every committed version — and a shallow clone shares the
+    * source's data files, so clone-then-drop would strand the clone.
+    * The working recipes are spelled out in the error. */
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
-    val from = rootFor(oldIdent)
-    val to = rootFor(newIdent)
-    if (!isTableDir(from))
+    if (!isTableDir(rootFor(oldIdent)))
       throw new NoSuchTableException(oldIdent.asMultipartIdentifier)
-    if (isTableDir(to))
-      throw new TableAlreadyExistsException(newIdent.asMultipartIdentifier)
-    fs(from).mkdirs(to.getParent)
-    require(fs(from).rename(from, to),
-      s"rename failed: $from -> $to (cross-filesystem renames are not " +
-        "atomic and are refused; copy + drop instead)")
+    throw new UnsupportedOperationException(
+      s"snapshot tables cannot be renamed in place (manifests record " +
+        s"fully-qualified file paths). Deep-copy with CREATE TABLE " +
+        s"${fullName(newIdent)} AS SELECT * FROM ${fullName(oldIdent)} " +
+        s"then DROP the old table, or fork zero-copy with SHALLOW " +
+        s"CLONE and keep the source")
   }
 
   // ---- namespaces: directories under the warehouse ----

@@ -271,11 +271,18 @@ final case class SnapshotCreateLayoutCommand(
     // MANAGED create (postCreate): delegate FIRST — it enforces the
     // empty-default-location contract and registers the table — then
     // record the layout on the fresh root (empty by construction:
-    // recordLayout with the declared schema, nothing to contradict)
+    // recordLayout with the declared schema, nothing to contradict).
+    // Existence snapshots BEFORE the delegate: IF NOT EXISTS on an
+    // existing table must be a FULL no-op — the delegate returns
+    // silently and the layout must not rewrite the live table's log
     if (postCreate) {
+      val existed = session.sessionState.catalog.tableExists(id)
       val out = delegate.run(session)
-      new SnapshotTable(session, root)
-        .recordLayout(partitionCols, declaredSchema)
+      if (!existed) {
+        val t = new SnapshotTable(session, root)
+        t.recordLayout(partitionCols,
+          declaredSchema.filter(_ => t.currentVersion == 0))
+      }
       return out
     }
     // a name that already exists must fail/ignore exactly as Spark

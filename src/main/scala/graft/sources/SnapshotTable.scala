@@ -1237,7 +1237,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * while a 100k-file checkpoint's stat payload stays a few MB. */
   private[sources] def stageFilesWithStats(df: DataFrame, statCols: Seq[String],
       countFiles: Boolean = false, mapToPhysical: Boolean = true,
-      requireCond: Option[(Column, String)] = None)
+      requireCond: Option[(Column, String)] = None,
+      enforceConstraints: Boolean = true)
       : (Seq[String], Seq[SnapshotTable.FileStat],
         Seq[SnapshotTable.StrStat], Map[String, Long],
         Seq[(String, Long)], Seq[(String, String, Long)]) = {
@@ -1286,11 +1287,16 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     // evolution). Enforcement rides the SAME staging aggregate as
     // stats/counts: per-file max-violation flags, one pass.
     val stagedCols = df.schema.fieldNames.map(_.toLowerCase).toSet
-    val activeConstraints = checkConstraints.toSeq.sortBy(_._1)
-      .filter { case (_, e) =>
-        try constraintRefs(e).forall(stagedCols.contains)
-        catch { case scala.util.control.NonFatal(_) => true }
-      }
+    // enforceConstraints = false is replaceTable's whole-definition
+    // swap: the OLD generation's constraints are part of what the
+    // replace retires, so they must not gate the replacement data
+    val activeConstraints =
+      if (!enforceConstraints) Nil
+      else checkConstraints.toSeq.sortBy(_._1)
+        .filter { case (_, e) =>
+          try constraintRefs(e).forall(stagedCols.contains)
+          catch { case scala.util.control.NonFatal(_) => true }
+        }
     // (file, col, loAny, hiAny): longs for numeric cols, full min/max
     // strings for string cols (truncated below, after the collect —
     // the collect is nfiles · statCols values, bounded either way).
@@ -2391,8 +2397,18 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   def createExclusive(df0: DataFrame, statCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
       ignoreIfExists: Boolean = false,
-      partitionBy: Seq[String] = Nil): Int =
+      partitionBy: Seq[String] = Nil,
+      userProps: Seq[(String, String)] = Nil): Int =
     retryingOnConflict("createExclusive") {
+      userProps.foreach { case (k, _) =>
+        require(k.nonEmpty, "property key must be non-empty")
+        require(!k.startsWith(SnapshotTable.ConstraintPrefix),
+          s"keys under '${SnapshotTable.ConstraintPrefix}' are " +
+            "reserved — use addCheckConstraint, which validates")
+        require(!k.startsWith(SnapshotTable.ProtocolPrefix),
+          s"keys under '${SnapshotTable.ProtocolPrefix}' are " +
+            "reserved — use upgradeProtocol")
+      }
       val base = currentVersion
       if (base > 0) {
         if (ignoreIfExists) 0
@@ -2411,7 +2427,9 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         commit(staged, Nil, None, stats, base = base, keyed = true,
           schema = Some(df.schema.json), sstats = sstats, blooms = blooms,
           sizes = sizes, rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
-          op = "create", props = layoutProp)
+          op = "create",
+          props = layoutProp ++
+            userProps.map { case (k, v) => k -> Some(v) })
       }
     }
 
@@ -3060,6 +3078,71 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         // replace-everything retires dropped columns' on-disk data,
         // so their names come off the reservation list
         props = layoutProp ++ Seq(SnapshotTable.RetiredPhysicalProp -> None))
+    }
+
+  /** REPLACE-the-definition overwrite — the V2 catalog's `[CREATE OR]
+    * REPLACE TABLE` landing: ONE keyed commit swaps the data (like
+    * [[overwrite]]), records the NEW definition's layout and user
+    * properties, and UNSETS every prior-generation property — user
+    * TBLPROPERTIES, CHECK constraints, stat/bloom defaults, the
+    * recorded layout (REPLACE defines a new table; only the protocol
+    * floor survives — it is never lowered) — so the old definition
+    * can neither gate nor shape the new data: a stale CHECK must not
+    * refuse a valid replace, and a stale layout must not linger on a
+    * definition that declared none. Single-commit = atomic: a failing
+    * replacement query leaves the previous generation byte-identical,
+    * properties included, and history stays time-travelable. */
+  def replaceTable(df0: DataFrame, partitionCols: Seq[String] = Nil,
+      userProps: Seq[(String, String)] = Nil): Int =
+    retryingOnConflict("replaceTable") {
+      userProps.foreach { case (k, _) =>
+        require(k.nonEmpty, "property key must be non-empty")
+        require(!k.startsWith(SnapshotTable.ConstraintPrefix),
+          s"keys under '${SnapshotTable.ConstraintPrefix}' are " +
+            "reserved — use addCheckConstraint, which validates")
+        require(!k.startsWith(SnapshotTable.ProtocolPrefix),
+          s"keys under '${SnapshotTable.ProtocolPrefix}' are " +
+            "reserved — use upgradeProtocol")
+      }
+      val missing = partitionCols.filterNot(c =>
+        df0.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"PARTITIONED BY column(s) not in the replacement frame: " +
+          s"${missing.mkString(", ")} (frame has " +
+          s"${df0.schema.fieldNames.mkString(", ")})")
+      val base = currentVersion
+      val live = files(Some(base))
+      val props0 = properties(Some(base))
+      // the NEW layout clusters the frame directly: the recorded (old)
+      // layout is part of the replaced definition, so applyLayout's
+      // contradiction contract deliberately does not apply
+      val df =
+        if (partitionCols.isEmpty) df0
+        else {
+          val cs = partitionCols.map(c =>
+            org.apache.spark.sql.functions.col(s"`$c`"))
+          df0.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+        }
+      val newProps = userProps.toMap
+      val sc = (effCols(newProps, Nil, SnapshotTable.StatColsProp, df)
+        ++ partitionCols).distinct
+      val bc = effCols(newProps, Nil, SnapshotTable.BloomColsProp, df)
+      val (staged, stats, sstats, counts, sizes, nullsCh) =
+        stageFilesWithStats(df, sc, countFiles = bc.nonEmpty,
+          mapToPhysical = false, enforceConstraints = false)
+      val blooms = buildBlooms(staged, bc, 0.01, counts)
+      val unsets = props0.keys
+        .filterNot(_.startsWith(SnapshotTable.ProtocolPrefix))
+        .map(k => k -> (None: Option[String])).toMap
+      val sets = (userProps.map { case (k, v) => k -> Some(v) } ++
+        (if (partitionCols.isEmpty) Nil
+        else Seq(SnapshotTable.PartitionColsProp ->
+          Some(partitionCols.mkString(","))))).toMap
+      commit(staged, live, base = base, keyed = true, op = "replaceTable",
+        stats = stats, sstats = sstats, blooms = blooms,
+        schema = Some(df.schema.json), sizes = sizes, schemaGate = false,
+        rows = counts.toSeq.sortBy(_._1), nulls = nullsCh,
+        props = (unsets ++ sets).toSeq.sortBy(_._1))
     }
 
   /** Rewrite the CURRENT live file set as `coalesceTo` files in one

@@ -48,18 +48,24 @@ final class SnapshotV2Table(spark: SparkSession, root: String,
 
   override def name(): String = ident
 
-  override def schema(): StructType =
+  // lazy: Spark asks for schema/partitioning several times during
+  // resolution and each call would otherwise be another manifest-tail
+  // replay (the same caching contract as SnapshotRelation's
+  // resolvedSchema — a Table instance is one resolution's view)
+  private lazy val resolvedSchema: StructType =
     handle.schemaAt(pinned).getOrElse(new StructType())
+  private lazy val tableProps: Map[String, String] =
+    handle.properties(pinned)
+
+  override def schema(): StructType = resolvedSchema
 
   override def partitioning(): Array[Transform] =
-    SnapshotTable.layoutColsOf(handle.properties(pinned))
+    SnapshotTable.layoutColsOf(tableProps)
       .map(c => Expressions.identity(c)).toArray
 
-  override def properties(): JMap[String, String] = {
-    val base = handle.properties(pinned).toSeq
-    (base :+ ("provider" -> "snapshot") :+ ("location" -> root))
-      .toMap.asJava
-  }
+  override def properties(): JMap[String, String] =
+    (tableProps.toSeq :+ ("provider" -> "snapshot") :+
+      ("location" -> root)).toMap.asJava
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -150,13 +156,11 @@ private final class SnapshotV1WriteBridge(handle: SnapshotTable)
             case None => handle.appendWithStats(data, Nil)
             case Some(Nil) => handle.overwrite(data)
             case Some(filters) =>
-              val cond = filters.flatMap(SnapshotRelation.toColumn)
-                .reduceOption(_ && _)
-              require(cond.isDefined && filters
-                .flatMap(SnapshotRelation.toColumn).size == filters.size,
+              val cols = filters.flatMap(SnapshotRelation.toColumn)
+              require(cols.size == filters.size,
                 s"overwrite condition not expressible on snapshot " +
                   s"tables: ${filters.mkString(", ")}")
-              handle.replaceWhere(data, cond.get)
+              handle.replaceWhere(data, cols.reduce(_ && _))
           }
       }
   }
@@ -199,22 +203,19 @@ private final class SnapshotStagedTable(spark: SparkSession, root: String,
   override def commitStagedChanges(): Unit = {
     val t = new SnapshotTable(spark, root)
     if (replace) {
-      // REPLACE may re-declare the layout: align the recorded property
-      // first (metadata commit), then the overwrite clusters on it —
-      // the data commit is the visibility point either way
-      val recorded = SnapshotTable.layoutColsOf(t.properties())
-      if (partitionCols.nonEmpty &&
-          recorded.map(_.toLowerCase) != partitionCols.map(_.toLowerCase))
-        t.alterProperties(Seq(SnapshotTable.PartitionColsProp ->
-          partitionCols.mkString(",")))
+      // ONE keyed commit: data swap + the new definition's layout and
+      // properties set + every prior-generation property unset (user
+      // props, constraints, layout, stat defaults — REPLACE defines a
+      // new table). Atomic by construction: a failing replacement
+      // query leaves the old generation byte-identical, properties
+      // included.
       val df = pendingWrite.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], declared))
-      t.overwrite(df)
-      if (props.nonEmpty) t.alterProperties(props)
+      t.replaceTable(df, partitionCols, props)
     } else pendingWrite match {
       case Some(df) =>
-        t.createExclusive(df, partitionBy = partitionCols)
-        if (props.nonEmpty) t.alterProperties(props)
+        t.createExclusive(df, partitionBy = partitionCols,
+          userProps = props)
       case None => t.createEmpty(declared, partitionCols, props)
     }
   }

@@ -340,6 +340,16 @@ class SnapshotLayoutSpec extends SparkSuite {
       assert(t.lastDmlCandidates.size < math.max(total, 2),
         s"managed-table layout read must prune: planned " +
           s"${t.lastDmlCandidates.size} of $total")
+      // IF NOT EXISTS on the EXISTING table is a FULL no-op: the
+      // post-create layout recording must not fire again and rewrite
+      // the live table's log (schema/layout) from the declaration
+      val vBefore = t.currentVersion
+      ext.sql("CREATE TABLE IF NOT EXISTS snap_layout_managed " +
+        "(id BIGINT, j BIGINT) USING snapshot PARTITIONED BY (j)")
+      assert(t.currentVersion == vBefore,
+        "IF NOT EXISTS on an existing table must commit NOTHING")
+      assert(t.properties().get(SnapshotTable.PartitionColsProp)
+        .contains("k"), "the live layout must survive untouched")
     } finally ext.sql("DROP TABLE IF EXISTS snap_layout_managed")
   }
 

@@ -162,6 +162,52 @@ class SnapshotV2CatalogSpec extends SparkSuite {
     assert(t.currentVersion == 3 && t.read().count() == 4)
   }
 
+  test("REPLACE is a NEW definition: prior constraints, properties and layout are retired in the same commit") {
+    ext.sql("CREATE TABLE snap.ns.rdef " +
+      "(id BIGINT, k BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('team' = 'old')")
+    ext.sql("INSERT INTO snap.ns.rdef VALUES (1, 1)")
+    ext.sql("ALTER TABLE snap.ns.rdef ADD CONSTRAINT small CHECK (id < 10)")
+    val root = s"$warehouse/ns/rdef"
+    // the old CHECK must not gate the replacement data; old props and
+    // layout retire in the SAME commit the data swaps in
+    val t = new SnapshotTable(ext, root)
+    val v0 = t.currentVersion
+    ext.sql("CREATE OR REPLACE TABLE snap.ns.rdef " +
+      "TBLPROPERTIES ('team' = 'new') AS SELECT 100L AS id")
+    assert(t.currentVersion == v0 + 1, "REPLACE must be ONE commit")
+    assert(ext.sql("SELECT id FROM snap.ns.rdef").head().getLong(0) == 100L)
+    val props = t.properties()
+    assert(props.get("team").contains("new"))
+    assert(!props.contains(SnapshotTable.PartitionColsProp),
+      "a REPLACE that declares no partitioning must clear the layout")
+    assert(t.checkConstraints.isEmpty,
+      "the replaced generation's constraints must retire")
+    // new-definition inserts are free of the old constraint...
+    ext.sql("INSERT INTO snap.ns.rdef VALUES (500)")
+    // ...and the replaced generation is intact under time travel
+    assert(ext.sql(s"SELECT count(*) FROM snap.ns.rdef VERSION AS OF $v0")
+      .head().getLong(0) == 1)
+  }
+
+  test("a failing REPLACE leaves the old generation byte-identical — properties and layout included") {
+    ext.sql("CREATE TABLE snap.ns.ratomic (id BIGINT, k BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('team' = 'keep')")
+    ext.sql("INSERT INTO snap.ns.ratomic VALUES (1, 1), (2, 2)")
+    val t = new SnapshotTable(ext, s"$warehouse/ns/ratomic")
+    val v0 = t.currentVersion
+    val propsBefore = t.properties()
+    intercept[Exception] {
+      ext.sql("REPLACE TABLE snap.ns.ratomic PARTITIONED BY (j) AS " +
+        "SELECT assert_true(false, 'boom') AS a, 1L AS j")
+    }
+    assert(t.currentVersion == v0 &&
+      t.properties() == propsBefore,
+      "no commit — data, layout and properties all untouched")
+    assert(t.properties().get(SnapshotTable.PartitionColsProp)
+      .contains("k"), "the old layout must survive the failed replace")
+  }
+
   test("aborted staged writes leave nothing: failed CTAS creates no table, failed REPLACE keeps the old one") {
     // CTAS whose query fails mid-write: abortStagedChanges drops the
     // captured frame, no table may appear
@@ -219,6 +265,17 @@ class SnapshotV2CatalogSpec extends SparkSuite {
     assert(ext.sql("SELECT count(*) FROM snap.ns.t9").head().getLong(0) == 8)
     assert(ext.sql("DESCRIBE DETAIL snap.ns.t9")
       .head().getAs[Int]("num_files") == 1, "OPTIMIZE must bin-pack")
+  }
+
+  test("RENAME TO refuses by design (absolute manifest paths) and names the recipes") {
+    ext.sql("CREATE TABLE snap.ns.rn1 AS SELECT id FROM range(6)")
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE snap.ns.rn1 RENAME TO ns.rn2")
+    }
+    assert(e.getMessage.contains("SHALLOW CLONE"),
+      s"the refusal must name the working recipes, got: ${e.getMessage}")
+    assert(ext.sql("SELECT count(*) FROM snap.ns.rn1").head().getLong(0) == 6,
+      "a refused rename must leave the table intact")
   }
 
   test("DROP TABLE removes the root; SHOW NAMESPACES lists directories") {

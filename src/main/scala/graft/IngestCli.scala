@@ -328,6 +328,22 @@ object IngestCli {
             // dir names and would be lost)
             println("imported into version " +
               t.importFiles(req("from"), csvOpt("statCols")))
+          case "copyInto" =>
+            // --from <dir|glob> --format csv|parquet|json
+            // [--pattern '*.csv'] [--options k=v;;k=v] [--force true]
+            // [--lookbackDays n]: exactly-once batch file loading —
+            // the ledger rides the data commit (SnapshotCopyInto)
+            val fmtOpts = opts.getOrElse("options", "").split(";;")
+              .filter(_.contains("=")).map { kv =>
+                val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1)
+              }.toMap
+            val r = graft.sources.SnapshotCopyInto.copyInto(t,
+              req("from"), req("format"), fmtOpts, opts.get("pattern"),
+              force = opts.getOrElse("force", "false").toBoolean,
+              lookbackDays = opts.get("lookbackDays").map(_.toInt)
+                .getOrElse(graft.sources.SnapshotCopyInto.DefaultLookbackDays))
+            println(s"copied ${r.filesLoaded} file(s), ${r.rowsLoaded} " +
+              s"row(s) into version ${r.version}; skipped ${r.filesSkipped}")
           case "setProperty" =>
             println(s"property set in version " +
               t.setProperty(req("key"), req("value")))
@@ -357,6 +373,14 @@ object IngestCli {
             // every later write validates its staged rows against it
             println(s"constraint added in version " +
               t.addCheckConstraint(req("name"), req("expr")))
+          case "addGeneratedColumn" =>
+            // GENERATED ALWAYS AS: --name --expr; writes omitting the
+            // column compute it, writes carrying it are validated
+            println(s"generated column added in version " +
+              t.addGeneratedColumn(req("name"), req("expr")))
+          case "dropGeneratedColumn" =>
+            println(s"generated column dropped in version " +
+              t.dropGeneratedColumn(req("name")))
           case "dropConstraint" =>
             println(s"constraint dropped in version " +
               t.dropConstraint(req("name")))
@@ -522,7 +546,19 @@ object IngestCli {
         spark.sql("TRUNCATE TABLE sqlcheck_v2.ns.t")
         val v2T = spark.sql("SELECT count(*) FROM sqlcheck_v2.ns.t")
           .head().getLong(0)
-        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN,"describe_history_rows":$histN,"v2_replace_rows":$v2N,"v2_truncate_rows":$v2T}""")
+        // and the r17 COPY INTO (idempotent batch file loading): the
+        // second run's files_loaded must be 0 — exactly-once proven
+        // in deployment mode, not just in the spec session
+        val copySrc = java.nio.file.Files
+          .createTempDirectory("sqlcheck_copy")
+        java.nio.file.Files.write(copySrc.resolve("a.csv"),
+          "id\n7\n8\n".getBytes("UTF-8"))
+        val copySql = s"COPY INTO snapshot.`$tvfDir` " +
+          s"FROM '$copySrc' FILEFORMAT = CSV PATTERN = '*.csv' " +
+          "FORMAT_OPTIONS ('header' = 'true')"
+        spark.sql(copySql).collect()
+        val copyN = spark.sql(copySql).head().getLong(1)
+        println(s"""{"cosine_similarity":${row.getDouble(0)},"rolling_hash":${row.getLong(1)},"canonical_url":"${row.getString(2)}","snapshot_at_rows":$tvfN,"rows_after_sql_delete":$dmlN,"files_after_sql_optimize":$optN,"describe_history_rows":$histN,"v2_replace_rows":$v2N,"v2_truncate_rows":$v2T,"copy_into_reloaded":$copyN}""")
 
       case "Stats" =>
         // operational table statistics (files/bytes/leaves + the worst

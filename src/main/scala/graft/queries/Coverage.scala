@@ -148,7 +148,102 @@ object Coverage {
       s"$cat.main.supplier"
     })
 
+  /** see s9_copy_into — one COPY-INTO'd snapshot table per (JVM, sf
+    * dir): a slice of `part` staged to CSV, loaded with the SQL
+    * `COPY INTO` statement TWICE — the ledger must no-op the replay,
+    * so a dedup bug doubles the rows and breaks the DuckDB hash. */
+  private val copyIntoDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def copyIntoDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    copyIntoDirs.getOrElseUpdate(dir, {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_copy_stage").toString
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_copy_into").toString
+      cleanupOnExit(stage); cleanupOnExit(d)
+      val src = Tables.part(s, dir)
+        .filter(col("p_partkey") <= 500)
+        .select("p_partkey", "p_brand", "p_size")
+      src.coalesce(2).write.mode("overwrite")
+        .option("header", "true").csv(stage)
+      // schema-seed with an empty frame so COPY must CAST the CSV text
+      new graft.sources.SnapshotTable(s, d).appendWithStats(
+        src.limit(0), Nil)
+      val copy = s"COPY INTO snapshot.`$d` FROM '$stage' " +
+        "FILEFORMAT = CSV PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true')"
+      s.sql(copy).collect()
+      s.sql(copy).collect() // replay: exactly-once or the hash breaks
+      d
+    })
+
+  /** see s10_generated_column — one v2 table with a GENERATED ALWAYS
+    * AS column per (JVM, sf dir): `orders` lands through SQL INSERT
+    * with the generated column OMITTED (Spark null-fills it; the
+    * write-path fill computes it), so the fill itself sits under the
+    * DuckDB hash gate. */
+  private val genColTables =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def genColTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    genColTables.getOrElseUpdate(dir, {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_snap_genwh").toString
+      cleanupOnExit(wh)
+      val cat = s"graftgen_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.main.orders (
+        |  o_orderkey BIGINT, o_orderdate DATE,
+        |  o_year INT GENERATED ALWAYS AS (year(o_orderdate)))
+        |PARTITIONED BY (o_year)""".stripMargin)
+      Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        .createOrReplaceTempView("graft_gen_src")
+      if (s.sql(s"SELECT 1 FROM $cat.main.orders LIMIT 1").isEmpty)
+        s.sql(s"INSERT INTO $cat.main.orders (o_orderkey, o_orderdate) " +
+          "SELECT o_orderkey, o_orderdate FROM graft_gen_src")
+      s"$cat.main.orders"
+    })
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "s10_generated_column",
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |min(o_orderkey) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+      // GENERATED ALWAYS AS end to end: the INSERT omits o_year, the
+      // write-path fill computes it (and range-clusters on it — the
+      // generated column IS the layout); the oracle restates the
+      // expression over the original parquet, so a wrong or missing
+      // fill breaks the hash
+      val tbl = Coverage.genColTable(s, dir)
+      s.sql(s"""SELECT o_year, CAST(count(*) AS BIGINT) AS n_orders,
+        |min(o_orderkey) AS first_key
+        |FROM $tbl GROUP BY o_year ORDER BY o_year""".stripMargin)
+    },
+
+    QueryDef.sql(
+      "s9_copy_into",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part WHERE p_partkey <= 500
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      // idempotent batch file loading end to end: stage → COPY INTO ×2
+      // → read back; the oracle restates the slice over the original
+      // parquet, so a double-load OR a type-drifted CSV read breaks
+      // the hash
+      val d = Coverage.copyIntoDir(s, dir)
+      s.read.format("snapshot").load(d)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("p_size").cast("long").as("sum_size"))
+        .orderBy("p_brand")
+    },
 
     QueryDef.sql(
       "s8_v2_catalog",

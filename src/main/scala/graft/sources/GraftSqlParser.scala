@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   VACUUM snapshot.`/p` RETAIN 50 VERSIONS DRY RUN           -- preflight
   *   RESTORE events TO VERSION AS OF 7
   *   RESTORE events TO TIMESTAMP AS OF '2026-08-01T00:00:00'
+  *   COPY INTO events FROM '/drop/zone' FILEFORMAT = CSV
+  *     PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')  -- exactly-once
   * }}}
   *
   * The target is ``snapshot.`/path/``, a bare `` `/path/` ``, or a
@@ -38,7 +40,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * commit; history is preserved, not rewritten).
   *
   * Parsing is intercept-or-delegate: anything not starting with one of
-  * the three keywords goes to Spark's parser untouched (one cheap
+  * the statement keywords goes to Spark's parser untouched (one cheap
   * prefix probe per statement), and a keyword statement that does NOT
   * match the grammar falls through to Spark so its native error
   * surfaces. All non-plan parser entry points delegate verbatim. */
@@ -131,11 +133,31 @@ object GraftSqlParser {
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + PathTarget +
       """\s+SHALLOW\s+CLONE\s+""" + Target +
       """(?:\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)'))?\s*;?\s*$""").r
+  // COPY INTO <target> FROM '<src>' FILEFORMAT = CSV|PARQUET|JSON
+  // [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v',...)]
+  // [COPY_OPTIONS ('force'='true','lookbackDays'='31')] — idempotent
+  // batch file loading over [[SnapshotCopyInto.copyInto]] (the
+  // file-identity ledger rides the data commit; see that scaladoc)
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Target +
+      """\s+FROM\s+'([^']+)'""" +
+      """\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
+
   private val Keyword =
-    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT|CREATE)\b.*""".r
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|DESC|DESCRIBE|INSERT|CREATE|COPY)\b.*""".r
 
   private def tgt(g1: String, g2: String, g3: String): String =
     Option(g1).orElse(Option(g2)).orElse(Option(g3)).get
+
+  /** `'k' = 'v', ...` option-list body → map (keys verbatim —
+    * DataFrameReader options are case-insensitive anyway). */
+  private def optPairs(body: String): Map[String, String] =
+    if (body == null) Map.empty
+    else """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2)).toMap
 
   /** Split REPLACE WHERE's `<cond> <query>` tail at the FIRST query-
     * keyword boundary where the prefix parses as an expression AND the
@@ -211,6 +233,10 @@ object GraftSqlParser {
               tgt(p1, p2, p3)))))
       case InsertReplaceRe(p1, p2, p3, tail) =>
         Some(splitInsertReplace(tgt(p1, p2, p3), tail, delegate))
+      case CopyIntoRe(p1, p2, p3, src, fmt, pat, fmtOpts, copyOpts) =>
+        Some(SnapshotCopyIntoCommand(tgt(p1, p2, p3), src, fmt,
+          Option(pat), optPairs(fmtOpts),
+          optPairs(copyOpts).map { case (k, v) => k.toLowerCase -> v }))
       case ShallowCloneRe(t1, t2, s1, s2, s3, v, ts) =>
         Some(SnapshotShallowCloneCommand(Option(t1).getOrElse(t2),
           tgt(s1, s2, s3), Option(v).map(_.toInt), Option(ts)))

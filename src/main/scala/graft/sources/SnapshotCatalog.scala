@@ -75,7 +75,9 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   override def capabilities(): JSet[TableCatalogCapability] =
-    Collections.singleton(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      .asJava
 
   /** A backquoted absolute path addresses its root directly; anything
     * else resolves under the warehouse. */
@@ -183,8 +185,33 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val root = rootFor(ident)
     if (isTableDir(root))
       throw new TableAlreadyExistsException(ident.asMultipartIdentifier)
+    // (legacy StructType route: GENERATED ALWAYS AS may arrive as
+    // StructField metadata — split it out the same way)
+    val (clean, generated) = SnapshotCatalog.splitGenerated(schema)
     new SnapshotTable(spark, root.toString)
-      .createEmpty(schema, layoutCols(partitions), userProps(properties))
+      .createEmpty(clean, layoutCols(partitions), userProps(properties),
+        generated)
+    new SnapshotV2Table(spark, root.toString, fullName(ident))
+  }
+
+  /** Spark 4 delivers CREATE TABLE column lists through the v2
+    * `Column` API — `GENERATED ALWAYS AS` rides
+    * `Column.generationExpression()`, NOT StructField metadata (the
+    * default Column→StructType conversion silently DROPS it, which is
+    * why this override exists). The expressions become validated
+    * `graft.generated.*` declarations; the table log stores a plain
+    * schema — the props are the single source of truth. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val root = rootFor(ident)
+    if (isTableDir(root))
+      throw new TableAlreadyExistsException(ident.asMultipartIdentifier)
+    val (schema, generated) = SnapshotCatalog.fromV2Columns(columns)
+    new SnapshotTable(spark, root.toString)
+      .createEmpty(schema, layoutCols(partitions), userProps(properties),
+        generated)
     new SnapshotV2Table(spark, root.toString, fullName(ident))
   }
 
@@ -326,6 +353,21 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       userProps(properties), replace = false)
   }
 
+  /** Plain CREATE TABLE stages too (staging catalogs stage
+    * everything) — the v2-Column override that keeps GENERATED ALWAYS
+    * AS alive on this route; see [[createTable]]. */
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident.asMultipartIdentifier)
+    val (schema, generated) = SnapshotCatalog.fromV2Columns(columns)
+    new SnapshotStagedTable(spark, rootFor(ident).toString,
+      fullName(ident), schema, layoutCols(partitions),
+      userProps(properties), replace = false, generated = generated)
+  }
+
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
@@ -343,8 +385,84 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       fullName(ident), schema, layoutCols(partitions),
       userProps(properties), replace = tableExists(ident))
 
+  // the v2-Column replace routes extract generation expressions ONLY
+  // so the staged table can REFUSE them loudly (a REPLACE cannot
+  // declare generated columns yet) instead of silently dropping the
+  // declaration through the default Column→StructType conversion
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val (schema, generated) = SnapshotCatalog.fromV2Columns(columns)
+    new SnapshotStagedTable(spark, rootFor(ident).toString,
+      fullName(ident), schema, layoutCols(partitions),
+      userProps(properties), replace = true, generated = generated)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    val (schema, generated) = SnapshotCatalog.fromV2Columns(columns)
+    new SnapshotStagedTable(spark, rootFor(ident).toString,
+      fullName(ident), schema, layoutCols(partitions),
+      userProps(properties), replace = tableExists(ident),
+      generated = generated)
+  }
+
   private implicit class IdentOps(ident: Identifier) {
     def asMultipartIdentifier: Seq[String] =
       (ident.namespace :+ ident.name).toSeq
+  }
+}
+
+object SnapshotCatalog {
+  /** Split `GENERATED ALWAYS AS` declarations out of a CREATE TABLE
+    * schema: returns the schema with the generation metadata STRIPPED
+    * plus the `(column, expression)` pairs
+    * ([[org.apache.spark.sql.catalyst.util.GeneratedColumn]] is
+    * Spark's own carrier for the parsed expressions). */
+  private[sources] def splitGenerated(schema: StructType)
+      : (StructType, Seq[(String, String)]) = {
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val gens = schema.fields.toSeq.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).map(f.name -> _))
+    if (gens.isEmpty) (schema, Nil)
+    else {
+      val key = GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
+      val clean = StructType(schema.fields.map { f =>
+        if (!f.metadata.contains(key)) f
+        else f.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(f.metadata).remove(key).build())
+      })
+      (clean, gens)
+    }
+  }
+
+  /** Spark-4 v2 `Column` list → (plain schema, generation pairs).
+    * Comments carry; DEFAULT / IDENTITY refuse (capabilities this
+    * catalog does not declare — Spark gates them, this is the
+    * defense-in-depth error if a future Spark stops gating). */
+  private[sources] def fromV2Columns(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : (StructType, Seq[(String, String)]) = {
+    columns.foreach { c =>
+      if (c.defaultValue != null) throw new UnsupportedOperationException(
+        s"snapshot tables do not support DEFAULT values (column ${c.name})")
+      if (c.identityColumnSpec != null)
+        throw new UnsupportedOperationException(
+          "snapshot tables do not support IDENTITY columns (column " +
+            s"${c.name}) — GENERATED ALWAYS AS (expr) is supported")
+    }
+    val fields = columns.map { c =>
+      val f = org.apache.spark.sql.types
+        .StructField(c.name, c.dataType, c.nullable)
+      Option(c.comment).filter(_.nonEmpty).map(f.withComment).getOrElse(f)
+    }
+    val gens = columns.toSeq.flatMap(c =>
+      Option(c.generationExpression).filter(_.nonEmpty).map(c.name -> _))
+    (StructType(fields), gens)
   }
 }

@@ -1097,12 +1097,42 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * Returns (clustered frame, effective layout columns — unioned
     * into the write's stat columns by callers, and the property write
     * to ride the commit when the declaration is new). */
-  private[sources] def applyLayout(df: DataFrame,
+  private[sources] def applyLayout(df0: DataFrame,
       declared: Seq[String] = Nil,
-      props: Map[String, String] = null)
+      props: Map[String, String] = null,
+      fillGenerated: Boolean = true)
       : (DataFrame, Seq[String], Seq[(String, Option[String])]) = {
-    val recorded = SnapshotTable.layoutColsOf(
-      Option(props).getOrElse(properties()))
+    val propsR = Option(props).getOrElse(properties())
+    val recorded = SnapshotTable.layoutColsOf(propsR)
+    // generated-column fill rides the SAME choke point every write
+    // verb already threads (zero extra metadata reads): a frame that
+    // omits a generated column gets it computed — BEFORE the layout
+    // clustering below, so a generated column can BE the layout
+    // (PARTITIONED BY (dt), dt GENERATED ALWAYS AS (date(ts))). A
+    // frame that CARRIES the column has its NULLs computed too
+    // (Spark's v2 INSERT resolution null-fills unlisted columns, so
+    // "null here" means "omitted"); non-null values stay and the
+    // synthesized check validates them at staging. A frame missing
+    // the expression's INPUTS stays untouched (the same evolution
+    // tolerance as constraint enforcement — the check skips with it).
+    // `fillGenerated = false` is for re-staging EXISTING rows
+    // (replaceWhere survivors): their pre-declaration NULLs are data,
+    // not omissions, and a rewrite must never mutate them.
+    val df =
+      if (!fillGenerated) df0
+      else SnapshotTable.generatedColsOf(propsR).foldLeft(df0) {
+        case (d, (c, e)) =>
+          val names = d.schema.fieldNames
+          val refsOk = (try Some(constraintRefs(e))
+            catch { case scala.util.control.NonFatal(_) => None })
+            .exists(_.forall(r => names.exists(_.equalsIgnoreCase(r))))
+          if (!refsOk) d // inputs absent (or unparseable): check skips too
+          else if (names.exists(_.equalsIgnoreCase(c)))
+            d.withColumn(c, org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col(s"`$c`"),
+              org.apache.spark.sql.functions.expr(e)))
+          else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+      }
     if (declared.nonEmpty) {
       val missing = declared.filterNot(c =>
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -1999,9 +2029,34 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
               .mkString(",")))
           }
         }
+      // generated-column declarations track the rename on BOTH axes:
+      // a renamed generated column moves its key (old key unset, new
+      // key set — the synthesized check derives from the key, so it
+      // follows); a renamed INPUT rewrites the stored expression with
+      // the same round-trip-proven substitution as constraints
+      val genRewrites: Seq[(String, Option[String])] =
+        SnapshotTable.generatedColsOf(renameProps).flatMap { case (c, e) =>
+          val exprHit =
+            try constraintRefs(e).contains(oldName.toLowerCase)
+            catch { case scala.util.control.NonFatal(_) => false }
+          val e2 =
+            if (!exprHit) e
+            else rewriteConstraintExpr(e, oldName, newName).getOrElse(
+              throw new IllegalArgumentException(
+                s"renameColumn: generated column '$c' ($e) references " +
+                  s"'$oldName' and cannot be rewritten mechanically — " +
+                  "dropGeneratedColumn, rename, then re-declare"))
+          if (c.equalsIgnoreCase(oldName))
+            Seq(SnapshotTable.GeneratedPrefix + c ->
+                (None: Option[String]),
+              SnapshotTable.GeneratedPrefix + newName -> Some(e2))
+          else if (exprHit)
+            Seq(SnapshotTable.GeneratedPrefix + c -> Some(e2))
+          else Nil
+        }
       commit(Nil, Nil, base = base, keyed = true, op = "renameColumn",
         schemaGate = false, schemaTransform = Some(ns _),
-        props = conRewrites ++ listRewrites ++
+        props = conRewrites ++ listRewrites ++ genRewrites ++
           protocolBump(renameProps, 3, 3))
     }
 
@@ -2063,6 +2118,19 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
             s"dropColumn: CHECK constraint(s) ${cs.mkString(", ")} " +
               s"reference '$name' and would silently stop enforcing " +
               "— dropConstraint first")
+        }
+        // generated columns guard the same way: dropping the column
+        // itself or one of its expression's inputs would silently end
+        // the fill/validation pair
+        SnapshotTable.generatedColsOf(state.props).collect {
+          case (c, e) if c.equalsIgnoreCase(name) ||
+              (try constraintRefs(e).contains(name.toLowerCase)
+               catch { case scala.util.control.NonFatal(_) => false }) => c
+        } match {
+          case Seq() => ()
+          case cs => throw new IllegalArgumentException(
+            s"dropColumn: generated column(s) ${cs.mkString(", ")} " +
+              s"depend on '$name' — dropGeneratedColumn first")
         }
         (StructType(st.fields.patch(idx, Nil, 1)).json,
           SnapshotTable.physicalName(st.fields(idx)).toLowerCase)
@@ -3103,6 +3171,9 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         require(!k.startsWith(SnapshotTable.ProtocolPrefix),
           s"keys under '${SnapshotTable.ProtocolPrefix}' are " +
             "reserved — use upgradeProtocol")
+        require(!k.startsWith(SnapshotTable.GeneratedPrefix),
+          s"keys under '${SnapshotTable.GeneratedPrefix}' are " +
+            "reserved — addGeneratedColumn after the replace")
       }
       val missing = partitionCols.filterNot(c =>
         df0.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -3765,8 +3836,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       val (stagedS, statsS, sstatsS, countsS, sizesS, nullsS) =
         survivors match {
           case Some(s) =>
-            stageFilesWithStats(applyLayout(s, partitionBy, props)._1, sc,
-              countFiles = bc.nonEmpty)
+            // survivors are EXISTING rows: cluster them, but never
+            // fill generated columns (pre-declaration NULLs are data)
+            stageFilesWithStats(
+              applyLayout(s, partitionBy, props, fillGenerated = false)._1,
+              sc, countFiles = bc.nonEmpty)
           case None =>
             (Seq.empty[String], Seq.empty[SnapshotTable.FileStat],
               Seq.empty[SnapshotTable.StrStat], Map.empty[String, Long],
@@ -4420,6 +4494,9 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     require(!key.startsWith(SnapshotTable.ProtocolPrefix),
       s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
         "use upgradeProtocol, which only raises and serializes races")
+    require(!key.startsWith(SnapshotTable.GeneratedPrefix),
+      s"keys under '${SnapshotTable.GeneratedPrefix}' are reserved — " +
+        "use addGeneratedColumn, which validates the expression")
     setProperty0(key, value)
   }
 
@@ -4445,7 +4522,8 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
     * zero rows of the declared shape (the recorded-schema path). */
   def createEmpty(schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String] = Nil,
-      props: Seq[(String, String)] = Nil): Int =
+      props: Seq[(String, String)] = Nil,
+      generated: Seq[(String, String)] = Nil): Int =
     retryingOnConflict("createEmpty") {
       val base = currentVersion
       require(base == 0,
@@ -4463,14 +4541,49 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
         require(!k.startsWith(SnapshotTable.ProtocolPrefix),
           s"keys under '${SnapshotTable.ProtocolPrefix}' are " +
             "reserved — use upgradeProtocol")
+        require(!k.startsWith(SnapshotTable.GeneratedPrefix),
+          s"keys under '${SnapshotTable.GeneratedPrefix}' are " +
+            "reserved — pass the `generated` argument, which validates")
+      }
+      // GENERATED ALWAYS AS declarations (the V2 catalog's CREATE
+      // TABLE route): validated like addGeneratedColumn — no rows
+      // exist yet, so validation is parse + analyze + no-generated-
+      // inputs, against the DECLARED schema
+      val genNames = generated.map(_._1.toLowerCase).toSet
+      generated.foreach { case (c, e) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"generated column '$c' not in the declared schema")
+        val refs =
+          try constraintRefs(e)
+          catch {
+            case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
+              throw new IllegalArgumentException(
+                s"generated column '$c' expression does not parse: " +
+                  ex.getMessage)
+          }
+        require(!refs.exists(genNames.contains),
+          s"generated column '$c' references another generated column " +
+            "— generation expressions may only use stored columns")
+        try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .select(org.apache.spark.sql.functions.expr(e)).schema
+        catch {
+          case ex: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"generated column '$c' ($e) does not analyze against " +
+                s"the declared schema: ${ex.getMessage}", ex)
+        }
       }
       val layoutProp =
         if (partitionCols.isEmpty) Nil
         else Seq(SnapshotTable.PartitionColsProp ->
           Some(partitionCols.mkString(",")))
+      val genProps = generated.map { case (c, e) =>
+        SnapshotTable.GeneratedPrefix + c -> Some(e) }
       commit(Nil, Nil, base = base, keyed = true,
         schema = Some(schema.json),
-        props = layoutProp ++ props.map { case (k, v) => k -> Some(v) },
+        props = layoutProp ++ genProps ++
+          props.map { case (k, v) => k -> Some(v) },
         op = "create")
     }
 
@@ -4507,6 +4620,11 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
       require(!key.startsWith(SnapshotTable.ProtocolPrefix),
         s"keys under '${SnapshotTable.ProtocolPrefix}' are reserved — " +
           "use upgradeProtocol, which only raises and serializes races")
+    }
+    set.map(_._1).foreach { key =>
+      require(!key.startsWith(SnapshotTable.GeneratedPrefix),
+        s"keys under '${SnapshotTable.GeneratedPrefix}' are reserved — " +
+          "use addGeneratedColumn, which validates the expression")
     }
     val dup = set.map(_._1).intersect(unset)
     require(dup.isEmpty,
@@ -4633,13 +4751,101 @@ final class SnapshotTable(private[sources] val spark: SparkSession,
   def dropConstraint(name: String): Int =
     removeProperty0(SnapshotTable.ConstraintPrefix + name, "dropConstraint")
 
+  /** Declare `name` GENERATED ALWAYS AS (`sqlExpr`) — the Delta
+    * generated-column idiom (see [[SnapshotTable.GeneratedPrefix]] for
+    * the write/validate semantics). Two shapes, one commit each:
+    *
+    *  - `name` already in the schema: existing rows must satisfy
+    *    `name <=> (sqlExpr)` (one validating scan, like
+    *    [[addCheckConstraint]]) — "declare this column derived".
+    *  - `name` absent: the schema WIDENS with the expression's
+    *    analyzed type ([[addColumns]] semantics — pre-existing rows
+    *    read NULL for it and predate enforcement; every write from
+    *    this commit on computes or validates it).
+    *
+    * The expression may not reference itself or another generated
+    * column (the fill is one pass, not a fixpoint). MERGE/UPDATE
+    * clauses that assign the column inconsistently REFUSE at staging
+    * via the synthesized check rather than silently recomputing —
+    * assign it correctly or omit it from the frame. */
+  def addGeneratedColumn(name: String, sqlExpr: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty, "generated column needs a name")
+    try spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"generated column '$name' expression does not parse: " +
+            e.getMessage)
+    }
+    val st = replayStateFull(currentVersion)
+    val props = st.props
+    val gens = SnapshotTable.generatedColsOf(props).map(_._1.toLowerCase)
+    require(!gens.contains(name.toLowerCase),
+      s"column '$name' is already generated on $root")
+    val refs = constraintRefs(sqlExpr)
+    require(!refs.contains(name.toLowerCase),
+      s"generated column '$name' cannot reference itself")
+    val genRef = refs.filter(gens.contains)
+    require(genRef.isEmpty,
+      s"generated column '$name' references generated column(s) " +
+        s"${genRef.mkString(", ")} — generation expressions may only " +
+        "use stored columns (the fill is one pass, not a fixpoint)")
+    val schema = schemaAt(None).getOrElse(throw new IllegalStateException(
+      s"snapshot table $root has no recorded schema — write to it (or " +
+        "createEmpty) before declaring generated columns"))
+    val genProp = Seq(
+      SnapshotTable.GeneratedPrefix + name -> Some(sqlExpr))
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(name))) {
+      // declare an EXISTING column derived: history must already agree
+      if (st.live.nonEmpty) {
+        val bad = read(None).filter(not(coalesce(
+          expr(s"`$name` <=> ($sqlExpr)"), lit(true)))).limit(1).count()
+        if (bad > 0) throw new SnapshotTable.ConstraintViolation(
+          s"cannot declare '$name' generated as ($sqlExpr) on $root: " +
+            "existing rows disagree with the expression")
+      }
+      commit(Nil, Nil, props = genProp, op = "addGeneratedColumn")
+    } else {
+      // NEW column: type = the expression's analyzed type; analysis
+      // against the recorded schema also surfaces unresolvable inputs
+      // at declare time, not on the first write
+      val dt =
+        try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .select(expr(sqlExpr)).schema.head.dataType
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"generated column '$name' ($sqlExpr) does not analyze " +
+                s"against the table's schema: ${e.getMessage}", e)
+        }
+      val widened = org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+      commit(Nil, Nil, schema = Some(widened.json), props = genProp,
+        op = "addGeneratedColumn")
+    }
+  }
+
+  /** Un-declare a generated column: the fill and its synthesized
+    * check stop; the column itself stays in the schema (drop it
+    * separately with [[dropColumn]] if unwanted). */
+  def dropGeneratedColumn(name: String): Int =
+    removeProperty0(SnapshotTable.GeneratedPrefix + name,
+      "dropGeneratedColumn")
+
   /** Active CHECK constraints (name → expression) at the newest
-    * snapshot. */
-  def checkConstraints: Map[String, String] =
-    properties().collect {
+    * snapshot — stored ones plus the `__gen_<col>` checks synthesized
+    * from generated-column declarations (see
+    * [[SnapshotTable.GeneratedPrefix]]): every enforcement consumer
+    * (staging validation, drop/rename gates) sees ONE surface. */
+  def checkConstraints: Map[String, String] = {
+    val props = properties()
+    props.collect {
       case (k, v) if k.startsWith(SnapshotTable.ConstraintPrefix) =>
         k.stripPrefix(SnapshotTable.ConstraintPrefix) -> v
-    }
+    } ++ SnapshotTable.generatedChecksOf(props)
+  }
 
   /** Diagnostic counter: per-file `getFileStatus` calls [[detail]] has
     * issued — the legacy fallback for files committed before size
@@ -5315,6 +5521,44 @@ object SnapshotTable {
     props.get(PartitionColsProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+
+  /** Per-column generation expressions (`graft.generated.<col>` =
+    * SQL expr) — the Delta GENERATED ALWAYS AS idiom: a write that
+    * omits the column gets it COMPUTED (inside [[applyLayout]], so a
+    * generated column can also be the partition layout — the
+    * date-bucketing shape); a write that supplies it is VALIDATED
+    * against the expression by a synthesized CHECK (`col <=> (expr)`,
+    * null-safe so a smuggled NULL fails too). The props are the ONLY
+    * source of truth: the check is derived at enforcement time, never
+    * stored, so rename/clone/replay cannot desynchronize the pair.
+    * Reserved like [[ConstraintPrefix]] — written only by
+    * [[SnapshotTable.addGeneratedColumn]] / the V2 catalog's CREATE
+    * TABLE (both validate), never by raw property writes. */
+  val GeneratedPrefix = "graft.generated."
+
+  /** `(column, expression)` pairs recorded in a property map. */
+  private[sources] def generatedColsOf(
+      props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(GeneratedPrefix) =>
+        k.stripPrefix(GeneratedPrefix) -> v
+    }.sortBy(_._1)
+
+  /** The synthesized validation checks for [[generatedColsOf]] —
+    * joins [[checkConstraints]]/staging enforcement under reserved
+    * `__gen_<col>` names. NULL is legal: rows written BEFORE the
+    * declaration read NULL for the column (addColumns semantics) and
+    * must keep compacting/rewriting forever; writer-supplied NULLs
+    * are computed away by the [[applyLayout]] fill instead, so a
+    * surviving NULL always means "predates the declaration" (or an
+    * explicit NULL through a fill-less path like a MERGE insert
+    * clause — tolerated, never a wrong VALUE). A non-null value must
+    * equal the expression exactly. */
+  private[sources] def generatedChecksOf(
+      props: Map[String, String]): Seq[(String, String)] =
+    generatedColsOf(props).map { case (c, e) =>
+      s"__gen_$c" -> s"(`$c` IS NULL) OR (`$c` <=> ($e))"
+    }
 
   // ---- scan-planning diagnostics --------------------------------------
   //

@@ -175,7 +175,8 @@ private final class SnapshotV1WriteBridge(handle: SnapshotTable)
   * schema ([[SnapshotTable.createEmpty]]). */
 private final class SnapshotStagedTable(spark: SparkSession, root: String,
     ident: String, declared: StructType, partitionCols: Seq[String],
-    props: Seq[(String, String)], replace: Boolean)
+    props: Seq[(String, String)], replace: Boolean,
+    generated: Seq[(String, String)] = Nil)
     extends StagedTable with SupportsWrite {
 
   private var pendingWrite: Option[DataFrame] = None
@@ -202,6 +203,19 @@ private final class SnapshotStagedTable(spark: SparkSession, root: String,
 
   override def commitStagedChanges(): Unit = {
     val t = new SnapshotTable(spark, root)
+    // plain CREATE TABLE routes here too (staging catalogs stage
+    // everything): GENERATED ALWAYS AS declarations (constructor arg
+    // from the v2-Column route, or legacy StructField metadata) land
+    // validated on the data-less path; the frame-capturing paths
+    // (CTAS/REPLACE) cannot carry them — a smuggled declaration
+    // refuses rather than silently dropping
+    val (cleanMeta, metaGens) = SnapshotCatalog.splitGenerated(declared)
+    val (clean, gens) = (cleanMeta, generated ++ metaGens)
+    if (gens.nonEmpty && (replace || pendingWrite.nonEmpty))
+      throw new UnsupportedOperationException(
+        "GENERATED ALWAYS AS columns are declared via plain CREATE " +
+          "TABLE (no AS SELECT, no REPLACE) — create the table first, " +
+          "then INSERT")
     if (replace) {
       // ONE keyed commit: data swap + the new definition's layout and
       // properties set + every prior-generation property unset (user
@@ -216,7 +230,7 @@ private final class SnapshotStagedTable(spark: SparkSession, root: String,
       case Some(df) =>
         t.createExclusive(df, partitionBy = partitionCols,
           userProps = props)
-      case None => t.createEmpty(declared, partitionCols, props)
+      case None => t.createEmpty(clean, partitionCols, props, gens)
     }
   }
 

@@ -191,13 +191,24 @@ object Graph {
         col("v") === col("node"))
       .filter(col("degree") <= maxMidDegree)
       .select(col("u"), col("v"), col("degree").as("mid_deg"))
-    val scored = adj.filter(isProbe(col("u"))).as("a")
+    // the probe arm and the anti-join's adjacency are both bounded by
+    // the PROBE set's adjacency (src is a probe on every candidate
+    // row), so both broadcast: the full adjacency is then never
+    // shuffled at all — it streams through one broadcast-hash wedge
+    // join (vs shuffle+sort of the whole edge list on v, twice the
+    // size of the probe arm's data in every partition). The broadcast
+    // budget is the probe-bounded contract the scaladoc states; for
+    // an unbounded probe set, drop to the shuffle plan by removing
+    // the hints.
+    val probeAdj = adj.filter(isProbe(col("u")))
+    val scored = broadcast(probeAdj).as("a")
       .join(adj.as("b"),
         col("a.v") === col("b.v") && col("a.u") =!= col("b.u"))
       .groupBy(col("a.u").as("src"), col("b.u").as("dst"))
       .agg(count(lit(1)).as("common"),
         sum(expr("1000000 div a.mid_deg")).as("aa_scaled"))
-    val nonAdj = scored.join(sym,
+    val nonAdj = scored.join(
+      broadcast(sym.filter(isProbe(col("u")))),
       col("src") === col("u") && col("dst") === col("v"), "left_anti")
     // rank BEFORE the degree joins: the ranking keys (aa, common, dst)
     // never read a degree, so WindowGroupLimit prunes the multi-

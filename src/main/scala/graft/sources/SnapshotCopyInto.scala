@@ -80,8 +80,14 @@ object SnapshotCopyInto {
     val conf = spark.sessionState.newHadoopConf()
     val srcPath = new Path(source)
     val fs = srcPath.getFileSystem(conf)
+    val isGlob = source.exists("*?[{".contains(_))
+    // a non-glob source that does not exist is a typo, not an empty
+    // drop zone — error instead of silently no-opping (a glob source
+    // may legitimately match nothing)
+    require(isGlob || fs.exists(srcPath),
+      s"COPY INTO: source '$source' does not exist")
     val glob =
-      if (fs.exists(srcPath) && fs.getFileStatus(srcPath).isDirectory)
+      if (!isGlob && fs.getFileStatus(srcPath).isDirectory)
         new Path(srcPath, pattern.getOrElse("*"))
       else {
         require(pattern.isEmpty,

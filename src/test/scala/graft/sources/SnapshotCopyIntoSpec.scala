@@ -148,6 +148,14 @@ class SnapshotCopyIntoSpec extends SparkSuite {
       ext.sql(sql + " COPY_OPTIONS ('nope' = '1')").collect()
     }
     assert(e.getMessage.contains("unknown COPY_OPTIONS"))
+    // a typo'd (non-glob) source errors instead of silently no-opping
+    val e2 = intercept[Exception] {
+      SnapshotCopyInto.copyInto(t, "/no/such/dropzone", "csv")
+    }
+    assert(e2.getMessage.contains("does not exist"))
+    // a glob source matching nothing is a legitimate empty drop zone
+    assert(SnapshotCopyInto.copyInto(t,
+      s"${drop.toString}/zz*.csv", "csv").filesLoaded == 0)
   }
 
   test("recorded partition layout applies to the copied slab") {

@@ -11,16 +11,18 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the bench session shape (local[$SPARK_GRAFT_CPUS], AQE, the
+    // GraftExtensions SQL surface) so captured plans match what the
+    // benchmark actually runs — local[4] plans hid partition-count
+    // effects and failed on the snapshot-SQL queries
+    val spark = Bench.session()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"[explain] $n FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -283,7 +283,7 @@ object Dedup {
     val tok = docs
       .repartition(col(idCol))     // pre-explode spread, same as shingles
       .select(col(idCol),
-        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
+        explode(TextAnalysis.normalizedTokens(col(textCol))).as("tok"))
       .withColumn("th", substring(md5(col("tok")), 1, 8))
     // hex digit value at position p (1-based): strpos of the char
     def hexVal(p: Int): Column =
@@ -471,7 +471,7 @@ object Dedup {
     * [[shingles]]. */
   def wordSpans(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val toks = TextAnalysis.normalizedTokens(col(textCol))
     docs
       .repartition(col(idCol))
       .select(col(idCol), toks.as("__toks"))
@@ -507,7 +507,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("dup_token_count"))
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val toks = TextAnalysis.normalizedTokens(col(textCol))
     docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
       .join(spanAgg, Seq(idCol), "left")
       .join(dupAgg, Seq(idCol), "left")
@@ -555,7 +555,7 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_pos"))
       .distinct()
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val toks = TextAnalysis.normalizedTokens(col(textCol))
     val stream = docs.repartition(col(idCol))
       .select(col(idCol), posexplode(toks).as(Seq("__p0", "tok")))
       .select(col(idCol), (col("__p0") + 1).as("tok_pos"), col("tok"))

@@ -1750,8 +1750,8 @@ object LlmOps {
          |    AS BIGINT) AS pos
          |FROM b ORDER BY pos""".stripMargin) { (s, dir) =>
       val tk = Tables.documents(s, dir).select(col("doc_id"),
-        size(graft.text.TextAnalysis.tokens(
-          graft.text.TextAnalysis.normalized(col("text")))).cast("long")
+        size(graft.text.TextAnalysis.normalizedTokens(col("text")))
+          .cast("long")
           .as("n_tokens"))
       val cuts = tk.agg(
         expr("percentile(n_tokens, 0.25)").as("q1"),

@@ -471,8 +471,7 @@ object Curation {
     * pass. */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = graft.text.TextAnalysis.tokens(
-      graft.text.TextAnalysis.normalized(col(textCol)))
+    val toks = graft.text.TextAnalysis.normalizedTokens(col(textCol))
     val n = size(toks)
     val pairs = zip_with(
       slice(toks, lit(1), greatest(n - 1, lit(0))),

